@@ -1,0 +1,81 @@
+"""Table catalog over the driver's parquet testdata + medallion layers.
+
+Mirrors the reference's path-constant + metadata-dict approach
+(/root/reference/databricks_notebooks/2_Bronze_to_Silver.py:5-32) with a
+plain-Python catalog: layer roots, table paths, an existence probe
+(the reference's ``DeltaTable.isDeltaTable`` gate,
+1_Landing_to_Bronze.py:36), and loaders for the TPC-H-ish testdata.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return str(Path(sf_dir) / f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table (columnar parquet; Catalyst prunes/pushes)."""
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TESTDATA_TABLES)}
+
+
+def table_exists(path: str) -> bool:
+    """Existence probe for an engine-managed parquet table.
+
+    Replaces the reference's ``DeltaTable.isDeltaTable(spark, path)``
+    (1_Landing_to_Bronze.py:36, 2_Bronze_to_Silver.py:74): a parquet
+    table exists when its directory holds at least one data file or a
+    ``_SUCCESS`` marker.
+    """
+    p = Path(path)
+    if not p.exists():
+        return False
+    if (p / "_SUCCESS").exists():
+        return True
+    return any(p.rglob("*.parquet"))
+
+
+class LayerCatalog:
+    """Medallion layer roots: landing/bronze/silver/gold namespaces
+    (reference path constants, 1_Landing_to_Bronze.py:5-6,
+    3_Silver_to_Gold.py:4-5)."""
+
+    LAYERS = ("landing", "bronze", "silver", "gold", "state")
+
+    def __init__(self, root: str):
+        self.root = Path(root)
+
+    def layer_root(self, layer: str) -> Path:
+        if layer not in self.LAYERS:
+            raise ValueError(f"unknown layer {layer!r}; expected one of {self.LAYERS}")
+        return self.root / layer
+
+    def path(self, layer: str, table: str) -> str:
+        return str(self.layer_root(layer) / table)
+
+    def exists(self, layer: str, table: str) -> bool:
+        return table_exists(self.path(layer, table))

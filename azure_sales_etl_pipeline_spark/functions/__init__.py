@@ -1,0 +1,62 @@
+"""Reusable column expressions.
+
+Everything here is built-in ``pyspark.sql.functions`` composition — JVM
+side, whole-stage-codegen friendly. No Python UDFs (the reference is
+likewise UDF-free: SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def hash_diff(cols: Sequence[str]) -> Column:
+    """SHA-256 row-content hash for change detection.
+
+    Faithful to the reference's ``sha2(concat_ws("||", *cols), 256)``
+    (/root/reference/databricks_notebooks/2_Bronze_to_Silver.py:72,84)
+    including the documented quirk that ``concat_ws`` skips nulls, so
+    ``("a", null)`` and ``(null, "a")`` hash-collide (SURVEY.md F4).
+    """
+    return F.sha2(F.concat_ws("||", *[F.col(c).cast("string") for c in cols]), 256)
+
+
+def date_hierarchy(ts_col: str) -> dict[str, Column]:
+    """Calendar hierarchy columns (reference 3_Silver_to_Gold.py:52-55)."""
+    return {
+        "order_date": F.to_date(F.col(ts_col)),
+        "order_year": F.year(F.col(ts_col)),
+        "order_quarter": F.quarter(F.col(ts_col)),
+        "order_month": F.month(F.col(ts_col)),
+    }
+
+
+def safe_ratio(num: Column, den: Column) -> Column:
+    """``num / den`` with the reference's divide-by-zero guard
+    (3_Silver_to_Gold.py:90): denominator <= 0 is replaced by 1."""
+    return num / F.when(den > 0, den).otherwise(F.lit(1))
+
+
+def money(col: Column) -> Column:
+    """Round a monetary double to 2 decimals — applied to every float
+    aggregate so results are stable across summation orders (and hash-
+    comparable with the DuckDB oracle)."""
+    return F.round(col, 2)
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity of two ``array<double>`` columns, element order
+    summation (matches DuckDB's list_sum order for oracle parity).
+
+    Built-in higher-order functions only — no UDF: ``zip_with`` for the
+    elementwise product, ``aggregate`` for the ordered sum.
+    """
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate(F.zip_with(a, a, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.zip_with(b, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)

@@ -1,0 +1,341 @@
+"""Gold-layer data marts on the TPC-H-ish testdata.
+
+Re-expresses /root/reference/databricks_notebooks/3_Silver_to_Gold.py on
+the driver tables (FIXTURES.md mapping: supplier≈Sellers,
+customer≈Customers, part≈Products, orders+lineitem≈Orders+OrderItems,
+o_orderstatus/l_returnflag≈OrderStatus/Reasons):
+
+- ``fact_order_details``      — 6-way star join + wide projection (J2/P2/F9)
+- ``seller_performance_daily``— 9-col grain groupBy, sum/sum/countDistinct (A1)
+- ``…_monthly`` / ``…_quarterly`` — re-aggregation rollups from the DAILY
+  aggregate, faithfully keeping the reference's ``sum(distinct_orders)``
+  over-count semantics (A2; 3_Silver_to_Gold.py:64-71)
+- ``seller_order_rates``      — conditional distinct counts + guarded ratios (A3/A8)
+- ``seller_segmentation``     — revenue ⋈ rates + CASE segment rules (J3/F6)
+- ``customer_behavior``       — per-customer min/max/count/sum + CASE type (A4)
+
+Scale notes (100 TB): nation/region are constant-size → explicit
+``broadcast()``; customer/part/supplier grow with SF → left to AQE's
+runtime broadcast decision (they exceed broadcast size at large SF and
+must sort-merge on the shuffled key). Float aggregates are rounded so
+results are summation-order independent (AQE re-partitions freely).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import money, safe_ratio
+
+# ---------------------------------------------------------------------------
+# fact_order_details (reference 3_Silver_to_Gold.py:29-42)
+# ---------------------------------------------------------------------------
+
+
+def fact_order_details(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-way star join: lineitem ⋈ orders ⋈ customer ⋈ part ⋈ supplier ⋈ nation.
+
+    ``total_amount`` mirrors the reference's ``Quantity * CurrentPrice``
+    (3_Silver_to_Gold.py:40) as ``l_quantity * p_retailprice``.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    joined = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "inner")
+        .join(customer, orders.o_custkey == customer.c_custkey, "inner")
+        .join(part, lineitem.l_partkey == part.p_partkey, "inner")
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey, "inner")
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey, "inner")
+    )
+    return joined.select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_number"),
+        F.to_date("o_orderdate").alias("order_date"),
+        F.col("o_orderstatus").alias("order_status"),
+        F.col("c_custkey").alias("customer_key"),
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("mkt_segment"),
+        F.col("p_partkey").alias("part_key"),
+        F.col("p_name").alias("part_name"),
+        F.col("p_brand").alias("brand"),
+        F.col("s_suppkey").alias("supplier_key"),
+        F.col("s_name").alias("supplier_name"),
+        F.col("n_name").alias("nation_name"),
+        F.col("l_quantity").alias("quantity"),
+        F.col("p_retailprice").alias("unit_price"),
+        (F.col("l_quantity") * F.col("p_retailprice")).alias("total_amount"),
+        F.col("l_returnflag").alias("return_flag"),
+        F.year("o_orderdate").alias("order_year"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.month("o_orderdate").alias("order_month"),
+    )
+
+
+# Shared DuckDB CTE mirroring fact_order_details (used by every mart oracle).
+FACT_SQL = """
+    SELECT l.l_orderkey   AS order_key,
+           l.l_linenumber AS line_number,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           o.o_orderstatus AS order_status,
+           c.c_custkey    AS customer_key,
+           c.c_name       AS customer_name,
+           c.c_mktsegment AS mkt_segment,
+           p.p_partkey    AS part_key,
+           p.p_name       AS part_name,
+           p.p_brand      AS brand,
+           s.s_suppkey    AS supplier_key,
+           s.s_name       AS supplier_name,
+           n.n_name       AS nation_name,
+           l.l_quantity   AS quantity,
+           p.p_retailprice AS unit_price,
+           l.l_quantity * p.p_retailprice AS total_amount,
+           l.l_returnflag AS return_flag,
+           CAST(year(o.o_orderdate) AS INT)    AS order_year,
+           CAST(quarter(o.o_orderdate) AS INT) AS order_quarter,
+           CAST(month(o.o_orderdate) AS INT)   AS order_month
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# seller performance rollups (3_Silver_to_Gold.py:52-72)
+# ---------------------------------------------------------------------------
+
+_DAILY_GRAIN = [
+    "order_date",
+    "order_year",
+    "order_quarter",
+    "order_month",
+    "supplier_key",
+    "supplier_name",
+    "part_key",
+    "part_name",
+    "brand",
+]
+
+
+def seller_performance_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily seller×product grain, 9 group columns (reference A1,
+    3_Silver_to_Gold.py:58-59): sum revenue, sum quantity, exact
+    countDistinct orders. Shuffles once on the full grain; the two
+    rollups below re-aggregate this output instead of rescanning fact."""
+    fact = fact_order_details(spark, sf_dir)
+    return fact.groupBy(*_DAILY_GRAIN).agg(
+        money(F.sum("total_amount")).alias("total_revenue"),
+        F.sum("quantity").alias("total_quantity"),
+        F.countDistinct("order_key").alias("distinct_orders"),
+    )
+
+
+def seller_performance_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly rollup FROM the daily aggregate (A2). ``sum(distinct_orders)``
+    over-counts orders spanning grain rows — the reference's semantics
+    (3_Silver_to_Gold.py:64-65), kept faithfully."""
+    daily = seller_performance_daily(spark, sf_dir)
+    return daily.groupBy("order_year", "order_month", "supplier_key", "supplier_name").agg(
+        money(F.sum("total_revenue")).alias("total_revenue"),
+        F.sum("total_quantity").alias("total_quantity"),
+        F.sum("distinct_orders").alias("distinct_orders"),
+    )
+
+
+def seller_performance_quarterly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = seller_performance_daily(spark, sf_dir)
+    return daily.groupBy("order_year", "order_quarter", "supplier_key", "supplier_name").agg(
+        money(F.sum("total_revenue")).alias("total_revenue"),
+        F.sum("total_quantity").alias("total_quantity"),
+        F.sum("distinct_orders").alias("distinct_orders"),
+    )
+
+
+_DAILY_SQL = f"""
+    SELECT order_date, order_year, order_quarter, order_month,
+           supplier_key, supplier_name, part_key, part_name, brand,
+           round(sum(total_amount), 2) AS total_revenue,
+           CAST(sum(quantity) AS DOUBLE) AS total_quantity,
+           count(DISTINCT order_key) AS distinct_orders
+    FROM ({FACT_SQL})
+    GROUP BY ALL
+"""
+
+
+# ---------------------------------------------------------------------------
+# seller order rates (3_Silver_to_Gold.py:82-92)
+# ---------------------------------------------------------------------------
+
+
+def seller_order_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional distinct counts in one pass (A3): order-status buckets
+    map the reference's Delivered/Pending/Cancelled (O/F/P here) and
+    ``l_returnflag='R'`` stands in for Reasons.ReasonType='Return'.
+    Ratio columns carry the reference's divide-by-zero guard (A8)."""
+    fact = fact_order_details(spark, sf_dir)
+    rates = fact.groupBy("supplier_key", "supplier_name").agg(
+        F.countDistinct("order_key").alias("total_orders"),
+        F.countDistinct(F.when(F.col("order_status") == "F", F.col("order_key"))).alias("fulfilled_orders"),
+        F.countDistinct(F.when(F.col("order_status") == "O", F.col("order_key"))).alias("open_orders"),
+        F.countDistinct(F.when(F.col("order_status") == "P", F.col("order_key"))).alias("partial_orders"),
+        F.countDistinct(F.when(F.col("return_flag") == "R", F.col("order_key"))).alias("returned_orders"),
+    )
+    return rates.withColumn(
+        "return_rate",
+        F.round(safe_ratio(F.col("returned_orders"), F.col("fulfilled_orders")), 6),
+    ).withColumn(
+        "fulfillment_rate",
+        F.round(safe_ratio(F.col("fulfilled_orders"), F.col("total_orders")), 6),
+    )
+
+
+_RATES_SQL = f"""
+    SELECT *,
+           round(returned_orders / (CASE WHEN fulfilled_orders > 0 THEN fulfilled_orders ELSE 1 END), 6) AS return_rate,
+           round(fulfilled_orders / (CASE WHEN total_orders > 0 THEN total_orders ELSE 1 END), 6) AS fulfillment_rate
+    FROM (
+        SELECT supplier_key, supplier_name,
+               count(DISTINCT order_key) AS total_orders,
+               count(DISTINCT CASE WHEN order_status = 'F' THEN order_key END) AS fulfilled_orders,
+               count(DISTINCT CASE WHEN order_status = 'O' THEN order_key END) AS open_orders,
+               count(DISTINCT CASE WHEN order_status = 'P' THEN order_key END) AS partial_orders,
+               count(DISTINCT CASE WHEN return_flag = 'R' THEN order_key END) AS returned_orders
+        FROM ({FACT_SQL})
+        GROUP BY ALL
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# seller segmentation (3_Silver_to_Gold.py:100-112)
+# ---------------------------------------------------------------------------
+
+
+def seller_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue rollup ⋈ order rates (J3) + rule-based CASE segment (F6).
+
+    The reference reads mart 1's *written* output back (3_Silver_to_Gold
+    .py:102); the engine keeps one lineage instead — same result, no
+    materialization round-trip (SURVEY.md §3 EP3 note)."""
+    fact = fact_order_details(spark, sf_dir)
+    revenue = fact.groupBy("supplier_key", "supplier_name").agg(
+        money(F.sum("total_amount")).alias("total_revenue")
+    )
+    rates = seller_order_rates(spark, sf_dir).select(
+        "supplier_key", "return_rate", "fulfillment_rate", "total_orders"
+    )
+    seg = revenue.join(rates, "supplier_key", "inner")
+    return seg.withColumn(
+        "segment",
+        F.when((F.col("total_revenue") > 20_000_000) & (F.col("return_rate") < 0.3), "Top Performer")
+        .when(F.col("total_revenue") > 10_000_000, "Growth")
+        .when(F.col("return_rate") > 0.5, "At Risk")
+        .otherwise("Standard"),
+    )
+
+
+_SEGMENT_SQL = f"""
+    SELECT r.supplier_key, r.supplier_name, r.total_revenue,
+           t.return_rate, t.fulfillment_rate, t.total_orders,
+           CASE WHEN r.total_revenue > 20000000 AND t.return_rate < 0.3 THEN 'Top Performer'
+                WHEN r.total_revenue > 10000000 THEN 'Growth'
+                WHEN t.return_rate > 0.5 THEN 'At Risk'
+                ELSE 'Standard' END AS segment
+    FROM (
+        SELECT supplier_key, supplier_name, round(sum(total_amount), 2) AS total_revenue
+        FROM ({FACT_SQL}) GROUP BY ALL
+    ) r
+    JOIN ({_RATES_SQL}) t ON r.supplier_key = t.supplier_key
+"""
+
+
+# ---------------------------------------------------------------------------
+# customer purchase behavior (3_Silver_to_Gold.py:121-133)
+# ---------------------------------------------------------------------------
+
+
+def customer_behavior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer countDistinct/sum/min/max (A4) + CASE customer type.
+    Needs only orders ⋈ customer — no fact scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    beh = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.countDistinct("o_orderkey").alias("orders_count"),
+            money(F.sum("o_totalprice")).alias("total_spent"),
+            F.min("o_orderdate").alias("first_order_at"),
+            F.max("o_orderdate").alias("last_order_at"),
+        )
+        .withColumnRenamed("c_custkey", "customer_key")
+        .withColumnRenamed("c_name", "customer_name")
+        .withColumnRenamed("c_mktsegment", "mkt_segment")
+    )
+    return beh.withColumn(
+        "customer_type",
+        F.when(F.col("orders_count") > 12, "Frequent")
+        .when(F.col("orders_count") >= 6, "Repeat")
+        .otherwise("Occasional"),
+    )
+
+
+_CUSTOMER_SQL = """
+    SELECT customer_key, customer_name, mkt_segment, orders_count, total_spent,
+           first_order_at, last_order_at,
+           CASE WHEN orders_count > 12 THEN 'Frequent'
+                WHEN orders_count >= 6 THEN 'Repeat'
+                ELSE 'Occasional' END AS customer_type
+    FROM (
+        SELECT c.c_custkey AS customer_key, c.c_name AS customer_name,
+               c.c_mktsegment AS mkt_segment,
+               count(DISTINCT o.o_orderkey) AS orders_count,
+               round(sum(o.o_totalprice), 2) AS total_spent,
+               min(o.o_orderdate) AS first_order_at,
+               max(o.o_orderdate) AS last_order_at
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY ALL
+    )
+"""
+
+
+QUERIES = {
+    "fact_order_details": fact_order_details,
+    "seller_performance_daily": seller_performance_daily,
+    "seller_performance_monthly": seller_performance_monthly,
+    "seller_performance_quarterly": seller_performance_quarterly,
+    "seller_order_rates": seller_order_rates,
+    "seller_segmentation": seller_segmentation,
+    "customer_behavior": customer_behavior,
+}
+
+ORACLES = {
+    "fact_order_details": FACT_SQL,
+    "seller_performance_daily": _DAILY_SQL,
+    "seller_performance_monthly": f"""
+        SELECT order_year, order_month, supplier_key, supplier_name,
+               round(sum(total_revenue), 2) AS total_revenue,
+               sum(total_quantity) AS total_quantity,
+               CAST(sum(distinct_orders) AS BIGINT) AS distinct_orders
+        FROM ({_DAILY_SQL}) GROUP BY ALL
+    """,
+    "seller_performance_quarterly": f"""
+        SELECT order_year, order_quarter, supplier_key, supplier_name,
+               round(sum(total_revenue), 2) AS total_revenue,
+               sum(total_quantity) AS total_quantity,
+               CAST(sum(distinct_orders) AS BIGINT) AS distinct_orders
+        FROM ({_DAILY_SQL}) GROUP BY ALL
+    """,
+    "seller_order_rates": _RATES_SQL,
+    "seller_segmentation": _SEGMENT_SQL,
+    "customer_behavior": _CUSTOMER_SQL,
+}
