@@ -16,12 +16,22 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]]:
-    from . import dedup, gold, incremental, relational, similarity, textops
+import importlib
 
+# Domain modules merged into the registry, in load order. Each must expose
+# QUERIES / ORACLES. Added here as each lands.
+_DOMAINS = ("gold", "relational", "incremental", "dedup", "similarity", "textops")
+
+
+def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]]:
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
-    for mod in (gold, incremental, relational, dedup, similarity, textops):
+    for name in _DOMAINS:
+        # Skip domains that haven't landed yet, but let a broken existing
+        # module raise loudly rather than silently vanish from the registry.
+        if importlib.util.find_spec(f"{__package__}.{name}") is None:
+            continue
+        mod = importlib.import_module(f".{name}", __package__)
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     missing = set(oracles) - set(queries)

@@ -181,7 +181,10 @@ def seller_order_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     map the reference's Delivered/Pending/Cancelled (O/F/P here) and
     ``l_returnflag='R'`` stands in for Reasons.ReasonType='Return'.
     Ratio columns carry the reference's divide-by-zero guard (A8)."""
-    fact = fact_order_details(spark, sf_dir)
+    return _order_rates_from_fact(fact_order_details(spark, sf_dir))
+
+
+def _order_rates_from_fact(fact: DataFrame) -> DataFrame:
     rates = fact.groupBy("supplier_key", "supplier_name").agg(
         F.countDistinct("order_key").alias("total_orders"),
         F.countDistinct(F.when(F.col("order_status") == "F", F.col("order_key"))).alias("fulfilled_orders"),
@@ -225,12 +228,15 @@ def seller_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The reference reads mart 1's *written* output back (3_Silver_to_Gold
     .py:102); the engine keeps one lineage instead — same result, no
-    materialization round-trip (SURVEY.md §3 EP3 note)."""
+    materialization round-trip (SURVEY.md §3 EP3 note). Both aggregations
+    share ONE fact DataFrame, so the 6-way join tree appears once in the
+    plan (and AQE can reuse the shuffled exchange) instead of scanning
+    lineitem twice at 100 TB."""
     fact = fact_order_details(spark, sf_dir)
     revenue = fact.groupBy("supplier_key", "supplier_name").agg(
         money(F.sum("total_amount")).alias("total_revenue")
     )
-    rates = seller_order_rates(spark, sf_dir).select(
+    rates = _order_rates_from_fact(fact).select(
         "supplier_key", "return_rate", "fulfillment_rate", "total_orders"
     )
     seg = revenue.join(rates, "supplier_key", "inner")
