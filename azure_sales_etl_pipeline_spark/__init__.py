@@ -1,19 +1,20 @@
 """PySpark-native analytics engine with the query and data-processing
 capabilities of the ``gia-baonguyen/azure-sales-etl-pipeline`` reference.
 
-Subpackages
------------
+Subpackages / modules
+---------------------
 - ``session``    : SparkSession factory with scale-conscious defaults.
-- ``sources``    : readers/writers (CSV infer/pin lifecycle, parquet layers,
-                   schema-evolving append, JDBC-shaped incremental extract).
-- ``operators``  : engine machinery — watermark store, hash-diff SCD2 upsert,
-                   dedup family, similarity search, text analysis, multimodal.
+- ``catalog``    : testdata + medallion-layer table catalog.
+- ``sources``    : CSV infer/pin ingestion lifecycle, watermark-windowed
+                   incremental extract (JDBC-shaped).
+- ``operators``  : engine machinery — watermark store, hash-diff SCD2
+                   upsert, parquet sinks with schema-evolving append.
 - ``functions``  : reusable column expressions (hash-diff, date hierarchy,
                    safe ratios, vector math).
 - ``plans``      : the query library — every entry in the driver contract's
-                   ``queries()`` registry, grouped by domain.
-- ``streaming``  : Structured Streaming variants of the incremental operators.
-- ``pipeline``   : the medallion orchestrator (Landing->Bronze->Silver->Gold).
+                   ``queries()`` registry, grouped by domain (gold,
+                   relational, incremental, dedup, similarity, textops).
+- ``pipeline``   : the medallion orchestrator (Landing->Bronze->Silver).
 """
 
 __version__ = "0.1.0"

@@ -35,8 +35,21 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one testdata table (columnar parquet; Catalyst prunes/pushes)."""
-    return spark.read.parquet(table_path(sf_dir, name))
+    """Scan one testdata table (columnar parquet; Catalyst prunes/pushes).
+
+    ``events.ts`` is physically TIMESTAMP(NANOS) — Spark reads it as a
+    nano-precision long (``spark.sql.legacy.parquet.nanosAsLong``, set in
+    session.py) and we truncate to microseconds here, matching DuckDB's
+    ns→µs cast of the same file.
+    """
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        # Integer `div`, NOT `/`: float division of an int64 epoch-nanos
+        # loses precision (2^53 < 1.7e18) and drifts by ±1µs.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

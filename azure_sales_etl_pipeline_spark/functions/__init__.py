@@ -59,4 +59,6 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     )
     na = F.sqrt(F.aggregate(F.zip_with(a, a, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v))
     nb = F.sqrt(F.aggregate(F.zip_with(b, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v))
-    return dot / (na * nb)
+    # Zero-norm guard: a zero vector has no direction — return null
+    # rather than NaN-poisoning downstream aggregates.
+    return F.when((na > 0) & (nb > 0), dot / (na * nb))

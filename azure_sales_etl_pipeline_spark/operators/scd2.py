@@ -1,0 +1,197 @@
+"""SCD Type 2 upsert on parquet — the reference's algorithmic core
+(/root/reference/databricks_notebooks/2_Bronze_to_Silver.py:72-140)
+re-expressed Spark-first.
+
+Semantics (faithful to the reference):
+- change detection by ``sha2(concat_ws('||', tracked_cols), 256)``
+  including concat_ws's null-skip quirk (SURVEY.md F3/F4)
+- full-outer join source-vs-current-target on the business key, 3-way
+  CASE classification INSERT / UPDATE / NO CHANGE (J1, P7, T5)
+- UPDATE expires the old version (is_current=false, end_date=now) and
+  appends a new current version; INSERT appends a first version (T6)
+- deletes are detected (target-only rows) but not acted on — the
+  reference marks them "Optional / not implemented" (README.MD:141)
+
+Deliberate divergence: the reference's expire-then-append is TWO Delta
+commits with a corruption window between them (SURVEY.md §3). On plain
+parquet the engine rewrites the table as ONE staged swap —
+history ∪ survivors ∪ expired ∪ new-versions — so a crash leaves either
+the old table or the new one, never half.
+
+Scale: the full-outer join shuffles both sides on the business key
+(sort-merge at dimension scale). The hash is computed map-side before
+the shuffle. The rewrite re-writes the whole dimension per batch —
+correct, but at 100 TB dimensions you'd partition the table on a stable
+key-hash prefix and rewrite only partitions containing expired keys
+(partitionOverwriteMode=dynamic is already set in session.py for this);
+the surgical upgrade lives behind the same API.
+
+An injectable ``clock`` makes effective/end timestamps deterministic for
+tests and oracles (SURVEY.md F1 nondeterminism risk).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table_exists
+from ..functions import hash_diff
+from .writer import overwrite_table, read_table
+
+SCD_COLS = ("hash", "is_current", "effective_date", "end_date")
+
+
+class SCD2Table:
+    """One SCD2-managed dimension table at ``path``.
+
+    ``on_insert``: optional side-output callback receiving the INSERT-
+    action rows (the reference's new-customers-for-emailing hook,
+    2_Bronze_to_Silver.py:108-119 / T7). Called only when inserts exist.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        business_key: str,
+        tracked_cols: Sequence[str] | None = None,
+        clock: Callable[[], dt.datetime] | None = None,
+        on_insert: Callable[[DataFrame], None] | None = None,
+    ):
+        self.spark = spark
+        self.path = path
+        self.key = business_key
+        self.tracked_cols = list(tracked_cols) if tracked_cols else None
+        self.clock = clock or dt.datetime.utcnow
+        self.on_insert = on_insert
+
+    # -- reads ------------------------------------------------------------
+
+    def history(self) -> DataFrame:
+        return read_table(self.spark, self.path)
+
+    def current(self) -> DataFrame:
+        return self.history().where(F.col("is_current"))
+
+    # -- internals ---------------------------------------------------------
+
+    def _tracked(self, df: DataFrame) -> list[str]:
+        """Runtime column discovery (reference derives tracked cols from
+        df.columns minus exclusions, 2_Bronze_to_Silver.py:69-70) so the
+        hash adapts to evolved schemas automatically."""
+        if self.tracked_cols is not None:
+            return self.tracked_cols
+        return [c for c in df.columns if c != self.key and c not in SCD_COLS]
+
+    def _with_scd(self, df: DataFrame, now: dt.datetime) -> DataFrame:
+        return (
+            df.withColumn("hash", hash_diff(self._tracked(df)))
+            .withColumn("is_current", F.lit(True))
+            .withColumn("effective_date", F.lit(now).cast("timestamp"))
+            .withColumn("end_date", F.lit(None).cast("timestamp"))
+        )
+
+    # -- the operator -------------------------------------------------------
+
+    def upsert(self, source: DataFrame) -> dict[str, int]:
+        """Apply one batch. Returns action counts for observability
+        (the reference prints them, 2_Bronze_to_Silver.py:104)."""
+        if self.key not in source.columns:
+            # Fail fast on first load too — otherwise a misconfigured key
+            # only surfaces at the second batch's join.
+            raise ValueError(
+                f"business key {self.key!r} not in batch columns {source.columns}"
+            )
+        now = self.clock()
+        if not table_exists(self.path):
+            first = self._with_scd(source, now)
+            overwrite_table(first, self.path)
+            n = first.count()
+            if self.on_insert is not None and n:
+                self.on_insert(source)
+            return {"insert": n, "update": 0, "no_change": 0}
+
+        target = self.history().cache()
+        tgt_current = target.where(F.col("is_current"))
+
+        s = source.withColumn("hash", hash_diff(self._tracked(source))).alias("s")
+        t = tgt_current.alias("t")
+        key_s, key_t = F.col(f"s.{self.key}"), F.col(f"t.{self.key}")
+
+        joined = s.join(t, key_s == key_t, "full_outer")
+        classified = joined.select(
+            F.coalesce(key_s, key_t).alias("__key"),
+            F.when(key_t.isNull(), "INSERT")
+            .when(key_s.isNull(), "ABSENT")
+            .when(F.col("s.hash") != F.col("t.hash"), "UPDATE")
+            .otherwise("NO CHANGE")
+            .alias("__action"),
+        ).cache()
+
+        counts = {
+            r["__action"]: r["n"]
+            for r in classified.groupBy("__action").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        n_insert = counts.get("INSERT", 0)
+        n_update = counts.get("UPDATE", 0)
+        stats = {
+            "insert": n_insert,
+            "update": n_update,
+            "no_change": counts.get("NO CHANGE", 0),
+        }
+        if n_insert == 0 and n_update == 0:
+            classified.unpersist()
+            target.unpersist()
+            return stats
+
+        changed_keys = classified.where(F.col("__action").isin("INSERT", "UPDATE")).select("__key")
+        expire_keys = classified.where(F.col("__action") == "UPDATE").select("__key").distinct()
+
+        # New current versions: source rows whose key is INSERT or UPDATE
+        # (the reference's select("s.*") after filtering actions, :122).
+        new_versions = self._with_scd(
+            source.join(
+                F.broadcast(changed_keys) if n_insert + n_update < 1_000_000 else changed_keys,
+                source[self.key] == F.col("__key"),
+                "left_semi",
+            ),
+            now,
+        )
+
+        # Expire old current versions of updated keys (the reference's
+        # MERGE whenMatchedUpdate, :127-133).
+        expiring = (
+            tgt_current.join(expire_keys, tgt_current[self.key] == F.col("__key"), "left_semi")
+            .withColumn("is_current", F.lit(False))
+            .withColumn("end_date", F.lit(now).cast("timestamp"))
+        )
+        surviving_current = tgt_current.join(
+            expire_keys, tgt_current[self.key] == F.col("__key"), "left_anti"
+        )
+        history_rows = target.where(~F.col("is_current"))
+
+        cols = new_versions.columns
+        rewritten = (
+            history_rows.select(*cols)
+            .unionByName(surviving_current.select(*cols))
+            .unionByName(expiring.select(*cols))
+            .unionByName(new_versions.select(*cols))
+        )
+        # Materialize BEFORE the swap: the new plan reads the old files.
+        staged = rewritten.localCheckpoint(eager=True)
+        overwrite_table(staged, self.path)
+
+        if self.on_insert is not None and n_insert:
+            insert_keys = classified.where(F.col("__action") == "INSERT").select("__key")
+            inserts = source.join(
+                insert_keys, source[self.key] == F.col("__key"), "left_semi"
+            )
+            self.on_insert(inserts)
+
+        classified.unpersist()
+        target.unpersist()
+        return stats

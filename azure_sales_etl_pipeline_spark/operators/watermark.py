@@ -1,0 +1,84 @@
+"""Per-table high-watermark store (SURVEY.md T1-T3, A5, F11).
+
+The reference keeps one watermark per (layer, table): ADF stores it in
+``dbo.adf_watermark`` (adf/pipeline.json:186-272), the Silver notebook
+in a one-line text file (2_Bronze_to_Silver.py:44-67,143-147). The
+engine uses a single-row parquet table per key — atomic to replace,
+schema'd, and readable by any engine. Missing state defaults to
+1900-01-01, the reference's full-history sentinel
+(2_Bronze_to_Silver.py:44; adf/pipeline.json:129).
+
+Commit ordering is the reference's at-least-once contract: the caller
+advances the watermark only AFTER its write succeeds, so a crash replays
+the window (old, new] — idempotent downstream by SCD2's no-change
+detection.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType, TimestampType
+
+DEFAULT_WATERMARK = dt.datetime(1900, 1, 1)
+
+_SCHEMA = StructType(
+    [
+        StructField("table_name", StringType(), False),
+        StructField("watermark", TimestampType(), False),
+    ]
+)
+
+
+class WatermarkStore:
+    """One parquet dir per table under ``root`` holding a single row."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = Path(root)
+
+    def _path(self, table: str) -> Path:
+        return self.root / f"{table}.wm"
+
+    def get(self, table: str) -> dt.datetime:
+        p = self._path(table)
+        if not p.exists():
+            return DEFAULT_WATERMARK
+        row = self.spark.read.parquet(str(p)).first()
+        return row["watermark"] if row else DEFAULT_WATERMARK
+
+    def set(self, table: str, value: dt.datetime) -> None:
+        """Atomic replace: write to a temp dir, swap directories. Parquet
+        overwrite-in-place has a delete-then-write window; state must not."""
+        p = self._path(table)
+        self.root.mkdir(parents=True, exist_ok=True)
+        tmp = Path(tempfile.mkdtemp(dir=str(self.root.parent), prefix=".wm_stage_"))
+        df = self.spark.createDataFrame([(table, value)], _SCHEMA)
+        stage = tmp / "data"
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        if p.exists():
+            shutil.rmtree(p)
+        shutil.move(str(stage), str(p))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def cut(self, df: DataFrame, ts_col: str, table: str) -> DataFrame:
+        """The incremental window: rows strictly past the stored watermark
+        (reference filter, 2_Bronze_to_Silver.py:55-56). The predicate is a
+        plain Column comparison → pushed into the parquet scan."""
+        return df.where(F.col(ts_col) > F.lit(self.get(table)))
+
+    def advance_from(self, df: DataFrame, ts_col: str, table: str) -> dt.datetime | None:
+        """Compute max(ts) of the processed batch (A5) and persist it —
+        the reference's new-watermark step (2_Bronze_to_Silver.py:67,
+        143-147). Returns the new watermark, or None for an empty batch
+        (watermark untouched, same as the reference's early-exit)."""
+        row = df.agg(F.max(ts_col).alias("wm")).first()
+        if row is None or row["wm"] is None:
+            return None
+        self.set(table, row["wm"])
+        return row["wm"]

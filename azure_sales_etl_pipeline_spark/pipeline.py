@@ -1,0 +1,123 @@
+"""Medallion orchestrator — the ADF pipeline
+(/root/reference/adf/pipeline.json) as a config-driven Python driver.
+
+The reference's control flow, re-expressed:
+- Lookup table list (S13, pipeline.json:63-87)   → TableConfig list
+- ForEach with per-table watermark window (T1)   → run_table loop
+- Landing→Bronze→Silver stage chain (:277-362)   → ingest → scd2
+- per-table error isolation (C3; notebooks catch
+  and continue, 2_Bronze_to_Silver.py:152-158)   → try/except per table
+- New-customer Lookup → Web POST (:364-441)      → on_insert callback,
+  pluggable (no HTTP in the engine; tests inject a recorder)
+
+Stages communicate only through tables on disk (same as the reference's
+layer containers), so any stage can rerun independently; watermarks make
+reruns incremental and SCD2's no-change detection makes them idempotent.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import traceback
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import LayerCatalog, table_exists
+from .operators.scd2 import SCD2Table
+from .operators.watermark import WatermarkStore
+from .operators.writer import read_table
+from .sources.ingest import CsvIngestor
+
+
+@dataclass
+class TableConfig:
+    """One row of the reference's control table (dbo.adf_watermark +
+    the Silver metadata dict, 2_Bronze_to_Silver.py:16-32)."""
+
+    name: str
+    business_key: str
+    ts_col: str = "ingestion_timestamp"
+
+
+@dataclass
+class StageResult:
+    table: str
+    ok: bool
+    stats: dict = field(default_factory=dict)
+    error: str | None = None
+
+
+class MedallionPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        tables: list[TableConfig],
+        clock: Callable[[], dt.datetime] | None = None,
+        on_insert: dict[str, Callable[[DataFrame], None]] | None = None,
+    ):
+        self.spark = spark
+        self.catalog = LayerCatalog(root)
+        self.tables = tables
+        self.clock = clock or dt.datetime.utcnow
+        self.on_insert = on_insert or {}
+        self.watermarks = WatermarkStore(spark, self.catalog.path("state", "watermarks"))
+        self.ingestor = CsvIngestor(spark, str(self.catalog.layer_root("bronze")), clock=self.clock)
+
+    # -- stages -------------------------------------------------------------
+
+    def landing_to_bronze(self, landing_root: str) -> dict[str, int | None]:
+        return self.ingestor.run(landing_root)
+
+    def bronze_to_silver(self, cfg: TableConfig) -> dict[str, int]:
+        """Watermark-windowed incremental SCD2 (2_Bronze_to_Silver.py:35-158).
+
+        Commit order is the reference's at-least-once contract: the
+        watermark advances only after the upsert succeeds; a crash
+        between them replays the window and SCD2 classifies the replayed
+        rows NO CHANGE."""
+        bronze_path = self.catalog.path("bronze", cfg.name)
+        if not table_exists(bronze_path):
+            return {"skipped": 1}
+        bronze = read_table(self.spark, bronze_path)
+        batch = self.watermarks.cut(bronze, cfg.ts_col, cfg.name)
+        if batch.isEmpty():
+            return {"insert": 0, "update": 0, "no_change": 0}
+        dim = SCD2Table(
+            self.spark,
+            self.catalog.path("silver", cfg.name),
+            cfg.business_key,
+            # Audit/engine columns never participate in change detection.
+            tracked_cols=[
+                c
+                for c in batch.columns
+                if c not in (cfg.business_key, cfg.ts_col, "source_file")
+            ],
+            clock=self.clock,
+            on_insert=self.on_insert.get(cfg.name),
+        )
+        stats = dim.upsert(batch)
+        self.watermarks.advance_from(batch, cfg.ts_col, cfg.name)
+        return stats
+
+    # -- driver -------------------------------------------------------------
+
+    def run(self, landing_root: str) -> list[StageResult]:
+        """Full run: ingest all landed tables, then SCD2 each configured
+        table with per-table isolation — one bad table never blocks the
+        rest (C3)."""
+        results: list[StageResult] = []
+        ingest_stats = self.landing_to_bronze(landing_root)
+        results.append(StageResult("__ingest__", True, {"rows": ingest_stats}))
+        for cfg in self.tables:
+            try:
+                stats = self.bronze_to_silver(cfg)
+                results.append(StageResult(cfg.name, True, stats))
+            except Exception:  # noqa: BLE001 — per-table isolation (C3)
+                results.append(
+                    StageResult(cfg.name, False, error=traceback.format_exc(limit=3))
+                )
+        return results

@@ -1,0 +1,310 @@
+"""Deduplication family over ``documents`` / ``events`` — the
+training-data-pipeline dedup stack:
+
+- exact dedup by content fingerprint (hash-groupBy)
+- keep-first dedup by business key (window row_number)
+- n-gram Jaccard near-dup over a bounded candidate set (exact, oracle-able)
+- SimHash near-dup (nibble-parity sha256 sketch, oracle-able)
+- MinHash-LSH banded near-dup (the 100 TB path: candidates come from
+  band-bucket equi-joins, NEVER an all-pairs product; verified in pytest
+  with planted duplicates, rows-only for the driver)
+
+Scale design: every sketch (fingerprint, simhash, minhash signature) is
+computed map-side with built-in/higher-order functions before any
+shuffle, so the wide exchange carries a fixed-size key instead of the
+document text. LSH candidate generation shuffles on (band_idx,
+band_hash) — duplicate clusters co-locate, everything else spreads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+
+_WS = r"\s+"
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.split(F.trim(F.col(col)), _WS)
+
+
+def _norm_fingerprint(col: str = "text") -> Column:
+    """sha256 over lowercased, whitespace-collapsed text (textops parity)."""
+    return F.sha2(F.lower(F.regexp_replace(F.trim(F.col(col)), _WS, " ")), 256)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per distinct normalized content: keeper = lowest doc_id,
+    plus the duplicate count. Single hash-agg shuffle on the 32-byte
+    fingerprint — the canonical exact-dedup pass at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", _norm_fingerprint().alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+_EXACT_SQL = r"""
+    SELECT sha256(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+           min(doc_id) AS keeper_doc_id,
+           count(*) AS dup_count
+    FROM documents
+    GROUP BY ALL
+"""
+
+
+# ---------------------------------------------------------------------------
+# keep-first dedup by key (window row_number; reference P11's dropDuplicates
+# made deterministic — SURVEY §2.5 notes the engine adds window coverage)
+# ---------------------------------------------------------------------------
+
+
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest event per (user_id, event_type): row_number over a
+    partitioned window, deterministic tie-break on event_id. One shuffle
+    on the dedup key; at scale this beats groupBy+join-back because the
+    payload rides the same exchange."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+_KEEP_FIRST_SQL = """
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (exact, bounded candidates)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard for a bounded candidate set: same ``source``
+    and doc_id within 60 (sources stripe every N docs, so this yields a
+    few neighbors per doc) — a deterministic stand-in for "candidates
+    from blocking". The Jaccard itself is array_intersect/array_union over
+    distinct token sets, computed post-join on already-tokenized arrays.
+
+    Scale: candidate generation is an equi-join on ``source`` with a
+    range predicate, not a cross product; at 100 TB the blocking key
+    would be an LSH bucket (see minhash_lsh_candidates below) — the
+    verify stage here is identical either way.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.array_distinct(_tokens()).alias("toks")
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("b.doc_id") > F.col("a.doc_id"))
+        & (F.col("b.doc_id") <= F.col("a.doc_id") + 60),
+        "inner",
+    )
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(inter / union, 4).alias("jaccard"),
+    )
+
+
+_JACCARD_SQL = r"""
+    WITH t AS (
+        SELECT doc_id, source,
+               list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.toks, b.toks)) * 1.0
+                 / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+    FROM t a JOIN t b
+      ON a.source = b.source
+     AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 60
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash (oracle-able sketch: nibble-parity of sha256)
+# ---------------------------------------------------------------------------
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document. Each token votes ±1 on 64 bit
+    positions; the vote for bit i is the high bit of sha256(token)'s i-th
+    hex nibble (portable across engines, unlike xxhash64). Sign of the
+    vote sum → bit. Map-only: tokens never leave their partition.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # Materialize the per-token hash array in its own projection: HOF
+    # lambdas defeat common-subexpression elimination, so inlining this
+    # into the 64 bit-votes would recompute every sha256 64×.
+    hashed = docs.select(
+        "doc_id",
+        F.transform(_tokens(), lambda w: F.sha2(F.lower(w), 256)).alias("hs"),
+    )
+    # votes[i] = sum over tokens of (+1 if nibble i high-bit set else -1)
+    bits = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda i: F.when(
+            F.aggregate(
+                F.col("hs"),
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(h.substr(i, F.lit(1)).rlike("[89a-f]"), 1).otherwise(-1),
+            )
+            > 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0")),
+    )
+    return hashed.select("doc_id", F.array_join(bits, "").alias("simhash_bits"))
+
+
+_SIMHASH_SQL = r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              w -> sha256(lower(w))) AS hs
+        FROM documents
+    )
+    SELECT doc_id,
+           list_aggregate(
+               list_transform(range(1, 65), i ->
+                   CASE WHEN list_sum(list_transform(hs, h ->
+                        CASE WHEN substr(h, i, 1) SIMILAR TO '[89a-f]' THEN 1 ELSE -1 END)) > 0
+                   THEN '1' ELSE '0' END),
+               'string_agg', '') AS simhash_bits
+    FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the scale path; rows-only for the driver, recall-tested
+# in pytest with planted duplicates)
+# ---------------------------------------------------------------------------
+
+_MINHASH_K = 16  # signature length
+_LSH_BANDS = 4  # bands of r = K/BANDS rows each
+_SHINGLE_N = 3  # word-shingle width
+
+
+def _shingles(toks: Column, n: int = _SHINGLE_N) -> Column:
+    """Word n-gram shingles via higher-order functions (no explode)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text", k: int = _MINHASH_K) -> DataFrame:
+    """Append ``signature: array<bigint>`` — k min-hashes over word
+    shingles, all computed map-side (array_min over a transform; zero
+    shuffles). Seeded by hashing (seed, shingle) pairs with xxhash64.
+
+    The shingle array is materialized in its own projection first — the
+    k per-seed transforms would otherwise rebuild it k times (no CSE
+    through HOF lambdas)."""
+    toks = F.split(F.trim(F.col(text_col)), _WS)
+    staged = df.withColumn("__sh", _shingles(toks))
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("__sh"), lambda s, i=i: F.xxhash64(F.lit(i), s)))
+            for i in range(k)
+        ]
+    )
+    return staged.withColumn("signature", sig).drop("__sh")
+
+
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash-LSH, Jaccard-verified.
+
+    Plan: signature (map-side) → explode K/r band hashes → shuffle on
+    (band, band_hash) → self-join within buckets → distinct pairs →
+    exact shingle-Jaccard verify ≥ 0.5. The only all-pairs work happens
+    inside a bucket, whose expected size is O(duplicate cluster), not
+    O(corpus) — this is the 100 TB dedup shape (MMDS ch.3 LSH banding).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    r = _MINHASH_K // _LSH_BANDS
+    sig = minhash_signature(docs).select("doc_id", "signature", "text")
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col("signature")[b * r + j] for j in range(r)])
+                    for b in range(_LSH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+            "inner",
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(_shingles(_tokens())).alias("sh")
+    )
+    verified = (
+        cand.join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ).alias("shingle_jaccard"),
+        )
+        .where(F.col("shingle_jaccard") >= 0.5)
+    )
+    return verified
+
+
+QUERIES = {
+    "exact_dedup": exact_dedup,
+    "dedup_keep_first": dedup_keep_first,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "simhash": simhash,
+    "minhash_lsh_candidates": minhash_lsh_candidates,
+}
+
+# minhash_lsh_candidates: LSH banding is probabilistic by construction —
+# the driver records a rows-only check; recall on planted duplicates is
+# asserted in tests/test_dedup.py.
+ORACLES = {
+    "exact_dedup": _EXACT_SQL,
+    "dedup_keep_first": _KEEP_FIRST_SQL,
+    "ngram_jaccard_pairs": _JACCARD_SQL,
+    "simhash": _SIMHASH_SQL,
+}

@@ -1,0 +1,224 @@
+"""Incremental-processing queries: the stateful operators (SCD2 upsert,
+watermark store, schema-evolving ingestion) driven end-to-end on
+deterministic batches derived from the testdata, with DuckDB oracles
+that recompute the expected END STATE declaratively.
+
+This is the strongest correctness gate the engine has: the Spark side
+actually writes parquet state through operators.scd2/watermark/writer
+(multi-batch, injectable clocks), while the oracle reconstructs the
+final state from the raw tables in pure SQL. Any divergence in
+classification, expiry, or schema evolution hash-mismatches.
+
+Batches are derived from ``customer``/``orders``/``events`` with
+modular predicates (deterministic at every SF).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+_T1 = dt.datetime(2024, 1, 1)
+_T2 = dt.datetime(2024, 2, 1)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 two-batch end state (J1/J4, T5/T6, F3-F6)
+# ---------------------------------------------------------------------------
+
+
+def scd2_two_batch_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run a real 2-batch SCD2 upsert (operators.scd2.SCD2Table, parquet
+    state in a temp dir, injected clock) and return the full version
+    history.
+
+    batch1 (initial load):  customers with even key
+    batch2 (incremental):   customers with key % 3 != 0, mktsegment
+                            rewritten to 'CHANGED' for key % 5 == 0
+
+    Expected end state (what the oracle recomputes):
+    - unchanged overlap keys → one current row effective _T1
+    - changed overlap keys   → expired row (_T1.._T2) + current row (_T2)
+    - batch1-only keys       → untouched current row (_T1)  [ABSENT]
+    - batch2-only keys       → inserted current row (_T2)
+    """
+    from ..operators.scd2 import SCD2Table
+
+    customer = load_table(spark, sf_dir, "customer")
+    b1 = customer.where(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    b2 = customer.where(F.col("c_custkey") % 3 != 0).select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("CHANGED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+
+    tmp = tempfile.mkdtemp(prefix="scd2_q_")
+    try:
+        clock = [_T1]
+        dim = SCD2Table(
+            spark, f"{tmp}/dim_customer", "c_custkey", clock=lambda: clock[0]
+        )
+        dim.upsert(b1)
+        clock[0] = _T2
+        dim.upsert(b2)
+        hist = dim.history().select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            "is_current",
+            "effective_date",
+            "end_date",
+        )
+        # Materialize before the temp dir disappears.
+        out = spark.createDataFrame(hist.collect(), hist.schema)
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_SCD2_HISTORY_SQL = f"""
+    WITH b1 AS (
+        SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey % 2 = 0
+    ),
+    b2 AS (
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 5 = 0 THEN 'CHANGED' ELSE c_mktsegment END AS c_mktsegment
+        FROM customer WHERE c_custkey % 3 != 0
+    ),
+    changed AS (  -- overlap keys whose tracked content differs
+        SELECT b1.c_custkey
+        FROM b1 JOIN b2 USING (c_custkey)
+        WHERE b1.c_name != b2.c_name OR b1.c_mktsegment != b2.c_mktsegment
+    )
+    -- batch1 rows still current: overlap-unchanged + batch1-only (ABSENT)
+    SELECT b1.c_custkey, b1.c_name, b1.c_mktsegment,
+           true AS is_current,
+           TIMESTAMP '{_T1:%Y-%m-%d %H:%M:%S}' AS effective_date,
+           NULL::TIMESTAMP AS end_date
+    FROM b1
+    WHERE b1.c_custkey NOT IN (SELECT c_custkey FROM changed)
+    UNION ALL
+    -- expired versions of changed keys
+    SELECT b1.c_custkey, b1.c_name, b1.c_mktsegment,
+           false, TIMESTAMP '{_T1:%Y-%m-%d %H:%M:%S}', TIMESTAMP '{_T2:%Y-%m-%d %H:%M:%S}'
+    FROM b1
+    WHERE b1.c_custkey IN (SELECT c_custkey FROM changed)
+    UNION ALL
+    -- new current versions: changed keys + batch2-only inserts
+    SELECT b2.c_custkey, b2.c_name, b2.c_mktsegment,
+           true, TIMESTAMP '{_T2:%Y-%m-%d %H:%M:%S}', NULL
+    FROM b2
+    WHERE b2.c_custkey IN (SELECT c_custkey FROM changed)
+       OR b2.c_custkey NOT IN (SELECT c_custkey FROM b1)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Watermark two-batch window (T1-T3, A5, F11)
+# ---------------------------------------------------------------------------
+
+
+def watermark_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the WatermarkStore through the reference's two-run cycle:
+    batch 1 = events with event_id < 500 → advance watermark to its max
+    ts; batch 2 = the incremental cut of the FULL table past that stored
+    watermark (state round-trips through parquet on disk). Returns
+    batch 2 — exactly the rows a second pipeline run would process."""
+    from ..operators.watermark import WatermarkStore
+
+    events = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="wm_q_")
+    try:
+        store = WatermarkStore(spark, f"{tmp}/state")
+        batch1 = events.where(F.col("event_id") < 500)
+        store.advance_from(batch1, "ts", "events")
+        batch2 = store.cut(events, "ts", "events")
+        return spark.createDataFrame(batch2.collect(), batch2.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_WM_BATCH_SQL = """
+    SELECT * FROM events
+    WHERE ts > (SELECT max(ts) FROM events WHERE event_id < 500)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolving append (S1/S2/S5, F1; the Landing→Bronze lifecycle)
+# ---------------------------------------------------------------------------
+
+
+def ingest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the CSV infer-then-pin + evolving-append lifecycle: write
+    two landing batches of ``orders`` as CSV (batch 2 adds a column),
+    ingest both through CsvIngestor (audit columns, injected clock),
+    return Bronze minus the nondeterministic source_file path."""
+    from ..sources.ingest import CsvIngestor
+    from ..operators.writer import read_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="ingest_q_")
+    try:
+        landing1 = f"{tmp}/landing1/orders"
+        landing2 = f"{tmp}/landing2/orders"
+        b1 = orders.where(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        b2 = (
+            orders.where(F.col("o_orderkey") % 2 == 1)
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                "o_totalprice",
+                F.col("o_orderpriority").alias("priority"),
+            )
+        )
+        b1.coalesce(1).write.option("header", "true").csv(landing1)
+        b2.coalesce(1).write.option("header", "true").csv(landing2)
+
+        clock = [_T1]
+        ing = CsvIngestor(spark, f"{tmp}/bronze", clock=lambda: clock[0])
+        ing.run(f"{tmp}/landing1")
+        clock[0] = _T2
+        ing.run(f"{tmp}/landing2")
+
+        bronze = read_table(spark, f"{tmp}/bronze/orders").drop("source_file")
+        return spark.createDataFrame(bronze.collect(), bronze.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_INGEST_SQL = f"""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           TIMESTAMP '{_T1:%Y-%m-%d %H:%M:%S}' AS ingestion_timestamp,
+           NULL::VARCHAR AS priority
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           TIMESTAMP '{_T2:%Y-%m-%d %H:%M:%S}', o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 1
+"""
+
+
+QUERIES = {
+    "scd2_two_batch_history": scd2_two_batch_history,
+    "watermark_incremental_batch": watermark_incremental_batch,
+    "ingest_schema_evolution": ingest_schema_evolution,
+}
+
+ORACLES = {
+    "scd2_two_batch_history": _SCD2_HISTORY_SQL,
+    "watermark_incremental_batch": _WM_BATCH_SQL,
+    "ingest_schema_evolution": _INGEST_SQL,
+}

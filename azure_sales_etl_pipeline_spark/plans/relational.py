@@ -1,0 +1,300 @@
+"""Relational operator coverage: projections, filters, predicates,
+casts, distinct, coalesce — the SURVEY.md §2.2/§2.6 inventory rows that
+the gold marts don't already exercise.
+
+Each query is the smallest idiomatic-Spark expression of one reference
+operator, on the driver testdata, with a DuckDB oracle. Reference
+citations are to /root/reference/databricks_notebooks/.
+
+Scale notes: every query here is scan → narrow transform (no shuffle)
+or a single keyed aggregation; filters and projections are expressed
+declaratively so Catalyst pushes them into the parquet scan
+(PushedFilters / ReadSchema — verified via .explain in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+# ---------------------------------------------------------------------------
+# P3 — star-qualified projection after an aliased join
+# (reference 2_Bronze_to_Silver.py:122 ``staged_df.select("s.*")``)
+# ---------------------------------------------------------------------------
+
+
+def star_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep only the source side of an aliased 2-way join — the SCD2
+    "take incoming rows" step. Orders ⋈ customer, keep ``o.*``."""
+    orders = load_table(spark, sf_dir, "orders").alias("o")
+    customer = load_table(spark, sf_dir, "customer").alias("c")
+    joined = orders.join(customer, F.col("o.o_custkey") == F.col("c.c_custkey"), "inner")
+    return joined.select("o.*")
+
+
+_STAR_SQL = """
+    SELECT o.* FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# P4 + P10 — column drop and cast
+# (reference 2_Bronze_to_Silver.py:78 drop("hash"); :80 lit(None).cast)
+# ---------------------------------------------------------------------------
+
+
+def drop_and_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop a column; cast money double→decimal(18,2) and key int→bigint
+    (the reference's DECIMAL(18,2) money type, SURVEY §1.2)."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.drop("p_type")
+        .withColumn("p_retailprice", F.col("p_retailprice").cast("decimal(18,2)"))
+        .withColumn("p_partkey", F.col("p_partkey").cast("bigint"))
+    )
+
+
+_DROP_CAST_SQL = """
+    SELECT p_partkey::BIGINT AS p_partkey, p_name, p_brand,
+           p_size, p_retailprice::DECIMAL(18,2) AS p_retailprice
+    FROM part
+"""
+
+
+# ---------------------------------------------------------------------------
+# P5 — SQL-string filter (reference ``where("is_current = true")``,
+# 2_Bronze_to_Silver.py:84; 3_Silver_to_Gold.py:12-16) + IN-list form (:99)
+# ---------------------------------------------------------------------------
+
+
+def filter_sql_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.where("<sql>")`` with equality + IN list, pushed to the scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.where("o_orderstatus IN ('F', 'P') AND o_orderpriority = '1-URGENT'")
+
+
+_FILTER_SQL_SQL = """
+    SELECT * FROM orders
+    WHERE o_orderstatus IN ('F', 'P') AND o_orderpriority = '1-URGENT'
+"""
+
+
+# ---------------------------------------------------------------------------
+# P6 + P8 — Column-expression filter with comparison predicates
+# (reference watermark cut col(c) > lit(ts), 2_Bronze_to_Silver.py:55-56)
+# ---------------------------------------------------------------------------
+
+
+def filter_column_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermark-style cut: timestamp lower bound AND value threshold,
+    Column-expression form."""
+    events = load_table(spark, sf_dir, "events")
+    return events.where(
+        (F.col("ts") > F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        & (F.col("value") >= 100.0)
+    )
+
+
+_FILTER_COL_SQL = """
+    SELECT * FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00' AND value >= 100.0
+"""
+
+
+# ---------------------------------------------------------------------------
+# P7 — null tests classifying join sides
+# (reference 2_Bronze_to_Silver.py:95-96 — the SCD2 INSERT/UPDATE classifier)
+# ---------------------------------------------------------------------------
+
+
+def null_test_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer customer-vs-orders ownership classification: customers
+    with no orders / orders side only, via isNull on each side — exactly
+    the reference's join-side null tests (P7 + J1 shape)."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey").alias("c")
+    owners = (
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct().alias("o")
+    )
+    joined = customer.join(owners, F.col("c.c_custkey") == F.col("o.o_custkey"), "full_outer")
+    return joined.select(
+        F.coalesce(F.col("c.c_custkey"), F.col("o.o_custkey")).alias("custkey"),
+        F.when(F.col("o.o_custkey").isNull(), "NO_ORDERS")
+        .when(F.col("c.c_custkey").isNull(), "ORPHAN_ORDER")
+        .otherwise("ACTIVE")
+        .alias("action"),
+    )
+
+
+_NULL_TEST_SQL = """
+    SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+           CASE WHEN o.o_custkey IS NULL THEN 'NO_ORDERS'
+                WHEN c.c_custkey IS NULL THEN 'ORPHAN_ORDER'
+                ELSE 'ACTIVE' END AS action
+    FROM customer c
+    FULL OUTER JOIN (SELECT DISTINCT o_custkey FROM orders) o
+      ON c.c_custkey = o.o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# P11 — distinct (reference 2_Bronze_to_Silver.py:123 expire-key de-dup)
+# ---------------------------------------------------------------------------
+
+
+def distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """De-duplicated (custkey, status) pairs — the expire-key set shape.
+    One hash-aggregate shuffle on the pair; partial agg map-side."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select("o_custkey", "o_orderstatus").distinct()
+
+
+_DISTINCT_SQL = "SELECT DISTINCT o_custkey, o_orderstatus FROM orders"
+
+
+# ---------------------------------------------------------------------------
+# A5 + F11 — global ungrouped max with coalesce default (the watermark read)
+# (reference 2_Bronze_to_Silver.py:67 + :44 default '1900-01-01')
+# ---------------------------------------------------------------------------
+
+
+def global_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-watermark computation: global max(ts) with the reference's
+    1900-01-01 default when the table is empty (coalesce). Single-row
+    result; partial max computed map-side, no wide shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    return events.agg(
+        F.coalesce(F.max("ts"), F.lit("1900-01-01 00:00:00").cast("timestamp")).alias(
+            "watermark"
+        ),
+        F.count(F.lit(1)).alias("row_count"),
+    )
+
+
+_WATERMARK_SQL = """
+    SELECT coalesce(max(ts), TIMESTAMP '1900-01-01 00:00:00') AS watermark,
+           count(*) AS row_count
+    FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# F3 + F4 — hash-diff expression (the SCD2 change-detection hash)
+# (reference 2_Bronze_to_Silver.py:72,84)
+# ---------------------------------------------------------------------------
+
+
+def hash_diff_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-content sha256 over concat_ws('||') — including the reference's
+    null-skip quirk (F4). Computed on nation (small, stable) so the oracle
+    is cheap; the expression is identical at any scale (pure map, no
+    shuffle, whole-stage codegen)."""
+    nation = load_table(spark, sf_dir, "nation")
+    from ..functions import hash_diff
+
+    return nation.select(
+        "n_nationkey",
+        hash_diff(["n_name", "n_regionkey"]).alias("row_hash"),
+    )
+
+
+_HASH_SQL = """
+    SELECT n_nationkey,
+           sha256(concat_ws('||', n_name::VARCHAR, n_regionkey::VARCHAR)) AS row_hash
+    FROM nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# J1 + T5 — full-outer SCD2 change classification on real tables
+# (reference 2_Bronze_to_Silver.py:87-99 — the algorithmic core, batch form)
+# ---------------------------------------------------------------------------
+
+
+def scd2_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's INSERT/UPDATE/NO CHANGE classifier, expressed on
+    testdata: 'target' = customers with even key (simulated current
+    dimension), 'source' = customers with key % 3 != 0 and a tweaked
+    mktsegment for key % 5 == 0 (simulated incoming batch). Full-outer on
+    the business key, sha2 hash compare, 3-branch CASE — structurally
+    identical to 2_Bronze_to_Silver.py:87-99.
+
+    Scale: full-outer equi-join → sort-merge on the key; hash computed
+    map-side on both inputs before the shuffle so the compare is on a
+    64-char string, not N columns.
+    """
+    from ..functions import hash_diff
+
+    customer = load_table(spark, sf_dir, "customer")
+    target = (
+        customer.where(F.col("c_custkey") % 2 == 0)
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+    source = (
+        customer.where(F.col("c_custkey") % 3 != 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.when(F.col("c_custkey") % 5 == 0, F.lit("CHANGED"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+        )
+    )
+    s = source.withColumn("hash", hash_diff(["c_name", "c_mktsegment"])).alias("s")
+    t = target.withColumn("hash", hash_diff(["c_name", "c_mktsegment"])).alias("t")
+    joined = s.join(t, F.col("s.c_custkey") == F.col("t.c_custkey"), "full_outer")
+    return joined.select(
+        F.coalesce(F.col("s.c_custkey"), F.col("t.c_custkey")).alias("custkey"),
+        F.when(F.col("t.c_custkey").isNull(), "INSERT")
+        .when(F.col("s.c_custkey").isNull(), "ABSENT")
+        .when(F.col("s.hash") != F.col("t.hash"), "UPDATE")
+        .otherwise("NO CHANGE")
+        .alias("action"),
+    )
+
+
+_SCD2_CLASSIFY_SQL = """
+    WITH target AS (
+        SELECT c_custkey, c_name, c_mktsegment,
+               sha256(concat_ws('||', c_name::VARCHAR, c_mktsegment::VARCHAR)) AS hash
+        FROM customer WHERE c_custkey % 2 = 0
+    ),
+    source AS (
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 5 = 0 THEN 'CHANGED' ELSE c_mktsegment END AS c_mktsegment,
+               sha256(concat_ws('||', c_name::VARCHAR,
+                   (CASE WHEN c_custkey % 5 = 0 THEN 'CHANGED' ELSE c_mktsegment END)::VARCHAR)) AS hash
+        FROM customer WHERE c_custkey % 3 != 0
+    )
+    SELECT coalesce(s.c_custkey, t.c_custkey) AS custkey,
+           CASE WHEN t.c_custkey IS NULL THEN 'INSERT'
+                WHEN s.c_custkey IS NULL THEN 'ABSENT'
+                WHEN s.hash != t.hash THEN 'UPDATE'
+                ELSE 'NO CHANGE' END AS action
+    FROM source s FULL OUTER JOIN target t ON s.c_custkey = t.c_custkey
+"""
+
+
+QUERIES = {
+    "star_projection": star_projection,
+    "drop_and_cast": drop_and_cast,
+    "filter_sql_string": filter_sql_string,
+    "filter_column_expr": filter_column_expr,
+    "null_test_classify": null_test_classify,
+    "distinct_keys": distinct_keys,
+    "global_watermark": global_watermark,
+    "hash_diff_rows": hash_diff_rows,
+    "scd2_classify": scd2_classify,
+}
+
+ORACLES = {
+    "star_projection": _STAR_SQL,
+    "drop_and_cast": _DROP_CAST_SQL,
+    "filter_sql_string": _FILTER_SQL_SQL,
+    "filter_column_expr": _FILTER_COL_SQL,
+    "null_test_classify": _NULL_TEST_SQL,
+    "distinct_keys": _DISTINCT_SQL,
+    "global_watermark": _WATERMARK_SQL,
+    "hash_diff_rows": _HASH_SQL,
+    "scd2_classify": _SCD2_CLASSIFY_SQL,
+}

@@ -1,0 +1,233 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``).
+
+Two paths, as a 100 TB ANN stack needs both:
+
+- **brute-force top-k** (the exactness baseline): broadcast the query
+  set, cosine against every row, window top-k per query. Linear scan —
+  correct at any scale, bandwidth-bound; this is what you run to build
+  ground truth for recall measurement.
+- **LSH-bucketed top-k** (the scale path): sign-random-projection
+  buckets computed map-side; candidates come from an equi-join on the
+  bucket key, so cost is O(corpus / 2^bits) per query instead of
+  O(corpus). Probabilistic recall — rows-only for the driver,
+  recall-vs-bruteforce asserted in pytest.
+
+All vector math is built-in higher-order functions (zip_with +
+aggregate → JVM codegen, ordered summation for oracle parity). No UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions import cosine_similarity
+
+_N_QUERIES = 5  # vec_id < 5 are the query vectors
+_TOP_K = 10
+
+
+def _as_double(col: str) -> Column:
+    return F.col(col).cast("array<double>")
+
+
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (vec_id <
+    _N_QUERIES) against the whole corpus (excluding self).
+
+    Plan: the query side is tiny and explicitly ``broadcast()`` — the
+    scan side never shuffles for the join; the only wide exchange is the
+    per-query top-k window (partitionBy query_id → _N_QUERIES
+    partitions). At 100 TB, replace the window with a per-partition
+    top-k + final merge (same semantics, bounded state); here the window
+    is the idiomatic small-q form.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qvec")
+    )
+    corpus = emb.select("vec_id", _as_double("embedding").alias("vec"), "label")
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"), "inner")
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            cosine_similarity(F.col("qvec"), F.col("vec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOP_K)
+        .select("query_id", "rank", "vec_id", "label", F.round("sim", 6).alias("sim"))
+    )
+
+
+_BRUTE_SQL = f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+        FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id, e.label,
+               list_dot_product(q.qvec, e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.qvec, q.qvec))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS sim
+        FROM embeddings e JOIN q ON e.vec_id != q.query_id
+    )
+    SELECT query_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank,
+           vec_id, label, round(sim, 6) AS sim
+    FROM scored
+    QUALIFY rank <= {_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed path (sign random projection)
+# ---------------------------------------------------------------------------
+
+_LSH_BITS = 4  # bits per table; at larger corpora raise bits to bound bucket size
+_LSH_TABLES = 8  # OR-construction: candidate if bucket-equal in ANY table
+_LSH_SEED = 42
+
+
+def _projection_matrix(dim: int, bits: int = _LSH_BITS, seed: int = _LSH_SEED) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (xorshift-free LCG on
+    (seed, bit, i) so the plan is reproducible without numpy state)."""
+    mat = []
+    for b in range(bits):
+        row = []
+        x = seed * 1_000_003 + b * 7919 + 12345
+        for i in range(dim):
+            x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            row.append(((x >> 20) % 2_000_001) / 1_000_000.0 - 1.0)
+        mat.append(row)
+    return mat
+
+
+def _bucket(vec: Column, mat: list[list[float]]) -> Column:
+    """Sign-of-dot-product bit per hyperplane, packed into an int."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(vec, F.array(*[F.lit(v) for v in row]), lambda x, h: x * h),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i, row in enumerate(mat)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via an SRP-LSH *forest*: _LSH_TABLES independent
+    sign-random-projection tables, candidate = bucket-equal in ANY table
+    (OR-construction — single-table SRP recall is near chance; the
+    forest trades a bounded L× candidate blow-up for recall).
+
+    Plan shape: per-table bucket ids computed map-side on both sides →
+    posexplode to (table, bucket) keys → broadcast equi-join against the
+    queries' keys → distinct candidate pairs → exact cosine re-rank.
+    Corpus rows outside every query bucket are dropped AT the join — at
+    100 TB the scored set is ~L·corpus/2^bits per query, not corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    mats = [
+        _projection_matrix(dim, _LSH_BITS, _LSH_SEED + 1000 * t)
+        for t in range(_LSH_TABLES)
+    ]
+
+    def keyed(df: DataFrame, vec_col: str, id_cols: list[str]) -> DataFrame:
+        buckets = F.array(*[_bucket(F.col(vec_col), m) for m in mats])
+        return df.select(
+            *id_cols, vec_col, F.posexplode(buckets).alias("table_id", "bucket")
+        )
+
+    corpus = emb.select("vec_id", _as_double("embedding").alias("vec"), "label")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qvec")
+    )
+    qkeys = keyed(queries, "qvec", ["query_id"])
+    ckeys = keyed(corpus, "vec", ["vec_id", "label"])
+    cand = (
+        ckeys.join(F.broadcast(qkeys), ["table_id", "bucket"], "inner")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qvec", "vec_id", "label", "vec")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        "label",
+        cosine_similarity(F.col("qvec"), F.col("vec")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOP_K)
+        .select("query_id", "rank", "vec_id", "label", F.round("sim", 6).alias("sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# pairwise label-blocked cosine (exact, oracle-able; the "embedding
+# near-dup" shape: block on a cheap key, verify with cosine)
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-duplicates: same ``label`` block, vec_id within 10,
+    cosine ≥ 0.9 would be the dedup cut; we return all blocked pairs with
+    their similarity so the oracle checks the math, and the threshold is
+    a trivial post-filter."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("vec")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("b.vec_id") > F.col("a.vec_id"))
+        & (F.col("b.vec_id") <= F.col("a.vec_id") + 10),
+        "inner",
+    )
+    return pairs.select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.col("a.label").alias("label"),
+        F.round(cosine_similarity(F.col("a.vec"), F.col("b.vec")), 6).alias("cosine"),
+    )
+
+
+_NEAR_DUP_SQL = """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 10
+"""
+
+
+QUERIES = {
+    "ann_topk_bruteforce": ann_topk_bruteforce,
+    "ann_topk_lsh": ann_topk_lsh,
+    "embedding_near_dup": embedding_near_dup,
+}
+
+# ann_topk_lsh is probabilistic (bucket recall) → rows-only for the
+# driver; recall vs brute force asserted in tests/test_similarity.py.
+ORACLES = {
+    "ann_topk_bruteforce": _BRUTE_SQL,
+    "embedding_near_dup": _NEAR_DUP_SQL,
+}

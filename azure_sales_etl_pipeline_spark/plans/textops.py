@@ -1,0 +1,264 @@
+"""Text-analysis operators over the ``documents`` table — the
+training-data-pipeline extension surface (language-ID heuristic,
+quality scoring, token counting, fingerprinting, term frequencies).
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM,
+whole-stage codegen, no Python in the loop): regex/split/length for
+tokenization, higher-order ``filter``/``transform``/``aggregate`` for
+token-set logic, ``sha2`` for fingerprints. At 100 TB each query is
+scan → narrow map (no shuffle) except the explicit term-frequency
+aggregation, which shuffles once on the token key with map-side
+partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+# Whitespace tokenizer shared by every operator (and mirrored in each
+# oracle): trim, split on runs of whitespace.
+_WS = r"\s+"
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.split(F.trim(F.col(col)), _WS)
+
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token count (whitespace) + BPE-ish subword estimate:
+    word-chunks of <=4 chars via a regex extract — a deterministic stand-in
+    for byte-pair tokenization (ceil(len/4) per word)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("int"),
+        ).alias("n_subwords"),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+_TOKEN_STATS_SQL = r"""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+           CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                w -> CAST(ceil(length(w) / 4.0) AS INT))) AS INT) AS n_subwords,
+           length(text) AS n_chars_measured
+    FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality signals: length, mean word length, stopword
+    ratio, punctuation density, and a composite keep/drop flag — the
+    C4/Gopher-style filter stack expressed as one narrow projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda w: F.lower(w).isin(*_STOPWORDS)))
+    punct = F.length(F.regexp_replace("text", r"[^.!?,;:]", ""))
+    mean_wl = F.round(
+        F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w))
+        / F.greatest(n_tokens, F.lit(1)),
+        4,
+    )
+    stop_ratio = F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 4)
+    punct_ratio = F.round(punct / F.greatest(F.length("text"), F.lit(1)), 4)
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        mean_wl.alias("mean_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        (
+            (n_tokens >= 10)
+            & (mean_wl >= 2.0)
+            & (mean_wl <= 12.0)
+            & (punct_ratio < 0.2)
+        ).alias("keep"),
+    )
+
+
+_QUALITY_SQL = rf"""
+    WITH t AS (
+        SELECT doc_id, text,
+               regexp_split_to_array(trim(text), '\s+') AS toks,
+               length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS punct
+        FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           round(list_sum(list_transform(toks, w -> length(w))) * 1.0
+                 / greatest(len(toks), 1), 4) AS mean_word_len,
+           round(len(list_filter(toks, w -> list_contains(
+                 {list(_STOPWORDS)}, lower(w)))) * 1.0
+                 / greatest(len(toks), 1), 4) AS stopword_ratio,
+           round(punct * 1.0 / greatest(length(text), 1), 4) AS punct_ratio,
+           (len(toks) >= 10
+            AND list_sum(list_transform(toks, w -> length(w))) * 1.0 / greatest(len(toks), 1) >= 2.0
+            AND list_sum(list_transform(toks, w -> length(w))) * 1.0 / greatest(len(toks), 1) <= 12.0
+            AND punct * 1.0 / greatest(length(text), 1) < 0.2) AS keep
+    FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# language-ID heuristic
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: count stopword hits per language, pick the
+    argmax (ties → 'und' = undetermined, fastText convention). A real
+    deployment swaps the marker sets for char-n-gram profiles; the plan
+    shape (narrow map over tokens, no shuffle) is the same."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+
+    # NB: a default arg would become the HOF's index parameter — PySpark
+    # passes (element, index) to 2-arg lambdas — so close over a factory.
+    def marker_hits(markers: tuple[str, ...]) -> Column:
+        return F.size(F.filter(toks, lambda w: F.lower(w).isin(*markers)))
+
+    hits = {lang: marker_hits(markers) for lang, markers in _LANG_MARKERS.items()}
+    langs = list(_LANG_MARKERS)
+    best = F.greatest(*[hits[lang] for lang in langs])
+    pred = F.lit("und")
+    # First language (in declaration order) achieving the max wins; a tie
+    # with zero hits stays undetermined.
+    for lang in reversed(langs):
+        pred = F.when(hits[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    sel = [F.col("doc_id"), F.col("lang").alias("labeled_lang"), pred.alias("predicted_lang")]
+    sel += [hits[lang].alias(f"hits_{lang}") for lang in langs]
+    return docs.select(*sel)
+
+
+def _lang_hits_sql(lang: str) -> str:
+    markers = list(_LANG_MARKERS[lang])
+    return (
+        rf"len(list_filter(regexp_split_to_array(trim(text), '\s+'),"
+        rf" w -> list_contains({markers}, lower(w))))"
+    )
+
+
+_LANG_SQL = rf"""
+    WITH h AS (
+        SELECT doc_id, lang AS labeled_lang,
+               {_lang_hits_sql('en')} AS hits_en,
+               {_lang_hits_sql('de')} AS hits_de,
+               {_lang_hits_sql('es')} AS hits_es,
+               {_lang_hits_sql('fr')} AS hits_fr
+        FROM documents
+    )
+    SELECT doc_id, labeled_lang,
+           CASE WHEN greatest(hits_en, hits_de, hits_es, hits_fr) = 0 THEN 'und'
+                WHEN hits_en = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'en'
+                WHEN hits_de = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'de'
+                WHEN hits_es = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'es'
+                ELSE 'fr' END AS predicted_lang,
+           hits_en, hits_de, hits_es, hits_fr
+    FROM h
+"""
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: sha256 over the whitespace-normalized,
+    lowercased text — the canonical exact-dup key (case/spacing-invariant).
+    Pure map; at 100 TB this is the cheapest possible keying pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), _WS, " "))
+    return docs.select(
+        "doc_id",
+        F.sha2(norm, 256).alias("fingerprint"),
+        F.length(norm).alias("norm_len"),
+    )
+
+
+_FINGERPRINT_SQL = r"""
+    SELECT doc_id,
+           sha256(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+           length(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS norm_len
+    FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# term frequency (the one shuffling textop)
+# ---------------------------------------------------------------------------
+
+
+def term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequency + document frequency: explode tokens →
+    groupBy token. The shuffle key is the token (high cardinality, well
+    distributed); partial counts combine map-side, so shuffled bytes are
+    ~vocabulary-sized, not corpus-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(_tokens()).alias("token"))
+        .where(F.length("token") > 0)
+        .select("doc_id", F.lower("token").alias("token"))
+    )
+    return tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+
+
+_TF_SQL = r"""
+    SELECT lower(token) AS token, count(*) AS tf, count(DISTINCT doc_id) AS df
+    FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents
+    )
+    WHERE length(token) > 0
+    GROUP BY ALL
+"""
+
+
+QUERIES = {
+    "doc_token_stats": doc_token_stats,
+    "doc_quality": doc_quality,
+    "lang_id": lang_id,
+    "doc_fingerprint": doc_fingerprint,
+    "term_frequencies": term_frequencies,
+}
+
+ORACLES = {
+    "doc_token_stats": _TOKEN_STATS_SQL,
+    "doc_quality": _QUALITY_SQL,
+    "lang_id": _LANG_SQL,
+    "doc_fingerprint": _FINGERPRINT_SQL,
+    "term_frequencies": _TF_SQL,
+}

@@ -33,6 +33,10 @@ _DEFAULTS = {
     # mergeSchema-append shim relies on merge-on-read).
     "spark.sql.parquet.mergeSchema": "false",  # opt-in per read; global off for scan speed
     "spark.sql.parquet.filterPushdown": "true",
+    # The driver testdata's events.parquet stores TIMESTAMP(NANOS), which
+    # Spark rejects outright; read as long and convert in the catalog
+    # (catalog.load_table) — DuckDB equivalently truncates ns → µs.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Partitioned upsert rewrites only the partitions it touches.
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     # Don't let tiny local test files produce one-partition plans that

@@ -1,0 +1,59 @@
+"""Incremental extract — the ADF Copy activity's watermark window
+(S11/F12/T1; adf/pipeline.json:126-134, README.MD:83-86) as an engine
+operator.
+
+The ADF pipeline synthesizes
+``SELECT * FROM [s].[t] WHERE UpdatedAt > old AND UpdatedAt <= new``
+per table. The engine expresses the same window declaratively; for JDBC
+sources the predicate is embedded in the pushdown query (the database
+scans its index, Spark never sees excluded rows), for file sources
+Catalyst pushes the filter into the scan.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def window_predicate(ts_col: str, lower: dt.datetime, upper: dt.datetime) -> str:
+    """The reference's half-open window ``(lower, upper]`` as SQL text
+    (F12 dynamic synthesis, adf/pipeline.json:129)."""
+    return (
+        f"{ts_col} > '{lower:%Y-%m-%d %H:%M:%S.%f}' "
+        f"AND {ts_col} <= '{upper:%Y-%m-%d %H:%M:%S.%f}'"
+    )
+
+
+def incremental_extract(
+    df_or_reader,
+    ts_col: str,
+    lower: dt.datetime,
+    upper: dt.datetime | None = None,
+    jdbc_url: str | None = None,
+    table: str | None = None,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """Watermark-windowed extract.
+
+    File/DataFrame form: ``incremental_extract(df, "updated_at", lo, hi)``
+    → Column predicates pushed into the scan.
+
+    JDBC form: pass ``jdbc_url`` + ``table`` + ``spark`` — the window is
+    synthesized into the pushdown query (the reference's ADF dynamic SQL)
+    so filtering happens source-side.
+    """
+    if jdbc_url is not None:
+        if spark is None or table is None:
+            raise ValueError("JDBC extract needs spark + table")
+        upper = upper or dt.datetime.utcnow()
+        query = f"SELECT * FROM {table} WHERE {window_predicate(ts_col, lower, upper)}"
+        return spark.read.format("jdbc").option("url", jdbc_url).option("query", query).load()
+
+    df: DataFrame = df_or_reader
+    cond = F.col(ts_col) > F.lit(lower)
+    if upper is not None:
+        cond = cond & (F.col(ts_col) <= F.lit(upper))
+    return df.where(cond)

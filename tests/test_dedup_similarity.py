@@ -1,0 +1,75 @@
+"""Recall tests for the probabilistic operators (MinHash-LSH, SRP-LSH)
+— the ones the driver can only rows-check (no SQL oracle)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from azure_sales_etl_pipeline_spark.plans.dedup import (
+    minhash_lsh_candidates,
+    minhash_signature,
+)
+from azure_sales_etl_pipeline_spark.plans.similarity import ann_topk_bruteforce, ann_topk_lsh
+from tests.conftest import SF_DIR
+
+
+def test_minhash_lsh_finds_planted_duplicates(spark, tmp_path):
+    """Plant heavy near-duplicates in a synthetic documents table; the
+    banded LSH must recover >=80% of truly-similar pairs (Jaccard>=0.7)."""
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(200)]
+    rows = []
+    for i in range(60):
+        base = [rng.choice(vocab) for _ in range(40)]
+        rows.append((2 * i, " ".join(base)))
+        near = list(base)
+        near[rng.randrange(40)] = rng.choice(vocab)  # one-token edit → high Jaccard
+        rows.append((2 * i + 1, " ".join(near)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tmp_path / "documents.parquet"
+    docs.write.parquet(str(out))
+
+    found = minhash_lsh_candidates(spark, str(tmp_path))
+    pairs = {(r["doc_a"], r["doc_b"]) for r in found.collect()}
+    planted = {(2 * i, 2 * i + 1) for i in range(60)}
+    recall = len(pairs & planted) / len(planted)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} on planted near-dups"
+
+
+def test_minhash_signature_shape(spark):
+    df = spark.createDataFrame([(1, "a b c d e f g")], "doc_id long, text string")
+    sig = minhash_signature(df).select("signature").first()[0]
+    assert len(sig) == 16
+    assert all(isinstance(v, int) for v in sig)
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark):
+    """SRP-bucketed ANN must recover a reasonable share of the exact
+    top-10 (same bucket ⇒ high cosine is likely; 4 bits ⇒ recall well
+    above chance). Chance level is ~1/16; assert ≥0.3 overlap."""
+    exact = ann_topk_bruteforce(spark, SF_DIR).collect()
+    approx = ann_topk_lsh(spark, SF_DIR).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = total = 0
+    for r in approx:
+        total += 1
+        if r["vec_id"] in exact_sets.get(r["query_id"], set()):
+            hits += 1
+    assert total > 0
+    assert hits / total >= 0.3, f"LSH ANN precision vs exact: {hits}/{total}"
+
+
+def test_exact_dedup_keeps_lowest_id(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(10, "same  Text"), (3, "same text"), (5, "other")], "doc_id long, text string"
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    from azure_sales_etl_pipeline_spark.plans.dedup import exact_dedup
+
+    out = {r["keeper_doc_id"]: r["dup_count"] for r in exact_dedup(spark, str(tmp_path)).collect()}
+    # case/whitespace-normalized: doc 3 and 10 collapse, keeper is 3
+    assert out == {3: 2, 5: 1}

@@ -1,0 +1,45 @@
+"""Unit tests for the reusable column expressions."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from azure_sales_etl_pipeline_spark.functions import cosine_similarity, hash_diff, safe_ratio
+
+
+def test_hash_diff_null_skip_quirk(spark):
+    """concat_ws skips nulls, so ('a', NULL) ≡ (NULL, 'a') — the
+    reference's documented F4 quirk must be preserved, not fixed."""
+    df = spark.createDataFrame(
+        [("a", None), (None, "a"), ("a", "b")], "x string, y string"
+    )
+    hashes = [r[0] for r in df.select(hash_diff(["x", "y"])).collect()]
+    assert hashes[0] == hashes[1]
+    assert hashes[0] != hashes[2]
+
+
+def test_hash_diff_detects_change(spark):
+    df = spark.createDataFrame([("a", "b"), ("a", "c")], "x string, y string")
+    h = [r[0] for r in df.select(hash_diff(["x", "y"])).collect()]
+    assert h[0] != h[1]
+    assert len(h[0]) == 64  # sha256 hex
+
+
+def test_safe_ratio_div_zero_guard(spark):
+    df = spark.createDataFrame([(10.0, 0.0), (10.0, 4.0)], "n double, d double")
+    vals = [r[0] for r in df.select(safe_ratio(F.col("n"), F.col("d"))).collect()]
+    assert vals[0] == 10.0  # denominator 0 replaced by 1 (reference A8)
+    assert vals[1] == 2.5
+
+
+def test_cosine_similarity(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([1.0, 2.0], [2.0, 4.0])],
+        "a array<double>, b array<double>",
+    )
+    vals = [r[0] for r in df.select(cosine_similarity(F.col("a"), F.col("b"))).collect()]
+    assert math.isclose(vals[0], 1.0)
+    assert math.isclose(vals[1], 0.0, abs_tol=1e-12)
+    assert math.isclose(vals[2], 1.0)

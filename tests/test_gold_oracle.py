@@ -1,0 +1,31 @@
+"""End-to-end: one gold query vs its DuckDB oracle at sf0.001 — the
+in-repo replica of the driver's correctness gate (ADVICE.md item 3)."""
+
+from __future__ import annotations
+
+import duckdb
+
+from azure_sales_etl_pipeline_spark.catalog import TESTDATA_TABLES, table_path
+from azure_sales_etl_pipeline_spark.plans.gold import ORACLES, QUERIES
+from tests.conftest import SF_DIR
+
+
+def test_seller_performance_daily_matches_oracle(spark):
+    name = "seller_performance_daily"
+    sdf = QUERIES[name](spark, SF_DIR)
+    srows = sorted(
+        tuple(str(v) for v in r) for r in sdf.select(*sorted(sdf.columns)).collect()
+    )
+
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(SF_DIR, t)}'")
+    res = con.execute(ORACLES[name])
+    cols = [d[0] for d in res.description]
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    orows = sorted(tuple(str(r[i]) for i in order) for r in res.fetchall())
+
+    assert sorted(sdf.columns) == sorted(cols)
+    assert len(srows) == len(orows)
+    # spot-compare full content (values already rounded engine-side)
+    assert srows == orows

@@ -1,0 +1,105 @@
+"""Ingestion lifecycle + watermark state tests (VERDICT items 3-4)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from azure_sales_etl_pipeline_spark.operators.watermark import (
+    DEFAULT_WATERMARK,
+    WatermarkStore,
+)
+from azure_sales_etl_pipeline_spark.operators.writer import append_evolve, read_table
+from azure_sales_etl_pipeline_spark.sources.ingest import CsvIngestor, discover_sources
+
+
+def write_csv(path, text):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text(text)
+
+
+def test_infer_then_pin_types(spark, tmp_path):
+    """Second load pins first load's types: an 'id' column that looks
+    numeric in batch 2 must keep batch 1's inferred type even if batch 2
+    alone would infer differently."""
+    landing = tmp_path / "landing"
+    write_csv(landing / "t" / "b1.csv", "id,amount\n1,1.5\n")
+    clock = {"now": dt.datetime(2024, 1, 1)}
+    ing = CsvIngestor(spark, str(tmp_path / "bronze"), clock=lambda: clock["now"])
+    ing.run(str(landing))
+    types1 = dict(read_table(spark, str(tmp_path / "bronze" / "t")).dtypes)
+    assert types1["amount"] == "double"
+
+    # batch 2: amount values are integer-looking → would infer int alone
+    write_csv(landing / "t" / "b1.csv", "id,amount\n2,3\n")
+    ing.run(str(landing))
+    bronze = read_table(spark, str(tmp_path / "bronze" / "t"))
+    assert dict(bronze.dtypes)["amount"] == "double"
+    assert bronze.count() == 2
+
+
+def test_schema_evolution_null_backfill(spark, tmp_path):
+    """A new column in batch 2 lands; batch-1 rows read back null (S5)."""
+    landing = tmp_path / "landing"
+    write_csv(landing / "t" / "b1.csv", "id,name\n1,Alice\n")
+    clock = {"now": dt.datetime(2024, 1, 1)}
+    ing = CsvIngestor(spark, str(tmp_path / "bronze"), clock=lambda: clock["now"])
+    ing.run(str(landing))
+    write_csv(landing / "t" / "b1.csv", "id,name,tier\n2,Bob,GOLD\n")
+    clock["now"] = dt.datetime(2024, 1, 2)
+    ing.run(str(landing))
+
+    rows = {r["id"]: r for r in read_table(spark, str(tmp_path / "bronze" / "t")).collect()}
+    assert rows[1]["tier"] is None
+    assert rows[2]["tier"] == "GOLD"
+    assert rows[2]["source_file"].endswith("b1.csv")
+    assert rows[1]["ingestion_timestamp"] == dt.datetime(2024, 1, 1)
+
+
+def test_append_evolve_missing_column_null_filled(spark, tmp_path):
+    """Batch missing a table column writes typed nulls (union-by-name)."""
+    path = str(tmp_path / "t")
+    append_evolve(spark, spark.createDataFrame([(1, "a")], "id int, name string"), path)
+    append_evolve(spark, spark.createDataFrame([(2,)], "id int"), path)
+    rows = {r["id"]: r for r in read_table(spark, path).collect()}
+    assert rows[2]["name"] is None
+
+
+def test_discover_skips_underscore(tmp_path):
+    (tmp_path / "_checkpoint").mkdir(parents=True)
+    (tmp_path / "real").mkdir()
+    assert list(discover_sources(str(tmp_path))) == ["real"]
+
+
+def test_empty_csv_short_circuits(spark, tmp_path):
+    landing = tmp_path / "landing"
+    write_csv(landing / "t" / "b1.csv", "id,name\n")
+    ing = CsvIngestor(spark, str(tmp_path / "bronze"))
+    assert ing.run(str(landing)) == {"t": 0}
+    assert not (tmp_path / "bronze" / "t").exists()
+
+
+def test_watermark_two_batch_cycle(spark, tmp_path):
+    """Batch 2 processes only rows past batch 1's max ts (T1-T3)."""
+    store = WatermarkStore(spark, str(tmp_path / "state"))
+    assert store.get("t") == DEFAULT_WATERMARK
+
+    ev = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1 + i)) for i in range(4)], "id int, ts timestamp"
+    )
+    batch1 = ev.where(F.col("id") < 2)
+    assert store.cut(batch1, "ts", "t").count() == 2
+    assert store.advance_from(batch1, "ts", "t") == dt.datetime(2024, 1, 2)
+
+    batch2 = store.cut(ev, "ts", "t")
+    assert {r["id"] for r in batch2.collect()} == {2, 3}
+
+
+def test_watermark_empty_batch_keeps_state(spark, tmp_path):
+    store = WatermarkStore(spark, str(tmp_path / "state"))
+    ev = spark.createDataFrame([(1, dt.datetime(2024, 1, 5))], "id int, ts timestamp")
+    store.advance_from(ev, "ts", "t")
+    empty = ev.where(F.lit(False))
+    assert store.advance_from(empty, "ts", "t") is None
+    assert store.get("t") == dt.datetime(2024, 1, 5)

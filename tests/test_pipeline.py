@@ -1,0 +1,72 @@
+"""Orchestrator tests: stage chaining, per-table isolation, callback."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from azure_sales_etl_pipeline_spark.pipeline import MedallionPipeline, TableConfig
+
+
+def write_csv(path, text):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text(text)
+
+
+def test_end_to_end_two_runs(spark, tmp_path):
+    """Landing→Bronze→Silver over two incremental runs: run 2 ingests a
+    changed row, SCD2 expires the old version, watermark prevents
+    reprocessing run 1's rows, the new-customer callback fires."""
+    landing = tmp_path / "landing"
+    write_csv(landing / "customers" / "b.csv", "id,name,segment\n1,Alice,RETAIL\n2,Bob,CORP\n")
+
+    clock = {"now": dt.datetime(2024, 1, 1)}
+    captured = []
+    pipe = MedallionPipeline(
+        spark,
+        str(tmp_path / "lake"),
+        [TableConfig("customers", "id")],
+        clock=lambda: clock["now"],
+        on_insert={"customers": lambda df: captured.append(sorted(r["id"] for r in df.collect()))},
+    )
+    r1 = pipe.run(str(landing))
+    assert all(s.ok for s in r1)
+    assert captured == [[1, 2]]
+
+    # run 2: one update, one insert
+    clock["now"] = dt.datetime(2024, 2, 1)
+    write_csv(landing / "customers" / "b.csv", "id,name,segment\n1,Alice,WHOLESALE\n3,Cara,NEW\n")
+    r2 = pipe.run(str(landing))
+    by_table = {s.table: s for s in r2}
+    assert by_table["customers"].stats == {"insert": 1, "update": 1, "no_change": 0}
+    assert captured == [[1, 2], [3]]
+
+    silver = pipe.spark.read.parquet(str(tmp_path / "lake" / "silver" / "customers"))
+    cur = {r["id"]: r["segment"] for r in silver.where("is_current").collect()}
+    assert cur == {1: "WHOLESALE", 2: "CORP", 3: "NEW"}
+
+    # run 3 with no new landing data: watermark yields an empty batch
+    clock["now"] = dt.datetime(2024, 3, 1)
+    r3 = pipe.run(str(landing))
+    by_table3 = {s.table: s for s in r3}
+    # ingest re-appends the same file (at-least-once landing is the
+    # reference's model too) but SCD2 classifies everything NO CHANGE
+    assert by_table3["customers"].stats["insert"] == 0
+    assert by_table3["customers"].stats["update"] == 0
+
+
+def test_per_table_isolation(spark, tmp_path):
+    """A misconfigured table (bad business key) fails alone; the rest
+    of the loop proceeds (C3)."""
+    landing = tmp_path / "landing"
+    write_csv(landing / "good" / "b.csv", "id,v\n1,x\n")
+    write_csv(landing / "bad" / "b.csv", "id,v\n1,x\n")
+    pipe = MedallionPipeline(
+        spark,
+        str(tmp_path / "lake"),
+        [TableConfig("bad", "missing_key"), TableConfig("good", "id")],
+        clock=lambda: dt.datetime(2024, 1, 1),
+    )
+    results = {s.table: s for s in pipe.run(str(landing))}
+    assert results["bad"].ok is False and results["bad"].error
+    assert results["good"].ok is True
+    assert results["good"].stats["insert"] == 1

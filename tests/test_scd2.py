@@ -1,0 +1,109 @@
+"""SCD2 multi-run convergence tests (VERDICT.md next-round item 2):
+insert → update → no-change → rerun idempotency, side-output hook,
+delete-detection-without-action, schema adaptation."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from azure_sales_etl_pipeline_spark.operators.scd2 import SCD2Table
+
+
+@pytest.fixture()
+def clock():
+    state = {"now": dt.datetime(2024, 1, 1)}
+
+    def tick(to: dt.datetime):
+        state["now"] = to
+
+    return state, tick
+
+
+def make_dim(spark, tmp_path, clock_state, **kw):
+    return SCD2Table(
+        spark, str(tmp_path / "dim"), "id", clock=lambda: clock_state["now"], **kw
+    )
+
+
+def df(spark, rows):
+    return spark.createDataFrame(rows, "id int, name string, segment string")
+
+
+def test_initial_load_then_update(spark, tmp_path, clock):
+    state, tick = clock
+    dim = make_dim(spark, tmp_path, state)
+    assert dim.upsert(df(spark, [(1, "Alice", "RETAIL"), (2, "Bob", "CORP")])) == {
+        "insert": 2,
+        "update": 0,
+        "no_change": 0,
+    }
+    tick(dt.datetime(2024, 2, 1))
+    stats = dim.upsert(
+        df(spark, [(1, "Alice", "WHOLESALE"), (2, "Bob", "CORP"), (3, "Cara", "RETAIL")])
+    )
+    assert stats == {"insert": 1, "update": 1, "no_change": 1}
+
+    hist = {(r["id"], r["segment"], r["is_current"]): r for r in dim.history().collect()}
+    assert len(hist) == 4
+    expired = hist[(1, "RETAIL", False)]
+    assert expired["end_date"] == dt.datetime(2024, 2, 1)
+    current = hist[(1, "WHOLESALE", True)]
+    assert current["effective_date"] == dt.datetime(2024, 2, 1)
+    assert current["end_date"] is None
+    # untouched key keeps original effective date
+    assert hist[(2, "CORP", True)]["effective_date"] == dt.datetime(2024, 1, 1)
+
+
+def test_rerun_is_idempotent(spark, tmp_path, clock):
+    state, tick = clock
+    dim = make_dim(spark, tmp_path, state)
+    batch = df(spark, [(1, "Alice", "RETAIL")])
+    dim.upsert(batch)
+    tick(dt.datetime(2024, 3, 1))
+    assert dim.upsert(batch) == {"insert": 0, "update": 0, "no_change": 1}
+    assert dim.history().count() == 1  # nothing rewritten
+
+
+def test_absent_rows_not_deleted(spark, tmp_path, clock):
+    """Target-only keys are detected but untouched (the reference leaves
+    deletes unimplemented, README.MD:141)."""
+    state, tick = clock
+    dim = make_dim(spark, tmp_path, state)
+    dim.upsert(df(spark, [(1, "Alice", "RETAIL"), (2, "Bob", "CORP")]))
+    tick(dt.datetime(2024, 2, 1))
+    dim.upsert(df(spark, [(1, "Alice", "RETAIL")]))
+    cur = {r["id"]: r for r in dim.current().collect()}
+    assert set(cur) == {1, 2}
+    assert cur[2]["is_current"] is True
+
+
+def test_on_insert_side_output(spark, tmp_path, clock):
+    """T7: the new-customer hook fires with exactly the INSERT rows."""
+    state, tick = clock
+    captured = []
+    dim = make_dim(
+        spark, tmp_path, state, on_insert=lambda d: captured.append({r["id"] for r in d.collect()})
+    )
+    dim.upsert(df(spark, [(1, "Alice", "RETAIL")]))
+    tick(dt.datetime(2024, 2, 1))
+    dim.upsert(df(spark, [(1, "Alice", "CHANGED"), (5, "Eve", "NEW")]))
+    assert captured == [{1}, {5}]
+
+
+def test_three_batch_history_chain(spark, tmp_path, clock):
+    """A key updated twice carries a 3-version chain with contiguous
+    effective/end ranges and exactly one current row."""
+    state, tick = clock
+    dim = make_dim(spark, tmp_path, state)
+    dim.upsert(df(spark, [(1, "Alice", "V1")]))
+    tick(dt.datetime(2024, 2, 1))
+    dim.upsert(df(spark, [(1, "Alice", "V2")]))
+    tick(dt.datetime(2024, 3, 1))
+    dim.upsert(df(spark, [(1, "Alice", "V3")]))
+    rows = sorted(dim.history().collect(), key=lambda r: r["effective_date"])
+    assert [r["segment"] for r in rows] == ["V1", "V2", "V3"]
+    assert [r["is_current"] for r in rows] == [False, False, True]
+    assert rows[0]["end_date"] == rows[1]["effective_date"]
+    assert rows[1]["end_date"] == rows[2]["effective_date"]
