@@ -20,7 +20,16 @@ import importlib
 
 # Domain modules merged into the registry, in load order. Each must expose
 # QUERIES / ORACLES. Added here as each lands.
-_DOMAINS = ("gold", "relational", "incremental", "dedup", "similarity", "textops")
+_DOMAINS = (
+    "gold",
+    "relational",
+    "incremental",
+    "dedup",
+    "similarity",
+    "textops",
+    "streams",
+    "multimodal",
+)
 
 
 def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]]:

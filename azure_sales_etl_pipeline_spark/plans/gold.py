@@ -314,8 +314,24 @@ _CUSTOMER_SQL = """
 """
 
 
+def seller_performance_daily_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A1 aggregate with ``approx_count_distinct`` (HLL++, rsd=2%) —
+    the opt-in scale variant SURVEY §2.4 prescribes: exact countDistinct
+    is the only expensive agg in the plan at 100 TB (two-phase expansion
+    on the 9-col grain); HLL sketches merge map-side in one phase.
+    Approximate → no SQL oracle; accuracy vs exact is bounded in
+    tests/test_gold_oracle.py."""
+    fact = fact_order_details(spark, sf_dir)
+    return fact.groupBy(*_DAILY_GRAIN).agg(
+        money(F.sum("total_amount")).alias("total_revenue"),
+        F.sum("quantity").alias("total_quantity"),
+        F.approx_count_distinct("order_key", rsd=0.02).alias("distinct_orders_approx"),
+    )
+
+
 QUERIES = {
     "fact_order_details": fact_order_details,
+    "seller_performance_daily_approx": seller_performance_daily_approx,
     "seller_performance_daily": seller_performance_daily,
     "seller_performance_monthly": seller_performance_monthly,
     "seller_performance_quarterly": seller_performance_quarterly,

@@ -1,0 +1,146 @@
+"""Multimodal-column operators: treat media as opaque ``binary`` with
+typed metadata, process via Arrow-batched ``mapInPandas``.
+
+The container has no image/audio codecs, so the DECODE step is a
+clearly-marked deterministic stub (sha256-derived pseudo-dimensions) —
+the Spark-side plumbing that matters at 100 TB is real and tested:
+
+- binary payload column + metadata projection (pure JVM, oracle-able)
+- ``mapInPandas`` with an explicit output schema, iterating Arrow
+  batches (the shape a real decoder plugs into: swap ``_stub_decode``
+  for PIL/ffmpeg and nothing else changes)
+- batch-size control via ``spark.sql.execution.arrow.maxRecordsPerBatch``
+  rather than per-row Python calls
+
+The testdata has no real media, so payloads are the documents' UTF-8
+bytes — byte-identical in Spark and DuckDB, which lets the metadata
+path hash-match an SQL oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..catalog import load_table
+
+
+def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, payload binary, media_type) — the canonical
+    multimodal table shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        # Deterministic fake modality tag for partition/bucket routing.
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# metadata path: pure JVM, oracle-able
+# ---------------------------------------------------------------------------
+
+
+def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over opaque payloads: byte length, content digest,
+    modality. The whole projection is JVM-side — at 100 TB this is the
+    cheap cataloguing pass that routes payloads to modality-specific
+    decoders."""
+    return _payloads(spark, sf_dir).select(
+        "doc_id",
+        "media_type",
+        F.octet_length("payload").alias("n_bytes"),
+        F.sha2("payload", 256).alias("digest"),
+    )
+
+
+_METADATA_SQL = """
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS digest
+    FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# decode path: mapInPandas plumbing with a stubbed decoder
+# ---------------------------------------------------------------------------
+
+_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("batch_rows", IntegerType()),
+    ]
+)
+
+
+def _stub_decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
+    """STUB — deterministic fake decode. A real deployment replaces this
+    with PIL/av decode of ``payload``; everything around it (schema,
+    batching, partitioning) is production-shaped. Dimensions are derived
+    from the payload digest so results are stable across runs."""
+    import hashlib
+
+    h = hashlib.sha256(payload).digest()
+    width = 64 + h[0] % 192
+    height = 64 + h[1] % 192
+    n_frames = 1 if media_type == "image" else 1 + h[2] % 30
+    return width, height, n_frames
+
+
+def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode: ``mapInPandas`` receives pandas batches,
+    runs the (stubbed) decoder per payload, emits a typed feature row.
+    ``batch_rows`` exposes the Arrow batch size so tests can assert the
+    data really moves in batches, not row-at-a-time."""
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            dims = [
+                _stub_decode(bytes(p), m)
+                for p, m in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "n_frames": [d[2] for d in dims],
+                    "batch_rows": len(pdf),
+                }
+            )
+
+    return _payloads(spark, sf_dir).mapInPandas(decode, _FEATURE_SCHEMA)
+
+
+QUERIES = {
+    "media_metadata": media_metadata,
+    "media_decode_features": media_decode_features,
+}
+
+# media_decode_features uses the Python stub decoder → not SQL-expressible;
+# rows-only for the driver, batch-shape asserted in tests/test_multimodal.py.
+ORACLES = {
+    "media_metadata": _METADATA_SQL,
+}

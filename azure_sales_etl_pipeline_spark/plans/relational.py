@@ -275,6 +275,54 @@ _SCD2_CLASSIFY_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# set ops + ordered top-k (not in the reference — SURVEY §2.5 notes gold
+# consumers implicitly sort/limit, so the engine covers them)
+# ---------------------------------------------------------------------------
+
+
+def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct set difference). Catalyst plans this as a
+    left-anti hash/sort-merge join on the key — same cost envelope as
+    the SCD2 anti-join at scale."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return customer.exceptAll(urgent.distinct()).distinct()
+
+
+_EXCEPT_SQL = """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+def top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ordered top-k: orderBy desc + limit, deterministic
+    tie-break on the key. Spark executes this as a per-partition top-k
+    (TakeOrderedAndProject) then a driver merge of k·partitions rows —
+    no global sort, safe at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"))
+        .orderBy(F.col("total_spent").desc(), F.col("o_custkey").asc())
+        .limit(20)
+    )
+
+
+_TOP_SQL = """
+    SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spent
+    FROM orders GROUP BY ALL
+    ORDER BY total_spent DESC, o_custkey ASC
+    LIMIT 20
+"""
+
+
 QUERIES = {
     "star_projection": star_projection,
     "drop_and_cast": drop_and_cast,
@@ -285,6 +333,8 @@ QUERIES = {
     "global_watermark": global_watermark,
     "hash_diff_rows": hash_diff_rows,
     "scd2_classify": scd2_classify,
+    "customers_without_urgent_orders": customers_without_urgent_orders,
+    "top_spenders": top_spenders,
 }
 
 ORACLES = {
@@ -297,4 +347,6 @@ ORACLES = {
     "global_watermark": _WATERMARK_SQL,
     "hash_diff_rows": _HASH_SQL,
     "scd2_classify": _SCD2_CLASSIFY_SQL,
+    "customers_without_urgent_orders": _EXCEPT_SQL,
+    "top_spenders": _TOP_SQL,
 }

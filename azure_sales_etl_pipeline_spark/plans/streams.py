@@ -1,0 +1,24 @@
+"""Driver-contract wrappers for the Structured Streaming operators
+(azure_sales_etl_pipeline_spark.streaming). Legal to oracle with plain
+SQL because Trigger.AvailableNow drains the whole file source
+deterministically — streaming and batch compute the same aggregate.
+"""
+
+from __future__ import annotations
+
+from ..streaming import (
+    STREAM_SLIDING_SQL,
+    STREAM_TUMBLING_SQL,
+    stream_sliding_user_activity,
+    stream_tumbling_counts,
+)
+
+QUERIES = {
+    "stream_tumbling_counts": stream_tumbling_counts,
+    "stream_sliding_user_activity": stream_sliding_user_activity,
+}
+
+ORACLES = {
+    "stream_tumbling_counts": STREAM_TUMBLING_SQL,
+    "stream_sliding_user_activity": STREAM_SLIDING_SQL,
+}

@@ -1,0 +1,158 @@
+"""Structured Streaming variants of the incremental operators
+(SURVEY.md §2.7): the reference implements watermark/incremental
+semantics as hand-rolled batch micro-orchestration; this module
+expresses the same concepts Spark-natively — ``readStream`` sources,
+event-time tumbling/sliding windows with ``withWatermark``, and a
+``foreachBatch`` ingestion sink with checkpoint-based exactly-once.
+
+Batch parity: every streaming aggregation here has an identical batch
+formulation (the driver oracles check the streaming results against
+plain SQL over the same files — legal because Trigger.AvailableNow
+drains the full source deterministically).
+
+Scale notes: state size for windowed aggs is bounded by watermark
+horizon × key cardinality; shuffles partition on (window, keys) exactly
+like the batch groupBy. ``foreachBatch`` reuses the batch writer, so
+the evolving-append shim works unchanged under streaming.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import table_path
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (ns timestamps → µs, same as
+    catalog.load_table)."""
+    path = table_path(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    # File streaming sources need a directory: stream the sf dir with a
+    # glob filter selecting just the events file(s).
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return src
+
+
+def _drain_to_memory(agg: DataFrame, name: str, mode: str = "complete") -> None:
+    """Run an AvailableNow pass into a memory sink and wait for drain."""
+    agg.sparkSession.catalog.dropTempView(name)  # idempotent reruns
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling-window counts per event_type with a 1-hour
+    watermark — the canonical streaming aggregation. Complete output
+    mode so closed AND open windows land in the sink (AvailableNow
+    drains everything; watermarking still bounds state)."""
+    src = _events_stream(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    _drain_to_memory(agg, "stream_tumbling_counts")
+    out = spark.table("stream_tumbling_counts")
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
+STREAM_TUMBLING_SQL = """
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY ALL
+"""
+
+
+def stream_sliding_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows sliding by 1 hour, per user: each event contributes
+    to two overlapping windows (the oracle unions the two shifted
+    bucket alignments)."""
+    src = _events_stream(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    _drain_to_memory(agg, "stream_sliding_user_activity")
+    out = spark.table("stream_sliding_user_activity")
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
+STREAM_SLIDING_SQL = """
+    WITH assigned AS (
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, user_id FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) - INTERVAL 1 HOUR, user_id FROM events
+    )
+    SELECT window_start,
+           window_start + INTERVAL 2 HOUR AS window_end,
+           user_id,
+           count(*) AS n_events
+    FROM assigned
+    GROUP BY ALL
+"""
+
+
+def streaming_ingest(
+    spark: SparkSession,
+    source_glob: str,
+    schema,
+    bronze_path: str,
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming Landing→Bronze: file-source readStream + foreachBatch
+    into the schema-evolving append writer. The checkpoint makes file
+    processing exactly-once across restarts — the streaming-native form
+    of the reference's watermark bookkeeping (T1)."""
+    from .operators.writer import append_evolve
+
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="stream_ckpt_")
+    src = spark.readStream.schema(schema).option("header", "true").csv(source_glob)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            append_evolve(spark, batch_df, bronze_path)
+
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -29,3 +29,33 @@ def test_seller_performance_daily_matches_oracle(spark):
     assert len(srows) == len(orows)
     # spot-compare full content (values already rounded engine-side)
     assert srows == orows
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    """The HLL++ scale variant stays within ~5x its configured 2% rsd of
+    the exact counts at the per-seller grain (coarser than daily so the
+    law of large numbers applies)."""
+    from pyspark.sql import functions as F
+
+    from azure_sales_etl_pipeline_spark.plans.gold import (
+        seller_performance_daily,
+        seller_performance_daily_approx,
+    )
+
+    exact = (
+        seller_performance_daily(spark, SF_DIR)
+        .groupBy("supplier_key")
+        .agg(F.sum("distinct_orders").alias("n"))
+        .collect()
+    )
+    approx = (
+        seller_performance_daily_approx(spark, SF_DIR)
+        .groupBy("supplier_key")
+        .agg(F.sum("distinct_orders_approx").alias("n"))
+        .collect()
+    )
+    e = {r["supplier_key"]: r["n"] for r in exact}
+    a = {r["supplier_key"]: r["n"] for r in approx}
+    assert set(e) == set(a)
+    for k in e:
+        assert abs(a[k] - e[k]) / e[k] < 0.10, (k, a[k], e[k])

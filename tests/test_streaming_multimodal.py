@@ -1,0 +1,78 @@
+"""Streaming + multimodal operator tests."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from azure_sales_etl_pipeline_spark.catalog import table_path
+from azure_sales_etl_pipeline_spark.operators.writer import read_table
+from azure_sales_etl_pipeline_spark.plans.multimodal import (
+    media_decode_features,
+    media_metadata,
+)
+from azure_sales_etl_pipeline_spark.streaming import (
+    stream_tumbling_counts,
+    streaming_ingest,
+)
+from tests.conftest import SF_DIR
+
+
+def test_stream_tumbling_matches_batch(spark):
+    """Streaming AvailableNow drain ≡ batch groupBy over the same file."""
+    out = stream_tumbling_counts(spark, SF_DIR)
+    total_streamed = out.agg(F.sum("n_events")).first()[0]
+    n_batch = duckdb.sql(
+        f"SELECT count(*) FROM '{table_path(SF_DIR, 'events')}'"
+    ).fetchone()[0]
+    assert total_streamed == n_batch
+    # window bounds are 1h-aligned and end = start + 1h
+    r = out.first()
+    assert (r["window_end"] - r["window_start"]).total_seconds() == 3600
+    assert r["window_start"].minute == 0 and r["window_start"].second == 0
+
+
+def test_streaming_ingest_exactly_once(spark, tmp_path):
+    """foreachBatch ingestion with checkpoint: a second run over the same
+    files processes nothing new (file-source exactly-once)."""
+    src = tmp_path / "landing"
+    src.mkdir()
+    (src / "a.csv").write_text("id,v\n1,x\n2,y\n")
+    bronze = str(tmp_path / "bronze" / "t")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id INT, v STRING"
+
+    streaming_ingest(spark, str(src), schema, bronze, ckpt)
+    assert read_table(spark, bronze).count() == 2
+
+    streaming_ingest(spark, str(src), schema, bronze, ckpt)  # rerun: no dupes
+    assert read_table(spark, bronze).count() == 2
+
+    (src / "b.csv").write_text("id,v\n3,z\n")
+    streaming_ingest(spark, str(src), schema, bronze, ckpt)  # only new file
+    assert read_table(spark, bronze).count() == 3
+
+
+def test_media_metadata_digest_is_content_hash(spark):
+    meta = media_metadata(spark, SF_DIR)
+    row = meta.first()
+    assert len(row["digest"]) == 64
+    assert row["media_type"] in ("image", "audio", "video")
+    assert row["n_bytes"] > 0
+
+
+def test_media_decode_runs_in_batches(spark):
+    """mapInPandas must receive multi-row Arrow batches (not row-at-a-
+    time) and produce deterministic stub dimensions."""
+    feats = media_decode_features(spark, SF_DIR).collect()
+    assert len(feats) == 500
+    assert max(r["batch_rows"] for r in feats) > 1
+    by_id = {r["doc_id"]: r for r in feats}
+    again = {r["doc_id"]: r for r in media_decode_features(spark, SF_DIR).collect()}
+    assert all(
+        (by_id[i]["width"], by_id[i]["height"]) == (again[i]["width"], again[i]["height"])
+        for i in by_id
+    )
+    assert all(64 <= r["width"] < 256 for r in feats)
+    # images are single-frame; audio/video are multi-frame-capable
+    assert all(r["n_frames"] == 1 for r in feats if r["media_type"] == "image")
