@@ -47,6 +47,19 @@ def money(col: Column) -> Column:
     return F.round(col, 2)
 
 
+def spread_for_cpu(df):
+    """Fan a narrow-but-CPU-heavy input out to all cores when the scan
+    produced too few partitions (single-file local parquet). No-op when
+    the input is already well-partitioned — at 100 TB the scan arrives
+    in thousands of splits and this never triggers; locally it turns a
+    1-partition sketch computation into a 32-way one for the price of
+    shuffling the (small) input once."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine similarity of two ``array<double>`` columns, element order
     summation (matches DuckDB's list_sum order for oracle parity).

@@ -156,7 +156,9 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hex nibble (portable across engines, unlike xxhash64). Sign of the
     vote sum → bit. Map-only: tokens never leave their partition.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from ..functions import spread_for_cpu
+
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"))
     # Materialize the per-token hash array in its own projection: HOF
     # lambdas defeat common-subexpression elimination, so inlining this
     # into the 64 bit-votes would recompute every sha256 64×.
@@ -245,6 +247,10 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside a bucket, whose expected size is O(duplicate cluster), not
     O(corpus) — this is the 100 TB dedup shape (MMDS ch.3 LSH banding).
     """
+    # NB: no spread_for_cpu here — the bands self-join reuses the scan
+    # exchange on both sides; a round-robin repartition upstream breaks
+    # that reuse and doubles the signature computation (measured 2.6×
+    # slower at sf0.1).
     docs = load_table(spark, sf_dir, "documents")
     r = _MINHASH_K // _LSH_BANDS
     sig = minhash_signature(docs).select("doc_id", "signature", "text")

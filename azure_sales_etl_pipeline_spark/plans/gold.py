@@ -127,15 +127,45 @@ _DAILY_GRAIN = [
 
 
 def seller_performance_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily seller×product grain, 9 group columns (reference A1,
+    """Daily seller×product grain, 9 output grain columns (reference A1,
     3_Silver_to_Gold.py:58-59): sum revenue, sum quantity, exact
-    countDistinct orders. Shuffles once on the full grain; the two
-    rollups below re-aggregate this output instead of rescanning fact."""
+    countDistinct orders.
+
+    Narrow-grain rewrite (result-identical): 6 of the 9 grain columns
+    are functionally dependent — year/quarter/month on order_date,
+    supplier_name on supplier_key, part_name/brand on part_key — so the
+    aggregation shuffles only (order_date, supplier_key, part_key) and
+    the dependent attributes are re-derived/broadcast-joined AFTER the
+    agg. The shuffle (and the countDistinct expand) carries 3 compact
+    keys instead of 9 mostly-string columns: at 100 TB that is the
+    difference between shuffling keys and shuffling the dimension text.
+    The two rollups below re-aggregate this output, not the fact."""
     fact = fact_order_details(spark, sf_dir)
-    return fact.groupBy(*_DAILY_GRAIN).agg(
+    narrow = fact.groupBy("order_date", "supplier_key", "part_key").agg(
         money(F.sum("total_amount")).alias("total_revenue"),
         F.sum("quantity").alias("total_quantity"),
         F.countDistinct("order_key").alias("distinct_orders"),
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("supplier_key"), F.col("s_name").alias("supplier_name")
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("part_key"),
+        F.col("p_name").alias("part_name"),
+        F.col("p_brand").alias("brand"),
+    )
+    return (
+        narrow.withColumn("order_year", F.year("order_date"))
+        .withColumn("order_quarter", F.quarter("order_date"))
+        .withColumn("order_month", F.month("order_date"))
+        .join(F.broadcast(supplier), "supplier_key")
+        .join(F.broadcast(part), "part_key")
+        .select(
+            *_DAILY_GRAIN,
+            "total_revenue",
+            "total_quantity",
+            "distinct_orders",
+        )
     )
 
 
@@ -320,13 +350,114 @@ def seller_performance_daily_approx(spark: SparkSession, sf_dir: str) -> DataFra
     is the only expensive agg in the plan at 100 TB (two-phase expansion
     on the 9-col grain); HLL sketches merge map-side in one phase.
     Approximate → no SQL oracle; accuracy vs exact is bounded in
-    tests/test_gold_oracle.py."""
+    tests/test_gold_oracle.py. Same narrow-grain shuffle as the exact
+    variant; HLL sketches additionally combine map-side (one phase, no
+    expand)."""
     fact = fact_order_details(spark, sf_dir)
-    return fact.groupBy(*_DAILY_GRAIN).agg(
+    narrow = fact.groupBy("order_date", "supplier_key", "part_key").agg(
         money(F.sum("total_amount")).alias("total_revenue"),
         F.sum("quantity").alias("total_quantity"),
         F.approx_count_distinct("order_key", rsd=0.02).alias("distinct_orders_approx"),
     )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("supplier_key"), F.col("s_name").alias("supplier_name")
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("part_key"),
+        F.col("p_name").alias("part_name"),
+        F.col("p_brand").alias("brand"),
+    )
+    return (
+        narrow.withColumn("order_year", F.year("order_date"))
+        .withColumn("order_quarter", F.quarter("order_date"))
+        .withColumn("order_month", F.month("order_date"))
+        .join(F.broadcast(supplier), "supplier_key")
+        .join(F.broadcast(part), "part_key")
+        .select(
+            *_DAILY_GRAIN,
+            "total_revenue",
+            "total_quantity",
+            "distinct_orders_approx",
+        )
+    )
+
+
+def run_gold_marts(spark: SparkSession, sf_dir: str, out_root: str) -> dict[str, int]:
+    """Materialize-once pipeline path (reference C1: cache the wide fact
+    and derive every mart from it, 3_Silver_to_Gold.py:44). The
+    driver-contract queries run standalone by design; a production run
+    calls THIS — one fact scan + join tree, cached, feeding all marts,
+    then released (C2). Returns rows written per mart."""
+    from ..operators.writer import overwrite_table
+
+    fact = fact_order_details(spark, sf_dir).cache()
+    try:
+        narrow = fact.groupBy("order_date", "supplier_key", "part_key").agg(
+            money(F.sum("total_amount")).alias("total_revenue"),
+            F.sum("quantity").alias("total_quantity"),
+            F.countDistinct("order_key").alias("distinct_orders"),
+        )
+        supplier = load_table(spark, sf_dir, "supplier").select(
+            F.col("s_suppkey").alias("supplier_key"),
+            F.col("s_name").alias("supplier_name"),
+        )
+        part = load_table(spark, sf_dir, "part").select(
+            F.col("p_partkey").alias("part_key"),
+            F.col("p_name").alias("part_name"),
+            F.col("p_brand").alias("brand"),
+        )
+        daily = (
+            narrow.withColumn("order_year", F.year("order_date"))
+            .withColumn("order_quarter", F.quarter("order_date"))
+            .withColumn("order_month", F.month("order_date"))
+            .join(F.broadcast(supplier), "supplier_key")
+            .join(F.broadcast(part), "part_key")
+            .select(*_DAILY_GRAIN, "total_revenue", "total_quantity", "distinct_orders")
+            .cache()
+        )
+        marts: dict[str, DataFrame] = {
+            "seller_performance_daily": daily,
+            "seller_performance_monthly": daily.groupBy(
+                "order_year", "order_month", "supplier_key", "supplier_name"
+            ).agg(
+                money(F.sum("total_revenue")).alias("total_revenue"),
+                F.sum("total_quantity").alias("total_quantity"),
+                F.sum("distinct_orders").alias("distinct_orders"),
+            ),
+            "seller_performance_quarterly": daily.groupBy(
+                "order_year", "order_quarter", "supplier_key", "supplier_name"
+            ).agg(
+                money(F.sum("total_revenue")).alias("total_revenue"),
+                F.sum("total_quantity").alias("total_quantity"),
+                F.sum("distinct_orders").alias("distinct_orders"),
+            ),
+            "seller_order_rates": _order_rates_from_fact(fact),
+            "customer_behavior": customer_behavior(spark, sf_dir),
+        }
+        rates = marts["seller_order_rates"].select(
+            "supplier_key", "return_rate", "fulfillment_rate", "total_orders"
+        )
+        revenue = fact.groupBy("supplier_key", "supplier_name").agg(
+            money(F.sum("total_amount")).alias("total_revenue")
+        )
+        marts["seller_segmentation"] = revenue.join(rates, "supplier_key", "inner").withColumn(
+            "segment",
+            F.when(
+                (F.col("total_revenue") > 20_000_000) & (F.col("return_rate") < 0.3),
+                "Top Performer",
+            )
+            .when(F.col("total_revenue") > 10_000_000, "Growth")
+            .when(F.col("return_rate") > 0.5, "At Risk")
+            .otherwise("Standard"),
+        )
+        written: dict[str, int] = {}
+        for name, df in marts.items():
+            overwrite_table(df, f"{out_root}/{name}")
+            written[name] = spark.read.parquet(f"{out_root}/{name}").count()
+        daily.unpersist()
+        return written
+    finally:
+        fact.unpersist()
 
 
 QUERIES = {

@@ -79,9 +79,9 @@ def scd2_two_batch_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             "effective_date",
             "end_date",
         )
-        # Materialize before the temp dir disappears.
-        out = spark.createDataFrame(hist.collect(), hist.schema)
-        return out
+        # Materialize distributed BEFORE the temp dir disappears —
+        # localCheckpoint pins blocks on executors, no driver collect.
+        return hist.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -143,7 +143,7 @@ def watermark_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch1 = events.where(F.col("event_id") < 500)
         store.advance_from(batch1, "ts", "events")
         batch2 = store.cut(events, "ts", "events")
-        return spark.createDataFrame(batch2.collect(), batch2.schema)
+        return batch2.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -194,7 +194,7 @@ def ingest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ing.run(f"{tmp}/landing2")
 
         bronze = read_table(spark, f"{tmp}/bronze/orders").drop("source_file")
-        return spark.createDataFrame(bronze.collect(), bronze.schema)
+        return bronze.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

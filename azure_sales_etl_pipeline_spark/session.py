@@ -39,9 +39,14 @@ _DEFAULTS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Partitioned upsert rewrites only the partitions it touches.
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
-    # Don't let tiny local test files produce one-partition plans that
-    # hide distribution bugs.
-    "spark.sql.files.maxPartitionBytes": "128m",
+    # Scan split size. Local profile defaults to 8m so the single-file
+    # testdata parquet still fans out across cores (a 40 MB lineitem →
+    # 5 tasks instead of 1); a real cluster reading 128-512 MB files
+    # should export SPARK_GRAFT_MAX_PARTITION_BYTES=128m to avoid
+    # task-scheduling overhead at 100 TB.
+    "spark.sql.files.maxPartitionBytes": os.environ.get(
+        "SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"
+    ),
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",

