@@ -14,6 +14,8 @@ Subpackages / modules
 - ``plans``      : the query library — every entry in the driver contract's
                    ``queries()`` registry, grouped by domain (gold,
                    relational, incremental, dedup, similarity, textops).
+- ``streaming``  : Structured Streaming variants — windowed event-time
+                   aggs with watermarks, foreachBatch checkpointed ingest.
 - ``pipeline``   : the medallion orchestrator (Landing->Bronze->Silver).
 """
 

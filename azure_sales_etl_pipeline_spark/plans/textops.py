@@ -247,8 +247,64 @@ _TF_SQL = r"""
 """
 
 
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (rolling-hash document fingerprinting)
+# ---------------------------------------------------------------------------
+
+_WIN_K = 3  # k-gram width (tokens)
+_WIN_W = 4  # winnowing window (grams)
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing: hash every token k-gram, slide a window of
+    w grams, keep each window's minimum hash — the selected fingerprints
+    are a position-robust sketch for plagiarism/near-dup detection.
+
+    Hashes are sha256 hex (portable; hex strings min-compare identically
+    in Spark and DuckDB). Entirely higher-order functions: grams and
+    window-minima are computed map-side per row, then exploded to
+    (doc_id, fingerprint) pairs — the explode is the only row expansion
+    and happens AFTER selection, so ~n/w fingerprints per doc, not n.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (_WIN_K - 1), F.lit(0))),
+        lambda i: F.sha2(F.array_join(F.slice(toks, i, _WIN_K), " "), 256),
+    )
+    staged = docs.select("doc_id", grams.alias("grams")).where(F.size("grams") >= _WIN_W)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("grams")) - (_WIN_W - 1)),
+        lambda j: F.array_min(F.slice(F.col("grams"), j, _WIN_W)),
+    )
+    return staged.select(
+        "doc_id", F.explode(F.array_distinct(mins)).alias("fingerprint")
+    )
+
+
+_WINNOW_SQL = rf"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(toks) - {_WIN_K - 1}, 0) + 1),
+                   i -> sha256(array_to_string(list_slice(toks, i, i + {_WIN_K - 1}), ' '))) AS grams
+        FROM t
+    )
+    SELECT doc_id,
+           unnest(list_distinct(
+               list_transform(range(1, len(grams) - {_WIN_W - 1} + 1),
+                   j -> list_min(list_slice(grams, j, j + {_WIN_W - 1}))))) AS fingerprint
+    FROM g
+    WHERE len(grams) >= {_WIN_W}
+"""
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
+    "winnowing_fingerprints": winnowing_fingerprints,
     "doc_quality": doc_quality,
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
@@ -257,6 +313,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_token_stats": _TOKEN_STATS_SQL,
+    "winnowing_fingerprints": _WINNOW_SQL,
     "doc_quality": _QUALITY_SQL,
     "lang_id": _LANG_SQL,
     "doc_fingerprint": _FINGERPRINT_SQL,
