@@ -20,11 +20,21 @@ the old table or the new one, never half.
 
 Scale: the full-outer join shuffles both sides on the business key
 (sort-merge at dimension scale). The hash is computed map-side before
-the shuffle. The rewrite re-writes the whole dimension per batch —
-correct, but at 100 TB dimensions you'd partition the table on a stable
-key-hash prefix and rewrite only partitions containing expired keys
-(partitionOverwriteMode=dynamic is already set in session.py for this);
-the surgical upgrade lives behind the same API.
+the shuffle. Two storage modes behind one API:
+
+- ``n_buckets=None`` (default): whole-table staged-swap rewrite per
+  batch — simplest, atomic, right for small/medium dimensions.
+- ``n_buckets=N``: the table is partitioned by a stable key-hash bucket
+  (``pmod(xxhash64(key), N)``) and an upsert rewrites ONLY the buckets
+  containing changed keys via dynamic partition overwrite
+  (``partitionOverwriteMode=dynamic``, set in session.py). At 100 TB
+  this turns "rewrite the dimension" into "rewrite touched buckets":
+  untouched bucket files are not read or written. Per-bucket overwrite
+  is not atomic ACROSS buckets — a crash mid-upsert leaves some buckets
+  advanced; the watermark-replay contract (advance only after success)
+  re-runs the batch and SCD2's NO-CHANGE detection makes the replay a
+  no-op for already-advanced buckets, restoring consistency. This is
+  the same at-least-once self-heal the reference relies on (SURVEY §3).
 
 An injectable ``clock`` makes effective/end timestamps deterministic for
 tests and oracles (SURVEY.md F1 nondeterminism risk).
@@ -35,7 +45,7 @@ from __future__ import annotations
 import datetime as dt
 from collections.abc import Callable, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table_exists
@@ -43,6 +53,7 @@ from ..functions import hash_diff
 from .writer import overwrite_table, read_table
 
 SCD_COLS = ("hash", "is_current", "effective_date", "end_date")
+BUCKET_COL = "__bucket"
 
 
 class SCD2Table:
@@ -61,6 +72,7 @@ class SCD2Table:
         tracked_cols: Sequence[str] | None = None,
         clock: Callable[[], dt.datetime] | None = None,
         on_insert: Callable[[DataFrame], None] | None = None,
+        n_buckets: int | None = None,
     ):
         self.spark = spark
         self.path = path
@@ -68,10 +80,18 @@ class SCD2Table:
         self.tracked_cols = list(tracked_cols) if tracked_cols else None
         self.clock = clock or dt.datetime.utcnow
         self.on_insert = on_insert
+        self.n_buckets = n_buckets
+
+    def _bucket_of(self, key_col: Column) -> Column:
+        return F.pmod(F.xxhash64(key_col), F.lit(self.n_buckets)).cast("int")
 
     # -- reads ------------------------------------------------------------
 
     def history(self) -> DataFrame:
+        df = read_table(self.spark, self.path)
+        return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
+
+    def _history_raw(self) -> DataFrame:
         return read_table(self.spark, self.path)
 
     def current(self) -> DataFrame:
@@ -109,7 +129,11 @@ class SCD2Table:
         now = self.clock()
         if not table_exists(self.path):
             first = self._with_scd(source, now)
-            overwrite_table(first, self.path)
+            if self.n_buckets:
+                first = first.withColumn(BUCKET_COL, self._bucket_of(F.col(self.key)))
+                first.write.partitionBy(BUCKET_COL).mode("errorifexists").parquet(self.path)
+            else:
+                overwrite_table(first, self.path)
             n = first.count()
             if self.on_insert is not None and n:
                 self.on_insert(source)
@@ -181,9 +205,51 @@ class SCD2Table:
             .unionByName(expiring.select(*cols))
             .unionByName(new_versions.select(*cols))
         )
-        # Materialize BEFORE the swap: the new plan reads the old files.
-        staged = rewritten.localCheckpoint(eager=True)
-        overwrite_table(staged, self.path)
+        if self.n_buckets:
+            # Surgical path: rewrite only buckets containing a changed key.
+            # Re-read the target pruned on the PARTITION column (__bucket
+            # isin(...) → partition pruning: untouched buckets are neither
+            # read nor written), rebuild those buckets' full content, and
+            # let dynamic partition overwrite replace exactly those
+            # directories.
+            changed_buckets = [
+                r["b"]
+                for r in changed_keys.select(
+                    self._bucket_of(F.col("__key")).alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
+            pruned = self._history_raw().where(F.col(BUCKET_COL).isin(changed_buckets))
+            pruned_cur = pruned.where(F.col("is_current"))
+            bucket_rows = (
+                pruned.where(~F.col("is_current"))
+                .select(*cols, BUCKET_COL)
+                .unionByName(
+                    pruned_cur.join(
+                        expire_keys, pruned_cur[self.key] == F.col("__key"), "left_anti"
+                    ).select(*cols, BUCKET_COL)
+                )
+                .unionByName(
+                    pruned_cur.join(
+                        expire_keys, pruned_cur[self.key] == F.col("__key"), "left_semi"
+                    )
+                    .withColumn("is_current", F.lit(False))
+                    .withColumn("end_date", F.lit(now).cast("timestamp"))
+                    .select(*cols, BUCKET_COL)
+                )
+                .unionByName(
+                    new_versions.withColumn(
+                        BUCKET_COL, self._bucket_of(F.col(self.key))
+                    ).select(*cols, BUCKET_COL)
+                )
+            )
+            staged = bucket_rows.localCheckpoint(eager=True)
+            staged.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(self.path)
+        else:
+            # Materialize BEFORE the swap: the new plan reads the old files.
+            staged = rewritten.localCheckpoint(eager=True)
+            overwrite_table(staged, self.path)
 
         if self.on_insert is not None and n_insert:
             insert_keys = classified.where(F.col("__action") == "INSERT").select("__key")
