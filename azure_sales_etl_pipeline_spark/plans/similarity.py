@@ -219,14 +219,129 @@ _NEAR_DUP_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF path (inverted-file index: coarse k-means quantizer + probe search)
+# ---------------------------------------------------------------------------
+
+_IVF_K = 16  # centroid count (√N-ish for the test corpus; tune per corpus)
+_IVF_PROBES = 4  # nearest centroid lists searched per query
+_IVF_ITERS = 2  # Lloyd iterations (deterministic seeds → deterministic index)
+
+
+def _sq_dist(vec: Column, centroid: list[float]) -> Column:
+    lit_c = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(vec, lit_c, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmin distance via array_min over (dist, idx) structs — JVM-side."""
+    pairs = F.array(
+        *[
+            F.named_struct(F.lit("d"), _sq_dist(vec, c), F.lit("i"), F.lit(i))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.array_min(pairs).getField("i")
+
+
+def _train_centroids(emb: DataFrame, k: int = _IVF_K, iters: int = _IVF_ITERS) -> list[list[float]]:
+    """Mini k-means on the corpus: deterministic strided seeds, then
+    Lloyd iterations expressed as DataFrame jobs (assign = narrow map,
+    update = posexplode + per-dimension mean — one shuffle keyed on
+    (cluster, dim)). Only the k×dim centroid matrix ever reaches the
+    driver; the corpus never does."""
+    n = emb.count()
+    stride = max(n // k, 1)
+    seeds = [
+        [float(v) for v in r["vec"]]
+        for r in emb.where(F.col("vec_id") % stride == 0).orderBy("vec_id").limit(k).collect()
+    ]
+    centroids = seeds
+    for _ in range(iters):
+        assigned = emb.select(
+            _nearest_centroid(F.col("vec"), centroids).alias("cluster"),
+            F.posexplode("vec").alias("dim", "val"),
+        )
+        means = (
+            assigned.groupBy("cluster", "dim")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r["cluster"], {})[r["dim"]] = r["m"]
+        centroids = [
+            [by_cluster[c][d] for d in sorted(by_cluster[c])] if c in by_cluster else centroids[c]
+            for c in range(len(centroids))
+        ]
+    return centroids
+
+
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via an IVF index: corpus rows are assigned to
+    their nearest coarse centroid (the inverted list); each query probes
+    only its _IVF_PROBES nearest lists. Candidate volume per query is
+    ~corpus·probes/k instead of corpus — the standard
+    recall-vs-cost dial (probes↑ → recall↑). Recall vs brute force is
+    asserted in tests/test_dedup_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", _as_double("embedding").alias("vec"), "label")
+    centroids = _train_centroids(corpus)
+
+    indexed = corpus.withColumn("cluster", _nearest_centroid(F.col("vec"), centroids))
+    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qvec")
+    )
+    probe_pairs = F.slice(
+        F.array_sort(
+            F.array(
+                *[
+                    F.named_struct(
+                        F.lit("d"), _sq_dist(F.col("qvec"), c), F.lit("i"), F.lit(i)
+                    )
+                    for i, c in enumerate(centroids)
+                ]
+            )
+        ),
+        1,
+        _IVF_PROBES,
+    )
+    probes = queries.select(
+        "query_id", "qvec", F.explode(probe_pairs).alias("p")
+    ).select("query_id", "qvec", F.col("p.i").alias("cluster"))
+
+    scored = (
+        indexed.join(F.broadcast(probes), "cluster")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            cosine_similarity(F.col("qvec"), F.col("vec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOP_K)
+        .select("query_id", "rank", "vec_id", "label", F.round("sim", 6).alias("sim"))
+    )
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_lsh": ann_topk_lsh,
+    "ann_topk_ivf": ann_topk_ivf,
     "embedding_near_dup": embedding_near_dup,
 }
 
-# ann_topk_lsh is probabilistic (bucket recall) → rows-only for the
-# driver; recall vs brute force asserted in tests/test_similarity.py.
+# ann_topk_lsh / ann_topk_ivf are probabilistic (bucket/probe recall) →
+# rows-only for the driver; recall vs brute force asserted in
+# tests/test_dedup_similarity.py.
 ORACLES = {
     "ann_topk_bruteforce": _BRUTE_SQL,
     "embedding_near_dup": _NEAR_DUP_SQL,

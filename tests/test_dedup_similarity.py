@@ -63,6 +63,25 @@ def test_lsh_topk_recall_vs_bruteforce(spark):
     assert hits / total >= 0.3, f"LSH ANN precision vs exact: {hits}/{total}"
 
 
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    """IVF with 4/16 probes must beat the 25% candidate-coverage chance
+    level substantially on the exact top-10."""
+    from azure_sales_etl_pipeline_spark.plans.similarity import ann_topk_ivf
+
+    exact = ann_topk_bruteforce(spark, SF_DIR).collect()
+    approx = ann_topk_ivf(spark, SF_DIR).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = total = 0
+    for r in approx:
+        total += 1
+        if r["vec_id"] in exact_sets.get(r["query_id"], set()):
+            hits += 1
+    assert total > 0
+    assert hits / total >= 0.5, f"IVF ANN precision vs exact: {hits}/{total}"
+
+
 def test_exact_dedup_keeps_lowest_id(spark, tmp_path):
     docs = spark.createDataFrame(
         [(10, "same  Text"), (3, "same text"), (5, "other")], "doc_id long, text string"
