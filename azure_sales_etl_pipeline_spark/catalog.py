@@ -38,10 +38,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table (columnar parquet; Catalyst prunes/pushes).
 
     ``events.ts`` is physically TIMESTAMP(NANOS) — Spark reads it as a
-    nano-precision long (``spark.sql.legacy.parquet.nanosAsLong``, set in
-    session.py) and we truncate to microseconds here, matching DuckDB's
-    ns→µs cast of the same file.
+    nano-precision long (``spark.sql.legacy.parquet.nanosAsLong``) and we
+    truncate to microseconds here, matching DuckDB's ns→µs cast of the
+    same file. The conf is runtime-settable, so set it here (not only in
+    the session factory) so reads work on ANY caller-supplied session.
     """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F

@@ -30,6 +30,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (ns timestamps → µs, same as
     catalog.load_table)."""
     path = table_path(sf_dir, "events")
+    # Runtime-settable legacy conf: events.ts is TIMESTAMP(NANOS); without
+    # this a vanilla (caller-supplied) session dies with PARQUET_TYPE_ILLEGAL.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     # File streaming sources need a directory: stream the sf dir with a
     # glob filter selecting just the events file(s).
@@ -78,8 +81,10 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     _drain_to_memory(agg, "stream_tumbling_counts")
-    out = spark.table("stream_tumbling_counts")
-    return spark.createDataFrame(out.collect(), out.schema)
+    # Memory sink is already a driver-side temp view; return it directly
+    # (no extra collect+recreate). At scale the sink would be files/noop —
+    # the memory sink is for tests/driver queries only.
+    return spark.table("stream_tumbling_counts")
 
 
 STREAM_TUMBLING_SQL = """
@@ -110,8 +115,7 @@ def stream_sliding_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     _drain_to_memory(agg, "stream_sliding_user_activity")
-    out = spark.table("stream_sliding_user_activity")
-    return spark.createDataFrame(out.collect(), out.schema)
+    return spark.table("stream_sliding_user_activity")
 
 
 STREAM_SLIDING_SQL = """
