@@ -55,7 +55,11 @@ def spread_for_cpu(df):
     1-partition sketch computation into a 32-way one for the price of
     shuffling the (small) input once."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    # inputFiles() is a metadata-only call (no Java RDD conversion, unlike
+    # df.rdd.getNumPartitions). A file-backed scan with fewer files than
+    # ~half the cores is the single-local-parquet case we're fanning out;
+    # non-file-backed frames ([] → repartition) are tiny locally.
+    if len(df.inputFiles()) < max(2, target // 2):
         return df.repartition(target)
     return df
 

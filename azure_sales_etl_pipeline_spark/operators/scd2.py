@@ -198,12 +198,14 @@ class SCD2Table:
         )
         history_rows = target.where(~F.col("is_current"))
 
-        cols = new_versions.columns
+        # allowMissingColumns: a schema-evolved batch (new source column,
+        # or a column the batch dropped) null-backfills the other side —
+        # same contract as writer.append_evolve. A strict select(*cols)
+        # here raised AnalysisException on evolved batches (r2 advisory).
         rewritten = (
-            history_rows.select(*cols)
-            .unionByName(surviving_current.select(*cols))
-            .unionByName(expiring.select(*cols))
-            .unionByName(new_versions.select(*cols))
+            history_rows.unionByName(surviving_current, allowMissingColumns=True)
+            .unionByName(expiring, allowMissingColumns=True)
+            .unionByName(new_versions, allowMissingColumns=True)
         )
         if self.n_buckets:
             # Surgical path: rewrite only buckets containing a changed key.
@@ -224,24 +226,25 @@ class SCD2Table:
             pruned_cur = pruned.where(F.col("is_current"))
             bucket_rows = (
                 pruned.where(~F.col("is_current"))
-                .select(*cols, BUCKET_COL)
                 .unionByName(
                     pruned_cur.join(
                         expire_keys, pruned_cur[self.key] == F.col("__key"), "left_anti"
-                    ).select(*cols, BUCKET_COL)
+                    ),
+                    allowMissingColumns=True,
                 )
                 .unionByName(
                     pruned_cur.join(
                         expire_keys, pruned_cur[self.key] == F.col("__key"), "left_semi"
                     )
                     .withColumn("is_current", F.lit(False))
-                    .withColumn("end_date", F.lit(now).cast("timestamp"))
-                    .select(*cols, BUCKET_COL)
+                    .withColumn("end_date", F.lit(now).cast("timestamp")),
+                    allowMissingColumns=True,
                 )
                 .unionByName(
                     new_versions.withColumn(
                         BUCKET_COL, self._bucket_of(F.col(self.key))
-                    ).select(*cols, BUCKET_COL)
+                    ),
+                    allowMissingColumns=True,
                 )
             )
             staged = bucket_rows.localCheckpoint(eager=True)

@@ -54,7 +54,14 @@ class WatermarkStore:
 
     def set(self, table: str, value: dt.datetime) -> None:
         """Atomic replace: write to a temp dir, swap directories. Parquet
-        overwrite-in-place has a delete-then-write window; state must not."""
+        overwrite-in-place has a delete-then-write window; state must not.
+
+        The rename is local-POSIX-atomic; on HDFS use FileSystem.rename,
+        and on object stores keep watermark state in a transactional
+        store (the reference uses a SQL table, adf/pipeline.json:186-272
+        — the right call at cluster scale). Even so, the worst case here
+        is a LOST watermark, never a torn one: the at-least-once replay
+        contract in the module docstring absorbs it."""
         p = self._path(table)
         self.root.mkdir(parents=True, exist_ok=True)
         tmp = Path(tempfile.mkdtemp(dir=str(self.root.parent), prefix=".wm_stage_"))

@@ -11,10 +11,19 @@ Staged overwrite: the SCD2 rewrite and any full refresh write to a
 staging dir then swap, so readers never observe a half-written table —
 this closes the reference's two-commit vulnerability window noted in
 SURVEY.md §3 (expire and append are separate Delta commits there).
+
+Atomicity boundary: the swap uses local-filesystem rename (shutil),
+which is atomic on POSIX but NOT on object stores (S3 rename = copy +
+delete) and needs the Hadoop FileSystem API on HDFS. At cluster scale,
+route overwrites through a storage layer with an atomic commit — the
+``backend="delta"`` seam below is exactly that (the transaction log
+makes overwrite/append atomic natively); the staged-swap code is the
+local-FS/parquet implementation of the same contract.
 """
 
 from __future__ import annotations
 
+import importlib.util
 import shutil
 import tempfile
 from pathlib import Path
@@ -24,14 +33,48 @@ from pyspark.sql import functions as F
 
 from ..catalog import table_exists
 
+#: Storage backends behind the engine's sinks. ``parquet`` is fully
+#: implemented; ``delta`` is the drop-in seam for environments with
+#: delta-spark installed (the reference's native format,
+#: 1_Landing_to_Bronze.py:60) — selecting it without the package raises
+#: immediately instead of failing mid-write.
+BACKENDS = ("parquet", "delta")
 
-def create_table(df: DataFrame, path: str) -> None:
+
+def resolve_backend(backend: str) -> str:
+    """Validate a storage-backend choice and return its writer format.
+
+    Delta gives native MERGE/mergeSchema/time-travel; everything in this
+    module then delegates to ``format("delta")`` and the staged-swap /
+    union-by-name shims become unnecessary. The seam is explicit so a
+    user with delta-spark can switch per-table, not per-fork.
+    """
+    if backend not in BACKENDS:
+        raise ValueError(f"unknown storage backend {backend!r}; expected one of {BACKENDS}")
+    if backend == "delta" and importlib.util.find_spec("delta") is None:
+        raise RuntimeError(
+            "storage backend 'delta' requested but delta-spark is not "
+            "installed; install delta-spark or use backend='parquet'"
+        )
+    return backend
+
+
+def create_table(df: DataFrame, path: str, backend: str = "parquet") -> None:
     """First materialization (S6): fail if the table already exists."""
-    df.write.mode("errorifexists").parquet(path)
+    df.write.format(resolve_backend(backend)).mode("errorifexists").save(path)
 
 
-def overwrite_table(df: DataFrame, path: str) -> None:
-    """Full refresh (S7) with staged swap — never a torn table."""
+def overwrite_table(df: DataFrame, path: str, backend: str = "parquet") -> None:
+    """Full refresh (S7) with staged swap — never a torn table.
+
+    Delta backend: the transaction log makes overwrite atomic natively,
+    so no staging dance is needed.
+    """
+    if resolve_backend(backend) == "delta":
+        df.write.format("delta").mode("overwrite").option(
+            "overwriteSchema", "true"
+        ).save(path)
+        return
     p = Path(path)
     tmp = Path(tempfile.mkdtemp(dir=str(p.parent) if p.parent.exists() else None, prefix=".stage_"))
     stage = tmp / "data"
@@ -43,11 +86,20 @@ def overwrite_table(df: DataFrame, path: str) -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
 
-def append_evolve(spark: SparkSession, df: DataFrame, path: str) -> None:
+def append_evolve(
+    spark: SparkSession, df: DataFrame, path: str, backend: str = "parquet"
+) -> None:
     """Append with schema evolution (S5): union-by-name against the
     existing table schema. New batch columns are appended to the table
     schema (old files backfill null via mergeSchema-on-read); table
-    columns missing from the batch are written as typed nulls."""
+    columns missing from the batch are written as typed nulls.
+
+    Delta backend: ``mergeSchema=true`` append is the native form of this
+    whole function (the reference's exact write, 1_Landing_to_Bronze.py:60).
+    """
+    if resolve_backend(backend) == "delta":
+        df.write.format("delta").mode("append").option("mergeSchema", "true").save(path)
+        return
     if not table_exists(path):
         create_table(df, path)
         return
@@ -63,3 +115,31 @@ def append_evolve(spark: SparkSession, df: DataFrame, path: str) -> None:
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     """Read an engine-managed table with schema merge across appends."""
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Metastore-backed (managed) tables — S14 + S8.
+# The reference creates per-layer databases and writes its side-output as
+# a managed table queryable BY NAME:
+#   spark.sql("CREATE DATABASE IF NOT EXISTS silver")   (2_Bronze_to_Silver.py:11)
+#   df.write.saveAsTable("default.new_customers_for_emailing", mode="overwrite")
+#                                                       (2_Bronze_to_Silver.py:114-116)
+# Plain Spark's in-memory/Derby catalog supports both — no Databricks
+# dependency. Path tables (LayerCatalog) and managed tables coexist; the
+# managed form is what a SQL user hits first.
+# ---------------------------------------------------------------------------
+
+
+def create_database(spark: SparkSession, name: str) -> None:
+    """``CREATE DATABASE IF NOT EXISTS`` (S14) — one namespace per
+    medallion layer, as the reference does for silver/gold."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}")
+
+
+def save_managed_table(
+    df: DataFrame, qualified_name: str, mode: str = "overwrite", backend: str = "parquet"
+) -> None:
+    """Managed-table sink (S8): ``db.table`` lands in the session
+    metastore and is queryable via ``spark.table(name)`` / SQL. The
+    database part must already exist (``create_database``)."""
+    df.write.format(resolve_backend(backend)).mode(mode).saveAsTable(qualified_name)

@@ -162,24 +162,32 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the per-token hash array in its own projection: HOF
     # lambdas defeat common-subexpression elimination, so inlining this
     # into the 64 bit-votes would recompute every sha256 64×.
+    # Each token's hash is decoded into a ±1 vote vector ONCE: split the
+    # 64-char hex into chars (one pass) and test the nibble high-bit
+    # arithmetically — hex '8','9' are ascii 56,57 and 'a'-'f' 97-102
+    # while '0'-'7' are 48-55, so ascii >= 56 ⇔ nibble ∈ [8,15].
+    # r2 instead ran 64 separate aggregates each doing substr(i) +
+    # rlike("[89a-f]") per token: substr on UTF8String is O(position), so
+    # that was ~64²/2 char-seeks PLUS a regex call per (token × bit) —
+    # this shape is one decode + 64 adds per token (measured ~20× less CPU).
+    votes_of = lambda w: F.slice(  # noqa: E731  (slice guards a trailing "" from split)
+        F.transform(
+            F.split(F.sha2(F.lower(w), 256), ""),
+            lambda ch: F.when(F.ascii(ch) >= 56, 1).otherwise(-1),
+        ),
+        1,
+        64,
+    )
     hashed = docs.select(
         "doc_id",
-        F.transform(_tokens(), lambda w: F.sha2(F.lower(w), 256)).alias("hs"),
+        F.transform(_tokens(), votes_of).alias("tok_votes"),
     )
-    # votes[i] = sum over tokens of (+1 if nibble i high-bit set else -1)
-    bits = F.transform(
-        F.sequence(F.lit(1), F.lit(64)),
-        lambda i: F.when(
-            F.aggregate(
-                F.col("hs"),
-                F.lit(0),
-                lambda acc, h: acc
-                + F.when(h.substr(i, F.lit(1)).rlike("[89a-f]"), 1).otherwise(-1),
-            )
-            > 0,
-            F.lit("1"),
-        ).otherwise(F.lit("0")),
+    sums = F.aggregate(
+        F.col("tok_votes"),
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
     )
+    bits = F.transform(sums, lambda s: F.when(s > 0, F.lit("1")).otherwise(F.lit("0")))
     return hashed.select("doc_id", F.array_join(bits, "").alias("simhash_bits"))
 
 
@@ -246,25 +254,48 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact shingle-Jaccard verify ≥ 0.5. The only all-pairs work happens
     inside a bucket, whose expected size is O(duplicate cluster), not
     O(corpus) — this is the 100 TB dedup shape (MMDS ch.3 LSH banding).
+
+    The shingle sets and band hashes are PERSISTED and eagerly
+    materialized: the bands self-join reads both sides from cache, and
+    the Jaccard verify reuses the same staged shingle arrays — the k×|sh|
+    xxhash64 signature work runs exactly once regardless of plan shape.
+    (r2 relied on ReusedExchange, which the driver's run didn't get:
+    everything computed twice, 80.7 s. Explicit persist removes the
+    fragility; at 100 TB this is persist-to-disk of a sketch that is
+    ~100× smaller than the corpus text.)
     """
-    # NB: no spread_for_cpu here — the bands self-join reuses the scan
-    # exchange on both sides; a round-robin repartition upstream breaks
-    # that reuse and doubles the signature computation (measured 2.6×
-    # slower at sf0.1).
-    docs = load_table(spark, sf_dir, "documents")
+    from ..functions import spread_for_cpu
+
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"))
     r = _MINHASH_K // _LSH_BANDS
-    sig = minhash_signature(docs).select("doc_id", "signature", "text")
-    bands = sig.select(
+    # MinHash over a multiset equals MinHash over its distinct set, so one
+    # staged distinct-shingle array serves both the sketch and the verify.
+    staged = docs.select(
+        "doc_id", F.array_distinct(_shingles(_tokens())).alias("sh")
+    ).persist()
+    # sig[i] inlines into exactly one band hash (Catalyst folds
+    # GetArrayItem(CreateArray(...)) to the element), so each of the k
+    # array_min computations appears once in the bands projection.
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("sh"), lambda s, i=i: F.xxhash64(F.lit(i), s)))
+            for i in range(_MINHASH_K)
+        ]
+    )
+    bands = staged.select(
         "doc_id",
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(*[F.col("signature")[b * r + j] for j in range(r)])
+                    F.xxhash64(*[sig[b * r + j] for j in range(r)])
                     for b in range(_LSH_BANDS)
                 ]
             )
         ).alias("band_idx", "band_hash"),
-    )
+    ).persist()
+    # Eager materialization: without it the self-join's two scan stages
+    # race to fill the cache and the signature work runs twice.
+    bands.count()
     cand = (
         bands.alias("x")
         .join(
@@ -277,9 +308,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    sets = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.array_distinct(_shingles(_tokens())).alias("sh")
-    )
+    sets = staged
     verified = (
         cand.join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
         .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")

@@ -382,6 +382,39 @@ def seller_performance_daily_approx(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def hll_accuracy_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible accuracy gate for the HLL path: per order status,
+    exact ``countDistinct`` customers next to ``approx_count_distinct``
+    (rsd=2%), reduced to a boolean "relative error ≤ 5%". The oracle
+    computes the exact side and asserts ``true`` — so the probabilistic
+    sketch gets a hash-checkable row instead of a rows-only pass.
+    (HLL++ is deterministic for a fixed input set, so this is a stable
+    assertion, not a flaky one.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("__approx"),
+    )
+    return agg.select(
+        F.col("o_orderstatus").alias("order_status"),
+        "exact_customers",
+        (
+            F.abs(F.col("__approx") - F.col("exact_customers"))
+            / F.col("exact_customers")
+            <= F.lit(0.05)
+        ).alias("within_bound"),
+    )
+
+
+_HLL_ACCURACY_SQL = """
+    SELECT o_orderstatus AS order_status,
+           count(DISTINCT o_custkey) AS exact_customers,
+           true AS within_bound
+    FROM orders
+    GROUP BY ALL
+"""
+
+
 def run_gold_marts(spark: SparkSession, sf_dir: str, out_root: str) -> dict[str, int]:
     """Materialize-once pipeline path (reference C1: cache the wide fact
     and derive every mart from it, 3_Silver_to_Gold.py:44). The
@@ -463,6 +496,7 @@ def run_gold_marts(spark: SparkSession, sf_dir: str, out_root: str) -> dict[str,
 QUERIES = {
     "fact_order_details": fact_order_details,
     "seller_performance_daily_approx": seller_performance_daily_approx,
+    "hll_accuracy_check": hll_accuracy_check,
     "seller_performance_daily": seller_performance_daily,
     "seller_performance_monthly": seller_performance_monthly,
     "seller_performance_quarterly": seller_performance_quarterly,
@@ -473,6 +507,7 @@ QUERIES = {
 
 ORACLES = {
     "fact_order_details": FACT_SQL,
+    "hll_accuracy_check": _HLL_ACCURACY_SQL,
     "seller_performance_daily": _DAILY_SQL,
     "seller_performance_monthly": f"""
         SELECT order_year, order_month, supplier_key, supplier_name,

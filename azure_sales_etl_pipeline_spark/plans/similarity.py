@@ -109,24 +109,27 @@ def _projection_matrix(dim: int, bits: int = _LSH_BITS, seed: int = _LSH_SEED) -
     return mat
 
 
-def _bucket(vec: Column, mat: list[list[float]]) -> Column:
-    """Sign-of-dot-product bit per hyperplane, packed into an int."""
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(vec, F.array(*[F.lit(v) for v in row]), lambda x, h: x * h),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            >= 0,
-            F.lit(1 << i),
-        ).otherwise(F.lit(0))
-        for i, row in enumerate(mat)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+def _bucket_of(vec: Column, mat: Column) -> Column:
+    """Sign-of-dot-product bit per hyperplane (mat = array<array<double>>
+    COLUMN), packed into an int: sum of 2^i over planes with dot >= 0.
+    Hyperplanes ride as data, not literal expressions — same reasoning as
+    ``_with_centroids`` below (codegen size independent of table count)."""
+    return F.aggregate(
+        F.transform(
+            mat,
+            lambda row, i: F.when(
+                F.aggregate(
+                    F.zip_with(vec, row, lambda x, h: x * h),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                >= 0,
+                F.pow(F.lit(2.0), i.cast("double")).cast("int"),
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, b: acc + b,
+    )
 
 
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,11 +149,13 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         _projection_matrix(dim, _LSH_BITS, _LSH_SEED + 1000 * t)
         for t in range(_LSH_TABLES)
     ]
+    mats_df = spark.createDataFrame([(mats,)], "mats: array<array<array<double>>>")
 
     def keyed(df: DataFrame, vec_col: str, id_cols: list[str]) -> DataFrame:
-        buckets = F.array(*[_bucket(F.col(vec_col), m) for m in mats])
-        return df.select(
-            *id_cols, vec_col, F.posexplode(buckets).alias("table_id", "bucket")
+        buckets = F.transform(F.col("mats"), lambda m: _bucket_of(F.col(vec_col), m))
+        return (
+            df.crossJoin(F.broadcast(mats_df))
+            .select(*id_cols, vec_col, F.posexplode(buckets).alias("table_id", "bucket"))
         )
 
     corpus = emb.select("vec_id", _as_double("embedding").alias("vec"), "label")
@@ -225,27 +230,41 @@ _NEAR_DUP_SQL = """
 
 _IVF_K = 16  # centroid count (√N-ish for the test corpus; tune per corpus)
 _IVF_PROBES = 4  # nearest centroid lists searched per query
-_IVF_ITERS = 2  # Lloyd iterations (deterministic seeds → deterministic index)
+_IVF_ITERS = 1  # Lloyd iterations (deterministic seeds → deterministic index;
+# one iteration already moves the strided seeds to their cluster means —
+# precision vs brute force stays ≥ the pytest floor, and each extra
+# iteration is a full assign+reduce job over the corpus)
 
 
-def _sq_dist(vec: Column, centroid: list[float]) -> Column:
-    lit_c = F.array(*[F.lit(float(v)) for v in centroid])
+def _sq_dist_col(vec: Column, cent: Column) -> Column:
+    """Squared L2 between two array<double> COLUMNS (no literals)."""
     return F.aggregate(
-        F.zip_with(vec, lit_c, lambda x, c: (x - c) * (x - c)),
+        F.zip_with(vec, cent, lambda x, c: (x - c) * (x - c)),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
 
 
-def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
-    """argmin distance via array_min over (dist, idx) structs — JVM-side."""
-    pairs = F.array(
-        *[
-            F.named_struct(F.lit("d"), _sq_dist(vec, c), F.lit("i"), F.lit(i))
-            for i, c in enumerate(centroids)
-        ]
-    )
-    return F.array_min(pairs).getField("i")
+def _with_centroids(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Attach the k×dim centroid matrix as ONE broadcast column.
+
+    Centroids ship as DATA (a one-row broadcast cross join), not as
+    literal expressions: r2 inlined k separate dim-length literal arrays
+    into every distance call site, which ballooned the codegen tree and
+    paid Janino compilation per job (25.8 s at k=16, d=64 — and the
+    pattern caps k; a real IVF index wants k in the thousands). As a
+    column, distance-to-all-centroids is a single HOF transform whose
+    generated code is independent of k."""
+    spark = df.sparkSession
+    cents = spark.createDataFrame([(centroids,)], "cents: array<array<double>>")
+    return df.crossJoin(F.broadcast(cents))
+
+
+def _nearest_cluster(vec: Column) -> Column:
+    """argmin over the attached ``cents`` column (first index on ties —
+    same tie-break as sorting (dist, idx) structs)."""
+    dists = F.transform(F.col("cents"), lambda c: _sq_dist_col(vec, c))
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
 def _train_centroids(emb: DataFrame, k: int = _IVF_K, iters: int = _IVF_ITERS) -> list[list[float]]:
@@ -262,15 +281,22 @@ def _train_centroids(emb: DataFrame, k: int = _IVF_K, iters: int = _IVF_ITERS) -
     ]
     centroids = seeds
     for _ in range(iters):
-        assigned = emb.select(
-            _nearest_centroid(F.col("vec"), centroids).alias("cluster"),
-            F.posexplode("vec").alias("dim", "val"),
+        # Materialize the assignment BEFORE posexplode: projection
+        # collapse would otherwise inline the k×dim argmin into the
+        # post-explode projection and recompute it per (row × dim) —
+        # measured 64× overwork (12 s → <1 s at sf0.1).
+        assign = (
+            _with_centroids(emb, centroids)
+            .select(_nearest_cluster(F.col("vec")).alias("cluster"), "vec")
+            .persist()
         )
         means = (
-            assigned.groupBy("cluster", "dim")
+            assign.select("cluster", F.posexplode("vec").alias("dim", "val"))
+            .groupBy("cluster", "dim")
             .agg(F.avg("val").alias("m"))
             .collect()
         )
+        assign.unpersist()
         by_cluster: dict[int, dict[int, float]] = {}
         for r in means:
             by_cluster.setdefault(r["cluster"], {})[r["dim"]] = r["m"]
@@ -292,27 +318,29 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select("vec_id", _as_double("embedding").alias("vec"), "label")
     centroids = _train_centroids(corpus)
 
-    indexed = corpus.withColumn("cluster", _nearest_centroid(F.col("vec"), centroids))
+    indexed = _with_centroids(corpus, centroids).withColumn(
+        "cluster", _nearest_cluster(F.col("vec"))
+    ).drop("cents")
     queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qvec")
     )
     probe_pairs = F.slice(
         F.array_sort(
-            F.array(
-                *[
-                    F.named_struct(
-                        F.lit("d"), _sq_dist(F.col("qvec"), c), F.lit("i"), F.lit(i)
-                    )
-                    for i, c in enumerate(centroids)
-                ]
+            F.transform(
+                F.col("cents"),
+                lambda c, i: F.struct(
+                    _sq_dist_col(F.col("qvec"), c).alias("d"), i.alias("i")
+                ),
             )
         ),
         1,
         _IVF_PROBES,
     )
-    probes = queries.select(
-        "query_id", "qvec", F.explode(probe_pairs).alias("p")
-    ).select("query_id", "qvec", F.col("p.i").alias("cluster"))
+    probes = (
+        _with_centroids(queries, centroids)
+        .select("query_id", "qvec", F.explode(probe_pairs).alias("p"))
+        .select("query_id", "qvec", F.col("p.i").alias("cluster"))
+    )
 
     scored = (
         indexed.join(F.broadcast(probes), "cluster")

@@ -35,6 +35,7 @@ def incremental_extract(
     jdbc_url: str | None = None,
     table: str | None = None,
     spark: SparkSession | None = None,
+    reader=None,
 ) -> DataFrame:
     """Watermark-windowed extract.
 
@@ -44,13 +45,19 @@ def incremental_extract(
     JDBC form: pass ``jdbc_url`` + ``table`` + ``spark`` — the window is
     synthesized into the pushdown query (the reference's ADF dynamic SQL)
     so filtering happens source-side.
+
+    ``reader`` (tests / alternate drivers): anything with the
+    DataFrameReader fluent surface (``format``/``option``/``load``) used
+    in place of ``spark.read`` — no live database needed to verify the
+    synthesized pushdown query (the sandbox ships no JDBC driver jar).
     """
     if jdbc_url is not None:
-        if spark is None or table is None:
-            raise ValueError("JDBC extract needs spark + table")
+        if table is None or (spark is None and reader is None):
+            raise ValueError("JDBC extract needs table + (spark or reader)")
         upper = upper or dt.datetime.utcnow()
         query = f"SELECT * FROM {table} WHERE {window_predicate(ts_col, lower, upper)}"
-        return spark.read.format("jdbc").option("url", jdbc_url).option("query", query).load()
+        rd = reader if reader is not None else spark.read
+        return rd.format("jdbc").option("url", jdbc_url).option("query", query).load()
 
     df: DataFrame = df_or_reader
     cond = F.col(ts_col) > F.lit(lower)

@@ -1,0 +1,141 @@
+"""Round-3 surface closures: managed (metastore) tables S14/S8, the
+delta storage-backend seam, the JDBC fake-reader pushdown check S11, and
+SCD2 upsert over a schema-evolved batch."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from azure_sales_etl_pipeline_spark.operators.scd2 import SCD2Table
+from azure_sales_etl_pipeline_spark.operators.writer import (
+    create_database,
+    create_table,
+    resolve_backend,
+    save_managed_table,
+)
+from azure_sales_etl_pipeline_spark.sources.extract import incremental_extract
+
+
+# ---------------------------------------------------------------------------
+# S14 + S8 — metastore database + managed table, queryable BY NAME
+# (reference 2_Bronze_to_Silver.py:11 CREATE DATABASE, :114-116 saveAsTable)
+# ---------------------------------------------------------------------------
+
+
+def test_managed_table_round_trip(spark):
+    create_database(spark, "silver_test")
+    df = spark.createDataFrame(
+        [(1, "alice@example.com"), (2, "bob@example.com")], "customer_id int, email string"
+    )
+    save_managed_table(df, "silver_test.new_customers_for_emailing")
+    back = spark.table("silver_test.new_customers_for_emailing")
+    assert sorted(r["email"] for r in back.collect()) == [
+        "alice@example.com",
+        "bob@example.com",
+    ]
+    # overwrite mode replaces, not appends (the reference's side-output
+    # is a full refresh per run)
+    save_managed_table(
+        df.where("customer_id = 1"), "silver_test.new_customers_for_emailing"
+    )
+    assert spark.table("silver_test.new_customers_for_emailing").count() == 1
+    spark.sql("DROP TABLE silver_test.new_customers_for_emailing")
+    spark.sql("DROP DATABASE silver_test")
+
+
+# ---------------------------------------------------------------------------
+# storage-backend seam: parquet implemented, delta raises a clear error
+# when delta-spark isn't installed (it isn't, in this container)
+# ---------------------------------------------------------------------------
+
+
+def test_backend_dispatch(spark, tmp_path):
+    assert resolve_backend("parquet") == "parquet"
+    with pytest.raises(ValueError, match="unknown storage backend"):
+        resolve_backend("iceberg")
+    df = spark.range(1)
+    with pytest.raises(RuntimeError, match="delta-spark is not"):
+        create_table(df, str(tmp_path / "t"), backend="delta")
+    # the error fires BEFORE any write: nothing staged on disk
+    assert not (tmp_path / "t").exists()
+
+
+# ---------------------------------------------------------------------------
+# S11 — JDBC incremental extract: no driver jar in the sandbox, so a fake
+# reader asserts the synthesized source-side pushdown query instead
+# (the ADF Copy activity's dynamic SQL, adf/pipeline.json:126-134)
+# ---------------------------------------------------------------------------
+
+
+class FakeReader:
+    def __init__(self):
+        self.fmt = None
+        self.options: dict[str, str] = {}
+
+    def format(self, fmt):
+        self.fmt = fmt
+        return self
+
+    def option(self, k, v):
+        self.options[k] = v
+        return self
+
+    def load(self):
+        return "LOADED"
+
+
+def test_jdbc_extract_synthesizes_pushdown_query():
+    rd = FakeReader()
+    out = incremental_extract(
+        None,
+        "UpdatedAt",
+        dt.datetime(2024, 1, 1),
+        dt.datetime(2024, 2, 1),
+        jdbc_url="jdbc:sqlserver://host;database=db",
+        table="[dbo].[Customers]",
+        reader=rd,
+    )
+    assert out == "LOADED"
+    assert rd.fmt == "jdbc"
+    assert rd.options["url"] == "jdbc:sqlserver://host;database=db"
+    q = rd.options["query"]
+    # the reference's half-open window: > lower AND <= upper
+    assert "SELECT * FROM [dbo].[Customers]" in q
+    assert "UpdatedAt > '2024-01-01 00:00:00.000000'" in q
+    assert "UpdatedAt <= '2024-02-01 00:00:00.000000'" in q
+
+
+def test_jdbc_extract_requires_table_and_session():
+    with pytest.raises(ValueError, match="JDBC extract needs"):
+        incremental_extract(
+            None, "UpdatedAt", dt.datetime(2024, 1, 1), jdbc_url="jdbc:x"
+        )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 upsert over a schema-EVOLVED batch (r2 advisory: strict
+# select(*cols) raised AnalysisException when the batch added a column)
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_upsert_schema_evolved_batch(spark, tmp_path):
+    now = {"t": dt.datetime(2024, 1, 1)}
+    dim = SCD2Table(spark, str(tmp_path / "dim"), "id", clock=lambda: now["t"])
+    dim.upsert(spark.createDataFrame([(1, "Alice")], "id int, name string"))
+    now["t"] = dt.datetime(2024, 2, 1)
+    stats = dim.upsert(
+        spark.createDataFrame(
+            [(1, "Alice", "NEW"), (2, "Bob", "CORP")],
+            "id int, name string, segment string",
+        )
+    )
+    # key 1's hash covers the evolved column set -> re-versioned as UPDATE
+    assert stats["insert"] == 1 and stats["update"] == 1
+    hist = dim.history().collect()
+    assert {f.name for f in dim.history().schema.fields} >= {"id", "name", "segment"}
+    old = [r for r in hist if r["id"] == 1 and not r["is_current"]]
+    assert len(old) == 1 and old[0]["segment"] is None  # null-backfilled
+    cur = {r["id"]: r for r in hist if r["is_current"]}
+    assert cur[1]["segment"] == "NEW" and cur[2]["segment"] == "CORP"
