@@ -24,6 +24,8 @@ _DOMAINS = (
     "gold",
     "relational",
     "incremental",
+    "analytics",
+    "temporal",
     "dedup",
     "similarity",
     "textops",

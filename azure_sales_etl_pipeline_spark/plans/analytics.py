@@ -1,0 +1,142 @@
+"""OLAP surface extensions past the reference's hand-built rollups
+(3_Silver_to_Gold.py:62-72 re-aggregates day→month→quarter manually):
+grouping sets, pivot, semi-structured JSON extraction, exact
+percentiles. All built-in Catalyst operators — Expand for rollup (one
+shuffle for every grouping set, not one per level like the reference's
+re-agg chain), conditional-agg pivot with pinned values (no
+values-discovery job), JSON path extraction JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+
+def revenue_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (year, quarter): detail, per-year subtotal, grand
+    total in ONE pass — Spark's Expand operator replicates rows per
+    grouping set before a single shuffle. ``grouping_id`` disambiguates
+    subtotal rows from genuine null keys (there are none here, but the
+    discipline matters on nullable dimensions)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("order_year"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        "o_totalprice",
+    )
+    return (
+        orders.rollup("order_year", "order_quarter")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().cast("bigint").alias("grouping_level"),
+        )
+    )
+
+
+_ROLLUP_SQL = """
+    SELECT year(o_orderdate) AS order_year,
+           quarter(o_orderdate) AS order_quarter,
+           round(sum(o_totalprice), 2) AS total_revenue,
+           count(*) AS n_orders,
+           CAST(GROUPING(year(o_orderdate), quarter(o_orderdate)) AS BIGINT) AS grouping_level
+    FROM orders
+    GROUP BY ROLLUP(year(o_orderdate), quarter(o_orderdate))
+"""
+
+
+def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status → columns pivot of yearly revenue. Pivot values are PINNED
+    (["O","F","P"]) so Spark skips the extra distinct-values job — at
+    100 TB an unpinned pivot scans the fact twice."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.year("o_orderdate").alias("order_year"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .select(
+            "order_year",
+            F.col("O").alias("revenue_open"),
+            F.col("F").alias("revenue_fulfilled"),
+            F.col("P").alias("revenue_partial"),
+        )
+    )
+
+
+_PIVOT_SQL = """
+    SELECT year(o_orderdate) AS order_year,
+           round(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 2) AS revenue_open,
+           round(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 2) AS revenue_fulfilled,
+           round(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 2) AS revenue_partial
+    FROM orders
+    GROUP BY ALL
+"""
+
+
+def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: ``props`` is a JSON string column;
+    pull ``$.k`` (JVM-side ``get_json_object`` — no Python), aggregate
+    per event type. The shape every telemetry/training-metadata pipeline
+    needs before schema-on-read hardens into real columns."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return events.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.sum(k).alias("k_total"),
+        F.round(F.avg(k), 4).alias("k_avg"),
+        F.max(k).alias("k_max"),
+    )
+
+
+_JSON_SQL = """
+    SELECT event_type,
+           count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS k_avg,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+    FROM events
+    GROUP BY ALL
+"""
+
+
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles of order value per priority
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``). Exact percentile
+    is a full-sort-per-group aggregate — fine on bounded groups; at
+    100 TB swap to ``percentile_approx`` (t-digest sketch, mergeable
+    map-side) exactly as the HLL variant swaps countDistinct."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+        F.round(F.max("o_totalprice"), 2).alias("p100"),
+    )
+
+
+_PERCENTILE_SQL = """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+           round(max(o_totalprice), 2) AS p100
+    FROM orders
+    GROUP BY ALL
+"""
+
+
+QUERIES = {
+    "revenue_rollup_sets": revenue_rollup_sets,
+    "order_status_pivot": order_status_pivot,
+    "event_props_json": event_props_json,
+    "price_percentiles": price_percentiles,
+}
+
+ORACLES = {
+    "revenue_rollup_sets": _ROLLUP_SQL,
+    "order_status_pivot": _PIVOT_SQL,
+    "event_props_json": _JSON_SQL,
+    "price_percentiles": _PERCENTILE_SQL,
+}

@@ -7,8 +7,10 @@ deterministically — streaming and batch compute the same aggregate.
 from __future__ import annotations
 
 from ..streaming import (
+    STREAM_SESSION_SQL,
     STREAM_SLIDING_SQL,
     STREAM_TUMBLING_SQL,
+    stream_session_windows,
     stream_sliding_user_activity,
     stream_tumbling_counts,
 )
@@ -16,9 +18,11 @@ from ..streaming import (
 QUERIES = {
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_sliding_user_activity": stream_sliding_user_activity,
+    "stream_session_windows": stream_session_windows,
 }
 
 ORACLES = {
     "stream_tumbling_counts": STREAM_TUMBLING_SQL,
     "stream_sliding_user_activity": STREAM_SLIDING_SQL,
+    "stream_session_windows": STREAM_SESSION_SQL,
 }

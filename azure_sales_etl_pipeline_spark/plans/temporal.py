@@ -1,0 +1,146 @@
+"""Temporal operators the reference's event/CDC model implies but Spark
+lacks as primitives (SURVEY.md §1.1 event stream; engine extensions):
+
+- **as-of join** — attach to each event the most recent prior event of
+  another stream (attribution: purchase ← last click). Spark has no
+  ASOF JOIN; the scalable formulation is the union trick: tag both
+  streams, one window over (key, time) carrying the last non-null
+  left-value forward. ONE shuffle on the key — no range join, no
+  per-row probe. DuckDB's native ASOF JOIN is the oracle.
+- **sessionization** — gap-based session ids (islands): lag to flag
+  gap-exceeding starts, running sum to number sessions, then a
+  per-session rollup. Two windows + one agg over the SAME (user) key →
+  Catalyst plans a single shuffle; state per key is one row.
+
+Scale: both operators shuffle once on the entity key and carry no
+unbounded state. Skewed users would salt the key; at 100 TB the same
+plans hold with time-range partition pruning on the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+
+_SESSION_GAP_SECS = 30 * 60
+
+
+def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase event, the most recent click by the same user
+    at or before the purchase (last-touch attribution) — an as-of
+    backward join, tolerant of purchases with no prior click (left).
+
+    Union trick: clicks carry their ts in ``click_ts``; purchases carry
+    null. Sorted by (user, ts, tag) with clicks first on ties,
+    ``last(click_ts, ignorenulls=True)`` over the growing frame yields
+    the as-of value; filter back to purchases. Ties at identical ts
+    resolve to "click counts" (<=), matching ASOF's p.ts >= c.ts.
+    """
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("__tag"),
+        F.col("ts").alias("click_ts"),
+        F.lit(None).cast("bigint").alias("event_id"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        "event_id",
+    )
+    merged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        merged.withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .where(F.col("__tag") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "last_click_ts",
+            F.round(
+                F.col("ts").cast("double") - F.col("last_click_ts").cast("double"), 3
+            ).alias("secs_since_click"),
+        )
+    )
+
+
+_ASOF_SQL = """
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.ts AS last_click_ts,
+           round(epoch(p.ts) - epoch(c.ts), 3) AS secs_since_click
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions per user (30-minute inactivity closes a
+    session): session sequence number, bounds, event count, duration."""
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+                > F.lit(float(_SESSION_GAP_SECS))
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn("session_seq", F.sum("new_sess").over(w).cast("bigint"))
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.max(F.col("ts").cast("double")) - F.min(F.col("ts").cast("double")), 3
+        ).alias("duration_secs"),
+    )
+
+
+_SESSIONIZE_SQL = f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > {float(_SESSION_GAP_SECS)}
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, session_seq,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           count(*) AS n_events,
+           round(epoch(max(ts)) - epoch(min(ts)), 3) AS duration_secs
+    FROM sess
+    GROUP BY ALL
+"""
+
+
+QUERIES = {
+    "purchase_attribution_asof": purchase_attribution_asof,
+    "events_sessionize": events_sessionize,
+}
+
+ORACLES = {
+    "purchase_attribution_asof": _ASOF_SQL,
+    "events_sessionize": _SESSIONIZE_SQL,
+}

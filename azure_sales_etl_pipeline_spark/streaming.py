@@ -118,6 +118,58 @@ def stream_sliding_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_sliding_user_activity")
 
 
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time SESSION windows (30-minute gap) per user — Spark's
+    native ``session_window`` stateful operator: windows grow while
+    events keep arriving within the gap and close when the watermark
+    passes end. Append mode (session windows cannot use complete: state
+    would be unbounded), so only WATERMARK-CLOSED sessions are emitted —
+    the oracle applies the same cut (session_end ≤ final watermark =
+    max(ts) - 1 hour), making the late-data semantics itself the thing
+    the oracle checks."""
+    src = _events_stream(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    _drain_to_memory(agg, "stream_session_windows", mode="append")
+    return spark.table("stream_session_windows")
+
+
+# Islands formulation of session_window: a session's end is last event +
+# gap; only sessions closed by the final watermark (max ts - 1h) appear,
+# because append mode emits state strictly below the watermark.
+STREAM_SESSION_SQL = """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts) AS session_seq
+        FROM flagged
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id,
+           count(*) AS n_events
+    FROM sess
+    GROUP BY user_id, session_seq
+    HAVING max(ts) + INTERVAL 30 MINUTE <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+"""
+
+
 STREAM_SLIDING_SQL = """
     WITH assigned AS (
         SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, user_id FROM events
