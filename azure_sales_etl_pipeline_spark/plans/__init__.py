@@ -26,6 +26,8 @@ _DOMAINS = (
     "incremental",
     "analytics",
     "temporal",
+    "windows",
+    "mlprep",
     "dedup",
     "similarity",
     "textops",

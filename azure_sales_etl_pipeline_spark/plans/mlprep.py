@@ -1,0 +1,278 @@
+"""Training-data preparation operators over ``documents`` — the
+dataset-curation stage downstream of dedup/quality filtering (split,
+cluster-collapse, feature weighting, class balancing).
+
+Determinism discipline: anything that "samples" does so by hashing a
+stable key (md5 — bit-identical across engines, unlike xxhash64 /
+DuckDB's hash), so every run and every engine picks the same rows, the
+split is reproducible under re-partitioning, and the DuckDB oracle can
+replay it exactly.
+
+Scale notes per operator are on the docstrings; the common theme: one
+shuffle on a small key, no driver-side data, no Python in the loop. The
+connected-components loop is the one iterative operator — each pass is
+a bounded self-join + aggregate with ``localCheckpoint`` cutting the
+lineage (without it, iteration k replays all k-1 prior joins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from .dedup import ngram_jaccard_pairs
+
+# md5-prefix threshold: first two hex chars <= 'cc' keeps 205/256 ≈ 80%.
+_TRAIN_PREFIX_MAX = "cc"
+
+
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/20 split by md5(doc_id) prefix. Hash-based (not
+    row_number-based) so membership is a pure function of the key:
+    stable under re-partitioning, appends, and re-runs — the property a
+    100 TB pipeline needs so yesterday's train doc can't silently move
+    into today's test set."""
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(prefix <= _TRAIN_PREFIX_MAX, "train").otherwise("test").alias("split"),
+    )
+
+
+_SPLIT_SQL = f"""
+    SELECT doc_id, lang,
+           CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) <= '{_TRAIN_PREFIX_MAX}'
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents
+"""
+
+
+_CC_JACCARD_MIN = 0.6
+_CC_MAX_ITERS = 8
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse near-duplicate documents into clusters: connected
+    components over the near-dup pair graph (edges = blocked candidate
+    pairs with token Jaccard >= 0.6), labeling every doc with the
+    minimum doc_id reachable from it. Downstream keeps one doc per
+    cluster_id — the standard last stage of MinHash dedup at scale.
+
+    Min-label propagation with pointer doubling: every doc starts as
+    its own label; each round (a) a doc's label becomes min(own,
+    neighbors') — one equi-join (edges ⋈ labels, shuffle on doc_id) +
+    one min-aggregate — then (b) labels compress through themselves
+    (label ← label-of-label), which halves remaining path lengths.
+    Without (b) rounds needed = component diameter (dup CHAINS make
+    that linear — a 1M-doc chain would need 1M rounds); with it,
+    O(log diameter). No cross product anywhere; state is one row per
+    doc. ``localCheckpoint`` after each round cuts the lineage so round
+    k doesn't replay rounds 1..k-1 — at 1000 executors this is the
+    difference between O(k) and O(k²) work. Convergence check is a
+    count() action per round: bounded, scalar, and it gates the loop —
+    not a data collect. At the fixed point every label equals the min
+    over its closed neighborhood and labels are idempotent, which forces
+    label = component minimum.
+    """
+    edges = (
+        ngram_jaccard_pairs(spark, sf_dir)
+        .where(F.col("jaccard") >= _CC_JACCARD_MIN)
+        .select("doc_a", "doc_b")
+    )
+    # Undirected: propagate labels both ways.
+    adj = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    labels = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .localCheckpoint()
+    )
+    for _ in range(_CC_MAX_ITERS):
+        neighbor_min = (
+            adj.join(labels, adj.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        relaxed = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("mid"),
+                "cluster_id",
+            )
+            .localCheckpoint()
+        )
+        # Pointer doubling: label <- label(label). Every label value is
+        # itself a doc_id (mins of doc_ids), so the inner join is total.
+        lab_map = relaxed.select(
+            F.col("doc_id").alias("r_doc"), F.col("mid").alias("r_lab")
+        )
+        updated = relaxed.join(lab_map, F.col("mid") == F.col("r_doc")).select(
+            "doc_id", F.col("r_lab").alias("new_cluster_id"), "cluster_id"
+        )
+        changed = updated.where(F.col("new_cluster_id") != F.col("cluster_id")).count()
+        labels = updated.select(
+            "doc_id", F.col("new_cluster_id").alias("cluster_id")
+        ).localCheckpoint()
+        if changed == 0:
+            break
+    return labels.select("doc_id", "cluster_id")
+
+
+_CC_SQL = f"""
+    WITH RECURSIVE
+    pairs AS (
+        WITH t AS (
+            SELECT doc_id, source,
+                   list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM t a JOIN t b
+          ON a.source = b.source
+         AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 60
+        WHERE round(len(list_intersect(a.toks, b.toks)) * 1.0
+                    / len(list_distinct(list_concat(a.toks, b.toks))), 4)
+               >= {_CC_JACCARD_MIN}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, root) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, min(root) AS cluster_id
+    FROM reach
+    GROUP BY node
+"""
+
+
+_TFIDF_TOP_N = 3
+
+
+def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf =
+    ln((N+1)/(df+1))). Three shuffles, all on small keys: tf on
+    (doc, token) with map-side combine, df on token, then the per-doc
+    row_number window. N joins in as a broadcast scalar — no driver
+    action, no collect.
+
+    idf is rounded to 6 decimals BEFORE the score multiply so the
+    ordering key is bit-identical across engines (ln() may differ in
+    the last ulp between libm and the JVM)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.round(F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6)
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(F.col("tf") * idf, 4).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= _TFIDF_TOP_N)
+        .select("doc_id", "token", "tf", "tfidf", "rank")
+    )
+
+
+_TFIDF_SQL = rf"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+    ),
+    df AS (
+        SELECT token, count(*) AS df FROM tf GROUP BY token
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token, tf.tf,
+               round(tf.tf * round(ln((n.n_docs + 1.0) / (df.df + 1.0)), 6), 4) AS tfidf
+        FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, tfidf,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= {_TFIDF_TOP_N}
+"""
+
+
+def balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsample: every language keeps exactly
+    min-class-count docs, chosen by md5 hash order (deterministic,
+    engine-portable "random"). The window shuffles once on ``lang``;
+    the per-class minimum is a broadcast scalar. The class-imbalance
+    fix applied before training-mix construction."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    target = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).agg(
+        F.min("n").alias("target_n")
+    )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        docs.withColumn("pick_order", F.row_number().over(w).cast("bigint"))
+        .crossJoin(F.broadcast(target))
+        .where(F.col("pick_order") <= F.col("target_n"))
+        .select("doc_id", "lang", "pick_order")
+    )
+
+
+_BALANCED_SQL = """
+    WITH target AS (
+        SELECT min(n) AS target_n
+        FROM (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
+    ),
+    ordered AS (
+        SELECT doc_id, lang,
+               CAST(row_number() OVER (PARTITION BY lang
+                                       ORDER BY md5(doc_id::VARCHAR), doc_id) AS BIGINT)
+                   AS pick_order
+        FROM documents
+    )
+    SELECT doc_id, lang, pick_order
+    FROM ordered CROSS JOIN target
+    WHERE pick_order <= target_n
+"""
+
+
+QUERIES = {
+    "train_test_split": train_test_split,
+    "dedup_clusters": dedup_clusters,
+    "doc_tfidf_topterms": doc_tfidf_topterms,
+    "balanced_downsample": balanced_downsample,
+}
+
+ORACLES = {
+    "train_test_split": _SPLIT_SQL,
+    "dedup_clusters": _CC_SQL,
+    "doc_tfidf_topterms": _TFIDF_SQL,
+    "balanced_downsample": _BALANCED_SQL,
+}

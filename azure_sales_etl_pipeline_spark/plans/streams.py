@@ -7,9 +7,11 @@ deterministically — streaming and batch compute the same aggregate.
 from __future__ import annotations
 
 from ..streaming import (
+    STREAM_JOIN_SQL,
     STREAM_SESSION_SQL,
     STREAM_SLIDING_SQL,
     STREAM_TUMBLING_SQL,
+    stream_click_purchase_join,
     stream_session_windows,
     stream_sliding_user_activity,
     stream_tumbling_counts,
@@ -19,10 +21,12 @@ QUERIES = {
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_sliding_user_activity": stream_sliding_user_activity,
     "stream_session_windows": stream_session_windows,
+    "stream_click_purchase_join": stream_click_purchase_join,
 }
 
 ORACLES = {
     "stream_tumbling_counts": STREAM_TUMBLING_SQL,
     "stream_sliding_user_activity": STREAM_SLIDING_SQL,
     "stream_session_windows": STREAM_SESSION_SQL,
+    "stream_click_purchase_join": STREAM_JOIN_SQL,
 }

@@ -1,0 +1,217 @@
+"""Window-function surface and range joins (engine extensions past the
+reference's aggregate-only gold layer — `3_Silver_to_Gold.py` computes
+per-group rollups but never ranked / running / banded analytics).
+
+Every query here shuffles ONCE on its partition key and then runs the
+window locally within each partition — the shape that holds at 100 TB:
+
+- top-N per group: one shuffle on the group key, per-partition sort,
+  row_number cutoff. Never a global sort.
+- running totals / lag deltas: same single shuffle; frame state per row
+  is O(1).
+- ntile banding: per-partition sort, constant state.
+- range join: Spark has no banded/interval join primitive; the scalable
+  formulation is bucketize-then-equi-join — quantize the time axis to
+  the band width, explode the probe side into the (at most 2) buckets
+  its band can overlap, equi-join on (key, bucket), then apply the
+  exact range predicate. Candidates are bounded per bucket; there is
+  no cross product anywhere (contrast a naive `ON a.ts BETWEEN ...`
+  join, which Spark plans as BroadcastNestedLoop).
+
+Ties everywhere are broken by an explicit unique key so results are
+deterministic and oracle-hashable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+
+def _revenue():
+    # Lazy: F.col at module scope would require an active SparkContext
+    # at import time.
+    return F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+
+
+def top_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by revenue for every supplier (row_number window,
+    ties broken by part key). Aggregate first (shuffle on the composite
+    key with map-side combine), THEN window on the much smaller
+    per-(supplier, part) grain — never window over raw line items."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", _revenue().alias("rev")
+    )
+    per_part = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.round(F.sum("rev"), 2).alias("part_revenue")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("part_revenue").desc(), F.col("l_partkey")
+    )
+    return (
+        per_part.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 3)
+        .select("l_suppkey", "l_partkey", "part_revenue", "rank")
+    )
+
+
+_TOP_PARTS_SQL = """
+    WITH per_part AS (
+        SELECT l_suppkey, l_partkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_revenue
+        FROM lineitem
+        GROUP BY l_suppkey, l_partkey
+    )
+    SELECT l_suppkey, l_partkey, part_revenue,
+           CAST(row_number() OVER (PARTITION BY l_suppkey
+                                   ORDER BY part_revenue DESC, l_partkey) AS BIGINT) AS rank
+    FROM per_part
+    QUALIFY rank <= 3
+"""
+
+
+def customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order timeline: running revenue total and days since
+    the previous order (cumulative-sum + lag windows over one shuffle on
+    the customer key)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(running), 2).alias("running_revenue"),
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).cast("bigint").alias(
+            "days_since_prev"
+        ),
+    )
+
+
+_RUNNING_SQL = """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS UNBOUNDED PRECEDING), 2) AS running_revenue,
+           CAST(date_diff('day',
+                lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS BIGINT) AS days_since_prev
+    FROM orders
+"""
+
+
+def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(10) banding of order value within each priority, rolled up
+    to per-(priority, decile) stats — the quantile-bucketing step of
+    outlier clipping / curriculum binning over training data."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    banded = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.ntile(10).over(w).cast("bigint").alias("decile"),
+    )
+    return banded.groupBy("o_orderpriority", "decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+        F.round(F.avg("o_totalprice"), 4).alias("mean_value"),
+    )
+
+
+_DECILES_SQL = """
+    WITH banded AS (
+        SELECT o_orderpriority, o_totalprice,
+               CAST(ntile(10) OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS decile
+        FROM orders
+    )
+    SELECT o_orderpriority, decile,
+           count(*) AS n_orders,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi,
+           round(avg(o_totalprice), 4) AS mean_value
+    FROM banded
+    GROUP BY ALL
+"""
+
+
+_BAND_SECS = 3600  # range-join band width: clicks within 1h before a purchase
+
+
+def purchase_prior_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: for every purchase, count same-user clicks in the
+    hour before it — bucketized so it plans as an equi-join.
+
+    Each click lands in exactly one 1-hour epoch bucket; a purchase's
+    1-hour look-back band can only overlap its own bucket and the
+    previous one, so the purchase side explodes into those two probe
+    buckets, the join is an equi-join on (user_id, bucket), and the
+    exact band predicate filters the bounded candidates. No
+    BroadcastNestedLoop, no cross product; left semantics (purchases
+    with zero prior clicks survive) come from the left join + count of
+    in-band matches.
+    """
+    events = load_table(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("double")
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.floor(epoch / _BAND_SECS).alias("c_bucket"),
+        epoch.alias("click_epoch"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        epoch.alias("purchase_epoch"),
+        F.explode(
+            F.array(
+                F.floor(epoch / _BAND_SECS) - 1,
+                F.floor(epoch / _BAND_SECS),
+            )
+        ).alias("probe_bucket"),
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user)
+        & (purchases.probe_bucket == clicks.c_bucket),
+        "left",
+    )
+    in_band = (F.col("click_epoch") > F.col("purchase_epoch") - _BAND_SECS) & (
+        F.col("click_epoch") <= F.col("purchase_epoch")
+    )
+    return joined.groupBy("event_id", "user_id", "ts").agg(
+        F.sum(F.when(in_band, 1).otherwise(0)).alias("n_prior_clicks")
+    )
+
+
+_RANGE_JOIN_SQL = f"""
+    SELECT p.event_id, p.user_id, p.ts,
+           count(c.event_id) AS n_prior_clicks
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND epoch(c.ts) > epoch(p.ts) - {_BAND_SECS}
+     AND epoch(c.ts) <= epoch(p.ts)
+    GROUP BY p.event_id, p.user_id, p.ts
+"""
+
+
+QUERIES = {
+    "top_parts_per_supplier": top_parts_per_supplier,
+    "customer_running_revenue": customer_running_revenue,
+    "order_value_deciles": order_value_deciles,
+    "purchase_prior_clicks": purchase_prior_clicks,
+}
+
+ORACLES = {
+    "top_parts_per_supplier": _TOP_PARTS_SQL,
+    "customer_running_revenue": _RUNNING_SQL,
+    "order_value_deciles": _DECILES_SQL,
+    "purchase_prior_clicks": _RANGE_JOIN_SQL,
+}

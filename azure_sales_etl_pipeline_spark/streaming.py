@@ -170,6 +170,66 @@ STREAM_SESSION_SQL = """
 """
 
 
+def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time band: every
+    (click, purchase) pair for the same user where the click happened in
+    the hour before the purchase. Both sides carry watermarks and the
+    join condition bounds event time on both, so Spark can size the join
+    state and evict rows once the watermark passes — the state-bounded
+    form of streaming attribution. Inner join: all matching pairs are
+    emitted regardless of watermark progress (the watermark only gates
+    state eviction), so the batch SQL join is the exact oracle."""
+    src = _events_stream(spark, sf_dir)
+    clicks = (
+        src.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        src.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            """
+            p_user = c_user
+            AND click_ts <= purchase_ts
+            AND click_ts > purchase_ts - INTERVAL 1 HOUR
+            """
+        ),
+        "inner",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "click_ts",
+    )
+    _drain_to_memory(joined, "stream_click_purchase_join", mode="append")
+    return spark.table("stream_click_purchase_join")
+
+
+STREAM_JOIN_SQL = """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts
+     AND c.ts > p.ts - INTERVAL 1 HOUR
+"""
+
+
 STREAM_SLIDING_SQL = """
     WITH assigned AS (
         SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, user_id FROM events

@@ -1,0 +1,100 @@
+"""Planted-scenario tests for the window/range-join and ml-prep
+operators. The driver oracle checks them against DuckDB at sf scale;
+these pin the subtle semantics on hand-built micro-datasets:
+
+- dedup_clusters must collapse a dup CHAIN whose diameter exceeds the
+  iteration cap (pointer doubling is what makes that converge);
+- purchase_prior_clicks must honor the half-open (ts-1h, ts] band
+  exactly at both boundaries and across bucket edges.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from azure_sales_etl_pipeline_spark.plans.mlprep import (
+    _CC_MAX_ITERS,
+    dedup_clusters,
+    train_test_split,
+)
+from azure_sales_etl_pipeline_spark.plans.windows import purchase_prior_clicks
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def test_dedup_clusters_chain_beyond_iteration_cap(spark, tmp_path):
+    # A chain of 30 docs where consecutive docs share 9/10 tokens
+    # (jaccard ~0.82) but distant docs share nothing: diameter 29 >>
+    # _CC_MAX_ITERS, so plain min-propagation could NOT converge —
+    # pointer doubling must.
+    chain_len = 30
+    assert chain_len - 1 > _CC_MAX_ITERS
+    words = [f"w{i}" for i in range(chain_len + 10)]
+    rows = []
+    for i in range(chain_len):
+        text = " ".join(words[i : i + 10])
+        rows.append((i, text, "en", "src0", len(text)))
+    # plus an unrelated singleton
+    rows.append((100, "zebra quokka axolotl narwhal pangolin", "en", "src0", 37))
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    labels = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(spark, str(tmp_path)).collect()}
+    assert all(labels[i] == 0 for i in range(chain_len)), "chain must collapse to doc 0"
+    assert labels[100] == 100, "singleton keeps its own cluster"
+
+
+def test_train_test_split_deterministic(spark, tmp_path):
+    rows = [(i, f"doc {i}", "en" if i % 2 else "de", "s", 5) for i in range(200)]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    a = {r["doc_id"]: r["split"] for r in train_test_split(spark, str(tmp_path)).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in train_test_split(spark, str(tmp_path)).repartition(7).collect()
+    }
+    assert a == b, "split membership must be a pure function of the key"
+    frac = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.7 < frac < 0.9
+
+
+@pytest.fixture()
+def range_events_dir(spark, tmp_path):
+    def at(sec):
+        return T0 + dt.timedelta(seconds=sec)
+
+    h = 3600
+    rows = [
+        # user 1: purchase at t=2h. Clicks: exactly 1h before (EXCLUDED,
+        # strict >), 1s inside the band, at the purchase instant
+        # (INCLUDED, <=), and one in the band but the PREVIOUS bucket.
+        (1, at(2 * h), 1, "purchase", 0.0, "{}"),
+        (2, at(1 * h), 1, "click", 0.0, "{}"),
+        (3, at(1 * h + 1), 1, "click", 0.0, "{}"),
+        (4, at(2 * h), 1, "click", 0.0, "{}"),
+        (5, at(2 * h - 1800), 1, "click", 0.0, "{}"),
+        # user 2: purchase with no clicks at all
+        (6, at(5 * h), 2, "purchase", 0.0, "{}"),
+        # user 3: click AFTER the purchase only
+        (7, at(3 * h), 3, "purchase", 0.0, "{}"),
+        (8, at(3 * h + 10), 3, "click", 0.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_purchase_prior_clicks_band_boundaries(spark, range_events_dir):
+    out = {
+        r["event_id"]: r["n_prior_clicks"]
+        for r in purchase_prior_clicks(spark, range_events_dir).collect()
+    }
+    # event 2 excluded (exactly -1h), events 3/4/5 included
+    assert out[1] == 3
+    assert out[6] == 0, "purchase with no clicks must survive (left semantics)"
+    assert out[7] == 0, "future clicks don't count"
