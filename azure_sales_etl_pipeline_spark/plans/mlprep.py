@@ -77,6 +77,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a data collect. At the fixed point every label equals the min
     over its closed neighborhood and labels are idempotent, which forces
     label = component minimum.
+
+    The loop runs ONLY over nodes that appear in an edge — singleton
+    docs (the overwhelming majority after blocking: near-dups are rare)
+    never change label, so they skip the iteration entirely and union
+    back in at the end. Per round: one eager ``localCheckpoint``
+    materialization + one scalar count on the checkpointed result —
+    two bounded jobs over the edge-node set only.
     """
     edges = (
         ngram_jaccard_pairs(spark, sf_dir)
@@ -87,9 +94,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint()
+    all_docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # Iterate only over edge nodes; adj already holds both directions so
+    # doc_a alone covers every endpoint.
     labels = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        adj.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
         .localCheckpoint()
     )
     for _ in range(_CC_MAX_ITERS):
@@ -98,32 +109,36 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_a")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        relaxed = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
-                ).alias("mid"),
-                "cluster_id",
-            )
-            .localCheckpoint()
+        # Every edge node has >=1 neighbor, so the joins stay inner/total.
+        relaxed = labels.join(
+            neighbor_min, labels.doc_id == neighbor_min.doc_a
+        ).select(
+            "doc_id",
+            F.least(F.col("cluster_id"), F.col("nbr_min")).alias("mid"),
+            "cluster_id",
         )
         # Pointer doubling: label <- label(label). Every label value is
-        # itself a doc_id (mins of doc_ids), so the inner join is total.
+        # itself an edge-node doc_id (mins of doc_ids), so the join is
+        # total. `relaxed` is intentionally NOT checkpointed: computing
+        # it twice (probe + build of this self-join) is cheaper than a
+        # separate materialization job.
         lab_map = relaxed.select(
             F.col("doc_id").alias("r_doc"), F.col("mid").alias("r_lab")
         )
-        updated = relaxed.join(lab_map, F.col("mid") == F.col("r_doc")).select(
-            "doc_id", F.col("r_lab").alias("new_cluster_id"), "cluster_id"
+        updated = (
+            relaxed.join(lab_map, F.col("mid") == F.col("r_doc"))
+            .select("doc_id", F.col("r_lab").alias("new_cluster_id"), "cluster_id")
+            .localCheckpoint()  # job 1: materialize the round
         )
+        # job 2: scalar convergence probe on already-checkpointed rows
         changed = updated.where(F.col("new_cluster_id") != F.col("cluster_id")).count()
-        labels = updated.select(
-            "doc_id", F.col("new_cluster_id").alias("cluster_id")
-        ).localCheckpoint()
+        labels = updated.select("doc_id", F.col("new_cluster_id").alias("cluster_id"))
         if changed == 0:
             break
-    return labels.select("doc_id", "cluster_id")
+    singletons = all_docs.join(labels.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    )
+    return labels.unionByName(singletons)
 
 
 _CC_SQL = f"""

@@ -42,8 +42,16 @@ def main() -> None:
     # ObjectHashAggregate JIT landing entirely on the approx query (40.3 s
     # first-run vs 5.7 s steady-state) because only the hash-agg path was
     # warmed.
+    # Stateful Structured Streaming adds two more one-time families:
+    # session-window state codegen and the symmetric stream-stream join —
+    # measured ~35s/~10s first-run vs ~7s steady-state each.
     warm = [next(iter(qs))]
-    for w in ("seller_performance_daily", "seller_performance_daily_approx"):
+    for w in (
+        "seller_performance_daily",
+        "seller_performance_daily_approx",
+        "stream_session_windows",
+        "stream_click_purchase_join",
+    ):
         if w in qs:
             warm.append(w)
     for w in warm:
