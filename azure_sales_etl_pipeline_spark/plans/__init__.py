@@ -28,6 +28,7 @@ _DOMAINS = (
     "temporal",
     "windows",
     "mlprep",
+    "scale",
     "dedup",
     "similarity",
     "textops",

@@ -127,11 +127,90 @@ _PERCENTILE_SQL = """
 """
 
 
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: one scan of the widest fact,
+    date-bounded, grouped on two low-cardinality flags with a battery of
+    sums/averages. The classic scan-dominated aggregate — the filter and
+    the 7-column projection must reach the parquet reader (plan-audited
+    in tests/test_plans_explain.py), because at 100 TB this query IS the
+    scan: everything after the read is a few thousand grouped rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-12-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_PRICING_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped selective-filter revenue delta: three pushable
+    range predicates and a two-column arithmetic sum, no join, no
+    grouping. The purest predicate-pushdown benchmark — at 100 TB the
+    win is row-group skipping on ``l_shipdate`` min/max stats, so the
+    filter MUST appear under PushedFilters, not in a post-scan Filter
+    node (plan-audited)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_FORECAST_SQL = """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+"""
+
+
 QUERIES = {
     "revenue_rollup_sets": revenue_rollup_sets,
     "order_status_pivot": order_status_pivot,
     "event_props_json": event_props_json,
     "price_percentiles": price_percentiles,
+    "pricing_summary": pricing_summary,
+    "forecast_revenue_change": forecast_revenue_change,
 }
 
 ORACLES = {
@@ -139,4 +218,6 @@ ORACLES = {
     "order_status_pivot": _PIVOT_SQL,
     "event_props_json": _JSON_SQL,
     "price_percentiles": _PERCENTILE_SQL,
+    "pricing_summary": _PRICING_SQL,
+    "forecast_revenue_change": _FORECAST_SQL,
 }

@@ -1,0 +1,160 @@
+"""Skew / co-location operators — the shapes that decide whether a job
+finishes at 100 TB, made first-class instead of folklore.
+
+The reference never handles skew (its 15-table loop is metadata-driven,
+`2_Bronze_to_Silver.py:35`, and Databricks AQE absorbed whatever skew
+its sales data had). At 1000-executor scale three patterns carry most
+real pipelines:
+
+- **Salted two-phase aggregation**: a groupBy on a low-cardinality or
+  heavy-hitter key puts whole key populations on single reducers. Phase
+  one aggregates on (key, salt) — fan-out over salt spreads each key
+  across the cluster — phase two merges the tiny per-salt partials.
+- **Salted join**: same idea for large×medium joins where one big-side
+  key dominates; the small side is replicated once per salt.
+- **Bucketed co-located join**: pre-bucket both sides on the join key at
+  write time (`bucketBy` + `saveAsTable`) and the join runs with ZERO
+  shuffle — the 100 TB answer for repeated fact-to-fact joins.
+
+The grouped custom operator (`user_event_gaps`) rides the Arrow path:
+``groupBy(...).applyInPandas`` ships each group as a pandas DataFrame in
+columnar batches — the idiomatic escape hatch when per-group logic
+(here: ordered gap analysis) outgrows built-in window functions.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+_N_SALTS = 32
+
+
+def salted_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over ``event_type`` — 5 distinct
+    keys, so an unsalted groupBy uses at most 5 of the cluster's
+    reducers no matter how many executors exist. Phase 1 groups on
+    (event_type, salt32): every key spreads over 32 reducers and the
+    map-side partial agg still applies. Phase 2 merges 5×32 tiny rows.
+
+    The salt is a deterministic hash of the row key (not ``rand()``) so
+    reruns and retried tasks place rows identically — at-least-once
+    schedulers re-execute lost tasks, and a nondeterministic salt would
+    double-count rows that land in a different partition on retry.
+    """
+    events = load_table(spark, sf_dir, "events")
+    salted = events.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(_N_SALTS))
+    )
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("value").alias("pv"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.round(F.sum("pv"), 2).alias("total_value"),
+    )
+
+
+_SALTED_SQL = """
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY event_type
+"""
+
+
+def salted_join(
+    big: DataFrame, small: DataFrame, key: str, n_salts: int = 8, how: str = "inner"
+) -> DataFrame:
+    """Skew-mitigated equi-join: the big side gets a deterministic salt
+    in [0, n_salts); the small side is replicated once per salt value via
+    a single ``explode`` (one narrow map, not a shuffle). Joining on
+    (key, salt) splits each heavy key's rows across n_salts reducers.
+
+    Use when BOTH sides are too big to broadcast and the big side has
+    heavy-hitter keys; cost is n_salts× the small side's shuffle volume.
+    Result equals ``big.join(small, key, how)`` exactly (pytest-asserted
+    in tests/test_scale.py).
+    """
+    salts = F.array(*[F.lit(i) for i in range(n_salts)])
+    big_s = big.withColumn("_salt", F.pmod(F.xxhash64(F.col(key)), F.lit(n_salts)))
+    small_s = small.withColumn("_salt", F.explode(salts))
+    return big_s.join(small_s, [key, "_salt"], how).drop("_salt")
+
+
+def write_bucketed(
+    df: DataFrame, table_name: str, key: str, n_buckets: int = 8
+) -> None:
+    """Persist a managed table hash-bucketed (and sorted) on the join
+    key. Two tables bucketed the same way join with no Exchange on
+    either side — the physical plan goes straight to sort-merge over
+    co-located buckets (plan-audited in tests/test_scale.py). At 100 TB
+    this converts every repeated fact-to-fact join from a full shuffle
+    of both sides into a local merge.
+    """
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .saveAsTable(table_name)
+    )
+
+
+def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap statistics via a grouped-map Pandas UDF:
+    each user's events arrive as ONE pandas DataFrame (Arrow columnar
+    transfer, not per-row pickling), are sorted by event time, and
+    reduced to count + median gap seconds.
+
+    Ordered gap analysis is the canonical applyInPandas case: a window
+    ``lag`` gives the gaps, but medians-of-gaps (and anything iterative
+    past that — session embeddings, per-user models) need the whole
+    ordered group in hand. Scale shape: one shuffle on user_id; group
+    size is bounded by per-user activity, never by table size. Skewed
+    power users would pair this with the salting above.
+    """
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+
+    def gaps(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        deltas = pdf["ts"].diff().dt.total_seconds().dropna()
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "median_gap_s": [round(float(deltas.median()), 3) if len(deltas) else None],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandas(
+        gaps, schema="user_id bigint, n_events bigint, median_gap_s double"
+    )
+
+
+_GAPS_SQL = """
+    WITH gaps AS (
+        SELECT user_id,
+               epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+        FROM events
+    )
+    SELECT user_id, count(*) AS n_events,
+           round(median(gap), 3) AS median_gap_s
+    FROM gaps
+    GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "salted_event_type_counts": salted_event_type_counts,
+    "user_event_gaps": user_event_gaps,
+}
+
+ORACLES = {
+    "salted_event_type_counts": _SALTED_SQL,
+    "user_event_gaps": _GAPS_SQL,
+}

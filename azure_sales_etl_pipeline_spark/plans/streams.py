@@ -7,11 +7,13 @@ deterministically — streaming and batch compute the same aggregate.
 from __future__ import annotations
 
 from ..streaming import (
+    STREAM_DEDUP_SQL,
     STREAM_JOIN_SQL,
     STREAM_SESSION_SQL,
     STREAM_SLIDING_SQL,
     STREAM_TUMBLING_SQL,
     stream_click_purchase_join,
+    stream_dedup_events,
     stream_session_windows,
     stream_sliding_user_activity,
     stream_tumbling_counts,
@@ -22,6 +24,7 @@ QUERIES = {
     "stream_sliding_user_activity": stream_sliding_user_activity,
     "stream_session_windows": stream_session_windows,
     "stream_click_purchase_join": stream_click_purchase_join,
+    "stream_dedup_events": stream_dedup_events,
 }
 
 ORACLES = {
@@ -29,4 +32,5 @@ ORACLES = {
     "stream_sliding_user_activity": STREAM_SLIDING_SQL,
     "stream_session_windows": STREAM_SESSION_SQL,
     "stream_click_purchase_join": STREAM_JOIN_SQL,
+    "stream_dedup_events": STREAM_DEDUP_SQL,
 }

@@ -230,6 +230,34 @@ STREAM_JOIN_SQL = """
 """
 
 
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup by event key: ``dropDuplicates`` on
+    ``event_id`` with an event-time watermark bounding the key-tracking
+    state. This is how a 100 TB ingest survives at-least-once upstream
+    delivery (Kafka replays, file re-lands): every key is remembered
+    only until the watermark passes its event time, so state is
+    O(keys-per-watermark-window), not O(all keys ever).
+
+    The driver testdata has unique ``event_id``s, so the batch DISTINCT
+    oracle is exact; the duplicate-removal semantics themselves are
+    pytest-covered with a planted-replay two-file stream
+    (tests/test_streaming.py).
+    """
+    src = _events_stream(spark, sf_dir)
+    deduped = (
+        src.withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "ts", "event_type")
+    )
+    _drain_to_memory(deduped, "stream_dedup_events", mode="append")
+    return spark.table("stream_dedup_events")
+
+
+STREAM_DEDUP_SQL = """
+    SELECT DISTINCT event_id, user_id, ts, event_type FROM events
+"""
+
+
 STREAM_SLIDING_SQL = """
     WITH assigned AS (
         SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, user_id FROM events

@@ -84,3 +84,37 @@ def test_ann_bruteforce_has_no_shuffle_before_topk(spark):
     plan = plan_of(ann_topk_bruteforce(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    """The Q1-shaped scan-dominated aggregate: the shipdate bound must
+    reach PushedFilters and the scan must not read unused columns."""
+    from azure_sales_etl_pipeline_spark.plans.analytics import pricing_summary
+
+    plan = plan_of(pricing_summary(spark, SF_DIR))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_shipdate" in p for p in pushed), pushed
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read and "l_suppkey" not in read
+
+
+def test_forecast_revenue_pushes_all_range_predicates(spark):
+    """Q6-shaped: all three range predicates must be pushed (row-group
+    skipping on min/max stats is the whole query at 100 TB)."""
+    from azure_sales_etl_pipeline_spark.plans.analytics import forecast_revenue_change
+
+    plan = plan_of(forecast_revenue_change(spark, SF_DIR))
+    pushed = " ".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
+
+
+def test_salted_counts_two_phase_aggregate(spark):
+    """The salted aggregate must produce TWO hash-aggregate pairs
+    ((type,salt) then (type)) with the shuffle keyed on (type,salt) —
+    that's the skew spread."""
+    from azure_sales_etl_pipeline_spark.plans.scale import salted_event_type_counts
+
+    plan = plan_of(salted_event_type_counts(spark, SF_DIR))
+    exchanges = [l for l in plan.splitlines() if "Arguments: hashpartitioning" in l]
+    assert any("salt" in l for l in exchanges), exchanges

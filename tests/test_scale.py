@@ -1,0 +1,108 @@
+"""Skew / co-location operators (plans/scale.py) + streaming dedup.
+
+- salted_join result-equality vs a plain join (the rewrite must be
+  invisible to consumers)
+- bucketed co-located join: BOTH sides pre-bucketed on the join key →
+  physical plan has NO Exchange (the 100 TB repeated-join shape)
+- streaming dropDuplicates: a replayed second file with overlapping
+  event_ids is deduped by keyed state
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from azure_sales_etl_pipeline_spark.catalog import load_table
+from azure_sales_etl_pipeline_spark.plans.scale import salted_join, write_bucketed
+
+from conftest import SF_DIR
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_salted_join_equals_plain_join(spark):
+    events = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    dim = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("user_total"))
+    )
+    plain = events.join(dim, "user_id", "inner")
+    salted = salted_join(events, dim, "user_id", n_salts=4)
+    assert _rows(salted.select(*plain.columns)) == _rows(plain)
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    right = spark.createDataFrame([(1, 10), (1, 11)], "k int, w int")
+    plain = left.join(right, "k", "left")
+    salted = salted_join(left, right, "k", n_salts=3, how="left")
+    assert _rows(salted.select(*plain.columns)) == _rows(plain)
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    lineitem = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "bkt_orders", "o_orderkey", n_buckets=4)
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "bkt_lineitem",
+        "o_orderkey",
+        n_buckets=4,
+    )
+    try:
+        # Force the sort-merge path so the assertion targets bucketing,
+        # not broadcast (these test tables are tiny).
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_orders").join(spark.table("bkt_lineitem"), "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # and it still computes the right thing
+        expected = orders.join(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE bkt_orders")
+        spark.sql("DROP TABLE bkt_lineitem")
+
+
+def test_stream_dedup_drops_replayed_events(spark, tmp_path):
+    """At-least-once replay: file B re-delivers half of file A's
+    event_ids; keyed dropDuplicates state must emit each id once."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    base = spark.createDataFrame(
+        [(i, f"2024-01-01 00:{i:02d}:00", i % 3) for i in range(20)],
+        "event_id long, ts string, user_id long",
+    ).select("event_id", F.col("ts").cast("timestamp"), "user_id")
+    replay = base.where("event_id < 10")  # duplicate delivery
+    src_dir = tmp_path / "stream_src"
+    base.write.parquet(str(src_dir / "a"))
+    replay.write.parquet(str(src_dir / "b"))
+
+    stream = spark.readStream.schema(schema).parquet(str(src_dir) + "/*")
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_replay_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("dedup_replay_test")
+    assert out.count() == 20
+    assert out.select("event_id").distinct().count() == 20
