@@ -134,13 +134,76 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _payloads(spark, sf_dir).mapInPandas(decode, _FEATURE_SCHEMA)
 
 
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("resized_w", IntegerType()),
+        StructField("resized_h", IntegerType()),
+        StructField("frame_digest", StringType()),
+    ]
+)
+
+_MAX_SAMPLED_FRAMES = 4
+_RESIZE_TARGET = 224
+
+
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling + resize plumbing: one input payload fans out to
+    up to ``_MAX_SAMPLED_FRAMES`` rows (uniform-stride frame selection),
+    each tagged with the aspect-preserving resize-to-224 target and a
+    deterministic per-frame digest. The explode-shaped ``mapInPandas``
+    — N output rows per input row, decided inside the batch — is the
+    shape real video pipelines need and ``posexplode`` can't express
+    (the frame list only exists after decode).
+
+    STUB decode (same policy as ``media_decode_features``): frame count
+    and dimensions derive from the payload digest; a real deployment
+    swaps ``_stub_decode``/the digest for av/PIL calls. Scale shape:
+    narrow map, no shuffle, output ≤4× input rows, Arrow-batched.
+    """
+
+    def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in _FRAME_SCHEMA.fields}
+            for doc_id, payload, mtype in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_type"]
+            ):
+                w, h, n_frames = _stub_decode(bytes(payload), mtype)
+                # Uniform stride: pick ceil-spaced frame indices.
+                k = min(n_frames, _MAX_SAMPLED_FRAMES)
+                idxs = [i * n_frames // k for i in range(k)]
+                # Aspect-preserving resize: short side → 224.
+                scale = _RESIZE_TARGET / min(w, h)
+                rw, rh = round(w * scale), round(h * scale)
+                for fi in idxs:
+                    out["doc_id"].append(doc_id)
+                    out["media_type"].append(mtype)
+                    out["frame_idx"].append(fi)
+                    out["resized_w"].append(rw)
+                    out["resized_h"].append(rh)
+                    out["frame_digest"].append(
+                        hashlib.sha256(bytes(payload) + fi.to_bytes(4, "big")).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return _payloads(spark, sf_dir).mapInPandas(sample, _FRAME_SCHEMA)
+
+
 QUERIES = {
     "media_metadata": media_metadata,
     "media_decode_features": media_decode_features,
+    "media_frame_sample": media_frame_sample,
 }
 
-# media_decode_features uses the Python stub decoder → not SQL-expressible;
-# rows-only for the driver, batch-shape asserted in tests/test_multimodal.py.
+# media_decode_features / media_frame_sample use the Python stub decoder
+# → not SQL-expressible; rows-only for the driver, batch/fan-out shape
+# asserted in tests/test_streaming_multimodal.py.
 ORACLES = {
     "media_metadata": _METADATA_SQL,
 }

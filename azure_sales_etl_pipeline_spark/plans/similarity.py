@@ -360,11 +360,40 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in long form (label, dim, value) —
+    the building block for class prototypes, IVF coarse quantizers, and
+    drift monitoring over an embedding corpus. ``posexplode`` unpivots
+    the vector JVM-side (no Python), then one hash-agg on the compact
+    (label, dim) pair. Scale shape: output is labels×dims rows
+    regardless of corpus size; the shuffle carries only partial sums."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", F.col("dim").cast("bigint").alias("dim"))
+        .agg(F.round(F.avg("v"), 5).alias("centroid_v"))
+    )
+
+
+_CENTROID_SQL = """
+    WITH unpivoted AS (
+        SELECT label,
+               unnest(range(len(embedding))) AS dim,
+               embedding
+        FROM embeddings
+    )
+    SELECT label, dim, round(avg(embedding[dim + 1]), 5) AS centroid_v
+    FROM unpivoted
+    GROUP BY label, dim
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
     "embedding_near_dup": embedding_near_dup,
+    "label_centroids": label_centroids,
 }
 
 # ann_topk_lsh / ann_topk_ivf are probabilistic (bucket/probe recall) →
@@ -373,4 +402,5 @@ QUERIES = {
 ORACLES = {
     "ann_topk_bruteforce": _BRUTE_SQL,
     "embedding_near_dup": _NEAR_DUP_SQL,
+    "label_centroids": _CENTROID_SQL,
 }

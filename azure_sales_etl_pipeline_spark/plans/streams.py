@@ -7,6 +7,7 @@ deterministically — streaming and batch compute the same aggregate.
 from __future__ import annotations
 
 from ..streaming import (
+    STREAM_CUSTOM_STATE_SQL,
     STREAM_DEDUP_SQL,
     STREAM_JOIN_SQL,
     STREAM_SESSION_SQL,
@@ -17,6 +18,7 @@ from ..streaming import (
     stream_session_windows,
     stream_sliding_user_activity,
     stream_tumbling_counts,
+    stream_user_totals_custom_state,
 )
 
 QUERIES = {
@@ -25,6 +27,7 @@ QUERIES = {
     "stream_session_windows": stream_session_windows,
     "stream_click_purchase_join": stream_click_purchase_join,
     "stream_dedup_events": stream_dedup_events,
+    "stream_user_totals_custom_state": stream_user_totals_custom_state,
 }
 
 ORACLES = {
@@ -33,4 +36,5 @@ ORACLES = {
     "stream_session_windows": STREAM_SESSION_SQL,
     "stream_click_purchase_join": STREAM_JOIN_SQL,
     "stream_dedup_events": STREAM_DEDUP_SQL,
+    "stream_user_totals_custom_state": STREAM_CUSTOM_STATE_SQL,
 }

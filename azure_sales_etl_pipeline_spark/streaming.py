@@ -258,6 +258,90 @@ STREAM_DEDUP_SQL = """
 """
 
 
+def stream_user_totals_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running totals held in an explicit state object the
+    operator owns — the escape hatch when the built-in stateful ops
+    (windowed agg, dropDuplicates, stream joins) can't express the
+    semantics (per-key models, custom eviction, cross-batch sequences).
+
+    Each micro-batch delivers a user's rows as Arrow-backed pandas
+    frames; the handler folds them into (n_events, total_value, last_ts)
+    state and emits the updated row. State lives in the state store keyed
+    by user — partitioned across executors, nothing driver-side, so the
+    operator scales with the key space like any keyed agg.
+
+    Under AvailableNow the whole file drains as one batch, every user
+    emits exactly once, and the batch GROUP BY is the exact oracle.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    src = _events_stream(spark, sf_dir).select("user_id", "ts", "value")
+
+    state_schema = StructType(
+        [
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+            StructField("last_ts", TimestampType()),
+        ]
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        last_ts = None
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            batch_max = pdf["ts"].max()
+            last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+                "last_ts": [last_ts],
+            }
+        )
+
+    folded = (
+        src.groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    _drain_to_memory(folded, "stream_user_totals_custom_state", mode="update")
+    return spark.table("stream_user_totals_custom_state")
+
+
+STREAM_CUSTOM_STATE_SQL = """
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           max(ts) AS last_ts
+    FROM events
+    GROUP BY user_id
+"""
+
+
 STREAM_SLIDING_SQL = """
     WITH assigned AS (
         SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, user_id FROM events

@@ -76,3 +76,30 @@ def test_media_decode_runs_in_batches(spark):
     assert all(64 <= r["width"] < 256 for r in feats)
     # images are single-frame; audio/video are multi-frame-capable
     assert all(r["n_frames"] == 1 for r in feats if r["media_type"] == "image")
+
+
+def test_media_frame_sample_fanout_and_resize(spark):
+    """Explode-shaped mapInPandas: ≤4 sampled frames per payload, images
+    exactly 1; aspect-preserving resize puts the short side at 224; the
+    per-frame digest is deterministic across runs."""
+    from azure_sales_etl_pipeline_spark.plans.multimodal import (
+        media_decode_features,
+        media_frame_sample,
+    )
+
+    frames = media_frame_sample(spark, SF_DIR).collect()
+    feats = {r["doc_id"]: r for r in media_decode_features(spark, SF_DIR).collect()}
+    per_doc: dict[int, list] = {}
+    for r in frames:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(per_doc) == set(feats)
+    for doc_id, rows in per_doc.items():
+        f = feats[doc_id]
+        assert len(rows) == min(f["n_frames"], 4)
+        if f["media_type"] == "image":
+            assert len(rows) == 1 and rows[0]["frame_idx"] == 0
+        assert all(0 <= r["frame_idx"] < f["n_frames"] for r in rows)
+        assert all(min(r["resized_w"], r["resized_h"]) == 224 for r in rows)
+    digests = sorted(r["frame_digest"] for r in frames)
+    again = sorted(r["frame_digest"] for r in media_frame_sample(spark, SF_DIR).collect())
+    assert digests == again
