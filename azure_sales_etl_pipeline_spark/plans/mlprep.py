@@ -51,6 +51,83 @@ _SPLIT_SQL = f"""
 """
 
 
+_CONTAM_K = 5  # shingle width (tokens)
+
+
+def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→test contamination check: for every test-split document,
+    how many of its distinct {k}-token shingles also occur anywhere in
+    the train split. The decontamination gate every eval pipeline needs —
+    a test doc sharing even one shingle with train is flagged.
+
+    Shape: shingles are built map-side with higher-order functions
+    (sequence → slice → sha2, same portable-hex scheme as winnowing),
+    distinct-ed per doc BEFORE the explode, then the train shingle set
+    (one distinct = one shuffle on the shingle key) left-joins the test
+    shingles on the hash. At 100 TB both sides are too big to broadcast
+    — the shuffle equi-join on a 64-hex key IS the scalable plan, and
+    skew is structurally absent (a shingle repeated across millions of
+    docs was already collapsed by the per-side distinct).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (_CONTAM_K - 1)),
+        lambda i: F.sha2(F.array_join(F.slice(toks, i, _CONTAM_K), " "), 256),
+    )
+    shingled = (
+        docs.where(F.size(toks) >= _CONTAM_K)
+        .select(
+            "doc_id",
+            (prefix <= _TRAIN_PREFIX_MAX).alias("is_train"),
+            F.explode(F.array_distinct(grams)).alias("g"),
+        )
+    )
+    train_set = shingled.where("is_train").select("g").distinct()
+    test = shingled.where(~F.col("is_train"))
+    return (
+        test.join(train_set.withColumn("hit", F.lit(1)), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_overlap"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            (F.col("n_overlap") > 0).alias("contaminated"),
+        )
+    )
+
+
+_CONTAM_SQL = rf"""
+    WITH t AS (
+        SELECT doc_id,
+               substr(md5(doc_id::VARCHAR), 1, 2) <= '{_TRAIN_PREFIX_MAX}' AS is_train,
+               regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, is_train,
+               unnest(list_distinct(
+                   list_transform(range(1, len(toks) - {_CONTAM_K - 1} + 1),
+                       i -> sha256(array_to_string(list_slice(toks, i, i + {_CONTAM_K - 1}), ' '))))) AS g
+        FROM t
+        WHERE len(toks) >= {_CONTAM_K}
+    ),
+    train_set AS (SELECT DISTINCT g FROM g WHERE is_train)
+    SELECT d.doc_id,
+           count(*) AS n_shingles,
+           count(ts.g) AS n_overlap,
+           count(ts.g) > 0 AS contaminated
+    FROM (SELECT * FROM g WHERE NOT is_train) d
+    LEFT JOIN train_set ts USING (g)
+    GROUP BY d.doc_id
+"""
+
+
 _CC_JACCARD_MIN = 0.6
 _CC_MAX_ITERS = 8
 
@@ -280,6 +357,7 @@ _BALANCED_SQL = """
 
 QUERIES = {
     "train_test_split": train_test_split,
+    "split_contamination": split_contamination,
     "dedup_clusters": dedup_clusters,
     "doc_tfidf_topterms": doc_tfidf_topterms,
     "balanced_downsample": balanced_downsample,
@@ -287,6 +365,7 @@ QUERIES = {
 
 ORACLES = {
     "train_test_split": _SPLIT_SQL,
+    "split_contamination": _CONTAM_SQL,
     "dedup_clusters": _CC_SQL,
     "doc_tfidf_topterms": _TFIDF_SQL,
     "balanced_downsample": _BALANCED_SQL,
