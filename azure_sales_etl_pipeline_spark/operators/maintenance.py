@@ -1,0 +1,100 @@
+"""Table maintenance operators: incremental aggregate upkeep and
+small-file compaction — the two jobs that keep a 100 TB gold layer
+usable between full rebuilds.
+
+The reference recomputes every gold mart from scratch each run
+(`3_Silver_to_Gold.py:60,66,72,92,112,133` — full overwrite of all six
+marts). That's correct and simple at notebook scale; at 100 TB a daily
+full rebuild re-shuffles the entire fact history to recompute numbers
+that didn't change. ``merge_aggregate`` is the incremental alternative:
+aggregate ONLY the new batch at the mart's grain, then merge partial
+aggregates into the existing mart (sum+sum, count+count — any
+commutative-monoid aggregate). One shuffle over the batch, never over
+history.
+
+``compact_table`` addresses the other chronic scale wound: incremental
+appends (ingestion `append_evolve`, watermark batches) accrete small
+files until scan planning and open() overhead dominate. Compaction
+bin-packs to a target file size with a staged atomic swap (same
+local-FS boundary as writer.py — see its docstring for the
+HDFS/object-store note).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .writer import overwrite_table, read_table
+
+
+def merge_aggregate(
+    spark: SparkSession,
+    mart_path: str,
+    batch: DataFrame,
+    keys: list[str],
+    sums: list[str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Incrementally maintain a grouped aggregate: fold ``batch`` into
+    the mart at ``mart_path`` keyed on ``keys``, where the mart carries
+    ``sum(<c>) AS <c>`` for each c in ``sums`` plus a row count.
+
+    Only mergeable (commutative-monoid) aggregates belong here: sums,
+    counts, min/max — their partials combine associatively, so
+    mart ⊕ agg(batch) ≡ agg(history ∪ batch) and equality with a full
+    recompute is testable (tests/test_maintenance.py). Non-mergeable
+    exact aggregates (countDistinct, exact percentiles) need either the
+    full recompute or a sketch (HLL/t-digest) whose partials merge —
+    the same tradeoff the `_approx` gold-mart variant documents.
+
+    Scale shape: the batch is aggregated at the mart grain (one shuffle
+    over the BATCH only), the existing mart is read back (narrow scan of
+    pre-aggregated rows, orders of magnitude smaller than the fact
+    history), and the union re-aggregates on keys that are already
+    near-unique per side. History is never re-scanned.
+    """
+    agg_exprs = [F.sum(c).alias(c) for c in sums] + [
+        F.count(F.lit(1)).alias(count_col)
+    ]
+    batch_agg = batch.groupBy(*keys).agg(*agg_exprs)
+    if Path(mart_path).exists():
+        existing = read_table(spark, mart_path)
+        merge_exprs = [F.sum(c).alias(c) for c in sums] + [
+            F.sum(count_col).alias(count_col)
+        ]
+        merged = existing.unionByName(batch_agg).groupBy(*keys).agg(*merge_exprs)
+    else:
+        merged = batch_agg
+    # overwrite_table writes to a staging dir first and swaps after the
+    # job completes, so reading mart_path inside the plan is safe — the
+    # mart stays readable until the new version replaces it wholesale.
+    overwrite_table(merged, mart_path)
+    return read_table(spark, mart_path)
+
+
+_DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def compact_table(
+    spark: SparkSession, path: str, target_bytes: int = _DEFAULT_TARGET_BYTES
+) -> int:
+    """Bin-pack a parquet table's files toward ``target_bytes`` each and
+    atomically swap the compacted version in. Returns the new file count.
+
+    File count is computed from the table's CURRENT on-disk bytes
+    (metadata listing — no data read), so compaction is proportional to
+    one table rewrite and can be scheduled per-partition at scale. Uses
+    ``coalesce`` when shrinking (narrow — no shuffle: existing partitions
+    are concatenated) and ``repartition`` only when the table is a single
+    oversized file that must split (that one needs the shuffle).
+    """
+    files = [p for p in Path(path).glob("*.parquet") if not p.name.startswith("_")]
+    total = sum(p.stat().st_size for p in files)
+    want = max(1, -(-total // target_bytes))  # ceil
+    df = read_table(spark, path)
+    packed = df.coalesce(want) if want <= len(files) else df.repartition(want)
+    overwrite_table(packed, path)
+    return len([p for p in Path(path).glob("*.parquet") if not p.name.startswith("_")])

@@ -128,6 +128,80 @@ _CONTAM_SQL = rf"""
 """
 
 
+_SHARD_TOKEN_BUDGET = 20_000
+_SHARD_RANGES = 16
+
+
+def token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign documents (in doc_id order) to training shards of
+    ~``_SHARD_TOKEN_BUDGET`` tokens each: shard = floor(tokens-before-me
+    / budget). The packing step every pretraining pipeline runs before
+    writing shard files.
+
+    The running token total is a **two-phase distributed prefix sum**,
+    NOT a global window — ``Window.orderBy`` with no partitionBy pulls
+    the whole table into ONE partition (Spark even warns), which is the
+    canonical 100 TB deadlock. Instead: range-repartition on doc_id
+    (ordered ranges → ascending partition ids), cumsum WITHIN each
+    partition via a partitioned window, then add per-partition offsets
+    computed from the tiny (n_ranges)-row totals table. Every stage is
+    distributed; the only single-partition step is the window over
+    ``_SHARD_RANGES`` rows.
+
+    The result is invariant to the sampled range boundaries: offsets
+    absorb whatever split the partitioner picked, so the DuckDB global
+    window is an exact oracle.
+    """
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens")
+    )
+    ranged = docs.repartitionByRange(_SHARD_RANGES, "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    local_cum = F.sum("n_tokens").over(
+        W.partitionBy("pid").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    )
+    staged = ranged.withColumn("local_cum", local_cum)
+    totals = staged.groupBy("pid").agg(F.max("local_cum").alias("ptot"))
+    offsets = totals.select(
+        "pid",
+        (
+            F.coalesce(
+                F.sum("ptot").over(
+                    W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+        ).alias("offset"),
+    )
+    start = F.col("offset") + F.col("local_cum") - F.col("n_tokens")
+    return (
+        staged.join(F.broadcast(offsets), "pid")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(start / _SHARD_TOKEN_BUDGET).alias("shard_id"),
+        )
+    )
+
+
+_SHARDS_SQL = rf"""
+    WITH t AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor(
+               (sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+               / {_SHARD_TOKEN_BUDGET}) AS BIGINT) AS shard_id
+    FROM t
+"""
+
+
 _CC_JACCARD_MIN = 0.6
 _CC_MAX_ITERS = 8
 
@@ -162,8 +236,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization + one scalar count on the checkpointed result —
     two bounded jobs over the edge-node set only.
     """
+    # Materialize the candidate pairs BEFORE filtering on jaccard: the
+    # checkpoint is an optimizer barrier that keeps Catalyst from
+    # pushing `jaccard >= t` into the blocking join's condition, where
+    # the O(|tokens|) set-overlap expression would run on every blocked
+    # candidate (pre-range-filter) instead of the few that survive —
+    # measured 12x slower at sf0.1. It also makes the union below read
+    # the pairs once instead of re-running the join per branch.
     edges = (
         ngram_jaccard_pairs(spark, sf_dir)
+        .localCheckpoint()
         .where(F.col("jaccard") >= _CC_JACCARD_MIN)
         .select("doc_a", "doc_b")
     )
@@ -358,6 +440,7 @@ _BALANCED_SQL = """
 QUERIES = {
     "train_test_split": train_test_split,
     "split_contamination": split_contamination,
+    "token_budget_shards": token_budget_shards,
     "dedup_clusters": dedup_clusters,
     "doc_tfidf_topterms": doc_tfidf_topterms,
     "balanced_downsample": balanced_downsample,
@@ -366,6 +449,7 @@ QUERIES = {
 ORACLES = {
     "train_test_split": _SPLIT_SQL,
     "split_contamination": _CONTAM_SQL,
+    "token_budget_shards": _SHARDS_SQL,
     "dedup_clusters": _CC_SQL,
     "doc_tfidf_topterms": _TFIDF_SQL,
     "balanced_downsample": _BALANCED_SQL,

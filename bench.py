@@ -51,6 +51,9 @@ def main() -> None:
         "seller_performance_daily_approx",
         "stream_session_windows",
         "stream_click_purchase_join",
+        # Python stateful streaming (applyInPandasWithState) is its own
+        # one-time family: ~7.7s first-run vs ~1.7s steady-state.
+        "stream_user_totals_custom_state",
     ):
         if w in qs:
             warm.append(w)

@@ -1,0 +1,75 @@
+"""Incremental aggregate maintenance + compaction (operators/maintenance.py).
+
+merge_aggregate: two incremental batches must converge to exactly the
+full-recompute aggregate (the mergeable-monoid property the operator
+relies on). compact_table: many small files → ceil(bytes/target) files,
+same rows.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from azure_sales_etl_pipeline_spark.catalog import load_table
+from azure_sales_etl_pipeline_spark.operators.maintenance import (
+    compact_table,
+    merge_aggregate,
+)
+
+from conftest import SF_DIR
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_merge_aggregate_matches_full_recompute(spark, tmp_path):
+    mart = str(tmp_path / "daily_mart")
+    orders = load_table(spark, SF_DIR, "orders").select(
+        F.to_date("o_orderdate").alias("order_date"), "o_totalprice", "o_orderkey"
+    )
+    batch1 = orders.where("o_orderkey % 2 = 0")
+    batch2 = orders.where("o_orderkey % 2 = 1")
+    merge_aggregate(
+        spark, mart, batch1.drop("o_orderkey"), keys=["order_date"], sums=["o_totalprice"]
+    )
+    out = merge_aggregate(
+        spark, mart, batch2.drop("o_orderkey"), keys=["order_date"], sums=["o_totalprice"]
+    )
+    full = orders.groupBy("order_date").agg(
+        F.sum("o_totalprice").alias("o_totalprice"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    got = {r["order_date"]: (round(r["o_totalprice"], 2), r["n_rows"]) for r in out.collect()}
+    want = {r["order_date"]: (round(r["o_totalprice"], 2), r["n_rows"]) for r in full.collect()}
+    assert got == want
+
+
+def test_merge_aggregate_idempotent_grain(spark, tmp_path):
+    """Merging an empty batch leaves the mart unchanged."""
+    mart = str(tmp_path / "mart")
+    orders = load_table(spark, SF_DIR, "orders").select(
+        F.to_date("o_orderdate").alias("order_date"), "o_totalprice"
+    )
+    first = merge_aggregate(spark, mart, orders, keys=["order_date"], sums=["o_totalprice"])
+    before = _rows(first.select("order_date", F.round("o_totalprice", 2), "n_rows"))
+    second = merge_aggregate(
+        spark, mart, orders.limit(0), keys=["order_date"], sums=["o_totalprice"]
+    )
+    after = _rows(second.select("order_date", F.round("o_totalprice", 2), "n_rows"))
+    assert before == after
+
+
+def test_compact_table_packs_small_files(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(40).write.parquet(path)
+    n_before = len([p for p in Path(path).glob("*.parquet")])
+    assert n_before >= 40
+    n_after = compact_table(spark, path, target_bytes=1 << 30)
+    assert n_after == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).first()[0] == 10_000 * 9_999
