@@ -48,6 +48,14 @@ _DEFAULTS = {
         "SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"
     ),
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # Sketch aggregates (approx_count_distinct/HLL, percentile_approx)
+    # run under ObjectHashAggregate, which silently falls back to
+    # SORT-based aggregation after only 128 distinct keys per partition
+    # — at a 600k-group grain that's a full sort of sketch objects
+    # (measured ~30% slower and GC-variance-prone). Partial sketches are
+    # ~100 B each, so a multi-million-key hash map is still far smaller
+    # than one shuffle partition; keep the hash path.
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "10000000",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",

@@ -18,6 +18,7 @@ the evolving-append shim works unchanged under streaming.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,16 +48,37 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _drain_to_memory(agg: DataFrame, name: str, mode: str = "complete") -> None:
-    """Run an AvailableNow pass into a memory sink and wait for drain."""
-    agg.sparkSession.catalog.dropTempView(name)  # idempotent reruns
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
+    """Run an AvailableNow pass into a memory sink and wait for drain.
+
+    Stateful operators create one state store PER shuffle partition per
+    stateful exec (a stream-stream join holds four) — and each store
+    carries fixed snapshot/maintenance overhead every micro-batch. The
+    batch-side default (32 here, thousands on a cluster) is sized for
+    shuffle *throughput*, not store count: measured 4x slowdown for the
+    band join at 32 vs 8 partitions on this workload. So streaming
+    queries get their own partition count, env-tunable: size it to
+    (distinct keys in state) / (target rows per store) with enough
+    partitions to spread across executors — NOT to the batch shuffle
+    width.
+    """
+    sess = agg.sparkSession
+    prev = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"),
     )
-    q.awaitTermination()
+    try:
+        sess.catalog.dropTempView(name)  # idempotent reruns
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        sess.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
