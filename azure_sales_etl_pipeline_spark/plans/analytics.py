@@ -204,6 +204,64 @@ _FORECAST_SQL = """
 """
 
 
+def repeat_buyers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set-op: customers who ordered in BOTH 1996 and 1997.
+    Spark plans INTERSECT as a left-semi join over distinct inputs —
+    both sides shuffle once on the full row (here a single key column,
+    so the row IS the key). Completes the engine's set-op surface next
+    to EXCEPT (`customers_without_urgent_orders`) and the unions inside
+    schema evolution."""
+    orders = load_table(spark, sf_dir, "orders")
+    y96 = orders.where(F.year("o_orderdate") == 1996).select("o_custkey")
+    y97 = orders.where(F.year("o_orderdate") == 1997).select("o_custkey")
+    return y96.intersect(y97)
+
+
+_INTERSECT_SQL = """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+"""
+
+
+def revenue_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the status-pivot mart back in long form — wide
+    marts feed BI, long form feeds ML/feature stores, and the engine
+    must do both directions. ``DataFrame.unpivot`` is a single Expand
+    (one output row per (id, value-column) pair, map-side) — no shuffle
+    beyond what built the input. Nulls are dropped on both sides so the
+    pivot round-trip is exact."""
+    wide = order_status_pivot(spark, sf_dir)
+    return (
+        wide.unpivot(
+            ["order_year"],
+            ["revenue_open", "revenue_fulfilled", "revenue_partial"],
+            "status_mart",
+            "revenue",
+        )
+        .where(F.col("revenue").isNotNull())
+    )
+
+
+_UNPIVOT_SQL = """
+    WITH wide AS (
+        SELECT year(o_orderdate) AS order_year,
+               round(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 2) AS revenue_open,
+               round(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 2) AS revenue_fulfilled,
+               round(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 2) AS revenue_partial
+        FROM orders
+        GROUP BY ALL
+    )
+    SELECT order_year, status_mart, revenue FROM (
+        SELECT order_year, 'revenue_open' AS status_mart, revenue_open AS revenue FROM wide
+        UNION ALL
+        SELECT order_year, 'revenue_fulfilled', revenue_fulfilled FROM wide
+        UNION ALL
+        SELECT order_year, 'revenue_partial', revenue_partial FROM wide
+    ) WHERE revenue IS NOT NULL
+"""
+
+
 QUERIES = {
     "revenue_rollup_sets": revenue_rollup_sets,
     "order_status_pivot": order_status_pivot,
@@ -211,6 +269,8 @@ QUERIES = {
     "price_percentiles": price_percentiles,
     "pricing_summary": pricing_summary,
     "forecast_revenue_change": forecast_revenue_change,
+    "repeat_buyers_intersect": repeat_buyers_intersect,
+    "revenue_unpivot": revenue_unpivot,
 }
 
 ORACLES = {
@@ -220,4 +280,6 @@ ORACLES = {
     "price_percentiles": _PERCENTILE_SQL,
     "pricing_summary": _PRICING_SQL,
     "forecast_revenue_change": _FORECAST_SQL,
+    "repeat_buyers_intersect": _INTERSECT_SQL,
+    "revenue_unpivot": _UNPIVOT_SQL,
 }
