@@ -164,7 +164,11 @@ def token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.partitionBy("pid").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
     )
     staged = ranged.withColumn("local_cum", local_cum)
-    totals = staged.groupBy("pid").agg(F.max("local_cum").alias("ptot"))
+    # Per-partition totals from a plain hash agg on `ranged`, NOT
+    # max(local_cum) on `staged`: the agg branch then skips the window
+    # entirely (map-side partial sums), and its range exchange is
+    # identical to the window branch's, so Spark reuses it.
+    totals = ranged.groupBy("pid").agg(F.sum("n_tokens").alias("ptot"))
     offsets = totals.select(
         "pid",
         (

@@ -118,3 +118,16 @@ def test_salted_counts_two_phase_aggregate(spark):
     plan = plan_of(salted_event_type_counts(spark, SF_DIR))
     exchanges = [l for l in plan.splitlines() if "Arguments: hashpartitioning" in l]
     assert any("salt" in l for l in exchanges), exchanges
+
+
+def test_token_shards_prefix_sum_is_distributed(spark):
+    """The two-phase prefix sum must keep the data-sized window
+    partitioned (range partition -> per-pid window); the ONLY
+    single-partition step is the window over the tiny per-partition
+    totals, and the offsets come back via broadcast."""
+    from azure_sales_etl_pipeline_spark.plans.mlprep import token_budget_shards
+
+    plan = plan_of(token_budget_shards(spark, SF_DIR))
+    assert "rangepartitioning" in plan
+    assert plan.count("Arguments: SinglePartition") <= 1, plan
+    assert "BroadcastExchange" in plan
