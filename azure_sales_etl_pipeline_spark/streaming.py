@@ -406,3 +406,40 @@ def streaming_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_scd2(
+    spark: SparkSession,
+    source_glob: str,
+    schema,
+    scd2_table,
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming Bronze→Silver: each micro-batch upserts into an
+    ``SCD2Table`` via ``foreachBatch`` — the streaming-native form of
+    the reference's watermark-cut + hash-diff + MERGE hop
+    (2_Bronze_to_Silver.py:55-140). The stream's checkpoint replaces the
+    hand-rolled watermark: a restarted query resumes at the first
+    unprocessed file, so every batch is applied exactly once and SCD2
+    history converges to the same state a batch run over the same files
+    produces (tests/test_streaming_scd2.py proves the equivalence).
+
+    ``foreachBatch`` is the right seam because SCD2's expire+append is a
+    multi-job batch transaction — exactly the kind of sink Structured
+    Streaming cannot express as a declarative streaming plan but will
+    happily run per-batch with replay protection.
+    """
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="scd2_ckpt_")
+    src = spark.readStream.schema(schema).option("header", "true").csv(source_glob)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            scd2_table.upsert(batch_df)
+
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

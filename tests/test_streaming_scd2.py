@@ -1,0 +1,82 @@
+"""Streaming Bronze→Silver: foreachBatch micro-batches into SCD2Table
+(streaming.streaming_scd2). The streamed result must converge to exactly
+what the batch upserts over the same files produce, and the stream
+checkpoint must prevent reprocessing on a second run.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.types as T
+
+from azure_sales_etl_pipeline_spark.operators.scd2 import SCD2Table
+from azure_sales_etl_pipeline_spark.streaming import streaming_scd2
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("segment", T.StringType()),
+    ]
+)
+
+
+def _write_csv(spark, rows, path):
+    spark.createDataFrame(rows, "id int, name string, segment string").coalesce(
+        1
+    ).write.option("header", "true").mode("overwrite").csv(path)
+
+
+def _hist(dim):
+    return sorted(
+        (r["id"], r["name"], r["segment"], r["is_current"])
+        for r in dim.history().collect()
+    )
+
+
+def test_streaming_scd2_converges_to_batch_result(spark, tmp_path):
+    src = tmp_path / "landing"
+    _write_csv(spark, [(1, "Alice", "RETAIL"), (2, "Bob", "CORP")], str(src / "b1"))
+
+    clock = {"now": dt.datetime(2024, 1, 1)}
+    stream_dim = SCD2Table(
+        spark, str(tmp_path / "stream_dim"), "id", clock=lambda: clock["now"]
+    )
+    ckpt = str(tmp_path / "ckpt")
+    glob = str(src) + "/*"
+    streaming_scd2(spark, glob, _SCHEMA, stream_dim, checkpoint=ckpt)
+    assert _hist(stream_dim) == [
+        (1, "Alice", "RETAIL", True),
+        (2, "Bob", "CORP", True),
+    ]
+
+    # second file lands: one update, one insert; restart the stream with
+    # the SAME checkpoint — only the new file is processed
+    clock["now"] = dt.datetime(2024, 2, 1)
+    _write_csv(spark, [(1, "Alice", "WHOLESALE"), (3, "Cara", "CORP")], str(src / "b2"))
+    streaming_scd2(spark, glob, _SCHEMA, stream_dim, checkpoint=ckpt)
+
+    # batch reference: same two upserts applied directly
+    batch_dim = SCD2Table(
+        spark, str(tmp_path / "batch_dim"), "id", clock=lambda: dt.datetime(2024, 1, 1)
+    )
+    batch_dim.upsert(
+        spark.createDataFrame(
+            [(1, "Alice", "RETAIL"), (2, "Bob", "CORP")],
+            "id int, name string, segment string",
+        )
+    )
+    batch_dim.clock = lambda: dt.datetime(2024, 2, 1)
+    batch_dim.upsert(
+        spark.createDataFrame(
+            [(1, "Alice", "WHOLESALE"), (3, "Cara", "CORP")],
+            "id int, name string, segment string",
+        )
+    )
+    assert _hist(stream_dim) == _hist(batch_dim)
+
+    # idempotent restart: nothing new → no reprocessing, history unchanged
+    before = _hist(stream_dim)
+    streaming_scd2(spark, glob, _SCHEMA, stream_dim, checkpoint=ckpt)
+    assert _hist(stream_dim) == before
