@@ -408,6 +408,42 @@ def streaming_ingest(
     q.awaitTermination()
 
 
+def streaming_mart(
+    spark: SparkSession,
+    source_glob: str,
+    schema,
+    mart_path: str,
+    keys: list[str],
+    sums: list[str],
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming gold-mart upkeep: each micro-batch folds into the mart
+    via ``operators.maintenance.merge_aggregate`` — the streaming-native
+    replacement for the reference's full gold rebuild per run
+    (3_Silver_to_Gold.py:60-133). Because merge_aggregate only accepts
+    mergeable (commutative-monoid) aggregates, replay-protected batches
+    compose associatively: stream(batches) ≡ batch(union) exactly
+    (tests/test_streaming_scd2.py). History is never re-scanned; each
+    batch costs one shuffle of the batch plus a read of the (small)
+    mart."""
+    from .operators.maintenance import merge_aggregate
+
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="mart_ckpt_")
+    src = spark.readStream.schema(schema).option("header", "true").csv(source_glob)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            merge_aggregate(spark, mart_path, batch_df, keys=keys, sums=sums)
+
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def streaming_scd2(
     spark: SparkSession,
     source_glob: str,

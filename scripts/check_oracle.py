@@ -40,9 +40,21 @@ def canon(rows, cols):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
-    spark = get_spark(master="local[8]")
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    # --vanilla replicates the DRIVER'S environment: a bare SparkSession
+    # with none of the engine session defaults. Round 2 shipped a bug
+    # invisible to every in-repo check precisely because only the driver
+    # used a vanilla session (events nanos crash) — run this mode before
+    # relying on a green sweep.
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        spark = get_spark(master="local[8]")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")

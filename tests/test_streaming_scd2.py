@@ -80,3 +80,45 @@ def test_streaming_scd2_converges_to_batch_result(spark, tmp_path):
     before = _hist(stream_dim)
     streaming_scd2(spark, glob, _SCHEMA, stream_dim, checkpoint=ckpt)
     assert _hist(stream_dim) == before
+
+
+def test_streaming_mart_matches_batch_aggregate(spark, tmp_path):
+    """Two streamed micro-batch files must leave the mart exactly equal
+    to one batch aggregate over their union."""
+    from pyspark.sql import functions as F
+
+    from azure_sales_etl_pipeline_spark.operators.writer import read_table
+    from azure_sales_etl_pipeline_spark.streaming import streaming_mart
+
+    schema = T.StructType(
+        [
+            T.StructField("day", T.StringType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    src = tmp_path / "facts"
+    rows1 = [("2024-01-01", 10.0), ("2024-01-01", 5.0), ("2024-01-02", 7.0)]
+    rows2 = [("2024-01-02", 3.0), ("2024-01-03", 1.0)]
+    spark.createDataFrame(rows1, "day string, amount double").coalesce(1).write.option(
+        "header", "true"
+    ).csv(str(src / "f1"))
+    mart = str(tmp_path / "mart")
+    ckpt = str(tmp_path / "ckpt")
+    glob = str(src) + "/*"
+    streaming_mart(spark, glob, schema, mart, keys=["day"], sums=["amount"], checkpoint=ckpt)
+    spark.createDataFrame(rows2, "day string, amount double").coalesce(1).write.option(
+        "header", "true"
+    ).csv(str(src / "f2"))
+    streaming_mart(spark, glob, schema, mart, keys=["day"], sums=["amount"], checkpoint=ckpt)
+
+    got = sorted(
+        (r["day"], round(r["amount"], 2), r["n_rows"])
+        for r in read_table(spark, mart).collect()
+    )
+    full = (
+        spark.createDataFrame(rows1 + rows2, "day string, amount double")
+        .groupBy("day")
+        .agg(F.sum("amount").alias("amount"), F.count(F.lit(1)).alias("n"))
+    )
+    want = sorted((r["day"], round(r["amount"], 2), r["n"]) for r in full.collect())
+    assert got == want
