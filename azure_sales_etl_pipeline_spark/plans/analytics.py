@@ -127,6 +127,45 @@ _PERCENTILE_SQL = """
 """
 
 
+def percentile_accuracy_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible accuracy gate for the sketch-percentile path (the
+    scale substitute for exact percentiles, same pattern as
+    ``hll_accuracy_check``): per priority, the exact p50/p90 next to
+    ``percentile_approx`` (accuracy=10000), reduced to a boolean
+    "approx within 1% of exact". The oracle computes the exact side and
+    asserts ``true``, giving the sketch a hash-checkable row.
+    percentile_approx's quantile summary is deterministic for a fixed
+    input, so the assertion is stable. At 100 TB the approx variant is
+    the ONLY viable form — its summaries merge map-side; exact
+    percentile sorts every group."""
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("__e50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("__e90"),
+        F.expr("percentile_approx(o_totalprice, 0.5, 10000)").alias("__a50"),
+        F.expr("percentile_approx(o_totalprice, 0.9, 10000)").alias("__a90"),
+    )
+    within = (F.abs(F.col("__a50") - F.col("__e50")) / F.col("__e50") <= 0.01) & (
+        F.abs(F.col("__a90") - F.col("__e90")) / F.col("__e90") <= 0.01
+    )
+    return agg.select(
+        "o_orderpriority",
+        F.round("__e50", 4).alias("exact_p50"),
+        F.round("__e90", 4).alias("exact_p90"),
+        within.alias("within_bound"),
+    )
+
+
+_PCT_ACCURACY_SQL = """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS exact_p90,
+           true AS within_bound
+    FROM orders
+    GROUP BY ALL
+"""
+
+
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: one scan of the widest fact,
     date-bounded, grouped on two low-cardinality flags with a battery of
@@ -267,6 +306,7 @@ QUERIES = {
     "order_status_pivot": order_status_pivot,
     "event_props_json": event_props_json,
     "price_percentiles": price_percentiles,
+    "percentile_accuracy_check": percentile_accuracy_check,
     "pricing_summary": pricing_summary,
     "forecast_revenue_change": forecast_revenue_change,
     "repeat_buyers_intersect": repeat_buyers_intersect,
@@ -278,6 +318,7 @@ ORACLES = {
     "order_status_pivot": _PIVOT_SQL,
     "event_props_json": _JSON_SQL,
     "price_percentiles": _PERCENTILE_SQL,
+    "percentile_accuracy_check": _PCT_ACCURACY_SQL,
     "pricing_summary": _PRICING_SQL,
     "forecast_revenue_change": _FORECAST_SQL,
     "repeat_buyers_intersect": _INTERSECT_SQL,

@@ -106,3 +106,38 @@ def test_stream_dedup_drops_replayed_events(spark, tmp_path):
     out = spark.table("dedup_replay_test")
     assert out.count() == 20
     assert out.select("event_id").distinct().count() == 20
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-style partitioned layout: a filter on the partition column
+    must become a PartitionFilter (directories never listed), not a data
+    filter — at 100 TB this is the difference between scanning one day
+    and scanning the table. Also checks dynamic partition overwrite
+    rewrites only the touched partition."""
+    path = str(tmp_path / "events_by_type")
+    events = load_table(spark, SF_DIR, "events")
+    events.write.partitionBy("event_type").mode("overwrite").parquet(path)
+
+    df = spark.read.parquet(path).where(F.col("event_type") == "click")
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("event_type" in l for l in part_lines), plan
+    n_clicks = df.count()
+
+    # dynamic partition overwrite: rewrite ONLY the 'click' partition
+    repl = (
+        events.where("event_type = 'click'")
+        .limit(10)
+        .withColumn("event_type", F.lit("click"))
+    )
+    repl.write.partitionBy("event_type").mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).parquet(path)
+    back = spark.read.parquet(path)
+    assert back.where("event_type = 'click'").count() == 10
+    assert back.where("event_type = 'purchase'").count() == events.where(
+        "event_type = 'purchase'"
+    ).count()
+    assert n_clicks != 10  # the original partition really was replaced
