@@ -206,6 +206,80 @@ _SHARDS_SQL = rf"""
 """
 
 
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-curation funnel in one pass: how many documents
+    survive quality filtering → target-language filtering → exact dedup
+    → the train split. The per-stage counts every curation run reports
+    (and the first thing that catches a filter regression eating the
+    corpus).
+
+    Composes the REGISTERED stage operators (doc_quality, lang_id,
+    doc_fingerprint, train_test_split) rather than re-deriving their
+    logic, and the oracle embeds the same stages' SQL — both sides stay
+    consistent with the individually-oracled queries by construction.
+    Dedup-first is decided among quality+lang survivors: the window
+    sorts survivors first within each fingerprint, so rn=1 lands on a
+    survivor whenever one exists. Shape: narrow maps + three 1:1 joins
+    on doc_id + one window shuffle on fingerprint; output is 1 row.
+    """
+    from .textops import doc_fingerprint, doc_quality, lang_id
+
+    q = doc_quality(spark, sf_dir).select("doc_id", "keep")
+    l = lang_id(spark, sf_dir).select("doc_id", "predicted_lang")
+    fp = doc_fingerprint(spark, sf_dir).select("doc_id", "fingerprint")
+    sp = train_test_split(spark, sf_dir).select("doc_id", "split")
+    base = q.join(l, "doc_id").join(fp, "doc_id").join(sp, "doc_id")
+    ql_ok = F.col("keep") & (F.col("predicted_lang") == "en")
+    w = Window.partitionBy("fingerprint").orderBy(
+        ql_ok.desc(), F.col("doc_id")
+    )
+    flagged = base.select(
+        "doc_id",
+        "keep",
+        ql_ok.alias("ql_ok"),
+        "split",
+        F.row_number().over(w).alias("rn"),
+    )
+    u_ok = F.col("ql_ok") & (F.col("rn") == 1)
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("keep"), 1)).alias("n_quality"),
+        F.count(F.when(F.col("ql_ok"), 1)).alias("n_lang"),
+        F.count(F.when(u_ok, 1)).alias("n_unique"),
+        F.count(F.when(u_ok & (F.col("split") == "train"), 1)).alias("n_train"),
+    )
+
+
+def _funnel_sql() -> str:
+    from .textops import _FINGERPRINT_SQL, _LANG_SQL, _QUALITY_SQL
+
+    return f"""
+    WITH q AS ({_QUALITY_SQL}),
+    l AS (SELECT * FROM ({_LANG_SQL})),
+    f AS ({_FINGERPRINT_SQL}),
+    s AS ({_SPLIT_SQL}),
+    base AS (
+        SELECT q.doc_id, q.keep, l.predicted_lang, f.fingerprint, s.split
+        FROM q JOIN l USING (doc_id) JOIN f USING (doc_id) JOIN s USING (doc_id)
+    ),
+    flagged AS (
+        SELECT *,
+               keep AND predicted_lang = 'en' AS ql_ok,
+               row_number() OVER (
+                   PARTITION BY fingerprint
+                   ORDER BY (keep AND predicted_lang = 'en') DESC, doc_id
+               ) AS rn
+        FROM base
+    )
+    SELECT count(*) AS n_total,
+           count(*) FILTER (keep) AS n_quality,
+           count(*) FILTER (ql_ok) AS n_lang,
+           count(*) FILTER (ql_ok AND rn = 1) AS n_unique,
+           count(*) FILTER (ql_ok AND rn = 1 AND split = 'train') AS n_train
+    FROM flagged
+    """
+
+
 _CC_JACCARD_MIN = 0.6
 _CC_MAX_ITERS = 8
 
@@ -445,6 +519,7 @@ QUERIES = {
     "train_test_split": train_test_split,
     "split_contamination": split_contamination,
     "token_budget_shards": token_budget_shards,
+    "curation_funnel": curation_funnel,
     "dedup_clusters": dedup_clusters,
     "doc_tfidf_topterms": doc_tfidf_topterms,
     "balanced_downsample": balanced_downsample,
@@ -454,6 +529,7 @@ ORACLES = {
     "train_test_split": _SPLIT_SQL,
     "split_contamination": _CONTAM_SQL,
     "token_budget_shards": _SHARDS_SQL,
+    "curation_funnel": _funnel_sql(),
     "dedup_clusters": _CC_SQL,
     "doc_tfidf_topterms": _TFIDF_SQL,
     "balanced_downsample": _BALANCED_SQL,
