@@ -73,3 +73,46 @@ def test_compact_table_packs_small_files(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 10_000
     assert back.agg(F.sum("v")).first()[0] == 10_000 * 9_999
+
+
+def test_jsonl_round_trip_preserves_nested_types(spark, tmp_path):
+    """JSONL export/import: embeddings (array<float>) and a struct
+    column survive the round trip with an explicit schema; the export
+    shards as requested."""
+    from azure_sales_etl_pipeline_spark.sources.formats import read_jsonl, write_jsonl
+
+    emb = load_table(spark, SF_DIR, "embeddings").withColumn(
+        "meta", F.struct(F.col("label").alias("l"), F.lit("v1").alias("ver"))
+    )
+    path = str(tmp_path / "export")
+    write_jsonl(emb, path, n_shards=2)
+    jsonl_files = [p for p in Path(path).glob("part-*.json")]
+    assert len(jsonl_files) == 2
+    back = read_jsonl(spark, path, schema=emb.schema)
+    assert back.count() == emb.count()
+    a = emb.select("vec_id", "embedding", "meta.ver").orderBy("vec_id").collect()
+    b = back.select("vec_id", "embedding", "meta.ver").orderBy("vec_id").collect()
+    assert [r["vec_id"] for r in a] == [r["vec_id"] for r in b]
+    assert all(
+        abs(x - y) < 1e-6
+        for ra, rb in zip(a, b)
+        for x, y in zip(ra["embedding"], rb["embedding"])
+    )
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    """ORC: same DataFrame code, different columnar format — and the
+    filter still reaches the ORC scan (searchArguments/pushed filters)."""
+    from azure_sales_etl_pipeline_spark.sources.formats import read_orc, write_orc
+
+    orders = load_table(spark, SF_DIR, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = read_orc(spark, path).where(F.col("o_totalprice") > 100000)
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = back._jdf.queryExecution().explainString(mode)
+    assert "PushedFilters" in plan and "o_totalprice" in "".join(
+        l for l in plan.splitlines() if "PushedFilters" in l
+    )
+    assert back.count() == orders.where("o_totalprice > 100000").count()
