@@ -50,3 +50,32 @@ def write_orc(df: DataFrame, path: str) -> None:
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def write_avro(df: DataFrame, path: str) -> None:
+    """Avro export (row-oriented — the streaming/Kafka interchange
+    format). spark-avro is an external module since Spark 2.4 and is
+    not deployed in this container: the call raises a clear error
+    unless the package is on the classpath (same gating policy as the
+    Delta storage backend)."""
+    try:
+        df.write.mode("overwrite").format("avro").save(path)
+    except Exception as e:  # noqa: BLE001
+        if "Failed to find data source: avro" in str(e):
+            raise RuntimeError(
+                "spark-avro is not on the classpath; deploy with "
+                "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
+            ) from e
+        raise
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as e:  # noqa: BLE001
+        if "Failed to find data source: avro" in str(e):
+            raise RuntimeError(
+                "spark-avro is not on the classpath; deploy with "
+                "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
+            ) from e
+        raise

@@ -116,3 +116,14 @@ def test_orc_round_trip_with_pushdown(spark, tmp_path):
         l for l in plan.splitlines() if "PushedFilters" in l
     )
     assert back.count() == orders.where("o_totalprice > 100000").count()
+
+
+def test_avro_gated_with_clear_error(spark, tmp_path):
+    """spark-avro isn't deployed here; the wrapper must say so instead
+    of leaking a ClassNotFound stack (same policy as the delta backend)."""
+    import pytest
+
+    from azure_sales_etl_pipeline_spark.sources.formats import write_avro
+
+    with pytest.raises(RuntimeError, match="spark-avro is not on the classpath"):
+        write_avro(spark.range(3), str(tmp_path / "a"))
