@@ -136,6 +136,72 @@ def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch as-of attribution via the two-sided Pandas API:
+    ``groupBy().cogroup().applyInPandas`` delivers each user's purchases
+    AND clicks as a pandas frame pair, merged with ``pd.merge_asof``
+    (backward, exact matches allowed — p.ts >= c.ts, same semantics as
+    the ASOF oracle and the window-based ``purchase_attribution_asof``).
+
+    cogroup is the custom-two-sided-merge escape hatch: when the merge
+    logic outgrows SQL (interval alignment, per-key models joining
+    features to events), this is the shape — one co-partitioned shuffle
+    on the key, Arrow both ways, group-bounded memory. The built-in
+    window form stays the production pick for THIS query; the driver
+    checks both against the same SQL oracle.
+    """
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = events.where(F.col("event_type") == "click").select("user_id", "ts")
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values("ts")
+        right = right.sort_values("ts").rename(columns={"ts": "click_ts"})
+        out = pd.merge_asof(
+            left,
+            right.drop(columns=["user_id"]),
+            left_on="ts",
+            right_on="click_ts",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        secs = (out["ts"] - out["click_ts"]).dt.total_seconds().round(3)
+        return pd.DataFrame(
+            {
+                "event_id": out["event_id"],
+                "user_id": out["user_id"],
+                "purchase_ts": out["ts"],
+                "last_click_ts": out["click_ts"],
+                # NaN must become SQL NULL, not a float NaN, to match
+                # the oracle's no-prior-click rows.
+                "secs_since_click": secs.astype(object).where(secs.notna(), None),
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            schema=(
+                "event_id bigint, user_id bigint, purchase_ts timestamp, "
+                "last_click_ts timestamp, secs_since_click double"
+            ),
+        )
+    )
+
+
+_ASOF_COGROUP_SQL = """
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.ts AS last_click_ts,
+           round(epoch(p.ts) - epoch(c.ts), 3) AS secs_since_click
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 _GAPS_SQL = """
     WITH gaps AS (
         SELECT user_id,
@@ -152,9 +218,11 @@ _GAPS_SQL = """
 QUERIES = {
     "salted_event_type_counts": salted_event_type_counts,
     "user_event_gaps": user_event_gaps,
+    "asof_join_cogroup": asof_join_cogroup,
 }
 
 ORACLES = {
     "salted_event_type_counts": _SALTED_SQL,
     "user_event_gaps": _GAPS_SQL,
+    "asof_join_cogroup": _ASOF_COGROUP_SQL,
 }
