@@ -18,6 +18,10 @@ aggregate → JVM codegen, ordered summation for oracle parity). No UDFs.
 
 from __future__ import annotations
 
+# Module-level so pandas_udf can resolve the (stringified, via future
+# annotations) `pd.Series` type hints against module globals.
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -388,12 +392,44 @@ _CENTROID_SQL = """
 """
 
 
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm via a SCALAR vectorized ``@pandas_udf`` — the
+    one Pandas API form the engine hadn't needed yet, shown on its
+    honest use case: elementwise math over array columns where numpy's
+    C loop beats Catalyst's per-element HOF evaluation. The UDF receives
+    a pandas Series of arrays per Arrow batch (no per-row Python calls);
+    the JVM-side ``F.aggregate`` alternative (used by the ANN queries,
+    where staying in codegen fuses with the surrounding plan) is the
+    default — reach for the pandas_udf when the math outgrows HOFs
+    (BLAS calls, trig, cumulative numerics).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def l2(vecs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [round(float(np.sqrt(np.dot(v, v))), 4) for v in vecs]
+        )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", "label", l2("embedding").alias("l2_norm"))
+
+
+_NORMS_SQL = """
+    SELECT vec_id, label,
+           round(sqrt(list_sum(list_transform(embedding, x -> x * x))), 4) AS l2_norm
+    FROM embeddings
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
     "embedding_near_dup": embedding_near_dup,
     "label_centroids": label_centroids,
+    "embedding_norms": embedding_norms,
 }
 
 # ann_topk_lsh / ann_topk_ivf are probabilistic (bucket/probe recall) →
@@ -403,4 +439,5 @@ ORACLES = {
     "ann_topk_bruteforce": _BRUTE_SQL,
     "embedding_near_dup": _NEAR_DUP_SQL,
     "label_centroids": _CENTROID_SQL,
+    "embedding_norms": _NORMS_SQL,
 }
