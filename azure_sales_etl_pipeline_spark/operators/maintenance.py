@@ -92,6 +92,18 @@ def compact_table(
     oversized file that must split (that one needs the shuffle).
     """
     files = [p for p in Path(path).glob("*.parquet") if not p.name.startswith("_")]
+    if not files:
+        # Hive-partitioned layout (key=value subdirs) or empty table: a
+        # whole-table coalesce would rewrite WITHOUT the partition
+        # columns in the directory structure — silent layout loss.
+        # Partitioned compaction must run per-partition directory.
+        subdirs = [p for p in Path(path).iterdir() if p.is_dir() and "=" in p.name]
+        if subdirs:
+            raise ValueError(
+                f"{path} is Hive-partitioned ({subdirs[0].name}, ...): compact "
+                "each partition directory instead of the table root"
+            )
+        raise ValueError(f"no parquet files found under {path}")
     total = sum(p.stat().st_size for p in files)
     want = max(1, -(-total // target_bytes))  # ceil
     df = read_table(spark, path)

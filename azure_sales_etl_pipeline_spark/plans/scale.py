@@ -79,7 +79,18 @@ def salted_join(
     heavy-hitter keys; cost is n_salts× the small side's shuffle volume.
     Result equals ``big.join(small, key, how)`` exactly (pytest-asserted
     in tests/test_scale.py).
+
+    Only inner/left joins are legal: the small side is REPLICATED once
+    per salt, so right/full joins would emit every unmatched small-side
+    row n_salts times. (Skew-salt the other side instead, or dedup the
+    replicas — neither silently.)
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r}: the "
+            "replicated small side would duplicate unmatched rows under "
+            "right/full joins"
+        )
     salts = F.array(*[F.lit(i) for i in range(n_salts)])
     big_s = big.withColumn("_salt", F.pmod(F.xxhash64(F.col(key)), F.lit(n_salts)))
     small_s = small.withColumn("_salt", F.explode(salts))

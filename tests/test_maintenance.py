@@ -127,3 +127,12 @@ def test_avro_gated_with_clear_error(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="spark-avro is not on the classpath"):
         write_avro(spark.range(3), str(tmp_path / "a"))
+
+
+def test_compact_table_refuses_partitioned_layout(spark, tmp_path):
+    import pytest
+
+    path = str(tmp_path / "parted")
+    spark.range(100).withColumn("p", F.col("id") % 2).write.partitionBy("p").parquet(path)
+    with pytest.raises(ValueError, match="Hive-partitioned"):
+        compact_table(spark, path)

@@ -141,3 +141,12 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
         "event_type = 'purchase'"
     ).count()
     assert n_clicks != 10  # the original partition really was replaced
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 2)], "k int, v int")
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="inner/left joins only"):
+            salted_join(df, df, "k", how=how)
