@@ -106,7 +106,7 @@ def _stub_decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
     return width, height, n_frames
 
 
-def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def media_decode_features_debug(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode: ``mapInPandas`` receives pandas batches,
     runs the (stubbed) decoder per payload, emits a typed feature row.
     ``batch_rows`` exposes the Arrow batch size so tests can assert the
@@ -132,6 +132,14 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return _payloads(spark, sf_dir).mapInPandas(decode, _FEATURE_SCHEMA)
+
+
+def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered decode query: the debug form minus the runtime
+    ``batch_rows`` column, so the output is a pure function of the data
+    and the DuckDB oracle can replay the stub's digest arithmetic
+    (hex-nibble parse of sha256) for a full value hash-check."""
+    return media_decode_features_debug(spark, sf_dir).drop("batch_rows")
 
 
 _FRAME_SCHEMA = StructType(
@@ -195,15 +203,38 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _payloads(spark, sf_dir).mapInPandas(sample, _FRAME_SCHEMA)
 
 
+# The stub decoder derives dimensions from sha256 digest bytes, which
+# DuckDB can replay (hex-nibble parse of the digest string) — so the
+# decode path gets a FULL value oracle despite running through Python
+# mapInPandas. batch_rows (runtime Arrow batch size) is excluded from
+# the registered query and asserted in pytest instead.
+def _hexbyte_sql(pos: int) -> str:
+    """SQL for digest byte at 0-based position `pos` of sha256(text)."""
+    hi = f"strpos('0123456789abcdef', substr(sha256(text), {2 * pos + 1}, 1)) - 1"
+    lo = f"strpos('0123456789abcdef', substr(sha256(text), {2 * pos + 2}, 1)) - 1"
+    return f"(({hi}) * 16 + ({lo}))"
+
+
+_DECODE_SQL = f"""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+           CAST(64 + {_hexbyte_sql(0)} % 192 AS INTEGER) AS width,
+           CAST(64 + {_hexbyte_sql(1)} % 192 AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+                     ELSE 1 + {_hexbyte_sql(2)} % 30 END AS INTEGER) AS n_frames
+    FROM documents
+"""
+
+
 QUERIES = {
     "media_metadata": media_metadata,
     "media_decode_features": media_decode_features,
     "media_frame_sample": media_frame_sample,
 }
 
-# media_decode_features / media_frame_sample use the Python stub decoder
-# → not SQL-expressible; rows-only for the driver, batch/fan-out shape
-# asserted in tests/test_streaming_multimodal.py.
+# media_frame_sample stays rows-only (variable fan-out decided inside
+# the batch); its fan-out/resize invariants are pytest-asserted.
 ORACLES = {
     "media_metadata": _METADATA_SQL,
+    "media_decode_features": _DECODE_SQL,
 }

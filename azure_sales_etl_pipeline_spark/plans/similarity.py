@@ -423,6 +423,43 @@ _NORMS_SQL = """
 """
 
 
+def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible recall gate for the probabilistic ANN paths (the
+    hll_accuracy_check pattern applied to retrieval): overlap of the
+    LSH-forest and IVF top-k with the exact brute-force top-k, reduced
+    to booleans at 0.4 (measured 0.66 / 0.54 at the sf0.01 gate;
+    all three pipelines are deterministic — seeded hyperplanes, seeded
+    centroids — so the booleans are stable, not flaky). The oracle
+    asserts the expected outcome, so a silent retrieval regression
+    breaks the driver's hash instead of hiding in a rows-only row."""
+    truth = ann_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    lsh = (
+        ann_topk_lsh(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .withColumn("lsh_hit", F.lit(1))
+    )
+    ivf = (
+        ann_topk_ivf(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .withColumn("ivf_hit", F.lit(1))
+    )
+    joined = truth.join(lsh, ["query_id", "vec_id"], "left").join(
+        ivf, ["query_id", "vec_id"], "left"
+    )
+    return joined.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        (F.count("lsh_hit") / F.count(F.lit(1)) >= 0.4).alias("lsh_recall_ok"),
+        (F.count("ivf_hit") / F.count(F.lit(1)) >= 0.4).alias("ivf_recall_ok"),
+    )
+
+
+_ANN_RECALL_SQL = f"""
+    SELECT CAST({_N_QUERIES} AS BIGINT) AS n_queries,
+           true AS lsh_recall_ok,
+           true AS ivf_recall_ok
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_lsh": ann_topk_lsh,
@@ -430,6 +467,7 @@ QUERIES = {
     "embedding_near_dup": embedding_near_dup,
     "label_centroids": label_centroids,
     "embedding_norms": embedding_norms,
+    "ann_recall_check": ann_recall_check,
 }
 
 # ann_topk_lsh / ann_topk_ivf are probabilistic (bucket/probe recall) →
@@ -440,4 +478,5 @@ ORACLES = {
     "embedding_near_dup": _NEAR_DUP_SQL,
     "label_centroids": _CENTROID_SQL,
     "embedding_norms": _NORMS_SQL,
+    "ann_recall_check": _ANN_RECALL_SQL,
 }

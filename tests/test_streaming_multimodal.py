@@ -64,11 +64,15 @@ def test_media_metadata_digest_is_content_hash(spark):
 def test_media_decode_runs_in_batches(spark):
     """mapInPandas must receive multi-row Arrow batches (not row-at-a-
     time) and produce deterministic stub dimensions."""
-    feats = media_decode_features(spark, SF_DIR).collect()
+    from azure_sales_etl_pipeline_spark.plans.multimodal import (
+        media_decode_features_debug,
+    )
+
+    feats = media_decode_features_debug(spark, SF_DIR).collect()
     assert len(feats) == 500
     assert max(r["batch_rows"] for r in feats) > 1
     by_id = {r["doc_id"]: r for r in feats}
-    again = {r["doc_id"]: r for r in media_decode_features(spark, SF_DIR).collect()}
+    again = {r["doc_id"]: r for r in media_decode_features_debug(spark, SF_DIR).collect()}
     assert all(
         (by_id[i]["width"], by_id[i]["height"]) == (again[i]["width"], again[i]["height"])
         for i in by_id
