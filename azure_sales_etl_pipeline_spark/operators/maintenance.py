@@ -30,6 +30,19 @@ from pyspark.sql import functions as F
 from .writer import overwrite_table, read_table
 
 
+def _reject_delta_table(path: str, op: str) -> None:
+    """Both operators here treat the path as PLAIN parquet. A Delta table
+    (writer's ``backend='delta'`` seam) keeps tombstoned files at the
+    same root, tracked only by ``_delta_log`` — reading them as plain
+    parquet resurrects deleted rows, and a staged-swap rewrite destroys
+    the log. Refuse loudly instead of corrupting."""
+    if (Path(path) / "_delta_log").exists():
+        raise ValueError(
+            f"{path} is a Delta table (_delta_log present): {op} operates on "
+            "plain-parquet tables only — use Delta's own OPTIMIZE/MERGE"
+        )
+
+
 def merge_aggregate(
     spark: SparkSession,
     mart_path: str,
@@ -59,6 +72,7 @@ def merge_aggregate(
     agg_exprs = [F.sum(c).alias(c) for c in sums] + [
         F.count(F.lit(1)).alias(count_col)
     ]
+    _reject_delta_table(mart_path, "merge_aggregate")
     batch_agg = batch.groupBy(*keys).agg(*agg_exprs)
     if Path(mart_path).exists():
         existing = read_table(spark, mart_path)
@@ -91,6 +105,7 @@ def compact_table(
     are concatenated) and ``repartition`` only when the table is a single
     oversized file that must split (that one needs the shuffle).
     """
+    _reject_delta_table(path, "compact_table")
     files = [p for p in Path(path).glob("*.parquet") if not p.name.startswith("_")]
     if not files:
         # Hive-partitioned layout (key=value subdirs) or empty table: a

@@ -270,9 +270,13 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _MINHASH_K // _LSH_BANDS
     # MinHash over a multiset equals MinHash over its distinct set, so one
     # staged distinct-shingle array serves both the sketch and the verify.
+    # localCheckpoint (eager), not persist(): the blocks release with the
+    # DataFrame instead of pinning executor memory for the session, and
+    # the eager materialization already guarantees the shingle arrays
+    # compute once for both the sketch and the verify stage.
     staged = docs.select(
         "doc_id", F.array_distinct(_shingles(_tokens())).alias("sh")
-    ).persist()
+    ).localCheckpoint()
     # sig[i] inlines into exactly one band hash (Catalyst folds
     # GetArrayItem(CreateArray(...)) to the element), so each of the k
     # array_min computations appears once in the bands projection.
@@ -292,10 +296,10 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band_idx", "band_hash"),
-    ).persist()
-    # Eager materialization: without it the self-join's two scan stages
-    # race to fill the cache and the signature work runs twice.
-    bands.count()
+    ).localCheckpoint()
+    # Eager checkpoint: the self-join's two sides read materialized
+    # blocks, so the k=16 signature lineage computes exactly once with
+    # no dependence on cache-fill races or ReusedExchange.
     cand = (
         bands.alias("x")
         .join(

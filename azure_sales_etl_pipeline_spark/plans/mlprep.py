@@ -157,17 +157,24 @@ def token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens")
     )
-    ranged = docs.repartitionByRange(_SHARD_RANGES, "doc_id").withColumn(
-        "pid", F.spark_partition_id()
+    # The eager localCheckpoint PINS the (pid, row) assignment: the
+    # window branch and the totals branch below both consume `ranged`,
+    # and without materialization each would re-evaluate the range
+    # partitioner independently — whose sampled boundaries are not
+    # guaranteed identical across evaluations, so the offsets could
+    # describe a different pid layout than the cumsum rows (silently
+    # wrong shards). Correctness here must not ride on ReusedExchange.
+    ranged = (
+        docs.repartitionByRange(_SHARD_RANGES, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     local_cum = F.sum("n_tokens").over(
         W.partitionBy("pid").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
     )
     staged = ranged.withColumn("local_cum", local_cum)
-    # Per-partition totals from a plain hash agg on `ranged`, NOT
-    # max(local_cum) on `staged`: the agg branch then skips the window
-    # entirely (map-side partial sums), and its range exchange is
-    # identical to the window branch's, so Spark reuses it.
+    # Per-partition totals from a plain hash agg on the checkpointed
+    # rows (map-side partial sums; no window in this branch).
     totals = ranged.groupBy("pid").agg(F.sum("n_tokens").alias("ptot"))
     offsets = totals.select(
         "pid",

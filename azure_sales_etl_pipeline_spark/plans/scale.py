@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from .temporal import _ASOF_SQL
 
 _N_SALTS = 32
 
@@ -204,15 +205,6 @@ def asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ASOF_COGROUP_SQL = """
-    SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.ts AS last_click_ts,
-           round(epoch(p.ts) - epoch(c.ts), 3) AS secs_since_click
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-      ON p.user_id = c.user_id AND p.ts >= c.ts
-"""
-
-
 _GAPS_SQL = """
     WITH gaps AS (
         SELECT user_id,
@@ -235,5 +227,7 @@ QUERIES = {
 ORACLES = {
     "salted_event_type_counts": _SALTED_SQL,
     "user_event_gaps": _GAPS_SQL,
-    "asof_join_cogroup": _ASOF_COGROUP_SQL,
+    # Same semantics, same oracle — shared with the window-based as-of so
+    # a future oracle fix cannot drift between the two engine paths.
+    "asof_join_cogroup": _ASOF_SQL,
 }

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -421,19 +422,53 @@ def streaming_mart(
     via ``operators.maintenance.merge_aggregate`` — the streaming-native
     replacement for the reference's full gold rebuild per run
     (3_Silver_to_Gold.py:60-133). Because merge_aggregate only accepts
-    mergeable (commutative-monoid) aggregates, replay-protected batches
-    compose associatively: stream(batches) ≡ batch(union) exactly
+    mergeable (commutative-monoid) aggregates, batches compose
+    associatively: stream(batches) ≡ batch(union) exactly
     (tests/test_streaming_scd2.py). History is never re-scanned; each
     batch costs one shuffle of the batch plus a read of the (small)
-    mart."""
+    mart.
+
+    Replay protection: ``foreachBatch`` is at-least-once, and folding a
+    sum twice is NOT idempotent — so the sink records
+    (checkpoint, batch_id) in a commit marker next to the mart and
+    skips any batch at-or-below the recorded id (crash between the mart
+    swap and the stream's own commit → restart redelivers the batch →
+    marker says it already landed). A DIFFERENT checkpoint against an
+    existing mart is refused loudly: with fresh stream state every file
+    would replay into already-folded aggregates.
+    """
+    import json
+
     from .operators.maintenance import merge_aggregate
 
     checkpoint = checkpoint or tempfile.mkdtemp(prefix="mart_ckpt_")
+    marker = Path(mart_path + "._mart_commit")
+    if marker.exists():
+        committed = json.loads(marker.read_text())
+        if committed["checkpoint"] != checkpoint:
+            raise ValueError(
+                f"mart {mart_path} was built from checkpoint "
+                f"{committed['checkpoint']!r}; running it under "
+                f"{checkpoint!r} would replay already-folded batches — "
+                "reuse the original checkpoint or start a fresh mart path"
+            )
+    else:
+        committed = {"checkpoint": checkpoint, "batch_id": -1}
+        if Path(mart_path).exists():
+            raise ValueError(
+                f"mart {mart_path} exists but has no commit marker — "
+                "refusing to fold stream batches into a mart of unknown "
+                "provenance"
+            )
     src = spark.readStream.schema(schema).option("header", "true").csv(source_glob)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= committed["batch_id"]:
+            return  # redelivered batch: already folded into the mart
         if not batch_df.isEmpty():
             merge_aggregate(spark, mart_path, batch_df, keys=keys, sums=sums)
+        committed["batch_id"] = batch_id
+        marker.write_text(json.dumps(committed))
 
     q = (
         src.writeStream.foreachBatch(sink)

@@ -122,12 +122,15 @@ def test_salted_counts_two_phase_aggregate(spark):
 
 def test_token_shards_prefix_sum_is_distributed(spark):
     """The two-phase prefix sum must keep the data-sized window
-    partitioned (range partition -> per-pid window); the ONLY
-    single-partition step is the window over the tiny per-partition
-    totals, and the offsets come back via broadcast."""
+    partitioned (per-pid window over the checkpointed range layout);
+    the ONLY single-partition step is the window over the tiny
+    per-partition totals, and the offsets come back via broadcast.
+    (The range exchange itself happens at the eager checkpoint, before
+    this plan — which is the point: both consumers read one pinned
+    layout instead of re-evaluating the partitioner.)"""
     from azure_sales_etl_pipeline_spark.plans.mlprep import token_budget_shards
 
     plan = plan_of(token_budget_shards(spark, SF_DIR))
-    assert "rangepartitioning" in plan
+    assert "hashpartitioning(pid" in plan, plan
     assert plan.count("Arguments: SinglePartition") <= 1, plan
     assert "BroadcastExchange" in plan

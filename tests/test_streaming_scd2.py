@@ -122,3 +122,26 @@ def test_streaming_mart_matches_batch_aggregate(spark, tmp_path):
     )
     want = sorted((r["day"], round(r["amount"], 2), r["n"]) for r in full.collect())
     assert got == want
+
+
+def test_streaming_mart_refuses_foreign_checkpoint(spark, tmp_path):
+    """A fresh checkpoint against an existing mart would replay every
+    file into already-folded aggregates — must refuse, not double."""
+    import pytest
+
+    from azure_sales_etl_pipeline_spark.streaming import streaming_mart
+
+    schema = T.StructType(
+        [T.StructField("day", T.StringType()), T.StructField("amount", T.DoubleType())]
+    )
+    src = tmp_path / "facts"
+    spark.createDataFrame(
+        [("2024-01-01", 1.0)], "day string, amount double"
+    ).coalesce(1).write.option("header", "true").csv(str(src / "f1"))
+    mart = str(tmp_path / "mart")
+    glob = str(src) + "/*"
+    streaming_mart(spark, glob, schema, mart, keys=["day"], sums=["amount"],
+                   checkpoint=str(tmp_path / "ckpt_a"))
+    with pytest.raises(ValueError, match="replay already-folded"):
+        streaming_mart(spark, glob, schema, mart, keys=["day"], sums=["amount"],
+                       checkpoint=str(tmp_path / "ckpt_b"))
