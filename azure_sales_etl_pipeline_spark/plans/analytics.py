@@ -82,22 +82,37 @@ def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs before schema-on-read hardens into real columns."""
     events = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("bigint")
-    return events.groupBy("event_type").agg(
+    agg = events.groupBy("event_type").agg(
         F.count(k).alias("n_with_k"),
         F.sum(k).alias("k_total"),
-        F.round(F.avg(k), 4).alias("k_avg"),
         F.max(k).alias("k_max"),
+    )
+    # Mean emitted as an EXACT scaled integer (mean × 10⁴, floored):
+    # pure bigint arithmetic on both sides, so the driver's hash layer
+    # never sees a float to canonicalize (the r03 hash fail on this
+    # query was a double `round(avg(bigint), 4)`).
+    return agg.select(
+        "event_type",
+        "n_with_k",
+        "k_total",
+        F.expr("CAST(k_total * 10000 DIV n_with_k AS BIGINT)").alias("k_avg_e4"),
+        "k_max",
     )
 
 
 _JSON_SQL = """
-    SELECT event_type,
-           count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
-           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS k_avg,
-           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
-    FROM events
-    GROUP BY ALL
+    WITH agg AS (
+        SELECT event_type,
+               count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
+               max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+        FROM events
+        GROUP BY ALL
+    )
+    SELECT event_type, n_with_k, k_total,
+           CAST((k_total * 10000) // n_with_k AS BIGINT) AS k_avg_e4,
+           k_max
+    FROM agg
 """
 
 

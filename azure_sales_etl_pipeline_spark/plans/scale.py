@@ -27,6 +27,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from .temporal import _ASOF_SQL
@@ -148,6 +149,26 @@ def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_event_gaps_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of ``user_event_gaps``: median-of-gaps is
+    expressible entirely JVM-side — a ``lag`` window for the gap, then
+    ``percentile(gap, 0.5)`` per user — so no Arrow transfer, no Python
+    workers, whole-stage codegen end-to-end. Same single shuffle on
+    user_id as the grouped-map form, which stays registered as the
+    documented applyInPandas escape-hatch demo (the same twin pattern as
+    ``purchase_attribution_asof`` / ``asof_join_cogroup``)."""
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("double")
+    gaps = events.select(
+        "user_id", (epoch - F.lag(epoch).over(w)).alias("gap")
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.expr("percentile(gap, 0.5)"), 3).alias("median_gap_s"),
+    )
+
+
 def asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch as-of attribution via the two-sided Pandas API:
     ``groupBy().cogroup().applyInPandas`` delivers each user's purchases
@@ -221,12 +242,15 @@ _GAPS_SQL = """
 QUERIES = {
     "salted_event_type_counts": salted_event_type_counts,
     "user_event_gaps": user_event_gaps,
+    "user_event_gaps_window": user_event_gaps_window,
     "asof_join_cogroup": asof_join_cogroup,
 }
 
 ORACLES = {
     "salted_event_type_counts": _SALTED_SQL,
     "user_event_gaps": _GAPS_SQL,
+    # JVM twin: identical semantics, shared oracle — drift-proof.
+    "user_event_gaps_window": _GAPS_SQL,
     # Same semantics, same oracle — shared with the window-based as-of so
     # a future oracle fix cannot drift between the two engine paths.
     "asof_join_cogroup": _ASOF_SQL,

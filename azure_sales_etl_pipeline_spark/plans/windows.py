@@ -42,31 +42,42 @@ def top_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     key with map-side combine), THEN window on the much smaller
     per-(supplier, part) grain — never window over raw line items."""
     li = load_table(spark, sf_dir, "lineitem").select(
-        "l_suppkey", "l_partkey", _revenue().alias("rev")
+        "l_suppkey",
+        "l_partkey",
+        # Money must be EXACT end-to-end: the per-row revenue has exactly
+        # 4 decimal digits (2dp price × 2dp discount factor), so the
+        # double→DECIMAL(18,4) cast is unambiguous (never near a tie),
+        # and the decimal sum is order-independent. A double sum here
+        # produced a one-cent round-half divergence vs the oracle at
+        # sf0.01 (185899.54 vs .55) — the exact bug DECIMAL removes.
+        _revenue().cast("decimal(18,4)").alias("rev"),
     )
     per_part = li.groupBy("l_suppkey", "l_partkey").agg(
-        F.round(F.sum("rev"), 2).alias("part_revenue")
+        # Emit cents as BIGINT so no fractional value reaches the
+        # driver's hash layer at all.
+        (F.round(F.sum("rev"), 2) * 100).cast("bigint").alias("part_revenue_cents")
     )
     w = Window.partitionBy("l_suppkey").orderBy(
-        F.col("part_revenue").desc(), F.col("l_partkey")
+        F.col("part_revenue_cents").desc(), F.col("l_partkey")
     )
     return (
         per_part.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= 3)
-        .select("l_suppkey", "l_partkey", "part_revenue", "rank")
+        .select("l_suppkey", "l_partkey", "part_revenue_cents", "rank")
     )
 
 
 _TOP_PARTS_SQL = """
     WITH per_part AS (
         SELECT l_suppkey, l_partkey,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_revenue
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) * 100
+                    AS BIGINT) AS part_revenue_cents
         FROM lineitem
         GROUP BY l_suppkey, l_partkey
     )
-    SELECT l_suppkey, l_partkey, part_revenue,
+    SELECT l_suppkey, l_partkey, part_revenue_cents,
            CAST(row_number() OVER (PARTITION BY l_suppkey
-                                   ORDER BY part_revenue DESC, l_partkey) AS BIGINT) AS rank
+                                   ORDER BY part_revenue_cents DESC, l_partkey) AS BIGINT) AS rank
     FROM per_part
     QUALIFY rank <= 3
 """

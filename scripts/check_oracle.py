@@ -2,14 +2,28 @@
 
 Runs every ``queries()`` entry at the given sf dir and compares against
 its ``oracle_sql()`` DuckDB result: row count, column names, and an
-order-insensitive value hash (rows sorted, columns sorted by name,
-floats rounded). Usage:  python scripts/check_oracle.py [sf_dir] [name...]
+order-insensitive value hash (rows sorted, columns sorted by name).
+
+Floats are compared at FULL precision (``repr`` — shortest round-trip
+form). Round 3 proved the old ``%.6g`` normalization masks cent-level
+divergence on 7-digit money values (`top_parts_per_supplier` shipped a
+driver hash-fail that this replica printed PASS for). A strict mismatch
+is re-checked under a 1e-9 relative epsilon purely to CLASSIFY it:
+
+- ``FAIL(eps)``  — values differ beyond epsilon: a real bug.
+- ``FRAGILE``    — values agree within epsilon but not bit-exactly:
+  the query emits floats whose last-ulp behavior differs between
+  engines, and the driver's hash may or may not forgive it. Treat as a
+  fix-me (convert the column to DECIMAL / scaled BIGINT), not a pass.
+
+Usage:  python scripts/check_oracle.py [sf_dir] [name...] [--vanilla] [--time]
 """
 
 from __future__ import annotations
 
 import math
 import sys
+import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
@@ -20,6 +34,8 @@ from __spark_entry__ import oracle_sql, queries
 from azure_sales_etl_pipeline_spark.catalog import TESTDATA_TABLES, table_path
 from azure_sales_etl_pipeline_spark.session import get_spark
 
+_REL_EPS = 1e-9
+
 
 def norm_cell(v):
     if v is None:
@@ -27,7 +43,9 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.6g}"
+        # repr() is the shortest string that round-trips the exact
+        # double — full precision, unlike %.6g which hid cent errors.
+        return repr(v)
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
@@ -39,14 +57,35 @@ def canon(rows, cols):
     return out
 
 
+def _cells_close(a: str, b: str) -> bool:
+    """True when two normalized cells agree within _REL_EPS (used only
+    to classify a strict mismatch, never to pass one)."""
+    if a == b:
+        return True
+    try:
+        x, y = float(a), float(b)
+    except ValueError:
+        return False
+    if math.isnan(x) or math.isnan(y):
+        return False
+    return math.isclose(x, y, rel_tol=_REL_EPS, abs_tol=1e-12)
+
+
+def _rows_close(a, b) -> bool:
+    return len(a) == len(b) and all(
+        _cells_close(x, y) for ra, rb in zip(a, b) for x, y in zip(ra, rb)
+    )
+
+
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     # --vanilla replicates the DRIVER'S environment: a bare SparkSession
     # with none of the engine session defaults. Round 2 shipped a bug
     # invisible to every in-repo check precisely because only the driver
     # used a vanilla session (events nanos crash) — run this mode before
     # relying on a green sweep.
     vanilla = "--vanilla" in sys.argv[1:]
+    timing = "--time" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     only = set(args[1:])
     if vanilla:
@@ -60,10 +99,11 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
 
     qs, os_ = queries(), oracle_sql()
-    failures = 0
+    failures = fragiles = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.monotonic()
         try:
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
@@ -72,8 +112,10 @@ def main() -> int:
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
             failures += 1
             continue
+        elapsed = time.monotonic() - t0
+        suffix = f" [{elapsed:.2f}s]" if timing else ""
         if name not in os_:
-            print(f"OK?  {name}: rows-only ({len(srows)} rows, no oracle)")
+            print(f"OK?  {name}: rows-only ({len(srows)} rows, no oracle){suffix}")
             continue
         try:
             res = con.execute(os_[name])
@@ -94,13 +136,22 @@ def main() -> int:
         a, b = canon(srows, scols), canon(orows, ocols)
         if a != b:
             diff = next(i for i, (x, y) in enumerate(zip(a, b)) if x != y)
-            print(f"FAIL {name}: value mismatch at sorted row {diff}:")
+            if _rows_close(a, b):
+                fragiles += 1
+                print(
+                    f"FRAGILE {name}: floats agree only within eps "
+                    f"(driver hash at risk) at sorted row {diff}:"
+                )
+            else:
+                failures += 1
+                print(f"FAIL(eps) {name}: value mismatch at sorted row {diff}:")
             print(f"  spark : {a[diff]}")
             print(f"  oracle: {b[diff]}")
-            failures += 1
             continue
-        print(f"PASS {name} ({len(srows)} rows)")
+        print(f"PASS {name} ({len(srows)} rows){suffix}")
     spark.stop()
+    if fragiles:
+        print(f"-- {fragiles} FRAGILE (eps-only float agreement; convert to exact types)")
     return 1 if failures else 0
 
 
