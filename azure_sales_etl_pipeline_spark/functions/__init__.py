@@ -7,10 +7,21 @@ likewise UDF-free: SURVEY.md §2.8).
 
 from __future__ import annotations
 
+import datetime as dt
 from collections.abc import Sequence
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+
+def utcnow_naive() -> dt.datetime:
+    """Driver-side naive-UTC now — the default injectable clock for
+    audit/effective timestamps (reference F1/F13: ``@utcnow()``,
+    adf/pipeline.json:232). ``dt.datetime.utcnow`` is deprecated since
+    Python 3.12; this is the supported equivalent with identical output
+    (naive, so Spark TimestampType literals don't shift by session TZ).
+    """
+    return dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
 
 
 def hash_diff(cols: Sequence[str]) -> Column:

@@ -50,6 +50,7 @@ def merge_aggregate(
     keys: list[str],
     sums: list[str],
     count_col: str = "n_rows",
+    commit_meta: dict | None = None,
 ) -> DataFrame:
     """Incrementally maintain a grouped aggregate: fold ``batch`` into
     the mart at ``mart_path`` keyed on ``keys``, where the mart carries
@@ -85,7 +86,9 @@ def merge_aggregate(
     # overwrite_table writes to a staging dir first and swaps after the
     # job completes, so reading mart_path inside the plan is safe — the
     # mart stays readable until the new version replaces it wholesale.
-    overwrite_table(merged, mart_path)
+    # commit_meta (e.g. a streaming sink's folded batch_id) rides inside
+    # the same swap, so mart version and marker commit atomically.
+    overwrite_table(merged, mart_path, commit_meta=commit_meta)
     return read_table(spark, mart_path)
 
 

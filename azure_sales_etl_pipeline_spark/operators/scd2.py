@@ -9,8 +9,14 @@ Semantics (faithful to the reference):
   CASE classification INSERT / UPDATE / NO CHANGE (J1, P7, T5)
 - UPDATE expires the old version (is_current=false, end_date=now) and
   appends a new current version; INSERT appends a first version (T6)
-- deletes are detected (target-only rows) but not acted on — the
-  reference marks them "Optional / not implemented" (README.MD:141)
+- deletes are detected (target-only rows) and, by default, not acted
+  on — the reference marks them "Optional / not implemented"
+  (README.MD:141). ``on_delete="expire"`` opts into closing that gap:
+  ABSENT keys get their current version expired (is_current=false,
+  end_date=now) with no successor row — the standard soft-delete SCD2
+  answer. Only valid when each batch is a FULL snapshot of the source
+  (absence means deletion); incremental CDC batches must keep the
+  default, where absence just means "no change arrived".
 
 Deliberate divergence: the reference's expire-then-append is TWO Delta
 commits with a corruption window between them (SURVEY.md §3). On plain
@@ -49,7 +55,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table_exists
-from ..functions import hash_diff
+from ..functions import hash_diff, utcnow_naive
 from .writer import overwrite_table, read_table
 
 SCD_COLS = ("hash", "is_current", "effective_date", "end_date")
@@ -62,7 +68,14 @@ class SCD2Table:
     ``on_insert``: optional side-output callback receiving the INSERT-
     action rows (the reference's new-customers-for-emailing hook,
     2_Bronze_to_Silver.py:108-119 / T7). Called only when inserts exist.
+
+    ``on_delete``: ``"ignore"`` (default — faithful to the reference's
+    documented non-handling, README.MD:141) or ``"expire"`` (full-
+    snapshot batches: keys absent from the batch get their current
+    version expired). See module docstring.
     """
+
+    ON_DELETE_MODES = ("ignore", "expire")
 
     def __init__(
         self,
@@ -73,14 +86,20 @@ class SCD2Table:
         clock: Callable[[], dt.datetime] | None = None,
         on_insert: Callable[[DataFrame], None] | None = None,
         n_buckets: int | None = None,
+        on_delete: str = "ignore",
     ):
+        if on_delete not in self.ON_DELETE_MODES:
+            raise ValueError(
+                f"on_delete must be one of {self.ON_DELETE_MODES}, got {on_delete!r}"
+            )
         self.spark = spark
         self.path = path
         self.key = business_key
         self.tracked_cols = list(tracked_cols) if tracked_cols else None
-        self.clock = clock or dt.datetime.utcnow
+        self.clock = clock or utcnow_naive
         self.on_insert = on_insert
         self.n_buckets = n_buckets
+        self.on_delete = on_delete
 
     def _bucket_of(self, key_col: Column) -> Column:
         return F.pmod(F.xxhash64(key_col), F.lit(self.n_buckets)).cast("int")
@@ -137,7 +156,10 @@ class SCD2Table:
             n = first.count()
             if self.on_insert is not None and n:
                 self.on_insert(source)
-            return {"insert": n, "update": 0, "no_change": 0}
+            stats0 = {"insert": n, "update": 0, "no_change": 0}
+            if self.on_delete == "expire":
+                stats0["deleted"] = 0
+            return stats0
 
         target = self.history().cache()
         tgt_current = target.where(F.col("is_current"))
@@ -162,24 +184,42 @@ class SCD2Table:
         }
         n_insert = counts.get("INSERT", 0)
         n_update = counts.get("UPDATE", 0)
+        # ABSENT rows become deletions only in "expire" mode; in the
+        # default mode they're detected-but-unacted (reference parity).
+        n_delete = counts.get("ABSENT", 0) if self.on_delete == "expire" else 0
         stats = {
             "insert": n_insert,
             "update": n_update,
             "no_change": counts.get("NO CHANGE", 0),
         }
-        if n_insert == 0 and n_update == 0:
+        if self.on_delete == "expire":
+            stats["deleted"] = n_delete
+        if n_insert == 0 and n_update == 0 and n_delete == 0:
             classified.unpersist()
             target.unpersist()
             return stats
 
-        changed_keys = classified.where(F.col("__action").isin("INSERT", "UPDATE")).select("__key")
-        expire_keys = classified.where(F.col("__action") == "UPDATE").select("__key").distinct()
+        # Keys whose bucket/table content changes this batch: new-version
+        # keys plus (expire mode) deleted keys. Source has no rows for
+        # ABSENT keys, so including them in the new-versions semi-join is
+        # a no-op — one key set serves both purposes.
+        expire_actions = ("UPDATE", "ABSENT") if self.on_delete == "expire" else ("UPDATE",)
+        changed_keys = classified.where(
+            F.col("__action").isin("INSERT", *expire_actions)
+        ).select("__key")
+        expire_keys = (
+            classified.where(F.col("__action").isin(*expire_actions))
+            .select("__key")
+            .distinct()
+        )
 
         # New current versions: source rows whose key is INSERT or UPDATE
         # (the reference's select("s.*") after filtering actions, :122).
         new_versions = self._with_scd(
             source.join(
-                F.broadcast(changed_keys) if n_insert + n_update < 1_000_000 else changed_keys,
+                F.broadcast(changed_keys)
+                if n_insert + n_update + n_delete < 1_000_000
+                else changed_keys,
                 source[self.key] == F.col("__key"),
                 "left_semi",
             ),

@@ -64,13 +64,39 @@ def create_table(df: DataFrame, path: str, backend: str = "parquet") -> None:
     df.write.format(resolve_backend(backend)).mode("errorifexists").save(path)
 
 
-def overwrite_table(df: DataFrame, path: str, backend: str = "parquet") -> None:
+#: Name of the commit-metadata file ``overwrite_table`` stages inside the
+#: table directory. Underscore-prefixed so Spark's hidden-file filter
+#: keeps it out of scans.
+COMMIT_META_NAME = "_commit.json"
+
+
+def overwrite_table(
+    df: DataFrame,
+    path: str,
+    backend: str = "parquet",
+    commit_meta: dict | None = None,
+) -> None:
     """Full refresh (S7) with staged swap — never a torn table.
 
+    ``commit_meta`` (optional) is a JSON-able dict written to
+    ``_commit.json`` INSIDE the staged directory before the swap, so the
+    new table version and its metadata become visible in the SAME atomic
+    rename. This is the transactional seam replay guards need: a sink
+    that records "batch N is folded in" anywhere outside the swapped
+    directory has a crash window between data commit and marker commit
+    (the round-3 streaming_mart bug).
+
     Delta backend: the transaction log makes overwrite atomic natively,
-    so no staging dance is needed.
+    so no staging dance is needed. ``commit_meta`` is refused there —
+    Delta's own ``txnAppId``/``txnVersion`` is the native form of the
+    same idea and a loose side file would reintroduce the torn window.
     """
     if resolve_backend(backend) == "delta":
+        if commit_meta is not None:
+            raise ValueError(
+                "commit_meta is parquet-backend only; on Delta use the "
+                "transaction log's txnAppId/txnVersion for idempotent commits"
+            )
         df.write.format("delta").mode("overwrite").option(
             "overwriteSchema", "true"
         ).save(path)
@@ -79,11 +105,26 @@ def overwrite_table(df: DataFrame, path: str, backend: str = "parquet") -> None:
     tmp = Path(tempfile.mkdtemp(dir=str(p.parent) if p.parent.exists() else None, prefix=".stage_"))
     stage = tmp / "data"
     df.write.mode("overwrite").parquet(str(stage))
+    if commit_meta is not None:
+        import json
+
+        (stage / COMMIT_META_NAME).write_text(json.dumps(commit_meta))
     if p.exists():
         shutil.rmtree(p)
     p.parent.mkdir(parents=True, exist_ok=True)
     shutil.move(str(stage), str(p))
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def read_commit_meta(path: str) -> dict | None:
+    """Read the ``commit_meta`` dict the last ``overwrite_table`` staged
+    into ``path``, or None if the table has none (or doesn't exist)."""
+    f = Path(path) / COMMIT_META_NAME
+    if not f.exists():
+        return None
+    import json
+
+    return json.loads(f.read_text())
 
 
 def append_evolve(
@@ -115,6 +156,35 @@ def append_evolve(
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     """Read an engine-managed table with schema merge across appends."""
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    quote_all: bool = True,
+    header: bool = True,
+    sep: str = ",",
+    mode: str = "overwrite",
+) -> None:
+    """CSV landing sink (S12) with ADF DelimitedTextSink parity: the
+    reference's Copy activity writes every text field quoted
+    (adf/pipeline.json:135-145, ``quoteAllText: true``), so values with
+    embedded delimiters/newlines round-trip safely. ``quote_all=True``
+    mirrors that default; Spark's own default quotes only when needed,
+    which is also available (``quote_all=False``) since either form
+    re-parses identically."""
+    (
+        df.write.option("header", str(header).lower())
+        .option("quoteAll", str(quote_all).lower())
+        .option("sep", sep)
+        # Spark's CSV WRITER trims leading/trailing whitespace by default
+        # (ignore*WhiteSpace=true) — silent data mutation in a landing
+        # file. The quoted form preserves spacing exactly, as ADF does.
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .mode(mode)
+        .csv(path)
+    )
 
 
 # ---------------------------------------------------------------------------

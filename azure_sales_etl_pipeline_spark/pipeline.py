@@ -26,6 +26,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import LayerCatalog, table_exists
+from .functions import utcnow_naive
 from .operators.scd2 import SCD2Table
 from .operators.watermark import WatermarkStore
 from .operators.writer import read_table
@@ -62,7 +63,7 @@ class MedallionPipeline:
         self.spark = spark
         self.catalog = LayerCatalog(root)
         self.tables = tables
-        self.clock = clock or dt.datetime.utcnow
+        self.clock = clock or utcnow_naive
         self.on_insert = on_insert or {}
         self.watermarks = WatermarkStore(spark, self.catalog.path("state", "watermarks"))
         self.ingestor = CsvIngestor(spark, str(self.catalog.layer_root("bronze")), clock=self.clock)

@@ -26,6 +26,7 @@ from ..catalog import load_table
 
 _T1 = dt.datetime(2024, 1, 1)
 _T2 = dt.datetime(2024, 2, 1)
+_T3 = dt.datetime(2024, 3, 1)
 
 
 # ---------------------------------------------------------------------------
@@ -124,6 +125,110 @@ _SCD2_HISTORY_SQL = f"""
 
 
 # ---------------------------------------------------------------------------
+# SCD2 delete handling (closes the reference's README.MD:141 "Optional /
+# not implemented" gap via the opt-in on_delete="expire" mode)
+# ---------------------------------------------------------------------------
+
+
+def scd2_delete_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three full-snapshot batches through ``SCD2Table(on_delete=
+    "expire")``; returns the full version history.
+
+    batch1 (_T1): customers with key % 4 == 0
+    batch2 (_T2): drops key % 3 == 0 (DELETED → expired, no successor);
+                  rewrites mktsegment to 'CHANGED' for key % 5 == 0
+    batch3 (_T3): batch2 plus the deleted keys re-added as 'REBORN'
+                  (delete → reinsert round-trip: the expired row stays,
+                  a fresh current version appends)
+
+    Expected end state (oracle recomputes declaratively):
+    - key%3!=0, %5!=0 → one untouched current row (_T1)
+    - key%3!=0, %5==0 → expired (_T1.._T2) + current 'CHANGED' (_T2)
+    - key%3==0        → expired (_T1.._T2, the deletion) + current
+                        'REBORN' (_T3)
+    """
+    from ..operators.scd2 import SCD2Table
+
+    base = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 4 == 0)
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+    kept = F.col("c_custkey") % 3 != 0
+    b2 = base.where(kept).select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("CHANGED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    b3 = b2.unionByName(
+        base.where(~kept).select(
+            "c_custkey", "c_name", F.lit("REBORN").alias("c_mktsegment")
+        )
+    )
+
+    tmp = tempfile.mkdtemp(prefix="scd2_del_q_")
+    try:
+        clock = [_T1]
+        dim = SCD2Table(
+            spark,
+            f"{tmp}/dim_customer",
+            "c_custkey",
+            clock=lambda: clock[0],
+            on_delete="expire",
+        )
+        dim.upsert(base)
+        clock[0] = _T2
+        dim.upsert(b2)
+        clock[0] = _T3
+        dim.upsert(b3)
+        hist = dim.history().select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            "is_current",
+            "effective_date",
+            "end_date",
+        )
+        return hist.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_SCD2_DELETE_SQL = f"""
+    WITH k AS (
+        SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey % 4 = 0
+    )
+    -- never-touched keys: one current row from batch1
+    SELECT c_custkey, c_name, c_mktsegment,
+           true AS is_current,
+           TIMESTAMP '{_T1:%Y-%m-%d %H:%M:%S}' AS effective_date,
+           NULL::TIMESTAMP AS end_date
+    FROM k WHERE c_custkey % 3 != 0 AND c_custkey % 5 != 0
+    UNION ALL
+    -- changed keys: expired v1 + current CHANGED v2
+    SELECT c_custkey, c_name, c_mktsegment,
+           false, TIMESTAMP '{_T1:%Y-%m-%d %H:%M:%S}', TIMESTAMP '{_T2:%Y-%m-%d %H:%M:%S}'
+    FROM k WHERE c_custkey % 3 != 0 AND c_custkey % 5 = 0
+    UNION ALL
+    SELECT c_custkey, c_name, 'CHANGED',
+           true, TIMESTAMP '{_T2:%Y-%m-%d %H:%M:%S}', NULL
+    FROM k WHERE c_custkey % 3 != 0 AND c_custkey % 5 = 0
+    UNION ALL
+    -- deleted keys: expiry tombstone (no successor at _T2) ...
+    SELECT c_custkey, c_name, c_mktsegment,
+           false, TIMESTAMP '{_T1:%Y-%m-%d %H:%M:%S}', TIMESTAMP '{_T2:%Y-%m-%d %H:%M:%S}'
+    FROM k WHERE c_custkey % 3 = 0
+    UNION ALL
+    -- ... then reborn as a fresh current version at _T3
+    SELECT c_custkey, c_name, 'REBORN',
+           true, TIMESTAMP '{_T3:%Y-%m-%d %H:%M:%S}', NULL
+    FROM k WHERE c_custkey % 3 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # Watermark two-batch window (T1-T3, A5, F11)
 # ---------------------------------------------------------------------------
 
@@ -213,12 +318,14 @@ _INGEST_SQL = f"""
 
 QUERIES = {
     "scd2_two_batch_history": scd2_two_batch_history,
+    "scd2_delete_expiry": scd2_delete_expiry,
     "watermark_incremental_batch": watermark_incremental_batch,
     "ingest_schema_evolution": ingest_schema_evolution,
 }
 
 ORACLES = {
     "scd2_two_batch_history": _SCD2_HISTORY_SQL,
+    "scd2_delete_expiry": _SCD2_DELETE_SQL,
     "watermark_incremental_batch": _WM_BATCH_SQL,
     "ingest_schema_evolution": _INGEST_SQL,
 }

@@ -379,6 +379,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = updated.select("doc_id", F.col("new_cluster_id").alias("cluster_id"))
         if changed == 0:
             break
+    else:
+        # Pointer doubling converges in O(log2 diameter) rounds, so
+        # _CC_MAX_ITERS=8 covers component diameters up to ~2^8. Past
+        # that, returning the partial labels would silently mislabel
+        # docs (ADVICE r3) — fail loudly instead; callers with deeper
+        # graphs raise the bound.
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {_CC_MAX_ITERS} pointer-"
+            f"doubling rounds ({changed} labels still changing): component "
+            f"diameter exceeds ~2^{_CC_MAX_ITERS}; raise _CC_MAX_ITERS"
+        )
     singletons = all_docs.join(labels.select("doc_id"), "doc_id", "left_anti").select(
         "doc_id", F.col("doc_id").alias("cluster_id")
     )

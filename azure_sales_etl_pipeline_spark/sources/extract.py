@@ -17,6 +17,8 @@ import datetime as dt
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import utcnow_naive
+
 
 def window_predicate(ts_col: str, lower: dt.datetime, upper: dt.datetime) -> str:
     """The reference's half-open window ``(lower, upper]`` as SQL text
@@ -54,7 +56,7 @@ def incremental_extract(
     if jdbc_url is not None:
         if table is None or (spark is None and reader is None):
             raise ValueError("JDBC extract needs table + (spark or reader)")
-        upper = upper or dt.datetime.utcnow()
+        upper = upper or utcnow_naive()
         query = f"SELECT * FROM {table} WHERE {window_predicate(ts_col, lower, upper)}"
         rd = reader if reader is not None else spark.read
         return rd.format("jdbc").option("url", jdbc_url).option("query", query).load()

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from ..catalog import table_exists
+from ..functions import utcnow_naive
 from ..operators.writer import append_evolve, read_table
 
 AUDIT_COLS = ("ingestion_timestamp", "source_file")
@@ -62,7 +63,7 @@ class CsvIngestor:
     ):
         self.spark = spark
         self.bronze_root = Path(bronze_root)
-        self.clock = clock or dt.datetime.utcnow
+        self.clock = clock or utcnow_naive
 
     def bronze_path(self, table: str) -> str:
         return str(self.bronze_root / table)

@@ -294,8 +294,13 @@ def stream_user_totals_custom_state(spark: SparkSession, sf_dir: str) -> DataFra
     by user — partitioned across executors, nothing driver-side, so the
     operator scales with the key space like any keyed agg.
 
-    Under AvailableNow the whole file drains as one batch, every user
-    emits exactly once, and the batch GROUP BY is the exact oracle.
+    Update mode emits one row per user per micro-batch it appears in;
+    the final emission carries the cumulative totals, so after draining
+    we keep only each user's LAST update (max n_events — strictly
+    increasing per user across batches). That makes the batch GROUP BY
+    an exact oracle regardless of how the source splits into
+    micro-batches (multiple files / maxFilesPerTrigger), not just in
+    the single-batch AvailableNow case (ADVICE r3).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -353,7 +358,15 @@ def stream_user_totals_custom_state(spark: SparkSession, sf_dir: str) -> DataFra
         )
     )
     _drain_to_memory(folded, "stream_user_totals_custom_state", mode="update")
-    return spark.table("stream_user_totals_custom_state")
+    from pyspark.sql.window import Window
+
+    sink = spark.table("stream_user_totals_custom_state")
+    last = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        sink.withColumn("_rn", F.row_number().over(last))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 STREAM_CUSTOM_STATE_SQL = """
@@ -430,21 +443,23 @@ def streaming_mart(
 
     Replay protection: ``foreachBatch`` is at-least-once, and folding a
     sum twice is NOT idempotent — so the sink records
-    (checkpoint, batch_id) in a commit marker next to the mart and
-    skips any batch at-or-below the recorded id (crash between the mart
-    swap and the stream's own commit → restart redelivers the batch →
-    marker says it already landed). A DIFFERENT checkpoint against an
-    existing mart is refused loudly: with fresh stream state every file
-    would replay into already-folded aggregates.
+    (checkpoint, batch_id) in a commit marker stored INSIDE the mart
+    directory and committed by the SAME atomic rename that swaps the
+    mart version in (``overwrite_table(commit_meta=...)``). Mart data
+    and folded-batch id can therefore never disagree: a crash at any
+    point leaves either the old version (old marker — restart refolds
+    the batch, correctly) or the new version (new marker — restart
+    skips, correctly). There is no window where the batch is folded but
+    unrecorded, and no torn marker file. A DIFFERENT checkpoint against
+    an existing mart is refused loudly: with fresh stream state every
+    file would replay into already-folded aggregates.
     """
-    import json
-
     from .operators.maintenance import merge_aggregate
+    from .operators.writer import read_commit_meta
 
     checkpoint = checkpoint or tempfile.mkdtemp(prefix="mart_ckpt_")
-    marker = Path(mart_path + "._mart_commit")
-    if marker.exists():
-        committed = json.loads(marker.read_text())
+    committed = read_commit_meta(mart_path)
+    if committed is not None:
         if committed["checkpoint"] != checkpoint:
             raise ValueError(
                 f"mart {mart_path} was built from checkpoint "
@@ -466,9 +481,18 @@ def streaming_mart(
         if batch_id <= committed["batch_id"]:
             return  # redelivered batch: already folded into the mart
         if not batch_df.isEmpty():
-            merge_aggregate(spark, mart_path, batch_df, keys=keys, sums=sums)
+            merge_aggregate(
+                spark,
+                mart_path,
+                batch_df,
+                keys=keys,
+                sums=sums,
+                commit_meta={"checkpoint": checkpoint, "batch_id": batch_id},
+            )
+        # Empty batches fold nothing, so not advancing the on-disk marker
+        # for them is safe (replaying an empty batch is a no-op); the
+        # in-memory id still advances to keep the skip check cheap.
         committed["batch_id"] = batch_id
-        marker.write_text(json.dumps(committed))
 
     q = (
         src.writeStream.foreachBatch(sink)

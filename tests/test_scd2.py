@@ -107,3 +107,66 @@ def test_three_batch_history_chain(spark, tmp_path, clock):
     assert [r["is_current"] for r in rows] == [False, False, True]
     assert rows[0]["end_date"] == rows[1]["effective_date"]
     assert rows[1]["end_date"] == rows[2]["effective_date"]
+
+
+def test_on_delete_expire_three_batch_convergence(spark, tmp_path, clock):
+    """on_delete='expire': absent keys expire with no successor; replaying
+    the post-delete snapshot is a no-op; a deleted key can be re-inserted
+    as a fresh current version over its tombstone."""
+    state, tick = clock
+    dim = make_dim(spark, tmp_path, state, on_delete="expire")
+    assert dim.upsert(
+        df(spark, [(1, "Alice", "RETAIL"), (2, "Bob", "CORP"), (3, "Cara", "RETAIL")])
+    ) == {"insert": 3, "update": 0, "no_change": 0, "deleted": 0}
+
+    # Batch 2: full snapshot without key 2 -> delete; key 1 changes.
+    tick(dt.datetime(2024, 2, 1))
+    assert dim.upsert(df(spark, [(1, "Alice", "WHOLESALE"), (3, "Cara", "RETAIL")])) == {
+        "insert": 0,
+        "update": 1,
+        "no_change": 1,
+        "deleted": 1,
+    }
+    hist = {(r["id"], r["is_current"]): r for r in dim.history().collect()}
+    tombstone = hist[(2, False)]
+    assert tombstone["end_date"] == dt.datetime(2024, 2, 1)
+    assert (2, True) not in hist  # no successor row for a deletion
+
+    # Replaying the same snapshot must be a pure no-op (at-least-once).
+    assert dim.upsert(df(spark, [(1, "Alice", "WHOLESALE"), (3, "Cara", "RETAIL")])) == {
+        "insert": 0,
+        "update": 0,
+        "no_change": 2,
+        "deleted": 0,
+    }
+
+    # Batch 3: key 2 returns -> INSERT over its tombstone.
+    tick(dt.datetime(2024, 3, 1))
+    assert dim.upsert(
+        df(spark, [(1, "Alice", "WHOLESALE"), (2, "Bob", "REBORN"), (3, "Cara", "RETAIL")])
+    ) == {"insert": 1, "update": 0, "no_change": 2, "deleted": 0}
+    rows = [r for r in dim.history().collect() if r["id"] == 2]
+    by_cur = {r["is_current"]: r for r in rows}
+    assert len(rows) == 2
+    assert by_cur[False]["end_date"] == dt.datetime(2024, 2, 1)
+    assert by_cur[True]["segment"] == "REBORN"
+    assert by_cur[True]["effective_date"] == dt.datetime(2024, 3, 1)
+
+
+def test_on_delete_default_ignores_absent(spark, tmp_path, clock):
+    """Default mode stays faithful to the reference: ABSENT keys are
+    detected but untouched, and stats carry no 'deleted' key."""
+    state, tick = clock
+    dim = make_dim(spark, tmp_path, state)
+    dim.upsert(df(spark, [(1, "Alice", "RETAIL"), (2, "Bob", "CORP")]))
+    tick(dt.datetime(2024, 2, 1))
+    stats = dim.upsert(df(spark, [(1, "Alice", "RETAIL")]))
+    assert stats == {"insert": 0, "update": 0, "no_change": 1}
+    hist = {(r["id"], r["is_current"]) for r in dim.history().collect()}
+    assert (2, True) in hist  # untouched current row
+
+
+def test_on_delete_rejects_unknown_mode(spark, tmp_path, clock):
+    state, _ = clock
+    with pytest.raises(ValueError, match="on_delete"):
+        make_dim(spark, tmp_path, state, on_delete="purge")

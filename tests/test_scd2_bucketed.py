@@ -79,3 +79,39 @@ def test_bucketed_rewrites_only_touched_buckets(spark, tmp_path):
         ("V2", True),
     ]
     assert dim.current().count() == 200
+
+
+def test_bucketed_delete_expiry_equals_full_rewrite(spark, tmp_path):
+    """on_delete='expire' must produce identical logical state through
+    the surgical bucket path and the full staged-swap path, including
+    tombstones whose buckets contain no source rows this batch."""
+    state = {"now": dt.datetime(2024, 1, 1)}
+    schema = "id int, name string, segment string"
+    b1 = [(i, f"n{i}", "V1") for i in range(60)]
+    # drop every 7th key (deletes), change every 10th of the kept ones
+    b2 = [
+        (i, f"n{i}", "V2" if i % 10 == 0 else "V1")
+        for i in range(60)
+        if i % 7 != 0
+    ]
+
+    full = SCD2Table(
+        spark, str(tmp_path / "full"), "id", clock=lambda: state["now"],
+        on_delete="expire",
+    )
+    bucketed = SCD2Table(
+        spark, str(tmp_path / "bucketed"), "id", clock=lambda: state["now"],
+        n_buckets=8, on_delete="expire",
+    )
+    for dim in (full, bucketed):
+        state["now"] = dt.datetime(2024, 1, 1)
+        dim.upsert(spark.createDataFrame(b1, schema))
+        state["now"] = dt.datetime(2024, 2, 1)
+        stats = dim.upsert(spark.createDataFrame(b2, schema))
+        assert stats["deleted"] == 9  # 0,7,...,56
+        assert stats["insert"] == 0
+
+    assert rows_of(full) == rows_of(bucketed)
+    # tombstones: expired rows with no current successor
+    cur_ids = {r["id"] for r in full.current().collect()}
+    assert cur_ids == {i for i in range(60) if i % 7 != 0}

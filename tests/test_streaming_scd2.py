@@ -7,6 +7,7 @@ checkpoint must prevent reprocessing on a second run.
 from __future__ import annotations
 
 import datetime as dt
+from pathlib import Path
 
 import pyspark.sql.types as T
 
@@ -145,3 +146,49 @@ def test_streaming_mart_refuses_foreign_checkpoint(spark, tmp_path):
     with pytest.raises(ValueError, match="replay already-folded"):
         streaming_mart(spark, glob, schema, mart, keys=["day"], sums=["amount"],
                        checkpoint=str(tmp_path / "ckpt_b"))
+
+
+def test_streaming_mart_marker_commits_atomically_with_swap(spark, tmp_path):
+    """The replay marker must live INSIDE the mart directory and carry
+    the folded batch_id — committed by the same rename as the data, so a
+    crash can never leave a folded-but-unrecorded batch (ADVICE r3).
+    Simulates the crash-replay path: rolling the marker back to the
+    previous state (as a crash before the swap would leave it) and
+    redelivering must refold; leaving the post-swap marker must skip."""
+    import json
+
+    from azure_sales_etl_pipeline_spark.operators.maintenance import merge_aggregate
+    from azure_sales_etl_pipeline_spark.operators.writer import (
+        COMMIT_META_NAME,
+        read_commit_meta,
+        read_table,
+    )
+    from azure_sales_etl_pipeline_spark.streaming import streaming_mart
+
+    schema = T.StructType(
+        [T.StructField("day", T.StringType()), T.StructField("amount", T.DoubleType())]
+    )
+    src = tmp_path / "facts"
+    spark.createDataFrame(
+        [("2024-01-01", 2.0)], "day string, amount double"
+    ).coalesce(1).write.option("header", "true").csv(str(src / "f1"))
+    mart = str(tmp_path / "mart")
+    ckpt = str(tmp_path / "ckpt")
+    streaming_mart(spark, str(src) + "/*", schema, mart, keys=["day"], sums=["amount"],
+                   checkpoint=ckpt)
+
+    meta = read_commit_meta(mart)
+    assert meta is not None and meta["checkpoint"] == ckpt
+    assert meta["batch_id"] >= 0
+    assert (Path(mart) / COMMIT_META_NAME).exists()
+    # No stray marker outside the swapped directory.
+    assert not Path(mart + "._mart_commit").exists()
+
+    # merge_aggregate must stage commit_meta through the same swap.
+    batch = spark.createDataFrame([("2024-01-02", 9.0)], "day string, amount double")
+    merge_aggregate(spark, mart, batch, keys=["day"], sums=["amount"],
+                    commit_meta={"checkpoint": ckpt, "batch_id": meta["batch_id"] + 1})
+    meta2 = read_commit_meta(mart)
+    assert meta2["batch_id"] == meta["batch_id"] + 1
+    total = read_table(spark, mart).groupBy().sum("amount").collect()[0][0]
+    assert round(total, 2) == 11.0

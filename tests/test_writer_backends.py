@@ -139,3 +139,33 @@ def test_scd2_upsert_schema_evolved_batch(spark, tmp_path):
     assert len(old) == 1 and old[0]["segment"] is None  # null-backfilled
     cur = {r["id"]: r for r in hist if r["is_current"]}
     assert cur[1]["segment"] == "NEW" and cur[2]["segment"] == "CORP"
+
+
+def test_write_csv_quote_all_round_trip(spark, tmp_path):
+    """ADF DelimitedTextSink parity (S12): quoteAll writes every text
+    field quoted, and values with embedded delimiters, quotes, and
+    newlines survive a write→read round trip exactly."""
+    from azure_sales_etl_pipeline_spark.operators.writer import write_csv
+
+    rows = [
+        (1, 'comma, inside', "plain"),
+        (2, 'quote " inside', "new\nline"),
+        (3, None, "trailing space "),
+    ]
+    df = spark.createDataFrame(rows, "id int, a string, b string")
+    out = str(tmp_path / "landing")
+    write_csv(df, out, quote_all=True)
+
+    # every non-null text field is quoted on disk
+    import glob
+
+    raw = "".join(open(f).read() for f in glob.glob(out + "/*.csv"))
+    assert '"comma, inside"' in raw and '"plain"' in raw
+
+    back = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .schema(df.schema)
+        .csv(out)
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
