@@ -18,22 +18,29 @@ from pyspark.sql import DataFrame, SparkSession
 
 import importlib
 
-# Domain modules merged into the registry, in load order. Each must expose
-# QUERIES / ORACLES. Added here as each lands.
+# Domain modules merged into the registry, in load order. Each must
+# expose QUERIES / ORACLES. ORDER IS DELIBERATE: the driver's per-round
+# correctness sweep walks the registry in order and has a bounded budget
+# (round 3 stopped at exactly the first 50 entries, leaving
+# similarity/textops/streams/multimodal with no driver row), so the
+# families with the LEAST accumulated driver evidence — plus any queries
+# changed this round — go first, and the repeatedly-proven stable
+# families (gold/relational/mlprep, green in r02 AND r03) go last where
+# a truncated sweep costs the least new information.
 _DOMAINS = (
+    "dedup",        # r03 cut off mid-module
+    "similarity",   # no r03 rows
+    "textops",      # no r03 rows
+    "streams",      # no r03 rows
+    "multimodal",   # no r03 rows
+    "incremental",  # scd2_delete_expiry is new in r04
+    "analytics",    # event_props_json changed in r04
+    "windows",      # top_parts_per_supplier changed in r04
+    "scale",        # user_event_gaps_window is new in r04
+    "temporal",
+    "mlprep",
     "gold",
     "relational",
-    "incremental",
-    "analytics",
-    "temporal",
-    "windows",
-    "mlprep",
-    "scale",
-    "dedup",
-    "similarity",
-    "textops",
-    "streams",
-    "multimodal",
 )
 
 

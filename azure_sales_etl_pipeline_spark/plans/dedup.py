@@ -330,12 +330,15 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified
 
 
+# Registry order: the near-dup trio first — round 3's driver sweep
+# truncated exactly before them, so they carry the least driver
+# evidence; exact_dedup/dedup_keep_first are green in r02+r03.
 QUERIES = {
-    "exact_dedup": exact_dedup,
-    "dedup_keep_first": dedup_keep_first,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "simhash": simhash,
     "minhash_lsh_candidates": minhash_lsh_candidates,
+    "exact_dedup": exact_dedup,
+    "dedup_keep_first": dedup_keep_first,
 }
 
 # minhash_lsh_candidates: LSH banding is probabilistic by construction —

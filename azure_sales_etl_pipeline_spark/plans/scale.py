@@ -135,17 +135,25 @@ def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def gaps(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
-        deltas = pdf["ts"].diff().dt.total_seconds().dropna()
+        # Exact integer microseconds (ns→µs int div): float seconds +
+        # round(…, 3) diverged from the oracle by 1 ms on tie values at
+        # sf0.1. Median is the DISCRETE lower-middle element (index
+        # (n-1)//2 of the sorted gaps — DuckDB quantile_disc semantics),
+        # so the result is always an actual gap value, never an
+        # interpolated float.
+        us = pdf["ts"].astype("int64") // 1000
+        deltas = us.diff().dropna().astype("int64").sort_values().to_numpy()
+        med = int(deltas[(len(deltas) - 1) // 2]) if len(deltas) else None
         return pd.DataFrame(
             {
                 "user_id": [pdf["user_id"].iloc[0]],
                 "n_events": [len(pdf)],
-                "median_gap_s": [round(float(deltas.median()), 3) if len(deltas) else None],
+                "median_gap_us": [med],
             }
         )
 
     return events.groupBy("user_id").applyInPandas(
-        gaps, schema="user_id bigint, n_events bigint, median_gap_s double"
+        gaps, schema="user_id bigint, n_events bigint, median_gap_us bigint"
     )
 
 
@@ -159,13 +167,18 @@ def user_event_gaps_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``purchase_attribution_asof`` / ``asof_join_cogroup``)."""
     events = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch = F.col("ts").cast("double")
-    gaps = events.select(
-        "user_id", (epoch - F.lag(epoch).over(w)).alias("gap")
-    )
+    us = F.unix_micros(F.col("ts"))
+    gaps = events.select("user_id", (us - F.lag(us).over(w)).alias("gap"))
+    # Discrete median (lower-middle element — quantile_disc semantics,
+    # matching the grouped-map twin): exact BIGINT, no interpolation, no
+    # float in the output. collect_list is bounded by per-user activity.
     return gaps.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.expr("percentile(gap, 0.5)"), 3).alias("median_gap_s"),
+        F.expr(
+            "CASE WHEN count(gap) = 0 THEN NULL "
+            "ELSE element_at(sort_array(collect_list(gap)), "
+            "CAST(ceil(count(gap) / 2) AS INT)) END"
+        ).alias("median_gap_us"),
     )
 
 
@@ -200,16 +213,23 @@ def asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
             direction="backward",
             allow_exact_matches=True,
         )
-        secs = (out["ts"] - out["click_ts"]).dt.total_seconds().round(3)
+        # Exact integer milliseconds from µs timestamps (float seconds +
+        # round(…, 3) diverged from the oracle by 1 ms on tie values at
+        # sf0.1); NaT rows must become SQL NULL, not NaN/garbage ints,
+        # to match the oracle's no-prior-click rows.
+        has_click = out["click_ts"].notna()
+        us_diff = (
+            out["ts"].astype("int64") // 1000
+            - out["click_ts"].fillna(out["ts"]).astype("int64") // 1000
+        )
+        ms = (us_diff // 1000).astype(object).where(has_click, None)
         return pd.DataFrame(
             {
                 "event_id": out["event_id"],
                 "user_id": out["user_id"],
                 "purchase_ts": out["ts"],
                 "last_click_ts": out["click_ts"],
-                # NaN must become SQL NULL, not a float NaN, to match
-                # the oracle's no-prior-click rows.
-                "secs_since_click": secs.astype(object).where(secs.notna(), None),
+                "ms_since_click": ms,
             }
         )
 
@@ -220,7 +240,7 @@ def asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
             merge,
             schema=(
                 "event_id bigint, user_id bigint, purchase_ts timestamp, "
-                "last_click_ts timestamp, secs_since_click double"
+                "last_click_ts timestamp, ms_since_click bigint"
             ),
         )
     )
@@ -229,11 +249,11 @@ def asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GAPS_SQL = """
     WITH gaps AS (
         SELECT user_id,
-               epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+               epoch_us(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
         FROM events
     )
     SELECT user_id, count(*) AS n_events,
-           round(median(gap), 3) AS median_gap_s
+           quantile_disc(gap, 0.5) AS median_gap_us
     FROM gaps
     GROUP BY user_id
 """

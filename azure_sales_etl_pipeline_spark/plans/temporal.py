@@ -68,16 +68,21 @@ def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.col("ts").alias("purchase_ts"),
             "last_click_ts",
-            F.round(
-                F.col("ts").cast("double") - F.col("last_click_ts").cast("double"), 3
-            ).alias("secs_since_click"),
+            # Exact integer milliseconds (µs diff, integer div): a
+            # round(double, 3) here diverged from the oracle by 1 ms on
+            # tie values at sf0.1 (r4 full-precision sweep) — timestamps
+            # are µs-resolution, so integer arithmetic is lossless and
+            # the driver's hash never sees a float.
+            F.expr(
+                "(unix_micros(ts) - unix_micros(last_click_ts)) div 1000"
+            ).alias("ms_since_click"),
         )
     )
 
 
 _ASOF_SQL = """
     SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.ts AS last_click_ts,
-           round(epoch(p.ts) - epoch(c.ts), 3) AS secs_since_click
+           epoch_us(p.ts - c.ts) // 1000 AS ms_since_click
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       ON p.user_id = c.user_id AND p.ts >= c.ts

@@ -268,10 +268,17 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = _tokens()
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (_WIN_K - 1), F.lit(0))),
-        lambda i: F.sha2(F.array_join(F.slice(toks, i, _WIN_K), " "), 256),
-    )
+    # Docs shorter than k tokens yield zero grams. The guard matters:
+    # Spark's sequence(1, 0) emits DESCENDING [1, 0], whose 0 start then
+    # crashes slice() — a latent short-doc bug at corpus scale (the
+    # synthetic fixture only has long docs; real corpora do not).
+    grams = F.when(
+        F.size(toks) >= _WIN_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (_WIN_K - 1)),
+            lambda i: F.sha2(F.array_join(F.slice(toks, i, _WIN_K), " "), 256),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     staged = docs.select("doc_id", grams.alias("grams")).where(F.size("grams") >= _WIN_W)
     mins = F.transform(
         F.sequence(F.lit(1), F.size(F.col("grams")) - (_WIN_W - 1)),
@@ -302,6 +309,204 @@ _WINNOW_SQL = rf"""
 """
 
 
+# ---------------------------------------------------------------------------
+# PII / number redaction (pre-training scrub pass)
+# ---------------------------------------------------------------------------
+
+# Patterns legal in BOTH Java regex (Spark) and RE2 (DuckDB): emails,
+# IPv4 literals, digit runs. Order matters — emails/IPs first so their
+# digits aren't pre-consumed by the number pass.
+_RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_RE_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_RE_NUM = r"\d+"
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction scrub: emails → <EMAIL>, IPv4 → <IP>, remaining digit
+    runs → <NUM> — the standard PII/number-normalization pass before
+    tokenizer training. Chained JVM ``regexp_replace`` (one narrow map,
+    no Python); per-pattern match counts ride along so the scrub is
+    auditable downstream (how much was redacted, per doc).
+
+    The synthetic corpus is digit-free by construction, so the query
+    first plants a deterministic PII footer (email + IP + date derived
+    from doc_id) — otherwise the scrubber would trivially pass as an
+    identity map. The oracle plants the identical footer."""
+    docs = load_table(spark, sf_dir, "documents")
+    footer = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 on 2024-01-02"),
+    )
+    n_email = F.size(F.regexp_extract_all(footer, F.lit(_RE_EMAIL), 0))
+    n_ip = F.size(F.regexp_extract_all(footer, F.lit(_RE_IPV4), 0))
+    after_email = F.regexp_replace(footer, F.lit(_RE_EMAIL), F.lit("<EMAIL>"))
+    after_ip = F.regexp_replace(after_email, F.lit(_RE_IPV4), F.lit("<IP>"))
+    n_num = F.size(F.regexp_extract_all(after_ip, F.lit(_RE_NUM), 0))
+    redacted = F.regexp_replace(after_ip, F.lit(_RE_NUM), F.lit("<NUM>"))
+    return docs.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_ip.alias("n_ips"),
+        n_num.alias("n_numbers"),
+        redacted.alias("redacted_text"),
+    )
+
+
+_PII_SQL = rf"""
+    WITH f AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.7 on 2024-01-02' AS footer
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, footer,
+               len(regexp_extract_all(footer, '{_RE_EMAIL}')) AS n_emails,
+               len(regexp_extract_all(footer, '{_RE_IPV4}')) AS n_ips,
+               regexp_replace(regexp_replace(footer, '{_RE_EMAIL}', '<EMAIL>', 'g'),
+                              '{_RE_IPV4}', '<IP>', 'g') AS after_ip
+        FROM f
+    )
+    SELECT doc_id, n_emails, n_ips,
+           len(regexp_extract_all(after_ip, '{_RE_NUM}')) AS n_numbers,
+           regexp_replace(after_ip, '{_RE_NUM}', '<NUM>', 'g') AS redacted_text
+    FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher-style quality heuristics)
+# ---------------------------------------------------------------------------
+
+
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics: distinct-token ratio and the
+    fraction of duplicate token bigrams — high values flag boilerplate /
+    generated spam that length filters miss. All higher-order-function
+    map-side work; no shuffle. The ``repetitive`` flag composes the two
+    (ratios rounded before comparison so the flag is exactly
+    reproducible from the emitted columns)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n = F.size(toks)
+    distinct_ratio = F.round(
+        F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1)), 4
+    )
+    # Guard the degenerate case explicitly: Spark's sequence(1, 0) emits
+    # a DESCENDING [1, 0] (not an empty array), whose 0 index then blows
+    # up slice() — single-token docs must yield zero bigrams.
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_grams = F.size(grams)
+    dup_bigram_frac = F.round(
+        (n_grams - F.size(F.array_distinct(grams))) / F.greatest(n_grams, F.lit(1)),
+        4,
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        distinct_ratio.alias("distinct_token_ratio"),
+        dup_bigram_frac.alias("dup_bigram_frac"),
+        ((distinct_ratio < 0.3) | (dup_bigram_frac > 0.3)).alias("repetitive"),
+    )
+
+
+_REPETITION_SQL = r"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, toks,
+               list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                   i -> array_to_string(list_slice(toks, i, i + 1), ' ')) AS grams
+        FROM t
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           round(len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1), 4)
+               AS distinct_token_ratio,
+           round((len(grams) - len(list_distinct(grams))) * 1.0
+                 / greatest(len(grams), 1), 4) AS dup_bigram_frac,
+           (round(len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1), 4) < 0.3
+            OR round((len(grams) - len(list_distinct(grams))) * 1.0
+                     / greatest(len(grams), 1), 4) > 0.3) AS repetitive
+    FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# context-window chunking (training-example packing precursor)
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 64  # window width (tokens)
+_CHUNK_STRIDE = 48  # step (=> 16-token overlap between neighbors)
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into overlapping fixed-token-width chunks —
+    the windowing pass that feeds embedding models / context packing.
+    Chunk starts come from a stride ``sequence`` and the text from
+    ``slice`` over the token array, so the row expansion is exactly
+    ceil(n/stride) per doc and entirely map-side (no shuffle, no
+    Python). Short docs produce one (possibly partial) chunk; the final
+    partial chunk is kept iff it adds unseen tokens (start <= n)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(_CHUNK_STRIDE))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start"),
+            F.array_join(F.slice(toks, s, _CHUNK_TOKENS), " ").alias("chunk_text"),
+            F.least(n - s + 1, F.lit(_CHUNK_TOKENS)).alias("n_chunk_tokens"),
+        ),
+    )
+    exploded = docs.select(
+        "doc_id", n.alias("n_tokens"), F.posexplode(chunks).alias("chunk_ix", "c")
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_ix").cast("bigint").alias("chunk_ix"),
+        F.col("c.start").cast("bigint").alias("token_start"),
+        F.col("c.n_chunk_tokens").cast("bigint").alias("n_chunk_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )
+
+
+_CHUNKS_SQL = rf"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, toks,
+               unnest(range(1, greatest(len(toks), 1) + 1, {_CHUNK_STRIDE})) AS token_start
+        FROM t
+    )
+    SELECT doc_id,
+           CAST((token_start - 1) // {_CHUNK_STRIDE} AS BIGINT) AS chunk_ix,
+           CAST(token_start AS BIGINT) AS token_start,
+           CAST(least(len(toks) - token_start + 1, {_CHUNK_TOKENS}) AS BIGINT)
+               AS n_chunk_tokens,
+           array_to_string(list_slice(toks, token_start,
+                                      token_start + {_CHUNK_TOKENS} - 1), ' ')
+               AS chunk_text
+    FROM starts
+"""
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "winnowing_fingerprints": winnowing_fingerprints,
@@ -309,6 +514,9 @@ QUERIES = {
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
     "term_frequencies": term_frequencies,
+    "pii_redact": pii_redact,
+    "repetition_signals": repetition_signals,
+    "doc_chunks": doc_chunks,
 }
 
 ORACLES = {
@@ -318,4 +526,7 @@ ORACLES = {
     "lang_id": _LANG_SQL,
     "doc_fingerprint": _FINGERPRINT_SQL,
     "term_frequencies": _TF_SQL,
+    "pii_redact": _PII_SQL,
+    "repetition_signals": _REPETITION_SQL,
+    "doc_chunks": _CHUNKS_SQL,
 }

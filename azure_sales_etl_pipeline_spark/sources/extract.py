@@ -38,6 +38,7 @@ def incremental_extract(
     table: str | None = None,
     spark: SparkSession | None = None,
     reader=None,
+    driver: str | None = None,
 ) -> DataFrame:
     """Watermark-windowed extract.
 
@@ -48,10 +49,15 @@ def incremental_extract(
     synthesized into the pushdown query (the reference's ADF dynamic SQL)
     so filtering happens source-side.
 
+    ``driver``: JDBC driver class when the URL scheme alone can't locate
+    it (e.g. ``org.apache.derby.jdbc.EmbeddedDriver`` — the embedded
+    database tests/test_extract.py uses for a LIVE round trip against
+    the Derby jars Spark ships).
+
     ``reader`` (tests / alternate drivers): anything with the
     DataFrameReader fluent surface (``format``/``option``/``load``) used
-    in place of ``spark.read`` — no live database needed to verify the
-    synthesized pushdown query (the sandbox ships no JDBC driver jar).
+    in place of ``spark.read`` — verifies the synthesized pushdown query
+    without any database.
     """
     if jdbc_url is not None:
         if table is None or (spark is None and reader is None):
@@ -59,7 +65,10 @@ def incremental_extract(
         upper = upper or utcnow_naive()
         query = f"SELECT * FROM {table} WHERE {window_predicate(ts_col, lower, upper)}"
         rd = reader if reader is not None else spark.read
-        return rd.format("jdbc").option("url", jdbc_url).option("query", query).load()
+        rd = rd.format("jdbc").option("url", jdbc_url).option("query", query)
+        if driver is not None:
+            rd = rd.option("driver", driver)
+        return rd.load()
 
     df: DataFrame = df_or_reader
     cond = F.col(ts_col) > F.lit(lower)

@@ -46,13 +46,13 @@ def events_dir(spark, tmp_path):
 
 def test_asof_attribution_semantics(spark, events_dir):
     out = {r["event_id"]: r for r in purchase_attribution_asof(spark, events_dir).collect()}
-    assert out[2]["last_click_ts"] == _mk(0) and out[2]["secs_since_click"] == 10.0
+    assert out[2]["last_click_ts"] == _mk(0) and out[2]["ms_since_click"] == 10_000
     # no newer click -> same click carries forward
-    assert out[3]["last_click_ts"] == _mk(0) and out[3]["secs_since_click"] == 100.0
+    assert out[3]["last_click_ts"] == _mk(0) and out[3]["ms_since_click"] == 100_000
     # exact timestamp tie: the click at the same instant counts (<=)
-    assert out[5]["last_click_ts"] == _mk(200) and out[5]["secs_since_click"] == 0.0
+    assert out[5]["last_click_ts"] == _mk(200) and out[5]["ms_since_click"] == 0
     # no click ever -> null, not dropped
-    assert out[6]["last_click_ts"] is None and out[6]["secs_since_click"] is None
+    assert out[6]["last_click_ts"] is None and out[6]["ms_since_click"] is None
 
 
 def test_sessionize_gap_islands(spark, events_dir):

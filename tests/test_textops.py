@@ -1,0 +1,85 @@
+"""Unit semantics for the round-4 text-curation operators (pii_redact,
+repetition_signals, doc_chunks) on hand-computable micro-fixtures. The
+oracle replica (scripts/check_oracle.py) covers them at corpus scale;
+these pin the EDGE semantics a hash comparison can't explain when it
+breaks: redaction ordering, ratio denominators, chunk boundaries."""
+
+from __future__ import annotations
+
+import pytest
+
+from azure_sales_etl_pipeline_spark.plans.textops import (
+    _CHUNK_STRIDE,
+    _CHUNK_TOKENS,
+    doc_chunks,
+    pii_redact,
+    repetition_signals,
+)
+
+
+@pytest.fixture()
+def docs_dir(spark, tmp_path):
+    rows = [
+        # 0: repeats one token -> repetitive by both signals
+        (0, "spam " * 19 + "spam", "en", "web", 99),
+        # 1: all-distinct tokens
+        (1, "alpha beta gamma delta epsilon zeta", "en", "web", 35),
+        # 2: exactly _CHUNK_TOKENS+1 tokens -> two chunks, second has
+        #    n - stride tokens
+        (2, " ".join(f"w{i}" for i in range(_CHUNK_TOKENS + 1)), "en", "web", 1),
+        # 3: single token
+        (3, "solo", "en", "web", 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_pii_redact_plants_and_scrubs(spark, docs_dir):
+    out = {r["doc_id"]: r for r in pii_redact(spark, docs_dir).collect()}
+    r = out[3]
+    # planted footer: one email, one IP, and the date's three digit runs
+    assert r["n_emails"] == 1 and r["n_ips"] == 1 and r["n_numbers"] == 3
+    assert (
+        r["redacted_text"]
+        == "solo contact <EMAIL> from <IP> on <NUM>-<NUM>-<NUM>"
+    )
+    # no raw digits, emails, or dotted quads survive in any doc
+    for r in out.values():
+        assert "@example.com" not in r["redacted_text"]
+        assert not any(ch.isdigit() for ch in r["redacted_text"])
+
+
+def test_repetition_signals_flags_boilerplate(spark, docs_dir):
+    out = {r["doc_id"]: r for r in repetition_signals(spark, docs_dir).collect()}
+    spam = out[0]
+    assert spam["n_tokens"] == 20
+    assert spam["distinct_token_ratio"] == 0.05  # 1/20
+    assert spam["dup_bigram_frac"] == pytest.approx(18 / 19, abs=1e-4)
+    assert spam["repetitive"] is True
+    clean = out[1]
+    assert clean["distinct_token_ratio"] == 1.0
+    assert clean["dup_bigram_frac"] == 0.0
+    assert clean["repetitive"] is False
+    # single-token doc: zero bigrams, guarded denominator
+    assert out[3]["dup_bigram_frac"] == 0.0
+
+
+def test_doc_chunks_boundaries(spark, docs_dir):
+    rows = [r for r in doc_chunks(spark, docs_dir).collect() if r["doc_id"] == 2]
+    by_ix = {r["chunk_ix"]: r for r in rows}
+    n = _CHUNK_TOKENS + 1
+    assert len(by_ix) == 2
+    first, second = by_ix[0], by_ix[1]
+    assert first["token_start"] == 1 and first["n_chunk_tokens"] == _CHUNK_TOKENS
+    assert first["chunk_text"].split() == [f"w{i}" for i in range(_CHUNK_TOKENS)]
+    assert second["token_start"] == 1 + _CHUNK_STRIDE
+    assert second["n_chunk_tokens"] == n - _CHUNK_STRIDE
+    # overlap: second chunk re-reads the last (CHUNK_TOKENS - STRIDE)
+    # tokens of the first
+    assert second["chunk_text"].split()[0] == f"w{_CHUNK_STRIDE}"
+    # single-token doc still yields one chunk
+    solo = [r for r in doc_chunks(spark, docs_dir).collect() if r["doc_id"] == 3]
+    assert len(solo) == 1 and solo[0]["chunk_text"] == "solo"
