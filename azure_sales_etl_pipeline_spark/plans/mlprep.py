@@ -533,6 +533,166 @@ _BALANCED_SQL = """
 """
 
 
+# Bloom parameters: _BLOOM_M bits / _BLOOM_K hashes. At the test corpus
+# size (~25-500 blocklist docs) m=16384 gives a <1% false-positive rate;
+# size m ~= 10 bits/key at production scale.
+_BLOOM_M = 16_384
+_BLOOM_K = 3
+
+
+def _bloom_positions(fp):
+    """_BLOOM_K bit positions from disjoint 8-hex-char slices of
+    md5(fp) — engine-portable, no seeded-hash dependency."""
+    return F.array(
+        *[
+            (F.conv(F.substring(F.md5(fp), 1 + 8 * i, 8), 16, 10).cast("long") % _BLOOM_M)
+            for i in range(_BLOOM_K)
+        ]
+    )
+
+
+def _bloom_bitmap(keys: DataFrame, col: str) -> DataFrame:
+    """Distributed Bloom build: explode each key's bit positions into
+    (word_idx, one-bit mask) and ``bit_or`` them per 64-bit word — a
+    map-side-combining aggregate, so the shuffle is bitmap-sized
+    (m/64 rows), never blocklist-sized."""
+    pos = keys.select(F.explode(_bloom_positions(F.col(col))).alias("pos"))
+    return pos.select(
+        (F.col("pos") / 64).cast("long").alias("word_idx"),
+        # shiftleft's numBits arg must be a literal in the Python API —
+        # the SQL form accepts a column expression.
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("mask"),
+    ).groupBy("word_idx").agg(F.bit_or("mask").alias("bits"))
+
+
+def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist decontamination with a Bloom prefilter: drop every
+    corpus doc whose exact text fingerprint appears in a blocklist
+    (stand-in eval set: ``doc_id % 20 == 0``), the "remove eval data
+    from pretraining" pass.
+
+    Spark 4.1 does not expose ``bloom_filter_agg``/``might_contain`` in
+    the public registry (they are analyzer-internal runtime-filter
+    expressions), so the filter is built from DataFrame primitives:
+    bitmap via :func:`_bloom_bitmap`, probe via posexplode + broadcast
+    join on the word index, candidate = ``bool_and(bit set)`` over the
+    K probes. Candidates then confirm against the real blocklist with
+    an exact semi-join, so false positives cannot affect the result —
+    the oracle is a plain ``NOT IN``.
+
+    Why this beats the naive anti-join at 100 TB: the naive plan
+    shuffles the ENTIRE corpus on the fingerprint key; here the corpus
+    is touched only by a broadcast probe (bitmap is m/64 longs — 20 MB
+    per billion blocklist keys at 10 bits/key), and the shuffle-join
+    runs on the tiny candidate set (true hits + ~1% false positives).
+    Same shape Spark's own InjectRuntimeFilter gives a selective join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.sha2(F.trim(F.col("text")), 256)
+    corpus = docs.select("doc_id", "source", fp.alias("fp"))
+    blocklist = corpus.where(F.col("doc_id") % 20 == 0).select("fp")
+
+    bitmap = _bloom_bitmap(blocklist, "fp")
+    probes = corpus.select(
+        "doc_id", F.explode(_bloom_positions(F.col("fp"))).alias("pos")
+    ).select(
+        "doc_id",
+        (F.col("pos") / 64).cast("long").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("mask"),
+    )
+    hits = (
+        probes.join(F.broadcast(bitmap), "word_idx", "left")
+        .select(
+            "doc_id",
+            ((F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))) != 0).alias("hit"),
+        )
+        .groupBy("doc_id")
+        .agg(F.bool_and("hit").alias("maybe"))
+        .where("maybe")
+    )
+    confirmed = (
+        corpus.join(hits.select("doc_id"), "doc_id", "left_semi")
+        .join(blocklist.distinct(), "fp", "left_semi")
+        .select("doc_id")
+    )
+    return corpus.join(confirmed, "doc_id", "left_anti").select(
+        "doc_id", "source", "fp"
+    )
+
+
+_BLOOM_SQL = """
+    SELECT doc_id, source, sha256(trim(text)) AS fp
+    FROM documents
+    WHERE sha256(trim(text)) NOT IN (
+        SELECT sha256(trim(text)) FROM documents WHERE doc_id % 20 = 0
+    )
+"""
+
+
+def token_balanced_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling: pretraining mixes are specified in
+    TOKENS per source, not documents (a source of long docs would
+    otherwise dominate a doc-balanced mix). Every source contributes a
+    greedy prefix — docs in md5-hash order (deterministic, portable
+    "random") until the source's cumulative token count reaches the
+    shared target, which is the smallest per-source token total (the
+    largest budget every source can fully supply).
+
+    Scale shape: one narrow map for token counts, one shuffle on
+    ``source`` shared by the per-source cumulative-sum window and the
+    totals aggregation, target joined back as a broadcast scalar. The
+    boundary doc that crosses the target is kept (first prefix to reach
+    the budget), so every source lands within one document of the
+    target — all arithmetic exact BIGINT.
+
+    Complements ``balanced_downsample`` (doc-count balance over
+    ``lang``): same determinism idiom, different unit of account.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    target = (
+        docs.groupBy("source")
+        .agg(F.sum("n_tokens").alias("tok"))
+        .agg(F.min("tok").alias("target_tokens"))
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    cum = F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        docs.withColumn("cum_tokens", cum.cast("bigint"))
+        .crossJoin(F.broadcast(target))
+        .where(F.col("cum_tokens") - F.col("n_tokens") < F.col("target_tokens"))
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
+
+
+_MIXTURE_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens,
+               md5(doc_id::VARCHAR) AS h
+        FROM documents
+    ),
+    target AS (
+        SELECT min(tok) AS target_tokens
+        FROM (SELECT source, sum(n_tokens) AS tok FROM toks GROUP BY source)
+    ),
+    ordered AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM toks
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM ordered CROSS JOIN target
+    WHERE cum_tokens - n_tokens < target_tokens
+"""
+
+
 QUERIES = {
     "train_test_split": train_test_split,
     "split_contamination": split_contamination,
@@ -541,6 +701,8 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "doc_tfidf_topterms": doc_tfidf_topterms,
     "balanced_downsample": balanced_downsample,
+    "token_balanced_mixture": token_balanced_mixture,
+    "bloom_decontaminate": bloom_decontaminate,
 }
 
 ORACLES = {
@@ -551,4 +713,6 @@ ORACLES = {
     "dedup_clusters": _CC_SQL,
     "doc_tfidf_topterms": _TFIDF_SQL,
     "balanced_downsample": _BALANCED_SQL,
+    "token_balanced_mixture": _MIXTURE_SQL,
+    "bloom_decontaminate": _BLOOM_SQL,
 }

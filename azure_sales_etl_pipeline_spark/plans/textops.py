@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession  # noqa: F401
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
 
@@ -507,6 +508,67 @@ _CHUNKS_SQL = rf"""
 """
 
 
+# ---------------------------------------------------------------------------
+# vocabulary coverage (tokenizer-prep: top-N vocab + cumulative mass)
+# ---------------------------------------------------------------------------
+
+_VOCAB_TOP_N = 1000
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary builder: the top-N corpus tokens by
+    frequency with each prefix's cumulative token mass — the curve that
+    answers "how many vocab entries cover 95% of the corpus".
+
+    Scale shape: one token-key shuffle with map-side combine for the
+    counts, then ``orderBy().limit(N)`` — Spark plans that as
+    TakeOrderedAndProject (per-partition top-N heaps, no global sort).
+    Only the N surviving rows (vocab-sized, not corpus-sized) pass
+    through the single-partition cumulative window; the corpus total
+    joins in as a broadcast scalar. Coverage ships as exact BIGINTs
+    (``cum_n`` / ``total_n``) — no float reaches the driver's hash.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(_tokens()).alias("token"))
+        .where(F.length("token") > 0)
+        .select(F.lower("token").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("total_n"))
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(_VOCAB_TOP_N)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .withColumn("cum_n", F.sum("n").over(w).cast("bigint"))
+        .crossJoin(F.broadcast(total))
+        .select("rank", "token", "n", "cum_n", "total_n")
+    )
+
+
+_VOCAB_SQL = rf"""
+    WITH counts AS (
+        SELECT lower(token) AS token, count(*) AS n
+        FROM (
+            SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+            FROM documents
+        )
+        WHERE length(token) > 0
+        GROUP BY ALL
+    ),
+    total AS (SELECT sum(n) AS total_n FROM counts),
+    top AS (
+        SELECT token, n FROM counts ORDER BY n DESC, token LIMIT {_VOCAB_TOP_N}
+    )
+    SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank,
+           token, n,
+           CAST(sum(n) OVER (ORDER BY n DESC, token) AS BIGINT) AS cum_n,
+           total_n
+    FROM top CROSS JOIN total
+"""
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "winnowing_fingerprints": winnowing_fingerprints,
@@ -517,6 +579,7 @@ QUERIES = {
     "pii_redact": pii_redact,
     "repetition_signals": repetition_signals,
     "doc_chunks": doc_chunks,
+    "vocab_coverage": vocab_coverage,
 }
 
 ORACLES = {
@@ -529,4 +592,5 @@ ORACLES = {
     "pii_redact": _PII_SQL,
     "repetition_signals": _REPETITION_SQL,
     "doc_chunks": _CHUNKS_SQL,
+    "vocab_coverage": _VOCAB_SQL,
 }

@@ -79,17 +79,60 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "all_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # The external harness keeps only the LAST ~2000 chars of this
+    # process's output and json-parses the result line from it. The
+    # full 80-query dict is ~2.4k chars — a line that long gets its
+    # front cut off and parses as nothing (round 3 shipped exactly
+    # that: BENCH_r03.json parsed=null). So: full per-query detail
+    # goes to BENCH_FULL.json next to this script, and stdout gets ONE
+    # compact line guaranteed to fit — heaviest queries inline (they
+    # carry the perf signal), the fastest aggregated under "omitted".
+    full = {
+        "metric": "all_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    (Path(__file__).resolve().parent / "BENCH_FULL.json").write_text(
+        json.dumps(full, indent=1) + "\n"
     )
+
+    _LINE_BUDGET = 1600  # headroom inside the 2000-char tail window
+    by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
+    compact: dict = {
+        "metric": "all_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {},
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "detail": "BENCH_FULL.json",
+    }
+
+    def _line() -> str:
+        return json.dumps(compact, separators=(",", ":"))
+
+    shown = 0
+    for name, sec in by_cost:
+        compact["queries"][name] = round(sec, 2)
+        if len(_line()) > _LINE_BUDGET:
+            del compact["queries"][name]
+            break
+        shown += 1
+    if shown < len(by_cost):
+        rest = by_cost[shown:]
+        compact["omitted"] = {
+            "n": len(rest),
+            "sec": round(sum(s for _, s in rest), 2),
+        }
+
+    # Quiet the JVM before printing so shutdown logs can't push the
+    # result line out of the harness's tail window.
+    spark.sparkContext.setLogLevel("ERROR")
+    print(_line())
     spark.stop()
 
 

@@ -83,3 +83,22 @@ def test_doc_chunks_boundaries(spark, docs_dir):
     # single-token doc still yields one chunk
     solo = [r for r in doc_chunks(spark, docs_dir).collect() if r["doc_id"] == 3]
     assert len(solo) == 1 and solo[0]["chunk_text"] == "solo"
+
+
+def test_vocab_coverage_ranks_and_cumsum(spark, tmp_path):
+    from azure_sales_etl_pipeline_spark.plans.textops import vocab_coverage
+
+    rows = [
+        (0, "a a a b b c", "en", "web", 11),
+        (1, "a b B", "en", "web", 5),  # B lowercases into b
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r["token"]: r for r in vocab_coverage(spark, str(tmp_path)).collect()}
+    # counts: a=4, b=4, c=1 -> tie on 4 broken by token asc: a then b
+    assert out["a"]["rank"] == 1 and out["a"]["n"] == 4 and out["a"]["cum_n"] == 4
+    assert out["b"]["rank"] == 2 and out["b"]["cum_n"] == 8
+    assert out["c"]["rank"] == 3 and out["c"]["cum_n"] == 9
+    assert all(r["total_n"] == 9 for r in out.values())

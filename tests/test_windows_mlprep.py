@@ -98,3 +98,82 @@ def test_purchase_prior_clicks_band_boundaries(spark, range_events_dir):
     assert out[1] == 3
     assert out[6] == 0, "purchase with no clicks must survive (left semantics)"
     assert out[7] == 0, "future clicks don't count"
+
+
+def test_token_balanced_mixture_prefix_semantics(spark, tmp_path):
+    """Every source stops within one doc of the shared token target, the
+    target is the smallest per-source token total, and doc selection is
+    the md5-order prefix (deterministic)."""
+    from azure_sales_etl_pipeline_spark.plans.mlprep import token_balanced_mixture
+
+    rows = []
+    # source 'small': 3 docs x 10 tokens = 30 tokens -> the binding min
+    for i in range(3):
+        rows.append((i, " ".join(f"s{j}" for j in range(10)), "en", "small", 20))
+    # source 'big': 10 docs x 10 tokens = 100 tokens
+    for i in range(10, 20):
+        rows.append((i, " ".join(f"b{j}" for j in range(10)), "en", "big", 20))
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = token_balanced_mixture(spark, str(tmp_path)).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # 'small' keeps everything (it IS the target)
+    assert sorted(r["doc_id"] for r in by_src["small"]) == [0, 1, 2]
+    # 'big' keeps exactly 3 docs: prefix crosses the 30-token target at
+    # doc 3 (10-token docs), never a 4th (cum would start at 30 >= 30)
+    assert len(by_src["big"]) == 3
+    assert max(r["cum_tokens"] for r in by_src["big"]) == 30
+    # md5-order prefix: kept docs are the 3 smallest md5(doc_id) hashes
+    import hashlib
+
+    expected = sorted(range(10, 20), key=lambda d: hashlib.md5(str(d).encode()).hexdigest())[:3]
+    assert sorted(r["doc_id"] for r in by_src["big"]) == sorted(expected)
+
+
+def test_bloom_decontaminate_exact_and_selective(spark, tmp_path):
+    """End result equals the exact anti-join; the bloom PREFILTER alone
+    (before the confirm join) must pass all true members and reject the
+    overwhelming majority of non-members — otherwise the bloom is dead
+    code whose bugs the confirm join silently masks."""
+    from pyspark.sql import functions as F
+
+    from azure_sales_etl_pipeline_spark.plans.mlprep import (
+        _bloom_bitmap,
+        _bloom_positions,
+        bloom_decontaminate,
+    )
+
+    rows = [
+        (i, f"unique text {i}" if i % 20 else "blocked payload", "en", "web", 20)
+        for i in range(200)
+    ]
+    # plant a NON-blocklist doc (999 % 20 != 0) carrying blocklist text
+    rows.append((999, "blocked payload", "en", "web", 20))
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r["doc_id"] for r in bloom_decontaminate(spark, str(tmp_path)).collect()}
+    # exact semantics: %20 docs removed; doc 41 removed too (same text as
+    # blocklist); everything else kept
+    expected = {i for i in range(200) if i % 20}
+    assert out == expected
+
+    # prefilter selectivity: probe every corpus fp against the bitmap
+    corpus = df.select(F.sha2(F.trim("text"), 256).alias("fp"), "doc_id")
+    blocklist = corpus.where(F.col("doc_id") % 20 == 0).select("fp")
+    bitmap = {r["word_idx"]: r["bits"] for r in _bloom_bitmap(blocklist, "fp").collect()}
+    probed = corpus.select("doc_id", _bloom_positions(F.col("fp")).alias("pos")).collect()
+    fp_hits = set()
+    for r in probed:
+        if all(bitmap.get(p // 64, 0) & (1 << (p % 64)) for p in r["pos"]):
+            fp_hits.add(r["doc_id"])
+    true_members = {i for i in range(200) if i % 20 == 0} | {999}
+    assert true_members <= fp_hits  # no false negatives, ever
+    false_pos = fp_hits - true_members
+    assert len(false_pos) <= 4  # ~190 non-members, <1% expected FP rate
