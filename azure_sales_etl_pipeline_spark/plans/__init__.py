@@ -19,28 +19,74 @@ from pyspark.sql import DataFrame, SparkSession
 import importlib
 
 # Domain modules merged into the registry, in load order. Each must
-# expose QUERIES / ORACLES. ORDER IS DELIBERATE: the driver's per-round
-# correctness sweep walks the registry in order and has a bounded budget
-# (round 3 stopped at exactly the first 50 entries, leaving
-# similarity/textops/streams/multimodal with no driver row), so the
-# families with the LEAST accumulated driver evidence — plus any queries
-# changed this round — go first, and the repeatedly-proven stable
-# families (gold/relational/mlprep, green in r02 AND r03) go last where
-# a truncated sweep costs the least new information.
+# expose QUERIES / ORACLES.
 _DOMAINS = (
-    "dedup",        # r03 cut off mid-module
-    "similarity",   # no r03 rows
-    "textops",      # no r03 rows
-    "streams",      # no r03 rows
-    "multimodal",   # no r03 rows
-    "incremental",  # scd2_delete_expiry is new in r04
-    "analytics",    # event_props_json changed in r04
-    "windows",      # top_parts_per_supplier changed in r04
-    "scale",        # user_event_gaps_window is new in r04
+    "dedup",
+    "similarity",
+    "textops",
+    "streams",
+    "multimodal",
+    "incremental",
+    "analytics",
+    "windows",
+    "scale",
     "temporal",
     "mlprep",
     "gold",
     "relational",
+)
+
+# Registry ORDER IS DELIBERATE: the driver's per-round correctness sweep
+# walks it in order under a bounded budget (round 3 stopped at exactly
+# the first 50 entries, leaving 25 queries with no driver row), so the
+# entries with the LEAST accumulated driver evidence go first — ranked
+# (1) never driver-checked, (2) output changed this round (older green
+# rows no longer describe current code), (3) last green two rounds ago
+# (r02 only) — and the repeatedly-proven stable remainder keeps module
+# order at the tail, where any truncation costs the least information.
+# Update each round as evidence accumulates.
+_SWEEP_PRIORITY = (
+    # (1) never driver-checked
+    "user_event_gaps_window",
+    "token_balanced_mixture",
+    "bloom_decontaminate",
+    "scd2_delete_expiry",
+    "vocab_coverage",
+    "pii_redact",
+    "repetition_signals",
+    "doc_chunks",
+    "label_centroids",
+    "embedding_norms",
+    "ann_recall_check",
+    "stream_session_windows",
+    "stream_click_purchase_join",
+    "stream_dedup_events",
+    "stream_user_totals_custom_state",
+    "media_frame_sample",
+    # (2) output changed in r04 (exact-integer timing / decimal rewrites)
+    "event_props_json",
+    "top_parts_per_supplier",
+    "user_event_gaps",
+    "purchase_attribution_asof",
+    "asof_join_cogroup",
+    # (3) newest green row is r02
+    "ngram_jaccard_pairs",
+    "simhash",
+    "minhash_lsh_candidates",
+    "ann_topk_bruteforce",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "embedding_near_dup",
+    "doc_token_stats",
+    "winnowing_fingerprints",
+    "doc_quality",
+    "lang_id",
+    "doc_fingerprint",
+    "term_frequencies",
+    "stream_tumbling_counts",
+    "stream_sliding_user_activity",
+    "media_metadata",
+    "media_decode_features",
 )
 
 
@@ -58,4 +104,9 @@ def registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
     missing = set(oracles) - set(queries)
     if missing:
         raise RuntimeError(f"oracles without queries: {missing}")
+    unknown = [n for n in _SWEEP_PRIORITY if n not in queries]
+    if unknown:
+        raise RuntimeError(f"_SWEEP_PRIORITY names not in registry: {unknown}")
+    ordered = list(_SWEEP_PRIORITY) + [n for n in queries if n not in set(_SWEEP_PRIORITY)]
+    queries = {n: queries[n] for n in ordered}
     return queries, oracles
