@@ -104,7 +104,7 @@ _JSON_SQL = """
     WITH agg AS (
         SELECT event_type,
                count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
                max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
         FROM events
         GROUP BY ALL

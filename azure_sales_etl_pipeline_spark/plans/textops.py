@@ -557,7 +557,7 @@ _VOCAB_SQL = rf"""
         WHERE length(token) > 0
         GROUP BY ALL
     ),
-    total AS (SELECT sum(n) AS total_n FROM counts),
+    total AS (SELECT CAST(sum(n) AS BIGINT) AS total_n FROM counts),
     top AS (
         SELECT token, n FROM counts ORDER BY n DESC, token LIMIT {_VOCAB_TOP_N}
     )

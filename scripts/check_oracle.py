@@ -15,6 +15,15 @@ is re-checked under a 1e-9 relative epsilon purely to CLASSIFY it:
   the query emits floats whose last-ulp behavior differs between
   engines, and the driver's hash may or may not forgive it. Treat as a
   fix-me (convert the column to DECIMAL / scaled BIGINT), not a pass.
+- ``FRAGILE-TYPE`` — the stringified VALUES match but the column
+  TYPES don't (e.g. DuckDB leaves ``sum(bigint)`` as HUGEINT /
+  decimal128(38,0) while Spark emits int64). Round 4 proved the
+  driver's hash layer distinguishes these even though
+  ``str(Decimal('123')) == str(123)`` — both remaining r04 hash-fails
+  (`vocab_coverage`, `event_props_json`) were exactly this. The
+  oracle result is fetched via Arrow so the true DuckDB schema is
+  visible; a coarse type-category comparison against Spark's dtypes
+  flags the divergence BEFORE the driver does.
 
 Usage:  python scripts/check_oracle.py [sf_dir] [name...] [--vanilla] [--time]
 """
@@ -29,12 +38,89 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import duckdb
+import pyarrow as pa
 
 from __spark_entry__ import oracle_sql, queries
 from azure_sales_etl_pipeline_spark.catalog import TESTDATA_TABLES, table_path
 from azure_sales_etl_pipeline_spark.session import get_spark
 
 _REL_EPS = 1e-9
+
+
+def _coarse_arrow(t: pa.DataType) -> str:
+    """Coarse type category of an Arrow field (DuckDB result schema)."""
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return "list"
+    if pa.types.is_struct(t):
+        return "struct"
+    if pa.types.is_map(t):
+        return "map"
+    if pa.types.is_null(t):
+        return "null"
+    return "other"
+
+
+def _coarse_spark(dtype: str) -> str:
+    """Coarse type category of a Spark simpleString dtype."""
+    d = dtype.lower()
+    if d in ("tinyint", "smallint", "int", "bigint", "byte", "short", "integer", "long"):
+        return "int"
+    if d in ("float", "double"):
+        return "float"
+    if d.startswith("decimal"):
+        return "decimal"
+    if d == "boolean":
+        return "bool"
+    if d in ("string", "varchar", "char") or d.startswith(("varchar", "char")):
+        return "str"
+    if d.startswith("timestamp"):
+        return "timestamp"
+    if d == "date":
+        return "date"
+    if d == "binary":
+        return "binary"
+    if d.startswith("array"):
+        return "list"
+    if d.startswith("struct"):
+        return "struct"
+    if d.startswith("map"):
+        return "map"
+    if d == "void":
+        return "null"
+    return "other"
+
+
+def type_mismatches(spark_dtypes, arrow_schema):
+    """Columns whose coarse type category differs between the Spark
+    result and the DuckDB (Arrow) oracle result. A ``null`` category on
+    either side is a wildcard (all-NULL literal columns carry no type
+    information)."""
+    stypes = {n: _coarse_spark(d) for n, d in spark_dtypes}
+    out = []
+    for field in arrow_schema:
+        o = _coarse_arrow(field.type)
+        s = stypes.get(field.name)
+        if s is None or "null" in (s, o):
+            continue
+        if s != o:
+            out.append(f"{field.name}: spark={s} oracle={o}")
+    return out
 
 
 def norm_cell(v):
@@ -118,9 +204,13 @@ def main() -> int:
             print(f"OK?  {name}: rows-only ({len(srows)} rows, no oracle){suffix}")
             continue
         try:
-            res = con.execute(os_[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # Arrow keeps the true DuckDB column types visible (fetchall
+            # hides HUGEINT behind Decimal objects that stringify like
+            # ints — the exact blind spot that shipped two hash-fails).
+            otbl = con.execute(os_[name]).arrow()
+            ocols = otbl.column_names
+            odicts = otbl.to_pylist()
+            orows = [tuple(d[c] for c in ocols) for d in odicts]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: oracle error {type(e).__name__}: {e}")
             failures += 1
@@ -133,6 +223,7 @@ def main() -> int:
             print(f"FAIL {name}: rowcount spark={len(srows)} oracle={len(orows)}")
             failures += 1
             continue
+        bad_types = type_mismatches(sdf.dtypes, otbl.schema)
         a, b = canon(srows, scols), canon(orows, ocols)
         if a != b:
             diff = next(i for i, (x, y) in enumerate(zip(a, b)) if x != y)
@@ -147,6 +238,11 @@ def main() -> int:
                 print(f"FAIL(eps) {name}: value mismatch at sorted row {diff}:")
             print(f"  spark : {a[diff]}")
             print(f"  oracle: {b[diff]}")
+            continue
+        if bad_types:
+            fragiles += 1
+            print(f"FRAGILE-TYPE {name}: values match but column types differ "
+                  f"(driver hash at risk): {'; '.join(bad_types)}")
             continue
         print(f"PASS {name} ({len(srows)} rows){suffix}")
     spark.stop()
