@@ -52,6 +52,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Integer `div`, NOT `/`: float division of an int64 epoch-nanos
         # loses precision (2^53 < 1.7e18) and drifts by ±1µs.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif name == "events" and dict(df.dtypes).get("ts") == "timestamp_ntz":
+        from pyspark.sql import functions as F
+
+        # Newer testdata writes plain TIMESTAMP(MICROS) parquet, which
+        # Spark 4 infers as TIMESTAMP_NTZ. The session tz is pinned UTC, so
+        # the cast is value-preserving, and event-time watermarks (which
+        # reject NTZ) plus everything downstream see one canonical type.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -45,6 +45,10 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if dict(src.dtypes).get("ts") == "bigint":
         src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(src.dtypes).get("ts") == "timestamp_ntz":
+        # withWatermark rejects TIMESTAMP_NTZ; session tz is UTC so the
+        # cast is value-preserving (same normalization as catalog.load_table).
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
     return src
 
 
