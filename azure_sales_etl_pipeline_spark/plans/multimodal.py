@@ -186,9 +186,13 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # Uniform stride: pick ceil-spaced frame indices.
                 k = min(n_frames, _MAX_SAMPLED_FRAMES)
                 idxs = [i * n_frames // k for i in range(k)]
-                # Aspect-preserving resize: short side → 224.
-                scale = _RESIZE_TARGET / min(w, h)
-                rw, rh = round(w * scale), round(h * scale)
+                # Aspect-preserving resize: short side → 224, integer
+                # round-half-up ((x*2T + m) // 2m == floor(x*T/m + 0.5)) so
+                # the value is engine-exact (float round() is banker's in
+                # Python but half-away in SQL engines — unreconcilable).
+                m = min(w, h)
+                rw = (w * 2 * _RESIZE_TARGET + m) // (2 * m)
+                rh = (h * 2 * _RESIZE_TARGET + m) // (2 * m)
                 for fi in idxs:
                     out["doc_id"].append(doc_id)
                     out["media_type"].append(mtype)
@@ -226,15 +230,47 @@ _DECODE_SQL = f"""
 """
 
 
+# Full value oracle for the frame fan-out: the stub's digest arithmetic
+# replays in SQL (hex-nibble parse, as in _DECODE_SQL), the variable
+# fan-out replays as `range(4)` lateral + `i < k` filter, and the
+# per-frame digest replays because frame_idx < 128 makes its 4-byte
+# big-endian encoding three NULs + one ASCII byte — expressible with
+# chr() so DuckDB's VARCHAR-only sha256 hashes the identical bytes.
+_FRAME_SQL = f"""
+    WITH dims AS (
+        SELECT doc_id, text,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+               64 + {_hexbyte_sql(0)} % 192 AS width,
+               64 + {_hexbyte_sql(1)} % 192 AS height,
+               CASE WHEN doc_id % 3 = 0 THEN 1
+                    ELSE 1 + {_hexbyte_sql(2)} % 30 END AS n_frames
+        FROM documents
+    ),
+    sized AS (
+        SELECT *, LEAST(n_frames, {_MAX_SAMPLED_FRAMES}) AS k,
+               LEAST(width, height) AS m
+        FROM dims
+    )
+    SELECT doc_id,
+           media_type,
+           CAST((i * n_frames) // k AS INTEGER) AS frame_idx,
+           CAST((width * {2 * _RESIZE_TARGET} + m) // (2 * m) AS INTEGER) AS resized_w,
+           CAST((height * {2 * _RESIZE_TARGET} + m) // (2 * m) AS INTEGER) AS resized_h,
+           sha256(text || repeat(chr(0), 3)
+                       || chr(CAST((i * n_frames) // k AS INTEGER))) AS frame_digest
+    FROM sized, range({_MAX_SAMPLED_FRAMES}) t(i)
+    WHERE i < k
+"""
+
+
 QUERIES = {
     "media_metadata": media_metadata,
     "media_decode_features": media_decode_features,
     "media_frame_sample": media_frame_sample,
 }
 
-# media_frame_sample stays rows-only (variable fan-out decided inside
-# the batch); its fan-out/resize invariants are pytest-asserted.
 ORACLES = {
     "media_metadata": _METADATA_SQL,
     "media_decode_features": _DECODE_SQL,
+    "media_frame_sample": _FRAME_SQL,
 }
