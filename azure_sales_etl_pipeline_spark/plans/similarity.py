@@ -431,7 +431,16 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     all three pipelines are deterministic — seeded hyperplanes, seeded
     centroids — so the booleans are stable, not flaky). The oracle
     asserts the expected outcome, so a silent retrieval regression
-    breaks the driver's hash instead of hiding in a rows-only row."""
+    breaks the driver's hash instead of hiding in a rows-only row.
+
+    The three pipelines all scan the same embeddings table; caching the
+    scan once lets Spark's cache manager substitute the InMemoryRelation
+    into each pipeline's plan (canonical-subplan matching), so the
+    parquet decode runs once instead of three times. Deliberately not
+    unpersisted: the gate's corpus is small by construction (a recall
+    gate at 100 TB runs on a sampled corpus, not the full table), and
+    leaving it resident also serves the other ANN registry entries."""
+    load_table(spark, sf_dir, "embeddings").cache()
     truth = ann_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
     lsh = (
         ann_topk_lsh(spark, sf_dir)
