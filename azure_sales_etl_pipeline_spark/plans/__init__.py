@@ -52,6 +52,10 @@ _SWEEP_PRIORITY = (
     "vocab_coverage",
     "event_props_json",
     "media_frame_sample",
+    # (1b) new in r05 — never driver-checked
+    "dup_ngram_fraction",
+    "unigram_surprisal",
+    "bpe_pair_counts",
     # (2) newest green row is r03 (outside r04's 50-query sweep window)
     # — two rounds stale, re-prove before anything already proven in r04.
     # seller_performance_daily stays immediately before its _approx twin

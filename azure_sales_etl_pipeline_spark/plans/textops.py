@@ -569,6 +569,226 @@ _VOCAB_SQL = rf"""
 """
 
 
+# ---------------------------------------------------------------------------
+# cross-document duplicate n-grams (Gopher/RefinedWeb-style corpus signal)
+# ---------------------------------------------------------------------------
+
+_DUP_NGRAM_N = 8  # word n-gram width for the cross-doc duplication signal
+
+
+def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fraction of 8-gram positions whose 8-gram occurs
+    more than once in the WHOLE corpus — the cross-document companion
+    to ``repetition_signals`` (which is within-doc only). High values
+    mark boilerplate/templated documents that near-dup sketches can
+    miss when only a span is shared.
+
+    Plan shape (the part that matters at 100 TB): shingles are hashed
+    to 64-bit with ``xxhash64`` BEFORE the global count, so the one
+    wide exchange shuffles 8-byte keys instead of ~50-byte strings;
+    the count aggregates map-side first. The per-doc re-aggregation
+    joins positions to counts on the same hashed key — two shuffles
+    total, both on the narrow key. (The oracle joins on the raw
+    shingle text: semantically identical barring a 2^-64 collision.)
+
+    Output is all-integers (count + parts-per-thousand via integer
+    division), so the driver hash is exact by construction.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n = F.size(toks)
+    shingled = docs.select(
+        "doc_id",
+        F.when(
+            n >= _DUP_NGRAM_N,
+            F.transform(
+                F.sequence(F.lit(1), n - _DUP_NGRAM_N + 1),
+                lambda i: F.xxhash64(
+                    F.array_join(F.slice(toks, i, _DUP_NGRAM_N), " ")
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("sh"),
+    )
+    positions = shingled.select("doc_id", F.explode("sh").alias("h"))
+    counts = positions.groupBy("h").agg(F.count("*").alias("corpus_n"))
+    return (
+        positions.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("corpus_n") >= 2, 1).otherwise(0)).alias(
+                "n_dup_shingles"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_dup_shingles",
+            F.expr("n_dup_shingles * 1000 div n_shingles").alias("dup_permille"),
+        )
+    )
+
+
+_DUP_NGRAM_SQL = rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, t,
+               unnest(range(1, len(t) - {_DUP_NGRAM_N} + 2)) AS i
+        FROM toks WHERE len(t) >= {_DUP_NGRAM_N}
+    ),
+    pos AS (
+        SELECT doc_id,
+               array_to_string(t[i : i + {_DUP_NGRAM_N} - 1], ' ') AS sh
+        FROM idx
+    ),
+    counts AS (SELECT sh, count(*) AS corpus_n FROM pos GROUP BY sh)
+    SELECT doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN corpus_n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_shingles,
+           CAST(sum(CASE WHEN corpus_n >= 2 THEN 1 ELSE 0 END) * 1000
+                // count(*) AS BIGINT) AS dup_permille
+    FROM pos JOIN counts USING (sh)
+    GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM surprisal (perplexity-style quality score, integer-exact)
+# ---------------------------------------------------------------------------
+
+
+def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document total surprisal under the corpus's own unigram MLE
+    — the distributed skeleton of perplexity-based quality filtering
+    (CCNet-style, with the n-gram LM reduced to unigrams so the whole
+    thing stays in SQL). Rare-token-heavy documents score high.
+
+    Two passes: (1) global token counts — one shuffle on the token key,
+    map-side combined; (2) positions re-join the count table and sum
+    per doc. The count table is Zipf-bounded (vocab ≪ corpus), so the
+    probe side broadcasts here; at a 100 TB corpus the vocab may not
+    fit an executor — drop the hint and let AQE pick the shuffle join.
+
+    Surprisal is stored as ``floor(-ln(p) * 1e6)`` micronats: the
+    per-token value quantizes to an integer BEFORE the sum, so the
+    aggregation is order-free-exact and the driver hash can't wobble
+    (floats sum in partition order; integers don't care). Cross-engine
+    floor parity was probed over the corpus's n/N range: 0 mismatches.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    positions = docs.select(
+        "doc_id", F.explode(_tokens()).alias("token")
+    ).where(F.length("token") > 0)
+    counts = positions.groupBy("token").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("corpus_total"))
+    scored = positions.join(F.broadcast(counts), "token").crossJoin(
+        F.broadcast(total)
+    )
+    micronats = F.floor(
+        -F.log(F.col("n") / F.col("corpus_total")) * F.lit(1e6)
+    ).cast("bigint")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(micronats).alias("surprisal_micronats"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "surprisal_micronats",
+            F.expr("surprisal_micronats div n_tokens").alias(
+                "mean_surprisal_micronats"
+            ),
+        )
+    )
+
+
+_SURPRISAL_SQL = r"""
+    WITH pos AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents
+    ),
+    clean AS (SELECT * FROM pos WHERE length(token) > 0),
+    counts AS (SELECT token, count(*) AS n FROM clean GROUP BY token),
+    total AS (SELECT CAST(sum(n) AS BIGINT) AS corpus_total FROM counts)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(CAST(floor(-ln(n * 1.0 / corpus_total) * 1e6) AS BIGINT))
+                AS BIGINT) AS surprisal_micronats,
+           CAST(sum(CAST(floor(-ln(n * 1.0 / corpus_total) * 1e6) AS BIGINT))
+                // count(*) AS BIGINT) AS mean_surprisal_micronats
+    FROM clean JOIN counts USING (token), total
+    GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# BPE pair statistics (tokenizer-training prep)
+# ---------------------------------------------------------------------------
+
+_BPE_TOP_N = 100
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent-character-pair frequencies — the counting
+    step of one BPE training iteration (the merge rule is just the
+    argmax of this table). Occurrence-weighted, as BPE is: a pair in a
+    frequent word counts once per occurrence.
+
+    Plan: word explode → pair transform (``sequence`` + ``substring``,
+    all codegen) → pair explode → one hash-agg shuffle on the 2-char
+    key → global top-N via orderBy+limit (TakeOrderedAndProject: each
+    partition keeps N, the driver merges k×N rows — no global sort).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(_tokens()).alias("w")).where(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    ranked = (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+        .limit(_BPE_TOP_N)
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+    # rank window runs over <= _BPE_TOP_N rows post-limit: bounded, safe
+    return ranked.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "pair", "n_occurrences"
+    )
+
+
+_BPE_SQL = rf"""
+    WITH words AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents
+    ),
+    idx AS (
+        SELECT w, unnest(range(1, length(w))) AS i
+        FROM words WHERE length(w) >= 2
+    ),
+    pairs AS (
+        SELECT substr(w, CAST(i AS INTEGER), 2) AS pair FROM idx
+    ),
+    counted AS (
+        SELECT pair, count(*) AS n_occurrences FROM pairs GROUP BY pair
+        ORDER BY n_occurrences DESC, pair ASC LIMIT {_BPE_TOP_N}
+    )
+    SELECT row_number() OVER (ORDER BY n_occurrences DESC, pair ASC) AS rank,
+           pair, n_occurrences
+    FROM counted
+"""
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "winnowing_fingerprints": winnowing_fingerprints,
@@ -580,6 +800,9 @@ QUERIES = {
     "repetition_signals": repetition_signals,
     "doc_chunks": doc_chunks,
     "vocab_coverage": vocab_coverage,
+    "dup_ngram_fraction": dup_ngram_fraction,
+    "unigram_surprisal": unigram_surprisal,
+    "bpe_pair_counts": bpe_pair_counts,
 }
 
 ORACLES = {
@@ -593,4 +816,7 @@ ORACLES = {
     "repetition_signals": _REPETITION_SQL,
     "doc_chunks": _CHUNKS_SQL,
     "vocab_coverage": _VOCAB_SQL,
+    "dup_ngram_fraction": _DUP_NGRAM_SQL,
+    "unigram_surprisal": _SURPRISAL_SQL,
+    "bpe_pair_counts": _BPE_SQL,
 }

@@ -102,3 +102,74 @@ def test_vocab_coverage_ranks_and_cumsum(spark, tmp_path):
     assert out["b"]["rank"] == 2 and out["b"]["cum_n"] == 8
     assert out["c"]["rank"] == 3 and out["c"]["cum_n"] == 9
     assert all(r["total_n"] == 9 for r in out.values())
+
+
+# ---------------------------------------------------------------------------
+# round-5 operators: dup_ngram_fraction, unigram_surprisal, bpe_pair_counts
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def dup_docs_dir(spark, tmp_path):
+    shared = "one two three four five six seven eight"  # exactly an 8-gram
+    rows = [
+        (0, shared + " tail0 a b c", "en", "web", 1),
+        (1, shared + " tail1 d e f", "en", "web", 1),  # shares the 8-gram prefix
+        (2, "entirely different tokens with no overlap at all here", "en", "web", 1),
+        (3, "short text", "en", "web", 1),  # < 8 tokens -> no shingles
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_dup_ngram_fraction_cross_doc(spark, dup_docs_dir):
+    from azure_sales_etl_pipeline_spark.plans.textops import dup_ngram_fraction
+
+    out = {r["doc_id"]: r for r in dup_ngram_fraction(spark, dup_docs_dir).collect()}
+    # doc 3 has < 8 tokens: no shingle rows at all
+    assert 3 not in out
+    # docs 0/1 share exactly the leading 8-gram; each has 12 tokens -> 5 shingles
+    for d in (0, 1):
+        assert out[d]["n_shingles"] == 5
+        assert out[d]["n_dup_shingles"] == 1
+        assert out[d]["dup_permille"] == 200
+    # doc 2 shares nothing
+    assert out[2]["n_dup_shingles"] == 0 and out[2]["dup_permille"] == 0
+
+
+def test_unigram_surprisal_ranks_rare_docs(spark, dup_docs_dir):
+    """A document of corpus-unique tokens must out-surprise one built
+    from corpus-frequent tokens; counts are exact."""
+    from azure_sales_etl_pipeline_spark.plans.textops import unigram_surprisal
+
+    out = {r["doc_id"]: r for r in unigram_surprisal(spark, dup_docs_dir).collect()}
+    assert out[0]["n_tokens"] == 12
+    # docs 0/1 share 8 of 11 tokens (halved probabilities); doc 2 is all
+    # singletons like doc 3 but longer — mean surprisal: doc2 > doc0
+    assert out[2]["mean_surprisal_micronats"] > out[0]["mean_surprisal_micronats"]
+    # integer invariant: mean * n <= total < (mean + 1) * n
+    for r in out.values():
+        assert (
+            r["mean_surprisal_micronats"] * r["n_tokens"]
+            <= r["surprisal_micronats"]
+            < (r["mean_surprisal_micronats"] + 1) * r["n_tokens"]
+        )
+
+
+def test_bpe_pair_counts_hand_checked(spark, tmp_path):
+    from azure_sales_etl_pipeline_spark.plans.textops import bpe_pair_counts
+
+    rows = [(0, "abab abab cd", "en", "web", 12)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r["pair"]: r for r in bpe_pair_counts(spark, str(tmp_path)).collect()}
+    # "abab" x2 -> ab:2x2=4, ba:1x2=2; "cd" -> cd:1; single-char words dropped
+    assert out["ab"]["n_occurrences"] == 4
+    assert out["ba"]["n_occurrences"] == 2
+    assert out["cd"]["n_occurrences"] == 1
+    assert out["ab"]["rank"] == 1
