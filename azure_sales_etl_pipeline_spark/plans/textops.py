@@ -591,6 +591,13 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     total, both on the narrow key. (The oracle joins on the raw
     shingle text: semantically identical barring a 2^-64 collision.)
 
+    Join-not-window on purpose: ``count() over (partition by h)`` would
+    save the second scan but serializes every occurrence of a hot
+    shingle into ONE window task — and hot shingles are exactly what a
+    boilerplate-heavy corpus produces. The join keeps hot keys
+    parallel (broadcast here; AQE skew-split if the count table ever
+    outgrows broadcast), at the price of tokenizing the corpus twice.
+
     Output is all-integers (count + parts-per-thousand via integer
     division), so the driver hash is exact by construction.
     """
