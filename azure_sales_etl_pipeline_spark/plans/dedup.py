@@ -232,18 +232,26 @@ def minhash_signature(df: DataFrame, text_col: str = "text", k: int = _MINHASH_K
     shingles, all computed map-side (array_min over a transform; zero
     shuffles). Seeded by hashing (seed, shingle) pairs with xxhash64.
 
-    The shingle array is materialized in its own projection first — the
-    k per-seed transforms would otherwise rebuild it k times (no CSE
-    through HOF lambdas)."""
-    toks = F.split(F.trim(F.col(text_col)), _WS)
-    staged = df.withColumn("__sh", _shingles(toks))
+    The token and shingle arrays are each staged behind a tautological
+    Filter barrier: a bare projection is NOT a materialization point —
+    CollapseProject would inline the shingle build into all k per-seed
+    transforms (and the regex split into every shingle position), but a
+    Filter referencing the projected column can't be crossed by either
+    CollapseProject or predicate pushdown, so each array computes once
+    per row."""
+    staged = (
+        df.withColumn("__t", F.split(F.trim(F.col(text_col)), _WS))
+        .where(F.size("__t") >= 0)
+        .withColumn("__sh", _shingles(F.col("__t")))
+        .where(F.size("__sh") >= 0)
+    )
     sig = F.array(
         *[
             F.array_min(F.transform(F.col("__sh"), lambda s, i=i: F.xxhash64(F.lit(i), s)))
             for i in range(k)
         ]
     )
-    return staged.withColumn("signature", sig).drop("__sh")
+    return staged.withColumn("signature", sig).drop("__sh", "__t")
 
 
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -274,9 +282,15 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DataFrame instead of pinning executor memory for the session, and
     # the eager materialization already guarantees the shingle arrays
     # compute once for both the sketch and the verify stage.
-    staged = docs.select(
-        "doc_id", F.array_distinct(_shingles(_tokens())).alias("sh")
-    ).localCheckpoint()
+    # Tokenize behind a Filter barrier so the regex split can't be
+    # inlined into the per-shingle lambda (one re-split per position
+    # otherwise — see textops.dup_ngram_fraction for the measurement).
+    staged = (
+        docs.select("doc_id", _tokens().alias("t"))
+        .where(F.size("t") >= 0)
+        .select("doc_id", F.array_distinct(_shingles(F.col("t"))).alias("sh"))
+        .localCheckpoint()
+    )
     # sig[i] inlines into exactly one band hash (Catalyst folds
     # GetArrayItem(CreateArray(...)) to the element), so each of the k
     # array_min computations appears once in the bands projection.

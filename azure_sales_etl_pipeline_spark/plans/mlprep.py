@@ -71,18 +71,22 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    # Tokenize behind a Filter barrier: the filter references the
+    # projected token array, so CollapseProject can't inline the regex
+    # split into the per-shingle lambda below (which would re-tokenize
+    # once per position — see textops.dup_ngram_fraction).
+    tok_docs = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    ).where(F.size("t") >= _CONTAM_K)
+    t = F.col("t")
     grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (_CONTAM_K - 1)),
-        lambda i: F.sha2(F.array_join(F.slice(toks, i, _CONTAM_K), " "), 256),
+        F.sequence(F.lit(1), F.size(t) - (_CONTAM_K - 1)),
+        lambda i: F.sha2(F.array_join(F.slice(t, i, _CONTAM_K), " "), 256),
     )
-    shingled = (
-        docs.where(F.size(toks) >= _CONTAM_K)
-        .select(
-            "doc_id",
-            (prefix <= _TRAIN_PREFIX_MAX).alias("is_train"),
-            F.explode(F.array_distinct(grams)).alias("g"),
-        )
+    shingled = tok_docs.select(
+        "doc_id",
+        (prefix <= _TRAIN_PREFIX_MAX).alias("is_train"),
+        F.explode(F.array_distinct(grams)).alias("g"),
     )
     train_set = shingled.where("is_train").select("g").distinct()
     test = shingled.where(~F.col("is_train"))

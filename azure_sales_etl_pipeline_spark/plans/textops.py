@@ -268,19 +268,24 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     and happens AFTER selection, so ~n/w fingerprints per doc, not n.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens()
-    # Docs shorter than k tokens yield zero grams. The guard matters:
-    # Spark's sequence(1, 0) emits DESCENDING [1, 0], whose 0 start then
-    # crashes slice() — a latent short-doc bug at corpus scale (the
-    # synthetic fixture only has long docs; real corpora do not).
-    grams = F.when(
-        F.size(toks) >= _WIN_K,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (_WIN_K - 1)),
-            lambda i: F.sha2(F.array_join(F.slice(toks, i, _WIN_K), " "), 256),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    staged = docs.select("doc_id", grams.alias("grams")).where(F.size("grams") >= _WIN_W)
+    # Tokenize behind a Filter barrier (same CollapseProject trap as
+    # dup_ngram_fraction: without it the regex split re-runs inside the
+    # per-gram lambda, once per position). Docs shorter than k tokens
+    # yield zero grams; filtering them here both IS that semantics and
+    # blocks the projection collapse. (Historical note: the old
+    # sequence(1, 0)-descending slice() crash on short docs is also
+    # dead — they never reach the gram stage now.)
+    tok_docs = docs.select("doc_id", _tokens().alias("t")).where(
+        F.size("t") >= _WIN_K
+    )
+    t = F.col("t")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (_WIN_K - 1)),
+        lambda i: F.sha2(F.array_join(F.slice(t, i, _WIN_K), " "), 256),
+    )
+    staged = tok_docs.select("doc_id", grams.alias("grams")).where(
+        F.size("grams") >= _WIN_W
+    )
     mins = F.transform(
         F.sequence(F.lit(1), F.size(F.col("grams")) - (_WIN_W - 1)),
         lambda j: F.array_min(F.slice(F.col("grams"), j, _WIN_W)),
@@ -393,11 +398,16 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ratios rounded before comparison so the flag is exactly
     reproducible from the emitted columns)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens()
-    n = F.size(toks)
-    distinct_ratio = F.round(
-        F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1)), 4
-    )
+    # Tokenize → bigrams → stats as THREE projections separated by
+    # tautological Filter barriers (``size(x) >= 0`` references the
+    # defining projection, so neither predicate pushdown nor
+    # CollapseProject can merge across it). Without the barriers the
+    # optimizer inlines the regex split into the per-bigram lambda —
+    # one full re-tokenize per position (same trap as
+    # dup_ngram_fraction; this query measured 8.5s -> ~1s at sf0.1).
+    tok_docs = docs.select("doc_id", _tokens().alias("t")).where(F.size("t") >= 0)
+    t = F.col("t")
+    n = F.size(t)
     # Guard the degenerate case explicitly: Spark's sequence(1, 0) emits
     # a DESCENDING [1, 0] (not an empty array), whose 0 index then blows
     # up slice() — single-token docs must yield zero bigrams.
@@ -405,20 +415,31 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         n >= 2,
         F.transform(
             F.sequence(F.lit(1), n - 1),
-            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+            lambda i: F.array_join(F.slice(t, i, 2), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    n_grams = F.size(grams)
-    dup_bigram_frac = F.round(
-        (n_grams - F.size(F.array_distinct(grams))) / F.greatest(n_grams, F.lit(1)),
-        4,
-    )
-    return docs.select(
+    gram_docs = tok_docs.select(
         "doc_id",
         n.alias("n_tokens"),
-        distinct_ratio.alias("distinct_token_ratio"),
+        F.round(F.size(F.array_distinct(t)) / F.greatest(n, F.lit(1)), 4).alias(
+            "distinct_token_ratio"
+        ),
+        grams.alias("g"),
+    ).where(F.size("g") >= 0)
+    n_grams = F.size(F.col("g"))
+    dup_bigram_frac = F.round(
+        (n_grams - F.size(F.array_distinct(F.col("g"))))
+        / F.greatest(n_grams, F.lit(1)),
+        4,
+    )
+    return gram_docs.select(
+        "doc_id",
+        "n_tokens",
+        "distinct_token_ratio",
         dup_bigram_frac.alias("dup_bigram_frac"),
-        ((distinct_ratio < 0.3) | (dup_bigram_frac > 0.3)).alias("repetitive"),
+        (
+            (F.col("distinct_token_ratio") < 0.3) | (dup_bigram_frac > 0.3)
+        ).alias("repetitive"),
     )
 
 
@@ -463,18 +484,22 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python). Short docs produce one (possibly partial) chunk; the final
     partial chunk is kept iff it adds unseen tokens (start <= n)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens()
-    n = F.size(toks)
+    # Filter barrier after tokenize (see dup_ngram_fraction): real
+    # corpora have thousand-token docs, and without it the regex split
+    # re-runs inside the per-chunk lambda — quadratic in doc length.
+    tok_docs = docs.select("doc_id", _tokens().alias("t")).where(F.size("t") >= 0)
+    t = F.col("t")
+    n = F.size(t)
     starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(_CHUNK_STRIDE))
     chunks = F.transform(
         starts,
         lambda s: F.struct(
             s.alias("start"),
-            F.array_join(F.slice(toks, s, _CHUNK_TOKENS), " ").alias("chunk_text"),
+            F.array_join(F.slice(t, s, _CHUNK_TOKENS), " ").alias("chunk_text"),
             F.least(n - s + 1, F.lit(_CHUNK_TOKENS)).alias("n_chunk_tokens"),
         ),
     )
-    exploded = docs.select(
+    exploded = tok_docs.select(
         "doc_id", n.alias("n_tokens"), F.posexplode(chunks).alias("chunk_ix", "c")
     )
     return exploded.select(
@@ -584,48 +609,58 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     miss when only a span is shared.
 
     Plan shape (the part that matters at 100 TB): shingles are hashed
-    to 64-bit with ``xxhash64`` BEFORE the global count, so the one
-    wide exchange shuffles 8-byte keys instead of ~50-byte strings;
-    the count aggregates map-side first. The per-doc re-aggregation
-    joins positions to counts on the same hashed key — two shuffles
-    total, both on the narrow key. (The oracle joins on the raw
-    shingle text: semantically identical barring a 2^-64 collision.)
-
-    Join-not-window on purpose: ``count() over (partition by h)`` would
-    save the second scan but serializes every occurrence of a hot
-    shingle into ONE window task — and hot shingles are exactly what a
-    boilerplate-heavy corpus produces. The join keeps hot keys
-    parallel (broadcast here; AQE skew-split if the count table ever
-    outgrows broadcast), at the price of tokenizing the corpus twice.
+    to 64-bit with ``xxhash64`` BEFORE any exchange, so every shuffle
+    moves 8-byte keys instead of ~50-byte strings. (The oracle groups
+    on the raw shingle text: semantically identical barring a 2^-64
+    collision.) The expensive tokenize+shingle projection runs ONCE:
+    positions immediately reduce to per-``(h, doc_id)`` counts (one
+    map-side-combined exchange); corpus totals re-aggregate from that
+    reduced set, and Catalyst's ReuseExchange serves both consumers
+    from the same shuffle output instead of re-scanning the corpus.
+    The totals join is AQE's choice (broadcast here — the shingle
+    count table is Zipf-bounded; skew-split shuffle if it outgrows
+    broadcast). Hot boilerplate shingles never serialize into one
+    task, which is why this is a join, not
+    ``count() over (partition by h)``.
 
     Output is all-integers (count + parts-per-thousand via integer
     division), so the driver hash is exact by construction.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens()
-    n = F.size(toks)
-    shingled = docs.select(
+    # The Filter between the two projections is a LOAD-BEARING barrier:
+    # CollapseProject would otherwise inline the tokenize into the
+    # per-position lambda, re-running the regex split once per shingle
+    # position (measured 9.1s -> 1.2s at sf0.1 for this one node). A
+    # filter that references `t` can't be pushed below the projection
+    # that defines it, so `t` stays a materialized per-row local in the
+    # codegen pipeline. It also IS the semantics: docs shorter than one
+    # shingle produce no positions.
+    tok_docs = docs.select("doc_id", _tokens().alias("t")).where(
+        F.size("t") >= _DUP_NGRAM_N
+    )
+    t = F.col("t")
+    n = F.size(t)
+    positions = tok_docs.select(
         "doc_id",
-        F.when(
-            n >= _DUP_NGRAM_N,
+        F.explode(
             F.transform(
                 F.sequence(F.lit(1), n - _DUP_NGRAM_N + 1),
                 lambda i: F.xxhash64(
-                    F.array_join(F.slice(toks, i, _DUP_NGRAM_N), " ")
+                    F.array_join(F.slice(t, i, _DUP_NGRAM_N), " ")
                 ),
-            ),
-        )
-        .otherwise(F.array().cast("array<bigint>"))
-        .alias("sh"),
+            )
+        ).alias("h"),
     )
-    positions = shingled.select("doc_id", F.explode("sh").alias("h"))
-    counts = positions.groupBy("h").agg(F.count("*").alias("corpus_n"))
+    # Reduce FIRST: per-(shingle, doc) occurrence counts collapse the
+    # position stream before anything downstream consumes it twice.
+    pairs = positions.groupBy("h", "doc_id").agg(F.count("*").alias("c"))
+    totals = pairs.groupBy("h").agg(F.sum("c").alias("corpus_n"))
     return (
-        positions.join(counts, "h")
+        pairs.join(totals, "h")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_shingles"),
-            F.sum(F.when(F.col("corpus_n") >= 2, 1).otherwise(0)).alias(
+            F.sum("c").alias("n_shingles"),
+            F.sum(F.when(F.col("corpus_n") >= 2, F.col("c")).otherwise(F.lit(0))).alias(
                 "n_dup_shingles"
             ),
         )
