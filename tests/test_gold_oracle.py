@@ -32,7 +32,7 @@ def test_seller_performance_daily_matches_oracle(spark):
 
 
 def test_approx_count_distinct_within_rsd(spark):
-    """The HLL++ scale variant stays within ~5x its configured 2% rsd of
+    """The HLL++ scale variant stays within ~2x its configured 5% rsd of
     the exact counts at the per-seller grain (coarser than daily so the
     law of large numbers applies)."""
     from pyspark.sql import functions as F
