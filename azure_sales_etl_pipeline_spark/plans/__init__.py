@@ -34,6 +34,7 @@ _DOMAINS = (
     "mlprep",
     "gold",
     "relational",
+    "sqlapi",
 )
 
 # Registry ORDER IS DELIBERATE: the driver's per-round correctness sweep
@@ -56,6 +57,9 @@ _SWEEP_PRIORITY = (
     "dup_ngram_fraction",
     "unigram_surprisal",
     "bpe_pair_counts",
+    "sql_shipping_priority",
+    "sql_nation_revenue",
+    "stratified_sample",
     # (2) newest green row is r03 (outside r04's 50-query sweep window)
     # — two rounds stale, re-prove before anything already proven in r04.
     # seller_performance_daily stays immediately before its _approx twin

@@ -697,8 +697,60 @@ _MIXTURE_SQL = r"""
 """
 
 
+# ---------------------------------------------------------------------------
+# stratified sampling (per-language downsampling)
+# ---------------------------------------------------------------------------
+
+#: Per-stratum keep thresholds on the 2-hex-digit md5 prefix (256
+#: buckets): "7f" keeps ~50%. Languages absent from the map keep
+#: everything — the high-resource stratum is the one you thin.
+_STRATA_PREFIX_MAX = {"en": "7f"}
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsampling — thin the over-
+    represented stratum (the corpus is ~44% English) without touching
+    the rest, the standard rebalancing pass before mixture weighting.
+
+    Membership is a pure function of the SALTED key (``md5('strat:' ||
+    doc_id)`` — salted so sample membership is independent of
+    ``train_test_split``'s unsalted hash; reusing the same hash would
+    make "sampled" correlate with "train"). Hash-threshold, not
+    ``sample()``: stable under re-partitioning, appends, and re-runs,
+    and needs no sampling job. Map-side filter only — no shuffle, no
+    driver participation; the plan is a scan with the predicate
+    evaluated in codegen.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(
+        F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    keep = F.lit(False)
+    threshold = F.lit("ff")
+    for lang, pmax in _STRATA_PREFIX_MAX.items():
+        threshold = F.when(F.col("lang") == lang, F.lit(pmax)).otherwise(threshold)
+    keep = prefix <= threshold
+    return docs.where(keep).select("doc_id", "lang", "source")
+
+
+def _strata_case_sql() -> str:
+    branches = " ".join(
+        f"WHEN '{lang}' THEN '{pmax}'" for lang, pmax in _STRATA_PREFIX_MAX.items()
+    )
+    return f"CASE lang {branches} ELSE 'ff' END"
+
+
+_STRATIFIED_SQL = f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 2)
+          <= {_strata_case_sql()}
+"""
+
+
 QUERIES = {
     "train_test_split": train_test_split,
+    "stratified_sample": stratified_sample,
     "split_contamination": split_contamination,
     "token_budget_shards": token_budget_shards,
     "curation_funnel": curation_funnel,
@@ -711,6 +763,7 @@ QUERIES = {
 
 ORACLES = {
     "train_test_split": _SPLIT_SQL,
+    "stratified_sample": _STRATIFIED_SQL,
     "split_contamination": _CONTAM_SQL,
     "token_budget_shards": _SHARDS_SQL,
     "curation_funnel": _funnel_sql(),

@@ -1,0 +1,135 @@
+"""The ``spark.sql()`` entry path as a first-class API surface.
+
+Everything else in the engine declares plans through the DataFrame API;
+these queries prove the SQL front door works identically — same
+catalog tables (registered as temp views), same Catalyst plan
+underneath, same exactness conventions (DECIMAL money summed then
+emitted as BIGINT cents, per [[top_parts_per_supplier]]'s one-cent
+lesson). A user who lives in SQL can point ``spark.sql`` at the engine
+catalog and get the same answers the DataFrame API gives.
+
+The two queries are classic scan→join→agg→top-N shapes (TPC-H Q3/Q5
+family) chosen because their physical plans exercise the properties
+that matter at 100 TB: date-filter pushdown into the parquet scan on
+the fact side, broadcast of the small dimension chain, one hash-agg
+shuffle on the narrow grain, and TakeOrderedAndProject for the top-N
+(no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+
+
+def _register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Expose catalog tables to SQL as session temp views (idempotent).
+
+    Temp views are metadata-only: the SQL planner sees the same parquet
+    relation the DataFrame API gets from ``load_table``, so pushdown /
+    pruning / AQE behave identically through either front door.
+    """
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-shaped: revenue of unshipped BUILDING-segment orders, top 10
+    by revenue. Pure ``spark.sql`` text over engine temp views."""
+    _register_views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT l.l_orderkey AS order_key,
+               CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(18,4))), 2) * 100 AS BIGINT)
+                   AS revenue_cents,
+               date_format(o.o_orderdate, 'yyyy-MM-dd') AS order_date,
+               o.o_orderpriority AS order_priority
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < DATE '1995-03-15'
+          AND l.l_shipdate  > DATE '1995-03-15'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue_cents DESC, order_key ASC
+        LIMIT 10
+        """
+    )
+
+
+_SHIPPING_SQL = """
+    SELECT l.l_orderkey AS order_key,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,4))), 2) * 100 AS BIGINT)
+               AS revenue_cents,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           o.o_orderpriority AS order_priority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate  > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue_cents DESC, order_key ASC
+    LIMIT 10
+"""
+
+
+def sql_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-shaped: revenue by customer nation where the supplying
+    nation matches (local supply chains), via the full 6-table join in
+    SQL text. The dimension chain (region→nation→customer/supplier)
+    broadcasts; the only wide exchange is the final nation-grain agg."""
+    _register_views(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation,
+               CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(18,4))), 2) * 100 AS BIGINT)
+                   AS revenue_cents,
+               count(DISTINCT o.o_orderkey) AS n_orders
+        FROM region r
+        JOIN nation n    ON n.n_regionkey = r.r_regionkey
+        JOIN customer c  ON c.c_nationkey = n.n_nationkey
+        JOIN orders o    ON o.o_custkey   = c.c_custkey
+        JOIN lineitem l  ON l.l_orderkey  = o.o_orderkey
+        JOIN supplier s  ON s.s_suppkey   = l.l_suppkey
+                        AND s.s_nationkey = c.c_nationkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name
+        """
+    )
+
+
+_NATION_SQL = """
+    SELECT n.n_name AS nation,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,4))), 2) * 100 AS BIGINT)
+               AS revenue_cents,
+           count(DISTINCT o.o_orderkey) AS n_orders
+    FROM region r
+    JOIN nation n    ON n.n_regionkey = r.r_regionkey
+    JOIN customer c  ON c.c_nationkey = n.n_nationkey
+    JOIN orders o    ON o.o_custkey   = c.c_custkey
+    JOIN lineitem l  ON l.l_orderkey  = o.o_orderkey
+    JOIN supplier s  ON s.s_suppkey   = l.l_suppkey
+                    AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+"""
+
+
+QUERIES = {
+    "sql_shipping_priority": sql_shipping_priority,
+    "sql_nation_revenue": sql_nation_revenue,
+}
+
+ORACLES = {
+    "sql_shipping_priority": _SHIPPING_SQL,
+    "sql_nation_revenue": _NATION_SQL,
+}

@@ -134,3 +134,44 @@ def test_token_shards_prefix_sum_is_distributed(spark):
     assert "hashpartitioning(pid" in plan, plan
     assert plan.count("Arguments: SinglePartition") <= 1, plan
     assert "BroadcastExchange" in plan
+
+
+def test_sql_entry_path_plans_like_dataframe_api(spark):
+    """The spark.sql() front door (plans/sqlapi.py) must produce the
+    same physical properties the DataFrame API gets: date filters
+    pushed into the fact scan, the dimension chain broadcast, and
+    top-N as TakeOrderedAndProject (never a global Sort)."""
+    from azure_sales_etl_pipeline_spark.plans.sqlapi import (
+        sql_nation_revenue,
+        sql_shipping_priority,
+    )
+
+    plan = plan_of(sql_shipping_priority(spark, SF_DIR))
+    # o_orderdate/l_shipdate predicates reach the parquet scans
+    assert "PushedFilters: [" in plan
+    assert any(
+        "LessThan" in l or "GreaterThan" in l
+        for l in plan.splitlines()
+        if "PushedFilters" in l
+    ), plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+    plan5 = plan_of(sql_nation_revenue(spark, SF_DIR))
+    # region filter prunes before the join chain; dims broadcast
+    assert "BroadcastHashJoin" in plan5
+    # lineitem scan reads only the join/money columns; untouched wide
+    # columns are pruned from EVERY scan in the plan
+    reads = [l for l in plan5.splitlines() if "ReadSchema" in l]
+    assert any("l_extendedprice" in l for l in reads)
+    assert not any("l_returnflag" in l or "l_tax" in l for l in reads)
+
+
+def test_stratified_sample_is_scan_only(spark):
+    """Hash-threshold sampling must plan as a filtered scan: no
+    Exchange, no sampling job, nothing driver-side."""
+    from azure_sales_etl_pipeline_spark.plans.mlprep import stratified_sample
+
+    plan = plan_of(stratified_sample(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "Sample" not in plan
