@@ -316,7 +316,127 @@ _UNPIVOT_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# ordered funnel + retention cohorts (product-analytics classics)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user counts
+    at a stage only if their FIRST occurrence of that stage comes after
+    (or at) their first occurrence of every earlier stage — the strict
+    form that distinguishes "clicked then viewed" from a real funnel
+    traversal.
+
+    Plan: one shuffle to the per-user grain (conditional ``min`` per
+    stage — three aggregates over one pass, no pivot job), stage
+    booleans composed map-side, then a global roll-up of three sums
+    (AQE collapses it to a light final stage). Events scan prunes to
+    (user_id, event_type, ts). Output is all-integers.
+    """
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t_{s}")
+            for s in _FUNNEL_STAGES
+        ]
+    )
+    reached = firsts.select(
+        "user_id",
+        F.col("t_view").isNotNull().alias("s1"),
+        (
+            F.col("t_view").isNotNull()
+            & F.col("t_click").isNotNull()
+            & (F.col("t_click") >= F.col("t_view"))
+        ).alias("s2"),
+        (
+            F.col("t_view").isNotNull()
+            & F.col("t_click").isNotNull()
+            & (F.col("t_click") >= F.col("t_view"))
+            & F.col("t_purchase").isNotNull()
+            & (F.col("t_purchase") >= F.col("t_click"))
+        ).alias("s3"),
+    )
+    return reached.agg(
+        F.sum(F.col("s1").cast("bigint")).alias("n_view"),
+        F.sum(F.col("s2").cast("bigint")).alias("n_view_click"),
+        F.sum(F.col("s3").cast("bigint")).alias("n_view_click_purchase"),
+    )
+
+
+_FUNNEL_SQL = """
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click >= t_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click >= t_view
+                          AND t_purchase >= t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click_purchase
+    FROM firsts
+"""
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users cohorted by first-activity week,
+    counted as retained in each later week they act in. The classic
+    growth-analytics rollup, expressed as two aggregations on the same
+    user-grain shuffle: first-week per user, then distinct
+    (user, activity-week) pairs joined back to compute the offset.
+
+    Scale shape: both aggregations and the join share the user_id key,
+    so AQE plans one real exchange on user plus a map-side week
+    dedup; the output triangle is O(weeks²) — tiny. Weeks are emitted
+    as ISO date strings (``date_trunc`` weeks start Monday in both
+    engines).
+    """
+    events = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts"))
+    activity = events.select("user_id", week.alias("week")).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy("cohort_week", "week")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(
+                (F.unix_timestamp("week") - F.unix_timestamp("cohort_week"))
+                / (7 * 86400)
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+            "n_active",
+        )
+    )
+
+
+_RETENTION_SQL = """
+    WITH activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    ),
+    cohort AS (
+        SELECT user_id, min(week) AS cohort_week FROM activity GROUP BY user_id
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(floor(date_diff('day', cohort_week, week) / 7.0) AS BIGINT)
+               AS week_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM activity a JOIN cohort USING (user_id)
+    GROUP BY cohort.cohort_week, a.week
+"""
+
+
 QUERIES = {
+    "event_funnel": event_funnel,
+    "retention_cohorts": retention_cohorts,
     "revenue_rollup_sets": revenue_rollup_sets,
     "order_status_pivot": order_status_pivot,
     "event_props_json": event_props_json,
@@ -329,6 +449,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "event_funnel": _FUNNEL_SQL,
+    "retention_cohorts": _RETENTION_SQL,
     "revenue_rollup_sets": _ROLLUP_SQL,
     "order_status_pivot": _PIVOT_SQL,
     "event_props_json": _JSON_SQL,
