@@ -175,3 +175,21 @@ def test_stratified_sample_is_scan_only(spark):
     plan = plan_of(stratified_sample(spark, SF_DIR))
     assert "Exchange" not in plan
     assert "Sample" not in plan
+
+
+def test_funnel_prunes_and_shuffles_once_per_grain(spark):
+    """event_funnel: the events scan must prune to (user_id,
+    event_type, ts) — no props/value/event_id — and the plan's only
+    hash exchange is the user grain (plus the single-partition final
+    rollup)."""
+    from azure_sales_etl_pipeline_spark.plans.analytics import event_funnel
+
+    plan = plan_of(event_funnel(spark, SF_DIR))
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert reads and all(
+        "props" not in l and "value" not in l and "event_id" not in l for l in reads
+    ), reads
+    hash_exchanges = [
+        l for l in plan.splitlines() if "hashpartitioning" in l and "Exchange" in l
+    ]
+    assert all("user_id" in l for l in hash_exchanges), hash_exchanges
