@@ -90,3 +90,28 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     # Zero-norm guard: a zero vector has no direction — return null
     # rather than NaN-poisoning downstream aggregates.
     return F.when((na > 0) & (nb > 0), dot / (na * nb))
+
+
+def plan_barrier(df):
+    """Materialization barrier for expensive projected expressions.
+
+    A bare projection is NOT a materialization point: CollapseProject
+    inlines single-use aliases into downstream lambdas (re-running a
+    regex tokenize once per shingle position — quadratic in doc
+    length), and alias-substituting predicate pushdown rewrites even a
+    tautological ``size(col) >= 0`` guard into the full expression and
+    evaluates it interpreted at the scan. A NONDETERMINISTIC
+    always-true filter is the reliable fence: Catalyst may neither push
+    predicates across it, reorder it, nor collapse the projections on
+    either side — so the projected columns below it are computed
+    exactly once per row. Measured on ``repetition_signals`` at sf0.1:
+    3.2 s (tautological deterministic guard, silently pushed+inlined)
+    → 0.66 s (this barrier).
+
+    Cost: one ``monotonically_increasing_id() >= 0`` comparison per
+    row and an optimization fence — use it AFTER a projection whose
+    columns feed per-element HOF lambdas, not as a default.
+    """
+    from pyspark.sql import functions as F
+
+    return df.where(F.monotonically_increasing_id() >= 0)

@@ -232,18 +232,19 @@ def minhash_signature(df: DataFrame, text_col: str = "text", k: int = _MINHASH_K
     shingles, all computed map-side (array_min over a transform; zero
     shuffles). Seeded by hashing (seed, shingle) pairs with xxhash64.
 
-    The token and shingle arrays are each staged behind a tautological
-    Filter barrier: a bare projection is NOT a materialization point —
+    The token and shingle arrays are each staged behind a plan_barrier
+    fence: a bare projection is NOT a materialization point —
     CollapseProject would inline the shingle build into all k per-seed
-    transforms (and the regex split into every shingle position), but a
-    Filter referencing the projected column can't be crossed by either
-    CollapseProject or predicate pushdown, so each array computes once
-    per row."""
-    staged = (
-        df.withColumn("__t", F.split(F.trim(F.col(text_col)), _WS))
-        .where(F.size("__t") >= 0)
-        .withColumn("__sh", _shingles(F.col("__t")))
-        .where(F.size("__sh") >= 0)
+    transforms (and the regex split into every shingle position), and a
+    deterministic guard gets alias-substituted and pushed; the
+    nondeterministic fence is the reliable boundary (see
+    functions.plan_barrier)."""
+    from ..functions import plan_barrier
+
+    staged = plan_barrier(
+        plan_barrier(
+            df.withColumn("__t", F.split(F.trim(F.col(text_col)), _WS))
+        ).withColumn("__sh", _shingles(F.col("__t")))
     )
     sig = F.array(
         *[
@@ -282,12 +283,13 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DataFrame instead of pinning executor memory for the session, and
     # the eager materialization already guarantees the shingle arrays
     # compute once for both the sketch and the verify stage.
-    # Tokenize behind a Filter barrier so the regex split can't be
+    # Tokenize behind a plan_barrier fence so the regex split can't be
     # inlined into the per-shingle lambda (one re-split per position
-    # otherwise — see textops.dup_ngram_fraction for the measurement).
+    # otherwise — see functions.plan_barrier for the measurements).
+    from ..functions import plan_barrier
+
     staged = (
-        docs.select("doc_id", _tokens().alias("t"))
-        .where(F.size("t") >= 0)
+        plan_barrier(docs.select("doc_id", _tokens().alias("t")))
         .select("doc_id", F.array_distinct(_shingles(F.col("t"))).alias("sh"))
         .localCheckpoint()
     )

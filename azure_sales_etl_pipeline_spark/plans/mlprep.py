@@ -71,13 +71,18 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    # Tokenize behind a Filter barrier: the filter references the
-    # projected token array, so CollapseProject can't inline the regex
-    # split into the per-shingle lambda below (which would re-tokenize
-    # once per position — see textops.dup_ngram_fraction).
-    tok_docs = docs.select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
-    ).where(F.size("t") >= _CONTAM_K)
+    # plan_barrier fence after the tokenize projection (see
+    # functions.plan_barrier: CollapseProject/pushdown otherwise inline
+    # the regex split into the per-shingle lambda — one re-tokenize per
+    # position). The short-doc filter pushes to the scan as cheap O(n).
+    from ..functions import plan_barrier
+
+    toks_expr = F.split(F.trim(F.col("text")), r"\s+")
+    tok_docs = plan_barrier(
+        docs.where(F.size(toks_expr) >= _CONTAM_K).select(
+            "doc_id", toks_expr.alias("t")
+        )
+    )
     t = F.col("t")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(t) - (_CONTAM_K - 1)),

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions import plan_barrier
 
 # Whitespace tokenizer shared by every operator (and mirrored in each
 # oracle): trim, split on runs of whitespace.
@@ -268,26 +269,34 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     and happens AFTER selection, so ~n/w fingerprints per doc, not n.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # Tokenize behind a Filter barrier (same CollapseProject trap as
-    # dup_ngram_fraction: without it the regex split re-runs inside the
-    # per-gram lambda, once per position). Docs shorter than k tokens
-    # yield zero grams; filtering them here both IS that semantics and
-    # blocks the projection collapse. (Historical note: the old
-    # sequence(1, 0)-descending slice() crash on short docs is also
-    # dead — they never reach the gram stage now.)
-    tok_docs = docs.select("doc_id", _tokens().alias("t")).where(
-        F.size("t") >= _WIN_K
+    # Tokenize and gram stages each sit behind a plan_barrier fence (see
+    # functions.plan_barrier: CollapseProject + alias-substituting
+    # pushdown otherwise re-run the split once per gram position —
+    # 3.5s -> 0.9s at sf0.1). Short docs: size(t) >= k pushes to the
+    # scan as a cheap O(n) predicate; docs with fewer than w windows
+    # get ONE fingerprint (the min over their grams) rather than
+    # none — a filter on the gram count would be alias-substituted by
+    # pushdown and re-evaluate the whole gram transform per row, and
+    # guaranteeing >=1 fingerprint per document is the standard MOSS
+    # behavior anyway. (Historical note: the old sequence(1, 0)-
+    # descending slice() crash on short docs is dead — they never
+    # reach the gram stage.)
+    tok_docs = plan_barrier(
+        docs.where(F.size(_tokens()) >= _WIN_K).select(
+            "doc_id", _tokens().alias("t")
+        )
     )
     t = F.col("t")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(t) - (_WIN_K - 1)),
         lambda i: F.sha2(F.array_join(F.slice(t, i, _WIN_K), " "), 256),
     )
-    staged = tok_docs.select("doc_id", grams.alias("grams")).where(
-        F.size("grams") >= _WIN_W
-    )
+    staged = plan_barrier(tok_docs.select("doc_id", grams.alias("grams")))
     mins = F.transform(
-        F.sequence(F.lit(1), F.size(F.col("grams")) - (_WIN_W - 1)),
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.size(F.col("grams")) - (_WIN_W - 1), F.lit(1)),
+        ),
         lambda j: F.array_min(F.slice(F.col("grams"), j, _WIN_W)),
     )
     return staged.select(
@@ -308,10 +317,10 @@ _WINNOW_SQL = rf"""
     )
     SELECT doc_id,
            unnest(list_distinct(
-               list_transform(range(1, len(grams) - {_WIN_W - 1} + 1),
+               list_transform(range(1, greatest(len(grams) - {_WIN_W - 1}, 1) + 1),
                    j -> list_min(list_slice(grams, j, j + {_WIN_W - 1}))))) AS fingerprint
     FROM g
-    WHERE len(grams) >= {_WIN_W}
+    WHERE len(grams) >= 1
 """
 
 
@@ -399,13 +408,12 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible from the emitted columns)."""
     docs = load_table(spark, sf_dir, "documents")
     # Tokenize → bigrams → stats as THREE projections separated by
-    # tautological Filter barriers (``size(x) >= 0`` references the
-    # defining projection, so neither predicate pushdown nor
-    # CollapseProject can merge across it). Without the barriers the
-    # optimizer inlines the regex split into the per-bigram lambda —
-    # one full re-tokenize per position (same trap as
-    # dup_ngram_fraction; this query measured 8.5s -> ~1s at sf0.1).
-    tok_docs = docs.select("doc_id", _tokens().alias("t")).where(F.size("t") >= 0)
+    # plan_barrier fences. A deterministic guard is NOT enough here:
+    # alias-substituting predicate pushdown rewrites it into the full
+    # gram expression and evaluates it interpreted at the scan — this
+    # query measured 8.5s (no fence), 3.2s (tautological guard,
+    # silently pushed), 0.66s (nondeterministic fence) at sf0.1.
+    tok_docs = plan_barrier(docs.select("doc_id", _tokens().alias("t")))
     t = F.col("t")
     n = F.size(t)
     # Guard the degenerate case explicitly: Spark's sequence(1, 0) emits
@@ -418,14 +426,16 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.array_join(F.slice(t, i, 2), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    gram_docs = tok_docs.select(
-        "doc_id",
-        n.alias("n_tokens"),
-        F.round(F.size(F.array_distinct(t)) / F.greatest(n, F.lit(1)), 4).alias(
-            "distinct_token_ratio"
-        ),
-        grams.alias("g"),
-    ).where(F.size("g") >= 0)
+    gram_docs = plan_barrier(
+        tok_docs.select(
+            "doc_id",
+            n.alias("n_tokens"),
+            F.round(F.size(F.array_distinct(t)) / F.greatest(n, F.lit(1)), 4).alias(
+                "distinct_token_ratio"
+            ),
+            grams.alias("g"),
+        )
+    )
     n_grams = F.size(F.col("g"))
     dup_bigram_frac = F.round(
         (n_grams - F.size(F.array_distinct(F.col("g"))))
@@ -484,10 +494,11 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python). Short docs produce one (possibly partial) chunk; the final
     partial chunk is kept iff it adds unseen tokens (start <= n)."""
     docs = load_table(spark, sf_dir, "documents")
-    # Filter barrier after tokenize (see dup_ngram_fraction): real
-    # corpora have thousand-token docs, and without it the regex split
-    # re-runs inside the per-chunk lambda — quadratic in doc length.
-    tok_docs = docs.select("doc_id", _tokens().alias("t")).where(F.size("t") >= 0)
+    # plan_barrier fence after tokenize (see functions.plan_barrier):
+    # real corpora have thousand-token docs, and without it the regex
+    # split re-runs inside the per-chunk lambda — quadratic in doc
+    # length.
+    tok_docs = plan_barrier(docs.select("doc_id", _tokens().alias("t")))
     t = F.col("t")
     n = F.size(t)
     starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(_CHUNK_STRIDE))
@@ -627,16 +638,16 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     division), so the driver hash is exact by construction.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # The Filter between the two projections is a LOAD-BEARING barrier:
-    # CollapseProject would otherwise inline the tokenize into the
-    # per-position lambda, re-running the regex split once per shingle
-    # position (measured 9.1s -> 1.2s at sf0.1 for this one node). A
-    # filter that references `t` can't be pushed below the projection
-    # that defines it, so `t` stays a materialized per-row local in the
-    # codegen pipeline. It also IS the semantics: docs shorter than one
-    # shingle produce no positions.
-    tok_docs = docs.select("doc_id", _tokens().alias("t")).where(
-        F.size("t") >= _DUP_NGRAM_N
+    # plan_barrier fence after the tokenize projection: CollapseProject
+    # would otherwise inline the split into the per-position lambda —
+    # one full re-tokenize per shingle position (measured 9.1s -> 1.2s
+    # at sf0.1 for this node alone; see functions.plan_barrier). The
+    # short-doc filter keeps its semantics and pushes to the scan as a
+    # cheap O(n) predicate.
+    tok_docs = plan_barrier(
+        docs.where(F.size(_tokens()) >= _DUP_NGRAM_N).select(
+            "doc_id", _tokens().alias("t")
+        )
     )
     t = F.col("t")
     n = F.size(t)
