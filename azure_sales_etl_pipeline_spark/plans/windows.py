@@ -213,11 +213,118 @@ _RANGE_JOIN_SQL = f"""
 """
 
 
+def revenue_7d_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day revenue per day — the ``rangeBetween`` frame the
+    engine hadn't demonstrated yet: the frame is VALUE-based (6
+    calendar days back), so gap days genuinely shrink the window, which
+    ``rowsBetween(-6, 0)`` would get wrong on sparse calendars.
+
+    Scale shape: revenue aggregates to the DAY grain first (one
+    map-side-combined shuffle; ~2,400 rows for 6.5 years), and only
+    that bounded table enters the global-ordered window — the
+    ``WindowExec: No Partition Defined`` warning is safe here for the
+    same documented reason as ``vocab_coverage``. All-integer output
+    (cents + day counts)."""
+    orders = load_table(spark, sf_dir, "orders")
+    day_num = F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01"))
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2) * 100)
+        .cast("bigint")
+        .alias("day_revenue_cents"),
+    )
+    w = (
+        Window.orderBy(F.datediff(F.col("day"), F.lit("1995-01-01")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "day_revenue_cents",
+        F.sum("day_revenue_cents").over(w).alias("trailing_7d_cents"),
+        F.count("*").over(w).cast("bigint").alias("n_days_in_window"),
+    )
+
+
+_REVENUE_7D_SQL = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) * 100
+                    AS BIGINT) AS day_revenue_cents
+        FROM orders GROUP BY 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           day_revenue_cents,
+           CAST(sum(day_revenue_cents) OVER w AS BIGINT) AS trailing_7d_cents,
+           CAST(count(*) OVER w AS BIGINT) AS n_days_in_window
+    FROM daily
+    WINDOW w AS (ORDER BY date_diff('day', DATE '1995-01-01', day)
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled hourly counts per event type — the calendar-scaffold
+    resampling pass every time-series rollup needs (a plain groupBy
+    silently drops empty hours; downstream charts/models need them as
+    zeros).
+
+    Plan: counts aggregate at (type, hour); the hour spine is a
+    ``sequence`` between the corpus min/max hour exploded from ONE row
+    (never a driver loop), cross-joined with the 5 distinct types
+    (broadcast both ways — spine × types is bounded), and the counts
+    join back on the (type, hour) key. All-integer output."""
+    events = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    counts = events.groupBy(
+        F.col("event_type"), hour.alias("hour")
+    ).agg(F.count("*").alias("n_events"))
+    bounds = events.agg(
+        F.min(hour).alias("lo"), F.max(hour).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour")
+    )
+    types = events.select("event_type").distinct()
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(counts, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            F.date_format("hour", "yyyy-MM-dd HH:00").alias("hour"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+_GAPFILL_SQL = """
+    WITH counts AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT min(date_trunc('hour', ts)) AS lo,
+               max(date_trunc('hour', ts)) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events)
+    SELECT t.event_type,
+           strftime(s.hour, '%Y-%m-%d %H:00') AS hour,
+           CAST(coalesce(c.n_events, 0) AS BIGINT) AS n_events
+    FROM spine s
+    CROSS JOIN types t
+    LEFT JOIN counts c ON c.event_type = t.event_type AND c.hour = s.hour
+"""
+
+
 QUERIES = {
     "top_parts_per_supplier": top_parts_per_supplier,
     "customer_running_revenue": customer_running_revenue,
     "order_value_deciles": order_value_deciles,
     "purchase_prior_clicks": purchase_prior_clicks,
+    "revenue_7d_window": revenue_7d_window,
+    "events_hourly_gapfill": events_hourly_gapfill,
 }
 
 ORACLES = {
@@ -225,4 +332,6 @@ ORACLES = {
     "customer_running_revenue": _RUNNING_SQL,
     "order_value_deciles": _DECILES_SQL,
     "purchase_prior_clicks": _RANGE_JOIN_SQL,
+    "revenue_7d_window": _REVENUE_7D_SQL,
+    "events_hourly_gapfill": _GAPFILL_SQL,
 }
