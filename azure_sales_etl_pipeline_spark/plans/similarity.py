@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ..functions import cosine_similarity
+from ..functions import cosine_similarity, plan_barrier
 
 _N_QUERIES = 5  # vec_id < 5 are the query vectors
 _TOP_K = 10
@@ -49,10 +49,17 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the idiomatic small-q form.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qvec")
+    # plan_barrier fences: the float→double cast projection would
+    # otherwise be re-inlined into every HOF dot-product lambda
+    # (functions.plan_barrier; measured ~35% off the LSH twin).
+    queries = plan_barrier(
+        emb.where(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qvec")
+        )
     )
-    corpus = emb.select("vec_id", _as_double("embedding").alias("vec"), "label")
+    corpus = plan_barrier(
+        emb.select("vec_id", _as_double("embedding").alias("vec"), "label")
+    )
     scored = (
         corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"), "inner")
         .select(
@@ -155,16 +162,22 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     mats_df = spark.createDataFrame([(mats,)], "mats: array<array<array<double>>>")
 
+    # plan_barrier fences (functions.plan_barrier): keep the cast
+    # projection and the 32-hyperplane bucket lambdas from being
+    # re-inlined into each other — measured 1.9 → 1.3 s at sf0.1.
     def keyed(df: DataFrame, vec_col: str, id_cols: list[str]) -> DataFrame:
         buckets = F.transform(F.col("mats"), lambda m: _bucket_of(F.col(vec_col), m))
-        return (
-            df.crossJoin(F.broadcast(mats_df))
-            .select(*id_cols, vec_col, F.posexplode(buckets).alias("table_id", "bucket"))
+        return plan_barrier(df.crossJoin(F.broadcast(mats_df))).select(
+            *id_cols, vec_col, F.posexplode(buckets).alias("table_id", "bucket")
         )
 
-    corpus = emb.select("vec_id", _as_double("embedding").alias("vec"), "label")
-    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qvec")
+    corpus = plan_barrier(
+        emb.select("vec_id", _as_double("embedding").alias("vec"), "label")
+    )
+    queries = plan_barrier(
+        emb.where(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qvec")
+        )
     )
     qkeys = keyed(queries, "qvec", ["query_id"])
     ckeys = keyed(corpus, "vec", ["vec_id", "label"])
@@ -174,7 +187,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "qvec", "vec_id", "label", "vec")
         .dropDuplicates(["query_id", "vec_id"])
     )
-    scored = cand.select(
+    scored = plan_barrier(cand).select(
         "query_id",
         "vec_id",
         "label",
@@ -319,14 +332,21 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall-vs-cost dial (probes↑ → recall↑). Recall vs brute force is
     asserted in tests/test_dedup_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    corpus = emb.select("vec_id", _as_double("embedding").alias("vec"), "label")
+    # plan_barrier fences as in the LSH twin (functions.plan_barrier).
+    corpus = plan_barrier(
+        emb.select("vec_id", _as_double("embedding").alias("vec"), "label")
+    )
     centroids = _train_centroids(corpus)
 
-    indexed = _with_centroids(corpus, centroids).withColumn(
-        "cluster", _nearest_cluster(F.col("vec"))
-    ).drop("cents")
-    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qvec")
+    indexed = plan_barrier(
+        plan_barrier(_with_centroids(corpus, centroids))
+        .withColumn("cluster", _nearest_cluster(F.col("vec")))
+        .drop("cents")
+    )
+    queries = plan_barrier(
+        emb.where(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qvec")
+        )
     )
     probe_pairs = F.slice(
         F.array_sort(
