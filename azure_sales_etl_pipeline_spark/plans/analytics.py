@@ -434,8 +434,123 @@ _RETENTION_SQL = """
 """
 
 
+def sketch_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly distinct users per event type computed by UNIONING daily
+    DataSketches-HLL sketches — the mergeable-state pattern that fixes
+    what SURVEY A2 documents as unfixable with plain counts: a rollup
+    of daily ``countDistinct`` values over-counts the week (the
+    reference's monthly/quarterly marts faithfully reproduce that
+    over-count), but sketches union losslessly, so weekly distincts
+    come from the pre-aggregated daily state WITHOUT re-scanning raw
+    events. At 100 TB this is the difference between a mart that can
+    answer "distinct users this quarter" from 90 daily sketch rows and
+    one that re-reads a quarter of raw data.
+
+    The sketch estimate itself is engine-specific, so the driver-
+    visible output is the ``hll_accuracy_check`` pattern: exact weekly
+    distincts (for the hash) next to a boolean asserting the unioned
+    estimate lands within 5% (deterministic — the sketch is a pure
+    function of the input set)."""
+    events = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts"))
+    daily = events.groupBy(
+        F.col("event_type"), week.alias("week"), F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    weekly_est = daily.groupBy("event_type", "week").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
+    )
+    exact = events.groupBy(F.col("event_type"), week.alias("week")).agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        weekly_est.join(exact, ["event_type", "week"])
+        .select(
+            "event_type",
+            F.date_format("week", "yyyy-MM-dd").alias("week"),
+            "exact_users",
+            (
+                F.abs(F.col("est_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.05
+            ).alias("sketch_within_5pct"),
+        )
+    )
+
+
+_SKETCH_ROLLUP_SQL = """
+    SELECT event_type,
+           strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           true AS sketch_within_5pct
+    FROM events
+    GROUP BY event_type, date_trunc('week', ts)
+"""
+
+
+def kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yearly order-value median from MERGED monthly KLL quantile
+    sketches — the quantile companion to ``sketch_union_rollup``:
+    exact percentiles don't pre-aggregate (a median of monthly medians
+    is not the yearly median), but KLL sketches merge with bounded
+    rank error, so the yearly quantile comes from 12 sketch rows
+    instead of a year of raw orders. Driver-visible output follows the
+    accuracy-gate pattern: exact row counts for the hash plus a
+    boolean asserting the merged-sketch median lands within 5% of the
+    exact yearly median (deterministic for a fixed input)."""
+    orders = load_table(spark, sf_dir, "orders")
+    year = F.year("o_orderdate")
+    monthly = orders.groupBy(
+        year.alias("year"), F.month("o_orderdate").alias("month")
+    ).agg(F.kll_sketch_agg_double(F.col("o_totalprice")).alias("sk"))
+    # kll_sketch_merge_* is a binary scalar (no aggregate form), so the
+    # per-year merge is a fold over the collected monthly sketches —
+    # bounded at 12 elements per group, the pre-aggregation's whole point.
+    yearly_est = (
+        monthly.groupBy("year")
+        .agg(F.collect_list("sk").alias("sks"))
+        .select(
+            "year",
+            F.kll_sketch_get_quantile_double(
+                F.aggregate(
+                    F.slice("sks", 2, 1000),
+                    F.element_at("sks", 1),
+                    lambda acc, x: F.kll_sketch_merge_double(acc, x),
+                ),
+                F.lit(0.5),
+            ).alias("est_median"),
+        )
+    )
+    exact = orders.groupBy(year.alias("year")).agg(
+        F.count("*").alias("n_orders"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_median"),
+    )
+    return (
+        yearly_est.join(exact, "year")
+        .select(
+            F.col("year").cast("bigint").alias("year"),
+            "n_orders",
+            (
+                F.abs(F.col("est_median") - F.col("exact_median"))
+                / F.col("exact_median")
+                <= 0.05
+            ).alias("median_within_5pct"),
+        )
+    )
+
+
+_KLL_ROLLUP_SQL = """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+           count(*) AS n_orders,
+           true AS median_within_5pct
+    FROM orders
+    GROUP BY year(o_orderdate)
+"""
+
+
 QUERIES = {
     "event_funnel": event_funnel,
+    "sketch_union_rollup": sketch_union_rollup,
+    "kll_quantile_rollup": kll_quantile_rollup,
     "retention_cohorts": retention_cohorts,
     "revenue_rollup_sets": revenue_rollup_sets,
     "order_status_pivot": order_status_pivot,
@@ -450,6 +565,8 @@ QUERIES = {
 
 ORACLES = {
     "event_funnel": _FUNNEL_SQL,
+    "sketch_union_rollup": _SKETCH_ROLLUP_SQL,
+    "kll_quantile_rollup": _KLL_ROLLUP_SQL,
     "retention_cohorts": _RETENTION_SQL,
     "revenue_rollup_sets": _ROLLUP_SQL,
     "order_status_pivot": _PIVOT_SQL,
