@@ -193,3 +193,21 @@ def test_funnel_prunes_and_shuffles_once_per_grain(spark):
         l for l in plan.splitlines() if "hashpartitioning" in l and "Exchange" in l
     ]
     assert all("user_id" in l for l in hash_exchanges), hash_exchanges
+
+
+def test_plan_barrier_prevents_retokenize(spark):
+    """Guard for the functions.plan_barrier fence: the optimized plan of
+    a shingle operator must evaluate the regex tokenize a bounded number
+    of times (the projection + at most one pushed scan predicate), not
+    once per shingle position. If a Spark upgrade starts collapsing
+    through nondeterministic filters, this count explodes and the bench
+    quietly triples — catch it here instead."""
+    from azure_sales_etl_pipeline_spark.plans.textops import (
+        dup_ngram_fraction,
+        repetition_signals,
+    )
+
+    for q, bound in ((dup_ngram_fraction, 6), (repetition_signals, 3)):
+        plan = plan_of(q(spark, SF_DIR))
+        n = plan.count("split(trim(")
+        assert 0 < n <= bound, (q.__name__, n)
