@@ -502,23 +502,14 @@ def kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = orders.groupBy(
         year.alias("year"), F.month("o_orderdate").alias("month")
     ).agg(F.kll_sketch_agg_double(F.col("o_totalprice")).alias("sk"))
-    # kll_sketch_merge_* is a binary scalar (no aggregate form), so the
-    # per-year merge is a fold over the collected monthly sketches —
-    # bounded at 12 elements per group, the pre-aggregation's whole point.
-    yearly_est = (
-        monthly.groupBy("year")
-        .agg(F.collect_list("sk").alias("sks"))
-        .select(
-            "year",
-            F.kll_sketch_get_quantile_double(
-                F.aggregate(
-                    F.slice("sks", 2, 1000),
-                    F.element_at("sks", 1),
-                    lambda acc, x: F.kll_sketch_merge_double(acc, x),
-                ),
-                F.lit(0.5),
-            ).alias("est_median"),
-        )
+    # kll_merge_agg_double is the aggregate merge (SQL-registered; the
+    # Python functions module only exposes the binary scalar) — partial
+    # merges combine map-side like any aggregate, so group fan-in is
+    # unbounded.
+    yearly_est = monthly.groupBy("year").agg(
+        F.kll_sketch_get_quantile_double(
+            F.expr("kll_merge_agg_double(sk)"), F.lit(0.5)
+        ).alias("est_median")
     )
     exact = orders.groupBy(year.alias("year")).agg(
         F.count("*").alias("n_orders"),
@@ -547,10 +538,87 @@ _KLL_ROLLUP_SQL = """
 """
 
 
+def theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user set algebra from theta sketches: |clickers ∩
+    purchasers| and |clickers \\ purchasers| computed by intersecting /
+    differencing two PRE-BUILT per-type sketches — the capability HLL
+    lacks (HLL unions only; theta supports the full algebra). At 100 TB
+    this answers audience-overlap questions from per-segment sketch
+    state without a raw-data distinct join.
+
+    Driver-visible output is the accuracy-gate pattern: exact counts
+    (from a per-user semi-join, for the hash) beside booleans asserting
+    each sketch estimate lands within 5%."""
+    events = load_table(spark, sf_dir, "events")
+    sketches = (
+        events.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.theta_sketch_agg("user_id").alias("sk"))
+    )
+    click = sketches.where(F.col("event_type") == "click").select(
+        F.col("sk").alias("click_sk")
+    )
+    purchase = sketches.where(F.col("event_type") == "purchase").select(
+        F.col("sk").alias("purchase_sk")
+    )
+    est = click.crossJoin(purchase).select(
+        F.theta_sketch_estimate(
+            F.expr("theta_intersection(click_sk, purchase_sk)")
+        ).alias("est_both"),
+        F.theta_sketch_estimate(
+            F.expr("theta_difference(click_sk, purchase_sk)")
+        ).alias("est_click_only"),
+    )
+    per_user = events.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("p"),
+    )
+    exact = per_user.agg(
+        F.sum(F.expr("CASE WHEN c = 1 AND p = 1 THEN 1 ELSE 0 END")).alias(
+            "exact_both"
+        ),
+        F.sum(F.expr("CASE WHEN c = 1 AND p = 0 THEN 1 ELSE 0 END")).alias(
+            "exact_click_only"
+        ),
+    )
+    return est.crossJoin(exact).select(
+        "exact_both",
+        "exact_click_only",
+        (
+            F.abs(F.col("est_both") - F.col("exact_both"))
+            / F.greatest(F.col("exact_both"), F.lit(1))
+            <= 0.05
+        ).alias("intersection_within_5pct"),
+        (
+            F.abs(F.col("est_click_only") - F.col("exact_click_only"))
+            / F.greatest(F.col("exact_click_only"), F.lit(1))
+            <= 0.05
+        ).alias("difference_within_5pct"),
+    )
+
+
+_THETA_SQL = """
+    WITH per_user AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(sum(CASE WHEN c = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS exact_both,
+           CAST(sum(CASE WHEN c = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS exact_click_only,
+           true AS intersection_within_5pct,
+           true AS difference_within_5pct
+    FROM per_user
+"""
+
+
 QUERIES = {
     "event_funnel": event_funnel,
     "sketch_union_rollup": sketch_union_rollup,
     "kll_quantile_rollup": kll_quantile_rollup,
+    "theta_set_ops": theta_set_ops,
     "retention_cohorts": retention_cohorts,
     "revenue_rollup_sets": revenue_rollup_sets,
     "order_status_pivot": order_status_pivot,
@@ -567,6 +635,7 @@ ORACLES = {
     "event_funnel": _FUNNEL_SQL,
     "sketch_union_rollup": _SKETCH_ROLLUP_SQL,
     "kll_quantile_rollup": _KLL_ROLLUP_SQL,
+    "theta_set_ops": _THETA_SQL,
     "retention_cohorts": _RETENTION_SQL,
     "revenue_rollup_sets": _ROLLUP_SQL,
     "order_status_pivot": _PIVOT_SQL,
