@@ -1,0 +1,106 @@
+"""Edge semantics for the round-5 analytics operators on hand-computable
+micro-fixtures (the oracle replica covers them at corpus scale; these
+pin the boundary behavior a hash comparison can't explain when it
+breaks): strict funnel ordering, cohort offsets, gap-fill zero rows,
+rangeBetween vs rowsBetween divergence on sparse calendars."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    T = dt.datetime
+    rows = [
+        # user 1: proper view -> click -> purchase traversal
+        (1, T(2024, 1, 1, 10), 1, "view", 0.0, "{}"),
+        (2, T(2024, 1, 1, 11), 1, "click", 0.0, "{}"),
+        (3, T(2024, 1, 1, 12), 1, "purchase", 0.0, "{}"),
+        # user 2: clicked BEFORE first view -> not an ordered traversal
+        (4, T(2024, 1, 2, 9), 2, "click", 0.0, "{}"),
+        (5, T(2024, 1, 2, 10), 2, "view", 0.0, "{}"),
+        (6, T(2024, 1, 2, 11), 2, "purchase", 0.0, "{}"),
+        # user 3: view only
+        (7, T(2024, 1, 8, 10), 3, "view", 0.0, "{}"),
+        # user 4: purchase with no view at all
+        (8, T(2024, 1, 8, 11), 4, "purchase", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_event_funnel_strict_ordering(spark, events_dir):
+    from azure_sales_etl_pipeline_spark.plans.analytics import event_funnel
+
+    row = event_funnel(spark, events_dir).collect()[0]
+    # users 1,2,3 viewed; only user 1 clicked at-or-after first view;
+    # only user 1 completed the ordered chain
+    assert row["n_view"] == 3
+    assert row["n_view_click"] == 1
+    assert row["n_view_click_purchase"] == 1
+
+
+def test_retention_cohorts_offsets(spark, events_dir):
+    from azure_sales_etl_pipeline_spark.plans.analytics import retention_cohorts
+
+    out = {
+        (r["cohort_week"], r["week_offset"]): r["n_active"]
+        for r in retention_cohorts(spark, events_dir).collect()
+    }
+    # users 1,2 first act in the week of 2024-01-01; users 3,4 in the
+    # next week; nobody returns in a later week
+    assert out[("2024-01-01", 0)] == 2
+    assert out[("2024-01-08", 0)] == 2
+    assert not any(off > 0 for (_, off) in out)
+
+
+def test_events_hourly_gapfill_zero_rows(spark, events_dir):
+    from azure_sales_etl_pipeline_spark.plans.windows import events_hourly_gapfill
+
+    out = events_hourly_gapfill(spark, events_dir)
+    rows = out.collect()
+    types = {r["event_type"] for r in rows}
+    hours = {r["hour"] for r in rows}
+    # spine spans min hour (Jan 1 10:00) .. max hour (Jan 8 11:00)
+    # inclusive = 7*24 + 2 = 170 hours, x3 distinct types
+    assert len(hours) == 170 and types == {"view", "click", "purchase"}
+    assert len(rows) == 170 * 3
+    by_key = {(r["event_type"], r["hour"]): r["n_events"] for r in rows}
+    assert by_key[("view", "2024-01-01 10:00")] == 1
+    assert by_key[("purchase", "2024-01-03 12:00")] == 0  # gap hour filled
+    # totals preserved: gap-fill adds zeros, never drops counts
+    assert sum(by_key.values()) == 8
+
+
+def test_revenue_7d_window_value_frame(spark, tmp_path):
+    """rangeBetween(-6, 0) must SHRINK over calendar gaps: a day 10 days
+    after the previous order starts a fresh window (rowsBetween would
+    wrongly drag the old revenue in)."""
+    from azure_sales_etl_pipeline_spark.plans.windows import revenue_7d_window
+
+    T = dt.datetime
+    rows = [
+        (1, 1, "O", 100.0, T(1995, 1, 1), "1-URGENT"),
+        (2, 1, "O", 50.0, T(1995, 1, 3), "1-URGENT"),
+        (3, 1, "O", 25.0, T(1995, 1, 13), "1-URGENT"),  # > 6 days later
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    df.write.parquet(str(tmp_path / "orders.parquet"))
+    out = {r["day"]: r for r in revenue_7d_window(spark, str(tmp_path)).collect()}
+    assert out["1995-01-03"]["trailing_7d_cents"] == 15000  # 100 + 50
+    assert out["1995-01-03"]["n_days_in_window"] == 2
+    # the gap day sees ONLY itself
+    assert out["1995-01-13"]["trailing_7d_cents"] == 2500
+    assert out["1995-01-13"]["n_days_in_window"] == 1
