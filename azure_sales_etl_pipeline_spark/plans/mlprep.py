@@ -730,12 +730,10 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = F.substring(
         F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))), 1, 2
     )
-    keep = F.lit(False)
     threshold = F.lit("ff")
     for lang, pmax in _STRATA_PREFIX_MAX.items():
         threshold = F.when(F.col("lang") == lang, F.lit(pmax)).otherwise(threshold)
-    keep = prefix <= threshold
-    return docs.where(keep).select("doc_id", "lang", "source")
+    return docs.where(prefix <= threshold).select("doc_id", "lang", "source")
 
 
 def _strata_case_sql() -> str:

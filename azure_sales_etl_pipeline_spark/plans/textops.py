@@ -272,7 +272,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Tokenize and gram stages each sit behind a plan_barrier fence (see
     # functions.plan_barrier: CollapseProject + alias-substituting
     # pushdown otherwise re-run the split once per gram position —
-    # 3.5s -> 0.9s at sf0.1). Short docs: size(t) >= k pushes to the
+    # 3.5s -> 1.3s at sf0.1). Short docs: size(t) >= k pushes to the
     # scan as a cheap O(n) predicate; docs with fewer than w windows
     # get ONE fingerprint (the min over their grams) rather than
     # none — a filter on the gram count would be alias-substituted by
@@ -623,11 +623,12 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 64-bit with ``xxhash64`` BEFORE any exchange, so every shuffle
     moves 8-byte keys instead of ~50-byte strings. (The oracle groups
     on the raw shingle text: semantically identical barring a 2^-64
-    collision.) The expensive tokenize+shingle projection runs ONCE:
-    positions immediately reduce to per-``(h, doc_id)`` counts (one
-    map-side-combined exchange); corpus totals re-aggregate from that
-    reduced set, and Catalyst's ReuseExchange serves both consumers
-    from the same shuffle output instead of re-scanning the corpus.
+    collision.) Positions immediately reduce to per-``(h, doc_id)``
+    counts (one map-side-combined exchange), and the corpus totals
+    re-aggregate from that REDUCED set — so even when the optimizer
+    plans the two consumers as separate subtrees (static plans don't
+    always reuse the exchange), the duplicated work is one extra
+    tokenize pass, never a second wide shuffle.
     The totals join is AQE's choice (broadcast here — the shingle
     count table is Zipf-bounded; skew-split shuffle if it outgrows
     broadcast). Hot boilerplate shingles never serialize into one

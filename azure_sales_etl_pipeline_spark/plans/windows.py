@@ -226,7 +226,6 @@ def revenue_7d_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     same documented reason as ``vocab_coverage``. All-integer output
     (cents + day counts)."""
     orders = load_table(spark, sf_dir, "orders")
-    day_num = F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01"))
     daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         (F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2) * 100)
         .cast("bigint")
