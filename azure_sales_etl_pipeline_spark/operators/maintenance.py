@@ -92,6 +92,46 @@ def merge_aggregate(
     return read_table(spark, mart_path)
 
 
+def merge_sketch_distinct(
+    spark: SparkSession,
+    mart_path: str,
+    batch: DataFrame,
+    keys: list[str],
+    distinct_col: str,
+    sketch_col: str = "distinct_sk",
+    commit_meta: dict | None = None,
+) -> DataFrame:
+    """Incrementally maintain a DISTINCT-count mart via mergeable
+    DataSketches-HLL state — the sketch side of ``merge_aggregate``'s
+    documented tradeoff: ``countDistinct`` partials don't merge (a
+    re-fold over-counts, the A2 quirk), but HLL sketches union
+    losslessly, so the mart folds each batch without ever re-scanning
+    history. Mart rows carry the serialized sketch per key; read the
+    estimate with ``hll_sketch_estimate(<sketch_col>)``.
+
+    Convergence (incremental ≡ full recompute at the estimate level)
+    is asserted in tests/test_maintenance.py. Scale shape matches
+    merge_aggregate: one shuffle over the BATCH at the mart grain, a
+    narrow scan of the (pre-aggregated, sketch-sized) mart, and a
+    re-union on near-unique keys.
+    """
+    _reject_delta_table(mart_path, "merge_sketch_distinct")
+    batch_agg = batch.groupBy(*keys).agg(
+        F.hll_sketch_agg(distinct_col).alias(sketch_col)
+    )
+    if Path(mart_path).exists():
+        existing = read_table(spark, mart_path)
+        merged = (
+            existing.unionByName(batch_agg)
+            .groupBy(*keys)
+            .agg(F.hll_union_agg(sketch_col).alias(sketch_col))
+        )
+    else:
+        merged = batch_agg
+    overwrite_table(merged, mart_path, commit_meta=commit_meta)
+    return read_table(spark, mart_path)
+
+
 _DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
 
 

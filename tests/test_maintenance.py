@@ -136,3 +136,42 @@ def test_compact_table_refuses_partitioned_layout(spark, tmp_path):
     spark.range(100).withColumn("p", F.col("id") % 2).write.partitionBy("p").parquet(path)
     with pytest.raises(ValueError, match="Hive-partitioned"):
         compact_table(spark, path)
+
+
+def test_merge_sketch_distinct_converges_to_exact(spark, tmp_path):
+    """Two incremental sketch folds must yield the same per-key distinct
+    estimates as a single-pass sketch over everything — and, in the
+    low-cardinality regime where HLL is exact, the same values as exact
+    countDistinct (the property merge_aggregate can't have: re-folding
+    countDistinct partials over-counts)."""
+    from azure_sales_etl_pipeline_spark.operators.maintenance import (
+        merge_sketch_distinct,
+    )
+
+    mart = str(tmp_path / "distinct_mart")
+    events = load_table(spark, SF_DIR, "events").select("event_type", "user_id")
+    b1 = events.where(F.col("user_id") % 2 == 0)
+    b2 = events.where(F.col("user_id") % 2 == 1)
+
+    merge_sketch_distinct(spark, mart, b1, ["event_type"], "user_id")
+    final = merge_sketch_distinct(spark, mart, b2, ["event_type"], "user_id")
+
+    est = {
+        r["event_type"]: r["n"]
+        for r in final.select(
+            "event_type",
+            F.hll_sketch_estimate("distinct_sk").alias("n"),
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    # sf0.001 has ~tens of distinct users per type: HLL's exact regime
+    assert est == exact
+
+    # idempotent mart grain: one row per key, sketch column is binary
+    assert final.count() == len(exact)
+    assert dict(final.dtypes)["distinct_sk"] == "binary"
