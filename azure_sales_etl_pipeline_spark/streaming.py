@@ -459,6 +459,72 @@ def streaming_mart(
     file would replay into already-folded aggregates.
     """
     from .operators.maintenance import merge_aggregate
+
+    def fold(batch_df: DataFrame, commit_meta: dict) -> None:
+        merge_aggregate(
+            spark, mart_path, batch_df, keys=keys, sums=sums, commit_meta=commit_meta
+        )
+
+    _streaming_fold(spark, source_glob, schema, mart_path, checkpoint, fold)
+
+
+def streaming_sketch_mart(
+    spark: SparkSession,
+    source_glob: str,
+    schema,
+    mart_path: str,
+    keys: list[str],
+    distinct_col: str,
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming DISTINCT-count mart on mergeable DataSketches-HLL
+    state (``operators.maintenance.merge_sketch_distinct``) — streaming
+    distinct users per key WITHOUT unbounded streaming state: each
+    micro-batch folds its sketch into the mart, so the stream's own
+    state is just the file-source checkpoint while the mart carries one
+    bounded sketch per key. The declarative alternative
+    (``approx_count_distinct`` in update mode) holds per-key state
+    inside the state store and can't be queried between triggers; the
+    foldable mart is readable at any time with
+    ``hll_sketch_estimate``. Replay protection is shared with
+    ``streaming_mart`` (``_streaming_fold``); strictly, re-unioning a
+    redelivered batch's sketch would even be harmless (sketch union is
+    idempotent, unlike sums), but the shared marker keeps the replay
+    semantics uniform across mart kinds and the mart version
+    monotonic."""
+
+    def fold(batch_df: DataFrame, commit_meta: dict) -> None:
+        from .operators.maintenance import merge_sketch_distinct
+
+        merge_sketch_distinct(
+            spark,
+            mart_path,
+            batch_df,
+            keys=keys,
+            distinct_col=distinct_col,
+            commit_meta=commit_meta,
+        )
+
+    _streaming_fold(spark, source_glob, schema, mart_path, checkpoint, fold)
+
+
+def _streaming_fold(
+    spark: SparkSession,
+    source_glob: str,
+    schema,
+    mart_path: str,
+    checkpoint: str | None,
+    fold,
+) -> None:
+    """Shared foreachBatch fold loop with atomic replay protection.
+
+    ``foreachBatch`` is at-least-once, and folding a sum twice is NOT
+    idempotent — so the sink records (checkpoint, batch_id) in a commit
+    marker stored INSIDE the mart directory and committed by the SAME
+    atomic rename that swaps the mart version in
+    (``overwrite_table(commit_meta=...)``, invoked by the fold
+    callable). Mart data and folded-batch id can never disagree; see
+    ``streaming_mart``'s docstring for the crash-window analysis."""
     from .operators.writer import read_commit_meta
 
     checkpoint = checkpoint or tempfile.mkdtemp(prefix="mart_ckpt_")
@@ -485,14 +551,7 @@ def streaming_mart(
         if batch_id <= committed["batch_id"]:
             return  # redelivered batch: already folded into the mart
         if not batch_df.isEmpty():
-            merge_aggregate(
-                spark,
-                mart_path,
-                batch_df,
-                keys=keys,
-                sums=sums,
-                commit_meta={"checkpoint": checkpoint, "batch_id": batch_id},
-            )
+            fold(batch_df, {"checkpoint": checkpoint, "batch_id": batch_id})
         # Empty batches fold nothing, so not advancing the on-disk marker
         # for them is safe (replaying an empty batch is a no-op); the
         # in-memory id still advances to keep the skip check cheap.

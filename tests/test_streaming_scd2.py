@@ -192,3 +192,53 @@ def test_streaming_mart_marker_commits_atomically_with_swap(spark, tmp_path):
     assert meta2["batch_id"] == meta["batch_id"] + 1
     total = read_table(spark, mart).groupBy().sum("amount").collect()[0][0]
     assert round(total, 2) == 11.0
+
+
+def test_streaming_sketch_mart_distinct_estimates(spark, tmp_path):
+    """Two streamed batches fold HLL sketches into the mart; the final
+    per-key estimates equal exact distinct counts over the union (the
+    low-cardinality exact regime), and the replay marker advances."""
+    from pyspark.sql import functions as F
+
+    from azure_sales_etl_pipeline_spark.operators.writer import (
+        read_commit_meta,
+        read_table,
+    )
+    from azure_sales_etl_pipeline_spark.streaming import streaming_sketch_mart
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    src = tmp_path / "events"
+    rows1 = [("click", 1), ("click", 2), ("view", 1)]
+    rows2 = [("click", 2), ("click", 3), ("view", 9)]
+    spark.createDataFrame(rows1, "event_type string, user_id long").coalesce(
+        1
+    ).write.option("header", "true").csv(str(src / "f1"))
+    mart = str(tmp_path / "dmart")
+    ckpt = str(tmp_path / "dckpt")
+    glob = str(src) + "/*"
+    streaming_sketch_mart(
+        spark, glob, schema, mart, keys=["event_type"], distinct_col="user_id",
+        checkpoint=ckpt,
+    )
+    spark.createDataFrame(rows2, "event_type string, user_id long").coalesce(
+        1
+    ).write.option("header", "true").csv(str(src / "f2"))
+    streaming_sketch_mart(
+        spark, glob, schema, mart, keys=["event_type"], distinct_col="user_id",
+        checkpoint=ckpt,
+    )
+
+    est = {
+        r["event_type"]: r["n"]
+        for r in read_table(spark, mart)
+        .select("event_type", F.hll_sketch_estimate("distinct_sk").alias("n"))
+        .collect()
+    }
+    assert est == {"click": 3, "view": 2}
+    marker = read_commit_meta(mart)
+    assert marker["checkpoint"] == ckpt and marker["batch_id"] >= 1
