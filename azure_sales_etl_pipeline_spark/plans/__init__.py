@@ -53,6 +53,7 @@ _SWEEP_PRIORITY = (
     "vocab_coverage",
     "event_props_json",
     "media_frame_sample",
+    "percentile_accuracy_check",
     # (1b) new in r05 — never driver-checked
     "dup_ngram_fraction",
     "unigram_surprisal",
