@@ -68,6 +68,7 @@ _SWEEP_PRIORITY = (
     "sketch_union_rollup",
     "kll_quantile_rollup",
     "theta_set_ops",
+    "table_profile",
     # (2) newest green row is r03 (outside r04's 50-query sweep window)
     # — two rounds stale, re-prove before anything already proven in r04.
     # seller_performance_daily stays immediately before its _approx twin

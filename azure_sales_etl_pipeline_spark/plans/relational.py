@@ -331,8 +331,75 @@ _TOP_SQL = """
 """
 
 
+#: Columns profiled by ``table_profile``. min/max are stringified, so
+#: the list pins to types whose string forms are engine-portable
+#: (ints, strings, dates via explicit formatting) — doubles profile
+#: null/distinct but not min/max (shortest-repr forms can diverge).
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the orders table — row count, null count,
+    distinct count, and min/max per column: the data-quality
+    reconnaissance pass every ingestion pipeline runs before trusting a
+    new source (the reference has no profiling step; its silent
+    CSV-inference drift, SURVEY §1.2, is exactly what one catches).
+
+    Plan shape: ONE aggregation pass computes every column's stats
+    (count/count-distinct/min/max all map-side-combinable), then the
+    single result row unpivots to (column, stats) rows with ``stack`` —
+    no per-column jobs, no second scan. At 100 TB replace the exact
+    ``count(DISTINCT)`` with ``approx_count_distinct`` per the
+    ``_approx`` convention; the rest is already one pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct, min_value, max_value)"
+        ),
+        F.col("__n").alias("n_rows"),
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+
+
+def _profile_sql() -> str:
+    selects = []
+    for c in _PROFILE_COLS:
+        selects.append(
+            f"""
+            SELECT '{c}' AS column_name,
+                   (SELECT count(*) FROM orders) AS n_rows,
+                   CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                   min(CAST({c} AS VARCHAR)) AS min_value,
+                   max(CAST({c} AS VARCHAR)) AS max_value
+            FROM orders
+            """
+        )
+    return " UNION ALL ".join(selects)
+
+
 QUERIES = {
     "star_projection": star_projection,
+    "table_profile": table_profile,
     "drop_and_cast": drop_and_cast,
     "filter_sql_string": filter_sql_string,
     "filter_column_expr": filter_column_expr,
@@ -347,6 +414,7 @@ QUERIES = {
 
 ORACLES = {
     "star_projection": _STAR_SQL,
+    "table_profile": _profile_sql(),
     "drop_and_cast": _DROP_CAST_SQL,
     "filter_sql_string": _FILTER_SQL_SQL,
     "filter_column_expr": _FILTER_COL_SQL,
