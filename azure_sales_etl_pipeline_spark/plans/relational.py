@@ -356,8 +356,16 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     single result row unpivots to (column, stats) rows with ``stack`` —
     no per-column jobs, no second scan. At 100 TB replace the exact
     ``count(DISTINCT)`` with ``approx_count_distinct`` per the
-    ``_approx`` convention; the rest is already one pass."""
-    orders = load_table(spark, sf_dir, "orders")
+    ``_approx`` convention; the rest is already one pass.
+
+    ``spread_for_cpu``: a single-file local scan gives the CPU-heavy
+    profile pass (5-way distinct Expand + per-column string casts) ONE
+    input task; fanning out costs one shuffle of the small input and
+    parallelizes everything downstream (3.2 s → sub-second at sf0.1).
+    At 100 TB the scan arrives in thousands of splits and it no-ops."""
+    from ..functions import spread_for_cpu
+
+    orders = spread_for_cpu(load_table(spark, sf_dir, "orders"))
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in _PROFILE_COLS:
         aggs += [
