@@ -29,11 +29,21 @@ from pyspark.sql import DataFrame
 DEFAULT_MAX_ROWS = 10_000
 
 
-def _urllib_transport(url: str, body: bytes, headers: Mapping[str, str]) -> int:
+DEFAULT_TIMEOUT_SECONDS = 30.0
+
+
+def _urllib_transport(
+    url: str,
+    body: bytes,
+    headers: Mapping[str, str],
+    timeout: float = DEFAULT_TIMEOUT_SECONDS,
+) -> int:
     import urllib.request
 
     req = urllib.request.Request(url, data=body, headers=dict(headers), method="POST")
-    with urllib.request.urlopen(req) as resp:  # noqa: S310 (caller supplies url)
+    # A bounded timeout so one hung endpoint can't wedge the driver (and
+    # with it the whole SCD2 upsert) mid-fan-out.
+    with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310
         return resp.status
 
 
@@ -44,6 +54,7 @@ def http_post_sink(
     headers: Mapping[str, str] | None = None,
     transport: Callable[[str, bytes, Mapping[str, str]], int] | None = None,
     max_rows: int = DEFAULT_MAX_ROWS,
+    timeout: float = DEFAULT_TIMEOUT_SECONDS,
 ) -> Callable[[DataFrame], None]:
     """Build an ``on_insert`` callback that POSTs one JSON object per
     inserted row, with the given columns as the payload keys.
@@ -55,7 +66,9 @@ def http_post_sink(
     sequential by default (``isSequential`` unset ⇒ batchCount 20;
     ordering within the run is an implementation detail we pin down).
     """
-    send = transport or _urllib_transport
+    send = transport or (
+        lambda url, body, headers: _urllib_transport(url, body, headers, timeout)
+    )
     hdrs = {"Content-Type": "application/json", **(headers or {})}
     cols = list(fields)
 

@@ -579,18 +579,20 @@ def theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     (from a per-user semi-join, for the hash) beside booleans asserting
     each sketch estimate lands within 5%."""
     events = load_table(spark, sf_dir, "events")
-    sketches = (
-        events.where(F.col("event_type").isin("click", "purchase"))
-        .groupBy("event_type")
-        .agg(F.theta_sketch_agg("user_id").alias("sk"))
+    # Both sketches come from ONE ungrouped conditional agg (nulls are
+    # skipped by the aggregate), so an empty segment yields an empty
+    # sketch estimating 0 — a groupBy-then-filter shape would instead
+    # yield ZERO rows for that side and the downstream combine would
+    # return no rows while the exact oracle returns one row of zeros.
+    sketches = events.agg(
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("click_sk"),
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("purchase_sk"),
     )
-    click = sketches.where(F.col("event_type") == "click").select(
-        F.col("sk").alias("click_sk")
-    )
-    purchase = sketches.where(F.col("event_type") == "purchase").select(
-        F.col("sk").alias("purchase_sk")
-    )
-    est = click.crossJoin(purchase).select(
+    est = sketches.select(
         F.theta_sketch_estimate(
             F.expr("theta_intersection(click_sk, purchase_sk)")
         ).alias("est_both"),

@@ -331,9 +331,10 @@ _TOP_SQL = """
 """
 
 
-#: Columns profiled by ``table_profile``. min/max are stringified, so
-#: the list pins to types whose string forms are engine-portable
-#: (ints, strings, dates via explicit formatting) — doubles profile
+#: Columns profiled by ``table_profile``. min/max compute on the NATIVE
+#: type (numeric order for ints, calendar order for dates) and only the
+#: RESULT is stringified, so the list pins to types whose string forms
+#: are engine-portable (ints, strings, dates) — doubles profile
 #: null/distinct but not min/max (shortest-repr forms can diverge).
 _PROFILE_COLS = (
     "o_orderkey",
@@ -371,8 +372,11 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
             F.countDistinct(c).alias(f"{c}__distinct"),
-            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
-            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+            # Typed min/max, stringified AFTER: cast-then-min would rank
+            # ints lexicographically ('99999' > '100000') and report
+            # wrong bounds for numeric columns.
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
         ]
     wide = orders.agg(*aggs)
     stack_args = ", ".join(
@@ -397,8 +401,8 @@ def _profile_sql() -> str:
                    (SELECT count(*) FROM orders) AS n_rows,
                    CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
                    CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
-                   min(CAST({c} AS VARCHAR)) AS min_value,
-                   max(CAST({c} AS VARCHAR)) AS max_value
+                   CAST(min({c}) AS VARCHAR) AS min_value,
+                   CAST(max({c}) AS VARCHAR) AS max_value
             FROM orders
             """
         )

@@ -173,3 +173,55 @@ def test_bpe_pair_counts_hand_checked(spark, tmp_path):
     assert out["ba"]["n_occurrences"] == 2
     assert out["cd"]["n_occurrences"] == 1
     assert out["ab"]["rank"] == 1
+
+
+def test_surprisal_micronat_floor_parity_full_corpus(spark):
+    """ADVICE r5: floor(-ln(n/N)*1e6) quantizes independently in Spark
+    and DuckDB; a last-ulp ln() divergence at a floor boundary would
+    flip a micronat and break the driver hash. The original probe was a
+    one-off — this re-probes EVERY distinct (n, N) pair of the current
+    testdata generation, so a regenerated corpus that lands on a
+    boundary fails loudly here instead of mysteriously in the driver."""
+    import duckdb
+
+    from tests.conftest import SF_DIR
+
+    duck_pairs = (
+        duckdb.connect()
+        .execute(
+            r"""
+            WITH pos AS (
+                SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                FROM read_parquet('"""
+            + SF_DIR
+            + r"""/documents.parquet')
+            ),
+            clean AS (SELECT token FROM pos WHERE length(token) > 0),
+            counts AS (SELECT token, count(*) AS n FROM clean GROUP BY token),
+            total AS (SELECT CAST(sum(n) AS BIGINT) AS corpus_total FROM counts)
+            SELECT DISTINCT n, corpus_total,
+                   CAST(floor(-ln(n * 1.0 / corpus_total) * 1e6) AS BIGINT)
+                       AS micronats
+            FROM counts, total
+            """
+        )
+        .fetchall()
+    )
+    assert duck_pairs, "corpus produced no (n, N) pairs"
+    import pyspark.sql.functions as F
+
+    pairs = spark.createDataFrame(
+        [(n, t) for n, t, _ in duck_pairs], "n bigint, corpus_total bigint"
+    )
+    # the EXACT production expression from unigram_surprisal
+    sparked = pairs.select(
+        "n",
+        F.floor(-F.log(F.col("n") / F.col("corpus_total")) * F.lit(1e6))
+        .cast("bigint")
+        .alias("micronats"),
+    ).collect()
+    spark_by_n = {r["n"]: r["micronats"] for r in sparked}
+    mismatches = [
+        (n, spark_by_n[n], m) for n, _, m in duck_pairs if spark_by_n[n] != m
+    ]
+    assert not mismatches, f"floor-boundary divergence at: {mismatches[:10]}"
