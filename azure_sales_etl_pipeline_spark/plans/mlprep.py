@@ -222,6 +222,118 @@ _SHARDS_SQL = rf"""
 """
 
 
+_PACK_CONTEXT = 512  # tokens per packed training sequence
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the corpus into fixed-length training sequences of
+    ``_PACK_CONTEXT`` tokens — concat-and-chunk packing, the standard
+    pretraining shape: documents concatenate in doc_id order into one
+    global token stream, which slices into back-to-back context
+    windows; a document straddling a boundary contributes a segment row
+    to each window it touches. Output is the (seq_id, doc_id) segment
+    map a loader needs to materialize sequence files: where in the doc
+    the segment starts (``doc_offset``), where in the sequence it lands
+    (``seq_offset``), and its length — every sequence is exactly full
+    by construction except the last.
+
+    Scale: the global token offset is the same two-phase distributed
+    prefix sum as ``token_budget_shards`` (range-repartition →
+    partition-local window → broadcast per-partition offsets), NOT a
+    single-partition global window; the boundary fan-out is a
+    ``sequence()`` + ``explode`` whose width is ceil(doc/context) —
+    bounded per doc, no shuffle. An EOD separator is a constant +1 on
+    ``n_tokens`` behind the same arithmetic."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens")
+    )
+    # Same materialization discipline as token_budget_shards: pin the
+    # (pid, row) layout so the cumsum branch and the totals branch
+    # describe the same partitioning.
+    ranged = (
+        docs.repartitionByRange(_SHARD_RANGES, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    local_cum = F.sum("n_tokens").over(
+        W.partitionBy("pid").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    )
+    staged = ranged.withColumn("local_cum", local_cum)
+    totals = ranged.groupBy("pid").agg(F.sum("n_tokens").alias("ptot"))
+    offsets = totals.select(
+        "pid",
+        F.coalesce(
+            F.sum("ptot").over(W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("offset"),
+    )
+    g = (
+        staged.join(F.broadcast(offsets), "pid")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("offset") + F.col("local_cum") - F.col("n_tokens")).alias("g_start"),
+        )
+        .withColumn("g_end", F.col("g_start") + F.col("n_tokens"))
+    )
+    c = F.lit(_PACK_CONTEXT)
+    spans = g.select(
+        "doc_id",
+        "g_start",
+        "g_end",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("g_start") / c),
+                F.floor((F.col("g_end") - 1) / c),
+            )
+        ).alias("seq_id"),
+    )
+    seg_start = F.greatest(F.col("g_start"), F.col("seq_id") * c)
+    seg_end = F.least(F.col("g_end"), (F.col("seq_id") + 1) * c)
+    return spans.select(
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        "doc_id",
+        (seg_start - F.col("g_start")).cast("bigint").alias("doc_offset"),
+        (seg_start - F.col("seq_id") * c).cast("bigint").alias("seq_offset"),
+        (seg_end - seg_start).cast("bigint").alias("n_seq_tokens"),
+    )
+
+
+_PACK_SQL = rf"""
+    WITH t AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, n_tokens,
+               CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_tokens AS BIGINT) AS g_start
+        FROM t
+    ),
+    spans AS (
+        SELECT doc_id, g_start, g_start + n_tokens AS g_end,
+               unnest(range(g_start // {_PACK_CONTEXT},
+                            (g_start + n_tokens - 1) // {_PACK_CONTEXT} + 1))
+                   AS seq_id
+        FROM cum
+    )
+    SELECT CAST(seq_id AS BIGINT) AS seq_id,
+           doc_id,
+           CAST(greatest(g_start, seq_id * {_PACK_CONTEXT}) - g_start AS BIGINT)
+               AS doc_offset,
+           CAST(greatest(g_start, seq_id * {_PACK_CONTEXT})
+                - seq_id * {_PACK_CONTEXT} AS BIGINT) AS seq_offset,
+           CAST(least(g_end, (seq_id + 1) * {_PACK_CONTEXT})
+                - greatest(g_start, seq_id * {_PACK_CONTEXT}) AS BIGINT)
+               AS n_seq_tokens
+    FROM spans
+"""
+
+
 def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dataset-curation funnel in one pass: how many documents
     survive quality filtering → target-language filtering → exact dedup
@@ -756,6 +868,7 @@ QUERIES = {
     "stratified_sample": stratified_sample,
     "split_contamination": split_contamination,
     "token_budget_shards": token_budget_shards,
+    "pack_sequences": pack_sequences,
     "curation_funnel": curation_funnel,
     "dedup_clusters": dedup_clusters,
     "doc_tfidf_topterms": doc_tfidf_topterms,
@@ -769,6 +882,7 @@ ORACLES = {
     "stratified_sample": _STRATIFIED_SQL,
     "split_contamination": _CONTAM_SQL,
     "token_budget_shards": _SHARDS_SQL,
+    "pack_sequences": _PACK_SQL,
     "curation_funnel": _funnel_sql(),
     "dedup_clusters": _CC_SQL,
     "doc_tfidf_topterms": _TFIDF_SQL,

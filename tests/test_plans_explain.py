@@ -211,3 +211,17 @@ def test_plan_barrier_prevents_retokenize(spark):
         plan = plan_of(q(spark, SF_DIR))
         n = plan.count("split(trim(")
         assert 0 < n <= bound, (q.__name__, n)
+
+
+def test_pack_sequences_prefix_sum_is_distributed(spark):
+    """Same invariant as token_budget_shards: the packing's global
+    token offset must come from the two-phase prefix sum (per-pid
+    window + broadcast offsets), with the 16-row totals window as the
+    ONLY single-partition step; the boundary fan-out is a per-row
+    explode, no extra shuffle."""
+    from azure_sales_etl_pipeline_spark.plans.mlprep import pack_sequences
+
+    plan = plan_of(pack_sequences(spark, SF_DIR))
+    assert "hashpartitioning(pid" in plan, plan
+    assert plan.count("Arguments: SinglePartition") <= 1, plan
+    assert "BroadcastExchange" in plan

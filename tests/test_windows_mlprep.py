@@ -177,3 +177,39 @@ def test_bloom_decontaminate_exact_and_selective(spark, tmp_path):
     assert true_members <= fp_hits  # no false negatives, ever
     false_pos = fp_hits - true_members
     assert len(false_pos) <= 4  # ~190 non-members, <1% expected FP rate
+
+
+def test_pack_sequences_tiles_exactly(spark):
+    """Concat-and-chunk invariants on the real corpus: every sequence
+    except the last is exactly full; segments tile each sequence
+    contiguously from offset 0 with no gaps or overlaps; per-doc
+    segments cover the doc exactly once in order."""
+    from azure_sales_etl_pipeline_spark.plans.mlprep import (
+        _PACK_CONTEXT,
+        pack_sequences,
+    )
+
+    rows = pack_sequences(spark, "/root/testdata/sf0.001").collect()
+    by_seq: dict[int, list] = {}
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_seq.setdefault(r["seq_id"], []).append(r)
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    last_seq = max(by_seq)
+    for seq_id, segs in by_seq.items():
+        segs.sort(key=lambda r: r["seq_offset"])
+        pos = 0
+        for s in segs:
+            assert s["seq_offset"] == pos, (seq_id, s)
+            pos += s["n_seq_tokens"]
+        if seq_id != last_seq:
+            assert pos == _PACK_CONTEXT, (seq_id, pos)
+        else:
+            assert 0 < pos <= _PACK_CONTEXT
+    for doc_id, segs in by_doc.items():
+        segs.sort(key=lambda r: r["doc_offset"])
+        pos = 0
+        for s in segs:
+            assert s["doc_offset"] == pos, (doc_id, s)
+            pos += s["n_seq_tokens"]
+        assert pos >= 1  # whole doc covered, in order
