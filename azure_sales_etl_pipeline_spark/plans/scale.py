@@ -259,8 +259,70 @@ _GAPS_SQL = """
 """
 
 
+def salted_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top spenders per market segment through a SALTED fact-to-dim
+    join — the registry entry that puts ``salted_join`` under the
+    driver's oracle instead of pytest alone. events.user_id is skewed
+    by construction (15 distinct users across the whole events table,
+    so an unsalted shuffle join uses at most 15 reducers and the
+    heaviest user's rows pile onto one); ``salted_join`` spreads each
+    user over 8 (key, salt) reducers while the segment side replicates
+    via one narrow explode, no extra shuffle.
+
+    Result is provably identical to the plain join (pytest-asserted for
+    the operator; here the DuckDB oracle states the plain-join answer,
+    so the salted plan must reproduce it bit-for-bit). Rank is over the
+    ROUNDED per-user total with a user_id tie-break — deterministic on
+    both engines per the oracle-exactness conventions."""
+    events = load_table(spark, sf_dir, "events")
+    segments = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(events, segments, "user_id", n_salts=8, how="inner")
+    per_user = joined.groupBy("c_mktsegment", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("user_value"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("user_value"), F.col("user_id")
+    )
+    return (
+        per_user.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "c_mktsegment",
+            "user_id",
+            "n_events",
+            "user_value",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+# The oracle is the PLAIN join — the salted plan must match it exactly.
+_SALTED_JOIN_SQL = """
+    WITH per_user AS (
+        SELECT c.c_mktsegment, e.user_id,
+               count(*) AS n_events,
+               round(sum(e.value), 2) AS user_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_mktsegment, e.user_id
+    )
+    SELECT c_mktsegment, user_id, n_events, user_value,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY user_value DESC, user_id) AS rank
+        FROM per_user
+    )
+    WHERE rank <= 3
+"""
+
+
 QUERIES = {
     "salted_event_type_counts": salted_event_type_counts,
+    "salted_join_topk": salted_join_topk,
     "user_event_gaps": user_event_gaps,
     "user_event_gaps_window": user_event_gaps_window,
     "asof_join_cogroup": asof_join_cogroup,
@@ -268,6 +330,7 @@ QUERIES = {
 
 ORACLES = {
     "salted_event_type_counts": _SALTED_SQL,
+    "salted_join_topk": _SALTED_JOIN_SQL,
     "user_event_gaps": _GAPS_SQL,
     # JVM twin: identical semantics, shared oracle — drift-proof.
     "user_event_gaps_window": _GAPS_SQL,

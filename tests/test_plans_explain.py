@@ -225,3 +225,22 @@ def test_pack_sequences_prefix_sum_is_distributed(spark):
     assert "hashpartitioning(pid" in plan, plan
     assert plan.count("Arguments: SinglePartition") <= 1, plan
     assert "BroadcastExchange" in plan
+
+
+def test_salted_join_topk_joins_on_salt(spark):
+    """The join must key on (user_id, _salt) — a join on user_id alone
+    would mean the salt got optimized away and the skew mitigation is
+    gone. At this SF the replicated dim side is broadcast (so the salt
+    lives in the BroadcastHashJoin keys, no shuffle at all — the right
+    plan here); at scale, with a non-broadcastable side, the SAME keys
+    drive a salt-spread shuffle join. Key presence is the invariant,
+    not the physical strategy."""
+    from azure_sales_etl_pipeline_spark.plans.scale import salted_join_topk
+
+    plan = plan_of(salted_join_topk(spark, SF_DIR))
+    key_lines = [
+        l for l in plan.splitlines()
+        if l.strip().startswith(("Left keys", "Right keys"))
+    ]
+    assert len(key_lines) >= 2, plan
+    assert all("_salt" in l and "user_id" in l for l in key_lines), key_lines
