@@ -26,6 +26,7 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .writer import overwrite_table, read_table
 
@@ -130,6 +131,81 @@ def merge_sketch_distinct(
         merged = batch_agg
     overwrite_table(merged, mart_path, commit_meta=commit_meta)
     return read_table(spark, mart_path)
+
+
+def merge_fingerprint_index(
+    spark: SparkSession,
+    index_path: str,
+    batch: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fingerprint_col: str = "fingerprint",
+    commit_meta: dict | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a new document batch against a PERSISTED fingerprint index
+    — cross-batch exact dedup without ever re-scanning history, the
+    incremental form of ``plans.dedup.exact_dedup`` (same normalized
+    sha256 fingerprint, same keeper/dup_count schema).
+
+    Returns ``(survivors, index)``: ``survivors`` is the batch rows
+    that are genuinely new content — first occurrence within the batch
+    AND absent from the index — i.e. what an ingestion pipeline should
+    forward downstream; ``index`` is the updated index read back after
+    its staged atomic swap. Keepers are FIRST-SEEN-WINS across batches
+    (an earlier batch's keeper never changes when a later batch re-sees
+    the content); ``dup_count`` accumulates total occurrences.
+
+    Scale shape matches ``merge_aggregate``: one fingerprint-keyed
+    shuffle over the BATCH, a narrow scan of the index (one row per
+    distinct content — orders of magnitude smaller than raw history),
+    and a re-union on near-unique keys. At 100 TB, bucket the index on
+    the fingerprint (``plans.scale.write_bucketed``) so the anti-join
+    and the merge both co-locate without shuffling the index.
+    Convergence (sequential batches ≡ one-shot exact_dedup when ids
+    are batch-monotonic) is asserted in tests/test_maintenance.py.
+    """
+    _reject_delta_table(index_path, "merge_fingerprint_index")
+    fp = F.sha2(
+        F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), 256
+    )
+    batch_fp = batch.withColumn(fingerprint_col, fp)
+    w = Window.partitionBy(fingerprint_col).orderBy(id_col)
+    batch_first = (
+        batch_fp.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    batch_idx = batch_fp.groupBy(fingerprint_col).agg(
+        F.min(id_col).alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+    if Path(index_path).exists():
+        existing = read_table(spark, index_path)
+        survivors = batch_first.join(
+            existing.select(fingerprint_col), fingerprint_col, "left_anti"
+        )
+        merged = (
+            existing.withColumn("__gen", F.lit(0))
+            .unionByName(batch_idx.withColumn("__gen", F.lit(1)))
+            .groupBy(fingerprint_col)
+            .agg(
+                # first-seen-wins: the existing index row (gen 0) keeps
+                # the keeper; min keeper_doc_id breaks same-gen ties
+                F.min_by(
+                    "keeper_doc_id", F.struct("__gen", "keeper_doc_id")
+                ).alias("keeper_doc_id"),
+                F.sum("dup_count").alias("dup_count"),
+            )
+        )
+    else:
+        survivors = batch_first
+        merged = batch_idx
+    # The survivors plan reads the CURRENT index files; pin the result
+    # on executors before the swap below replaces them.
+    survivors = survivors.localCheckpoint(eager=True)
+    overwrite_table(merged, index_path, commit_meta=commit_meta)
+    return survivors, read_table(spark, index_path)
 
 
 _DEFAULT_TARGET_BYTES = 128 * 1024 * 1024

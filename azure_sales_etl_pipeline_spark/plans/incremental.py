@@ -316,8 +316,49 @@ _INGEST_SQL = f"""
 """
 
 
+def dedup_index_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fold the documents table into a persisted fingerprint index in
+    two id-ordered batches (operators.maintenance.merge_fingerprint_index
+    — real parquet state, staged atomic swaps) and return the final
+    index. Because batch-1 ids all precede batch-2 ids, first-seen-wins
+    keepers coincide with global min(doc_id), so the oracle is the
+    ONE-SHOT exact-dedup recompute — the two-batch incremental path
+    must converge to it exactly, hash-checked by the driver.
+
+    The split point is an exact median fetched to the driver: one
+    scalar of control-plane data, same class as the SCD2 queries'
+    injected clocks."""
+    from ..operators.maintenance import merge_fingerprint_index
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    tmp = tempfile.mkdtemp(prefix="fpidx_q_")
+    try:
+        merge_fingerprint_index(
+            spark, f"{tmp}/index", docs.where(F.col("doc_id") <= mid)
+        )
+        _, index = merge_fingerprint_index(
+            spark, f"{tmp}/index", docs.where(F.col("doc_id") > mid)
+        )
+        return index.select(
+            "fingerprint", "keeper_doc_id", "dup_count"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_DEDUP_INDEX_SQL = r"""
+    SELECT sha256(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+           min(doc_id) AS keeper_doc_id,
+           count(*) AS dup_count
+    FROM documents
+    GROUP BY ALL
+"""
+
+
 QUERIES = {
     "scd2_two_batch_history": scd2_two_batch_history,
+    "dedup_index_two_batch": dedup_index_two_batch,
     "scd2_delete_expiry": scd2_delete_expiry,
     "watermark_incremental_batch": watermark_incremental_batch,
     "ingest_schema_evolution": ingest_schema_evolution,
@@ -325,6 +366,7 @@ QUERIES = {
 
 ORACLES = {
     "scd2_two_batch_history": _SCD2_HISTORY_SQL,
+    "dedup_index_two_batch": _DEDUP_INDEX_SQL,
     "scd2_delete_expiry": _SCD2_DELETE_SQL,
     "watermark_incremental_batch": _WM_BATCH_SQL,
     "ingest_schema_evolution": _INGEST_SQL,

@@ -175,3 +175,45 @@ def test_merge_sketch_distinct_converges_to_exact(spark, tmp_path):
     # idempotent mart grain: one row per key, sketch column is binary
     assert final.count() == len(exact)
     assert dict(final.dtypes)["distinct_sk"] == "binary"
+
+
+def test_merge_fingerprint_index_converges_and_filters(spark, tmp_path):
+    """Sequential two-batch fold == one-shot exact dedup (index level),
+    and survivors are exactly the cross-batch-new first occurrences."""
+    from azure_sales_etl_pipeline_spark.operators.maintenance import (
+        merge_fingerprint_index,
+    )
+
+    rows = [
+        (0, "alpha beta"),
+        (1, "alpha  beta"),   # ws-normalized dup of 0, same batch
+        (2, "gamma"),
+        # batch 2 (ids after batch 1)
+        (10, "ALPHA beta"),   # case-normalized dup of 0, cross-batch
+        (11, "delta"),
+        (12, "delta"),        # intra-batch dup of 11
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    idx_path = str(tmp_path / "fp_index")
+    s1, _ = merge_fingerprint_index(
+        spark, idx_path, docs.where(F.col("doc_id") < 10)
+    )
+    s2, index = merge_fingerprint_index(
+        spark, idx_path, docs.where(F.col("doc_id") >= 10)
+    )
+    assert sorted(r["doc_id"] for r in s1.collect()) == [0, 2]
+    assert sorted(r["doc_id"] for r in s2.collect()) == [11]  # 10 is history-dup
+    got = {
+        r["keeper_doc_id"]: r["dup_count"]
+        for r in index.collect()
+    }
+    # one-shot recompute: keeper = min doc_id, dup_count = occurrences
+    assert got == {0: 3, 2: 1, 11: 2}
+
+    # third fold of an already-seen batch: keepers stable, counts grow
+    s3, index = merge_fingerprint_index(
+        spark, idx_path, docs.where(F.col("doc_id") == 12)
+    )
+    assert s3.count() == 0
+    got = {r["keeper_doc_id"]: r["dup_count"] for r in index.collect()}
+    assert got == {0: 3, 2: 1, 11: 3}
