@@ -153,8 +153,12 @@ def append_evolve(
     aligned.write.mode("append").parquet(path)
 
 
-def read_table(spark: SparkSession, path: str) -> DataFrame:
-    """Read an engine-managed table with schema merge across appends."""
+def read_table(spark: SparkSession, path: str, backend: str = "parquet") -> DataFrame:
+    """Read an engine-managed table with schema merge across appends.
+    Under the delta backend the log supplies the (already-evolved)
+    schema, so the mergeSchema read option is parquet-path-only."""
+    if resolve_backend(backend) == "delta":
+        return spark.read.format("delta").load(path)
     return spark.read.option("mergeSchema", "true").parquet(path)
 
 

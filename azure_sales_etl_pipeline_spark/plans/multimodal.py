@@ -106,18 +106,38 @@ def _stub_decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
     return width, height, n_frames
 
 
-def media_decode_features_debug(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode: ``mapInPandas`` receives pandas batches,
-    runs the (stubbed) decoder per payload, emits a typed feature row.
-    ``batch_rows`` exposes the Arrow batch size so tests can assert the
-    data really moves in batches, not row-at-a-time."""
+def _pil_decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
+    """Real image decode behind the same seam as ``_stub_decode`` —
+    proves the decoder is swappable without touching the oracled
+    queries. Import stays inside the call (executed on executors): the
+    sandbox has no PIL, so the symbol must resolve lazily; the gated
+    pytest auto-skips when the import fails. Non-image payloads fall
+    back to the stub (PIL is an image codec, not av)."""
+    if media_type != "image":
+        return _stub_decode(payload, media_type)
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as img:
+        return img.width, img.height, getattr(img, "n_frames", 1)
+
+
+def decode_features(payloads: DataFrame, decoder=_stub_decode) -> DataFrame:
+    """Arrow-batched decode over a (doc_id, media_type, payload) frame:
+    ``mapInPandas`` receives pandas batches, runs ``decoder`` per
+    payload, emits a typed feature row. ``batch_rows`` exposes the
+    Arrow batch size so tests can assert the data really moves in
+    batches, not row-at-a-time. ``decoder`` is the production seam —
+    ``_stub_decode`` (oracle default) and ``_pil_decode`` (real image
+    codec, gated pytest) plug in without changing the plan shape."""
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
         for pdf in batches:
             dims = [
-                _stub_decode(bytes(p), m)
+                decoder(bytes(p), m)
                 for p, m in zip(pdf["payload"], pdf["media_type"])
             ]
             yield pd.DataFrame(
@@ -131,7 +151,13 @@ def media_decode_features_debug(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return _payloads(spark, sf_dir).mapInPandas(decode, _FEATURE_SCHEMA)
+    return payloads.mapInPandas(decode, _FEATURE_SCHEMA)
+
+
+def media_decode_features_debug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stub-decoder instantiation of ``decode_features`` over the
+    canonical payloads table."""
+    return decode_features(_payloads(spark, sf_dir))
 
 
 def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:

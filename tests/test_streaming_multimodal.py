@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import duckdb
+import pytest
 from pyspark.sql import functions as F
 
 from azure_sales_etl_pipeline_spark.catalog import table_path
@@ -107,3 +108,34 @@ def test_media_frame_sample_fanout_and_resize(spark):
     digests = sorted(r["frame_digest"] for r in frames)
     again = sorted(r["frame_digest"] for r in media_frame_sample(spark, SF_DIR).collect())
     assert digests == again
+
+
+def test_pil_decoder_plugs_into_seam(spark):
+    """Gated proof the decode seam is swappable: with PIL installed, a
+    REAL image decode rides the same Arrow-batched decode_features
+    pipeline as the stub — no change to schema, batching, or plan.
+    Auto-skips in codec-less environments (this sandbox)."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    bufs = []
+    for w, h in ((5, 3), (17, 9)):
+        buf = io.BytesIO()
+        PIL_Image.new("RGB", (w, h), color=(200, 10, 10)).save(buf, "PNG")
+        bufs.append(buf.getvalue())
+    payloads = spark.createDataFrame(
+        [(0, "image", bytearray(bufs[0])), (1, "image", bytearray(bufs[1]))],
+        "doc_id bigint, media_type string, payload binary",
+    )
+    from azure_sales_etl_pipeline_spark.plans.multimodal import (
+        _pil_decode,
+        decode_features,
+    )
+
+    feats = {
+        r["doc_id"]: r
+        for r in decode_features(payloads, decoder=_pil_decode).collect()
+    }
+    assert (feats[0]["width"], feats[0]["height"]) == (5, 3)
+    assert (feats[1]["width"], feats[1]["height"]) == (17, 9)
+    assert all(r["n_frames"] == 1 for r in feats.values())
