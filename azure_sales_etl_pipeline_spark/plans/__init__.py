@@ -47,66 +47,69 @@ _DOMAINS = (
 # order at the tail, where any truncation costs the least information.
 # Update each round as evidence accumulates.
 _SWEEP_PRIORITY = (
-    # (1) output or oracle changed in r05 — the r04 rows no longer
-    # describe current code: the two BIGINT-cast oracle fixes (the r04
-    # hash-fail pair) and the newly value-oracled frame fan-out
-    "vocab_coverage",
-    "event_props_json",
-    "media_frame_sample",
-    "percentile_accuracy_check",
-    # (1b) new in r05 — never driver-checked
-    "dup_ngram_fraction",
-    "unigram_surprisal",
-    "bpe_pair_counts",
-    "sql_shipping_priority",
-    "sql_nation_revenue",
-    "stratified_sample",
-    "event_funnel",
-    "retention_cohorts",
-    "revenue_7d_window",
-    "events_hourly_gapfill",
-    "sketch_union_rollup",
-    "kll_quantile_rollup",
-    "theta_set_ops",
+    # (1) NEW in r06 — never driver-checked: the four queries landed
+    # this round (LSH recall gate, sequence packing, salted-join skew
+    # demo, incremental fingerprint-index fold)
+    "minhash_recall_check",
+    "pack_sequences",
+    "salted_join_topk",
+    "dedup_index_two_batch",
+    # (1b) output or oracle CHANGED in r06 — the r05 green rows no
+    # longer describe current code (typed min/max profile bounds;
+    # conditional-agg sketch build)
     "table_profile",
-    # (2) newest green row is r03 (outside r04's 50-query sweep window)
-    # — two rounds stale, re-prove before anything already proven in r04.
-    # seller_performance_daily stays immediately before its _approx twin
-    # so the bench's cold-scan warmup can't skew their comparison again
-    # (the r04 "5.7s outlier" was exactly that ordering artifact).
-    "balanced_downsample",
-    "curation_funnel",
-    "customer_behavior",
-    "customer_running_revenue",
-    "customers_without_urgent_orders",
-    "dedup_clusters",
-    "distinct_keys",
-    "doc_tfidf_topterms",
-    "drop_and_cast",
-    "events_sessionize",
-    "fact_order_details",
-    "filter_column_expr",
-    "filter_sql_string",
-    "global_watermark",
-    "hash_diff_rows",
-    "hll_accuracy_check",
-    "null_test_classify",
-    "order_value_deciles",
-    "purchase_prior_clicks",
-    "revenue_unpivot",
-    "salted_event_type_counts",
-    "scd2_classify",
-    "seller_order_rates",
-    "seller_performance_daily",
-    "seller_performance_daily_approx",
-    "seller_performance_monthly",
-    "seller_performance_quarterly",
-    "seller_segmentation",
-    "split_contamination",
-    "star_projection",
-    "token_budget_shards",
-    "top_spenders",
+    "theta_set_ops",
+    # (2) newest green row is r03 — the only query two sweeps stale
     "train_test_split",
+    # (3) newest green row is r04 (r05's 50-query budget truncated
+    # before these) — alphabetical; seller twins are r05-green and live
+    # in the module-order tail, daily before _approx as required
+    "ann_recall_check",
+    "ann_topk_bruteforce",
+    "ann_topk_ivf",
+    "ann_topk_lsh",
+    "asof_join_cogroup",
+    "bloom_decontaminate",
+    "dedup_keep_first",
+    "doc_chunks",
+    "doc_fingerprint",
+    "doc_quality",
+    "doc_token_stats",
+    "embedding_near_dup",
+    "embedding_norms",
+    "exact_dedup",
+    "forecast_revenue_change",
+    "ingest_schema_evolution",
+    "label_centroids",
+    "lang_id",
+    "media_decode_features",
+    "media_metadata",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_pairs",
+    "order_status_pivot",
+    "pii_redact",
+    "price_percentiles",
+    "pricing_summary",
+    "purchase_attribution_asof",
+    "repeat_buyers_intersect",
+    "repetition_signals",
+    "revenue_rollup_sets",
+    "scd2_delete_expiry",
+    "scd2_two_batch_history",
+    "simhash",
+    "stream_click_purchase_join",
+    "stream_dedup_events",
+    "stream_session_windows",
+    "stream_sliding_user_activity",
+    "stream_tumbling_counts",
+    "stream_user_totals_custom_state",
+    "term_frequencies",
+    "token_balanced_mixture",
+    "top_parts_per_supplier",
+    "user_event_gaps",
+    "user_event_gaps_window",
+    "watermark_incremental_batch",
+    "winnowing_fingerprints",
 )
 
 
