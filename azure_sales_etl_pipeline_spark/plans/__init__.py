@@ -54,6 +54,8 @@ _SWEEP_PRIORITY = (
     "pack_sequences",
     "salted_join_topk",
     "dedup_index_two_batch",
+    "sql_order_priority_count",
+    "sql_top_supplier",
     # (1b) output or oracle CHANGED in r06 — the r05 green rows no
     # longer describe current code (typed min/max profile bounds;
     # conditional-agg sketch build)

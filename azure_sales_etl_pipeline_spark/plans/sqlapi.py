@@ -124,12 +124,89 @@ _NATION_SQL = """
 """
 
 
+def sql_order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-shaped: per-priority count of one quarter's orders having at
+    least one LATE lineitem (shipped >100 days after order date — the
+    testdata carries no commit/receipt dates, so lateness is
+    re-expressed against l_shipdate). The correlated EXISTS is the
+    point: through the SQL front door it must plan as a LEFT SEMI join
+    on l_orderkey — no fact-side duplication before the agg, no
+    subquery-per-row."""
+    _register_views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority AS order_priority,
+               count(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1995-04-01'
+          AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 100 DAY
+          )
+        GROUP BY o.o_orderpriority
+        """
+    )
+
+
+_PRIORITY_COUNT_SQL = """
+    SELECT o.o_orderpriority AS order_priority,
+           count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1995-04-01'
+      AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 100 DAY
+      )
+    GROUP BY o.o_orderpriority
+"""
+
+
+def sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15-shaped: the supplier(s) with maximum shipped revenue in one
+    quarter. Exercises the CTE + scalar-subquery path through the SQL
+    front door: the revenue CTE aggregates once at supplier grain, the
+    max() scalar subquery over it broadcasts as a single-row filter,
+    and the supplier dimension broadcasts into the final join — no
+    global sort, no second scan of lineitem."""
+    _register_views(spark, sf_dir, "supplier", "lineitem")
+    return spark.sql(_TOP_SUPPLIER_SQL)
+
+
+# Engine-neutral text: runs verbatim on Spark and DuckDB.
+_TOP_SUPPLIER_SQL = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,4))), 2) * 100 AS BIGINT)
+                   AS total_revenue_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate <  TIMESTAMP '1995-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey AS supp_key,
+           s.s_name AS supplier_name,
+           r.total_revenue_cents
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue_cents = (SELECT max(total_revenue_cents) FROM revenue)
+"""
+
+
 QUERIES = {
     "sql_shipping_priority": sql_shipping_priority,
     "sql_nation_revenue": sql_nation_revenue,
+    "sql_order_priority_count": sql_order_priority_count,
+    "sql_top_supplier": sql_top_supplier,
 }
 
 ORACLES = {
     "sql_shipping_priority": _SHIPPING_SQL,
     "sql_nation_revenue": _NATION_SQL,
+    "sql_order_priority_count": _PRIORITY_COUNT_SQL,
+    "sql_top_supplier": _TOP_SUPPLIER_SQL,
 }
