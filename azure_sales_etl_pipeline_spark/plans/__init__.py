@@ -56,6 +56,7 @@ _SWEEP_PRIORITY = (
     "dedup_index_two_batch",
     "sql_order_priority_count",
     "sql_top_supplier",
+    "bucketed_join_summary",
     # (1b) output or oracle CHANGED in r06 — the r05 green rows no
     # longer describe current code (typed min/max profile bounds;
     # conditional-agg sketch build)

@@ -320,9 +320,59 @@ _SALTED_JOIN_SQL = """
 """
 
 
+def bucketed_join_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-status revenue summary computed through a BUCKETED
+    co-located join — the registry entry that puts ``write_bucketed``
+    under the driver's oracle. Both sides persist bucketed on the join
+    key (4 buckets each), then join with broadcast disabled: the
+    physical plan is a SortMergeJoin with ZERO Exchange on either side
+    (the property ``test_scale.py`` pins) — at 100 TB this is every
+    repeated fact-to-fact join paid as a local merge instead of a full
+    shuffle of both tables.
+
+    The join-agg executes eagerly (localCheckpoint) while the
+    no-broadcast conf and the bucketed tables exist; the driver then
+    hashes the pinned result. Quantities are integral doubles in the
+    testdata, so the sum lands exactly on both engines as BIGINT."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    lineitem = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity")
+    )
+    write_bucketed(orders, "q_bkt_orders", "o_orderkey", n_buckets=4)
+    write_bucketed(lineitem, "q_bkt_lineitem", "o_orderkey", n_buckets=4)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        out = (
+            spark.table("q_bkt_orders")
+            .join(spark.table("q_bkt_lineitem"), "o_orderkey")
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_lineitems"),
+                F.sum("l_quantity").cast("bigint").alias("total_qty"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS q_bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS q_bkt_lineitem")
+
+
+_BUCKETED_SQL = """
+    SELECT o.o_orderstatus, count(*) AS n_lineitems,
+           CAST(sum(l.l_quantity) AS BIGINT) AS total_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+"""
+
+
 QUERIES = {
     "salted_event_type_counts": salted_event_type_counts,
     "salted_join_topk": salted_join_topk,
+    "bucketed_join_summary": bucketed_join_summary,
     "user_event_gaps": user_event_gaps,
     "user_event_gaps_window": user_event_gaps_window,
     "asof_join_cogroup": asof_join_cogroup,
@@ -331,6 +381,7 @@ QUERIES = {
 ORACLES = {
     "salted_event_type_counts": _SALTED_SQL,
     "salted_join_topk": _SALTED_JOIN_SQL,
+    "bucketed_join_summary": _BUCKETED_SQL,
     "user_event_gaps": _GAPS_SQL,
     # JVM twin: identical semantics, shared oracle — drift-proof.
     "user_event_gaps_window": _GAPS_SQL,
