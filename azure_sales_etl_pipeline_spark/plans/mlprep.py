@@ -17,6 +17,7 @@ lineage (without it, iteration k replays all k-1 prior joins).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -331,6 +332,99 @@ _PACK_SQL = rf"""
                 - greatest(g_start, seq_id * {_PACK_CONTEXT}) AS BIGINT)
                AS n_seq_tokens
     FROM spans
+"""
+
+
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-boundary-respecting sequence packing: greedy NEXT-FIT in
+    doc_id order — a document never splits across sequences (the
+    fine-tuning/eval packing discipline; ``pack_sequences`` is the
+    concat-and-chunk pretraining twin and the pure-JVM production
+    path). A document longer than the context truncates to it.
+
+    Scale shape is two-phase: the DISTRIBUTED prefix sum assigns docs
+    to ~20k-token shards (``token_budget_shards`` — no global window),
+    then each shard packs independently in one ``applyInPandas`` group
+    — sequential only WITHIN a shard (inherent to boundary-respecting
+    packing: each placement depends on the previous fill), parallel
+    across shards, group memory bounded by the shard budget. Output is
+    one row per packed doc with its (shard, seq) slot and the
+    sequence's integer fill permille — floats stay out of the hash.
+
+    Oracle: DuckDB replays the same next-fit with a recursive CTE
+    stepping doc-by-doc within each shard."""
+    shards = token_budget_shards(spark, sf_dir)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        cap = _PACK_CONTEXT
+        seq_ids, packed_n = [], []
+        seq, fill, fills = 0, 0, []
+        for n in pdf["n_tokens"].clip(upper=cap):
+            n = int(n)
+            if fill + n > cap:
+                fills.append(fill)
+                seq, fill = seq + 1, 0
+            seq_ids.append(seq)
+            packed_n.append(n)
+            fill += n
+        fills.append(fill)
+        return pd.DataFrame(
+            {
+                "shard_id": pdf["shard_id"],
+                "seq_id": seq_ids,
+                "doc_id": pdf["doc_id"],
+                "n_packed_tokens": packed_n,
+                "seq_fill_permille": [fills[s] * 1000 // cap for s in seq_ids],
+            }
+        )
+
+    return shards.groupBy("shard_id").applyInPandas(
+        pack,
+        schema=(
+            "shard_id bigint, seq_id bigint, doc_id bigint, "
+            "n_packed_tokens bigint, seq_fill_permille bigint"
+        ),
+    )
+
+
+_PACK_GREEDY_SQL = rf"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        FROM documents
+    ),
+    sharded AS (
+        SELECT doc_id,
+               least(n_tokens, {_PACK_CONTEXT}) AS n,
+               CAST(floor(
+                   (sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_tokens) / {_SHARD_TOKEN_BUDGET}) AS BIGINT) AS shard_id
+        FROM t
+    ),
+    ord AS (
+        SELECT *, row_number() OVER (PARTITION BY shard_id ORDER BY doc_id) AS rn
+        FROM sharded
+    ),
+    packed AS (
+        SELECT shard_id, rn, doc_id, n,
+               CAST(0 AS BIGINT) AS seq_id, n AS fill
+        FROM ord WHERE rn = 1
+        UNION ALL
+        SELECT o.shard_id, o.rn, o.doc_id, o.n,
+               CASE WHEN p.fill + o.n > {_PACK_CONTEXT}
+                    THEN p.seq_id + 1 ELSE p.seq_id END,
+               CASE WHEN p.fill + o.n > {_PACK_CONTEXT}
+                    THEN o.n ELSE p.fill + o.n END
+        FROM packed p
+        JOIN ord o ON o.shard_id = p.shard_id AND o.rn = p.rn + 1
+    )
+    SELECT shard_id, seq_id, doc_id,
+           CAST(n AS BIGINT) AS n_packed_tokens,
+           CAST(sum(n) OVER (PARTITION BY shard_id, seq_id) * 1000
+                // {_PACK_CONTEXT} AS BIGINT) AS seq_fill_permille
+    FROM packed
 """
 
 
@@ -869,6 +963,7 @@ QUERIES = {
     "split_contamination": split_contamination,
     "token_budget_shards": token_budget_shards,
     "pack_sequences": pack_sequences,
+    "pack_sequences_greedy": pack_sequences_greedy,
     "curation_funnel": curation_funnel,
     "dedup_clusters": dedup_clusters,
     "doc_tfidf_topterms": doc_tfidf_topterms,
@@ -883,6 +978,7 @@ ORACLES = {
     "split_contamination": _CONTAM_SQL,
     "token_budget_shards": _SHARDS_SQL,
     "pack_sequences": _PACK_SQL,
+    "pack_sequences_greedy": _PACK_GREEDY_SQL,
     "curation_funnel": _funnel_sql(),
     "dedup_clusters": _CC_SQL,
     "doc_tfidf_topterms": _TFIDF_SQL,

@@ -213,3 +213,46 @@ def test_pack_sequences_tiles_exactly(spark):
             assert s["doc_offset"] == pos, (doc_id, s)
             pos += s["n_seq_tokens"]
         assert pos >= 1  # whole doc covered, in order
+
+
+def test_pack_sequences_greedy_respects_boundaries(spark):
+    """Next-fit invariants: every doc occupies exactly one (shard, seq)
+    slot; no sequence exceeds the context; a new sequence only opens
+    when the next doc genuinely didn't fit; packed length is the doc
+    length truncated to the context."""
+    from collections import defaultdict
+
+    from azure_sales_etl_pipeline_spark.plans.mlprep import (
+        _PACK_CONTEXT,
+        pack_sequences_greedy,
+    )
+
+    rows = pack_sequences_greedy(spark, "/root/testdata/sf0.001").collect()
+    assert len({r["doc_id"] for r in rows}) == len(rows)  # one slot per doc
+    fills = defaultdict(int)
+    for r in rows:
+        assert 1 <= r["n_packed_tokens"] <= _PACK_CONTEXT
+        fills[(r["shard_id"], r["seq_id"])] += r["n_packed_tokens"]
+    for (shard, seq), tot in fills.items():
+        assert tot <= _PACK_CONTEXT, (shard, seq, tot)
+        # next-fit: seq s+1 exists only because its FIRST doc overflowed
+        # seq s, so seq s's fill + that doc must exceed the context
+        if (shard, seq + 1) in fills:
+            first_next = min(
+                r["n_packed_tokens"]
+                for r in rows
+                if (r["shard_id"], r["seq_id"]) == (shard, seq + 1)
+                and r["doc_id"]
+                == min(
+                    x["doc_id"]
+                    for x in rows
+                    if (x["shard_id"], x["seq_id"]) == (shard, seq + 1)
+                )
+            )
+            assert tot + first_next > _PACK_CONTEXT, (shard, seq)
+    # permille is exact integer arithmetic over the final fills
+    for r in rows:
+        assert (
+            r["seq_fill_permille"]
+            == fills[(r["shard_id"], r["seq_id"])] * 1000 // _PACK_CONTEXT
+        )
