@@ -352,18 +352,23 @@ def minhash_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     probabilistic query without a driver-checkable accuracy row.
 
     Ground truth is EXACT, not sampled: every pair with 3-word-shingle
-    Jaccard ≥ 0.5, generated from a shared-shingle inverted index
-    (Jaccard > 0 requires at least one common shingle, so the index
-    join provably misses nothing) and then exactly verified. The LSH
-    pairs are Jaccard-verified ⊆ truth by construction, so recall is
-    the only free metric. Everything is seeded (xxhash64 signatures,
+    Jaccard ≥ 0.5, computed as a sparse set-similarity join — the
+    inverted index self-joins on the shingle and the per-pair match
+    count IS the intersection size (the arrays are pre-distincted, so
+    each (doc, shingle) posting is unique), |A∪B| = |A|+|B|−|A∩B|.
+    Jaccard > 0 requires a shared shingle, so the index join provably
+    misses nothing, and no pair ever materializes its arrays (a first
+    cut re-joined full shingle arrays per candidate and spent 8 s at
+    sf0.1 intersecting them; the count form runs ~2 s). The LSH pairs
+    are Jaccard-verified ⊆ truth by construction, so recall is the only
+    free metric. Everything is seeded (xxhash64 signatures,
     deterministic banding), so the boolean is stable: measured 0.93 at
     sf0.001 and 0.96 at sf0.01 against a 0.7 gate.
 
-    Scale: the truth side is the expensive half (inverted index fans
-    out per shingle) — at 100 TB the gate runs on a sampled corpus
-    slice, while the LSH side is the production path; same shape as the
-    ANN gate's sampled query set."""
+    Scale: the truth side is the expensive half (the self-join fans out
+    per posting) — at 100 TB the gate runs on a sampled corpus slice,
+    while the LSH side is the production path; same shape as the ANN
+    gate's sampled query set."""
     docs = load_table(spark, sf_dir, "documents")
     from ..functions import plan_barrier
 
@@ -373,28 +378,38 @@ def minhash_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     inv = staged.select("doc_id", F.explode("sh").alias("shingle"))
-    cand = (
+    pairs = (
         inv.alias("x")
         .join(
             inv.alias("y"),
             (F.col("x.shingle") == F.col("y.shingle"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
+    sizes = staged.select("doc_id", F.size("sh").alias("sz"))
     truth = (
-        cand.join(
-            staged.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"),
+        pairs.join(
+            F.broadcast(
+                sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                    "sz", "sz_a"
+                )
+            ),
             "doc_a",
         )
         .join(
-            staged.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"),
+            F.broadcast(
+                sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                    "sz", "sz_b"
+                )
+            ),
             "doc_b",
         )
         .where(
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b"))
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
             >= 0.5
         )
         .select("doc_a", "doc_b")
@@ -432,18 +447,19 @@ _MINHASH_RECALL_SQL = rf"""
         FROM toks
     ),
     inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-    cand AS (
-        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    pairs AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
         FROM inv x JOIN inv y
           ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id
     ),
+    sizes AS (SELECT doc_id, len(s) AS sz FROM sh),
     truth AS (
         SELECT doc_a, doc_b
-        FROM cand
-        JOIN sh a ON a.doc_id = cand.doc_a
-        JOIN sh b ON b.doc_id = cand.doc_b
-        WHERE len(list_intersect(a.s, b.s)) * 1.0
-              / len(list_distinct(a.s || b.s)) >= 0.5
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = pairs.doc_a
+        JOIN sizes sb ON sb.doc_id = pairs.doc_b
+        WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
     )
     SELECT CAST(count(*) AS BIGINT) AS n_true_pairs, true AS recall_ok
     FROM truth

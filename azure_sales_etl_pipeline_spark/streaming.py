@@ -508,6 +508,47 @@ def streaming_sketch_mart(
     _streaming_fold(spark, source_glob, schema, mart_path, checkpoint, fold)
 
 
+def streaming_dedup_index(
+    spark: SparkSession,
+    source_glob: str,
+    schema,
+    index_path: str,
+    checkpoint: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Streaming cross-batch exact dedup: each micro-batch of arriving
+    documents folds into the persisted fingerprint index
+    (``operators.maintenance.merge_fingerprint_index``) — the streaming
+    form of the curation pipeline's dedup stage, with NO unbounded
+    streaming state: the stream's own state is just the file-source
+    checkpoint, while the index carries one row per distinct content
+    ever seen. The declarative alternative (``dropDuplicates`` on the
+    fingerprint) holds every fingerprint in the state store forever and
+    loses it when the query is rebuilt; the index is a queryable table
+    that batch jobs share.
+
+    Replay protection matters here: re-folding a redelivered batch
+    would double-count ``dup_count`` (the fold is NOT idempotent, same
+    class as ``streaming_mart``'s sums), so the shared
+    ``_streaming_fold`` marker commits (checkpoint, batch_id) inside
+    the same atomic swap as the index version."""
+
+    def fold(batch_df: DataFrame, commit_meta: dict) -> None:
+        from .operators.maintenance import merge_fingerprint_index
+
+        merge_fingerprint_index(
+            spark,
+            index_path,
+            batch_df,
+            id_col=id_col,
+            text_col=text_col,
+            commit_meta=commit_meta,
+        )
+
+    _streaming_fold(spark, source_glob, schema, index_path, checkpoint, fold)
+
+
 def _streaming_fold(
     spark: SparkSession,
     source_glob: str,

@@ -242,3 +242,52 @@ def test_streaming_sketch_mart_distinct_estimates(spark, tmp_path):
     assert est == {"click": 3, "view": 2}
     marker = read_commit_meta(mart)
     assert marker["checkpoint"] == ckpt and marker["batch_id"] >= 1
+
+
+def test_streaming_dedup_index_converges(spark, tmp_path):
+    """Two streamed document batches fold into the fingerprint index;
+    the final index equals the one-shot exact dedup of the union, and
+    re-running over the same files folds nothing twice (marker skips
+    redelivery)."""
+    from azure_sales_etl_pipeline_spark.operators.writer import (
+        read_commit_meta,
+        read_table,
+    )
+    from azure_sales_etl_pipeline_spark.streaming import streaming_dedup_index
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = tmp_path / "docs"
+    rows1 = [(0, "alpha beta"), (1, "alpha  beta"), (2, "gamma")]
+    rows2 = [(10, "ALPHA beta"), (11, "delta")]
+    spark.createDataFrame(rows1, "doc_id long, text string").coalesce(
+        1
+    ).write.option("header", "true").csv(str(src / "f1"))
+    index = str(tmp_path / "fpidx")
+    ckpt = str(tmp_path / "fpckpt")
+    glob = str(src) + "/*"
+    streaming_dedup_index(spark, glob, schema, index, checkpoint=ckpt)
+    spark.createDataFrame(rows2, "doc_id long, text string").coalesce(
+        1
+    ).write.option("header", "true").csv(str(src / "f2"))
+    streaming_dedup_index(spark, glob, schema, index, checkpoint=ckpt)
+
+    got = {
+        r["keeper_doc_id"]: r["dup_count"]
+        for r in read_table(spark, index).collect()
+    }
+    assert got == {0: 3, 2: 1, 11: 1}
+    marker = read_commit_meta(index)
+    last_batch = marker["batch_id"]
+    # third run over the SAME files: marker blocks replay, index unchanged
+    streaming_dedup_index(spark, glob, schema, index, checkpoint=ckpt)
+    got2 = {
+        r["keeper_doc_id"]: r["dup_count"]
+        for r in read_table(spark, index).collect()
+    }
+    assert got2 == got
+    assert read_commit_meta(index)["batch_id"] == last_batch
