@@ -58,6 +58,7 @@ _SWEEP_PRIORITY = (
     "sql_top_supplier",
     "bucketed_join_summary",
     "pack_sequences_greedy",
+    "embedding_quantize",
     # (1b) output or oracle CHANGED in r06 — the r05 green rows no
     # longer describe current code (typed min/max profile bounds;
     # conditional-agg sketch build)

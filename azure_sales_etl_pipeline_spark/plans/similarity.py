@@ -443,6 +443,77 @@ _NORMS_SQL = """
 """
 
 
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    storage/serving compression step every large retrieval corpus runs
+    (float32 → int8 is 4× smaller and SIMD-friendlier): per vector,
+    scale = 127 / max|x| and q_i = floor(x_i · scale) ∈ [-127, 127].
+
+    Output is an all-integer per-vector SUMMARY (scale in ppm, L1 norm
+    of the quantized vector, and an index-weighted checksum that pins
+    every element and its position), not the int8 array itself — the
+    driver hash needs engine-portable scalars. The arithmetic is
+    deliberately floor-over-IEEE-double only (cast, multiply, divide —
+    no ln/exp): every step is exact-rounding and bit-identical across
+    engines, so unlike the surprisal micronats there is no transcendental
+    boundary risk to probe. All JVM higher-order functions, zero
+    shuffles — a pure map pass at any scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = _as_double("embedding")
+    staged = emb.select(
+        "vec_id",
+        "label",
+        vec.alias("v"),
+        F.array_max(F.transform(vec, F.abs)).alias("mx"),
+    )
+    scale = F.when(F.col("mx") > 0, F.lit(127.0) / F.col("mx")).otherwise(
+        F.lit(0.0)
+    )
+    q = F.transform(F.col("v"), lambda x: F.floor(x * scale))
+    zero = F.lit(0).cast("bigint")
+    return staged.select(
+        "vec_id",
+        "label",
+        F.size("v").alias("n_dims"),
+        F.floor(scale * 1e6).cast("bigint").alias("scale_ppm"),
+        F.aggregate(q, zero, lambda a, b: a + F.abs(b)).alias("q_l1"),
+        F.aggregate(
+            F.zip_with(
+                q,
+                F.sequence(F.lit(1), F.size(F.col("v"))),
+                lambda v, i: (v + 127) * i,
+            ),
+            zero,
+            lambda a, b: a + b,
+        ).alias("q_checksum"),
+    )
+
+
+_QUANTIZE_SQL = """
+    WITH s AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               list_max(list_transform(embedding,
+                                       x -> abs(CAST(x AS DOUBLE)))) AS mx
+        FROM embeddings
+    ),
+    sc AS (
+        SELECT vec_id, label, v,
+               CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS scale
+        FROM s
+    )
+    SELECT vec_id, label,
+           CAST(len(v) AS INT) AS n_dims,
+           CAST(floor(scale * 1e6) AS BIGINT) AS scale_ppm,
+           CAST(list_sum(list_transform(v, x -> abs(floor(x * scale))))
+                AS BIGINT) AS q_l1,
+           CAST(list_sum(list_transform(range(1, len(v) + 1),
+                    i -> (floor(v[i] * scale) + 127) * i))
+                AS BIGINT) AS q_checksum
+    FROM sc
+"""
+
+
 def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible recall gate for the probabilistic ANN paths (the
     hll_accuracy_check pattern applied to retrieval): overlap of the
@@ -504,6 +575,7 @@ QUERIES = {
     "embedding_near_dup": embedding_near_dup,
     "label_centroids": label_centroids,
     "embedding_norms": embedding_norms,
+    "embedding_quantize": embedding_quantize,
     "ann_recall_check": ann_recall_check,
 }
 
@@ -515,5 +587,6 @@ ORACLES = {
     "embedding_near_dup": _NEAR_DUP_SQL,
     "label_centroids": _CENTROID_SQL,
     "embedding_norms": _NORMS_SQL,
+    "embedding_quantize": _QUANTIZE_SQL,
     "ann_recall_check": _ANN_RECALL_SQL,
 }
