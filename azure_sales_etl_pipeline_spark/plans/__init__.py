@@ -59,6 +59,7 @@ _SWEEP_PRIORITY = (
     "bucketed_join_summary",
     "pack_sequences_greedy",
     "embedding_quantize",
+    "bigram_surprisal",
     # (1b) output or oracle CHANGED in r06 — the r05 green rows no
     # longer describe current code (typed min/max profile bounds;
     # conditional-agg sketch build)

@@ -783,6 +783,88 @@ _SURPRISAL_SQL = r"""
 """
 
 
+def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document total CONDITIONAL surprisal under the corpus's own
+    bigram MLE — one Markov order above ``unigram_surprisal``, which
+    together complete the CCNet-style perplexity-filter skeleton:
+    -ln P(w_i | w_{i-1}) with P = count(w_{i-1}, w_i) /
+    count(w_{i-1}·) summed per doc. Documents whose word SEQUENCES are
+    unusual (not just their word choices) score high — the signal that
+    separates shuffled-word spam from fluent text, which the unigram
+    score cannot see.
+
+    Plan: bigram pairs build map-side (two array slices zipped — fenced
+    so the tokenize projection isn't re-inlined per slice), ONE shuffle
+    on the (w1, w2) key for counts; the prefix totals re-aggregate from
+    the bigram counts (Zipf-small, broadcast). Same integer-micronat
+    quantization as the unigram score — each term floors to BIGINT
+    before the sum, so aggregation order can't wobble the driver hash;
+    the cross-engine ln floor-boundary parity is probed over this
+    query's full (n_bg, n_prefix) range in pytest, like the unigram
+    probe."""
+    from ..functions import plan_barrier
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = plan_barrier(
+        docs.select("doc_id", _tokens().alias("t")).where(F.size("t") >= 2)
+    )
+    pairs = F.zip_with(
+        F.slice(F.col("t"), 1, F.size("t") - 1),
+        F.slice(F.col("t"), 2, F.size("t") - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    positions = staged.select(
+        "doc_id", F.explode(pairs).alias("p")
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    counts = positions.groupBy("w1", "w2").agg(F.count("*").alias("n_bg"))
+    prefix = counts.groupBy("w1").agg(F.sum("n_bg").alias("n_prefix"))
+    scored = positions.join(F.broadcast(counts), ["w1", "w2"]).join(
+        F.broadcast(prefix), "w1"
+    )
+    micronats = F.floor(
+        -F.log(F.col("n_bg") / F.col("n_prefix")) * F.lit(1e6)
+    ).cast("bigint")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(micronats).alias("surprisal_micronats"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "surprisal_micronats",
+            F.expr("surprisal_micronats div n_bigrams").alias(
+                "mean_surprisal_micronats"
+            ),
+        )
+    )
+
+
+_BIGRAM_SURPRISAL_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+              FROM toks WHERE len(t) >= 2)
+    ),
+    cnt AS (SELECT w1, w2, count(*) AS n_bg FROM pos GROUP BY w1, w2),
+    pre AS (SELECT w1, CAST(sum(n_bg) AS BIGINT) AS n_prefix
+            FROM cnt GROUP BY w1)
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           CAST(sum(CAST(floor(-ln(n_bg * 1.0 / n_prefix) * 1e6) AS BIGINT))
+                AS BIGINT) AS surprisal_micronats,
+           CAST(sum(CAST(floor(-ln(n_bg * 1.0 / n_prefix) * 1e6) AS BIGINT))
+                // count(*) AS BIGINT) AS mean_surprisal_micronats
+    FROM pos JOIN cnt USING (w1, w2) JOIN pre USING (w1)
+    GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # BPE pair statistics (tokenizer-training prep)
 # ---------------------------------------------------------------------------
@@ -856,6 +938,7 @@ QUERIES = {
     "vocab_coverage": vocab_coverage,
     "dup_ngram_fraction": dup_ngram_fraction,
     "unigram_surprisal": unigram_surprisal,
+    "bigram_surprisal": bigram_surprisal,
     "bpe_pair_counts": bpe_pair_counts,
 }
 
@@ -872,5 +955,6 @@ ORACLES = {
     "vocab_coverage": _VOCAB_SQL,
     "dup_ngram_fraction": _DUP_NGRAM_SQL,
     "unigram_surprisal": _SURPRISAL_SQL,
+    "bigram_surprisal": _BIGRAM_SURPRISAL_SQL,
     "bpe_pair_counts": _BPE_SQL,
 }

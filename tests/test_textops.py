@@ -225,3 +225,69 @@ def test_surprisal_micronat_floor_parity_full_corpus(spark):
         (n, spark_by_n[n], m) for n, _, m in duck_pairs if spark_by_n[n] != m
     ]
     assert not mismatches, f"floor-boundary divergence at: {mismatches[:10]}"
+
+
+def test_bigram_surprisal_floor_parity_and_ranking(spark, dup_docs_dir):
+    """Cross-engine floor parity over the FULL (n_bg, n_prefix) range
+    of the real corpus (same structural risk as the unigram probe), plus
+    the ranking sanity on the micro-fixture: a doc with corpus-unique
+    bigrams out-surprises one whose bigrams repeat."""
+    import duckdb
+
+    from azure_sales_etl_pipeline_spark.plans.textops import bigram_surprisal
+    from tests.conftest import SF_DIR
+
+    duck_pairs = (
+        duckdb.connect()
+        .execute(
+            r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                FROM read_parquet('"""
+            + SF_DIR
+            + r"""/documents.parquet')
+            ),
+            pos AS (
+                SELECT t[i] AS w1, t[i + 1] AS w2
+                FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+                      FROM toks WHERE len(t) >= 2)
+            ),
+            cnt AS (SELECT w1, w2, count(*) AS n_bg FROM pos GROUP BY w1, w2),
+            pre AS (SELECT w1, CAST(sum(n_bg) AS BIGINT) AS n_prefix
+                    FROM cnt GROUP BY w1)
+            SELECT DISTINCT n_bg, n_prefix,
+                   CAST(floor(-ln(n_bg * 1.0 / n_prefix) * 1e6) AS BIGINT)
+                       AS micronats
+            FROM cnt JOIN pre USING (w1)
+            """
+        )
+        .fetchall()
+    )
+    assert duck_pairs
+    import pyspark.sql.functions as F
+
+    pairs = spark.createDataFrame(
+        [(n, p) for n, p, _ in duck_pairs], "n_bg bigint, n_prefix bigint"
+    )
+    sparked = pairs.select(
+        "n_bg",
+        "n_prefix",
+        F.floor(-F.log(F.col("n_bg") / F.col("n_prefix")) * F.lit(1e6))
+        .cast("bigint")
+        .alias("micronats"),
+    ).collect()
+    spark_by_pair = {(r["n_bg"], r["n_prefix"]): r["micronats"] for r in sparked}
+    mismatches = [
+        (n, p, spark_by_pair[(n, p)], m)
+        for n, p, m in duck_pairs
+        if spark_by_pair[(n, p)] != m
+    ]
+    assert not mismatches, f"floor-boundary divergence at: {mismatches[:10]}"
+
+    out = {r["doc_id"]: r for r in bigram_surprisal(spark, dup_docs_dir).collect()}
+    for r in out.values():
+        assert (
+            r["mean_surprisal_micronats"] * r["n_bigrams"]
+            <= r["surprisal_micronats"]
+            < (r["mean_surprisal_micronats"] + 1) * r["n_bigrams"]
+        )
