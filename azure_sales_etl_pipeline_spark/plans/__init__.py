@@ -60,6 +60,7 @@ _SWEEP_PRIORITY = (
     "pack_sequences_greedy",
     "embedding_quantize",
     "bigram_surprisal",
+    "cluster_representatives",
     # (1b) output or oracle CHANGED in r06 — the r05 green rows no
     # longer describe current code (typed min/max profile bounds;
     # conditional-agg sketch build)

@@ -643,6 +643,82 @@ _CC_SQL = f"""
 """
 
 
+def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse every near-dup cluster to its best surviving document —
+    the step that turns ``dedup_clusters``' labels into an actual
+    deduplicated corpus: per cluster, keep the doc ranked by (passes
+    quality filter, token count, doc_id) — i.e. prefer a quality-green
+    representative, break ties toward the longer then lowest-id doc.
+    Composes the REGISTERED ``dedup_clusters`` and ``doc_quality``
+    operators (curation_funnel's composition discipline), so the
+    ranking key is cross-engine stable by those queries' own oracles.
+
+    Shape: the cluster labels join quality on doc_id (1:1), then one
+    window shuffle on cluster_id picks rank 1 and counts the cluster —
+    singleton clusters (the vast majority) pass straight through."""
+    from .textops import doc_quality
+
+    clusters = dedup_clusters(spark, sf_dir)
+    quality = doc_quality(spark, sf_dir).select("doc_id", "n_tokens", "keep")
+    joined = clusters.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("keep"), F.desc("n_tokens"), F.col("doc_id")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            "cluster_size",
+            F.col("keep").alias("rep_quality_keep"),
+            F.col("n_tokens").alias("rep_n_tokens"),
+        )
+    )
+
+
+# The CC recursion nests verbatim as a CTE body; quality replays the
+# doc_quality keep rule on the SAME rounded values the Spark side ranks
+# by (doc_quality compares its round(…,4) columns).
+_REPS_SQL = f"""
+    WITH cc AS ({_CC_SQL}),
+    q AS (
+        WITH t AS (
+            SELECT doc_id, text,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks,
+                   length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS punct
+            FROM documents
+        )
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               (len(toks) >= 10
+                AND round(list_sum(list_transform(toks, w -> length(w))) * 1.0
+                          / greatest(len(toks), 1), 4) >= 2.0
+                AND round(list_sum(list_transform(toks, w -> length(w))) * 1.0
+                          / greatest(len(toks), 1), 4) <= 12.0
+                AND round(punct * 1.0 / greatest(length(text), 1), 4) < 0.2)
+                   AS keep
+        FROM t
+    ),
+    ranked AS (
+        SELECT cc.cluster_id, q.doc_id, q.keep, q.n_tokens,
+               row_number() OVER (PARTITION BY cc.cluster_id
+                   ORDER BY q.keep DESC, q.n_tokens DESC, q.doc_id) AS rn,
+               count(*) OVER (PARTITION BY cc.cluster_id) AS cluster_size
+        FROM cc JOIN q ON q.doc_id = cc.doc_id
+    )
+    SELECT cluster_id, doc_id AS rep_doc_id,
+           CAST(cluster_size AS BIGINT) AS cluster_size,
+           keep AS rep_quality_keep,
+           n_tokens AS rep_n_tokens
+    FROM ranked WHERE rn = 1
+"""
+
+
 _TFIDF_TOP_N = 3
 
 
@@ -966,6 +1042,7 @@ QUERIES = {
     "pack_sequences_greedy": pack_sequences_greedy,
     "curation_funnel": curation_funnel,
     "dedup_clusters": dedup_clusters,
+    "cluster_representatives": cluster_representatives,
     "doc_tfidf_topterms": doc_tfidf_topterms,
     "balanced_downsample": balanced_downsample,
     "token_balanced_mixture": token_balanced_mixture,
@@ -981,6 +1058,7 @@ ORACLES = {
     "pack_sequences_greedy": _PACK_GREEDY_SQL,
     "curation_funnel": _funnel_sql(),
     "dedup_clusters": _CC_SQL,
+    "cluster_representatives": _REPS_SQL,
     "doc_tfidf_topterms": _TFIDF_SQL,
     "balanced_downsample": _BALANCED_SQL,
     "token_balanced_mixture": _MIXTURE_SQL,
