@@ -61,6 +61,7 @@ _SWEEP_PRIORITY = (
     "embedding_quantize",
     "bigram_surprisal",
     "cluster_representatives",
+    "orders_validation",
     # (1b) output or oracle CHANGED in r06 — the r05 green rows no
     # longer describe current code (typed min/max profile bounds;
     # conditional-agg sketch build)

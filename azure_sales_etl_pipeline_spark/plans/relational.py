@@ -392,6 +392,69 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
 
 
+def orders_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level quarantine through ``operators.validate`` on an orders
+    feed with deterministically PLANTED corruption (the clean testdata
+    would make every rule vacuously green): keys divisible by 97 get a
+    negated total, keys divisible by 101 a nulled priority — so the
+    query exercises real rule failures, multi-violation rows (9797·k),
+    and the null-counts-as-violation policy. Output is the quarantine
+    side: key + the sorted violated-rule list; the clean side is
+    row-count-asserted in pytest.
+
+    One narrow projection evaluates every rule, two filters split the
+    stream — no shuffle, classification is a pure function of the row
+    (retry/repartition-stable)."""
+    from ..operators.validate import validate_and_quarantine
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 0, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 101 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+        "o_orderstatus",
+    )
+    _good, bad = validate_and_quarantine(
+        orders,
+        {
+            "nonneg_total": F.col("o_totalprice") >= 0,
+            "priority_present": F.col("o_orderpriority").isNotNull(),
+            "known_status": F.col("o_orderstatus").isin("O", "F", "P"),
+        },
+    )
+    return bad.select("o_orderkey", "violations")
+
+
+_VALIDATION_SQL = """
+    WITH src AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice
+                    ELSE o_totalprice END AS o_totalprice,
+               CASE WHEN o_orderkey % 101 = 0 THEN NULL
+                    ELSE o_orderpriority END AS o_orderpriority,
+               o_orderstatus
+        FROM orders
+    ),
+    flagged AS (
+        SELECT o_orderkey,
+               array_to_string(list_sort(list_filter([
+                   CASE WHEN NOT coalesce(o_totalprice >= 0, false)
+                        THEN 'nonneg_total' END,
+                   CASE WHEN o_orderpriority IS NULL
+                        THEN 'priority_present' END,
+                   CASE WHEN NOT coalesce(
+                            o_orderstatus IN ('O', 'F', 'P'), false)
+                        THEN 'known_status' END
+               ], v -> v IS NOT NULL)), ',') AS violations
+        FROM src
+    )
+    SELECT o_orderkey, violations FROM flagged WHERE violations != ''
+"""
+
+
 def _profile_sql() -> str:
     selects = []
     for c in _PROFILE_COLS:
@@ -412,6 +475,7 @@ def _profile_sql() -> str:
 QUERIES = {
     "star_projection": star_projection,
     "table_profile": table_profile,
+    "orders_validation": orders_validation,
     "drop_and_cast": drop_and_cast,
     "filter_sql_string": filter_sql_string,
     "filter_column_expr": filter_column_expr,
@@ -427,6 +491,7 @@ QUERIES = {
 ORACLES = {
     "star_projection": _STAR_SQL,
     "table_profile": _profile_sql(),
+    "orders_validation": _VALIDATION_SQL,
     "drop_and_cast": _DROP_CAST_SQL,
     "filter_sql_string": _FILTER_SQL_SQL,
     "filter_column_expr": _FILTER_COL_SQL,

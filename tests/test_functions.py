@@ -43,3 +43,34 @@ def test_cosine_similarity(spark):
     assert math.isclose(vals[0], 1.0)
     assert math.isclose(vals[1], 0.0, abs_tol=1e-12)
     assert math.isclose(vals[2], 1.0)
+
+
+def test_validate_and_quarantine_splits_and_tags(spark):
+    """Rules with null results quarantine (can't prove validity ≠
+    valid); violations list is sorted; clean rows pass untouched."""
+    from pyspark.sql import functions as F
+
+    from azure_sales_etl_pipeline_spark.operators.validate import (
+        validate_and_quarantine,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, -5.0, "A"), (3, 10.0, None), (4, -1.0, None)],
+        "id bigint, amount double, tag string",
+    )
+    good, bad = validate_and_quarantine(
+        df,
+        {
+            "nonneg": F.col("amount") >= 0,
+            "tagged": F.col("tag").isNotNull(),
+        },
+    )
+    assert [r["id"] for r in good.orderBy("id").collect()] == [1]
+    got = {r["id"]: r["violations"] for r in bad.collect()}
+    assert got == {2: "nonneg", 3: "tagged", 4: "nonneg,tagged"}
+    assert good.columns == df.columns  # violations col dropped on the clean side
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        validate_and_quarantine(df, {})
