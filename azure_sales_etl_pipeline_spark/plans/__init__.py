@@ -47,9 +47,11 @@ _DOMAINS = (
 # order at the tail, where any truncation costs the least information.
 # Update each round as evidence accumulates.
 _SWEEP_PRIORITY = (
-    # (1) NEW in r06 — never driver-checked: the four queries landed
-    # this round (LSH recall gate, sequence packing, salted-join skew
-    # demo, incremental fingerprint-index fold)
+    # (1) NEW in r06 — never driver-checked: the twelve queries landed
+    # this round (LSH recall gate, two sequence packers, salted/bucketed
+    # join demos, incremental fingerprint-index fold, Q4/Q15 SQL shapes,
+    # int8 quantization, bigram surprisal, cluster collapse, row
+    # validation)
     "minhash_recall_check",
     "pack_sequences",
     "salted_join_topk",
