@@ -64,6 +64,7 @@ _SWEEP_PRIORITY = (
     "bigram_surprisal",
     "cluster_representatives",
     "orders_validation",
+    "partition_pruned_revenue",
     # (1b) output or oracle CHANGED in r06 — the r05 green rows no
     # longer describe current code (typed min/max profile bounds;
     # conditional-agg sketch build)

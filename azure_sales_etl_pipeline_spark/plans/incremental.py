@@ -356,9 +356,75 @@ _DEDUP_INDEX_SQL = r"""
 """
 
 
+def partition_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout end-to-end: orders write partitioned on
+    o_orderstatus (operators.writer.write_partitioned), a second
+    DYNAMIC overwrite replaces ONLY the 'F' partition with its urgent
+    subset (the idempotent daily-reload idiom — O/P directories are
+    untouched), then the revenue rollup reads back with a partition-key
+    filter that prunes to two directories (PartitionFilters asserted in
+    test_plans_explain). The oracle recomputes the expected end state
+    declaratively: full O/P plus urgent-only F.
+
+    Money follows the engine's cents convention (DECIMAL sum → BIGINT
+    cents) so the hash is engine-exact."""
+    from ..operators.writer import write_partitioned
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority", "o_orderstatus"
+    )
+    tmp = tempfile.mkdtemp(prefix="part_q_")
+    try:
+        path = f"{tmp}/orders_part"
+        write_partitioned(orders, path, ["o_orderstatus"])
+        write_partitioned(
+            orders.where(
+                (F.col("o_orderstatus") == "F")
+                & (F.col("o_orderpriority") == "1-URGENT")
+            ),
+            path,
+            ["o_orderstatus"],
+        )
+        pruned = spark.read.parquet(path).where(
+            F.col("o_orderstatus").isin("F", "O")
+        )
+        out = pruned.groupBy("o_orderstatus", "o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2
+                )
+                * 100
+            )
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_PARTITION_PRUNED_SQL = """
+    WITH final AS (
+        SELECT * FROM orders WHERE o_orderstatus != 'F'
+        UNION ALL
+        SELECT * FROM orders
+        WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
+    )
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) * 100
+                AS BIGINT) AS revenue_cents
+    FROM final
+    WHERE o_orderstatus IN ('F', 'O')
+    GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
 QUERIES = {
     "scd2_two_batch_history": scd2_two_batch_history,
     "dedup_index_two_batch": dedup_index_two_batch,
+    "partition_pruned_revenue": partition_pruned_revenue,
     "scd2_delete_expiry": scd2_delete_expiry,
     "watermark_incremental_batch": watermark_incremental_batch,
     "ingest_schema_evolution": ingest_schema_evolution,
@@ -367,6 +433,7 @@ QUERIES = {
 ORACLES = {
     "scd2_two_batch_history": _SCD2_HISTORY_SQL,
     "dedup_index_two_batch": _DEDUP_INDEX_SQL,
+    "partition_pruned_revenue": _PARTITION_PRUNED_SQL,
     "scd2_delete_expiry": _SCD2_DELETE_SQL,
     "watermark_incremental_batch": _WM_BATCH_SQL,
     "ingest_schema_evolution": _INGEST_SQL,

@@ -244,3 +244,31 @@ def test_salted_join_topk_joins_on_salt(spark):
     ]
     assert len(key_lines) >= 2, plan
     assert all("_salt" in l and "user_id" in l for l in key_lines), key_lines
+
+
+def test_partitioned_write_prunes_scan(spark, tmp_path):
+    """A filter on the hive-partition key must land in PartitionFilters
+    (directory pruning), not as a post-scan Filter over all partitions;
+    and dynamic overwrite must replace only the targeted partition."""
+    from pyspark.sql import functions as F
+
+    from azure_sales_etl_pipeline_spark.catalog import load_table
+    from azure_sales_etl_pipeline_spark.operators.writer import write_partitioned
+
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    path = str(tmp_path / "orders_part")
+    write_partitioned(orders, path, ["o_orderstatus"])
+    pruned = spark.read.parquet(path).where(F.col("o_orderstatus") == "F")
+    plan = plan_of(pruned)
+    assert "PartitionFilters" in plan
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "o_orderstatus" in pf_line, pf_line
+    # dynamic overwrite: rewrite ONLY the F partition, O/P untouched
+    before_o = spark.read.parquet(path).where("o_orderstatus = 'O'").count()
+    write_partitioned(
+        orders.where("o_orderstatus = 'F'").limit(5), path, ["o_orderstatus"]
+    )
+    assert spark.read.parquet(path).where("o_orderstatus = 'F'").count() == 5
+    assert spark.read.parquet(path).where("o_orderstatus = 'O'").count() == before_o
