@@ -91,3 +91,100 @@ def test_shard_assignment_contiguous_and_exact(sizes, budget):
         seen.setdefault(sh, []).append(i)
     for idxs in seen.values():
         assert idxs == list(range(idxs[0], idxs[-1] + 1))
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab x", min_size=0, max_size=12), min_size=1, max_size=16
+    ),
+    cut=st.integers(min_value=0, max_value=16),
+)
+@_slow
+def test_fingerprint_index_any_split_matches_one_shot(
+    spark, tmp_path_factory, texts, cut
+):
+    """Folding ANY two-batch split of a corpus (ids monotone across the
+    split) into the fingerprint index converges to the one-shot exact
+    dedup: same keepers, same dup counts; survivors across both batches
+    are exactly the keepers."""
+    from azure_sales_etl_pipeline_spark.operators.maintenance import (
+        merge_fingerprint_index,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    cut = min(cut, len(rows))
+    idx_path = str(tmp_path_factory.mktemp("fpidx") / "i")
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    survivors = []
+    for lo, hi in ((0, cut), (cut, len(rows))):
+        batch = rows[lo:hi]
+        if not batch:
+            continue
+        s, _ = merge_fingerprint_index(
+            spark, idx_path, spark.createDataFrame(batch, "doc_id bigint, text string")
+        )
+        survivors += [r["doc_id"] for r in s.collect()]
+    from pyspark.sql import functions as F2
+    from azure_sales_etl_pipeline_spark.operators.writer import read_table
+
+    got = {
+        r["keeper_doc_id"]: r["dup_count"]
+        for r in read_table(spark, idx_path).collect()
+    }
+    norm = F2.sha2(
+        F2.lower(F2.regexp_replace(F2.trim(F2.col("text")), r"\s+", " ")), 256
+    )
+    want = {
+        r["k"]: r["n"]
+        for r in docs.select("doc_id", norm.alias("fp"))
+        .groupBy("fp")
+        .agg(F2.min("doc_id").alias("k"), F2.count(F2.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+    assert sorted(survivors) == sorted(want)
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=900), min_size=1, max_size=60),
+    context=st.integers(min_value=8, max_value=700),
+)
+@settings(max_examples=30, deadline=None)
+def test_concat_chunk_packing_pure_rule(sizes, context):
+    """The pure concat-and-chunk rule pack_sequences implements:
+    segments tile every sequence exactly (full except the last), and
+    each doc's segments cover it contiguously — checked against a
+    sequential fold, independent of Spark."""
+    segs = []
+    g = 0
+    for doc, n in enumerate(sizes):
+        start, end = g, g + n
+        g = end
+        s = start
+        while s < end:
+            seq = s // context
+            e = min(end, (seq + 1) * context)
+            segs.append((seq, doc, s - start, s - seq * context, e - s))
+            s = e
+    total = sum(sizes)
+    last_seq = (total - 1) // context
+    by_seq = {}
+    for seq, doc, d_off, s_off, n in segs:
+        by_seq.setdefault(seq, []).append((s_off, n))
+    for seq, ss in by_seq.items():
+        ss.sort()
+        pos = 0
+        for s_off, n in ss:
+            assert s_off == pos
+            pos += n
+        assert pos == (context if seq != last_seq else total - last_seq * context)
+    by_doc = {}
+    for seq, doc, d_off, s_off, n in segs:
+        by_doc.setdefault(doc, []).append((d_off, n))
+    for doc, ss in by_doc.items():
+        ss.sort()
+        pos = 0
+        for d_off, n in ss:
+            assert d_off == pos
+            pos += n
+        assert pos == sizes[doc]
