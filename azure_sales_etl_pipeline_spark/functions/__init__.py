@@ -115,3 +115,43 @@ def plan_barrier(df):
     from pyspark.sql import functions as F
 
     return df.where(F.monotonically_increasing_id() >= 0)
+
+
+_ZORDER_BITS = 16
+
+
+def zorder_key(a: Column, b: Column, bits: int = _ZORDER_BITS) -> Column:
+    """Morton (Z-order) key: interleave the low ``bits`` bits of two
+    non-negative ints — rows close in BOTH dimensions get close keys,
+    so range-partitioning / sorting on the key clusters the data
+    multi-dimensionally and parquet min/max stats can skip files for
+    2-D predicates (the layout trick behind Delta's OPTIMIZE ZORDER,
+    built here from plain bit arithmetic). Pure integer shifts/ors —
+    bit-identical on any engine; inputs must already be quantized to
+    ``bits`` bits (caller scales/clamps).
+
+    The expression is a static O(bits)-term OR tree — whole-stage
+    codegen folds it into straight-line JVM code; no UDF, no shuffle.
+    """
+    from pyspark.sql import functions as F
+
+    expr = F.lit(0).cast("bigint")
+    one = F.lit(1).cast("bigint")
+    for i in range(bits):
+        a_bit = F.shiftright(a.cast("bigint"), i).bitwiseAND(one)
+        b_bit = F.shiftright(b.cast("bigint"), i).bitwiseAND(one)
+        expr = expr.bitwiseOR(F.shiftleft(a_bit, 2 * i + 1)).bitwiseOR(
+            F.shiftleft(b_bit, 2 * i)
+        )
+    return expr
+
+
+def zorder_key_sql(a: str, b: str, bits: int = _ZORDER_BITS) -> str:
+    """The SAME Morton expression rendered as engine-neutral SQL text
+    (used verbatim by DuckDB oracles) — generated from one rule so the
+    two engines cannot drift."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i})")
+    return "(" + " | ".join(terms) + ")"

@@ -65,6 +65,7 @@ _SWEEP_PRIORITY = (
     "cluster_representatives",
     "orders_validation",
     "partition_pruned_revenue",
+    "zorder_clustering_stats",
     # (1b) output or oracle CHANGED in r06 — the r05 green rows no
     # longer describe current code (typed min/max profile bounds;
     # conditional-agg sketch build)

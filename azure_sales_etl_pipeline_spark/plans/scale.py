@@ -369,10 +369,69 @@ _BUCKETED_SQL = """
 """
 
 
+def zorder_clustering_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering of orders on (customer, order-day):
+    compute the interleaved key (``functions.zorder_key`` — pure bit
+    arithmetic, codegen-folded, no shuffle), coarse-bucket it by its
+    high bits, and report each bucket's row count and BOTH dimensions'
+    min/max spread. Sorting/range-partitioning files by this key is the
+    layout that lets parquet min/max stats skip files for 2-D
+    predicates (Delta's OPTIMIZE ZORDER, from first principles) — the
+    per-bucket spread in this output IS the file-skipping quality
+    metric a layout job would monitor.
+
+    The oracle renders the IDENTICAL bit expression via
+    ``zorder_key_sql`` (one generator, two engines — no drift)."""
+    from ..functions import zorder_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.greatest(
+        F.lit(0), F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+    )
+    z = zorder_key(F.col("o_custkey"), day)
+    return (
+        orders.select(
+            F.col("o_custkey"), day.alias("day_num"), z.alias("zval")
+        )
+        .groupBy(F.shiftright(F.col("zval"), 22).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_custkey").alias("min_custkey"),
+            F.max("o_custkey").alias("max_custkey"),
+            F.min("day_num").alias("min_day"),
+            F.max("day_num").alias("max_day"),
+        )
+    )
+
+
+def _zorder_sql() -> str:
+    from ..functions import zorder_key_sql
+
+    zexpr = zorder_key_sql("o_custkey", "day_num")
+    return f"""
+        WITH d AS (
+            SELECT o_custkey,
+                   greatest(0, datediff('day', DATE '1995-01-01',
+                                        CAST(o_orderdate AS DATE))) AS day_num
+            FROM orders
+        ),
+        z AS (SELECT o_custkey, day_num, {zexpr} AS zval FROM d)
+        SELECT zval >> 22 AS z_bucket,
+               count(*) AS n_orders,
+               min(o_custkey) AS min_custkey,
+               max(o_custkey) AS max_custkey,
+               CAST(min(day_num) AS INT) AS min_day,
+               CAST(max(day_num) AS INT) AS max_day
+        FROM z
+        GROUP BY z_bucket
+    """
+
+
 QUERIES = {
     "salted_event_type_counts": salted_event_type_counts,
     "salted_join_topk": salted_join_topk,
     "bucketed_join_summary": bucketed_join_summary,
+    "zorder_clustering_stats": zorder_clustering_stats,
     "user_event_gaps": user_event_gaps,
     "user_event_gaps_window": user_event_gaps_window,
     "asof_join_cogroup": asof_join_cogroup,
@@ -382,6 +441,7 @@ ORACLES = {
     "salted_event_type_counts": _SALTED_SQL,
     "salted_join_topk": _SALTED_JOIN_SQL,
     "bucketed_join_summary": _BUCKETED_SQL,
+    "zorder_clustering_stats": _zorder_sql(),
     "user_event_gaps": _GAPS_SQL,
     # JVM twin: identical semantics, shared oracle — drift-proof.
     "user_event_gaps_window": _GAPS_SQL,

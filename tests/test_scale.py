@@ -150,3 +150,27 @@ def test_salted_join_rejects_right_and_full(spark):
     for how in ("right", "full", "outer"):
         with pytest.raises(ValueError, match="inner/left joins only"):
             salted_join(df, df, "k", how=how)
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    """The Morton expression must equal a reference Python interleave
+    for boundary and mixed values."""
+    from pyspark.sql import functions as F
+
+    from azure_sales_etl_pipeline_spark.functions import zorder_key
+
+    def ref(a, b, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i + 1)
+            z |= ((b >> i) & 1) << (2 * i)
+        return z
+
+    cases = [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321), (149, 2404)]
+    df = spark.createDataFrame(cases, "a bigint, b bigint")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select("a", "b", zorder_key(F.col("a"), F.col("b")).alias("z")).collect()
+    }
+    for a, b in cases:
+        assert got[(a, b)] == ref(a, b), (a, b)
