@@ -215,12 +215,29 @@ def seller_order_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _order_rates_from_fact(fact: DataFrame) -> DataFrame:
-    rates = fact.groupBy("supplier_key", "supplier_name").agg(
-        F.countDistinct("order_key").alias("total_orders"),
-        F.countDistinct(F.when(F.col("order_status") == "F", F.col("order_key"))).alias("fulfilled_orders"),
-        F.countDistinct(F.when(F.col("order_status") == "O", F.col("order_key"))).alias("open_orders"),
-        F.countDistinct(F.when(F.col("order_status") == "P", F.col("order_key"))).alias("partial_orders"),
-        F.countDistinct(F.when(F.col("return_flag") == "R", F.col("order_key"))).alias("returned_orders"),
+    # Two-phase instead of five countDistinct(when(...)) aggregates:
+    # every distinct is over the SAME key (order_key), so pre-aggregate
+    # at (supplier, order) grain with one boolean max per condition and
+    # count the flags. countDistinct×5 plans as an Expand×5 — each fact
+    # row quintuples into the shuffle; this form shuffles each row once
+    # on a key the data is already nearly grouped by (map-side combine
+    # collapses to per-order rows). Results are identical by
+    # construction: distinct orders satisfying C ≡ per-order max(C).
+    # Same-session alternating A/B at sf0.1: 2.69 → 1.56 s median
+    # (n=5, including the shared fact join).
+    flag = lambda c: F.max(c.cast("int"))  # noqa: E731
+    per_order = fact.groupBy("supplier_key", "supplier_name", "order_key").agg(
+        flag(F.col("order_status") == "F").alias("f"),
+        flag(F.col("order_status") == "O").alias("o"),
+        flag(F.col("order_status") == "P").alias("p"),
+        flag(F.col("return_flag") == "R").alias("r"),
+    )
+    rates = per_order.groupBy("supplier_key", "supplier_name").agg(
+        F.count(F.lit(1)).alias("total_orders"),
+        F.sum("f").alias("fulfilled_orders"),
+        F.sum("o").alias("open_orders"),
+        F.sum("p").alias("partial_orders"),
+        F.sum("r").alias("returned_orders"),
     )
     return rates.withColumn(
         "return_rate",
