@@ -68,9 +68,11 @@ _SWEEP_PRIORITY = (
     "zorder_clustering_stats",
     # (1b) output or oracle CHANGED in r06 — the r05 green rows no
     # longer describe current code (typed min/max profile bounds;
-    # conditional-agg sketch build)
+    # conditional-agg sketch build; Expand-free order rates)
     "table_profile",
     "theta_set_ops",
+    "seller_order_rates",
+    "seller_segmentation",
     # (2) newest green row is r03 — the only query two sweeps stale
     "train_test_split",
     # (3) newest green row is r04 (r05's 50-query budget truncated
