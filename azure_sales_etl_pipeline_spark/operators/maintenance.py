@@ -234,8 +234,8 @@ def compact_table(
         subdirs = [p for p in Path(path).iterdir() if p.is_dir() and "=" in p.name]
         if subdirs:
             raise ValueError(
-                f"{path} is Hive-partitioned ({subdirs[0].name}, ...): compact "
-                "each partition directory instead of the table root"
+                f"{path} is Hive-partitioned ({subdirs[0].name}, ...): use "
+                "compact_partitioned, which compacts each partition directory"
             )
         raise ValueError(f"no parquet files found under {path}")
     total = sum(p.stat().st_size for p in files)
@@ -244,3 +244,29 @@ def compact_table(
     packed = df.coalesce(want) if want <= len(files) else df.repartition(want)
     overwrite_table(packed, path)
     return len([p for p in Path(path).glob("*.parquet") if not p.name.startswith("_")])
+
+
+def compact_partitioned(
+    spark: SparkSession, path: str, target_bytes: int = _DEFAULT_TARGET_BYTES
+) -> dict[str, int]:
+    """Compact a Hive-partitioned table (``write_partitioned`` layout)
+    partition directory by partition directory — the form
+    ``compact_table`` refuses, because a whole-table rewrite would drop
+    the key=value directory structure. Returns {partition_dir: new file
+    count}.
+
+    The driver loop iterates partition METADATA (one directory name +
+    size listing per partition — control-plane, no data); each
+    partition compacts independently with the same staged atomic swap,
+    so a failure mid-sweep leaves every completed partition valid and
+    every untouched partition intact. At 100 TB this is exactly how
+    compaction is scheduled anyway: per partition, prioritized by
+    small-file count, never as one table-wide job."""
+    _reject_delta_table(path, "compact_partitioned")
+    root = Path(path)
+    parts = sorted(p for p in root.iterdir() if p.is_dir() and "=" in p.name)
+    if not parts:
+        raise ValueError(
+            f"{path} has no key=value partition directories; use compact_table"
+        )
+    return {p.name: compact_table(spark, str(p), target_bytes) for p in parts}

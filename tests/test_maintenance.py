@@ -217,3 +217,33 @@ def test_merge_fingerprint_index_converges_and_filters(spark, tmp_path):
     assert s3.count() == 0
     got = {r["keeper_doc_id"]: r["dup_count"] for r in index.collect()}
     assert got == {0: 3, 2: 1, 11: 3}
+
+
+def test_compact_partitioned_per_directory(spark, tmp_path):
+    """Fragmented partitions compact to one file each, rows and the
+    partition-pruning layout survive, and the root guard still points
+    at the right entry point."""
+    from pyspark.sql import functions as F
+
+    from azure_sales_etl_pipeline_spark.operators.maintenance import (
+        compact_partitioned,
+        compact_table,
+    )
+    from azure_sales_etl_pipeline_spark.operators.writer import write_partitioned
+
+    df = spark.range(200).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("k")
+    )
+    path = str(tmp_path / "ptab")
+    write_partitioned(df.repartition(10), path, ["k"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="compact_partitioned"):
+        compact_table(spark, path)
+    counts = compact_partitioned(spark, path)
+    assert set(counts) == {"k=0", "k=1", "k=2"}
+    assert all(n == 1 for n in counts.values())
+    back = spark.read.parquet(path)
+    assert back.count() == 200
+    # layout intact: partition filter still prunes
+    assert back.where("k = '1'").count() == df.where("k = '1'").count()
