@@ -719,6 +719,126 @@ _REPS_SQL = f"""
 """
 
 
+_PR_ITERS = 3
+_PR_SCALE = 1_000_000  # fixed-point micro-units
+
+
+def supplier_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the supplier CO-PURCHASE graph (edge =
+    two suppliers fulfilling the same order): the influence/centrality
+    score a marketplace runs over its supplier network, and the
+    engine's demonstration of iterative DISTRIBUTED graph analytics
+    beyond connected components.
+
+    Every quantity is an INTEGER in micro-units: ranks start at 1e6,
+    each round a node emits ``rank div outdeg`` along its edges and
+    collects ``150000 + (85 · Σcontrib) div 100`` (damping 0.85, done
+    as integer multiply-then-div) — so there is NO float anywhere,
+    aggregation order cannot wobble a single unit, and the DuckDB
+    oracle (the same {n} rounds unrolled as sequential CTEs) matches
+    bit-for-bit. Simplified semantics (no dangling-mass
+    redistribution, no normalization — isolated suppliers rest at the
+    150000 base) — documented, deterministic, and identical on both
+    engines.
+
+    Scale shape per round: one equi-join of edges against the rank
+    table (shuffle on the node key) + one aggregate, with
+    ``localCheckpoint`` cutting lineage so round k doesn't replay
+    rounds 1..k-1 — the dedup_clusters iteration discipline. State is
+    one row per node; edges never change, so at 100 TB they'd persist
+    pre-bucketed on src and every round co-locates for free."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    edges = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        )
+        .select(F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    rank = nodes.withColumn("rank_micro", F.lit(_PR_SCALE).cast("bigint"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(rank, edges.src == rank.s_suppkey)
+            .join(outdeg, "src")
+            .select("dst", F.expr("rank_micro div deg").alias("c"))
+        )
+        inc = contrib.groupBy("dst").agg(F.sum("c").alias("inc"))
+        rank = (
+            nodes.join(inc, nodes.s_suppkey == inc.dst, "left")
+            .select(
+                "s_suppkey",
+                (
+                    F.lit(150_000)
+                    + F.expr("85 * coalesce(inc, 0) div 100")
+                ).cast("bigint").alias("rank_micro"),
+            )
+            .localCheckpoint()
+        )
+    indeg = edges.groupBy(F.col("dst").alias("s_suppkey")).agg(
+        F.count(F.lit(1)).alias("n_copurchase_edges")
+    )
+    return (
+        rank.join(indeg, "s_suppkey", "left")
+        .select(
+            "s_suppkey",
+            "rank_micro",
+            F.coalesce("n_copurchase_edges", F.lit(0)).alias("n_copurchase_edges"),
+        )
+    )
+
+
+def _pagerank_sql() -> str:
+    base = f"""
+    li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    edges AS (
+        SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey != b.l_suppkey
+    ),
+    outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT s_suppkey, CAST({_PR_SCALE} AS BIGINT) AS rank_micro
+           FROM supplier)"""
+    layers = []
+    for k in range(_PR_ITERS):
+        layers.append(f"""
+    c{k} AS (
+        SELECT e.dst, sum(r.rank_micro // o.deg) AS inc
+        FROM edges e
+        JOIN r{k} r ON r.s_suppkey = e.src
+        JOIN outdeg o ON o.src = e.src
+        GROUP BY e.dst
+    ),
+    r{k + 1} AS (
+        SELECT n.s_suppkey,
+               CAST(150000 + (85 * coalesce(c.inc, 0)) // 100 AS BIGINT)
+                   AS rank_micro
+        FROM supplier n LEFT JOIN c{k} c ON c.dst = n.s_suppkey
+    )""")
+    return (
+        "WITH "
+        + base
+        + ","
+        + ",".join(layers)
+        + f"""
+    SELECT r.s_suppkey, r.rank_micro,
+           CAST(coalesce(i.n, 0) AS BIGINT) AS n_copurchase_edges
+    FROM r{_PR_ITERS} r
+    LEFT JOIN (SELECT dst, count(*) AS n FROM edges GROUP BY dst) i
+      ON i.dst = r.s_suppkey
+    """
+    )
+
+
 _TFIDF_TOP_N = 3
 
 
@@ -1043,6 +1163,7 @@ QUERIES = {
     "curation_funnel": curation_funnel,
     "dedup_clusters": dedup_clusters,
     "cluster_representatives": cluster_representatives,
+    "supplier_copurchase_pagerank": supplier_copurchase_pagerank,
     "doc_tfidf_topterms": doc_tfidf_topterms,
     "balanced_downsample": balanced_downsample,
     "token_balanced_mixture": token_balanced_mixture,
@@ -1059,6 +1180,7 @@ ORACLES = {
     "curation_funnel": _funnel_sql(),
     "dedup_clusters": _CC_SQL,
     "cluster_representatives": _REPS_SQL,
+    "supplier_copurchase_pagerank": _pagerank_sql(),
     "doc_tfidf_topterms": _TFIDF_SQL,
     "balanced_downsample": _BALANCED_SQL,
     "token_balanced_mixture": _MIXTURE_SQL,
