@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
 
@@ -645,8 +646,81 @@ _THETA_SQL = """
 """
 
 
+def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly flags on daily event value totals — the
+    monitoring query every pipeline runs over its own volumes: a day is
+    anomalous when it deviates from its trailing 7-day window by more
+    than 2 standard deviations.
+
+    Exactness design: totals are integer cents (``floor(value·100)`` —
+    floor over one IEEE multiply, engine-exact on any data), and the
+    z-test is CROSS-MULTIPLIED into pure integers — |x−μ|>2σ over the
+    window (S=Σx, Q=Σx², n) ⇔ (x·n−S)² > 4·(n·Q−S²) — so no division,
+    no sqrt, no float ever exists and the boolean is bit-stable across
+    engines and partitionings. Flag defined for n≥3 trailing days.
+
+    Shape: one hash-agg to the (type, day) grain, then a partitioned
+    window (ROWS 7..1 PRECEDING) per type — state bounded by the
+    window, distributed across types."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("cents")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    x = F.col("cents")
+    s = F.sum("cents").over(w)
+    q = F.sum(x * x).over(w)
+    n = F.count(F.lit(1)).over(w)
+    lhs = (x * n - s) * (x * n - s)
+    rhs = F.lit(4) * (n * q - s * s)
+    return daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        x.alias("total_cents"),
+        n.cast("bigint").alias("n_window"),
+        ((n >= 3) & (lhs > rhs)).alias("is_anomaly"),
+    )
+
+
+_ANOMALY_SQL = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events
+        GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    win AS (
+        SELECT event_type, day, cents,
+               sum(cents) OVER w AS s,
+               sum(cents * cents) OVER w AS q,
+               count(*) OVER w AS n
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type,
+           strftime(day, '%Y-%m-%d') AS day,
+           cents AS total_cents,
+           CAST(n AS BIGINT) AS n_window,
+           (n >= 3 AND
+            (cents * n - s) * (cents * n - s) > 4 * (n * q - s * s))
+               AS is_anomaly
+    FROM win
+"""
+
+
 QUERIES = {
     "event_funnel": event_funnel,
+    "events_daily_anomalies": events_daily_anomalies,
     "sketch_union_rollup": sketch_union_rollup,
     "kll_quantile_rollup": kll_quantile_rollup,
     "theta_set_ops": theta_set_ops,
@@ -664,6 +738,7 @@ QUERIES = {
 
 ORACLES = {
     "event_funnel": _FUNNEL_SQL,
+    "events_daily_anomalies": _ANOMALY_SQL,
     "sketch_union_rollup": _SKETCH_ROLLUP_SQL,
     "kll_quantile_rollup": _KLL_ROLLUP_SQL,
     "theta_set_ops": _THETA_SQL,
