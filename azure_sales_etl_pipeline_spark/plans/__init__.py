@@ -68,6 +68,7 @@ _SWEEP_PRIORITY = (
     "zorder_clustering_stats",
     "supplier_copurchase_pagerank",
     "events_daily_anomalies",
+    "order_value_histogram",
     # (1b) output or oracle CHANGED in r06 — the r05 green rows no
     # longer describe current code (typed min/max profile bounds;
     # conditional-agg sketch build; Expand-free order rates)

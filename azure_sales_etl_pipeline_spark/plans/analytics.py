@@ -718,9 +718,46 @@ _ANOMALY_SQL = """
 """
 
 
+_HIST_BIN_WIDTH = 25_000
+
+
+def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order values (fixed 25k bins): the
+    distribution pass behind dashboards and skew diagnostics. Binning
+    is ``floor(x / width)`` — one IEEE divide + floor, engine-exact —
+    and per-bin revenue is DECIMAL-summed cents per the money
+    convention. One map + one hash-agg on the bin key; the bin count
+    is bounded by the value range, never the row count."""
+    orders = load_table(spark, sf_dir, "orders")
+    bin_id = F.floor(F.col("o_totalprice") / _HIST_BIN_WIDTH).cast("bigint")
+    return orders.groupBy(bin_id.alias("bin_id")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2) * 100
+        )
+        .cast("bigint")
+        .alias("revenue_cents"),
+        F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+        F.round(F.max("o_totalprice"), 2).alias("bin_max"),
+    )
+
+
+_HISTOGRAM_SQL = f"""
+    SELECT CAST(floor(o_totalprice / {_HIST_BIN_WIDTH}) AS BIGINT) AS bin_id,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) * 100
+                AS BIGINT) AS revenue_cents,
+           round(min(o_totalprice), 2) AS bin_min,
+           round(max(o_totalprice), 2) AS bin_max
+    FROM orders
+    GROUP BY 1
+"""
+
+
 QUERIES = {
     "event_funnel": event_funnel,
     "events_daily_anomalies": events_daily_anomalies,
+    "order_value_histogram": order_value_histogram,
     "sketch_union_rollup": sketch_union_rollup,
     "kll_quantile_rollup": kll_quantile_rollup,
     "theta_set_ops": theta_set_ops,
@@ -739,6 +776,7 @@ QUERIES = {
 ORACLES = {
     "event_funnel": _FUNNEL_SQL,
     "events_daily_anomalies": _ANOMALY_SQL,
+    "order_value_histogram": _HISTOGRAM_SQL,
     "sketch_union_rollup": _SKETCH_ROLLUP_SQL,
     "kll_quantile_rollup": _KLL_ROLLUP_SQL,
     "theta_set_ops": _THETA_SQL,
