@@ -52,6 +52,9 @@ _SWEEP_PRIORITY = (
     # join demos, incremental fingerprint-index fold, Q4/Q15 SQL shapes,
     # int8 quantization, bigram surprisal, cluster collapse, row
     # validation)
+    "global_shuffle_export",
+    "leakage_safe_split",
+    "fuzzy_name_pairs",
     "minhash_recall_check",
     "pack_sequences",
     "salted_join_topk",

@@ -1153,8 +1153,131 @@ _STRATIFIED_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# global shuffle + fixed-size sharding (training export)
+# ---------------------------------------------------------------------------
+
+#: Rows per export shard. Sized so sf0.01 (500 docs) produces ~8 shards
+#: and the last one is ragged — both branches of the modulo arithmetic
+#: get exercised by the oracle.
+_SHUFFLE_SHARD_ROWS = 64
+
+
+def global_shuffle_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global pseudorandom shuffle + fixed-size sharding — the export
+    step between curation and training: order the corpus by a SALTED
+    md5 of doc_id (a deterministic permutation, salted per the
+    ``stratified_sample`` independence rule so shuffle position does
+    not correlate with split membership) and cut the permuted stream
+    into contiguous shards of exactly ``_SHUFFLE_SHARD_ROWS`` rows
+    (last shard ragged). Shuffling at export time is what lets a
+    training loader read shards SEQUENTIALLY and still see an
+    i.i.d.-ish stream — without it, doc_id order leaks collection
+    order straight into the curriculum.
+
+    Global positions come from the same two-phase distributed prefix
+    pattern as ``token_budget_shards``: range-repartition on the
+    shuffle key (ordered ranges → ascending partition ids), row_number
+    WITHIN each partition, plus per-partition row-count offsets from
+    the tiny (n_ranges)-row totals table — no global single-partition
+    window anywhere; Spark's range sort IS the distributed shuffle. The
+    eager ``localCheckpoint`` pins the sampled range boundaries for the
+    same two-consumer reason documented on ``token_budget_shards``.
+    """
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string"))).alias(
+            "skey"
+        ),
+    )
+    ranged = (
+        docs.repartitionByRange(_SHARD_RANGES, "skey", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    local_rn = F.row_number().over(W.partitionBy("pid").orderBy("skey", "doc_id"))
+    staged = ranged.withColumn("local_rn", local_rn)
+    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("pcnt"))
+    offsets = counts.select(
+        "pid",
+        F.coalesce(
+            F.sum("pcnt").over(W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("offset"),
+    )
+    pos = F.col("offset") + F.col("local_rn") - 1
+    return staged.join(F.broadcast(offsets), "pid").select(
+        "doc_id",
+        F.floor(pos / _SHUFFLE_SHARD_ROWS).alias("shard_id"),
+        (pos % _SHUFFLE_SHARD_ROWS).cast("long").alias("pos_in_shard"),
+    )
+
+
+_GLOBAL_SHUFFLE_SQL = f"""
+    WITH k AS (
+        SELECT doc_id,
+               md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS skey
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY skey, doc_id) - 1 AS pos
+        FROM k
+    )
+    SELECT doc_id,
+           CAST(floor(pos / {_SHUFFLE_SHARD_ROWS}) AS BIGINT) AS shard_id,
+           CAST(pos % {_SHUFFLE_SHARD_ROWS} AS BIGINT) AS pos_in_shard
+    FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe split (cluster-aware train/test assignment)
+# ---------------------------------------------------------------------------
+
+
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/test split: every near-dup cluster from
+    ``dedup_clusters`` is assigned WHOLLY to one side by hashing its
+    cluster label — two near-duplicate documents can never straddle the
+    split. The plain ``train_test_split`` hashes each doc_id
+    independently, which lets a test doc keep a near-clone in train
+    (the leakage that silently inflates eval scores); hashing the
+    cluster_id instead makes the split respect the duplicate graph
+    STRUCTURALLY, rather than patching it post-hoc with
+    ``split_contamination``. Cost over the plain split is exactly the
+    ``dedup_clusters`` labeling (bounded, see its docstring) plus a
+    per-row md5 — no additional shuffle: the hash is a map over the
+    labeled rows. Salted ('csplit:') so cluster assignment is
+    independent of both the doc-level split hash and the sampling hash.
+    """
+    clusters = dedup_clusters(spark, sf_dir)
+    prefix = F.substring(
+        F.md5(F.concat(F.lit("csplit:"), F.col("cluster_id").cast("string"))), 1, 2
+    )
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.when(prefix <= _TRAIN_PREFIX_MAX, "train").otherwise("test").alias("split"),
+    )
+
+
+_LEAKAGE_SPLIT_SQL = f"""
+    WITH cc AS ({_CC_SQL})
+    SELECT doc_id, cluster_id,
+           CASE WHEN substr(md5('csplit:' || CAST(cluster_id AS VARCHAR)), 1, 2)
+                     <= '{_TRAIN_PREFIX_MAX}'
+                THEN 'train' ELSE 'test' END AS split
+    FROM cc
+"""
+
+
 QUERIES = {
     "train_test_split": train_test_split,
+    "leakage_safe_split": leakage_safe_split,
+    "global_shuffle_export": global_shuffle_export,
     "stratified_sample": stratified_sample,
     "split_contamination": split_contamination,
     "token_budget_shards": token_budget_shards,
@@ -1172,6 +1295,8 @@ QUERIES = {
 
 ORACLES = {
     "train_test_split": _SPLIT_SQL,
+    "leakage_safe_split": _LEAKAGE_SPLIT_SQL,
+    "global_shuffle_export": _GLOBAL_SHUFFLE_SQL,
     "stratified_sample": _STRATIFIED_SQL,
     "split_contamination": _CONTAM_SQL,
     "token_budget_shards": _SHARDS_SQL,

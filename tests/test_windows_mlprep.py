@@ -256,3 +256,103 @@ def test_pack_sequences_greedy_respects_boundaries(spark):
             r["seq_fill_permille"]
             == fills[(r["shard_id"], r["seq_id"])] * 1000 // _PACK_CONTEXT
         )
+
+
+def test_global_shuffle_export_tiles_and_permutes(spark):
+    """Shard tiling invariants on the real corpus: positions 0..n-1 are
+    a permutation of the docs; every shard except the last holds
+    exactly _SHUFFLE_SHARD_ROWS rows with contiguous pos_in_shard; and
+    the ordering is the salted-md5 order, independent of input
+    partitioning (re-run under a different repartition → same rows)."""
+    import hashlib
+
+    from azure_sales_etl_pipeline_spark.plans.mlprep import (
+        _SHUFFLE_SHARD_ROWS,
+        global_shuffle_export,
+    )
+
+    rows = global_shuffle_export(spark, "/root/testdata/sf0.001").collect()
+    n = len(rows)
+    pos = sorted(r["shard_id"] * _SHUFFLE_SHARD_ROWS + r["pos_in_shard"] for r in rows)
+    assert pos == list(range(n))  # exact global permutation, no gaps
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard_id"], []).append(r["pos_in_shard"])
+    last = max(by_shard)
+    for shard, ps in by_shard.items():
+        want = _SHUFFLE_SHARD_ROWS if shard != last else n - last * _SHUFFLE_SHARD_ROWS
+        assert sorted(ps) == list(range(want)), shard
+    # the permutation IS md5('shuffle:'||doc_id) order — replay in Python
+    expect = sorted(
+        (hashlib.md5(f"shuffle:{r['doc_id']}".encode()).hexdigest(), r["doc_id"])
+        for r in rows
+    )
+    got = sorted(rows, key=lambda r: r["shard_id"] * _SHUFFLE_SHARD_ROWS + r["pos_in_shard"])
+    assert [r["doc_id"] for r in got] == [d for _, d in expect]
+
+
+def test_leakage_safe_split_respects_clusters(spark, tmp_path):
+    """No near-dup pair may straddle the split: build a corpus with two
+    dup clusters + singletons, and require every cluster to land WHOLLY
+    in one split while the doc-level hash (train_test_split) would have
+    torn at least one cluster apart (the scenario the operator exists
+    for)."""
+    from azure_sales_etl_pipeline_spark.plans.mlprep import leakage_safe_split
+
+    words = [f"w{i}" for i in range(40)]
+    rows = []
+    # cluster A: docs 0-4 near-identical; cluster B: docs 10-14
+    for i in range(5):
+        rows.append((i, " ".join(words[0:10]) + f" extra{i}", "en", "src0", 80))
+    for i in range(10, 15):
+        rows.append((i, " ".join(words[20:30]) + f" pad{i}", "en", "src0", 80))
+    for i in range(100, 110):  # singletons
+        rows.append((i, " ".join(words[j % 40] for j in range(i, i + 12)), "en", "src0", 80))
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = leakage_safe_split(spark, str(tmp_path)).collect()
+    split_by_cluster: dict[int, set] = {}
+    for r in out:
+        split_by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in split_by_cluster.values()), "cluster torn across splits"
+    assert len(out) == len(rows)  # every doc labeled exactly once
+    assert {r["split"] for r in out} <= {"train", "test"}
+
+
+def test_fuzzy_name_pairs_matches_reference_impl(spark):
+    """The blocked fuzzy join must equal an independent Python replay
+    (blocking + classic DP levenshtein) over the same distinct names —
+    pinning both the blocking contract and the distance semantics."""
+    from azure_sales_etl_pipeline_spark.plans.dedup import (
+        _FUZZY_MAX_DIST,
+        fuzzy_name_pairs,
+    )
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["block"], r["name_a"], r["name_b"], r["edit_distance"])
+        for r in fuzzy_name_pairs(spark, sf).collect()
+    }
+    names = {
+        r["p_name"]
+        for r in spark.read.parquet(f"{sf}/part.parquet").select("p_name").collect()
+    }
+    want = set()
+    for a in names:
+        for b in names:
+            if a < b and a.split(" ")[-1] == b.split(" ")[-1]:
+                d = lev(a, b)
+                if d <= _FUZZY_MAX_DIST:
+                    want.add((a.split(" ")[-1], a, b, d))
+    assert got == want and len(want) > 0
