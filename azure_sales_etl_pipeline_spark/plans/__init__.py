@@ -55,6 +55,7 @@ _SWEEP_PRIORITY = (
     "global_shuffle_export",
     "leakage_safe_split",
     "fuzzy_name_pairs",
+    "key_skew_profile",
     "minhash_recall_check",
     "pack_sequences",
     "salted_join_topk",

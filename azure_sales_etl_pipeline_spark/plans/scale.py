@@ -427,8 +427,84 @@ def _zorder_sql() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# key-skew diagnosis (the measurement that justifies salting)
+# ---------------------------------------------------------------------------
+
+#: Heavy hitters reported by the skew profile.
+_SKEW_TOP_K = 10
+
+
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnosis for a prospective join/agg key — the measurement
+    step BEFORE reaching for ``salted_join``/``salted_event_type_counts``:
+    per-key row counts for ``events.user_id``, reduced to the top
+    ``_SKEW_TOP_K`` heavy hitters with corpus-wide skew metrics on every
+    row. ``max_over_avg_e4`` (max key count ÷ mean key count, ×10⁴
+    floored — pure bigint arithmetic, no floats for the driver hash to
+    canonicalize) is the number that decides: ≈10⁴ means uniform, ≥10⁵
+    means the biggest reducer does 10× the average and the key needs
+    salting or AQE skew-join before it needs more executors.
+
+    Shape: ONE map-side-combined shuffle to per-key counts (the
+    distribution table is |keys| rows — small even when rows are 100 TB),
+    then a TakeOrderedAndProject top-K and a single-row global aggregate
+    broadcast back over the K winners. No all-row sort, no collect.
+    """
+    counts = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.min("cnt").alias("min_cnt"),
+    ).withColumn(
+        "max_over_avg_e4",
+        F.expr("CAST(max_cnt * n_keys * 10000 DIV n_rows AS BIGINT)"),
+    )
+    top = counts.orderBy(F.desc("cnt"), "user_id").limit(_SKEW_TOP_K)
+    return top.crossJoin(F.broadcast(totals)).select(
+        "user_id",
+        "cnt",
+        F.expr("CAST(cnt * 1000000 DIV n_rows AS BIGINT)").alias("share_e6"),
+        "n_keys",
+        "n_rows",
+        "max_cnt",
+        "min_cnt",
+        "max_over_avg_e4",
+    )
+
+
+_SKEW_SQL = f"""
+    WITH c AS (
+        SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    ),
+    t AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(cnt) AS BIGINT) AS n_rows,
+               CAST(max(cnt) AS BIGINT) AS max_cnt,
+               CAST(min(cnt) AS BIGINT) AS min_cnt
+        FROM c
+    ),
+    top AS (
+        SELECT user_id, cnt FROM c
+        ORDER BY cnt DESC, user_id LIMIT {_SKEW_TOP_K}
+    )
+    SELECT top.user_id, CAST(top.cnt AS BIGINT) AS cnt,
+           CAST((top.cnt * 1000000) // t.n_rows AS BIGINT) AS share_e6,
+           t.n_keys, t.n_rows, t.max_cnt, t.min_cnt,
+           CAST((t.max_cnt * t.n_keys * 10000) // t.n_rows AS BIGINT)
+               AS max_over_avg_e4
+    FROM top CROSS JOIN t
+"""
+
+
 QUERIES = {
     "salted_event_type_counts": salted_event_type_counts,
+    "key_skew_profile": key_skew_profile,
     "salted_join_topk": salted_join_topk,
     "bucketed_join_summary": bucketed_join_summary,
     "zorder_clustering_stats": zorder_clustering_stats,
@@ -439,6 +515,7 @@ QUERIES = {
 
 ORACLES = {
     "salted_event_type_counts": _SALTED_SQL,
+    "key_skew_profile": _SKEW_SQL,
     "salted_join_topk": _SALTED_JOIN_SQL,
     "bucketed_join_summary": _BUCKETED_SQL,
     "zorder_clustering_stats": _zorder_sql(),

@@ -272,3 +272,16 @@ def test_partitioned_write_prunes_scan(spark, tmp_path):
     )
     assert spark.read.parquet(path).where("o_orderstatus = 'F'").count() == 5
     assert spark.read.parquet(path).where("o_orderstatus = 'O'").count() == before_o
+
+
+def test_key_skew_profile_topk_and_broadcast(spark):
+    """The skew report must take its heavy hitters via
+    TakeOrderedAndProject (never a global Sort of the key-count table)
+    and combine the one-row global metrics by broadcast — no sort-merge
+    join, no extra all-row exchange beyond the key-count aggregation."""
+    from azure_sales_etl_pipeline_spark.plans.scale import key_skew_profile
+
+    plan = plan_of(key_skew_profile(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
