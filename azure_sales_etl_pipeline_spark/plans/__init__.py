@@ -56,6 +56,9 @@ _SWEEP_PRIORITY = (
     "leakage_safe_split",
     "fuzzy_name_pairs",
     "key_skew_profile",
+    "sql_customer_distribution",
+    "sql_large_volume_customers",
+    "sql_waiting_suppliers",
     "minhash_recall_check",
     "pack_sequences",
     "salted_join_topk",

@@ -197,11 +197,113 @@ _TOP_SUPPLIER_SQL = """
 """
 
 
+def sql_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13-shaped: the distribution of customers by how many orders
+    they placed — INCLUDING the zero-order customers, which is the
+    point: the outer join must preserve unmatched build-side rows
+    through the per-customer count (``count(o.o_orderkey)`` counts
+    matches, not rows, so the null row counts 0), then a second tiny
+    aggregation folds customers into an order-count histogram. The
+    plan property that matters: customer⟕orders shuffles once on
+    custkey, and the histogram re-agg runs on |distinct counts| rows —
+    nothing re-scans the fact."""
+    _register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_CUSTDIST_SQL)
+
+
+# Engine-neutral text: runs verbatim on Spark and DuckDB.
+_CUSTDIST_SQL = """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    ) t
+    GROUP BY c_count
+"""
+
+
+def sql_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-shaped: the top orders by total quantity above a HAVING
+    threshold, with their customers. Exercises the agg-filtered IN
+    subquery through the SQL front door — Catalyst plans the
+    ``IN (SELECT … HAVING …)`` as a left-semi join against the tiny
+    qualifying-keys set, so the customer/orders join only ever sees
+    qualifying orders. Quantities are integral-valued doubles in the
+    testdata; the per-row BIGINT cast keeps every sum exact (doubles
+    would make the HAVING boundary order-dependent)."""
+    _register_views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(_LARGE_VOLUME_SQL)
+
+
+# Engine-neutral text: runs verbatim on Spark and DuckDB.
+_LARGE_VOLUME_SQL = """
+    SELECT c.c_name AS customer_name,
+           c.c_custkey AS cust_key,
+           o.o_orderkey AS order_key,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS BIGINT)) > 300
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey
+    ORDER BY total_qty DESC, order_key ASC
+    LIMIT 20
+"""
+
+
+def sql_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21-shaped: suppliers who were the SOLE late supplier on a
+    multi-supplier order (lateness re-expressed as shipped >100 days
+    after order date — the testdata has no commit/receipt dates, same
+    adaptation as ``sql_order_priority_count``). The double correlated
+    subquery is the plan shape under test: EXISTS (another supplier on
+    the order) plans as a left-semi join, NOT EXISTS (another LATE
+    supplier) as a left-anti join — two key-joins against lineitem,
+    never a per-row subquery loop. Top 10 by wait count."""
+    _register_views(spark, sf_dir, "supplier", "orders", "lineitem")
+    return spark.sql(_WAITING_SQL)
+
+
+# Engine-neutral text: runs verbatim on Spark and DuckDB.
+_WAITING_SQL = """
+    SELECT s.s_name AS supplier_name,
+           count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 100 DAY
+      AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o3.o_orderdate + INTERVAL 100 DAY
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, supplier_name ASC
+    LIMIT 10
+"""
+
+
 QUERIES = {
     "sql_shipping_priority": sql_shipping_priority,
     "sql_nation_revenue": sql_nation_revenue,
     "sql_order_priority_count": sql_order_priority_count,
     "sql_top_supplier": sql_top_supplier,
+    "sql_customer_distribution": sql_customer_distribution,
+    "sql_large_volume_customers": sql_large_volume_customers,
+    "sql_waiting_suppliers": sql_waiting_suppliers,
 }
 
 ORACLES = {
@@ -209,4 +311,7 @@ ORACLES = {
     "sql_nation_revenue": _NATION_SQL,
     "sql_order_priority_count": _PRIORITY_COUNT_SQL,
     "sql_top_supplier": _TOP_SUPPLIER_SQL,
+    "sql_customer_distribution": _CUSTDIST_SQL,
+    "sql_large_volume_customers": _LARGE_VOLUME_SQL,
+    "sql_waiting_suppliers": _WAITING_SQL,
 }

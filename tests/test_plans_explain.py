@@ -285,3 +285,26 @@ def test_key_skew_profile_topk_and_broadcast(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sql_subquery_shapes_plan_as_key_joins(spark):
+    """The Q13/Q18/Q21-shaped SQL queries must decorrelate into key
+    joins: the zero-preserving outer join survives to the plan (Q13),
+    the agg-filtered IN subquery becomes a left-semi join (Q18), and
+    the NOT EXISTS becomes a left-anti join (Q21) — never a per-row
+    subquery loop or a cartesian."""
+    from azure_sales_etl_pipeline_spark.plans.sqlapi import (
+        sql_customer_distribution,
+        sql_large_volume_customers,
+        sql_waiting_suppliers,
+    )
+
+    p13 = plan_of(sql_customer_distribution(spark, SF_DIR))
+    assert "LeftOuter" in p13 and "Cartesian" not in p13
+
+    p18 = plan_of(sql_large_volume_customers(spark, SF_DIR))
+    assert "LeftSemi" in p18 and "TakeOrderedAndProject" in p18
+
+    p21 = plan_of(sql_waiting_suppliers(spark, SF_DIR))
+    assert "LeftSemi" in p21 and "LeftAnti" in p21
+    assert "Cartesian" not in p21 and "TakeOrderedAndProject" in p21
