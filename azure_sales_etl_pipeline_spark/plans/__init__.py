@@ -59,6 +59,8 @@ _SWEEP_PRIORITY = (
     "sql_customer_distribution",
     "sql_large_volume_customers",
     "sql_waiting_suppliers",
+    "media_dedup",
+    "order_month_rank_profile",
     "minhash_recall_check",
     "pack_sequences",
     "salted_join_topk",

@@ -289,14 +289,62 @@ _FRAME_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# payload dedup: drop byte-identical media BEFORE any decode work
+# ---------------------------------------------------------------------------
+
+
+def media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the RAW payload bytes — the pass that runs before
+    any decoder touches anything: byte-identical media (re-uploads,
+    mirrored scrapes) collapse to one keeper per content digest, so
+    decode/feature-extraction cost scales with DISTINCT content, not
+    corpus size. Grouping key is the sha256 of the payload computed
+    map-side (the 32-byte digest shuffles, never the media bytes —
+    same discipline as ``plans.dedup.exact_dedup``, but on binary with
+    NO normalization: one flipped byte is a different asset). Keeper is
+    the lowest doc_id; ``n_copies``/``total_bytes`` quantify what the
+    dedup saved."""
+    return (
+        _payloads(spark, sf_dir)
+        .select(
+            "doc_id",
+            "media_type",
+            F.sha2("payload", 256).alias("digest"),
+            F.octet_length("payload").alias("n_bytes"),
+        )
+        .groupBy("digest", "media_type")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+    )
+
+
+# DuckDB's sha256 is VARCHAR-only; the payload is encode(text), so
+# hashing the text hashes the identical bytes (utf-8 both sides).
+_MEDIA_DEDUP_SQL = """
+    SELECT sha256(text) AS digest,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+           min(doc_id) AS keeper_doc_id,
+           count(*) AS n_copies,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+    FROM documents
+    GROUP BY ALL
+"""
+
+
 QUERIES = {
     "media_metadata": media_metadata,
     "media_decode_features": media_decode_features,
     "media_frame_sample": media_frame_sample,
+    "media_dedup": media_dedup,
 }
 
 ORACLES = {
     "media_metadata": _METADATA_SQL,
     "media_decode_features": _DECODE_SQL,
     "media_frame_sample": _FRAME_SQL,
+    "media_dedup": _MEDIA_DEDUP_SQL,
 }

@@ -317,8 +317,83 @@ _GAPFILL_SQL = """
 """
 
 
+def order_month_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative standing of every order WITHIN ITS MONTH: rank,
+    percent-rank, and cumulative distribution — but as exact integer
+    permille, not the built-in ``percent_rank``/``cume_dist`` doubles
+    whose last-ulp division behavior differs between engines. With
+    rank() and a per-month count the formulas are pure bigint:
+    ``pct_rank_permille = (rank-1)*1000 div (n-1)`` and
+    ``cume_permille = peers_le*1000 div n`` (``peers_le`` = rows with
+    value <= mine, a count over a value-RANGE frame, so ties share
+    their cume as ``cume_dist`` requires). The window partitions on
+    order month — the scale
+    contract every ranking here obeys: never a global ORDER BY over all
+    rows, each month ranks independently."""
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+    base = orders.select(
+        month, "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    wm = Window.partitionBy("order_month")
+    worder = wm.orderBy("o_totalprice", "o_orderkey")
+    # peers_le: orders in the month with (price, key) <= mine == my rank
+    # under the total tiebreak order; value-level cume uses price only.
+    ranked = base.select(
+        "order_month",
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(worder).alias("month_rank"),
+        F.count(F.lit(1)).over(wm).alias("n_in_month"),
+        F.count(F.lit(1))
+        .over(wm.orderBy("o_totalprice").rangeBetween(Window.unboundedPreceding, 0))
+        .alias("peers_le"),
+    )
+    return ranked.select(
+        "order_month",
+        "o_orderkey",
+        "o_orderpriority",
+        "month_rank",
+        F.expr(
+            "CAST(CASE WHEN n_in_month > 1 "
+            "THEN (month_rank - 1) * 1000 DIV (n_in_month - 1) "
+            "ELSE 0 END AS BIGINT)"
+        ).alias("pct_rank_permille"),
+        F.expr("CAST(peers_le * 1000 DIV n_in_month AS BIGINT)").alias(
+            "cume_permille"
+        ),
+    )
+
+
+_MONTH_RANK_SQL = """
+    WITH base AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+               o_orderkey, o_totalprice, o_orderpriority
+        FROM orders
+    ),
+    ranked AS (
+        SELECT order_month, o_orderkey, o_orderpriority,
+               CAST(rank() OVER (PARTITION BY order_month
+                                 ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+                   AS month_rank,
+               count(*) OVER (PARTITION BY order_month) AS n_in_month,
+               count(*) OVER (PARTITION BY order_month ORDER BY o_totalprice
+                              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS peers_le
+        FROM base
+    )
+    SELECT order_month, o_orderkey, o_orderpriority, month_rank,
+           CAST(CASE WHEN n_in_month > 1
+                     THEN ((month_rank - 1) * 1000) // (n_in_month - 1)
+                     ELSE 0 END AS BIGINT) AS pct_rank_permille,
+           CAST((peers_le * 1000) // n_in_month AS BIGINT) AS cume_permille
+    FROM ranked
+"""
+
+
 QUERIES = {
     "top_parts_per_supplier": top_parts_per_supplier,
+    "order_month_rank_profile": order_month_rank_profile,
     "customer_running_revenue": customer_running_revenue,
     "order_value_deciles": order_value_deciles,
     "purchase_prior_clicks": purchase_prior_clicks,
@@ -328,6 +403,7 @@ QUERIES = {
 
 ORACLES = {
     "top_parts_per_supplier": _TOP_PARTS_SQL,
+    "order_month_rank_profile": _MONTH_RANK_SQL,
     "customer_running_revenue": _RUNNING_SQL,
     "order_value_deciles": _DECILES_SQL,
     "purchase_prior_clicks": _RANGE_JOIN_SQL,

@@ -139,3 +139,27 @@ def test_pil_decoder_plugs_into_seam(spark):
     assert (feats[0]["width"], feats[0]["height"]) == (5, 3)
     assert (feats[1]["width"], feats[1]["height"]) == (17, 9)
     assert all(r["n_frames"] == 1 for r in feats.values())
+
+
+def test_media_dedup_collapses_identical_payloads(spark, tmp_path):
+    """Byte-identical payloads collapse to one keeper (lowest doc_id)
+    with the copy count; a single flipped byte stays distinct — the
+    no-normalization contract of binary dedup."""
+    from azure_sales_etl_pipeline_spark.plans.multimodal import media_dedup
+
+    rows = [
+        (0, "same bytes here", "en", "src0", 15),
+        (3, "same bytes here", "en", "src0", 15),   # doc_id%3==0 → same modality as 0
+        (6, "same bytes herE", "en", "src0", 15),   # one byte differs
+        (1, "other payload", "en", "src0", 13),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r["keeper_doc_id"]: r for r in media_dedup(spark, str(tmp_path)).collect()}
+    assert out[0]["n_copies"] == 2 and out[0]["total_bytes"] == 30
+    assert out[6]["n_copies"] == 1  # flipped byte is a different asset
+    assert out[1]["n_copies"] == 1
+    digests = [r["digest"] for r in out.values()]
+    assert len(set(digests)) == 3

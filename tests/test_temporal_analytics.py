@@ -67,3 +67,41 @@ def test_sessionize_gap_islands(spark, events_dir):
     assert s2["n_events"] == 1 and s2["duration_secs"] == 0.0
     # user 10: all events within 200s -> a single session of 5 events
     assert sess[(10, 1)]["n_events"] == 5
+
+
+def test_order_month_rank_profile_integer_formulas(spark):
+    """The permille columns must equal the textbook percent_rank /
+    cume_dist formulas computed independently in Python over one
+    month's orders — and stay in [0, 1000] everywhere."""
+    from collections import defaultdict
+
+    from azure_sales_etl_pipeline_spark.plans.windows import (
+        order_month_rank_profile,
+    )
+
+    rows = order_month_rank_profile(spark, "/root/testdata/sf0.001").collect()
+    months = defaultdict(list)
+    for r in rows:
+        assert 0 <= r["pct_rank_permille"] <= 1000
+        assert 0 < r["cume_permille"] <= 1000
+        months[r["order_month"]].append(r)
+    # spot-check the densest month against a full Python replay
+    month, sample = max(months.items(), key=lambda kv: len(kv[1]))
+    orders = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .selectExpr("date_format(o_orderdate,'yyyy-MM') m", "o_orderkey", "o_totalprice")
+        .where(f"m = '{month}'")
+        .collect()
+    )
+    n = len(orders)
+    ordered = sorted(orders, key=lambda r: (r["o_totalprice"], r["o_orderkey"]))
+    rank = {r["o_orderkey"]: i + 1 for i, r in enumerate(ordered)}
+    le = {
+        r["o_orderkey"]: sum(1 for x in orders if x["o_totalprice"] <= r["o_totalprice"])
+        for r in orders
+    }
+    for r in sample:
+        k = r["o_orderkey"]
+        assert r["month_rank"] == rank[k]
+        assert r["pct_rank_permille"] == (rank[k] - 1) * 1000 // (n - 1)
+        assert r["cume_permille"] == le[k] * 1000 // n
