@@ -61,6 +61,7 @@ _SWEEP_PRIORITY = (
     "sql_waiting_suppliers",
     "media_dedup",
     "order_month_rank_profile",
+    "embedding_gram",
     "minhash_recall_check",
     "pack_sequences",
     "salted_join_topk",

@@ -22,6 +22,8 @@ from __future__ import annotations
 # annotations) `pd.Series` type hints against module globals.
 import pandas as pd
 
+from collections.abc import Iterator
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -568,8 +570,91 @@ _ANN_RECALL_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Gram matrix accumulation (the single-pass input to PCA / whitening)
+# ---------------------------------------------------------------------------
+
+_GRAM_DIM = 64  # embedding dimensionality in the testdata
+_GRAM_SCALE = 1_000_000  # per-product quantization (micro units)
+
+
+def embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass Gram-matrix accumulation over the embedding corpus —
+    the distributed half of PCA / whitening / covariance estimation:
+    G[i,j] = Σ_v v[i]·v[j], upper triangle. The d×d result (2,080 rows
+    at d=64) is driver-sized however big the corpus is; an eigensolver
+    finishes the job on one machine. This IS how distributed PCA
+    works at 100 TB: map-side partial Grams per Arrow batch (numpy
+    einsum — one BLAS-shaped pass per batch, chunked so memory stays
+    bounded), then ONE shuffle of d²-sized partials to the final sum —
+    the raw vectors never shuffle anywhere.
+
+    Exactness: each per-vector product quantizes to integer micro-units
+    (``floor(v_i·v_j·1e6)`` — a single IEEE-double multiply chain both
+    engines evaluate bit-identically, same discipline as
+    [[embedding_quantize]]) and everything after is bigint summation —
+    order-free-exact, so the DuckDB lateral replay is an exact oracle.
+    """
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    iu = np.triu_indices(_GRAM_DIM)
+    out_schema = "i int, j int, partial long, n_vecs long"
+
+    def partial_gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = np.zeros((_GRAM_DIM, _GRAM_DIM), dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            vecs = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            if vecs.size == 0:
+                continue
+            n += vecs.shape[0]
+            for lo in range(0, vecs.shape[0], 1024):  # bound the nij tensor
+                chunk = vecs[lo : lo + 1024]
+                prods = np.einsum("ni,nj->nij", chunk, chunk) * _GRAM_SCALE
+                acc += np.floor(prods).astype(np.int64).sum(axis=0)
+        if n:
+            yield pd.DataFrame(
+                {
+                    "i": iu[0].astype("int32"),
+                    "j": iu[1].astype("int32"),
+                    "partial": acc[iu],
+                    "n_vecs": np.int64(n),
+                }
+            )
+
+    partials = emb.mapInPandas(partial_gram, schema=out_schema)
+    return partials.groupBy("i", "j").agg(
+        F.sum("partial").alias("gram_e6"),
+        F.sum("n_vecs").alias("n_vecs"),
+    )
+
+
+_GRAM_SQL = f"""
+    WITH prods AS (
+        SELECT CAST(i.i AS INT) AS i, CAST(j.j AS INT) AS j,
+               -- embedding elements are FLOAT; multiply in DOUBLE or
+               -- DuckDB rounds the product to single precision (Spark
+               -- and numpy never do) and floor flips at the boundary.
+               CAST(floor(CAST(embedding[CAST(i.i AS INT) + 1] AS DOUBLE)
+                          * CAST(embedding[CAST(j.j AS INT) + 1] AS DOUBLE)
+                          * {_GRAM_SCALE}) AS BIGINT) AS p
+        FROM embeddings,
+             range({_GRAM_DIM}) i(i),
+             range({_GRAM_DIM}) j(j)
+        WHERE j.j >= i.i
+    )
+    SELECT i, j,
+           CAST(sum(p) AS BIGINT) AS gram_e6,
+           count(*) AS n_vecs
+    FROM prods
+    GROUP BY i, j
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
+    "embedding_gram": embedding_gram,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
     "embedding_near_dup": embedding_near_dup,
@@ -589,4 +674,5 @@ ORACLES = {
     "embedding_norms": _NORMS_SQL,
     "embedding_quantize": _QUANTIZE_SQL,
     "ann_recall_check": _ANN_RECALL_SQL,
+    "embedding_gram": _GRAM_SQL,
 }

@@ -92,3 +92,37 @@ def test_exact_dedup_keeps_lowest_id(spark, tmp_path):
     out = {r["keeper_doc_id"]: r["dup_count"] for r in exact_dedup(spark, str(tmp_path)).collect()}
     # case/whitespace-normalized: doc 3 and 10 collapse, keeper is 3
     assert out == {3: 2, 5: 1}
+
+
+def test_embedding_gram_matches_numpy_and_is_partition_invariant(spark):
+    """The distributed Gram accumulation must equal a one-shot numpy
+    replay (same floor-quantized per-product arithmetic) and be
+    invariant to how the corpus is partitioned — the property the
+    map-side partial / final-sum split must preserve."""
+    import numpy as np
+
+    from azure_sales_etl_pipeline_spark.plans.similarity import (
+        _GRAM_SCALE,
+        embedding_gram,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = embedding_gram(spark, sf).collect()
+    vecs = np.array(
+        [
+            r["embedding"]
+            for r in spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+        ],
+        dtype=np.float64,
+    )
+    n, d = vecs.shape
+    want = np.floor(
+        np.einsum("ni,nj->nij", vecs, vecs) * _GRAM_SCALE
+    ).astype(np.int64).sum(axis=0)
+    assert len(rows) == d * (d + 1) // 2
+    for r in rows:
+        assert r["n_vecs"] == n
+        assert r["gram_e6"] == want[r["i"], r["j"]], (r["i"], r["j"])
+        assert r["i"] <= r["j"]  # upper triangle only
+    # diagonal entries are sums of squares: strictly positive
+    assert all(r["gram_e6"] > 0 for r in rows if r["i"] == r["j"])
