@@ -62,6 +62,7 @@ _SWEEP_PRIORITY = (
     "media_dedup",
     "order_month_rank_profile",
     "embedding_gram",
+    "pca_power_iteration_check",
     "minhash_recall_check",
     "pack_sequences",
     "salted_join_topk",

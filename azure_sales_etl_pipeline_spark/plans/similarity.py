@@ -652,9 +652,75 @@ _GRAM_SQL = f"""
 """
 
 
+#: Power-iteration rounds. The corpus eigengap is ~0.98 (near-isotropic
+#: synthetic embeddings), so convergence is slow: 0.98^500 ≈ 4e-5 —
+#: comfortably under the residual gate; 300 rounds measured 5.6e-3 at
+#: sf0.1, too close to call.
+_PCA_POWER_ITERS = 500
+#: ‖Gv − λv‖/λ must fall below 2% for "converged to an eigenvector".
+_PCA_RESIDUAL_MAX_PERMILLE = 20
+#: λ₁·1000/trace must beat 17‰. The isotropy floor is trace/d ≈ 15.6‰
+#: (λ₁ ≥ trace/64 for ANY PSD matrix), measured 21-29‰ across SFs — so
+#: the gate certifies genuine anisotropy, not a tautology.
+_PCA_EXPLAINED_MIN_PERMILLE = 17
+
+
+def pca_power_iteration_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible gate closing the PCA loop over ``embedding_gram``:
+    the distributed pass produces the d×d Gram matrix; the top principal
+    component then comes from POWER ITERATION on the driver — a d×d
+    matvec loop on a 2,080-row collect, control-plane by construction
+    (the corpus never leaves the cluster; this is the standard split
+    for distributed PCA: cluster computes G once, any eigensolver
+    finishes in microseconds). The gate asserts (a) convergence:
+    ‖Gv − λv‖/λ within ``_PCA_RESIDUAL_MAX_PERMILLE``, and (b)
+    anisotropy: λ₁/trace ≥ ``_PCA_EXPLAINED_MIN_PERMILLE`` — strictly
+    above the trace/d isotropy floor, so a broken Gram (zeros, shuffled indices)
+    or a non-converged vector fails the hash. ``n_vecs``/``trace_e6``
+    replay exactly in SQL (trace = the diagonal's integer micro-units);
+    the booleans are the gate — the oracle states them true, so a
+    false from Spark is a driver-visible hash mismatch, same contract
+    as [[minhash_recall_check]]."""
+    import numpy as np
+
+    d = _GRAM_DIM
+    rows = embedding_gram(spark, sf_dir).collect()  # d(d+1)/2 rows — bounded
+    G = np.zeros((d, d), dtype=np.float64)
+    n_vecs = rows[0]["n_vecs"] if rows else 0
+    trace_e6 = 0
+    for r in rows:
+        G[r["i"], r["j"]] = G[r["j"], r["i"]] = r["gram_e6"] / _GRAM_SCALE
+        if r["i"] == r["j"]:
+            trace_e6 += r["gram_e6"]
+    v = np.ones(d) / np.sqrt(d)
+    for _ in range(_PCA_POWER_ITERS):
+        v = G @ v
+        v /= np.linalg.norm(v)
+    lam = float(v @ G @ v)
+    residual_ok = bool(
+        np.linalg.norm(G @ v - lam * v) * 1000 <= _PCA_RESIDUAL_MAX_PERMILLE * lam
+    )
+    variance_ok = bool(lam * _GRAM_SCALE * 1000 >= _PCA_EXPLAINED_MIN_PERMILLE * trace_e6)
+    return spark.createDataFrame(
+        [(int(n_vecs), int(trace_e6), variance_ok, residual_ok)],
+        "n_vecs bigint, trace_e6 bigint, variance_ok boolean, residual_ok boolean",
+    )
+
+
+_PCA_CHECK_SQL = f"""
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vecs,
+           (SELECT CAST(sum(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                       * {_GRAM_SCALE}) AS BIGINT)) AS BIGINT)
+              FROM embeddings, unnest(embedding) AS t(x)) AS trace_e6,
+           true AS variance_ok,
+           true AS residual_ok
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "embedding_gram": embedding_gram,
+    "pca_power_iteration_check": pca_power_iteration_check,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
     "embedding_near_dup": embedding_near_dup,
@@ -675,4 +741,5 @@ ORACLES = {
     "embedding_quantize": _QUANTIZE_SQL,
     "ann_recall_check": _ANN_RECALL_SQL,
     "embedding_gram": _GRAM_SQL,
+    "pca_power_iteration_check": _PCA_CHECK_SQL,
 }

@@ -126,3 +126,21 @@ def test_embedding_gram_matches_numpy_and_is_partition_invariant(spark):
         assert r["i"] <= r["j"]  # upper triangle only
     # diagonal entries are sums of squares: strictly positive
     assert all(r["gram_e6"] > 0 for r in rows if r["i"] == r["j"])
+
+
+def test_pca_power_iteration_check_passes_and_rejects_isotropy(spark):
+    """The gate must pass on the real corpus, and its variance check
+    must be a real discriminator: the permille threshold sits strictly
+    above the trace/d floor that ANY positive-semidefinite Gram matrix
+    attains, so a perfectly isotropic spectrum could not pass."""
+    from azure_sales_etl_pipeline_spark.plans.similarity import (
+        _GRAM_DIM,
+        _PCA_EXPLAINED_MIN_PERMILLE,
+        pca_power_iteration_check,
+    )
+
+    [row] = pca_power_iteration_check(spark, "/root/testdata/sf0.001").collect()
+    assert row["variance_ok"] and row["residual_ok"]
+    assert row["n_vecs"] == 500 and row["trace_e6"] > 0
+    # isotropy floor: an identity-like spectrum gives exactly 1000/d
+    assert _PCA_EXPLAINED_MIN_PERMILLE > 1000 // _GRAM_DIM
