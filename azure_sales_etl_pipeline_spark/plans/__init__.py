@@ -47,11 +47,13 @@ _DOMAINS = (
 # order at the tail, where any truncation costs the least information.
 # Update each round as evidence accumulates.
 _SWEEP_PRIORITY = (
-    # (1) NEW in r06 — never driver-checked: the twelve queries landed
-    # this round (LSH recall gate, two sequence packers, salted/bucketed
-    # join demos, incremental fingerprint-index fold, Q4/Q15 SQL shapes,
-    # int8 quantization, bigram surprisal, cluster collapse, row
-    # validation)
+    # (1) NEW in r06 — never driver-checked: the queries landed this
+    # round (shuffle-shard export, leakage-safe split, fuzzy join, skew
+    # profile, Q13/Q18/Q21 SQL shapes, media dedup, permille rank
+    # profile, Gram matrix + PCA gate, LSH recall gate, two sequence
+    # packers, salted/bucketed join demos, incremental fingerprint-index
+    # fold, Q4/Q15 SQL shapes, int8 quantization, bigram surprisal,
+    # cluster collapse, row validation)
     "global_shuffle_export",
     "leakage_safe_split",
     "fuzzy_name_pairs",
