@@ -65,6 +65,7 @@ _SWEEP_PRIORITY = (
     "order_month_rank_profile",
     "embedding_gram",
     "pca_power_iteration_check",
+    "wds_export_manifest",
     "minhash_recall_check",
     "pack_sequences",
     "salted_join_topk",

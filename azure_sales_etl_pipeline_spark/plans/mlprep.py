@@ -1274,8 +1274,69 @@ _LEAKAGE_SPLIT_SQL = f"""
 """
 
 
+def wds_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training export: assign shards with
+    ``global_shuffle_export``, write WebDataset-style tar shards
+    (``sources.formats.write_wds_shards`` — per-shard POSIX tars with
+    ``<key>.txt`` payload + ``<key>.json`` metadata members, executors
+    write their shards directly), then read the manifest BACK from the
+    tar files themselves. The oracle replays shard assignment and
+    payload sizes from SQL, so a byte lost anywhere in the
+    repartition→sort→tar→rename path is a driver-visible mismatch —
+    the export is verified from the CONSUMER side, not the writer's
+    bookkeeping. Manifest reading is driver-side over shard FILES
+    (rows/shard_size of them — control-plane, never samples)."""
+    import tempfile
+
+    from ..sources.formats import read_wds_manifest, write_wds_shards
+
+    shards = global_shuffle_export(spark, sf_dir).select("doc_id", "shard_id")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        "lang",
+        "source",
+    )
+    out = tempfile.mkdtemp(prefix="wds_export_")
+    write_wds_shards(docs.join(shards, "doc_id"), out, meta_cols=("lang", "source"))
+    rows = read_wds_manifest(out)
+    return spark.createDataFrame(
+        [
+            (r["shard_id"], r["n_samples"], r["n_members"], r["payload_bytes"])
+            for r in rows
+        ],
+        "shard_id bigint, n_samples bigint, n_members bigint, payload_bytes bigint",
+    )
+
+
+_WDS_MANIFEST_SQL = f"""
+    WITH k AS (
+        SELECT doc_id,
+               md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS skey
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY skey, doc_id) - 1 AS pos
+        FROM k
+    ),
+    s AS (
+        SELECT doc_id,
+               CAST(floor(pos / {_SHUFFLE_SHARD_ROWS}) AS BIGINT) AS shard_id
+        FROM p
+    )
+    SELECT s.shard_id,
+           count(*) AS n_samples,
+           CAST(2 * count(*) AS BIGINT) AS n_members,
+           CAST(sum(octet_length(encode(d.text))) AS BIGINT) AS payload_bytes
+    FROM s JOIN documents d USING (doc_id)
+    GROUP BY s.shard_id
+"""
+
+
 QUERIES = {
     "train_test_split": train_test_split,
+    "wds_export_manifest": wds_export_manifest,
     "leakage_safe_split": leakage_safe_split,
     "global_shuffle_export": global_shuffle_export,
     "stratified_sample": stratified_sample,
@@ -1295,6 +1356,7 @@ QUERIES = {
 
 ORACLES = {
     "train_test_split": _SPLIT_SQL,
+    "wds_export_manifest": _WDS_MANIFEST_SQL,
     "leakage_safe_split": _LEAKAGE_SPLIT_SQL,
     "global_shuffle_export": _GLOBAL_SHUFFLE_SQL,
     "stratified_sample": _STRATIFIED_SQL,

@@ -79,3 +79,117 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
                 "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
             ) from e
         raise
+
+
+def write_wds_shards(
+    df: DataFrame,
+    out_dir: str,
+    *,
+    shard_col: str = "shard_id",
+    key_col: str = "doc_id",
+    payload_col: str = "payload",
+    meta_cols: tuple[str, ...] = (),
+    suffix: str = "txt",
+) -> None:
+    """Export samples as WebDataset-style tar shards — the POSIX-tar
+    container convention training loaders stream sequentially (one
+    ``shard-NNNNNN.tar`` per shard; each sample is a basename with one
+    member per modality/field: ``<key>.txt`` payload + ``<key>.json``
+    metadata when ``meta_cols`` is given).
+
+    Distribution: repartition on the shard column so every shard's rows
+    co-locate on ONE executor, sortWithinPartitions so rows arrive
+    (shard, key)-ordered, then each partition streams its shards out
+    sequentially, rolling to a new tar at each shard boundary — no
+    driver involvement, no per-sample small files on the object store
+    (the reason WebDataset exists), one rename per shard for atomic
+    visibility. Tar bytes are REPRODUCIBLE: fixed mtime/uid/gid and
+    deterministic member order, so re-exports of identical data are
+    bit-identical (content-addressable cache friendly). Pair with a
+    ``global_shuffle_export``-style shard assignment so sequential
+    shard reads see a shuffled stream."""
+    import io
+    import json as _json
+    import os
+    import tarfile
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = [shard_col, key_col, payload_col, *meta_cols]
+
+    def _write_partition(rows) -> None:
+        tar = None
+        cur = None
+
+        def _close():
+            nonlocal tar
+            if tar is not None:
+                tar.close()
+                os.replace(tmp_name, final_name)
+                tar = None
+
+        for row in rows:
+            shard = row[shard_col]
+            if shard != cur:
+                _close()
+                cur = shard
+                final_name = os.path.join(out_dir, f"shard-{shard:06d}.tar")
+                tmp_name = final_name + ".tmp"
+                tar = tarfile.open(tmp_name, "w")
+            key = f"{row[key_col]:012d}"
+            members = [(f"{key}.{suffix}", bytes(row[payload_col]))]
+            if meta_cols:
+                meta = {c: row[c] for c in meta_cols}
+                members.append(
+                    (f"{key}.json", _json.dumps(meta, sort_keys=True).encode())
+                )
+            for name, data in members:
+                info = tarfile.TarInfo(name=name)
+                info.size = len(data)
+                info.mtime = 0
+                info.uid = info.gid = 0
+                info.uname = info.gname = ""
+                tar.addfile(info, io.BytesIO(data))
+        _close()
+
+    (
+        df.select(*cols)
+        .repartition(shard_col)
+        .sortWithinPartitions(shard_col, key_col)
+        .foreachPartition(_write_partition)
+    )
+
+
+def read_wds_manifest(out_dir: str) -> list[dict]:
+    """Per-shard manifest of a ``write_wds_shards`` export: shard id,
+    sample count, tar member count, and total PAYLOAD bytes (metadata
+    members excluded — the number a loader budgets I/O by). Driver-side
+    by design: it lists shard FILES (corpus_rows / shard_size of them),
+    never samples — control-plane metadata, same class as partition
+    listings."""
+    import os
+    import re
+    import tarfile
+
+    out = []
+    for fname in sorted(os.listdir(out_dir)):
+        m = re.fullmatch(r"shard-(\d+)\.tar", fname)
+        if not m:
+            continue
+        n_members = 0
+        n_samples = 0
+        payload_bytes = 0
+        with tarfile.open(os.path.join(out_dir, fname)) as tar:
+            for info in tar:
+                n_members += 1
+                if not info.name.endswith(".json"):
+                    n_samples += 1
+                    payload_bytes += info.size
+        out.append(
+            {
+                "shard_id": int(m.group(1)),
+                "n_samples": n_samples,
+                "n_members": n_members,
+                "payload_bytes": payload_bytes,
+            }
+        )
+    return out

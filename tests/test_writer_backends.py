@@ -273,3 +273,55 @@ def test_delta_backend_end_to_end(tmp_path):
         [sys.executable, "-c", script], capture_output=True, text=True
     )
     assert "DELTA_OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_wds_shards_roundtrip_and_reproducible(spark, tmp_path):
+    """Tar members must reproduce payload bytes and metadata exactly,
+    in deterministic (shard, key) order — and a re-export of identical
+    data must be BIT-identical (fixed mtime/uid, ordered members), the
+    property that makes shard caches content-addressable."""
+    import hashlib
+    import json
+    import tarfile
+
+    from pyspark.sql import functions as F
+
+    from azure_sales_etl_pipeline_spark.sources.formats import (
+        read_wds_manifest,
+        write_wds_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"payload text {i}", "en" if i % 2 else "es") for i in range(10)],
+        "doc_id bigint, text string, lang string",
+    ).select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        "lang",
+        (F.col("doc_id") % 3).alias("shard_id"),
+    )
+    digests = []
+    for run in ("a", "b"):
+        out = tmp_path / f"wds_{run}"
+        write_wds_shards(docs, str(out), meta_cols=("lang",))
+        manifest = read_wds_manifest(str(out))
+        assert sorted(m["shard_id"] for m in manifest) == [0, 1, 2]
+        assert sum(m["n_samples"] for m in manifest) == 10
+        run_digest = []
+        for m in manifest:
+            tar_path = out / f"shard-{m['shard_id']:06d}.tar"
+            run_digest.append(hashlib.sha256(tar_path.read_bytes()).hexdigest())
+            with tarfile.open(tar_path) as tar:
+                names = tar.getnames()
+                # strictly ordered: key.txt then key.json per sample
+                assert names == sorted(names, key=lambda n: (n[:12], n.endswith("json")))
+                for info in tar:
+                    data = tar.extractfile(info).read()
+                    key = int(info.name[:12])
+                    if info.name.endswith(".txt"):
+                        assert data == f"payload text {key}".encode()
+                        assert key % 3 == m["shard_id"]
+                    else:
+                        assert json.loads(data)["lang"] in ("en", "es")
+        digests.append(run_digest)
+    assert digests[0] == digests[1], "re-export must be bit-identical"
