@@ -66,6 +66,7 @@ _SWEEP_PRIORITY = (
     "embedding_gram",
     "pca_power_iteration_check",
     "wds_export_manifest",
+    "k_anonymity_audit",
     "minhash_recall_check",
     "pack_sequences",
     "salted_join_topk",

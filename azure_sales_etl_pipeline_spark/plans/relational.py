@@ -472,9 +472,72 @@ def _profile_sql() -> str:
     return " UNION ALL ".join(selects)
 
 
+#: k-anonymity threshold: equivalence classes smaller than this are
+#: re-identification risks.
+_K_ANON = 5
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit before releasing or exporting a table: group rows
+    by their QUASI-IDENTIFIERS — here (nation, market segment, account
+    balance banded to 1000s), the attacker-linkable attributes — and
+    report the distribution of equivalence-class sizes. A class of size
+    < k means those rows are re-identifiable by joining public data on
+    the quasi-identifiers alone; the fix is coarser banding /
+    suppression until every class reaches k. Output is the SIZE
+    histogram (one row per class size, how many classes and rows sit
+    there, at_risk flag), not the risky rows themselves — an audit
+    artifact that is itself k-anonymous.
+
+    Shape: two hash aggregations — per-class counts (one shuffle on the
+    quasi-identifier key), then a tiny re-agg over |distinct sizes|
+    rows. The balance band is floor(x/1000) on the raw double: one IEEE
+    division both engines evaluate identically."""
+    customers = load_table(spark, sf_dir, "customer")
+    classes = (
+        customers.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("class_size"))
+    )
+    return (
+        classes.groupBy("class_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("class_size").alias("n_rows"),
+        )
+        .select(
+            "class_size",
+            "n_classes",
+            "n_rows",
+            (F.col("class_size") < _K_ANON).alias("at_risk"),
+        )
+    )
+
+
+_K_ANON_SQL = f"""
+    WITH classes AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+               count(*) AS class_size
+        FROM customer
+        GROUP BY ALL
+    )
+    SELECT CAST(class_size AS BIGINT) AS class_size,
+           count(*) AS n_classes,
+           CAST(sum(class_size) AS BIGINT) AS n_rows,
+           class_size < {_K_ANON} AS at_risk
+    FROM classes
+    GROUP BY class_size
+"""
+
+
 QUERIES = {
     "star_projection": star_projection,
     "table_profile": table_profile,
+    "k_anonymity_audit": k_anonymity_audit,
     "orders_validation": orders_validation,
     "drop_and_cast": drop_and_cast,
     "filter_sql_string": filter_sql_string,
@@ -491,6 +554,7 @@ QUERIES = {
 ORACLES = {
     "star_projection": _STAR_SQL,
     "table_profile": _profile_sql(),
+    "k_anonymity_audit": _K_ANON_SQL,
     "orders_validation": _VALIDATION_SQL,
     "drop_and_cast": _DROP_CAST_SQL,
     "filter_sql_string": _FILTER_SQL_SQL,
