@@ -193,3 +193,70 @@ def read_wds_manifest(out_dir: str) -> list[dict]:
             }
         )
     return out
+
+
+def read_wds_shards(
+    spark: SparkSession,
+    shard_dir: str,
+    *,
+    suffix: str = "txt",
+    meta_fields: tuple[str, ...] = (),
+) -> DataFrame:
+    """Distributed re-ingest of a ``write_wds_shards`` export: each tar
+    shard is one ``binaryFile`` row, untarred INSIDE an Arrow-batched
+    ``mapInPandas`` — shards spread across executors exactly like any
+    file source, samples never pass through the driver. The inverse
+    direction matters operationally: the tar container is the
+    training-loader format, and being able to point the same engine
+    back at it (for audits, re-curation, or recovering a corpus whose
+    parquet lineage is gone) closes the loop. ``meta_fields`` are
+    projected out of each sample's ``.json`` member as string columns.
+
+    Scale note: one task per shard tar (they're loader-sized, 10-500 MB
+    by construction), so parallelism = shard count — the same unit the
+    training job uses."""
+    import io
+    import json as _json
+    import tarfile
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    meta = list(meta_fields)
+    schema = ", ".join(
+        ["shard_id long", "sample_key long", "payload binary"]
+        + [f"{m} string" for m in meta]
+    )
+
+    def _untar(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                name = path.rsplit("/", 1)[-1]
+                shard_id = int(name.removeprefix("shard-").removesuffix(".tar"))
+                payloads: dict[int, bytes] = {}
+                metas: dict[int, dict] = {}
+                with tarfile.open(fileobj=io.BytesIO(content)) as tar:
+                    for info in tar:
+                        key = int(info.name[:12])
+                        data = tar.extractfile(info).read()
+                        if info.name.endswith(f".{suffix}"):
+                            payloads[key] = data
+                        elif info.name.endswith(".json"):
+                            metas[key] = _json.loads(data)
+                keys = sorted(payloads)
+                out = {
+                    "shard_id": [shard_id] * len(keys),
+                    "sample_key": keys,
+                    "payload": [payloads[k] for k in keys],
+                }
+                for m in meta:
+                    out[m] = [str(metas.get(k, {}).get(m, "")) for k in keys]
+                yield pd.DataFrame(out)
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "shard-*.tar")
+        .load(shard_dir)
+        .select("path", "content")
+    )
+    return files.mapInPandas(_untar, schema=schema)

@@ -325,3 +325,35 @@ def test_wds_shards_roundtrip_and_reproducible(spark, tmp_path):
                         assert json.loads(data)["lang"] in ("en", "es")
         digests.append(run_digest)
     assert digests[0] == digests[1], "re-export must be bit-identical"
+
+
+def test_wds_shards_distributed_readback(spark, tmp_path):
+    """read_wds_shards must recover every sample (payload bytes +
+    metadata) from the tar container through the executor path — the
+    full export→re-ingest round trip with no driver data plane."""
+    from pyspark.sql import functions as F
+
+    from azure_sales_etl_pipeline_spark.sources.formats import (
+        read_wds_shards,
+        write_wds_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"payload text {i}", "en" if i % 2 else "es") for i in range(17)],
+        "doc_id bigint, text string, lang string",
+    ).select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        "lang",
+        (F.col("doc_id") % 4).alias("shard_id"),
+    )
+    out = tmp_path / "wds_rt"
+    write_wds_shards(docs, str(out), meta_cols=("lang",))
+
+    back = read_wds_shards(spark, str(out), meta_fields=("lang",)).collect()
+    assert len(back) == 17
+    for r in back:
+        k = r["sample_key"]
+        assert bytes(r["payload"]) == f"payload text {k}".encode()
+        assert r["lang"] == ("en" if k % 2 else "es")
+        assert r["shard_id"] == k % 4
