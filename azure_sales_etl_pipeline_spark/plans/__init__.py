@@ -67,6 +67,7 @@ _SWEEP_PRIORITY = (
     "pca_power_iteration_check",
     "wds_export_manifest",
     "k_anonymity_audit",
+    "order_drift_histogram",
     "minhash_recall_check",
     "pack_sequences",
     "salted_join_topk",

@@ -754,10 +754,89 @@ _HISTOGRAM_SQL = f"""
 """
 
 
+# Mid-range of the testdata's 1995-2001 order dates, so both periods
+# are populated at every SF.
+_DRIFT_SPLIT_DATE = "1998-01-01"
+
+
+def order_drift_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor between two corpus snapshots — the
+    check a training pipeline runs before mixing a new data dump with
+    last quarter's: equi-width value bins (``order_value_histogram``'s
+    binning), per-bin counts for the BEFORE and AFTER periods, each
+    period's share of its own total in exact integer permille, and the
+    per-bin absolute share drift. Σ|drift| over bins is the L1
+    (total-variation×2) distance — the alarm threshold — derivable by
+    summing the output; everything stays bigint so the number is
+    identical on every engine and every partitioning.
+
+    Shape: one scan with a conditional-count hash-agg on the bin key
+    (bin count bounded by value range, not rows), then a single-row
+    totals aggregate broadcast back over the bins — the
+    ``key_skew_profile`` combine pattern."""
+    orders = load_table(spark, sf_dir, "orders")
+    split = F.col("o_orderdate") < F.lit(_DRIFT_SPLIT_DATE).cast("timestamp")
+    bins = (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / _HIST_BIN_WIDTH)
+            .cast("bigint")
+            .alias("bin_id")
+        )
+        .agg(
+            F.count(F.when(split, 1)).alias("n_before"),
+            F.count(F.when(~split, 1)).alias("n_after"),
+        )
+    )
+    totals = bins.agg(
+        F.sum("n_before").alias("tot_before"),
+        F.sum("n_after").alias("tot_after"),
+    )
+    share_b = F.expr("n_before * 1000 DIV tot_before")
+    share_a = F.expr("n_after * 1000 DIV tot_after")
+    return bins.crossJoin(F.broadcast(totals)).select(
+        "bin_id",
+        "n_before",
+        "n_after",
+        share_b.cast("bigint").alias("share_before_permille"),
+        share_a.cast("bigint").alias("share_after_permille"),
+        F.abs(share_b - share_a).cast("bigint").alias("drift_permille"),
+    )
+
+
+_DRIFT_SQL = f"""
+    WITH bins AS (
+        SELECT CAST(floor(o_totalprice / {_HIST_BIN_WIDTH}) AS BIGINT) AS bin_id,
+               count(*) FILTER (o_orderdate <  TIMESTAMP '{_DRIFT_SPLIT_DATE}')
+                   AS n_before,
+               count(*) FILTER (o_orderdate >= TIMESTAMP '{_DRIFT_SPLIT_DATE}')
+                   AS n_after
+        FROM orders
+        GROUP BY 1
+    ),
+    t AS (
+        SELECT CAST(sum(n_before) AS BIGINT) AS tot_before,
+               CAST(sum(n_after) AS BIGINT) AS tot_after
+        FROM bins
+    )
+    SELECT bin_id,
+           CAST(n_before AS BIGINT) AS n_before,
+           CAST(n_after AS BIGINT) AS n_after,
+           CAST((n_before * 1000) // tot_before AS BIGINT)
+               AS share_before_permille,
+           CAST((n_after * 1000) // tot_after AS BIGINT)
+               AS share_after_permille,
+           CAST(abs((n_before * 1000) // tot_before
+                    - (n_after * 1000) // tot_after) AS BIGINT)
+               AS drift_permille
+    FROM bins CROSS JOIN t
+"""
+
+
 QUERIES = {
     "event_funnel": event_funnel,
     "events_daily_anomalies": events_daily_anomalies,
     "order_value_histogram": order_value_histogram,
+    "order_drift_histogram": order_drift_histogram,
     "sketch_union_rollup": sketch_union_rollup,
     "kll_quantile_rollup": kll_quantile_rollup,
     "theta_set_ops": theta_set_ops,
@@ -777,6 +856,7 @@ ORACLES = {
     "event_funnel": _FUNNEL_SQL,
     "events_daily_anomalies": _ANOMALY_SQL,
     "order_value_histogram": _HISTOGRAM_SQL,
+    "order_drift_histogram": _DRIFT_SQL,
     "sketch_union_rollup": _SKETCH_ROLLUP_SQL,
     "kll_quantile_rollup": _KLL_ROLLUP_SQL,
     "theta_set_ops": _THETA_SQL,

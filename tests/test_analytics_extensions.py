@@ -104,3 +104,26 @@ def test_revenue_7d_window_value_frame(spark, tmp_path):
     # the gap day sees ONLY itself
     assert out["1995-01-13"]["trailing_7d_cents"] == 2500
     assert out["1995-01-13"]["n_days_in_window"] == 1
+
+
+def test_order_drift_histogram_shares_and_l1(spark):
+    """Drift output invariants: per-period shares are the exact
+    integer-permille of that period's own total, drift is their
+    absolute difference, and both periods are populated (the split
+    date must bisect the corpus at every SF)."""
+    from azure_sales_etl_pipeline_spark.plans.analytics import (
+        order_drift_histogram,
+    )
+
+    rows = order_drift_histogram(spark, "/root/testdata/sf0.001").collect()
+    tot_b = sum(r["n_before"] for r in rows)
+    tot_a = sum(r["n_after"] for r in rows)
+    assert tot_b > 0 and tot_a > 0
+    for r in rows:
+        assert r["share_before_permille"] == r["n_before"] * 1000 // tot_b
+        assert r["share_after_permille"] == r["n_after"] * 1000 // tot_a
+        assert r["drift_permille"] == abs(
+            r["share_before_permille"] - r["share_after_permille"]
+        )
+    l1 = sum(r["drift_permille"] for r in rows)
+    assert 0 <= l1 <= 2000  # L1 distance is bounded by 2 (2000 permille)
