@@ -68,6 +68,8 @@ _SWEEP_PRIORITY = (
     "wds_export_manifest",
     "k_anonymity_audit",
     "order_drift_histogram",
+    "sql_cheapest_supplier_per_nation",
+    "sql_part_type_supplier_counts",
     "minhash_recall_check",
     "pack_sequences",
     "salted_join_topk",

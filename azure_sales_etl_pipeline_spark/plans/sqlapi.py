@@ -296,8 +296,63 @@ _WAITING_SQL = """
 """
 
 
+def sql_cheapest_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2/Q17-shaped: the supplier(s) holding each nation's MINIMUM
+    account balance, via a CORRELATED SCALAR AGGREGATE subquery — the
+    remaining classic decorrelation class after EXISTS (Q4) and IN
+    (Q18): Catalyst must rewrite the per-row ``(SELECT min(..) WHERE
+    s2.nation = s.nation)`` into one nation-grain aggregate joined back
+    on the correlation key — one pass over supplier, never a subquery
+    per row. Ties all surface (= comparison, not rank)."""
+    _register_views(spark, sf_dir, "supplier", "nation")
+    return spark.sql(_CHEAPEST_SQL)
+
+
+# Engine-neutral text: runs verbatim on Spark and DuckDB.
+_CHEAPEST_SQL = """
+    SELECT n.n_name AS nation,
+           s.s_suppkey AS supp_key,
+           s.s_name AS supplier_name,
+           CAST(round(CAST(s.s_acctbal AS DECIMAL(18,4)), 2) * 100 AS BIGINT)
+               AS acctbal_cents
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_acctbal = (
+        SELECT min(s2.s_acctbal) FROM supplier s2
+        WHERE s2.s_nationkey = s.s_nationkey
+    )
+"""
+
+
+def sql_part_type_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16-shaped: distinct suppliers per part type, EXCLUDING a
+    denylist of suppliers via ``NOT IN (subquery)`` — the anti-join
+    decorrelation class (here the denylist is suppliers with negative
+    account balance, standing in for Q16's complaint filter). The
+    NOT IN must plan as a null-aware anti join against the (small)
+    denylist, and the distinct count aggregates at part-type grain
+    after the through-lineitem join."""
+    _register_views(spark, sf_dir, "part", "lineitem", "supplier")
+    return spark.sql(_PART_SUPPLIERS_SQL)
+
+
+# Engine-neutral text: runs verbatim on Spark and DuckDB.
+_PART_SUPPLIERS_SQL = """
+    SELECT p.p_type AS part_type,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    )
+    GROUP BY p.p_type
+"""
+
+
 QUERIES = {
     "sql_shipping_priority": sql_shipping_priority,
+    "sql_cheapest_supplier_per_nation": sql_cheapest_supplier_per_nation,
+    "sql_part_type_supplier_counts": sql_part_type_supplier_counts,
     "sql_nation_revenue": sql_nation_revenue,
     "sql_order_priority_count": sql_order_priority_count,
     "sql_top_supplier": sql_top_supplier,
@@ -308,6 +363,8 @@ QUERIES = {
 
 ORACLES = {
     "sql_shipping_priority": _SHIPPING_SQL,
+    "sql_cheapest_supplier_per_nation": _CHEAPEST_SQL,
+    "sql_part_type_supplier_counts": _PART_SUPPLIERS_SQL,
     "sql_nation_revenue": _NATION_SQL,
     "sql_order_priority_count": _PRIORITY_COUNT_SQL,
     "sql_top_supplier": _TOP_SUPPLIER_SQL,

@@ -308,3 +308,22 @@ def test_sql_subquery_shapes_plan_as_key_joins(spark):
     p21 = plan_of(sql_waiting_suppliers(spark, SF_DIR))
     assert "LeftSemi" in p21 and "LeftAnti" in p21
     assert "Cartesian" not in p21 and "TakeOrderedAndProject" in p21
+
+
+def test_sql_scalar_agg_and_not_in_decorrelate(spark):
+    """The Q2/Q17-shaped correlated scalar-aggregate subquery must
+    rewrite to ONE nation-grain aggregate joined back on the
+    correlation key (no per-row subquery), and the Q16-shaped NOT IN
+    must plan as an anti join against the denylist."""
+    from azure_sales_etl_pipeline_spark.plans.sqlapi import (
+        sql_cheapest_supplier_per_nation,
+        sql_part_type_supplier_counts,
+    )
+
+    p2 = plan_of(sql_cheapest_supplier_per_nation(spark, SF_DIR))
+    assert "HashAggregate" in p2 and "Cartesian" not in p2
+    # the min() rewrites into the join tree — never a subquery loop
+    assert "min(" in p2
+
+    p16 = plan_of(sql_part_type_supplier_counts(spark, SF_DIR))
+    assert "LeftAnti" in p16 and "Cartesian" not in p16
