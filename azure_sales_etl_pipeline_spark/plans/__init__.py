@@ -70,6 +70,7 @@ _SWEEP_PRIORITY = (
     "order_drift_histogram",
     "sql_cheapest_supplier_per_nation",
     "sql_part_type_supplier_counts",
+    "source_vocab_drift",
     "minhash_recall_check",
     "pack_sequences",
     "salted_join_topk",

@@ -925,8 +925,82 @@ _BPE_SQL = rf"""
 """
 
 
+def source_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-domain drift monitor: how far each SOURCE's token
+    distribution sits from the corpus-wide distribution, as an exact
+    integer L1 distance — the per-domain counterpart of
+    ``order_drift_histogram`` and the signal a curation pipeline uses
+    to spot a source whose content shifted (scraper broke, domain
+    pivoted, spam flood) before it pollutes a mixture. Per (source,
+    token): share of the source's own tokens in permille; per token:
+    corpus share; drift(source) = Σ_token |share_src − share_corpus|,
+    summed over the corpus vocabulary (tokens a source lacks contribute
+    the full corpus share — the L1 definition needs the outer join).
+
+    Shape: ONE token-key shuffle (map-side combined counts at (source,
+    token) grain), corpus marginals re-aggregated from those counts
+    (never a second scan), a broadcast-sized vocab × sources frame for
+    the outer-join completion (|vocab| × |sources| rows — text corpora
+    have bounded vocabularies, this is thousands × dozens at scale,
+    not row-scaled), and a final source-grain sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.trim(F.col("text")), _WS)).alias("token")
+    )
+    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n_st"))
+    src_tot = st.groupBy("source").agg(F.sum("n_st").alias("n_src"))
+    tok_tot = st.groupBy("token").agg(F.sum("n_st").alias("n_tok"))
+    corpus_tot = st.agg(F.sum("n_st").alias("n_all"))
+    # complete (source × vocab) grid so absent tokens still contribute
+    grid = (
+        src_tot.crossJoin(F.broadcast(tok_tot))
+        .join(st, ["source", "token"], "left")
+        .withColumn("n_st", F.coalesce("n_st", F.lit(0)))
+        .crossJoin(F.broadcast(corpus_tot))
+    )
+    diff = F.abs(
+        F.expr("n_st * 1000 DIV n_src") - F.expr("n_tok * 1000 DIV n_all")
+    )
+    return (
+        grid.groupBy("source")
+        .agg(
+            F.max("n_src").alias("n_tokens"),
+            F.sum(diff).cast("bigint").alias("l1_drift_permille"),
+        )
+        .select("source", "n_tokens", "l1_drift_permille")
+    )
+
+
+_SOURCE_DRIFT_SQL = r"""
+    WITH tok AS (
+        SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents
+    ),
+    st AS (SELECT source, token, count(*) AS n_st FROM tok GROUP BY ALL),
+    src_tot AS (SELECT source, CAST(sum(n_st) AS BIGINT) AS n_src FROM st GROUP BY source),
+    tok_tot AS (SELECT token, CAST(sum(n_st) AS BIGINT) AS n_tok FROM st GROUP BY token),
+    corpus AS (SELECT CAST(sum(n_st) AS BIGINT) AS n_all FROM st),
+    grid AS (
+        SELECT s.source, t.token, s.n_src, t.n_tok, c.n_all,
+               coalesce(st.n_st, 0) AS n_st
+        FROM src_tot s
+        CROSS JOIN tok_tot t
+        CROSS JOIN corpus c
+        LEFT JOIN st ON st.source = s.source AND st.token = t.token
+    )
+    SELECT source,
+           max(n_src) AS n_tokens,
+           CAST(sum(abs((n_st * 1000) // n_src
+                        - (n_tok * 1000) // n_all)) AS BIGINT)
+               AS l1_drift_permille
+    FROM grid
+    GROUP BY source
+"""
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
+    "source_vocab_drift": source_vocab_drift,
     "winnowing_fingerprints": winnowing_fingerprints,
     "doc_quality": doc_quality,
     "lang_id": lang_id,
@@ -944,6 +1018,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_token_stats": _TOKEN_STATS_SQL,
+    "source_vocab_drift": _SOURCE_DRIFT_SQL,
     "winnowing_fingerprints": _WINNOW_SQL,
     "doc_quality": _QUALITY_SQL,
     "lang_id": _LANG_SQL,

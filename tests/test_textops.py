@@ -291,3 +291,27 @@ def test_bigram_surprisal_floor_parity_and_ranking(spark, dup_docs_dir):
             <= r["surprisal_micronats"]
             < (r["mean_surprisal_micronats"] + 1) * r["n_bigrams"]
         )
+
+
+def test_source_vocab_drift_planted_shift(spark, tmp_path):
+    """A source whose vocabulary diverges from the corpus must score a
+    strictly higher L1 drift than sources matching the corpus mix, and
+    an all-identical corpus must score (near-)zero everywhere."""
+    from azure_sales_etl_pipeline_spark.plans.textops import source_vocab_drift
+
+    base = "alpha beta gamma delta epsilon"
+    rows = []
+    for i in range(20):  # src_same mirrors the corpus distribution
+        rows.append((i, base, "en", "src_same", len(base)))
+    for i in range(20, 40):
+        rows.append((i, base, "en", "src_other", len(base)))
+    for i in range(40, 60):  # src_shift speaks a different vocabulary
+        rows.append((i, "zeta eta theta iota kappa", "en", "src_shift", 25))
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    drift = {r["source"]: r for r in source_vocab_drift(spark, str(tmp_path)).collect()}
+    assert drift["src_shift"]["l1_drift_permille"] > drift["src_same"]["l1_drift_permille"]
+    assert drift["src_same"]["l1_drift_permille"] == drift["src_other"]["l1_drift_permille"]
+    assert all(r["n_tokens"] == 100 for r in drift.values())
