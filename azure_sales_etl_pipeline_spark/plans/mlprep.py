@@ -1298,8 +1298,16 @@ def wds_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
     )
     out = tempfile.mkdtemp(prefix="wds_export_")
-    write_wds_shards(docs.join(shards, "doc_id"), out, meta_cols=("lang", "source"))
-    rows = read_wds_manifest(out)
+    try:
+        write_wds_shards(
+            docs.join(shards, "doc_id"), out, meta_cols=("lang", "source")
+        )
+        rows = read_wds_manifest(out)
+    finally:
+        # The manifest is fully materialized; the tars are scratch.
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(
         [
             (r["shard_id"], r["n_samples"], r["n_members"], r["payload_bytes"])

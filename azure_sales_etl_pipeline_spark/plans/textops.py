@@ -925,6 +925,12 @@ _BPE_SQL = rf"""
 """
 
 
+#: Drift vocabulary cap: the grid is K × |sources| regardless of corpus
+#: size. 1000 covers this corpus's whole vocabulary (31 tokens) and the
+#: head of any real one.
+_DRIFT_VOCAB_K = 1000
+
+
 def source_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-domain drift monitor: how far each SOURCE's token
     distribution sits from the corpus-wide distribution, as an exact
@@ -939,17 +945,26 @@ def source_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: ONE token-key shuffle (map-side combined counts at (source,
     token) grain), corpus marginals re-aggregated from those counts
-    (never a second scan), a broadcast-sized vocab × sources frame for
-    the outer-join completion (|vocab| × |sources| rows — text corpora
-    have bounded vocabularies, this is thousands × dozens at scale,
-    not row-scaled), and a final source-grain sum."""
+    (never a second scan), and a completion grid bounded BY
+    CONSTRUCTION: the vocabulary is capped to the corpus's top
+    ``_DRIFT_VOCAB_K`` tokens (TakeOrderedAndProject — drift mass
+    concentrates in head tokens; a web-scale tail would otherwise make
+    the grid |vocab|×|sources|), so the outer-join completion is
+    K × |sources| rows whatever the corpus size, then a final
+    source-grain sum. Totals stay FULL-corpus (n_src over all tokens),
+    so shares are true probabilities, not renormalized head shares."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "source", F.explode(F.split(F.trim(F.col("text")), _WS)).alias("token")
     )
     st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n_st"))
     src_tot = st.groupBy("source").agg(F.sum("n_st").alias("n_src"))
-    tok_tot = st.groupBy("token").agg(F.sum("n_st").alias("n_tok"))
+    tok_tot = (
+        st.groupBy("token")
+        .agg(F.sum("n_st").alias("n_tok"))
+        .orderBy(F.desc("n_tok"), "token")
+        .limit(_DRIFT_VOCAB_K)
+    )
     corpus_tot = st.agg(F.sum("n_st").alias("n_all"))
     # complete (source × vocab) grid so absent tokens still contribute
     grid = (
@@ -971,14 +986,15 @@ def source_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SOURCE_DRIFT_SQL = r"""
+_SOURCE_DRIFT_SQL = rf"""
     WITH tok AS (
         SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
         FROM documents
     ),
     st AS (SELECT source, token, count(*) AS n_st FROM tok GROUP BY ALL),
     src_tot AS (SELECT source, CAST(sum(n_st) AS BIGINT) AS n_src FROM st GROUP BY source),
-    tok_tot AS (SELECT token, CAST(sum(n_st) AS BIGINT) AS n_tok FROM st GROUP BY token),
+    tok_tot AS (SELECT token, CAST(sum(n_st) AS BIGINT) AS n_tok FROM st
+                GROUP BY token ORDER BY n_tok DESC, token LIMIT {_DRIFT_VOCAB_K}),
     corpus AS (SELECT CAST(sum(n_st) AS BIGINT) AS n_all FROM st),
     grid AS (
         SELECT s.source, t.token, s.n_src, t.n_tok, c.n_all,
