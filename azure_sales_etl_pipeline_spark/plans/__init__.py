@@ -71,6 +71,7 @@ _SWEEP_PRIORITY = (
     "sql_cheapest_supplier_per_nation",
     "sql_part_type_supplier_counts",
     "source_vocab_drift",
+    "sql_nation_balance_share",
     "minhash_recall_check",
     "pack_sequences",
     "salted_join_topk",

@@ -349,8 +349,41 @@ _PART_SUPPLIERS_SQL = """
 """
 
 
+def sql_nation_balance_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11-shaped: nations holding more than 5% of total supplier
+    account balance — a grouped aggregate FILTERED AGAINST A SCALAR
+    SUBQUERY over the same aggregation (the share-of-total HAVING
+    class; the last classic subquery position after WHERE-EXISTS,
+    WHERE-IN, and correlated scalar). The per-nation aggregate computes
+    ONCE in a CTE consumed by both the rows and the total — Catalyst
+    plans the scalar as a one-row subquery broadcast into the filter,
+    not a second scan of supplier. The share test is pure bigint
+    (``20 * nation_cents > total_cents``): no decimal division, no
+    float threshold to diverge at the boundary."""
+    _register_views(spark, sf_dir, "supplier", "nation")
+    return spark.sql(_BALANCE_SHARE_SQL)
+
+
+# Engine-neutral text: runs verbatim on Spark and DuckDB.
+_BALANCE_SHARE_SQL = """
+    WITH per_nation AS (
+        SELECT s_nationkey,
+               CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,4))), 2) * 100
+                    AS BIGINT) AS bal_cents
+        FROM supplier
+        GROUP BY s_nationkey
+    )
+    SELECT n.n_name AS nation,
+           p.bal_cents
+    FROM per_nation p
+    JOIN nation n ON n.n_nationkey = p.s_nationkey
+    WHERE 20 * p.bal_cents > (SELECT sum(bal_cents) FROM per_nation)
+"""
+
+
 QUERIES = {
     "sql_shipping_priority": sql_shipping_priority,
+    "sql_nation_balance_share": sql_nation_balance_share,
     "sql_cheapest_supplier_per_nation": sql_cheapest_supplier_per_nation,
     "sql_part_type_supplier_counts": sql_part_type_supplier_counts,
     "sql_nation_revenue": sql_nation_revenue,
@@ -363,6 +396,7 @@ QUERIES = {
 
 ORACLES = {
     "sql_shipping_priority": _SHIPPING_SQL,
+    "sql_nation_balance_share": _BALANCE_SHARE_SQL,
     "sql_cheapest_supplier_per_nation": _CHEAPEST_SQL,
     "sql_part_type_supplier_counts": _PART_SUPPLIERS_SQL,
     "sql_nation_revenue": _NATION_SQL,

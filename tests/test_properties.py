@@ -188,3 +188,36 @@ def test_concat_chunk_packing_pure_rule(sizes, context):
             assert d_off == pos
             pos += n
         assert pos == sizes[doc]
+
+
+@given(
+    samples=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**9),  # sample key
+            st.binary(min_size=0, max_size=64),          # payload incl. empty/NULs
+            st.integers(min_value=0, max_value=3),       # shard
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    )
+)
+@_slow
+def test_wds_roundtrip_any_bytes(spark, samples, tmp_path_factory):
+    """write_wds_shards → read_wds_shards is the identity on (key,
+    payload, shard) for ANY payload bytes — empty payloads, NUL bytes,
+    non-UTF8 — and any shard assignment including singleton shards."""
+    from azure_sales_etl_pipeline_spark.sources.formats import (
+        read_wds_shards,
+        write_wds_shards,
+    )
+
+    out = str(tmp_path_factory.mktemp("wds_prop"))
+    df = spark.createDataFrame(
+        samples, "doc_id bigint, payload binary, shard_id bigint"
+    )
+    write_wds_shards(df, out)
+    back = read_wds_shards(spark, out).collect()
+    got = {(r["sample_key"], bytes(r["payload"]), r["shard_id"]) for r in back}
+    want = {(k, p, s) for k, p, s in samples}
+    assert got == want
