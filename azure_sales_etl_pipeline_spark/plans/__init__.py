@@ -72,6 +72,7 @@ _SWEEP_PRIORITY = (
     "sql_part_type_supplier_counts",
     "source_vocab_drift",
     "sql_nation_balance_share",
+    "click_conversion_asof",
     "minhash_recall_check",
     "pack_sequences",
     "salted_join_topk",

@@ -8,12 +8,18 @@ emitted as BIGINT cents, per [[top_parts_per_supplier]]'s one-cent
 lesson). A user who lives in SQL can point ``spark.sql`` at the engine
 catalog and get the same answers the DataFrame API gives.
 
-The two queries are classic scan→join→agg→top-N shapes (TPC-H Q3/Q5
-family) chosen because their physical plans exercise the properties
-that matter at 100 TB: date-filter pushdown into the parquet scan on
-the fact side, broadcast of the small dimension chain, one hash-agg
-shuffle on the narrow grain, and TakeOrderedAndProject for the top-N
-(no global sort).
+The queries are classic TPC-H-family shapes chosen so every classic
+SUBQUERY POSITION gets a plan-audited representative: scan→join→agg→
+top-N (Q3/Q5), correlated EXISTS → left-semi (Q4), double EXISTS/NOT
+EXISTS → semi + anti (Q21), agg-filtered IN → semi (Q18), NOT IN →
+anti (Q16), correlated scalar aggregate → grain agg joined back
+(Q2/Q17), CTE + scalar max (Q15), share-of-total HAVING scalar (Q11),
+and the zero-preserving outer-join histogram (Q13). Physical
+properties that matter at 100 TB are pinned in
+tests/test_plans_explain.py: date-filter pushdown into the fact scan,
+broadcast of small dimension chains, TakeOrderedAndProject for top-N
+(no global sort), and decorrelation to key joins (never a per-row
+subquery loop).
 """
 
 from __future__ import annotations

@@ -140,12 +140,73 @@ _SESSIONIZE_SQL = f"""
 """
 
 
+def click_conversion_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of: for every click, the NEXT purchase by the same
+    user at or after the click — conversion-lag measurement, the mirror
+    of ``purchase_attribution_asof``'s backward attribution. Same union
+    trick, scanned DESCENDING: purchases sort before clicks on ts ties
+    (tag 0 under the same orderBy), so ``last(purchase_ts,
+    ignorenulls)`` over the growing DESC frame is the nearest future
+    purchase and a tie (purchase at the click's exact ts) counts, per
+    ASOF's c.ts <= p.ts. Still ONE shuffle on the user key — direction
+    is free; it only flips the sort."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("__tag"),
+        F.col("ts").alias("purchase_ts"),
+        F.lit(None).cast("bigint").alias("event_id"),
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast("timestamp").alias("purchase_ts"),
+        "event_id",
+    )
+    merged = purchases.unionByName(clicks)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        merged.withColumn(
+            "next_purchase_ts", F.last("purchase_ts", ignorenulls=True).over(w)
+        )
+        .where(F.col("__tag") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            "next_purchase_ts",
+            # Integer milliseconds, same lossless-µs discipline as the
+            # backward as-of.
+            F.expr(
+                "(unix_micros(next_purchase_ts) - unix_micros(ts)) div 1000"
+            ).alias("ms_to_purchase"),
+        )
+    )
+
+
+_FORWARD_ASOF_SQL = """
+    SELECT c.event_id, c.user_id, c.ts AS click_ts, p.ts AS next_purchase_ts,
+           epoch_us(p.ts - c.ts) // 1000 AS ms_to_purchase
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+"""
+
+
 QUERIES = {
     "purchase_attribution_asof": purchase_attribution_asof,
+    "click_conversion_asof": click_conversion_asof,
     "events_sessionize": events_sessionize,
 }
 
 ORACLES = {
     "purchase_attribution_asof": _ASOF_SQL,
+    "click_conversion_asof": _FORWARD_ASOF_SQL,
     "events_sessionize": _SESSIONIZE_SQL,
 }
