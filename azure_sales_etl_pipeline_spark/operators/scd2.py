@@ -116,6 +116,21 @@ class SCD2Table:
     def current(self) -> DataFrame:
         return self.history().where(F.col("is_current"))
 
+    def as_of(self, ts) -> DataFrame:
+        """Point-in-time snapshot: the version of every key that was in
+        effect at ``ts`` — the time-travel read SCD2 history exists to
+        answer ("what did the dimension say when that order shipped?").
+        A version covers ``ts`` iff ``effective_date <= ts < end_date``
+        (open end = still current); keys first seen after ``ts`` drop
+        out. Pure filter over the history scan — version ranges are
+        disjoint per key by upsert construction, so no window or
+        dedup is needed, and a partition/Z-order on the key prunes at
+        100 TB exactly like any other read."""
+        return self.history().where(
+            (F.col("effective_date") <= F.lit(ts))
+            & (F.col("end_date").isNull() | (F.col("end_date") > F.lit(ts)))
+        )
+
     # -- internals ---------------------------------------------------------
 
     def _tracked(self, df: DataFrame) -> list[str]:

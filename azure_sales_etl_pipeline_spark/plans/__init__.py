@@ -73,6 +73,7 @@ _SWEEP_PRIORITY = (
     "source_vocab_drift",
     "sql_nation_balance_share",
     "click_conversion_asof",
+    "scd2_point_in_time",
     "minhash_recall_check",
     "pack_sequences",
     "salted_join_topk",

@@ -421,8 +421,81 @@ _PARTITION_PRUNED_SQL = """
 """
 
 
+_T_MID = dt.datetime(2024, 1, 15)
+
+
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over SCD2 history (``SCD2Table.as_of``): run the
+    same 2-batch upsert as ``scd2_two_batch_history``, then snapshot
+    the dimension at TWO instants — ``mid`` (between the loads: must
+    reproduce batch 1 exactly, including rows later changed) and
+    ``final`` (after batch 2: must equal ``current()``). The pair
+    proves version ranges answer historical reads correctly, not just
+    that the end state is right — the property an auditor or a
+    training-data lineage check actually uses SCD2 for. Snapshots are
+    pure filters over the history scan (disjoint version ranges per
+    key — no window, no dedup)."""
+    from ..operators.scd2 import SCD2Table
+
+    customer = load_table(spark, sf_dir, "customer")
+    b1 = customer.where(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    b2 = customer.where(F.col("c_custkey") % 3 != 0).select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("CHANGED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    tmp = tempfile.mkdtemp(prefix="scd2_pit_")
+    try:
+        clock = [_T1]
+        dim = SCD2Table(
+            spark, f"{tmp}/dim_customer", "c_custkey", clock=lambda: clock[0]
+        )
+        dim.upsert(b1)
+        clock[0] = _T2
+        dim.upsert(b2)
+        snaps = [
+            dim.as_of(ts)
+            .select(
+                F.lit(label).alias("asof_label"),
+                "c_custkey",
+                "c_name",
+                "c_mktsegment",
+            )
+            for label, ts in (("mid", _T_MID), ("final", _T3))
+        ]
+        return snaps[0].unionByName(snaps[1]).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_SCD2_PIT_SQL = """
+    WITH b1 AS (
+        SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey % 2 = 0
+    ),
+    b2 AS (
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 5 = 0 THEN 'CHANGED' ELSE c_mktsegment END AS c_mktsegment
+        FROM customer WHERE c_custkey % 3 != 0
+    )
+    -- mid-snapshot: exactly batch 1 (batch 2 hadn't happened yet)
+    SELECT 'mid' AS asof_label, c_custkey, c_name, c_mktsegment FROM b1
+    UNION ALL
+    -- final snapshot: batch 2 wins on overlap; batch1-only keys persist
+    SELECT 'final', c_custkey, c_name, c_mktsegment FROM b2
+    UNION ALL
+    SELECT 'final', b1.c_custkey, b1.c_name, b1.c_mktsegment
+    FROM b1
+    WHERE b1.c_custkey NOT IN (SELECT c_custkey FROM b2)
+"""
+
+
 QUERIES = {
     "scd2_two_batch_history": scd2_two_batch_history,
+    "scd2_point_in_time": scd2_point_in_time,
     "dedup_index_two_batch": dedup_index_two_batch,
     "partition_pruned_revenue": partition_pruned_revenue,
     "scd2_delete_expiry": scd2_delete_expiry,
@@ -432,6 +505,7 @@ QUERIES = {
 
 ORACLES = {
     "scd2_two_batch_history": _SCD2_HISTORY_SQL,
+    "scd2_point_in_time": _SCD2_PIT_SQL,
     "dedup_index_two_batch": _DEDUP_INDEX_SQL,
     "partition_pruned_revenue": _PARTITION_PRUNED_SQL,
     "scd2_delete_expiry": _SCD2_DELETE_SQL,

@@ -170,3 +170,28 @@ def test_on_delete_rejects_unknown_mode(spark, tmp_path, clock):
     state, _ = clock
     with pytest.raises(ValueError, match="on_delete"):
         make_dim(spark, tmp_path, state, on_delete="purge")
+
+
+def test_as_of_snapshots_between_and_after_loads(spark, tmp_path):
+    """as_of must reproduce each load's state at any instant inside its
+    validity window: before batch 2, the changed key still shows its
+    batch-1 value; after, the new value; and a key first seen in batch
+    2 is absent from the earlier snapshot."""
+    import datetime as dt
+
+    from azure_sales_etl_pipeline_spark.operators.scd2 import SCD2Table
+
+    t1, t2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+    clock = [t1]
+    dim = SCD2Table(spark, str(tmp_path / "dim"), "k", clock=lambda: clock[0])
+    dim.upsert(spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"))
+    clock[0] = t2
+    dim.upsert(spark.createDataFrame([(1, "A"), (3, "c")], "k bigint, v string"))
+
+    mid = {r["k"]: r["v"] for r in dim.as_of(dt.datetime(2024, 1, 15)).collect()}
+    assert mid == {1: "a", 2: "b"}  # pre-change values; key 3 not born yet
+    final = {r["k"]: r["v"] for r in dim.as_of(dt.datetime(2024, 3, 1)).collect()}
+    assert final == {1: "A", 2: "b", 3: "c"}
+    # exactly at the batch-2 instant the NEW version is effective
+    at_t2 = {r["k"]: r["v"] for r in dim.as_of(t2).collect()}
+    assert at_t2 == {1: "A", 2: "b", 3: "c"}
