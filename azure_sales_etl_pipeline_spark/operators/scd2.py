@@ -131,6 +131,43 @@ class SCD2Table:
             & (F.col("end_date").isNull() | (F.col("end_date") > F.lit(ts)))
         )
 
+    def ensure_members(self, keys_df: DataFrame) -> int:
+        """Late-arriving dimension handling (Kimball "inferred member"):
+        facts sometimes reference dimension keys whose descriptive row
+        hasn't arrived yet — dropping the fact loses revenue, holding it
+        stalls the pipeline. Instead, insert a PLACEHOLDER version
+        (typed NULLs for every tracked column) for each referenced key
+        the dimension lacks, so the fact join succeeds today; when the
+        real row finally arrives, the normal upsert hash-diff sees the
+        change and expires the placeholder into history like any other
+        update — no special repair path, the inferred era stays
+        auditable as a version whose attributes are NULL. Returns the
+        number of members inferred. One left-anti join of the
+        (pre-distincted) key set against current — the cheapest probe
+        the dimension supports."""
+        if not table_exists(self.path):
+            raise ValueError(
+                f"dimension {self.path} has no initial load; ensure_members "
+                "needs the table schema to type the placeholders"
+            )
+        tracked_fields = [
+            f
+            for f in self.history().schema.fields
+            if f.name != self.key and f.name not in SCD_COLS and f.name != BUCKET_COL
+        ]
+        missing = (
+            keys_df.select(self.key)
+            .distinct()
+            .join(self.current().select(self.key), self.key, "left_anti")
+        )
+        placeholders = missing.select(
+            self.key,
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in tracked_fields],
+        )
+        if placeholders.isEmpty():
+            return 0
+        return self.upsert(placeholders)["insert"]
+
     # -- internals ---------------------------------------------------------
 
     def _tracked(self, df: DataFrame) -> list[str]:

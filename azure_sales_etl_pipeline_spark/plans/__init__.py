@@ -74,6 +74,7 @@ _SWEEP_PRIORITY = (
     "sql_nation_balance_share",
     "click_conversion_asof",
     "scd2_point_in_time",
+    "late_dimension_inferred",
     "minhash_recall_check",
     "pack_sequences",
     "salted_join_topk",

@@ -493,9 +493,82 @@ _SCD2_PIT_SQL = """
 """
 
 
+def late_dimension_inferred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving dimension lifecycle (``SCD2Table.ensure_members``,
+    the Kimball inferred-member pattern) end-to-end: load HALF the
+    customer dimension (_T1), then let the orders fact reference ALL
+    its customers — every referenced-but-missing key gets a typed-NULL
+    placeholder version (_T2) so the fact join never drops revenue —
+    then the full dimension arrives (_T3) and the ordinary upsert
+    hash-diff expires each placeholder into history. Three end states
+    the oracle recomputes declaratively: untouched _T1 rows (half load,
+    unchanged by the full load), inferred-then-completed keys (NULL
+    version _T2.._T3 + real current _T3), and never-referenced
+    stragglers (plain _T3 inserts)."""
+    from ..operators.scd2 import SCD2Table
+
+    customer = load_table(spark, sf_dir, "customer")
+    cols = ["c_custkey", "c_name", "c_mktsegment"]
+    b1 = customer.where(F.col("c_custkey") % 2 == 0).select(*cols)
+    full = customer.select(*cols)
+    fact_keys = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    tmp = tempfile.mkdtemp(prefix="scd2_late_")
+    try:
+        clock = [_T1]
+        dim = SCD2Table(
+            spark, f"{tmp}/dim_customer", "c_custkey", clock=lambda: clock[0]
+        )
+        dim.upsert(b1)
+        clock[0] = _T2
+        dim.ensure_members(fact_keys)
+        clock[0] = _T3
+        dim.upsert(full)
+        hist = dim.history().select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            "is_current",
+            "effective_date",
+            "end_date",
+        )
+        return hist.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_LATE_DIM_SQL = f"""
+    WITH b1 AS (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0),
+    inferred AS (
+        SELECT DISTINCT o_custkey AS c_custkey FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM b1)
+    )
+    -- half-load rows: unchanged by the full load, current since _T1
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+           true AS is_current,
+           TIMESTAMP '{_T1:%Y-%m-%d %H:%M:%S}' AS effective_date,
+           NULL::TIMESTAMP AS end_date
+    FROM customer c WHERE c.c_custkey IN (SELECT c_custkey FROM b1)
+    UNION ALL
+    -- the inferred era: NULL attributes, expired when the real row came
+    SELECT i.c_custkey, NULL, NULL,
+           false, TIMESTAMP '{_T2:%Y-%m-%d %H:%M:%S}', TIMESTAMP '{_T3:%Y-%m-%d %H:%M:%S}'
+    FROM inferred i
+    UNION ALL
+    -- completed + never-referenced keys: real values current since _T3
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+           true, TIMESTAMP '{_T3:%Y-%m-%d %H:%M:%S}', NULL
+    FROM customer c WHERE c.c_custkey NOT IN (SELECT c_custkey FROM b1)
+"""
+
+
 QUERIES = {
     "scd2_two_batch_history": scd2_two_batch_history,
     "scd2_point_in_time": scd2_point_in_time,
+    "late_dimension_inferred": late_dimension_inferred,
     "dedup_index_two_batch": dedup_index_two_batch,
     "partition_pruned_revenue": partition_pruned_revenue,
     "scd2_delete_expiry": scd2_delete_expiry,
@@ -506,6 +579,7 @@ QUERIES = {
 ORACLES = {
     "scd2_two_batch_history": _SCD2_HISTORY_SQL,
     "scd2_point_in_time": _SCD2_PIT_SQL,
+    "late_dimension_inferred": _LATE_DIM_SQL,
     "dedup_index_two_batch": _DEDUP_INDEX_SQL,
     "partition_pruned_revenue": _PARTITION_PRUNED_SQL,
     "scd2_delete_expiry": _SCD2_DELETE_SQL,

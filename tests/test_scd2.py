@@ -195,3 +195,30 @@ def test_as_of_snapshots_between_and_after_loads(spark, tmp_path):
     # exactly at the batch-2 instant the NEW version is effective
     at_t2 = {r["k"]: r["v"] for r in dim.as_of(t2).collect()}
     assert at_t2 == {1: "A", 2: "b", 3: "c"}
+
+
+def test_ensure_members_infers_and_completes(spark, tmp_path):
+    """ensure_members inserts typed-NULL placeholders only for missing
+    referenced keys, is idempotent, and the eventual real row expires
+    the placeholder through the ordinary upsert path."""
+    import datetime as dt
+
+    from azure_sales_etl_pipeline_spark.operators.scd2 import SCD2Table
+
+    t = [dt.datetime(2024, 1, 1)]
+    dim = SCD2Table(spark, str(tmp_path / "dim"), "k", clock=lambda: t[0])
+    dim.upsert(spark.createDataFrame([(1, "a")], "k bigint, v string"))
+
+    t[0] = dt.datetime(2024, 2, 1)
+    refs = spark.createDataFrame([(1,), (2,), (2,), (3,)], "k bigint")
+    assert dim.ensure_members(refs) == 2          # keys 2, 3 inferred
+    assert dim.ensure_members(refs) == 0          # idempotent
+    cur = {r["k"]: r["v"] for r in dim.current().collect()}
+    assert cur == {1: "a", 2: None, 3: None}
+
+    t[0] = dt.datetime(2024, 3, 1)
+    dim.upsert(spark.createDataFrame([(2, "b")], "k bigint, v string"))
+    hist = dim.history().collect()
+    placeholder = [r for r in hist if r["k"] == 2 and not r["is_current"]]
+    assert len(placeholder) == 1 and placeholder[0]["v"] is None
+    assert {r["k"]: r["v"] for r in dim.current().collect()} == {1: "a", 2: "b", 3: None}
