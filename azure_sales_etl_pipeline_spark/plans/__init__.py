@@ -75,6 +75,7 @@ _SWEEP_PRIORITY = (
     "click_conversion_asof",
     "scd2_point_in_time",
     "late_dimension_inferred",
+    "referential_integrity_audit",
     "minhash_recall_check",
     "pack_sequences",
     "salted_join_topk",

@@ -534,10 +534,70 @@ _K_ANON_SQL = f"""
 """
 
 
+#: FK edges of the star schema: (fact, fk_col, dim, pk_col).
+_FK_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+)
+
+
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table data-quality audit: for every foreign-key edge of
+    the star schema, how many fact rows point at a dimension row that
+    does not exist (orphans) — the complement of ``orders_validation``'s
+    row-local rules, and the first thing to check after any partial
+    load, late dimension, or botched backfill (the
+    ``SCD2Table.ensure_members`` pattern exists precisely to drive this
+    number to zero). Each edge costs one DISTINCT on the fact's FK
+    values followed by a left-anti probe of the dimension's key — the
+    anti-join carries |distinct keys| rows, never the fact — and a
+    conditional re-count maps orphaned keys back to row counts. All
+    edges union into one audit frame (one row per edge)."""
+    out = None
+    for fact, fk, dim, pk in _FK_EDGES:
+        f = load_table(spark, sf_dir, fact).select(F.col(fk).alias("fk"))
+        d = load_table(spark, sf_dir, dim).select(F.col(pk).alias("fk"))
+        key_counts = f.groupBy("fk").agg(F.count(F.lit(1)).alias("n_rows_key"))
+        orphan_keys = key_counts.join(d, "fk", "left_anti")
+        edge = orphan_keys.agg(
+            F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n_orphan_keys"),
+            F.coalesce(F.sum("n_rows_key"), F.lit(0)).alias("n_orphan_rows"),
+        ).select(
+            F.lit(f"{fact}.{fk}->{dim}.{pk}").alias("fk_edge"),
+            F.col("n_orphan_keys").cast("bigint"),
+            F.col("n_orphan_rows").cast("bigint"),
+        )
+        out = edge if out is None else out.unionByName(edge)
+    return out
+
+
+def _ri_audit_sql() -> str:
+    selects = []
+    for fact, fk, dim, pk in _FK_EDGES:
+        selects.append(
+            f"""
+            SELECT '{fact}.{fk}->{dim}.{pk}' AS fk_edge,
+                   CAST(count(*) AS BIGINT) AS n_orphan_keys,
+                   CAST(coalesce(sum(n_rows_key), 0) AS BIGINT) AS n_orphan_rows
+            FROM (
+                SELECT {fk} AS fk, count(*) AS n_rows_key
+                FROM {fact} GROUP BY 1
+            ) k
+            WHERE k.fk NOT IN (SELECT {pk} FROM {dim})
+            """
+        )
+    return " UNION ALL ".join(selects)
+
+
 QUERIES = {
     "star_projection": star_projection,
     "table_profile": table_profile,
     "k_anonymity_audit": k_anonymity_audit,
+    "referential_integrity_audit": referential_integrity_audit,
     "orders_validation": orders_validation,
     "drop_and_cast": drop_and_cast,
     "filter_sql_string": filter_sql_string,
@@ -555,6 +615,7 @@ ORACLES = {
     "star_projection": _STAR_SQL,
     "table_profile": _profile_sql(),
     "k_anonymity_audit": _K_ANON_SQL,
+    "referential_integrity_audit": _ri_audit_sql(),
     "orders_validation": _VALIDATION_SQL,
     "drop_and_cast": _DROP_CAST_SQL,
     "filter_sql_string": _FILTER_SQL_SQL,
