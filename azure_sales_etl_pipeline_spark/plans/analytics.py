@@ -776,6 +776,9 @@ def order_drift_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``key_skew_profile`` combine pattern."""
     orders = load_table(spark, sf_dir, "orders")
     split = F.col("o_orderdate") < F.lit(_DRIFT_SPLIT_DATE).cast("timestamp")
+    # Pinned: the totals row and the final projection both consume the
+    # bin counts; without materialization each branch re-scans orders
+    # (|bins| rows to pin — bounded by the value range).
     bins = (
         orders.groupBy(
             F.floor(F.col("o_totalprice") / _HIST_BIN_WIDTH)
@@ -786,6 +789,7 @@ def order_drift_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(split, 1)).alias("n_before"),
             F.count(F.when(~split, 1)).alias("n_after"),
         )
+        .localCheckpoint()
     )
     totals = bins.agg(
         F.sum("n_before").alias("tot_before"),

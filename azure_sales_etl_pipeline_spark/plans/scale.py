@@ -451,10 +451,16 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a TakeOrderedAndProject top-K and a single-row global aggregate
     broadcast back over the K winners. No all-row sort, no collect.
     """
+    # Eager materialization: top-K and the totals BOTH consume the
+    # per-key counts, and the static plan re-scans events once per
+    # consumer without it (ReusedExchange is not guaranteed across the
+    # branches). |keys| rows — cheap to pin, and the corpus scan runs
+    # exactly once.
     counts = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
     )
     totals = counts.agg(
         F.count(F.lit(1)).alias("n_keys"),

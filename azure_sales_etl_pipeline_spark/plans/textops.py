@@ -957,7 +957,15 @@ def source_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "source", F.explode(F.split(F.trim(F.col("text")), _WS)).alias("token")
     )
-    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n_st"))
+    # Pinned: FOUR consumers (source totals, token totals, corpus total,
+    # and the grid's left join) read the (source, token) counts — the
+    # unfenced plan re-tokenized the whole corpus once per consumer
+    # (8 scans measured). |sources|×|vocab| rows to pin.
+    st = (
+        tok.groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n_st"))
+        .localCheckpoint()
+    )
     src_tot = st.groupBy("source").agg(F.sum("n_st").alias("n_src"))
     tok_tot = (
         st.groupBy("token")
