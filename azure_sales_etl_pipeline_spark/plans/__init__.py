@@ -76,6 +76,7 @@ _SWEEP_PRIORITY = (
     "scd2_point_in_time",
     "late_dimension_inferred",
     "referential_integrity_audit",
+    "span_corruption_masks",
     "minhash_recall_check",
     "pack_sequences",
     "salted_join_topk",

@@ -1342,9 +1342,104 @@ _WDS_MANIFEST_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# span corruption masks (T5-style denoising pretraining prep)
+# ---------------------------------------------------------------------------
+
+#: A span STARTS at ~5% of token positions (byte < 13 of 256 ≈ 5.1%);
+#: requested lengths cycle 1..4 (mean 2.5 → ~12-13% of tokens masked,
+#: the usual denoising corruption budget).
+_SPAN_START_MAX_BYTE = 13
+_SPAN_LEN_MOD = 4
+
+
+def span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic span-corruption mask generation — the data-prep
+    step for T5/UL2-style denoising pretraining: for every document,
+    the token spans to blank out, chosen by hashing (doc_id, position)
+    so the masks are a pure function of the corpus (reproducible across
+    runs, engines, and repartitioning — the same determinism discipline
+    as every sampler here, vs. the usual ``rand()`` masks that change
+    every epoch run). Position i starts a span iff the first md5 byte
+    of ``mask:doc:i`` falls under ``_SPAN_START_MAX_BYTE``; the second
+    byte picks a 1..``_SPAN_LEN_MOD`` token length, clipped at the doc
+    end (both lengths reported — loaders need the requested length for
+    sentinel numbering and the clipped one for slicing). Spans may
+    touch or overlap; merging is the loader's choice and a trivial
+    islands pass downstream.
+
+    Shape: scan → explode positions → narrow JVM hash arithmetic →
+    filter — ZERO shuffles; the fan-out is the corpus token count, the
+    survivor set ~5% of it. At 100 TB this is embarrassingly parallel
+    map work."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens")
+    )
+    pos = docs.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(F.sequence(F.lit(0), F.col("n_tokens") - 1)).alias("i"),
+    )
+    hx = F.md5(
+        F.concat(
+            F.lit("mask:"),
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("i").cast("string"),
+        )
+    )
+    b0 = F.conv(F.substring(hx, 1, 2), 16, 10).cast("int")
+    b1 = F.conv(F.substring(hx, 3, 2), 16, 10).cast("int")
+    req = (F.lit(1) + b1 % _SPAN_LEN_MOD).cast("bigint")
+    return (
+        pos.select(
+            "doc_id",
+            F.col("i").cast("bigint").alias("span_start"),
+            req.alias("span_len_req"),
+            F.least(req, (F.col("n_tokens") - F.col("i")).cast("bigint")).alias(
+                "span_len"
+            ),
+            b0.alias("__b0"),
+        )
+        .where(F.col("__b0") < _SPAN_START_MAX_BYTE)
+        .drop("__b0")
+    )
+
+
+def _span_hexbyte(pos: int) -> str:
+    hi = f"strpos('0123456789abcdef', substr(hx, {2 * pos + 1}, 1)) - 1"
+    lo = f"strpos('0123456789abcdef', substr(hx, {2 * pos + 2}, 1)) - 1"
+    return f"(({hi}) * 16 + ({lo}))"
+
+
+_SPAN_MASKS_SQL = rf"""
+    WITH t AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, n_tokens, unnest(range(n_tokens)) AS i FROM t
+    ),
+    h AS (
+        SELECT doc_id, n_tokens, i,
+               md5('mask:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)) AS hx
+        FROM pos
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS span_start,
+           CAST(1 + {_span_hexbyte(1)} % {_SPAN_LEN_MOD} AS BIGINT) AS span_len_req,
+           CAST(least(1 + {_span_hexbyte(1)} % {_SPAN_LEN_MOD}, n_tokens - i) AS BIGINT)
+               AS span_len
+    FROM h
+    WHERE {_span_hexbyte(0)} < {_SPAN_START_MAX_BYTE}
+"""
+
+
 QUERIES = {
     "train_test_split": train_test_split,
     "wds_export_manifest": wds_export_manifest,
+    "span_corruption_masks": span_corruption_masks,
     "leakage_safe_split": leakage_safe_split,
     "global_shuffle_export": global_shuffle_export,
     "stratified_sample": stratified_sample,
@@ -1365,6 +1460,7 @@ QUERIES = {
 ORACLES = {
     "train_test_split": _SPLIT_SQL,
     "wds_export_manifest": _WDS_MANIFEST_SQL,
+    "span_corruption_masks": _SPAN_MASKS_SQL,
     "leakage_safe_split": _LEAKAGE_SPLIT_SQL,
     "global_shuffle_export": _GLOBAL_SHUFFLE_SQL,
     "stratified_sample": _STRATIFIED_SQL,

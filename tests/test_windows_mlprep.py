@@ -356,3 +356,39 @@ def test_fuzzy_name_pairs_matches_reference_impl(spark):
                 if d <= _FUZZY_MAX_DIST:
                     want.add((a.split(" ")[-1], a, b, d))
     assert got == want and len(want) > 0
+
+
+def test_span_corruption_masks_deterministic_and_budgeted(spark):
+    """Masks must be a pure function of (doc_id, position) — identical
+    across invocations — match an independent Python md5 replay, stay
+    inside the document, and mask roughly the designed ~5% of start
+    positions."""
+    import hashlib
+
+    from azure_sales_etl_pipeline_spark.plans.mlprep import (
+        _SPAN_LEN_MOD,
+        _SPAN_START_MAX_BYTE,
+        span_corruption_masks,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = span_corruption_masks(spark, sf).collect()
+    again = span_corruption_masks(spark, sf).collect()
+    key = lambda r: (r["doc_id"], r["span_start"], r["span_len_req"], r["span_len"])
+    assert sorted(map(key, rows)) == sorted(map(key, again))
+
+    docs = {
+        r["doc_id"]: len(r["text"].strip().split())
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    }
+    want = set()
+    for doc_id, n in docs.items():
+        for i in range(n):
+            hx = hashlib.md5(f"mask:{doc_id}:{i}".encode()).hexdigest()
+            if int(hx[0:2], 16) < _SPAN_START_MAX_BYTE:
+                req = 1 + int(hx[2:4], 16) % _SPAN_LEN_MOD
+                want.add((doc_id, i, req, min(req, n - i)))
+    assert set(map(key, rows)) == want
+    total_positions = sum(docs.values())
+    assert 0.03 < len(rows) / total_positions < 0.08  # ~5% span starts
+    assert all(r["span_start"] + r["span_len"] <= docs[r["doc_id"]] for r in rows)
