@@ -77,6 +77,7 @@ _SWEEP_PRIORITY = (
     "late_dimension_inferred",
     "referential_integrity_audit",
     "span_corruption_masks",
+    "sql_widget_shippers",
     "minhash_recall_check",
     "pack_sequences",
     "salted_join_topk",

@@ -387,8 +387,40 @@ _BALANCE_SHARE_SQL = """
 """
 
 
+def sql_widget_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20-shaped: suppliers in a given nation who shipped a
+    substantial volume of widget parts — a NESTED IN chain (suppliers
+    IN keys-from-lineitem, whose parts are IN a name-filtered part
+    list, with a per-(supplier, part) HAVING volume floor). Both IN
+    levels must decorrelate to semi joins: the part-name filter reaches
+    the part scan, qualifies lineitem rows by semi join, the volume
+    HAVING reduces at (supplier, part) grain, and only then does the
+    supplier dimension join — never a subquery loop, never the raw
+    fact against supplier."""
+    _register_views(spark, sf_dir, "supplier", "nation", "lineitem", "part")
+    return spark.sql(_WIDGET_SHIPPERS_SQL)
+
+
+# Engine-neutral text: runs verbatim on Spark and DuckDB.
+_WIDGET_SHIPPERS_SQL = """
+    SELECT s.s_suppkey AS supp_key, s.s_name AS supplier_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_0'
+      AND s.s_suppkey IN (
+            SELECT l.l_suppkey FROM lineitem l
+            WHERE l.l_partkey IN (
+                SELECT p_partkey FROM part WHERE p_name LIKE '%widget%'
+            )
+            GROUP BY l.l_suppkey, l.l_partkey
+            HAVING sum(CAST(l.l_quantity AS BIGINT)) > 50
+      )
+"""
+
+
 QUERIES = {
     "sql_shipping_priority": sql_shipping_priority,
+    "sql_widget_shippers": sql_widget_shippers,
     "sql_nation_balance_share": sql_nation_balance_share,
     "sql_cheapest_supplier_per_nation": sql_cheapest_supplier_per_nation,
     "sql_part_type_supplier_counts": sql_part_type_supplier_counts,
@@ -402,6 +434,7 @@ QUERIES = {
 
 ORACLES = {
     "sql_shipping_priority": _SHIPPING_SQL,
+    "sql_widget_shippers": _WIDGET_SHIPPERS_SQL,
     "sql_nation_balance_share": _BALANCE_SHARE_SQL,
     "sql_cheapest_supplier_per_nation": _CHEAPEST_SQL,
     "sql_part_type_supplier_counts": _PART_SUPPLIERS_SQL,
