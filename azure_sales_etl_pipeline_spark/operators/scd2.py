@@ -166,7 +166,11 @@ class SCD2Table:
         )
         if placeholders.isEmpty():
             return 0
-        return self.upsert(placeholders)["insert"]
+        # expire_absent=False: this is a PARTIAL batch (missing keys
+        # only). On an on_delete="expire" table, routing it through the
+        # default policy would classify every existing current key as
+        # ABSENT and soft-delete the whole dimension (r6 advisory).
+        return self.upsert(placeholders, expire_absent=False)["insert"]
 
     # -- internals ---------------------------------------------------------
 
@@ -188,15 +192,24 @@ class SCD2Table:
 
     # -- the operator -------------------------------------------------------
 
-    def upsert(self, source: DataFrame) -> dict[str, int]:
+    def upsert(self, source: DataFrame, expire_absent: bool | None = None) -> dict[str, int]:
         """Apply one batch. Returns action counts for observability
-        (the reference prints them, 2_Bronze_to_Silver.py:104)."""
+        (the reference prints them, 2_Bronze_to_Silver.py:104).
+
+        ``expire_absent`` overrides the table-level ``on_delete`` policy
+        for this one batch: ``False`` treats ABSENT keys as "no change
+        arrived" even on an ``on_delete="expire"`` table. Internal
+        callers that apply PARTIAL batches (``ensure_members``'
+        missing-keys-only placeholder insert) must pass ``False`` —
+        a partial batch under snapshot-deletion semantics would expire
+        every key it doesn't mention."""
         if self.key not in source.columns:
             # Fail fast on first load too — otherwise a misconfigured key
             # only surfaces at the second batch's join.
             raise ValueError(
                 f"business key {self.key!r} not in batch columns {source.columns}"
             )
+        expire_mode = (self.on_delete == "expire") if expire_absent is None else expire_absent
         now = self.clock()
         if not table_exists(self.path):
             first = self._with_scd(source, now)
@@ -238,7 +251,7 @@ class SCD2Table:
         n_update = counts.get("UPDATE", 0)
         # ABSENT rows become deletions only in "expire" mode; in the
         # default mode they're detected-but-unacted (reference parity).
-        n_delete = counts.get("ABSENT", 0) if self.on_delete == "expire" else 0
+        n_delete = counts.get("ABSENT", 0) if expire_mode else 0
         stats = {
             "insert": n_insert,
             "update": n_update,
@@ -255,7 +268,7 @@ class SCD2Table:
         # keys plus (expire mode) deleted keys. Source has no rows for
         # ABSENT keys, so including them in the new-versions semi-join is
         # a no-op — one key set serves both purposes.
-        expire_actions = ("UPDATE", "ABSENT") if self.on_delete == "expire" else ("UPDATE",)
+        expire_actions = ("UPDATE", "ABSENT") if expire_mode else ("UPDATE",)
         changed_keys = classified.where(
             F.col("__action").isin("INSERT", *expire_actions)
         ).select("__key")

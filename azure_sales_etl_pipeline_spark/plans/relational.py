@@ -556,11 +556,27 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     values followed by a left-anti probe of the dimension's key — the
     anti-join carries |distinct keys| rows, never the fact — and a
     conditional re-count maps orphaned keys back to row counts. All
-    edges union into one audit frame (one row per edge)."""
+    edges union into one audit frame (one row per edge).
+
+    NULL FK values are excluded on BOTH sides: "FK not set" is a
+    different defect (orders_validation's territory) from "FK points at
+    nothing", and SQL NOT IN / anti-join disagree about NULLs — Spark's
+    left_anti counts a NULL fk as an orphan while NOT IN silently drops
+    it (and returns zero rows if any dimension pk is NULL). Filtering
+    IS NOT NULL pre-join pins one semantics both engines share
+    (r6 advisory)."""
     out = None
     for fact, fk, dim, pk in _FK_EDGES:
-        f = load_table(spark, sf_dir, fact).select(F.col(fk).alias("fk"))
-        d = load_table(spark, sf_dir, dim).select(F.col(pk).alias("fk"))
+        f = (
+            load_table(spark, sf_dir, fact)
+            .select(F.col(fk).alias("fk"))
+            .where(F.col("fk").isNotNull())
+        )
+        d = (
+            load_table(spark, sf_dir, dim)
+            .select(F.col(pk).alias("fk"))
+            .where(F.col("fk").isNotNull())
+        )
         key_counts = f.groupBy("fk").agg(F.count(F.lit(1)).alias("n_rows_key"))
         orphan_keys = key_counts.join(d, "fk", "left_anti")
         edge = orphan_keys.agg(
@@ -585,9 +601,12 @@ def _ri_audit_sql() -> str:
                    CAST(coalesce(sum(n_rows_key), 0) AS BIGINT) AS n_orphan_rows
             FROM (
                 SELECT {fk} AS fk, count(*) AS n_rows_key
-                FROM {fact} GROUP BY 1
+                FROM {fact} WHERE {fk} IS NOT NULL GROUP BY 1
             ) k
-            WHERE k.fk NOT IN (SELECT {pk} FROM {dim})
+            WHERE NOT EXISTS (
+                SELECT 1 FROM {dim} d
+                WHERE d.{pk} = k.fk AND d.{pk} IS NOT NULL
+            )
             """
         )
     return " UNION ALL ".join(selects)

@@ -692,6 +692,15 @@ def pca_power_iteration_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         G[r["i"], r["j"]] = G[r["j"], r["i"]] = r["gram_e6"] / _GRAM_SCALE
         if r["i"] == r["j"]:
             trace_e6 += r["gram_e6"]
+    if not rows or trace_e6 <= 0:
+        # Empty corpus (or an all-zero Gram): the iteration below would
+        # normalize a zero vector into NaNs (r6 advisory). Report the
+        # empty input explicitly with both gates false — a driver-
+        # visible mismatch that says "no data", not an unhelpful crash.
+        return spark.createDataFrame(
+            [(int(n_vecs), int(trace_e6), False, False)],
+            "n_vecs bigint, trace_e6 bigint, variance_ok boolean, residual_ok boolean",
+        )
     v = np.ones(d) / np.sqrt(d)
     for _ in range(_PCA_POWER_ITERS):
         v = G @ v

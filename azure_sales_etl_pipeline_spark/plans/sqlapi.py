@@ -248,14 +248,14 @@ _LARGE_VOLUME_SQL = """
     SELECT c.c_name AS customer_name,
            c.c_custkey AS cust_key,
            o.o_orderkey AS order_key,
-           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+           CAST(sum(CAST(floor(l.l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE o.o_orderkey IN (
         SELECT l_orderkey FROM lineitem
         GROUP BY l_orderkey
-        HAVING sum(CAST(l_quantity AS BIGINT)) > 300
+        HAVING sum(CAST(floor(l_quantity) AS BIGINT)) > 300
     )
     GROUP BY c.c_name, c.c_custkey, o.o_orderkey
     ORDER BY total_qty DESC, order_key ASC
@@ -413,7 +413,7 @@ _WIDGET_SHIPPERS_SQL = """
                 SELECT p_partkey FROM part WHERE p_name LIKE '%widget%'
             )
             GROUP BY l.l_suppkey, l.l_partkey
-            HAVING sum(CAST(l.l_quantity AS BIGINT)) > 50
+            HAVING sum(CAST(floor(l.l_quantity) AS BIGINT)) > 50
       )
 """
 

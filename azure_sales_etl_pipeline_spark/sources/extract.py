@@ -13,6 +13,7 @@ Catalyst pushes the filter into the scan.
 from __future__ import annotations
 
 import datetime as dt
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -20,9 +21,24 @@ from pyspark.sql import functions as F
 from ..functions import utcnow_naive
 
 
+#: Identifiers interpolated into synthesized SQL: dotted/bracketed
+#: schema-qualified names only — no quotes, semicolons, whitespace, or
+#: comment tokens. The dynamic SQL is config-driven by design (faithful
+#: to ADF's @concat); this gate keeps it from ever being pointed at
+#: user input (r6 verdict note).
+_IDENT_RE = re.compile(r"[A-Za-z_\[][A-Za-z0-9_.\[\]$]*")
+
+
+def _check_ident(name: str, what: str) -> str:
+    if not _IDENT_RE.fullmatch(name):
+        raise ValueError(f"{what} {name!r} is not a plain SQL identifier")
+    return name
+
+
 def window_predicate(ts_col: str, lower: dt.datetime, upper: dt.datetime) -> str:
     """The reference's half-open window ``(lower, upper]`` as SQL text
     (F12 dynamic synthesis, adf/pipeline.json:129)."""
+    _check_ident(ts_col, "timestamp column")
     return (
         f"{ts_col} > '{lower:%Y-%m-%d %H:%M:%S.%f}' "
         f"AND {ts_col} <= '{upper:%Y-%m-%d %H:%M:%S.%f}'"
@@ -63,6 +79,7 @@ def incremental_extract(
         if table is None or (spark is None and reader is None):
             raise ValueError("JDBC extract needs table + (spark or reader)")
         upper = upper or utcnow_naive()
+        _check_ident(table, "table name")
         query = f"SELECT * FROM {table} WHERE {window_predicate(ts_col, lower, upper)}"
         rd = reader if reader is not None else spark.read
         rd = rd.format("jdbc").option("url", jdbc_url).option("query", query)

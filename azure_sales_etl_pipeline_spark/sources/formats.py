@@ -107,12 +107,28 @@ def write_wds_shards(
     deterministic member order, so re-exports of identical data are
     bit-identical (content-addressable cache friendly). Pair with a
     ``global_shuffle_export``-style shard assignment so sequential
-    shard reads see a shuffled stream."""
+    shard reads see a shuffled stream.
+
+    REQUIREMENT: ``out_dir`` must be a POSIX filesystem visible to every
+    executor AND the driver (local mode, NFS, Lustre, /dbfs fuse) —
+    shards are written with ``os`` calls from executor Python workers,
+    which have no JVM gateway and therefore no Hadoop FileSystem access.
+    Pointing this at a bare object-store URI would strand shards on
+    executor-local disks (r6 advisory), so scheme-qualified paths are
+    rejected up front; for S3/ABFS/GCS exports, mount the bucket (fuse)
+    or swap the ``os`` calls for an fsspec filesystem."""
     import io
     import json as _json
     import os
     import tarfile
 
+    if "://" in out_dir:
+        raise ValueError(
+            f"write_wds_shards writes via executor-local POSIX I/O; "
+            f"object-store URI {out_dir!r} is not reachable from Python "
+            "workers — mount it (fuse) or provide a posix path shared by "
+            "driver and executors"
+        )
     os.makedirs(out_dir, exist_ok=True)
     cols = [shard_col, key_col, payload_col, *meta_cols]
 

@@ -222,3 +222,36 @@ def test_ensure_members_infers_and_completes(spark, tmp_path):
     placeholder = [r for r in hist if r["k"] == 2 and not r["is_current"]]
     assert len(placeholder) == 1 and placeholder[0]["v"] is None
     assert {r["k"]: r["v"] for r in dim.current().collect()} == {1: "a", 2: "b", 3: None}
+
+
+def test_ensure_members_does_not_expire_on_delete_expire_table(spark, tmp_path):
+    """r6 advisory regression: on an on_delete="expire" dimension, the
+    placeholder batch is PARTIAL (missing keys only) — every existing
+    current key is absent from it, and routing it through snapshot
+    semantics would soft-delete the whole dimension. ensure_members
+    must suppress absent-key expiry for its internal upsert while the
+    table keeps expire semantics for real full-snapshot batches."""
+    import datetime as dt
+
+    from azure_sales_etl_pipeline_spark.operators.scd2 import SCD2Table
+
+    t = [dt.datetime(2024, 1, 1)]
+    dim = SCD2Table(
+        spark, str(tmp_path / "dim"), "k", clock=lambda: t[0], on_delete="expire"
+    )
+    dim.upsert(spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"))
+
+    t[0] = dt.datetime(2024, 2, 1)
+    refs = spark.createDataFrame([(1,), (3,)], "k bigint")
+    assert dim.ensure_members(refs) == 1          # key 3 inferred
+    cur = {r["k"]: r["v"] for r in dim.current().collect()}
+    assert cur == {1: "a", 2: "b", 3: None}       # 1 and 2 NOT expired
+
+    # snapshot semantics still live for real batches: a full snapshot
+    # omitting key 2 expires it
+    t[0] = dt.datetime(2024, 3, 1)
+    stats = dim.upsert(
+        spark.createDataFrame([(1, "a"), (3, "c")], "k bigint, v string")
+    )
+    assert stats["deleted"] == 1
+    assert {r["k"] for r in dim.current().collect()} == {1, 3}
