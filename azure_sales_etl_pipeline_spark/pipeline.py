@@ -25,12 +25,24 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from .catalog import LayerCatalog, table_exists
 from .functions import utcnow_naive
 from .operators.scd2 import SCD2Table
 from .operators.watermark import WatermarkStore
-from .operators.writer import read_table
+from .operators.writer import overwrite_table, read_table
 from .sources.ingest import CsvIngestor
+
+#: Persisted run-log row shape (the reference DESCRIBES a logging table,
+#: README.MD:230-233, but never implements it — this closes that gap).
+#: One row per stage per run; count columns are NULL where a stage has
+#: no such notion (ingest / gold rows use n_insert as "rows written").
+RUN_LOG_SCHEMA = (
+    "run_id bigint, run_at timestamp, stage string, ok boolean, "
+    "n_insert bigint, n_update bigint, n_no_change bigint, n_deleted bigint, "
+    "error string"
+)
 
 
 @dataclass
@@ -59,14 +71,20 @@ class MedallionPipeline:
         tables: list[TableConfig],
         clock: Callable[[], dt.datetime] | None = None,
         on_insert: dict[str, Callable[[DataFrame], None]] | None = None,
+        gold_marts: dict[str, Callable[[SparkSession, LayerCatalog], DataFrame]] | None = None,
     ):
         self.spark = spark
         self.catalog = LayerCatalog(root)
         self.tables = tables
         self.clock = clock or utcnow_naive
         self.on_insert = on_insert or {}
+        # Silver→Gold stage (3_Silver_to_Gold.py): each mart is a
+        # builder over the silver layer, overwritten per run (S7 — the
+        # reference full-refreshes every gold mart).
+        self.gold_marts = gold_marts or {}
         self.watermarks = WatermarkStore(spark, self.catalog.path("state", "watermarks"))
         self.ingestor = CsvIngestor(spark, str(self.catalog.layer_root("bronze")), clock=self.clock)
+        self.log_path = self.catalog.path("state", "run_log")
 
     # -- stages -------------------------------------------------------------
 
@@ -104,12 +122,65 @@ class MedallionPipeline:
         self.watermarks.advance_from(batch, cfg.ts_col, cfg.name)
         return stats
 
+    def silver_to_gold(self, name: str) -> dict[str, int]:
+        """Materialize one gold mart: full refresh by staged-swap
+        overwrite, the reference's mode for every mart
+        (3_Silver_to_Gold.py:60,66,72,92,112,133 / S7)."""
+        df = self.gold_marts[name](self.spark, self.catalog)
+        path = self.catalog.path("gold", name)
+        overwrite_table(df, path)
+        return {"rows": read_table(self.spark, path).count()}
+
+    # -- run log -------------------------------------------------------------
+
+    def run_log(self) -> DataFrame:
+        """The persisted run history (empty-schema frame before any run)."""
+        if not table_exists(self.log_path):
+            return self.spark.createDataFrame([], RUN_LOG_SCHEMA)
+        return read_table(self.spark, self.log_path)
+
+    def _next_run_id(self) -> int:
+        if not table_exists(self.log_path):
+            return 1
+        prev = read_table(self.spark, self.log_path).agg(F.max("run_id")).first()[0]
+        return int(prev or 0) + 1
+
+    def _persist_log(self, run_id: int, run_at: dt.datetime, results: list[StageResult]) -> None:
+        rows = []
+        for r in results:
+            if r.table == "__ingest__":
+                ingested = sum(v for v in r.stats.get("rows", {}).values() if v is not None)
+                rows.append((run_id, run_at, r.table, r.ok, ingested, None, None, None, r.error))
+            else:
+                s = r.stats
+                rows.append(
+                    (
+                        run_id,
+                        run_at,
+                        r.table,
+                        r.ok,
+                        s.get("insert", s.get("rows")),
+                        s.get("update"),
+                        s.get("no_change"),
+                        s.get("deleted"),
+                        r.error,
+                    )
+                )
+        # One tiny control-plane file per run, appended — the log IS a
+        # queryable engine table (vs the reference's described-only one).
+        self.spark.createDataFrame(rows, RUN_LOG_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(self.log_path)
+
     # -- driver -------------------------------------------------------------
 
     def run(self, landing_root: str) -> list[StageResult]:
-        """Full run: ingest all landed tables, then SCD2 each configured
-        table with per-table isolation — one bad table never blocks the
-        rest (C3)."""
+        """Full run: ingest all landed tables, SCD2 each configured
+        table, then refresh gold marts — per-stage isolation throughout
+        (C3: one bad table/mart never blocks the rest), and the outcome
+        of every stage appended to the persisted run log."""
+        run_id = self._next_run_id()
+        run_at = self.clock()
         results: list[StageResult] = []
         ingest_stats = self.landing_to_bronze(landing_root)
         results.append(StageResult("__ingest__", True, {"rows": ingest_stats}))
@@ -121,4 +192,13 @@ class MedallionPipeline:
                 results.append(
                     StageResult(cfg.name, False, error=traceback.format_exc(limit=3))
                 )
+        for name in self.gold_marts:
+            try:
+                stats = self.silver_to_gold(name)
+                results.append(StageResult(f"gold:{name}", True, stats))
+            except Exception:  # noqa: BLE001 — per-mart isolation (C3)
+                results.append(
+                    StageResult(f"gold:{name}", False, error=traceback.format_exc(limit=3))
+                )
+        self._persist_log(run_id, run_at, results)
         return results

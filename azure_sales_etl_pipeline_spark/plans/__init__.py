@@ -38,79 +38,18 @@ _DOMAINS = (
 )
 
 # Registry ORDER IS DELIBERATE: the driver's per-round correctness sweep
-# walks it in order under a bounded budget (round 3 stopped at exactly
-# the first 50 entries, leaving 25 queries with no driver row), so the
-# entries with the LEAST accumulated driver evidence go first — ranked
-# (1) never driver-checked, (2) output changed this round (older green
-# rows no longer describe current code), (3) last green two rounds ago
-# (r02 only) — and the repeatedly-proven stable remainder keeps module
-# order at the tail, where any truncation costs the least information.
-# Update each round as evidence accumulates.
+# walks it in order under a bounded budget (50 entries per round), so
+# the entries with the LEAST accumulated driver evidence go first.
+# Rebuilt for round 7 from CORRECTNESS_r02-r06 staleness: (1) queries
+# NEW this round (never driver-checked), (2) last green in r04 — the
+# oldest surviving evidence, 42 queries r05/r06 budgets truncated,
+# (3) last green r05, (4) last green r06 at the tail, where truncation
+# costs the least information. Update each round as evidence
+# accumulates (scripts: recompute from the CORRECTNESS_r*.json files).
 _SWEEP_PRIORITY = (
-    # (1) NEW in r06 — never driver-checked: the queries landed this
-    # round (shuffle-shard export, leakage-safe split, fuzzy join, skew
-    # profile, Q13/Q18/Q21 SQL shapes, media dedup, permille rank
-    # profile, Gram matrix + PCA gate, LSH recall gate, two sequence
-    # packers, salted/bucketed join demos, incremental fingerprint-index
-    # fold, Q4/Q15 SQL shapes, int8 quantization, bigram surprisal,
-    # cluster collapse, row validation)
-    "global_shuffle_export",
-    "leakage_safe_split",
-    "fuzzy_name_pairs",
-    "key_skew_profile",
-    "sql_customer_distribution",
-    "sql_large_volume_customers",
-    "sql_waiting_suppliers",
-    "media_dedup",
-    "order_month_rank_profile",
-    "embedding_gram",
-    "pca_power_iteration_check",
-    "wds_export_manifest",
-    "k_anonymity_audit",
-    "order_drift_histogram",
-    "sql_cheapest_supplier_per_nation",
-    "sql_part_type_supplier_counts",
-    "source_vocab_drift",
-    "sql_nation_balance_share",
-    "click_conversion_asof",
-    "scd2_point_in_time",
-    "late_dimension_inferred",
-    "referential_integrity_audit",
-    "span_corruption_masks",
-    "sql_widget_shippers",
-    "minhash_recall_check",
-    "pack_sequences",
-    "salted_join_topk",
-    "dedup_index_two_batch",
-    "sql_order_priority_count",
-    "sql_top_supplier",
-    "bucketed_join_summary",
-    "pack_sequences_greedy",
-    "embedding_quantize",
-    "bigram_surprisal",
-    "cluster_representatives",
-    "orders_validation",
-    "partition_pruned_revenue",
-    "zorder_clustering_stats",
-    "supplier_copurchase_pagerank",
-    "events_daily_anomalies",
-    "order_value_histogram",
-    # (1b) output or oracle CHANGED in r06 — the r05 green rows no
-    # longer describe current code (typed min/max profile bounds;
-    # conditional-agg sketch build; Expand-free order rates)
-    "table_profile",
-    "theta_set_ops",
-    "seller_order_rates",
-    "seller_segmentation",
-    # (2) newest green row is r03 — the only query two sweeps stale
-    "train_test_split",
-    # (3) newest green row is r04 (r05's 50-query budget truncated
-    # before these) — alphabetical; seller twins are r05-green and live
-    # in the module-order tail, daily before _approx as required
-    "ann_recall_check",
-    "ann_topk_bruteforce",
-    "ann_topk_ivf",
-    "ann_topk_lsh",
+    "pipeline_end_to_end",
+    "pipeline_run_log",
+    "pipeline_gold_mart",
     "asof_join_cogroup",
     "bloom_decontaminate",
     "dedup_keep_first",
@@ -153,6 +92,102 @@ _SWEEP_PRIORITY = (
     "user_event_gaps_window",
     "watermark_incremental_batch",
     "winnowing_fingerprints",
+    "vocab_coverage",
+    "dup_ngram_fraction",
+    "unigram_surprisal",
+    "bpe_pair_counts",
+    "media_frame_sample",
+    "event_funnel",
+    "sketch_union_rollup",
+    "kll_quantile_rollup",
+    "retention_cohorts",
+    "event_props_json",
+    "percentile_accuracy_check",
+    "revenue_unpivot",
+    "customer_running_revenue",
+    "order_value_deciles",
+    "purchase_prior_clicks",
+    "revenue_7d_window",
+    "events_hourly_gapfill",
+    "salted_event_type_counts",
+    "events_sessionize",
+    "stratified_sample",
+    "split_contamination",
+    "token_budget_shards",
+    "curation_funnel",
+    "dedup_clusters",
+    "doc_tfidf_topterms",
+    "balanced_downsample",
+    "fact_order_details",
+    "seller_performance_daily_approx",
+    "hll_accuracy_check",
+    "seller_performance_daily",
+    "seller_performance_monthly",
+    "seller_performance_quarterly",
+    "customer_behavior",
+    "star_projection",
+    "drop_and_cast",
+    "filter_sql_string",
+    "filter_column_expr",
+    "null_test_classify",
+    "distinct_keys",
+    "global_watermark",
+    "hash_diff_rows",
+    "scd2_classify",
+    "customers_without_urgent_orders",
+    "top_spenders",
+    "sql_shipping_priority",
+    "sql_nation_revenue",
+    "global_shuffle_export",
+    "leakage_safe_split",
+    "fuzzy_name_pairs",
+    "key_skew_profile",
+    "sql_customer_distribution",
+    "sql_large_volume_customers",
+    "sql_waiting_suppliers",
+    "media_dedup",
+    "order_month_rank_profile",
+    "embedding_gram",
+    "pca_power_iteration_check",
+    "wds_export_manifest",
+    "k_anonymity_audit",
+    "order_drift_histogram",
+    "sql_cheapest_supplier_per_nation",
+    "sql_part_type_supplier_counts",
+    "source_vocab_drift",
+    "sql_nation_balance_share",
+    "click_conversion_asof",
+    "scd2_point_in_time",
+    "late_dimension_inferred",
+    "referential_integrity_audit",
+    "span_corruption_masks",
+    "sql_widget_shippers",
+    "minhash_recall_check",
+    "pack_sequences",
+    "salted_join_topk",
+    "dedup_index_two_batch",
+    "sql_order_priority_count",
+    "sql_top_supplier",
+    "bucketed_join_summary",
+    "pack_sequences_greedy",
+    "embedding_quantize",
+    "bigram_surprisal",
+    "cluster_representatives",
+    "orders_validation",
+    "partition_pruned_revenue",
+    "zorder_clustering_stats",
+    "supplier_copurchase_pagerank",
+    "events_daily_anomalies",
+    "order_value_histogram",
+    "table_profile",
+    "theta_set_ops",
+    "seller_order_rates",
+    "seller_segmentation",
+    "train_test_split",
+    "ann_recall_check",
+    "ann_topk_bruteforce",
+    "ann_topk_ivf",
+    "ann_topk_lsh",
 )
 
 

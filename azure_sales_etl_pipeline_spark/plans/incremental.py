@@ -565,7 +565,197 @@ _LATE_DIM_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Full-orchestrator end-to-end (S13/J5/C3 + every stage: the reference's
+# actual product, adf/pipeline.json:2 Copy_All_Tables_Pipeline_SCD2)
+# ---------------------------------------------------------------------------
+
+
+def _segment_mart(spark: SparkSession, catalog) -> DataFrame:
+    """Demo gold mart: current-customer counts per market segment —
+    the 3_Silver_to_Gold.py shape (filter is_current → groupBy → agg)
+    at toy grain, built strictly from the SILVER layer."""
+    from ..operators.writer import read_table
+
+    cur = read_table(spark, catalog.path("silver", "customers")).where(
+        F.col("is_current")
+    )
+    return cur.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+def _run_demo_pipeline(spark: SparkSession, sf_dir: str, tmp: str):
+    """Drive the REAL orchestrator (pipeline.MedallionPipeline) through
+    two incremental runs over landing CSVs synthesized from ``customer``:
+
+    run 1 (_T1): batch = customers with key % 3 != 0 (two thirds)
+    run 2 (_T2): batch = ALL customers, segment rewritten to 'PROMO'
+                 for key % 5 == 0
+
+    Every stage is the production path: CSV discovery + infer-then-pin
+    ingestion with audit columns (landing→bronze), watermark-windowed
+    SCD2 upsert (bronze→silver), gold-mart refresh (silver→gold), and
+    the persisted run log. Deterministic via the injected clock."""
+    from ..pipeline import MedallionPipeline, TableConfig
+
+    customer = load_table(spark, sf_dir, "customer")
+    b1 = customer.where(F.col("c_custkey") % 3 != 0).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    b2 = customer.select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("PROMO"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    landing = f"{tmp}/landing/customers"
+    clock = [_T1]
+    pipe = MedallionPipeline(
+        spark,
+        f"{tmp}/lake",
+        [TableConfig("customers", "c_custkey")],
+        clock=lambda: clock[0],
+        gold_marts={"customer_segments": _segment_mart},
+    )
+    # The engine's own CSV sink (S12) writes the landing batches; the
+    # `_`-prefixed _SUCCESS markers are skipped by source discovery.
+    b1.coalesce(1).write.mode("overwrite").option("header", True).csv(landing)
+    r1 = pipe.run(f"{tmp}/landing")
+    clock[0] = _T2
+    b2.coalesce(1).write.mode("overwrite").option("header", True).csv(landing)
+    r2 = pipe.run(f"{tmp}/landing")
+    if not all(s.ok for s in (*r1, *r2)):
+        bad = [s for s in (*r1, *r2) if not s.ok]
+        raise RuntimeError(f"pipeline stage failed: {bad}")
+    return pipe
+
+
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landing→bronze→silver under the orchestrator in one driver-
+    visible pass: returns the full silver SCD2 history after the two
+    demo runs. The oracle recomputes that history declaratively —
+    unchanged run-1 rows stay current since _T1, segment-changed keys
+    carry an expired _T1.._T2 version, and run 2's inserts + new
+    versions are current since _T2."""
+    tmp = tempfile.mkdtemp(prefix="pipe_e2e_")
+    try:
+        pipe = _run_demo_pipeline(spark, sf_dir, tmp)
+        from ..operators.writer import read_table
+
+        hist = read_table(spark, pipe.catalog.path("silver", "customers")).select(
+            F.col("c_custkey").cast("bigint").alias("c_custkey"),
+            "c_name",
+            "c_mktsegment",
+            "is_current",
+            "effective_date",
+            "end_date",
+        )
+        return hist.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_PIPE_E2E_SQL = f"""
+    -- run-1 rows never touched again: in batch1 (key%3<>0), segment
+    -- unchanged by batch2 (key%5<>0)
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_mktsegment,
+           true AS is_current,
+           TIMESTAMP '{_T1:%Y-%m-%d %H:%M:%S}' AS effective_date,
+           NULL::TIMESTAMP AS end_date
+    FROM customer WHERE c_custkey % 3 <> 0 AND c_custkey % 5 <> 0
+    UNION ALL
+    -- expired run-1 versions of keys batch2 changed
+    SELECT CAST(c_custkey AS BIGINT), c_name, c_mktsegment,
+           false, TIMESTAMP '{_T1:%Y-%m-%d %H:%M:%S}', TIMESTAMP '{_T2:%Y-%m-%d %H:%M:%S}'
+    FROM customer WHERE c_custkey % 3 <> 0 AND c_custkey % 5 = 0
+    UNION ALL
+    -- run-2 current versions: inserts (key%3=0) + updates (key%5=0)
+    SELECT CAST(c_custkey AS BIGINT), c_name,
+           CASE WHEN c_custkey % 5 = 0 THEN 'PROMO' ELSE c_mktsegment END,
+           true, TIMESTAMP '{_T2:%Y-%m-%d %H:%M:%S}', NULL
+    FROM customer WHERE c_custkey % 3 = 0 OR c_custkey % 5 = 0
+"""
+
+
+def pipeline_gold_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The silver→gold stage under the orchestrator: after the two demo
+    runs, read back the materialized ``customer_segments`` mart from the
+    GOLD layer (not recomputed in memory — the parquet the pipeline
+    wrote). Oracle: segment counts over the final current state."""
+    tmp = tempfile.mkdtemp(prefix="pipe_gold_")
+    try:
+        pipe = _run_demo_pipeline(spark, sf_dir, tmp)
+        from ..operators.writer import read_table
+
+        mart = read_table(spark, pipe.catalog.path("gold", "customer_segments"))
+        return mart.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_PIPE_GOLD_SQL = """
+    SELECT CASE WHEN c_custkey % 5 = 0 THEN 'PROMO' ELSE c_mktsegment END
+               AS c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer
+    GROUP BY 1
+"""
+
+
+def pipeline_run_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted run-log table (the reference only DESCRIBES its
+    logging table, README.MD:230-233; the engine materializes it):
+    after the two demo runs, six rows — ingest / SCD2 / gold-mart
+    outcome per run with stage-appropriate counts. The oracle derives
+    every count from ``customer`` with the same modular predicates."""
+    tmp = tempfile.mkdtemp(prefix="pipe_log_")
+    try:
+        pipe = _run_demo_pipeline(spark, sf_dir, tmp)
+        return pipe.run_log().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_PIPE_LOG_SQL = f"""
+    WITH n AS (
+        SELECT
+            CAST(count(*) FILTER (c_custkey % 3 <> 0) AS BIGINT) AS n_b1,
+            CAST(count(*) AS BIGINT) AS n_b2,
+            CAST(count(*) FILTER (c_custkey % 3 = 0) AS BIGINT) AS ins2,
+            CAST(count(*) FILTER (c_custkey % 3 <> 0 AND c_custkey % 5 = 0) AS BIGINT) AS upd2,
+            CAST(count(*) FILTER (c_custkey % 3 <> 0 AND c_custkey % 5 <> 0) AS BIGINT) AS nc2,
+            CAST(count(DISTINCT CASE WHEN c_custkey % 3 <> 0 THEN c_mktsegment END) AS BIGINT) AS seg1,
+            CAST(count(DISTINCT CASE WHEN c_custkey % 5 = 0 THEN 'PROMO' ELSE c_mktsegment END) AS BIGINT) AS seg2
+        FROM customer
+    )
+    SELECT 1 AS run_id, TIMESTAMP '{_T1:%Y-%m-%d %H:%M:%S}' AS run_at,
+           '__ingest__' AS stage, true AS ok,
+           n_b1 AS n_insert, NULL::BIGINT AS n_update,
+           NULL::BIGINT AS n_no_change, NULL::BIGINT AS n_deleted,
+           NULL::VARCHAR AS error
+    FROM n
+    UNION ALL
+    SELECT 1, TIMESTAMP '{_T1:%Y-%m-%d %H:%M:%S}', 'customers', true,
+           n_b1, 0, 0, NULL, NULL FROM n
+    UNION ALL
+    SELECT 1, TIMESTAMP '{_T1:%Y-%m-%d %H:%M:%S}', 'gold:customer_segments', true,
+           seg1, NULL, NULL, NULL, NULL FROM n
+    UNION ALL
+    SELECT 2, TIMESTAMP '{_T2:%Y-%m-%d %H:%M:%S}', '__ingest__', true,
+           n_b2, NULL, NULL, NULL, NULL FROM n
+    UNION ALL
+    SELECT 2, TIMESTAMP '{_T2:%Y-%m-%d %H:%M:%S}', 'customers', true,
+           ins2, upd2, nc2, NULL, NULL FROM n
+    UNION ALL
+    SELECT 2, TIMESTAMP '{_T2:%Y-%m-%d %H:%M:%S}', 'gold:customer_segments', true,
+           seg2, NULL, NULL, NULL, NULL FROM n
+"""
+
+
 QUERIES = {
+    "pipeline_end_to_end": pipeline_end_to_end,
+    "pipeline_run_log": pipeline_run_log,
+    "pipeline_gold_mart": pipeline_gold_mart,
     "scd2_two_batch_history": scd2_two_batch_history,
     "scd2_point_in_time": scd2_point_in_time,
     "late_dimension_inferred": late_dimension_inferred,
@@ -577,6 +767,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipeline_end_to_end": _PIPE_E2E_SQL,
+    "pipeline_run_log": _PIPE_LOG_SQL,
+    "pipeline_gold_mart": _PIPE_GOLD_SQL,
     "scd2_two_batch_history": _SCD2_HISTORY_SQL,
     "scd2_point_in_time": _SCD2_PIT_SQL,
     "late_dimension_inferred": _LATE_DIM_SQL,

@@ -70,3 +70,44 @@ def test_per_table_isolation(spark, tmp_path):
     assert results["bad"].ok is False and results["bad"].error
     assert results["good"].ok is True
     assert results["good"].stats["insert"] == 1
+
+
+def test_run_log_persists_outcomes_and_failures(spark, tmp_path):
+    """The persisted run log (reference README.MD:230-233 describes but
+    never implements a logging table): per-stage rows with counts, a
+    failed table logged ok=false WITH its error while the run
+    continues, monotonically increasing run_id across runs, and a
+    gold-mart stage row."""
+    landing = tmp_path / "landing"
+    write_csv(landing / "good" / "b.csv", "id,v\n1,x\n2,y\n")
+    write_csv(landing / "bad" / "b.csv", "id,v\n1,x\n")
+
+    def mart(sp, catalog):
+        from azure_sales_etl_pipeline_spark.operators.writer import read_table
+
+        return read_table(sp, catalog.path("silver", "good")).where("is_current").select("id", "v")
+
+    clock = {"now": dt.datetime(2024, 1, 1)}
+    pipe = MedallionPipeline(
+        spark,
+        str(tmp_path / "lake"),
+        [TableConfig("bad", "missing_key"), TableConfig("good", "id")],
+        clock=lambda: clock["now"],
+        gold_marts={"good_current": mart},
+    )
+    pipe.run(str(landing))
+    clock["now"] = dt.datetime(2024, 2, 1)
+    write_csv(landing / "good" / "b.csv", "id,v\n2,CHANGED\n")
+    pipe.run(str(landing))
+
+    log = {(r["run_id"], r["stage"]): r for r in pipe.run_log().collect()}
+    assert len(log) == 8  # 4 stages x 2 runs
+    assert log[(1, "bad")]["ok"] is False and "missing_key" in log[(1, "bad")]["error"]
+    assert log[(1, "good")]["ok"] is True and log[(1, "good")]["n_insert"] == 2
+    assert log[(1, "__ingest__")]["n_insert"] == 3  # 2 good + 1 bad rows landed
+    assert log[(1, "gold:good_current")]["ok"] is True
+    assert log[(1, "gold:good_current")]["n_insert"] == 2
+    assert log[(2, "good")]["n_update"] == 1 and log[(2, "good")]["n_insert"] == 0
+    assert log[(2, "good")]["error"] is None
+    ts = {r[0]: log[(r[0], "good")]["run_at"] for r in log}
+    assert ts[1] == dt.datetime(2024, 1, 1) and ts[2] == dt.datetime(2024, 2, 1)
