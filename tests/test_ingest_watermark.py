@@ -103,3 +103,50 @@ def test_watermark_empty_batch_keeps_state(spark, tmp_path):
     empty = ev.where(F.lit(False))
     assert store.advance_from(empty, "ts", "t") is None
     assert store.get("t") == dt.datetime(2024, 1, 5)
+
+
+def test_jdbc_watermark_store_live_round_trip_embedded_derby(spark, tmp_path):
+    """LIVE control-table watermark round trip against embedded Derby —
+    the reference's dbo.adf_watermark read (Lookup) + write-back
+    (Script UPDATE, adf/pipeline.json:260-271) closed engine-side:
+    df.write.jdbc appends the commit, the pushdown MAX query reads it
+    back, missing control table defaults to 1900-01-01, and cut()
+    windows a frame off the stored value."""
+    import datetime as dt
+
+    from azure_sales_etl_pipeline_spark.operators.watermark import (
+        DEFAULT_WATERMARK,
+        JdbcWatermarkStore,
+    )
+
+    db = str(tmp_path / "derby_wm")
+    # create=true so the database exists; the control TABLE does not yet
+    spark._jvm.java.sql.DriverManager.getConnection(
+        f"jdbc:derby:{db};create=true"
+    ).close()
+    store = JdbcWatermarkStore(
+        spark,
+        f"jdbc:derby:{db}",
+        control_table="adf_watermark",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+
+    # first run: no control table at all → full-history sentinel (T3)
+    assert store.get("customers") == DEFAULT_WATERMARK
+
+    # commit two watermarks; MAX-over-appends wins, per-table isolation
+    store.set("customers", dt.datetime(2024, 1, 1))
+    store.set("customers", dt.datetime(2024, 2, 1))
+    store.set("orders", dt.datetime(2023, 6, 1))
+    assert store.get("customers") == dt.datetime(2024, 2, 1)
+    assert store.get("orders") == dt.datetime(2023, 6, 1)
+    assert store.get("never_seen") == DEFAULT_WATERMARK
+
+    # the shared windowing ops ride on the JDBC backend unchanged
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 15)), (2, dt.datetime(2024, 2, 15))],
+        "id bigint, updated_at timestamp",
+    )
+    assert [r["id"] for r in store.cut(df, "updated_at", "customers").collect()] == [2]
+    assert store.advance_from(df, "updated_at", "customers") == dt.datetime(2024, 2, 15)
+    assert store.get("customers") == dt.datetime(2024, 2, 15)
