@@ -50,6 +50,8 @@ _SWEEP_PRIORITY = (
     "pipeline_end_to_end",
     "pipeline_run_log",
     "pipeline_gold_mart",
+    "sql_discounted_brand_revenue",
+    "sql_global_sales_opportunity",
     "asof_join_cogroup",
     "bloom_decontaminate",
     "dedup_keep_first",

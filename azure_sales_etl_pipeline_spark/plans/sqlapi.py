@@ -418,6 +418,96 @@ _WIDGET_SHIPPERS_SQL = """
 """
 
 
+
+def sql_discounted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19-shaped: revenue from three brand-specific quantity/size
+    bands, written as one OR-of-ANDs predicate across the join
+    (TPC-H Q19's shape: each disjunct constrains BOTH part attributes
+    and lineitem attributes; containers/shipmodes don't exist in the
+    testdata, so the bands use brand + size + quantity + returnflag).
+    The plan property under test: Catalyst must split the disjunction —
+    part-only conjuncts (brand list, size floor) push into the part
+    scan, lineitem-only conjuncts (returnflag, quantity ceiling) into
+    the lineitem scan — leaving ONE hash join with the residual OR, not
+    a union of three scans and never a filter above the join alone.
+    Revenue in exact integer cents per the engine's DECIMAL convention."""
+    _register_views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_BRAND_REVENUE_SQL)
+
+
+# Engine-neutral text: runs verbatim on Spark and DuckDB.
+_BRAND_REVENUE_SQL = """
+    SELECT CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(18,4))), 2) * 100 AS BIGINT)
+               AS revenue_cents,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (
+            p.p_brand = 'Brand#1'
+        AND p.p_size BETWEEN 1 AND 15
+        AND l.l_quantity BETWEEN 1 AND 20
+        AND l.l_returnflag = 'N'
+    ) OR (
+            p.p_brand = 'Brand#2'
+        AND p.p_size BETWEEN 1 AND 25
+        AND l.l_quantity BETWEEN 10 AND 30
+        AND l.l_returnflag = 'N'
+    ) OR (
+            p.p_brand = 'Brand#3'
+        AND p.p_size BETWEEN 1 AND 35
+        AND l.l_quantity BETWEEN 20 AND 40
+        AND l.l_returnflag = 'N'
+    )
+"""
+
+
+def sql_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22-shaped: per-nation count and total balance of RICH, QUIET
+    customers — balance above the average positive balance of their
+    cohort (scalar aggregate subquery) and no urgent-priority order
+    ever placed (NOT EXISTS anti-join; the testdata has no phone
+    column, so the cohort is a nation-key list and "quiet" means no
+    1-URGENT order — every customer here has orders). The two plan
+    properties under test: the scalar cohort aggregate computes ONCE
+    and broadcasts into the filter, and the NOT EXISTS decorrelates to
+    a LEFT ANTI join on c_custkey against the pre-filtered orders side.
+    The above-average comparison is integer cross-multiplied
+    (cents x count > total_cents) so no division boundary can flip
+    between engines."""
+    _register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_SALES_OPPORTUNITY_SQL)
+
+
+# Engine-neutral text: runs verbatim on Spark and DuckDB.
+_SALES_OPPORTUNITY_SQL = """
+    WITH cohort AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(round(CAST(c_acctbal AS DECIMAL(18,4)), 2) * 100 AS BIGINT)
+                   AS bal_cents
+        FROM customer
+        WHERE c_nationkey IN (5, 10, 15, 20)
+    ),
+    pos AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_pos,
+               CAST(sum(bal_cents) AS BIGINT) AS total_cents
+        FROM cohort WHERE bal_cents > 0
+    )
+    SELECT c.c_nationkey AS nation_key,
+           count(*) AS numcust,
+           CAST(sum(c.bal_cents) AS BIGINT) AS totacctbal_cents
+    FROM cohort c
+    WHERE c.bal_cents * (SELECT n_pos FROM pos) > (SELECT total_cents FROM pos)
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT'
+      )
+    GROUP BY c.c_nationkey
+"""
+
+
+
 QUERIES = {
     "sql_shipping_priority": sql_shipping_priority,
     "sql_widget_shippers": sql_widget_shippers,
@@ -430,6 +520,8 @@ QUERIES = {
     "sql_customer_distribution": sql_customer_distribution,
     "sql_large_volume_customers": sql_large_volume_customers,
     "sql_waiting_suppliers": sql_waiting_suppliers,
+    "sql_discounted_brand_revenue": sql_discounted_brand_revenue,
+    "sql_global_sales_opportunity": sql_global_sales_opportunity,
 }
 
 ORACLES = {
@@ -444,4 +536,6 @@ ORACLES = {
     "sql_customer_distribution": _CUSTDIST_SQL,
     "sql_large_volume_customers": _LARGE_VOLUME_SQL,
     "sql_waiting_suppliers": _WAITING_SQL,
+    "sql_discounted_brand_revenue": _BRAND_REVENUE_SQL,
+    "sql_global_sales_opportunity": _SALES_OPPORTUNITY_SQL,
 }

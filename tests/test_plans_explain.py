@@ -327,3 +327,40 @@ def test_sql_scalar_agg_and_not_in_decorrelate(spark):
 
     p16 = plan_of(sql_part_type_supplier_counts(spark, SF_DIR))
     assert "LeftAnti" in p16 and "Cartesian" not in p16
+
+
+def test_sql_or_of_ands_pushes_per_side_conjuncts(spark):
+    """Q19-shape (sql_discounted_brand_revenue): Catalyst must factor
+    the OR-of-ANDs — the part-only disjunction (brand/size) pushes into
+    the part scan and the lineitem-only disjunction (returnflag,
+    quantity bands) into the lineitem scan — leaving one equi-join with
+    the residual OR. One scan per table, no union-of-scans, no
+    cartesian."""
+    from azure_sales_etl_pipeline_spark.plans.sqlapi import (
+        sql_discounted_brand_revenue,
+    )
+
+    plan = plan_of(sql_discounted_brand_revenue(spark, SF_DIR))
+    assert "Cartesian" not in plan
+    assert plan.count(") Scan parquet") == 2  # one per table, not per band
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("Brand#1" in l or "p_brand" in l for l in pushed), pushed
+    assert any("l_returnflag" in l or "EqualTo(l_returnflag,N)" in l for l in pushed), pushed
+
+
+def test_sql_q22_anti_join_and_single_scalar_agg(spark):
+    """Q22-shape (sql_global_sales_opportunity): the NOT EXISTS must
+    decorrelate to a left-anti join against the pre-filtered orders
+    side (the o_orderpriority filter pushed into that scan), and the
+    cohort scalar aggregate must compute once (subquery reuse/broadcast),
+    never per customer row."""
+    from azure_sales_etl_pipeline_spark.plans.sqlapi import (
+        sql_global_sales_opportunity,
+    )
+
+    plan = plan_of(sql_global_sales_opportunity(spark, SF_DIR))
+    assert "LeftAnti" in plan and "Cartesian" not in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("1-URGENT" in l or "o_orderpriority" in l for l in pushed), pushed
+    # scalar subqueries appear as separate single-row subplans, not joins
+    assert "Subquery" in plan
