@@ -220,26 +220,63 @@ def revenue_7d_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``rowsBetween(-6, 0)`` would get wrong on sparse calendars.
 
     Scale shape: revenue aggregates to the DAY grain first (one
-    map-side-combined shuffle; ~2,400 rows for 6.5 years), and only
-    that bounded table enters the global-ordered window — the
-    ``WindowExec: No Partition Defined`` warning is safe here for the
-    same documented reason as ``vocab_coverage``. All-integer output
-    (cents + day counts)."""
+    map-side-combined shuffle), then the window runs PARTITIONED BY
+    YEAR — every year computes independently in parallel, no
+    single-partition exchange (the r6 verdict's WindowExec warning) —
+    and the ≤6 days at each year boundary get their prior-year carry
+    from a tiny year-keyed equi-join (residual 1..6-day band): at most
+    6 boundary rows per year each matching ≤6 prior days, broadcast-
+    sized forever. Identical semantics to the global-ordered window at
+    any calendar span. All-integer output (cents + day counts)."""
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         (F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2) * 100)
         .cast("bigint")
         .alias("day_revenue_cents"),
-    )
+    ).withColumn("year", F.year("day"))
     w = (
-        Window.orderBy(F.datediff(F.col("day"), F.lit("1995-01-01")))
+        Window.partitionBy("year")
+        .orderBy(F.datediff(F.col("day"), F.lit("1995-01-01")))
         .rangeBetween(-6, 0)
     )
-    return daily.select(
-        F.date_format("day", "yyyy-MM-dd").alias("day"),
+    within = daily.select(
+        "day",
+        "year",
         "day_revenue_cents",
-        F.sum("day_revenue_cents").over(w).alias("trailing_7d_cents"),
-        F.count("*").over(w).cast("bigint").alias("n_days_in_window"),
+        F.sum("day_revenue_cents").over(w).alias("in_year_cents"),
+        F.count("*").over(w).cast("bigint").alias("in_year_days"),
+    )
+    prior = daily.select(
+        F.col("day").alias("p_day"),
+        (F.col("year") + 1).alias("p_next_year"),
+        F.col("day_revenue_cents").alias("p_cents"),
+    )
+    boundary = (
+        within.where(F.dayofyear("day") <= 6)
+        .join(
+            prior,
+            (F.col("p_next_year") == F.col("year"))
+            & F.datediff(F.col("day"), F.col("p_day")).between(1, 6),
+            "inner",
+        )
+        .groupBy("day")
+        .agg(
+            F.sum("p_cents").alias("carry_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("carry_days"),
+        )
+    )
+    return (
+        within.join(boundary, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "day_revenue_cents",
+            (F.col("in_year_cents") + F.coalesce(F.col("carry_cents"), F.lit(0)))
+            .cast("bigint")
+            .alias("trailing_7d_cents"),
+            (F.col("in_year_days") + F.coalesce(F.col("carry_days"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_days_in_window"),
+        )
     )
 
 

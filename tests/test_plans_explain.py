@@ -364,3 +364,36 @@ def test_sql_q22_anti_join_and_single_scalar_agg(spark):
     assert any("1-URGENT" in l or "o_orderpriority" in l for l in pushed), pushed
     # scalar subqueries appear as separate single-row subplans, not joins
     assert "Subquery" in plan
+
+
+def test_revenue_7d_window_is_year_partitioned(spark):
+    """r6 verdict: the trailing-7d window must not be a global-order
+    single-partition WindowExec — it partitions by year (parallel per
+    year) with the boundary carry coming from a year-keyed join."""
+    from azure_sales_etl_pipeline_spark.plans.windows import revenue_7d_window
+
+    plan = plan_of(revenue_7d_window(spark, SF_DIR))
+    spec_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert spec_lines, "no window in plan"
+    assert all("year#" in l for l in spec_lines), spec_lines
+
+
+def test_bounded_windows_limit_precedes_window(spark):
+    """vocab_coverage / bpe_pair_counts run an unpartitioned window BY
+    DESIGN — but only over a TakeOrderedAndProject'ed top-N, so the
+    single partition holds N rows, not the corpus. Pin that the limit
+    sits BELOW the window in the physical tree (Window's child), so a
+    refactor can't silently move the window onto unbounded input."""
+    from azure_sales_etl_pipeline_spark.plans.textops import (
+        bpe_pair_counts,
+        vocab_coverage,
+    )
+
+    for fn in (vocab_coverage, bpe_pair_counts):
+        plan = plan_of(fn(spark, SF_DIR))
+        tree = [l for l in plan.splitlines() if "(" in l and ("+-" in l or ":-" in l)]
+        win_rows = [i for i, l in enumerate(tree) if "Window (" in l]
+        topn_rows = [i for i, l in enumerate(tree) if "TakeOrderedAndProject (" in l]
+        assert win_rows and topn_rows, plan
+        # parent prints above child: the limit is the window's subtree
+        assert min(topn_rows) == min(win_rows) + 1, tree
