@@ -52,6 +52,7 @@ _SWEEP_PRIORITY = (
     "pipeline_gold_mart",
     "sql_discounted_brand_revenue",
     "sql_global_sales_opportunity",
+    "bpe_merge_steps",
     "asof_join_cogroup",
     "bloom_decontaminate",
     "dedup_keep_first",

@@ -925,6 +925,124 @@ _BPE_SQL = rf"""
 """
 
 
+
+_BPE_MERGE_ROUNDS = 5
+
+
+def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE TRAINING — ``bpe_pair_counts`` is one round's
+    counting step; this runs ``_BPE_MERGE_ROUNDS`` full merge rounds
+    and returns the learned merge table (round, lhs, rhs, merged,
+    occurrence-weighted count), i.e. the actual tokenizer-training
+    loop over the corpus.
+
+    State is the distinct-word vocabulary with corpus frequencies —
+    |vocab| rows however big the corpus (the corpus itself is scanned
+    ONCE) — each word's symbol sequence encoded as a delimited string
+    ``(h)(e)(l)(l)(o)``. Per round: adjacent pairs explode from the
+    symbol split and hash-aggregate frequency-weighted (one shuffle on
+    the pair key); the argmax pair is a 1-row driver collect (control
+    plane); the merge itself is a single JVM-side ``replace`` of
+    ``(a)(b)``→``(ab)`` — the paren delimiters make left-to-right
+    replace exactly BPE's greedy non-overlapping merge, with no UDF
+    and no per-symbol lambda. localCheckpoint per round cuts the
+    lineage, PageRank-loop discipline (words restricted to [a-z]+ so
+    delimiters can never occur inside a symbol)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(_tokens()).alias("w"))
+        .where(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    state = vocab.select(
+        F.expr(
+            "concat('(', array_join(transform(sequence(1, length(w)), "
+            "i -> substring(w, i, 1)), ')('), ')')"
+        ).alias("s"),
+        "n",
+    ).localCheckpoint(eager=True)
+
+    merges = []
+    for rnd in range(1, _BPE_MERGE_ROUNDS + 1):
+        pairs = (
+            state.select(
+                F.split(
+                    F.expr("substring(s, 2, length(s) - 2)"), r"\)\("
+                ).alias("arr"),
+                "n",
+            )
+            .where(F.size("arr") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(arr) - 1), "
+                        "i -> struct(element_at(arr, i) AS a, element_at(arr, i + 1) AS b))"
+                    )
+                ).alias("p"),
+                "n",
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n").alias("cnt"))
+        )
+        top = pairs.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(1).collect()
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
+        merges.append((rnd, a, b, a + b, int(cnt)))
+        state = state.withColumn(
+            "s", F.expr(f"replace(s, '({a})({b})', '({a}{b})')")
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "round int, lhs string, rhs string, merged string, n_occurrences bigint"
+    )
+
+
+def _bpe_merge_sql() -> str:
+    """Unrolled-CTE DuckDB replay of the merge loop: same paren
+    encoding, same replace-based greedy merge, one CTE pair per round."""
+    parts = [
+        r"""WITH words AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+              FROM documents) t
+        WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2
+        GROUP BY w
+    ),
+    s0 AS (
+        SELECT '(' || array_to_string(
+                   list_transform(range(1, length(w) + 1),
+                                  i -> substr(w, CAST(i AS INTEGER), 1)),
+                   ')(') || ')' AS s, n
+        FROM words
+    )"""
+    ]
+    for r in range(1, _BPE_MERGE_ROUNDS + 1):
+        parts.append(f""",
+    p{r} AS (
+        SELECT arr[CAST(i AS INTEGER)] AS a, arr[CAST(i AS INTEGER) + 1] AS b,
+               CAST(sum(n) AS BIGINT) AS cnt
+        FROM (SELECT str_split(substr(s, 2, length(s) - 2), ')(') AS arr, n
+              FROM s{r-1}) t,
+             unnest(range(1, len(arr))) AS u(i)
+        GROUP BY 1, 2
+    ),
+    m{r} AS (
+        SELECT a, b, cnt FROM p{r}
+        ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+    ),
+    s{r} AS (
+        SELECT replace(s, '(' || m.a || ')(' || m.b || ')',
+                       '(' || m.a || m.b || ')') AS s, n
+        FROM s{r-1}, m{r} m
+    )""")
+    selects = [
+        f"SELECT {r} AS round, a AS lhs, b AS rhs, a || b AS merged, cnt AS n_occurrences FROM m{r}"
+        for r in range(1, _BPE_MERGE_ROUNDS + 1)
+    ]
+    return "".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
 #: Drift vocabulary cap: the grid is K × |sources| regardless of corpus
 #: size. 1000 covers this corpus's whole vocabulary (31 tokens) and the
 #: head of any real one.
@@ -1038,6 +1156,7 @@ QUERIES = {
     "unigram_surprisal": unigram_surprisal,
     "bigram_surprisal": bigram_surprisal,
     "bpe_pair_counts": bpe_pair_counts,
+    "bpe_merge_steps": bpe_merge_steps,
 }
 
 ORACLES = {
@@ -1056,4 +1175,5 @@ ORACLES = {
     "unigram_surprisal": _SURPRISAL_SQL,
     "bigram_surprisal": _BIGRAM_SURPRISAL_SQL,
     "bpe_pair_counts": _BPE_SQL,
+    "bpe_merge_steps": _bpe_merge_sql(),
 }
