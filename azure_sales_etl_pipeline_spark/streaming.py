@@ -549,6 +549,73 @@ def streaming_dedup_index(
     _streaming_fold(spark, source_glob, schema, index_path, checkpoint, fold)
 
 
+def streaming_drift_monitor(
+    spark: SparkSession,
+    source_glob: str,
+    schema,
+    state_path: str,
+    value_col: str,
+    ts_col: str,
+    split_ts,
+    bin_width: float,
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming distribution-drift upkeep — the incremental path for
+    ``order_drift_histogram``'s 100 TB story: instead of re-scanning
+    both corpus snapshots per check, each arriving micro-batch folds
+    its per-bin before/after counts into a persisted drift state
+    (``merge_aggregate`` on the bin key), so the state table is
+    |bins| rows forever and the full history is never re-read.
+    Indicator columns (0/1 per period) turn the period split into two
+    mergeable sums — exactly the conditional-count rewrite the batch
+    query uses, made associative so stream(batches) ≡ batch(union).
+    Read the current drift anytime with ``drift_report``. Replay
+    protection shared with ``streaming_mart`` (``_streaming_fold``
+    commit marker: a redelivered batch would double-count)."""
+    from .operators.maintenance import merge_aggregate
+
+    def fold(batch_df: DataFrame, commit_meta: dict) -> None:
+        split = F.col(ts_col) < F.lit(split_ts).cast("timestamp")
+        binned = batch_df.select(
+            F.floor(F.col(value_col) / bin_width).cast("bigint").alias("bin_id"),
+            F.when(split, 1).otherwise(0).alias("n_before"),
+            F.when(split, 0).otherwise(1).alias("n_after"),
+        )
+        merge_aggregate(
+            spark,
+            state_path,
+            binned,
+            keys=["bin_id"],
+            sums=["n_before", "n_after"],
+            commit_meta=commit_meta,
+        )
+
+    _streaming_fold(spark, source_glob, schema, state_path, checkpoint, fold)
+
+
+def drift_report(spark: SparkSession, state_path: str) -> DataFrame:
+    """Project the persisted drift state into the same shape as the
+    batch ``order_drift_histogram``: per-bin counts, integer-permille
+    shares of each period's total, and absolute share drift. Pure
+    derivation over |bins| rows — no fact scan."""
+    from .operators.writer import read_table
+
+    bins = read_table(spark, state_path).select("bin_id", "n_before", "n_after")
+    totals = bins.agg(
+        F.sum("n_before").alias("tot_before"), F.sum("n_after").alias("tot_after")
+    )
+    share_b = F.expr("n_before * 1000 DIV tot_before")
+    share_a = F.expr("n_after * 1000 DIV tot_after")
+    return bins.crossJoin(F.broadcast(totals)).select(
+        "bin_id",
+        F.col("n_before").cast("bigint").alias("n_before"),
+        F.col("n_after").cast("bigint").alias("n_after"),
+        share_b.cast("bigint").alias("share_before_permille"),
+        share_a.cast("bigint").alias("share_after_permille"),
+        F.abs(share_b - share_a).cast("bigint").alias("drift_permille"),
+    )
+
+
 def _streaming_fold(
     spark: SparkSession,
     source_glob: str,

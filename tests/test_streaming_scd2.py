@@ -291,3 +291,77 @@ def test_streaming_dedup_index_converges(spark, tmp_path):
     }
     assert got2 == got
     assert read_commit_meta(index)["batch_id"] == last_batch
+
+
+def test_streaming_drift_monitor_matches_batch_histogram(spark, tmp_path):
+    """Two streamed micro-batches must leave the drift state (and its
+    report) exactly equal to the batch conditional-count histogram over
+    their union — the incremental path for order_drift_histogram."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from azure_sales_etl_pipeline_spark.streaming import (
+        drift_report,
+        streaming_drift_monitor,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("price", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    t_old, t_new = dt.datetime(2023, 6, 1), dt.datetime(2024, 6, 1)
+    split = dt.datetime(2024, 1, 1)
+    rows1 = [(5.0, t_old), (15.0, t_old), (15.0, t_new), (25.0, t_new)]
+    rows2 = [(5.0, t_new), (25.0, t_old), (25.0, t_new), (35.0, t_new)]
+    src = tmp_path / "facts"
+    state = str(tmp_path / "drift_state")
+    ckpt = str(tmp_path / "ckpt")
+    glob = str(src) + "/*"
+
+    def land(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.option(
+            "header", "true"
+        ).csv(str(src / name))
+
+    land(rows1, "f1")
+    streaming_drift_monitor(
+        spark, glob, schema, state, "price", "ts", split, 10.0, checkpoint=ckpt
+    )
+    land(rows2, "f2")
+    streaming_drift_monitor(
+        spark, glob, schema, state, "price", "ts", split, 10.0, checkpoint=ckpt
+    )
+
+    got = sorted(map(tuple, drift_report(spark, state).collect()))
+
+    full = spark.createDataFrame(rows1 + rows2, schema)
+    is_before = F.col("ts") < F.lit(split)
+    bins = full.groupBy(
+        F.floor(F.col("price") / 10.0).cast("bigint").alias("bin_id")
+    ).agg(
+        F.count(F.when(is_before, 1)).alias("n_before"),
+        F.count(F.when(~is_before, 1)).alias("n_after"),
+    )
+    tot = bins.agg(
+        F.sum("n_before").alias("tb"), F.sum("n_after").alias("ta")
+    )
+    sb, sa = F.expr("n_before * 1000 DIV tb"), F.expr("n_after * 1000 DIV ta")
+    want = sorted(
+        map(
+            tuple,
+            bins.crossJoin(tot)
+            .select(
+                "bin_id",
+                F.col("n_before").cast("bigint"),
+                F.col("n_after").cast("bigint"),
+                sb.cast("bigint"),
+                sa.cast("bigint"),
+                F.abs(sb - sa).cast("bigint"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want and len(got) == 4
