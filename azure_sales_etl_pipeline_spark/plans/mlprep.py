@@ -506,7 +506,26 @@ _CC_JACCARD_MIN = 0.6
 _CC_MAX_ITERS = 8
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+
+def _lineage_cutter(spark: SparkSession, checkpoint_dir: str | None):
+    """Per-round lineage cut for iterative algorithms. Default:
+    ``localCheckpoint`` — executor-local blocks, fastest, but an
+    executor loss mid-iteration kills the job (fine on local mode /
+    short loops). Passing ``checkpoint_dir`` switches to RELIABLE
+    ``checkpoint()`` into that directory (HDFS/shared FS on a cluster):
+    rounds survive executor loss at the cost of writing each round's
+    state to storage — the knob SCALE.md documents for long iterative
+    jobs on preemptible fleets."""
+    if checkpoint_dir is None:
+        return lambda df: df.localCheckpoint()
+    spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    return lambda df: df.checkpoint(eager=True)
+
+
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Collapse near-duplicate documents into clusters: connected
     components over the near-dup pair graph (edges = blocked candidate
     pairs with token Jaccard >= 0.6), labeling every doc with the
@@ -543,24 +562,23 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate (pre-range-filter) instead of the few that survive —
     # measured 12x slower at sf0.1. It also makes the union below read
     # the pairs once instead of re-running the join per branch.
-    edges = (
-        ngram_jaccard_pairs(spark, sf_dir)
-        .localCheckpoint()
-        .where(F.col("jaccard") >= _CC_JACCARD_MIN)
-        .select("doc_a", "doc_b")
-    )
+    cut = _lineage_cutter(spark, checkpoint_dir)
+    edges = cut(ngram_jaccard_pairs(spark, sf_dir)).where(
+        F.col("jaccard") >= _CC_JACCARD_MIN
+    ).select("doc_a", "doc_b")
     # Undirected: propagate labels both ways.
-    adj = edges.union(
-        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint()
+    adj = cut(
+        edges.union(
+            edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+    )
     all_docs = load_table(spark, sf_dir, "documents").select("doc_id")
     # Iterate only over edge nodes; adj already holds both directions so
     # doc_a alone covers every endpoint.
-    labels = (
+    labels = cut(
         adj.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint()
     )
     for _ in range(_CC_MAX_ITERS):
         neighbor_min = (
@@ -584,10 +602,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         lab_map = relaxed.select(
             F.col("doc_id").alias("r_doc"), F.col("mid").alias("r_lab")
         )
-        updated = (
+        updated = cut(  # job 1: materialize the round
             relaxed.join(lab_map, F.col("mid") == F.col("r_doc"))
             .select("doc_id", F.col("r_lab").alias("new_cluster_id"), "cluster_id")
-            .localCheckpoint()  # job 1: materialize the round
         )
         # job 2: scalar convergence probe on already-checkpointed rows
         changed = updated.where(F.col("new_cluster_id") != F.col("cluster_id")).count()
@@ -723,7 +740,9 @@ _PR_ITERS = 3
 _PR_SCALE = 1_000_000  # fixed-point micro-units
 
 
-def supplier_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def supplier_copurchase_pagerank(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Fixed-point PageRank over the supplier CO-PURCHASE graph (edge =
     two suppliers fulfilling the same order): the influence/centrality
     score a marketplace runs over its supplier network, and the
@@ -761,8 +780,9 @@ def supplier_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst"))
         .distinct()
-        .localCheckpoint()
     )
+    cut = _lineage_cutter(spark, checkpoint_dir)
+    edges = cut(edges)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = load_table(spark, sf_dir, "supplier").select("s_suppkey")
     rank = nodes.withColumn("rank_micro", F.lit(_PR_SCALE).cast("bigint"))
@@ -773,7 +793,7 @@ def supplier_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("dst", F.expr("rank_micro div deg").alias("c"))
         )
         inc = contrib.groupBy("dst").agg(F.sum("c").alias("inc"))
-        rank = (
+        rank = cut(
             nodes.join(inc, nodes.s_suppkey == inc.dst, "left")
             .select(
                 "s_suppkey",
@@ -782,7 +802,6 @@ def supplier_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.expr("85 * coalesce(inc, 0) div 100")
                 ).cast("bigint").alias("rank_micro"),
             )
-            .localCheckpoint()
         )
     indeg = edges.groupBy(F.col("dst").alias("s_suppkey")).agg(
         F.count(F.lit(1)).alias("n_copurchase_edges")

@@ -20,6 +20,7 @@ from azure_sales_etl_pipeline_spark.plans.mlprep import (
     train_test_split,
 )
 from azure_sales_etl_pipeline_spark.plans.windows import purchase_prior_clicks
+from tests.conftest import SF_DIR
 
 T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
 
@@ -392,3 +393,33 @@ def test_span_corruption_masks_deterministic_and_budgeted(spark):
     total_positions = sum(docs.values())
     assert 0.03 < len(rows) / total_positions < 0.08  # ~5% span starts
     assert all(r["span_start"] + r["span_len"] <= docs[r["doc_id"]] for r in rows)
+
+
+def test_iterative_ops_reliable_checkpoint_knob(spark, tmp_path):
+    """checkpoint_dir switches the iterative loops from localCheckpoint
+    (fast, dies with an executor) to reliable checkpoint() into a
+    shared directory — same results, state actually written under the
+    dir (the SCALE.md knob for preemptible fleets)."""
+    from azure_sales_etl_pipeline_spark.plans.mlprep import (
+        dedup_clusters,
+        supplier_copurchase_pagerank,
+    )
+
+    ckpt = tmp_path / "reliable_ckpt"
+    got = sorted(
+        map(tuple, dedup_clusters(spark, SF_DIR, checkpoint_dir=str(ckpt)).collect())
+    )
+    want = sorted(map(tuple, dedup_clusters(spark, SF_DIR).collect()))
+    assert got == want
+    assert any(ckpt.rglob("*")), "no reliable checkpoint state written"
+
+    got_pr = sorted(
+        map(
+            tuple,
+            supplier_copurchase_pagerank(
+                spark, SF_DIR, checkpoint_dir=str(ckpt)
+            ).collect(),
+        )
+    )
+    want_pr = sorted(map(tuple, supplier_copurchase_pagerank(spark, SF_DIR).collect()))
+    assert got_pr == want_pr

@@ -357,3 +357,17 @@ def test_wds_shards_distributed_readback(spark, tmp_path):
         assert bytes(r["payload"]) == f"payload text {k}".encode()
         assert r["lang"] == ("en" if k % 2 else "es")
         assert r["shard_id"] == k % 4
+
+
+def test_delta_gate_skips_only_on_import_absence():
+    """r6 verdict task: the delta e2e test must skip ONLY because
+    delta-spark is absent. If the package is present but broken, that
+    must surface as a FAILURE here, never hide inside importorskip."""
+    import importlib.util
+
+    spec = importlib.util.find_spec("delta")
+    if spec is None:
+        pytest.skip("delta-spark not installed: e2e gate legitimately import-absent")
+    import delta  # present → must import cleanly, else this test fails
+
+    assert hasattr(delta, "configure_spark_with_delta_pip")
