@@ -53,6 +53,8 @@ _SWEEP_PRIORITY = (
     "sql_discounted_brand_revenue",
     "sql_global_sales_opportunity",
     "bpe_merge_steps",
+    "stream_drift_monitor",
+    "jdbc_watermark_round_trip",
     "asof_join_cogroup",
     "bloom_decontaminate",
     "dedup_keep_first",

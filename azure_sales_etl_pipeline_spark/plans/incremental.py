@@ -752,10 +752,69 @@ _PIPE_LOG_SQL = f"""
 """
 
 
+
+def jdbc_watermark_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's control-table watermark ROUND TRIP
+    (dbo.adf_watermark: Lookup read + Script write-back,
+    adf/pipeline.json:186-272) against a LIVE embedded Derby database,
+    driver-visible: two incremental runs over ``orders`` commit their
+    high watermark into the source DB via ``df.write.jdbc`` and read it
+    back through the pushdown MAX lookup; the second run's window is
+    cut from the stored value. Output — the default sentinel, both
+    committed watermarks, and run 2's windowed row count — is exactly
+    recomputable from ``orders`` in SQL, so the whole JDBC state
+    machine sits under the value oracle (the Derby jars ship inside
+    the Spark distribution; the db lives in a temp dir)."""
+    from ..operators.watermark import JdbcWatermarkStore
+
+    tmp = tempfile.mkdtemp(prefix="jdbc_wm_q_")
+    try:
+        db = f"{tmp}/derby_ctrl"
+        spark._jvm.java.sql.DriverManager.getConnection(
+            f"jdbc:derby:{db};create=true"
+        ).close()
+        store = JdbcWatermarkStore(
+            spark,
+            f"jdbc:derby:{db}",
+            driver="org.apache.derby.jdbc.EmbeddedDriver",
+        )
+        orders = load_table(spark, sf_dir, "orders")
+        wm_default = store.get("orders")
+        run1 = orders.where(
+            F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+        )
+        store.advance_from(run1, "o_orderdate", "orders")
+        wm_run1 = store.get("orders")
+        batch2 = store.cut(orders, "o_orderdate", "orders")
+        n_run2 = batch2.count()
+        store.advance_from(batch2, "o_orderdate", "orders")
+        wm_run2 = store.get("orders")
+        return spark.createDataFrame(
+            [(wm_default, wm_run1, int(n_run2), wm_run2)],
+            "wm_default timestamp, wm_run1 timestamp, n_run2 bigint, wm_run2 timestamp",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_JDBC_WM_SQL = """
+    WITH w1 AS (
+        SELECT max(o_orderdate) AS wm FROM orders
+        WHERE o_orderdate < TIMESTAMP '1997-01-01'
+    )
+    SELECT TIMESTAMP '1900-01-01' AS wm_default,
+           (SELECT wm FROM w1) AS wm_run1,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+             WHERE o_orderdate > (SELECT wm FROM w1)) AS n_run2,
+           (SELECT max(o_orderdate) FROM orders) AS wm_run2
+"""
+
+
 QUERIES = {
     "pipeline_end_to_end": pipeline_end_to_end,
     "pipeline_run_log": pipeline_run_log,
     "pipeline_gold_mart": pipeline_gold_mart,
+    "jdbc_watermark_round_trip": jdbc_watermark_round_trip,
     "scd2_two_batch_history": scd2_two_batch_history,
     "scd2_point_in_time": scd2_point_in_time,
     "late_dimension_inferred": late_dimension_inferred,
@@ -770,6 +829,7 @@ ORACLES = {
     "pipeline_end_to_end": _PIPE_E2E_SQL,
     "pipeline_run_log": _PIPE_LOG_SQL,
     "pipeline_gold_mart": _PIPE_GOLD_SQL,
+    "jdbc_watermark_round_trip": _JDBC_WM_SQL,
     "scd2_two_batch_history": _SCD2_HISTORY_SQL,
     "scd2_point_in_time": _SCD2_PIT_SQL,
     "late_dimension_inferred": _LATE_DIM_SQL,

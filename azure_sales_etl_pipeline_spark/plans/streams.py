@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from ..streaming import (
     STREAM_CUSTOM_STATE_SQL,
+    stream_drift_monitor,
     STREAM_DEDUP_SQL,
     STREAM_JOIN_SQL,
     STREAM_SESSION_SQL,
@@ -20,6 +21,7 @@ from ..streaming import (
     stream_tumbling_counts,
     stream_user_totals_custom_state,
 )
+from .analytics import _DRIFT_SQL as _STREAM_DRIFT_SQL
 
 QUERIES = {
     "stream_tumbling_counts": stream_tumbling_counts,
@@ -28,6 +30,7 @@ QUERIES = {
     "stream_click_purchase_join": stream_click_purchase_join,
     "stream_dedup_events": stream_dedup_events,
     "stream_user_totals_custom_state": stream_user_totals_custom_state,
+    "stream_drift_monitor": stream_drift_monitor,
 }
 
 ORACLES = {
@@ -37,4 +40,5 @@ ORACLES = {
     "stream_click_purchase_join": STREAM_JOIN_SQL,
     "stream_dedup_events": STREAM_DEDUP_SQL,
     "stream_user_totals_custom_state": STREAM_CUSTOM_STATE_SQL,
+    "stream_drift_monitor": _STREAM_DRIFT_SQL,
 }

@@ -616,6 +616,49 @@ def drift_report(spark: SparkSession, state_path: str) -> DataFrame:
     )
 
 
+def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract form of ``streaming_drift_monitor``: land the
+    orders fact as two CSV micro-batch files (even keys, then odd),
+    fold each into a fresh persisted drift state through the
+    foreachBatch monitor, and report the drift. Because the indicator
+    counts are mergeable, stream(batch1)⊕stream(batch2) must equal the
+    batch conditional-count histogram over ALL orders — so the oracle
+    is ``order_drift_histogram``'s exact SQL, making the streamed fold
+    driver-visibly equivalent to the batch query."""
+    import shutil
+
+    from .catalog import load_table
+    from .plans.analytics import _DRIFT_SPLIT_DATE, _HIST_BIN_WIDTH
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_drift_")
+    try:
+        src = f"{tmp}/orders"
+        state = f"{tmp}/drift_state"
+        ckpt = f"{tmp}/ckpt"
+        schema = "o_totalprice double, o_orderdate timestamp"
+        for name, parity in (("b1", 0), ("b2", 1)):
+            orders.where(F.col("o_orderkey") % 2 == parity).select(
+                "o_totalprice", "o_orderdate"
+            ).coalesce(1).write.option("header", True).csv(f"{src}/{name}")
+            streaming_drift_monitor(
+                spark,
+                f"{src}/*",
+                schema,
+                state,
+                value_col="o_totalprice",
+                ts_col="o_orderdate",
+                split_ts=_DRIFT_SPLIT_DATE,
+                bin_width=_HIST_BIN_WIDTH,
+                checkpoint=ckpt,
+            )
+        return drift_report(spark, state).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _streaming_fold(
     spark: SparkSession,
     source_glob: str,
