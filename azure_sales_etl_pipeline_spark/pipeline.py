@@ -72,6 +72,9 @@ class MedallionPipeline:
         clock: Callable[[], dt.datetime] | None = None,
         on_insert: dict[str, Callable[[DataFrame], None]] | None = None,
         gold_marts: dict[str, Callable[[SparkSession, LayerCatalog], DataFrame]] | None = None,
+        retry: int = 0,
+        retry_wait: float = 30.0,
+        sleep: Callable[[float], None] | None = None,
     ):
         self.spark = spark
         self.catalog = LayerCatalog(root)
@@ -85,6 +88,12 @@ class MedallionPipeline:
         self.watermarks = WatermarkStore(spark, self.catalog.path("state", "watermarks"))
         self.ingestor = CsvIngestor(spark, str(self.catalog.layer_root("bronze")), clock=self.clock)
         self.log_path = self.catalog.path("state", "run_log")
+        # ADF activity policy parity (adf/pipeline.json:13-14): retry a
+        # failed stage `retry` times, `retry_wait` seconds apart. The
+        # reference deploys retry=0/30s; sleep is injectable for tests.
+        self.retry = retry
+        self.retry_wait = retry_wait
+        self.sleep = sleep or __import__("time").sleep
 
     # -- stages -------------------------------------------------------------
 
@@ -174,31 +183,43 @@ class MedallionPipeline:
 
     # -- driver -------------------------------------------------------------
 
+    def _attempt(self, stage: str, fn: Callable[[], dict]) -> StageResult:
+        """One stage with the retry policy: up to 1 + self.retry
+        attempts, self.retry_wait seconds apart (the ADF activity
+        policy, adf/pipeline.json:13-14), then per-stage isolation —
+        the failure is recorded, the run continues (C3)."""
+        for attempt in range(1 + self.retry):
+            try:
+                stats = fn()
+                if attempt:
+                    stats = {**stats, "attempts": attempt + 1}
+                return StageResult(stage, True, stats)
+            except Exception:  # noqa: BLE001 — per-stage isolation (C3)
+                err = traceback.format_exc(limit=3)
+                if attempt < self.retry:
+                    self.sleep(self.retry_wait)
+        return StageResult(stage, False, error=err)
+
     def run(self, landing_root: str) -> list[StageResult]:
         """Full run: ingest all landed tables, SCD2 each configured
-        table, then refresh gold marts — per-stage isolation throughout
-        (C3: one bad table/mart never blocks the rest), and the outcome
-        of every stage appended to the persisted run log."""
+        table, then refresh gold marts — retry policy + per-stage
+        isolation throughout (C3: one bad table/mart never blocks the
+        rest), and the outcome of every stage appended to the persisted
+        run log."""
         run_id = self._next_run_id()
         run_at = self.clock()
         results: list[StageResult] = []
         ingest_stats = self.landing_to_bronze(landing_root)
         results.append(StageResult("__ingest__", True, {"rows": ingest_stats}))
         for cfg in self.tables:
-            try:
-                stats = self.bronze_to_silver(cfg)
-                results.append(StageResult(cfg.name, True, stats))
-            except Exception:  # noqa: BLE001 — per-table isolation (C3)
-                results.append(
-                    StageResult(cfg.name, False, error=traceback.format_exc(limit=3))
-                )
+            results.append(
+                self._attempt(cfg.name, lambda cfg=cfg: self.bronze_to_silver(cfg))
+            )
         for name in self.gold_marts:
-            try:
-                stats = self.silver_to_gold(name)
-                results.append(StageResult(f"gold:{name}", True, stats))
-            except Exception:  # noqa: BLE001 — per-mart isolation (C3)
-                results.append(
-                    StageResult(f"gold:{name}", False, error=traceback.format_exc(limit=3))
+            results.append(
+                self._attempt(
+                    f"gold:{name}", lambda name=name: self.silver_to_gold(name)
                 )
+            )
         self._persist_log(run_id, run_at, results)
         return results

@@ -121,3 +121,39 @@ class CsvIngestor:
             except Exception:  # noqa: BLE001 — per-table isolation
                 results[table] = None
         return results
+
+
+def land_batch(
+    df: DataFrame,
+    landing_root: str,
+    table: str,
+    clock: Callable[[], dt.datetime] | None = None,
+    quote_all: bool = True,
+) -> str:
+    """ADF Copy-sink parity for the LANDING side: write one extracted
+    batch as ``<landing_root>/<table>/<table>_<yyyyMMddHHmmss>.csv`` —
+    the reference's timestamped landing-file naming convention
+    (README.MD:89) with quoteAll text (S12, adf/pipeline.json:135-145).
+    Spark writers name their own part files, so the batch stages
+    through a temp dir and the single part renames to the convention;
+    returns the final path. Batches accumulate (one file per extract
+    window) and ``CsvIngestor.run`` reads the whole per-table dir."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    ts = (clock or utcnow_naive)()
+    dest_dir = Path(landing_root) / table
+    dest_dir.mkdir(parents=True, exist_ok=True)
+    stage = tempfile.mkdtemp(prefix=f"land_{table}_")
+    try:
+        writer = df.coalesce(1).write.option("header", True)
+        if quote_all:
+            writer = writer.option("quoteAll", True)
+        writer.csv(f"{stage}/out")
+        (part,) = _glob.glob(f"{stage}/out/part-*.csv")
+        final = dest_dir / f"{table}_{ts:%Y%m%d%H%M%S}.csv"
+        shutil.move(part, final)
+        return str(final)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

@@ -111,3 +111,62 @@ def test_run_log_persists_outcomes_and_failures(spark, tmp_path):
     assert log[(2, "good")]["error"] is None
     ts = {r[0]: log[(r[0], "good")]["run_at"] for r in log}
     assert ts[1] == dt.datetime(2024, 1, 1) and ts[2] == dt.datetime(2024, 2, 1)
+
+
+def test_retry_policy_recovers_transient_stage_failure(spark, tmp_path):
+    """ADF activity-policy parity (retry N / interval): a gold mart
+    that fails once then succeeds is retried after the injected sleep;
+    a stage that keeps failing exhausts retries and logs ok=false."""
+    landing = tmp_path / "landing"
+    write_csv(landing / "good" / "b.csv", "id,v\n1,x\n")
+    calls = {"n": 0}
+    slept = []
+
+    def flaky_mart(sp, catalog):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient")
+        from azure_sales_etl_pipeline_spark.operators.writer import read_table
+
+        return read_table(sp, catalog.path("silver", "good")).select("id")
+
+    def dead_mart(sp, catalog):
+        raise RuntimeError("permanent")
+
+    pipe = MedallionPipeline(
+        spark,
+        str(tmp_path / "lake"),
+        [TableConfig("good", "id")],
+        clock=lambda: dt.datetime(2024, 1, 1),
+        gold_marts={"flaky": flaky_mart, "dead": dead_mart},
+        retry=2,
+        retry_wait=30.0,
+        sleep=slept.append,
+    )
+    results = {s.table: s for s in pipe.run(str(landing))}
+    assert results["gold:flaky"].ok is True
+    assert results["gold:flaky"].stats["attempts"] == 2
+    assert results["gold:dead"].ok is False and "permanent" in results["gold:dead"].error
+    # one wait before flaky's 2nd attempt + two for dead's retries
+    assert slept == [30.0, 30.0, 30.0]
+
+
+def test_land_batch_timestamped_naming_round_trip(spark, tmp_path):
+    """Landing-file naming convention (reference README.MD:89):
+    <Table>_<yyyyMMddHHmmss>.csv, quoteAll text, accumulating batches
+    that the ingestor then loads as one table."""
+    import datetime as dtm
+
+    from azure_sales_etl_pipeline_spark.sources.ingest import CsvIngestor, land_batch
+
+    landing = tmp_path / "landing"
+    df1 = spark.createDataFrame([(1, "a,comma")], "id bigint, v string")
+    df2 = spark.createDataFrame([(2, "plain")], "id bigint, v string")
+    p1 = land_batch(df1, str(landing), "customers", clock=lambda: dtm.datetime(2024, 1, 1, 8, 30, 0))
+    p2 = land_batch(df2, str(landing), "customers", clock=lambda: dtm.datetime(2024, 1, 2, 9, 0, 0))
+    assert p1.endswith("customers/customers_20240101083000.csv")
+    assert p2.endswith("customers/customers_20240102090000.csv")
+    assert '"a,comma"' in open(p1).read() and '"plain"' in open(p2).read()
+
+    ing = CsvIngestor(spark, str(tmp_path / "bronze"), clock=lambda: dtm.datetime(2024, 1, 3))
+    assert ing.run(str(landing)) == {"customers": 2}
