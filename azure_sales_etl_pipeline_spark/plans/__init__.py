@@ -47,6 +47,12 @@ _DOMAINS = (
 # costs the least information. Update each round as evidence
 # accumulates (scripts: recompute from the CORRECTNESS_r*.json files).
 _SWEEP_PRIORITY = (
+    "sql_volume_shipping",
+    "sql_market_share",
+    "sql_product_margin",
+    "sql_returned_item_reporting",
+    "sql_priority_shipping",
+    "sql_promo_revenue",
     "pipeline_end_to_end",
     "pipeline_run_log",
     "pipeline_gold_mart",

@@ -14,7 +14,13 @@ top-N (Q3/Q5), correlated EXISTS → left-semi (Q4), double EXISTS/NOT
 EXISTS → semi + anti (Q21), agg-filtered IN → semi (Q18), NOT IN →
 anti (Q16), correlated scalar aggregate → grain agg joined back
 (Q2/Q17), CTE + scalar max (Q15), share-of-total HAVING scalar (Q11),
-and the zero-preserving outer-join histogram (Q13). Physical
+the zero-preserving outer-join histogram (Q13), OR-of-ANDs split
+pushdown (Q19), scalar-cohort + NOT EXISTS (Q22), the symmetric
+nation-pair join (Q7), CASE-share numerator folding (Q8/Q14),
+cross-table arithmetic profit (Q9), returned-revenue top-N (Q10),
+and cross-join-column lateness residual + conditional counts (Q12) —
+with Q7–Q22 adapted to the testdata's columns where TPC-H attributes
+(shipmode, partsupp, phone) don't exist. Physical
 properties that matter at 100 TB are pinned in
 tests/test_plans_explain.py: date-filter pushdown into the fact scan,
 broadcast of small dimension chains, TakeOrderedAndProject for top-N
@@ -508,6 +514,215 @@ _SALES_OPPORTUNITY_SQL = """
 
 
 
+def sql_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-shaped: bilateral trade — revenue shipped between two named
+    nations in either direction, by (supplier nation, customer nation,
+    ship year). The plan property: the symmetric nation-pair OR
+    restricts BOTH nation dimension copies before the fact join, so
+    each copy broadcasts as a 2-row build side and the lineitem scan
+    carries only the two-year shipdate pushdown; the wide exchange is
+    the final 3-column-grain aggregate, never an n×n nation product."""
+    _register_views(
+        spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation"
+    )
+    return spark.sql(_VOLUME_SHIPPING_SQL)
+
+
+# Engine-neutral text: runs verbatim on Spark and DuckDB
+# (CAST(year() AS INT) pins int32 on both engines).
+_VOLUME_SHIPPING_SQL = """
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS ship_year,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,4))), 2) * 100 AS BIGINT)
+               AS revenue_cents
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey  = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE (   (n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+           OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20'))
+      AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n1.n_name, n2.n_name, CAST(year(l.l_shipdate) AS INT)
+"""
+
+
+def sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8-shaped: market share of one supplying nation within a
+    region's PROMO-part order volume, per order year. TPC-H Q8 emits
+    the share as a division; divisions round differently across
+    engines, so per the engine's exactness convention the numerator
+    (target-nation volume) and denominator (all-nation volume) are
+    emitted as exact integer cents — the share is their ratio. The
+    CASE-guarded numerator folds into the same aggregate as the
+    denominator: one scan, one agg, no self-join. Dimension chain
+    (region→nation→customer, part, supplier-nation) broadcasts."""
+    _register_views(
+        spark, sf_dir,
+        "part", "supplier", "lineitem", "orders", "customer", "nation", "region",
+    )
+    return spark.sql(_MARKET_SHARE_SQL)
+
+
+# Engine-neutral text: runs verbatim on Spark and DuckDB.
+_MARKET_SHARE_SQL = """
+    SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
+           CAST(round(sum(CASE WHEN sn.n_name = 'NATION_2'
+                               THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                         AS DECIMAL(18,4))
+                               ELSE CAST(0 AS DECIMAL(18,4)) END),
+                      2) * 100 AS BIGINT) AS nation_volume_cents,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,4))), 2) * 100 AS BIGINT)
+               AS total_volume_cents
+    FROM part p
+    JOIN lineitem l ON l.l_partkey  = p.p_partkey
+    JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey  = o.o_custkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey  = cn.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND p.p_type = 'PROMO'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY CAST(year(o.o_orderdate) AS INT)
+"""
+
+
+def sql_product_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9-shaped: profit by supplier nation and order year over a
+    part-name LIKE family. TPC-H Q9's profit subtracts
+    ps_supplycost×quantity; the testdata has no partsupp table, so the
+    cost leg is re-expressed as half the part's retail price per unit
+    (p_retailprice/2 × l_quantity) — same shape: a per-line arithmetic
+    combining columns from three tables, aggregated at
+    (nation, year) grain. The LIKE '%widget%' predicate must push into
+    the part scan (substring filters are scan-level, not join-level),
+    part broadcasts, and profit is assembled in DECIMAL then emitted
+    as exact integer cents."""
+    _register_views(
+        spark, sf_dir, "part", "supplier", "lineitem", "orders", "nation"
+    )
+    return spark.sql(_PRODUCT_MARGIN_SQL)
+
+
+# Engine-neutral text: runs verbatim on Spark and DuckDB.
+_PRODUCT_MARGIN_SQL = """
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS order_year,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,4))
+                        - CAST(p.p_retailprice AS DECIMAL(18,4)) / 2
+                          * CAST(l.l_quantity AS DECIMAL(18,4))),
+                      2) * 100 AS BIGINT) AS profit_cents
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, CAST(year(o.o_orderdate) AS INT)
+"""
+
+
+def sql_returned_item_reporting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10-shaped: the 20 customers who returned the most revenue in
+    one quarter, with their nation. Top-N over a 4-table join: the
+    returnflag + quarter predicates push into the lineitem/orders
+    scans, customer and nation broadcast, and the LIMIT plans as
+    TakeOrderedAndProject — per-partition top-20 heaps, only 20 rows
+    per partition reach the driver-side merge, never a global sort."""
+    _register_views(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return spark.sql(_RETURNED_ITEM_SQL)
+
+
+# Engine-neutral text: runs verbatim on Spark and DuckDB.
+_RETURNED_ITEM_SQL = """
+    SELECT c.c_custkey AS cust_key,
+           c.c_name AS cust_name,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,4))), 2) * 100 AS BIGINT)
+               AS revenue_cents,
+           CAST(round(CAST(c.c_acctbal AS DECIMAL(18,4)), 2) * 100 AS BIGINT)
+               AS acctbal_cents,
+           n.n_name AS nation
+    FROM customer c
+    JOIN orders o   ON o.o_custkey  = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1995-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue_cents DESC, cust_key ASC
+    LIMIT 20
+"""
+
+
+def sql_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12-shaped: per lineitem status, how many slow shipments (>90
+    days after order) carried critical vs ordinary priority orders.
+    TPC-H Q12 groups by l_shipmode, which the testdata lacks;
+    l_linestatus is the stand-in group key — the shape is identical:
+    one lineitem↔orders join with a lateness predicate comparing
+    columns ACROSS the join (so it can only be a join residual, not a
+    scan pushdown) and two CASE-conditional counts folded into a
+    single aggregate. One join, one agg, no per-branch re-scan."""
+    _register_views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_PRIORITY_SHIPPING_SQL)
+
+
+# Engine-neutral text: runs verbatim on Spark and DuckDB.
+_PRIORITY_SHIPPING_SQL = """
+    SELECT l.l_linestatus AS line_status,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-01-01'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY l.l_linestatus
+"""
+
+
+def sql_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14-shaped: what fraction of one month's shipped revenue came
+    from PROMO-type parts. Q14 emits 100×promo/total as a float;
+    divisions round differently across engines, so the engine emits
+    the exact integer-cents numerator and denominator (the percentage
+    is their ratio). CASE-guarded numerator folds into the same
+    single aggregate as the denominator — one part-broadcast join over
+    one month-pruned lineitem scan, one 1-row agg."""
+    _register_views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_PROMO_REVENUE_SQL)
+
+
+# Engine-neutral text: runs verbatim on Spark and DuckDB.
+_PROMO_REVENUE_SQL = """
+    SELECT CAST(round(sum(CASE WHEN p.p_type = 'PROMO'
+                               THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                         AS DECIMAL(18,4))
+                               ELSE CAST(0 AS DECIMAL(18,4)) END),
+                      2) * 100 AS BIGINT) AS promo_revenue_cents,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,4))), 2) * 100 AS BIGINT)
+               AS total_revenue_cents
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1995-10-01'
+"""
+
+
 QUERIES = {
     "sql_shipping_priority": sql_shipping_priority,
     "sql_widget_shippers": sql_widget_shippers,
@@ -522,6 +737,12 @@ QUERIES = {
     "sql_waiting_suppliers": sql_waiting_suppliers,
     "sql_discounted_brand_revenue": sql_discounted_brand_revenue,
     "sql_global_sales_opportunity": sql_global_sales_opportunity,
+    "sql_volume_shipping": sql_volume_shipping,
+    "sql_market_share": sql_market_share,
+    "sql_product_margin": sql_product_margin,
+    "sql_returned_item_reporting": sql_returned_item_reporting,
+    "sql_priority_shipping": sql_priority_shipping,
+    "sql_promo_revenue": sql_promo_revenue,
 }
 
 ORACLES = {
@@ -538,4 +759,10 @@ ORACLES = {
     "sql_waiting_suppliers": _WAITING_SQL,
     "sql_discounted_brand_revenue": _BRAND_REVENUE_SQL,
     "sql_global_sales_opportunity": _SALES_OPPORTUNITY_SQL,
+    "sql_volume_shipping": _VOLUME_SHIPPING_SQL,
+    "sql_market_share": _MARKET_SHARE_SQL,
+    "sql_product_margin": _PRODUCT_MARGIN_SQL,
+    "sql_returned_item_reporting": _RETURNED_ITEM_SQL,
+    "sql_priority_shipping": _PRIORITY_SHIPPING_SQL,
+    "sql_promo_revenue": _PROMO_REVENUE_SQL,
 }

@@ -366,6 +366,72 @@ def test_sql_q22_anti_join_and_single_scalar_agg(spark):
     assert "Subquery" in plan
 
 
+def test_sql_q7_q10_broadcast_and_topn(spark):
+    """Q7-shape (sql_volume_shipping): the two pre-filtered nation
+    copies and the supplier/customer dims broadcast; the symmetric
+    nation-pair OR must never plan as a cartesian or a union of two
+    full joins (one scan per table). Q10-shape
+    (sql_returned_item_reporting): returnflag pushes into the lineitem
+    scan and the top-20 plans as TakeOrderedAndProject, not a global
+    sort."""
+    from azure_sales_etl_pipeline_spark.plans.sqlapi import (
+        sql_returned_item_reporting,
+        sql_volume_shipping,
+    )
+
+    p7 = plan_of(sql_volume_shipping(spark, SF_DIR))
+    assert "Cartesian" not in p7
+    assert "BroadcastHashJoin" in p7
+    assert p7.count(") Scan parquet") == 6  # 5 tables + nation twice
+    pushed7 = [l for l in p7.splitlines() if "PushedFilters" in l]
+    assert any("l_shipdate" in l for l in pushed7), pushed7
+
+    p10 = plan_of(sql_returned_item_reporting(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p10 and "Cartesian" not in p10
+    pushed10 = [l for l in p10.splitlines() if "PushedFilters" in l]
+    assert any("l_returnflag" in l for l in pushed10), pushed10
+
+
+def test_sql_case_share_single_scan(spark):
+    """Q8/Q14-shapes (sql_market_share, sql_promo_revenue): the
+    CASE-guarded numerator must fold into the SAME aggregate as the
+    denominator — exactly one scan per table in the plan, never a
+    per-branch re-scan or a self-join of two aggregates. Q12-shape
+    (sql_priority_shipping): one orders↔lineitem join with the
+    cross-column lateness predicate as a join residual/post filter,
+    both CASE counts in one aggregate."""
+    from azure_sales_etl_pipeline_spark.plans.sqlapi import (
+        sql_market_share,
+        sql_priority_shipping,
+        sql_promo_revenue,
+    )
+
+    p8 = plan_of(sql_market_share(spark, SF_DIR))
+    assert "Cartesian" not in p8
+    assert p8.count(") Scan parquet") == 8  # 7 tables + nation twice
+
+    p14 = plan_of(sql_promo_revenue(spark, SF_DIR))
+    assert p14.count(") Scan parquet") == 2
+    pushed14 = [l for l in p14.splitlines() if "PushedFilters" in l]
+    assert any("l_shipdate" in l for l in pushed14), pushed14
+
+    p12 = plan_of(sql_priority_shipping(spark, SF_DIR))
+    assert p12.count(") Scan parquet") == 2
+    assert p12.count("HashAggregate") <= 4  # one partial+final pair per grain
+
+
+def test_sql_q9_like_pushes_into_part_scan(spark):
+    """Q9-shape (sql_product_margin): the p_name LIKE '%widget%'
+    substring predicate must reach the part scan as a pushed filter
+    (StringContains), so at 100 TB the parts prune before any join."""
+    from azure_sales_etl_pipeline_spark.plans.sqlapi import sql_product_margin
+
+    plan = plan_of(sql_product_margin(spark, SF_DIR))
+    assert "Cartesian" not in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("p_name" in l or "widget" in l for l in pushed), pushed
+
+
 def test_revenue_7d_window_is_year_partitioned(spark):
     """r6 verdict: the trailing-7d window must not be a global-order
     single-partition WindowExec — it partitions by year (parallel per
