@@ -47,6 +47,8 @@ _DOMAINS = (
 # costs the least information. Update each round as evidence
 # accumulates (scripts: recompute from the CORRECTNESS_r*.json files).
 _SWEEP_PRIORITY = (
+    "cms_heavy_hitters",
+    "cms_accuracy_check",
     "sql_volume_shipping",
     "sql_market_share",
     "sql_product_margin",

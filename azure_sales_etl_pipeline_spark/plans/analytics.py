@@ -836,6 +836,207 @@ _DRIFT_SQL = f"""
 """
 
 
+# Count-min sketch parameters, shared by the Spark plans and the oracle
+# text below. d=3 pairwise-independent multiply-shift hashes over the
+# Mersenne prime 2^31-1; w=1024 buckets. a*k stays under 2^62 for any
+# int32 key, so the arithmetic is exact BIGINT on both engines.
+_CMS_P = 2147483647
+_CMS_W = 1024
+_CMS_HASHES = ((0, 1299721, 7), (1, 1990921, 5003), (2, 2654435, 60013))
+
+
+def _cms_buckets(key_col: str):
+    """Array of (row, bucket) structs — one per CMS hash row."""
+    k = F.col(key_col)
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                (((F.lit(a) * k + F.lit(b)) % _CMS_P) % _CMS_W).alias("bucket"),
+            )
+            for r, a, b in _CMS_HASHES
+        ]
+    )
+
+
+def _cms_union_sql(table_expr: str, key_expr: str) -> str:
+    """UNION ALL text replaying the d hash rows in engine-neutral SQL."""
+    parts = [
+        f"SELECT {key_expr} AS k, {r} AS r,"
+        f" (({a} * {key_expr} + {b}) % {_CMS_P}) % {_CMS_W} AS bucket"
+        f" FROM {table_expr}"
+        for r, a, b in _CMS_HASHES
+    ]
+    return "\nUNION ALL ".join(parts)
+
+
+def _cms_sketch(df, key_col: str):
+    """d×w count-min sketch of a key column: ≤ d·w rows total.
+
+    The explode fans each key into its d (row, bucket) cells; the
+    groupBy's map-side partial combine collapses every partition to at
+    most d·w (=3072) rows before the shuffle, so sketch construction
+    moves O(d·w) bytes per partition regardless of input size — the
+    whole point of the sketch at 100 TB. The resulting state is LINEAR
+    (sum of per-batch sketches == whole-input sketch, exactly), so it
+    folds incrementally via ``maintenance.merge_aggregate`` like any
+    additive aggregate."""
+    return (
+        df.select(F.explode(_cms_buckets(key_col)).alias("rb"))
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _cms_estimates(keys, sketch, key_col: str):
+    """Point estimates: min over the d rows of each key's bucket count.
+
+    The sketch (≤ d·w rows) broadcasts; candidate keys never shuffle."""
+    cand = keys.select(
+        F.col(key_col).alias("k"), F.explode(_cms_buckets(key_col)).alias("rb")
+    )
+    return (
+        cand.join(
+            F.broadcast(sketch),
+            (F.col("rb.r") == F.col("r")) & (F.col("rb.bucket") == F.col("bucket")),
+            "left",
+        )
+        .groupBy("k")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_count"))
+    )
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-ordered parts estimated from a COUNT-MIN SKETCH of
+    lineitem part keys — the frequency companion to the engine's
+    HLL (distincts), KLL (quantiles) and theta (set algebra) sketches.
+    The d×w counter grid is built in one pass with map-side combine
+    (≤ d·w rows leave each partition no matter the input size), and
+    point estimates probe it by broadcast — so "what are the hot keys"
+    is answerable from 3072 persisted counters instead of a re-scan,
+    and per-batch sketches SUM into the whole-corpus sketch exactly
+    (linearity), giving the incremental path a trivial fold.
+
+    Unlike the HLL/KLL gates, the hash parameters are explicit integer
+    arithmetic (multiply-mod over 2^31-1), so the estimate is a pure
+    deterministic function of the input and the driver VALUE-oracles
+    it: DuckDB replays the same hashes and must reproduce every
+    estimated count bit-for-bit. Candidate keys come from the part
+    dimension (bounded); absent keys floor at 0."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("bigint").alias("k")
+    )
+    keys = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("bigint").alias("k")
+    )
+    est = _cms_estimates(keys, _cms_sketch(li, "k"), "k")
+    return (
+        est.select(F.col("k").alias("part_key"), F.col("est_count").cast("bigint"))
+        .orderBy(F.desc("est_count"), F.asc("part_key"))
+        .limit(20)
+    )
+
+
+_CMS_HH_SQL = f"""
+    WITH keyed AS (SELECT CAST(l_partkey AS BIGINT) AS k FROM lineitem),
+    hashed AS (
+        {_cms_union_sql("keyed", "k")}
+    ),
+    sketch AS (
+        SELECT r, bucket, CAST(count(*) AS BIGINT) AS c
+        FROM hashed GROUP BY r, bucket
+    ),
+    pk AS (SELECT CAST(p_partkey AS BIGINT) AS k FROM part),
+    cand AS (
+        {_cms_union_sql("pk", "k")}
+    ),
+    est AS (
+        SELECT cand.k AS part_key,
+               CAST(min(coalesce(s.c, 0)) AS BIGINT) AS est_count
+        FROM cand LEFT JOIN sketch s
+          ON s.r = cand.r AND s.bucket = cand.bucket
+        GROUP BY cand.k
+    )
+    SELECT part_key, est_count FROM est
+    ORDER BY est_count DESC, part_key ASC
+    LIMIT 20
+"""
+
+
+def cms_accuracy_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible certification of the count-min guarantee over
+    every key actually present in lineitem: the estimate may NEVER
+    undercount (min-of-counters ≥ true count, structurally), and the
+    worst overcount is emitted as an exact integer for the oracle to
+    reproduce. One row: key count, underestimate count (always 0 —
+    the one-sided CMS guarantee is deterministic, not probabilistic),
+    max/total overestimate, and the no-underestimates gate. Everything
+    is exact integer arithmetic, so unlike ``hll_accuracy_check`` the
+    oracle recomputes the sketch rather than trusting a tolerance."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("bigint").alias("k")
+    )
+    truth = li.groupBy("k").agg(F.count(F.lit(1)).alias("true_count"))
+    est = _cms_estimates(truth, _cms_sketch(li, "k"), "k")
+    joined = truth.join(est, "k")
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum(
+            F.when(F.col("est_count") < F.col("true_count"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_underestimates"),
+        F.max(F.col("est_count") - F.col("true_count"))
+        .cast("bigint")
+        .alias("max_overestimate"),
+        F.sum(F.col("est_count") - F.col("true_count"))
+        .cast("bigint")
+        .alias("total_overestimate"),
+    ).select(
+        "n_keys",
+        "n_underestimates",
+        "max_overestimate",
+        "total_overestimate",
+        (F.col("n_underestimates") == 0).alias("no_underestimates"),
+    )
+
+
+_CMS_ACCURACY_SQL = f"""
+    WITH keyed AS (SELECT CAST(l_partkey AS BIGINT) AS k FROM lineitem),
+    truth AS (
+        SELECT k, CAST(count(*) AS BIGINT) AS true_count
+        FROM keyed GROUP BY k
+    ),
+    hashed AS (
+        {_cms_union_sql("keyed", "k")}
+    ),
+    sketch AS (
+        SELECT r, bucket, CAST(count(*) AS BIGINT) AS c
+        FROM hashed GROUP BY r, bucket
+    ),
+    cand AS (
+        {_cms_union_sql("truth", "k")}
+    ),
+    est AS (
+        SELECT cand.k,
+               CAST(min(coalesce(s.c, 0)) AS BIGINT) AS est_count
+        FROM cand LEFT JOIN sketch s
+          ON s.r = cand.r AND s.bucket = cand.bucket
+        GROUP BY cand.k
+    ),
+    j AS (SELECT t.true_count, e.est_count
+          FROM truth t JOIN est e ON t.k = e.k)
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN est_count < true_count THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_underestimates,
+           CAST(max(est_count - true_count) AS BIGINT) AS max_overestimate,
+           CAST(sum(est_count - true_count) AS BIGINT) AS total_overestimate,
+           sum(CASE WHEN est_count < true_count THEN 1 ELSE 0 END) = 0
+               AS no_underestimates
+    FROM j
+"""
+
+
 QUERIES = {
     "event_funnel": event_funnel,
     "events_daily_anomalies": events_daily_anomalies,
@@ -854,6 +1055,8 @@ QUERIES = {
     "forecast_revenue_change": forecast_revenue_change,
     "repeat_buyers_intersect": repeat_buyers_intersect,
     "revenue_unpivot": revenue_unpivot,
+    "cms_heavy_hitters": cms_heavy_hitters,
+    "cms_accuracy_check": cms_accuracy_check,
 }
 
 ORACLES = {
@@ -874,4 +1077,6 @@ ORACLES = {
     "forecast_revenue_change": _FORECAST_SQL,
     "repeat_buyers_intersect": _INTERSECT_SQL,
     "revenue_unpivot": _UNPIVOT_SQL,
+    "cms_heavy_hitters": _CMS_HH_SQL,
+    "cms_accuracy_check": _CMS_ACCURACY_SQL,
 }

@@ -127,3 +127,56 @@ def test_order_drift_histogram_shares_and_l1(spark):
         )
     l1 = sum(r["drift_permille"] for r in rows)
     assert 0 <= l1 <= 2000  # L1 distance is bounded by 2 (2000 permille)
+
+
+def test_cms_sketch_linearity_and_guarantee(spark):
+    """The count-min sketch must be LINEAR — the cell-wise sum of two
+    half-corpus sketches equals the whole-corpus sketch exactly (the
+    property that makes the incremental fold through
+    maintenance.merge_aggregate correct) — and every point estimate
+    must bound the true count from above (the one-sided CMS
+    guarantee, which is structural, not probabilistic)."""
+    import pyspark.sql.functions as F
+
+    from azure_sales_etl_pipeline_spark.catalog import load_table
+    from azure_sales_etl_pipeline_spark.plans.analytics import (
+        _cms_estimates,
+        _cms_sketch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_partkey").cast("bigint").alias("k")
+    )
+    whole = _cms_sketch(li, "k")
+    lo = _cms_sketch(li.where("k % 2 = 0"), "k")
+    hi = _cms_sketch(li.where("k % 2 = 1"), "k")
+    merged = (
+        lo.unionByName(hi)
+        .groupBy("r", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    diff = merged.join(whole, ["r", "bucket"], "full").where(
+        F.coalesce(merged["c"], F.lit(0)) != F.coalesce(whole["c"], F.lit(0))
+    )
+    assert diff.count() == 0
+
+    truth = li.groupBy("k").agg(F.count(F.lit(1)).alias("true_count"))
+    est = _cms_estimates(truth, whole, "k")
+    under = truth.join(est, "k").where("est_count < true_count")
+    assert under.count() == 0
+
+
+def test_cms_estimates_broadcast_the_sketch(spark):
+    """Plan audit: the d×w sketch joins into the candidate probes as a
+    BROADCAST build side (it is at most 3072 rows by construction) —
+    candidate keys must never shuffle to meet it."""
+    from azure_sales_etl_pipeline_spark.plans.analytics import cms_heavy_hitters
+
+    df = cms_heavy_hitters(spark, "/root/testdata/sf0.001")
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Cartesian" not in plan
