@@ -49,6 +49,7 @@ _DOMAINS = (
 _SWEEP_PRIORITY = (
     "cms_heavy_hitters",
     "cms_accuracy_check",
+    "peak_concurrent_sessions",
     "sql_volume_shipping",
     "sql_market_share",
     "sql_product_margin",

@@ -199,14 +199,135 @@ _FORWARD_ASOF_SQL = """
 """
 
 
+def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak session concurrency per day by SWEEP-LINE — the interval-
+    overlap pattern that needs no self-join. A naive "how many sessions
+    overlap" is an interval×interval range join (quadratic blow-up per
+    time bucket); the sweep turns every session into two boundary
+    deltas (+1 at start, −1 at end), clips them to calendar days, and
+    takes the max running sum per day. Cost is two rows per
+    session-day — linear — and every window is PARTITIONED BY DAY, so
+    days compute in parallel and nothing ever funnels through a
+    single-partition global order (the WindowExec trap r6 flagged).
+
+    Sessions reuse [[events_sessionize]]'s 30-minute-gap definition and
+    stay "active" one gap past their last event (the inactivity
+    timeout). Carry-in from sessions that started on an earlier day is
+    handled by the clip itself: a spanning session contributes its +1
+    at the day's first instant. Ties order +1 before −1 (``delta``
+    descending), so back-to-back sessions touching at an instant count
+    as concurrent — deterministic in both engines, and the running
+    maximum is insensitive to order among equal deltas at equal
+    timestamps. Day fan-out is bounded by session duration (a 30-min
+    timeout keeps it ≤ 2 days in practice), so the explode is safe at
+    any scale."""
+    sessions = events_sessionize(spark, sf_dir)
+    bounds = sessions.select(
+        F.col("session_start"),
+        (F.col("session_end") + F.expr("INTERVAL 30 MINUTES")).alias("active_end"),
+    )
+    days = bounds.withColumn(
+        "day", F.explode(F.sequence(F.to_date("session_start"), F.to_date("active_end")))
+    )
+    day_start = F.col("day").cast("timestamp")
+    clipped = days.select(
+        "day",
+        F.greatest(F.col("session_start"), day_start).alias("start_clip"),
+        F.least(
+            F.col("active_end"), day_start + F.expr("INTERVAL 1 DAY")
+        ).alias("end_clip"),
+    )
+    deltas = clipped.select(
+        "day", F.col("start_clip").alias("ts"), F.lit(1).alias("delta")
+    ).unionByName(
+        clipped.select("day", F.col("end_clip").alias("ts"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("ts").asc(), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = deltas.withColumn("running", F.sum("delta").over(w))
+    return (
+        running.groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_active_sessions"),
+            F.max("running").cast("bigint").alias("peak_concurrent"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_active_sessions",
+            "peak_concurrent",
+        )
+    )
+
+
+_PEAK_CONCURRENCY_SQL = f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > {float(_SESSION_GAP_SECS)}
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS session_seq
+        FROM flagged
+    ),
+    bounds AS (
+        SELECT min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS active_end
+        FROM sess GROUP BY user_id, session_seq
+    ),
+    days AS (
+        SELECT session_start, active_end,
+               CAST(unnest(generate_series(CAST(session_start AS DATE),
+                                           CAST(active_end AS DATE),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds
+    ),
+    clipped AS (
+        SELECT day,
+               greatest(session_start, CAST(day AS TIMESTAMP)) AS start_clip,
+               least(active_end, CAST(day AS TIMESTAMP) + INTERVAL 1 DAY)
+                   AS end_clip
+        FROM days
+    ),
+    deltas AS (
+        SELECT day, start_clip AS ts, 1 AS delta FROM clipped
+        UNION ALL
+        SELECT day, end_clip AS ts, -1 AS delta FROM clipped
+    ),
+    run AS (
+        SELECT day, delta,
+               sum(delta) OVER (PARTITION BY day ORDER BY ts ASC, delta DESC
+                                ROWS UNBOUNDED PRECEDING) AS running
+        FROM deltas
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_active_sessions,
+           CAST(max(running) AS BIGINT) AS peak_concurrent
+    FROM run
+    GROUP BY day
+"""
+
+
 QUERIES = {
     "purchase_attribution_asof": purchase_attribution_asof,
     "click_conversion_asof": click_conversion_asof,
     "events_sessionize": events_sessionize,
+    "peak_concurrent_sessions": peak_concurrent_sessions,
 }
 
 ORACLES = {
     "purchase_attribution_asof": _ASOF_SQL,
     "click_conversion_asof": _FORWARD_ASOF_SQL,
     "events_sessionize": _SESSIONIZE_SQL,
+    "peak_concurrent_sessions": _PEAK_CONCURRENCY_SQL,
 }

@@ -105,3 +105,72 @@ def test_order_month_rank_profile_integer_formulas(spark):
         assert r["month_rank"] == rank[k]
         assert r["pct_rank_permille"] == (rank[k] - 1) * 1000 // (n - 1)
         assert r["cume_permille"] == le[k] * 1000 // n
+
+
+def test_peak_concurrency_sweep_line(spark, tmp_path):
+    """Planted intervals with a known overlap profile: three users
+    whose sessions overlap pairwise at different instants, one user on
+    the next day, and a midnight-spanning session that must carry +1
+    into the second day via the clip. Peak = 3 exactly when all three
+    overlap; the spanning session alone yields peak 1 on day 2 plus
+    the day-2-only user's session."""
+    from azure_sales_etl_pipeline_spark.plans.temporal import (
+        peak_concurrent_sessions,
+    )
+
+    d1 = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+
+    def ev(user, ts):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, ts, user, "view", 0.0, "{}"))
+
+    # day 1: u1 session 10:00-10:10 (active till 10:40)
+    ev(1, d1 + dt.timedelta(hours=10))
+    ev(1, d1 + dt.timedelta(hours=10, minutes=10))
+    # u2 session 10:05-10:20 (active till 10:50) — overlaps u1
+    ev(2, d1 + dt.timedelta(hours=10, minutes=5))
+    ev(2, d1 + dt.timedelta(hours=10, minutes=20))
+    # u3 single event 10:08 (active till 10:38) — all three overlap at 10:08
+    ev(3, d1 + dt.timedelta(hours=10, minutes=8))
+    # u4: 23:50 day1 -> 00:10 day2 (one session, spans midnight,
+    # active till 00:40 day2)
+    ev(4, d1 + dt.timedelta(hours=23, minutes=50))
+    ev(4, d1 + dt.timedelta(days=1, minutes=10))
+    # u5: day 2 only, 01:00 (inside u4's active window? no — u4 active
+    # till 00:40, u5 starts 01:00, so day-2 peak stays 1)
+    ev(5, d1 + dt.timedelta(days=1, hours=1))
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = {r["day"]: r for r in peak_concurrent_sessions(spark, str(tmp_path)).collect()}
+
+    assert out["2024-03-01"]["peak_concurrent"] == 3
+    assert out["2024-03-01"]["n_active_sessions"] == 4  # u1 u2 u3 u4
+    # u4 carries into day 2 (clip emits +1 at midnight), u5 is disjoint
+    assert out["2024-03-02"]["peak_concurrent"] == 1
+    assert out["2024-03-02"]["n_active_sessions"] == 2  # u4 carry + u5
+
+
+def test_peak_concurrency_windows_are_day_partitioned(spark):
+    """The sweep's running sum must never be a global-order single-
+    partition window: every windowspec in the plan carries a partition
+    key (user_id for sessionize, day for the sweep)."""
+    from azure_sales_etl_pipeline_spark.plans.temporal import (
+        peak_concurrent_sessions,
+    )
+
+    df = peak_concurrent_sessions(spark, "/root/testdata/sf0.001")
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    specs = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert specs, "no window in plan"
+    for line in specs:
+        assert "user_id#" in line or "day#" in line, line
