@@ -53,3 +53,58 @@ def validate_and_quarantine(
     good = staged.where(F.col(VIOLATIONS_COL) == "").drop(VIOLATIONS_COL)
     bad = staged.where(F.col(VIOLATIONS_COL) != "")
     return good, bad
+
+
+class MetricCheck:
+    """One declarative table-level constraint: a named aggregate metric
+    with inclusive integer bounds. ``metric`` must be an aggregate
+    Column producing an integer (use permille scaling for ratios — the
+    engine's integer-exactness convention; float ratios can flip
+    between engines at the last ulp)."""
+
+    __slots__ = ("name", "metric", "lo", "hi")
+
+    def __init__(self, name: str, metric: Column, lo: int, hi: int):
+        self.name = name
+        self.metric = metric
+        self.lo = lo
+        self.hi = hi
+
+
+def metric_suite(df: DataFrame, checks: list[MetricCheck]) -> DataFrame:
+    """Deequ-style constraint suite evaluated in ONE aggregate pass.
+
+    Every check's metric folds into a single ``agg`` over one scan —
+    at 100 TB the whole suite costs exactly one map-side-combined
+    aggregation, not one job per check. The one-row result then
+    unpivots (``stack`` over a 1-row relation — free) into one row per
+    check: (check, metric, lo, hi, passed). Deterministic: metrics are
+    integers by contract, bounds inclusive.
+
+    Complement to ``validate_and_quarantine``: that one classifies
+    ROWS (routing bad ones aside); this one certifies the TABLE
+    (uniqueness/completeness/range metrics that only exist in
+    aggregate, where no single row is to blame).
+    """
+    if not checks:
+        raise ValueError("metric_suite: at least one check required")
+    one = df.agg(
+        *[c.metric.cast("bigint").alias(f"m_{i}") for i, c in enumerate(checks)]
+    )
+    stack_args = ", ".join(
+        f"'{c.name}', m_{i}, CAST({c.lo} AS BIGINT), CAST({c.hi} AS BIGINT)"
+        for i, c in enumerate(checks)
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(checks)}, {stack_args}) AS (check, metric, lo, hi)"
+        )
+    ).select(
+        "check",
+        "metric",
+        "lo",
+        "hi",
+        ((F.col("metric") >= F.col("lo")) & (F.col("metric") <= F.col("hi"))).alias(
+            "passed"
+        ),
+    )

@@ -50,6 +50,7 @@ _SWEEP_PRIORITY = (
     "cms_heavy_hitters",
     "cms_accuracy_check",
     "peak_concurrent_sessions",
+    "orders_quality_suite",
     "sql_volume_shipping",
     "sql_market_share",
     "sql_product_margin",

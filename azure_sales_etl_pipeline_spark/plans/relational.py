@@ -612,12 +612,105 @@ def _ri_audit_sql() -> str:
     return " UNION ALL ".join(selects)
 
 
+def orders_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative quality suite over orders, evaluated by
+    ``operators.validate.metric_suite`` in ONE aggregate pass: key
+    completeness and uniqueness (permille-scaled integers, never float
+    ratios), money bounds in exact cents, accepted status values, and
+    an out-of-range date count. One scan + one map-side-combined
+    aggregate no matter how many checks — the table-level complement
+    to [[orders_validation]]'s row-level quarantine. A plan audit pins
+    the single-scan property."""
+    from ..operators.validate import MetricCheck, metric_suite
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.expr(
+        "CAST(round(CAST(o_totalprice AS DECIMAL(18,4)), 2) * 100 AS BIGINT)"
+    )
+    checks = [
+        MetricCheck(
+            "completeness_custkey_permille",
+            F.expr("(1000 * count(o_custkey)) div count(1)"),
+            1000,
+            1000,
+        ),
+        MetricCheck(
+            "uniqueness_orderkey_permille",
+            F.expr("(1000 * count(DISTINCT o_orderkey)) div count(1)"),
+            1000,
+            1000,
+        ),
+        MetricCheck("min_totalprice_cents", F.min(cents), 0, 10_000_000_000),
+        MetricCheck("max_totalprice_cents", F.max(cents), 0, 10_000_000_000),
+        MetricCheck(
+            "status_accepted_permille",
+            F.expr(
+                "(1000 * sum(CASE WHEN o_orderstatus IN ('O','F','P') "
+                "THEN 1 ELSE 0 END)) div count(1)"
+            ),
+            1000,
+            1000,
+        ),
+        MetricCheck(
+            "orderdate_out_of_range",
+            F.sum(
+                F.when(
+                    (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+                    | (F.col("o_orderdate") >= F.lit("2010-01-01").cast("timestamp")),
+                    1,
+                ).otherwise(0)
+            ),
+            0,
+            0,
+        ),
+    ]
+    return metric_suite(orders, checks)
+
+
+_QUALITY_SUITE_SQL = """
+    WITH agg AS (
+        SELECT CAST((1000 * count(o_custkey)) // count(*) AS BIGINT) AS m0,
+               CAST((1000 * count(DISTINCT o_orderkey)) // count(*) AS BIGINT)
+                   AS m1,
+               CAST(min(CAST(round(CAST(o_totalprice AS DECIMAL(18,4)), 2)
+                             * 100 AS BIGINT)) AS BIGINT) AS m2,
+               CAST(max(CAST(round(CAST(o_totalprice AS DECIMAL(18,4)), 2)
+                             * 100 AS BIGINT)) AS BIGINT) AS m3,
+               CAST((1000 * sum(CASE WHEN o_orderstatus IN ('O','F','P')
+                                     THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+                   AS m4,
+               CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                               OR o_orderdate >= TIMESTAMP '2010-01-01'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS m5
+        FROM orders
+    ),
+    rows AS (
+        SELECT 'completeness_custkey_permille' AS "check", m0 AS metric,
+               CAST(1000 AS BIGINT) AS lo, CAST(1000 AS BIGINT) AS hi FROM agg
+        UNION ALL SELECT 'uniqueness_orderkey_permille', m1,
+               CAST(1000 AS BIGINT), CAST(1000 AS BIGINT) FROM agg
+        UNION ALL SELECT 'min_totalprice_cents', m2,
+               CAST(0 AS BIGINT), CAST(10000000000 AS BIGINT) FROM agg
+        UNION ALL SELECT 'max_totalprice_cents', m3,
+               CAST(0 AS BIGINT), CAST(10000000000 AS BIGINT) FROM agg
+        UNION ALL SELECT 'status_accepted_permille', m4,
+               CAST(1000 AS BIGINT), CAST(1000 AS BIGINT) FROM agg
+        UNION ALL SELECT 'orderdate_out_of_range', m5,
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM agg
+    )
+    SELECT "check", metric, lo, hi,
+           metric >= lo AND metric <= hi AS passed
+    FROM rows
+"""
+
+
 QUERIES = {
     "star_projection": star_projection,
     "table_profile": table_profile,
     "k_anonymity_audit": k_anonymity_audit,
     "referential_integrity_audit": referential_integrity_audit,
     "orders_validation": orders_validation,
+    "orders_quality_suite": orders_quality_suite,
     "drop_and_cast": drop_and_cast,
     "filter_sql_string": filter_sql_string,
     "filter_column_expr": filter_column_expr,
@@ -636,6 +729,7 @@ ORACLES = {
     "k_anonymity_audit": _K_ANON_SQL,
     "referential_integrity_audit": _ri_audit_sql(),
     "orders_validation": _VALIDATION_SQL,
+    "orders_quality_suite": _QUALITY_SUITE_SQL,
     "drop_and_cast": _DROP_CAST_SQL,
     "filter_sql_string": _FILTER_SQL_SQL,
     "filter_column_expr": _FILTER_COL_SQL,

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F
@@ -74,3 +76,72 @@ def test_validate_and_quarantine_splits_and_tags(spark):
 
     with _pytest.raises(ValueError):
         validate_and_quarantine(df, {})
+
+
+def test_metric_suite_single_pass_and_failure(spark):
+    """metric_suite: one aggregate pass (exactly one scan in the plan),
+    integer metrics with inclusive bounds, and a planted violation must
+    surface as passed=False without disturbing the other checks."""
+    import pyspark.sql.functions as F
+
+    from azure_sales_etl_pipeline_spark.operators.validate import (
+        MetricCheck,
+        metric_suite,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "A", 10), (2, "A", 20), (2, "B", -5)],  # dup key + negative value
+        "k bigint, status string, v bigint",
+    )
+    out = metric_suite(
+        df,
+        [
+            MetricCheck(
+                "uniqueness_k_permille",
+                F.expr("(1000 * count(DISTINCT k)) div count(1)"),
+                1000,
+                1000,
+            ),
+            MetricCheck("min_v", F.min("v"), 0, 1_000_000),
+            MetricCheck(
+                "status_accepted_permille",
+                F.expr(
+                    "(1000 * sum(CASE WHEN status IN ('A','B') THEN 1 ELSE 0 END))"
+                    " div count(1)"
+                ),
+                1000,
+                1000,
+            ),
+        ],
+    )
+    rows = {r["check"]: r for r in out.collect()}
+    assert rows["uniqueness_k_permille"]["metric"] == 666
+    assert rows["uniqueness_k_permille"]["passed"] is False
+    assert rows["min_v"]["metric"] == -5 and rows["min_v"]["passed"] is False
+    assert rows["status_accepted_permille"]["passed"] is True
+
+    with pytest.raises(ValueError):
+        metric_suite(df, [])
+
+
+def test_orders_quality_suite_one_scan(spark):
+    """The whole 6-check suite must cost ONE parquet scan — the
+    Deequ-style promise that adding checks never adds passes."""
+    from azure_sales_etl_pipeline_spark.plans.relational import (
+        orders_quality_suite,
+    )
+
+    df = orders_quality_suite(spark, "/root/testdata/sf0.001")
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert plan.count(") Scan parquet") == 1
+    assert {r["check"] for r in df.collect()} == {
+        "completeness_custkey_permille",
+        "uniqueness_orderkey_permille",
+        "min_totalprice_cents",
+        "max_totalprice_cents",
+        "status_accepted_permille",
+        "orderdate_out_of_range",
+    }
+    assert all(r["passed"] for r in df.collect())
