@@ -51,6 +51,7 @@ _SWEEP_PRIORITY = (
     "cms_accuracy_check",
     "peak_concurrent_sessions",
     "orders_quality_suite",
+    "source_curation_rollup",
     "sql_volume_shipping",
     "sql_market_share",
     "sql_product_margin",

@@ -69,11 +69,9 @@ _TOKEN_STATS_SQL = r"""
 _STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
 
 
-def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic quality signals: length, mean word length, stopword
-    ratio, punctuation density, and a composite keep/drop flag — the
-    C4/Gopher-style filter stack expressed as one narrow projection."""
-    docs = load_table(spark, sf_dir, "documents")
+def _quality_exprs() -> dict[str, Column]:
+    """The per-row quality expressions, shared by the ``doc_quality``
+    stage and the one-scan composites (``source_curation_rollup``)."""
     toks = _tokens()
     n_tokens = F.size(toks)
     stop_hits = F.size(F.filter(toks, lambda w: F.lower(w).isin(*_STOPWORDS)))
@@ -85,18 +83,28 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stop_ratio = F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 4)
     punct_ratio = F.round(punct / F.greatest(F.length("text"), F.lit(1)), 4)
-    return docs.select(
-        "doc_id",
-        n_tokens.alias("n_tokens"),
-        mean_wl.alias("mean_word_len"),
-        stop_ratio.alias("stopword_ratio"),
-        punct_ratio.alias("punct_ratio"),
-        (
+    return {
+        "n_tokens": n_tokens,
+        "mean_word_len": mean_wl,
+        "stopword_ratio": stop_ratio,
+        "punct_ratio": punct_ratio,
+        "keep": (
             (n_tokens >= 10)
             & (mean_wl >= 2.0)
             & (mean_wl <= 12.0)
             & (punct_ratio < 0.2)
-        ).alias("keep"),
+        ),
+    }
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality signals: length, mean word length, stopword
+    ratio, punctuation density, and a composite keep/drop flag — the
+    C4/Gopher-style filter stack expressed as one narrow projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    exprs = _quality_exprs()
+    return docs.select(
+        "doc_id", *[expr.alias(name) for name, expr in exprs.items()]
     )
 
 
@@ -135,12 +143,9 @@ _LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word language ID: count stopword hits per language, pick the
-    argmax (ties → 'und' = undetermined, fastText convention). A real
-    deployment swaps the marker sets for char-n-gram profiles; the plan
-    shape (narrow map over tokens, no shuffle) is the same."""
-    docs = load_table(spark, sf_dir, "documents")
+def _lang_exprs() -> dict[str, Column]:
+    """Marker-hit counts + argmax prediction as per-row expressions,
+    shared by the ``lang_id`` stage and the one-scan composites."""
     toks = _tokens()
 
     # NB: a default arg would become the HOF's index parameter — PySpark
@@ -157,8 +162,20 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lang in reversed(langs):
         pred = F.when(hits[lang] == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best == 0, F.lit("und")).otherwise(pred)
-    sel = [F.col("doc_id"), F.col("lang").alias("labeled_lang"), pred.alias("predicted_lang")]
-    sel += [hits[lang].alias(f"hits_{lang}") for lang in langs]
+    out: dict[str, Column] = {"predicted_lang": pred}
+    out.update({f"hits_{lang}": hits[lang] for lang in langs})
+    return out
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: count stopword hits per language, pick the
+    argmax (ties → 'und' = undetermined, fastText convention). A real
+    deployment swaps the marker sets for char-n-gram profiles; the plan
+    shape (narrow map over tokens, no shuffle) is the same."""
+    docs = load_table(spark, sf_dir, "documents")
+    exprs = _lang_exprs()
+    sel = [F.col("doc_id"), F.col("lang").alias("labeled_lang")]
+    sel += [exprs[name].alias(name) for name in exprs]
     return docs.select(*sel)
 
 
@@ -200,12 +217,18 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowercased text — the canonical exact-dup key (case/spacing-invariant).
     Pure map; at 100 TB this is the cheapest possible keying pass."""
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), _WS, " "))
+    norm = _norm_text_expr()
     return docs.select(
         "doc_id",
         F.sha2(norm, 256).alias("fingerprint"),
         F.length(norm).alias("norm_len"),
     )
+
+
+def _norm_text_expr() -> Column:
+    """Whitespace-normalized lowercased text — the canonical dedup key
+    input, shared by ``doc_fingerprint`` and the one-scan composites."""
+    return F.lower(F.regexp_replace(F.trim(F.col("text")), _WS, " "))
 
 
 _FINGERPRINT_SQL = r"""
@@ -1140,9 +1163,109 @@ _SOURCE_DRIFT_SQL = rf"""
 """
 
 
+def source_curation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOMAIN-level curation (RefinedWeb/Gopher-style source filtering):
+    per-source quality keep rate, predicted-English share, exact-dup
+    share and mean length, with a source-level keep/drop gate — the
+    grain where "this whole domain is boilerplate/duplicated/foreign"
+    decisions get made, complementing [[curation_funnel]]'s corpus
+    totals and per-doc filters. Composes the REGISTERED stage operators
+    (doc_quality, lang_id, doc_fingerprint); the oracle embeds the same
+    stages' SQL, so both sides stay consistent with the individually-
+    oracled queries by construction. The Spark side shares the stages'
+    COLUMN EXPRESSIONS (`_quality_exprs`/`_lang_exprs`/
+    `_norm_text_expr`) instead of joining the stage DataFrames, so all
+    three signals come off ONE scan of documents — at 100 TB that is
+    1x the text I/O where a join-of-stages formulation pays 4x
+    (asserted by a single-scan plan test).
+
+    Ratios are integer permille per the exactness convention. The dup
+    flag comes from a fingerprint-partitioned window count rather than
+    a groupBy+join-back, so the lineage never branches (the
+    multi-consumer re-scan trap in SCALE.md): one window shuffle on
+    the fingerprint, one source-grain aggregate, nothing else."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        _quality_exprs()["keep"].alias("keep"),
+        _lang_exprs()["predicted_lang"].alias("predicted_lang"),
+        F.sha2(_norm_text_expr(), 256).alias("fingerprint"),
+    )
+    fp_n = F.count(F.lit(1)).over(Window.partitionBy("fingerprint"))
+    flagged = base.withColumn("is_dup", fp_n > 1)
+    per_source = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr(
+            "(1000 * sum(CASE WHEN keep THEN 1 ELSE 0 END)) div count(1)"
+        ).alias("keep_permille"),
+        F.expr(
+            "(1000 * sum(CASE WHEN predicted_lang = 'en' THEN 1 ELSE 0 END))"
+            " div count(1)"
+        ).alias("en_permille"),
+        F.expr(
+            "(1000 * sum(CASE WHEN is_dup THEN 1 ELSE 0 END)) div count(1)"
+        ).alias("dup_permille"),
+        F.expr("sum(n_chars) div count(1)").alias("avg_chars"),
+    )
+    gate = (
+        (F.col("keep_permille") >= 900)
+        & (F.col("en_permille") >= 350)
+        & (F.col("dup_permille") <= 100)
+    )
+    return per_source.select(
+        "source",
+        "n_docs",
+        "keep_permille",
+        "en_permille",
+        "dup_permille",
+        "avg_chars",
+        gate.alias("source_kept"),
+    )
+
+
+def _source_rollup_sql() -> str:
+    return f"""
+    WITH q AS ({_QUALITY_SQL}),
+    l AS ({_LANG_SQL}),
+    f AS ({_FINGERPRINT_SQL}),
+    base AS (
+        SELECT d.doc_id, d.source, d.n_chars, q.keep, l.predicted_lang,
+               f.fingerprint
+        FROM documents d
+        JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN f USING (doc_id)
+    ),
+    flagged AS (
+        SELECT *, count(*) OVER (PARTITION BY fingerprint) > 1 AS is_dup
+        FROM base
+    ),
+    per_source AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST((1000 * sum(CASE WHEN keep THEN 1 ELSE 0 END)) // count(*)
+                    AS BIGINT) AS keep_permille,
+               CAST((1000 * sum(CASE WHEN predicted_lang = 'en'
+                                     THEN 1 ELSE 0 END)) // count(*)
+                    AS BIGINT) AS en_permille,
+               CAST((1000 * sum(CASE WHEN is_dup THEN 1 ELSE 0 END)) // count(*)
+                    AS BIGINT) AS dup_permille,
+               CAST(sum(n_chars) // count(*) AS BIGINT) AS avg_chars
+        FROM flagged
+        GROUP BY source
+    )
+    SELECT source, n_docs, keep_permille, en_permille, dup_permille,
+           avg_chars,
+           keep_permille >= 900 AND en_permille >= 350
+               AND dup_permille <= 100 AS source_kept
+    FROM per_source
+    """
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "source_vocab_drift": source_vocab_drift,
+    "source_curation_rollup": source_curation_rollup,
     "winnowing_fingerprints": winnowing_fingerprints,
     "doc_quality": doc_quality,
     "lang_id": lang_id,
@@ -1162,6 +1285,7 @@ QUERIES = {
 ORACLES = {
     "doc_token_stats": _TOKEN_STATS_SQL,
     "source_vocab_drift": _SOURCE_DRIFT_SQL,
+    "source_curation_rollup": _source_rollup_sql(),
     "winnowing_fingerprints": _WINNOW_SQL,
     "doc_quality": _QUALITY_SQL,
     "lang_id": _LANG_SQL,

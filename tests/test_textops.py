@@ -315,3 +315,29 @@ def test_source_vocab_drift_planted_shift(spark, tmp_path):
     assert drift["src_shift"]["l1_drift_permille"] > drift["src_same"]["l1_drift_permille"]
     assert drift["src_same"]["l1_drift_permille"] == drift["src_other"]["l1_drift_permille"]
     assert all(r["n_tokens"] == 100 for r in drift.values())
+
+
+def test_source_curation_rollup_single_scan_and_gate(spark):
+    """The rollup must read documents exactly ONCE (signals come from
+    shared column expressions, not a join of stage DataFrames) and the
+    source gate must re-derive from the emitted permille columns."""
+    from azure_sales_etl_pipeline_spark.plans.textops import (
+        source_curation_rollup,
+    )
+
+    df = source_curation_rollup(spark, "/root/testdata/sf0.001")
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert plan.count(") Scan parquet") == 1
+
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r["source_kept"] == (
+            r["keep_permille"] >= 900
+            and r["en_permille"] >= 350
+            and r["dup_permille"] <= 100
+        )
+        assert 0 <= r["keep_permille"] <= 1000
+        assert 0 <= r["en_permille"] <= 1000
