@@ -435,22 +435,32 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (and the first thing that catches a filter regression eating the
     corpus).
 
-    Composes the REGISTERED stage operators (doc_quality, lang_id,
-    doc_fingerprint, train_test_split) rather than re-deriving their
-    logic, and the oracle embeds the same stages' SQL — both sides stay
-    consistent with the individually-oracled queries by construction.
-    Dedup-first is decided among quality+lang survivors: the window
-    sorts survivors first within each fingerprint, so rn=1 lands on a
-    survivor whenever one exists. Shape: narrow maps + three 1:1 joins
-    on doc_id + one window shuffle on fingerprint; output is 1 row.
+    Shares the REGISTERED stages' column expressions (doc_quality,
+    lang_id, doc_fingerprint, train_test_split) rather than re-deriving
+    their logic, and the oracle embeds the same stages' SQL — both
+    sides stay consistent with the individually-oracled queries by
+    construction. Since every stage signal is a per-row expression,
+    they all compute off ONE scan of documents (the former
+    join-of-stage-DataFrames formulation paid 4x the text I/O; a plan
+    test pins the single scan). Dedup-first is decided among
+    quality+lang survivors: the window sorts survivors first within
+    each fingerprint, so rn=1 lands on a survivor whenever one exists.
+    Shape: one scan, narrow maps, one window shuffle on fingerprint;
+    output is 1 row.
     """
-    from .textops import doc_fingerprint, doc_quality, lang_id
+    from .textops import _lang_exprs, _norm_text_expr, _quality_exprs
 
-    q = doc_quality(spark, sf_dir).select("doc_id", "keep")
-    l = lang_id(spark, sf_dir).select("doc_id", "predicted_lang")
-    fp = doc_fingerprint(spark, sf_dir).select("doc_id", "fingerprint")
-    sp = train_test_split(spark, sf_dir).select("doc_id", "split")
-    base = q.join(l, "doc_id").join(fp, "doc_id").join(sp, "doc_id")
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    base = docs.select(
+        "doc_id",
+        _quality_exprs()["keep"].alias("keep"),
+        _lang_exprs()["predicted_lang"].alias("predicted_lang"),
+        F.sha2(_norm_text_expr(), 256).alias("fingerprint"),
+        F.when(prefix <= _TRAIN_PREFIX_MAX, "train")
+        .otherwise("test")
+        .alias("split"),
+    )
     ql_ok = F.col("keep") & (F.col("predicted_lang") == "en")
     w = Window.partitionBy("fingerprint").orderBy(
         ql_ok.desc(), F.col("doc_id")

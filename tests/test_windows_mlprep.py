@@ -423,3 +423,15 @@ def test_iterative_ops_reliable_checkpoint_knob(spark, tmp_path):
     )
     want_pr = sorted(map(tuple, supplier_copurchase_pagerank(spark, SF_DIR).collect()))
     assert got_pr == want_pr
+
+
+def test_curation_funnel_single_scan(spark):
+    """The funnel's four stage signals are per-row expressions off ONE
+    scan of documents — never a join of four stage DataFrames."""
+    from azure_sales_etl_pipeline_spark.plans.mlprep import curation_funnel
+
+    df = curation_funnel(spark, "/root/testdata/sf0.001")
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert plan.count(") Scan parquet") == 1
