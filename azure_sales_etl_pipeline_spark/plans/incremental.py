@@ -15,6 +15,7 @@ modular predicates (deterministic at every SF).
 
 from __future__ import annotations
 
+import atexit
 import datetime as dt
 import shutil
 import tempfile
@@ -583,6 +584,26 @@ def _segment_mart(spark: SparkSession, catalog) -> DataFrame:
     return cur.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_customers"))
 
 
+# One demo-pipeline run per (process, sf_dir): the three pipeline_*
+# queries interrogate different layers of the SAME deterministic
+# two-run orchestration (silver history / gold mart / run log), so
+# re-driving the orchestrator per query would triple the cost for
+# identical on-disk state. The cache holds the pipeline handle and its
+# tmp lake dir; dirs are reaped at interpreter exit. Determinism makes
+# this safe: same sf_dir -> bit-identical lake.
+_DEMO_PIPELINES: dict[str, object] = {}
+
+
+def _demo_pipeline_cached(spark: SparkSession, sf_dir: str):
+    pipe = _DEMO_PIPELINES.get(sf_dir)
+    if pipe is None:
+        tmp = tempfile.mkdtemp(prefix="pipe_demo_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        pipe = _run_demo_pipeline(spark, sf_dir, tmp)
+        _DEMO_PIPELINES[sf_dir] = pipe
+    return pipe
+
+
 def _run_demo_pipeline(spark: SparkSession, sf_dir: str, tmp: str):
     """Drive the REAL orchestrator (pipeline.MedallionPipeline) through
     two incremental runs over landing CSVs synthesized from ``customer``:
@@ -637,22 +658,18 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged run-1 rows stay current since _T1, segment-changed keys
     carry an expired _T1.._T2 version, and run 2's inserts + new
     versions are current since _T2."""
-    tmp = tempfile.mkdtemp(prefix="pipe_e2e_")
-    try:
-        pipe = _run_demo_pipeline(spark, sf_dir, tmp)
-        from ..operators.writer import read_table
+    pipe = _demo_pipeline_cached(spark, sf_dir)
+    from ..operators.writer import read_table
 
-        hist = read_table(spark, pipe.catalog.path("silver", "customers")).select(
-            F.col("c_custkey").cast("bigint").alias("c_custkey"),
-            "c_name",
-            "c_mktsegment",
-            "is_current",
-            "effective_date",
-            "end_date",
-        )
-        return hist.localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    hist = read_table(spark, pipe.catalog.path("silver", "customers")).select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        "c_name",
+        "c_mktsegment",
+        "is_current",
+        "effective_date",
+        "end_date",
+    )
+    return hist.localCheckpoint(eager=True)
 
 
 _PIPE_E2E_SQL = f"""
@@ -682,15 +699,11 @@ def pipeline_gold_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs, read back the materialized ``customer_segments`` mart from the
     GOLD layer (not recomputed in memory — the parquet the pipeline
     wrote). Oracle: segment counts over the final current state."""
-    tmp = tempfile.mkdtemp(prefix="pipe_gold_")
-    try:
-        pipe = _run_demo_pipeline(spark, sf_dir, tmp)
-        from ..operators.writer import read_table
+    pipe = _demo_pipeline_cached(spark, sf_dir)
+    from ..operators.writer import read_table
 
-        mart = read_table(spark, pipe.catalog.path("gold", "customer_segments"))
-        return mart.localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    mart = read_table(spark, pipe.catalog.path("gold", "customer_segments"))
+    return mart.localCheckpoint(eager=True)
 
 
 _PIPE_GOLD_SQL = """
@@ -708,12 +721,8 @@ def pipeline_run_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     after the two demo runs, six rows — ingest / SCD2 / gold-mart
     outcome per run with stage-appropriate counts. The oracle derives
     every count from ``customer`` with the same modular predicates."""
-    tmp = tempfile.mkdtemp(prefix="pipe_log_")
-    try:
-        pipe = _run_demo_pipeline(spark, sf_dir, tmp)
-        return pipe.run_log().localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    pipe = _demo_pipeline_cached(spark, sf_dir)
+    return pipe.run_log().localCheckpoint(eager=True)
 
 
 _PIPE_LOG_SQL = f"""

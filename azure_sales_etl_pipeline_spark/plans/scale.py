@@ -119,41 +119,57 @@ def write_bucketed(
 
 
 def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user inter-event gap statistics via a grouped-map Pandas UDF:
-    each user's events arrive as ONE pandas DataFrame (Arrow columnar
-    transfer, not per-row pickling), are sorted by event time, and
-    reduced to count + median gap seconds.
+    """Per-user inter-event gap statistics via a BUCKETED grouped-map
+    Pandas UDF: users hash into ~shuffle-width buckets, each bucket
+    arrives as ONE pandas DataFrame (Arrow columnar transfer), and the
+    per-user median-of-gaps reduces VECTORIZED inside the bucket.
 
     Ordered gap analysis is the canonical applyInPandas case: a window
     ``lag`` gives the gaps, but medians-of-gaps (and anything iterative
     past that — session embeddings, per-user models) need the whole
-    ordered group in hand. Scale shape: one shuffle on user_id; group
-    size is bounded by per-user activity, never by table size. Skewed
-    power users would pair this with the salting above.
+    ordered group in hand. The bucketing is the part that makes the
+    Arrow path production-shaped: grouping by raw user_id pays the
+    per-group Python/Arrow dispatch once PER USER (measured ~6 s at
+    sf0.1 — 10-20× its JVM twin ``user_event_gaps_window``); grouping
+    by a coarse hash bucket pays it once per BUCKET while numpy does
+    the per-user work at C speed. Same one shuffle, same semantics,
+    same oracle — tests/test_scale.py pins equivalence against the
+    JVM window twin row-for-row.
     """
     events = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     def gaps(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
+        g = pdf.sort_values(["user_id", "ts", "event_id"])
         # Exact integer microseconds (ns→µs int div): float seconds +
         # round(…, 3) diverged from the oracle by 1 ms on tie values at
         # sf0.1. Median is the DISCRETE lower-middle element (index
         # (n-1)//2 of the sorted gaps — DuckDB quantile_disc semantics),
         # so the result is always an actual gap value, never an
         # interpolated float.
-        us = pdf["ts"].astype("int64") // 1000
-        deltas = us.diff().dropna().astype("int64").sort_values().to_numpy()
-        med = int(deltas[(len(deltas) - 1) // 2]) if len(deltas) else None
-        return pd.DataFrame(
-            {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "n_events": [len(pdf)],
-                "median_gap_us": [med],
-            }
+        us = g["ts"].astype("int64") // 1000
+        gap = us.diff()
+        gap[g["user_id"].ne(g["user_id"].shift())] = None
+        counts = g.groupby("user_id", sort=False).size()
+        d = pd.DataFrame({"user_id": g["user_id"], "gap": gap}).dropna()
+        d["gap"] = d["gap"].astype("int64")
+        d = d.sort_values(["user_id", "gap"], kind="mergesort")
+        pos = d.groupby("user_id", sort=False).cumcount()
+        n_gaps = d.groupby("user_id", sort=False)["gap"].transform("size")
+        med = d[pos == (n_gaps - 1) // 2].set_index("user_id")["gap"]
+        out = counts.rename("n_events").to_frame()
+        out["median_gap_us"] = med  # users with no gaps -> NaN -> NULL
+        out["median_gap_us"] = out["median_gap_us"].astype(object).where(
+            out["median_gap_us"].notna(), None
         )
+        return out.reset_index()
 
-    return events.groupBy("user_id").applyInPandas(
-        gaps, schema="user_id bigint, n_events bigint, median_gap_us bigint"
+    return (
+        events.withColumn("bucket", F.pmod(F.hash("user_id"), F.lit(n_buckets)))
+        .groupBy("bucket")
+        .applyInPandas(
+            gaps, schema="user_id bigint, n_events bigint, median_gap_us bigint"
+        )
     )
 
 
@@ -184,32 +200,44 @@ def user_event_gaps_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch as-of attribution via the two-sided Pandas API:
-    ``groupBy().cogroup().applyInPandas`` delivers each user's purchases
-    AND clicks as a pandas frame pair, merged with ``pd.merge_asof``
+    ``groupBy().cogroup().applyInPandas`` delivers co-bucketed purchase
+    and click frames, merged with ``pd.merge_asof(..., by="user_id")``
     (backward, exact matches allowed — p.ts >= c.ts, same semantics as
     the ASOF oracle and the window-based ``purchase_attribution_asof``).
 
     cogroup is the custom-two-sided-merge escape hatch: when the merge
     logic outgrows SQL (interval alignment, per-key models joining
     features to events), this is the shape — one co-partitioned shuffle
-    on the key, Arrow both ways, group-bounded memory. The built-in
-    window form stays the production pick for THIS query; the driver
-    checks both against the same SQL oracle.
+    on the key, Arrow both ways, group-bounded memory. The key is a
+    coarse HASH BUCKET of the user, not the raw user_id: cogrouping on
+    raw keys pays the Python/Arrow dispatch once per user (measured
+    ~10 s at sf0.1, 20× the window twin), while ``merge_asof``'s
+    ``by=`` does the per-user alignment vectorized inside each bucket.
+    Same shuffle, same semantics, same oracle. The built-in window form
+    stays the production pick for THIS query; the driver checks both
+    against the same SQL oracle.
     """
     events = load_table(spark, sf_dir, "events")
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    bucket = F.pmod(F.hash("user_id"), F.lit(n_buckets)).alias("bucket")
     purchases = events.where(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id"
+        bucket, "user_id", "ts", "event_id"
     )
-    clicks = events.where(F.col("event_type") == "click").select("user_id", "ts")
+    clicks = events.where(F.col("event_type") == "click").select(
+        bucket, "user_id", "ts"
+    )
 
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        left = left.sort_values("ts")
-        right = right.sort_values("ts").rename(columns={"ts": "click_ts"})
+        left = left.sort_values("ts", kind="mergesort")
+        right = right.sort_values("ts", kind="mergesort").rename(
+            columns={"ts": "click_ts"}
+        )
         out = pd.merge_asof(
             left,
-            right.drop(columns=["user_id"]),
+            right.drop(columns=["bucket"]),
             left_on="ts",
             right_on="click_ts",
+            by="user_id",
             direction="backward",
             allow_exact_matches=True,
         )
@@ -234,8 +262,8 @@ def asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        purchases.groupBy("user_id")
-        .cogroup(clicks.groupBy("user_id"))
+        purchases.groupBy("bucket")
+        .cogroup(clicks.groupBy("bucket"))
         .applyInPandas(
             merge,
             schema=(

@@ -80,6 +80,16 @@ def main() -> None:
     for _ in range(max(1, n_runs)):
         if passes_done >= 1 and time.perf_counter() - bench_t0 > budget:
             break
+        # The three pipeline_* queries share one cached demo-orchestrator
+        # run per process (they read different layers of the same
+        # deterministic lake). Reset the cache each PASS so the median
+        # stays honest: every pass pays the full orchestrator cost once
+        # (on pipeline_end_to_end) and the cached-layer reads show their
+        # true marginal cost, instead of passes 2..n reporting a warm
+        # cache as if the orchestration were free.
+        from azure_sales_etl_pipeline_spark.plans import incremental
+
+        incremental._DEMO_PIPELINES.clear()
         for name, fn in qs.items():
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -174,3 +174,33 @@ def test_zorder_key_matches_python_interleave(spark):
     }
     for a, b in cases:
         assert got[(a, b)] == ref(a, b), (a, b)
+
+
+def test_bucketed_arrow_paths_match_jvm_twins(spark):
+    """The bucketed cogroup/grouped-map Arrow showcases must agree
+    row-for-row with their JVM twins (same SQL oracle, so equivalence
+    here means the bucketing refactor changed cost, not semantics)."""
+    from azure_sales_etl_pipeline_spark.plans.scale import (
+        asof_join_cogroup,
+        user_event_gaps,
+        user_event_gaps_window,
+    )
+    from azure_sales_etl_pipeline_spark.plans.temporal import (
+        purchase_attribution_asof,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    a = {r["user_id"]: r for r in user_event_gaps(spark, sf).collect()}
+    b = {r["user_id"]: r for r in user_event_gaps_window(spark, sf).collect()}
+    assert set(a) == set(b)
+    for uid in a:
+        assert a[uid]["n_events"] == b[uid]["n_events"], uid
+        assert a[uid]["median_gap_us"] == b[uid]["median_gap_us"], uid
+
+    c = {r["event_id"]: r for r in asof_join_cogroup(spark, sf).collect()}
+    d = {r["event_id"]: r for r in purchase_attribution_asof(spark, sf).collect()}
+    assert set(c) == set(d)
+    for eid in c:
+        assert c[eid]["last_click_ts"] == d[eid]["last_click_ts"], eid
+        assert c[eid]["ms_since_click"] == d[eid]["ms_since_click"], eid
