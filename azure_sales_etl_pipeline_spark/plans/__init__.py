@@ -52,6 +52,7 @@ _SWEEP_PRIORITY = (
     "peak_concurrent_sessions",
     "orders_quality_suite",
     "source_curation_rollup",
+    "stream_cms_heavy_hitters",
     "sql_volume_shipping",
     "sql_market_share",
     "sql_product_margin",

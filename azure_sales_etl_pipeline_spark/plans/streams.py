@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from ..streaming import (
     STREAM_CUSTOM_STATE_SQL,
+    stream_cms_heavy_hitters,
     stream_drift_monitor,
     STREAM_DEDUP_SQL,
     STREAM_JOIN_SQL,
@@ -21,6 +22,7 @@ from ..streaming import (
     stream_tumbling_counts,
     stream_user_totals_custom_state,
 )
+from .analytics import _CMS_HH_SQL as _STREAM_CMS_SQL
 from .analytics import _DRIFT_SQL as _STREAM_DRIFT_SQL
 
 QUERIES = {
@@ -31,6 +33,7 @@ QUERIES = {
     "stream_dedup_events": stream_dedup_events,
     "stream_user_totals_custom_state": stream_user_totals_custom_state,
     "stream_drift_monitor": stream_drift_monitor,
+    "stream_cms_heavy_hitters": stream_cms_heavy_hitters,
 }
 
 ORACLES = {
@@ -41,4 +44,5 @@ ORACLES = {
     "stream_dedup_events": STREAM_DEDUP_SQL,
     "stream_user_totals_custom_state": STREAM_CUSTOM_STATE_SQL,
     "stream_drift_monitor": _STREAM_DRIFT_SQL,
+    "stream_cms_heavy_hitters": _STREAM_CMS_SQL,
 }

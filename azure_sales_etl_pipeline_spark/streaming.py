@@ -659,6 +659,100 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def streaming_cms_monitor(
+    spark: SparkSession,
+    source_glob: str,
+    schema,
+    state_path: str,
+    key_col: str,
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming count-min upkeep — the incremental path for
+    ``cms_heavy_hitters``'s 100 TB story: each arriving micro-batch
+    builds its partial d×w sketch (map-side combined — at most d·w
+    rows leave the batch) and FOLDS it cell-wise into a persisted
+    sketch state via ``merge_aggregate``. The sketch is linear, so the
+    folded state is bit-identical to the single-pass sketch over the
+    union of all batches — the state table is ≤ d·w rows forever and
+    history is never re-read. Replay protection shared with
+    ``streaming_mart`` (a redelivered batch would double-count)."""
+    from .operators.maintenance import merge_aggregate
+    from .plans.analytics import _cms_buckets
+
+    def fold(batch_df: DataFrame, commit_meta: dict) -> None:
+        partial = (
+            batch_df.select(F.explode(_cms_buckets(key_col)).alias("rb"))
+            .groupBy(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        merge_aggregate(
+            spark,
+            state_path,
+            partial,
+            keys=["r", "bucket"],
+            sums=["c"],
+            commit_meta=commit_meta,
+        )
+
+    _streaming_fold(spark, source_glob, schema, state_path, checkpoint, fold)
+
+
+def cms_topk_report(
+    spark: SparkSession, state_path: str, keys_df: DataFrame, key_col: str, k: int = 20
+) -> DataFrame:
+    """Project the persisted sketch state into top-k heavy-hitter
+    estimates for the given candidate keys — the probe stage of
+    ``cms_heavy_hitters`` over the STREAMED state. ≤ d·w state rows
+    broadcast; no fact scan."""
+    from .operators.writer import read_table
+    from .plans.analytics import _cms_estimates
+
+    sketch = read_table(spark, state_path).select("r", "bucket", "c")
+    est = _cms_estimates(keys_df, sketch, key_col)
+    return (
+        est.select(
+            F.col("k").alias("part_key"), F.col("est_count").cast("bigint")
+        )
+        .orderBy(F.desc("est_count"), F.asc("part_key"))
+        .limit(k)
+    )
+
+
+def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract form of ``streaming_cms_monitor``: land the
+    lineitem part keys as two CSV micro-batches (even keys, then odd),
+    fold each partial sketch into a fresh persisted state, and probe
+    the folded state for the top-20 heavy hitters. Because the sketch
+    is LINEAR, stream(batch1)⊕stream(batch2) must equal the single-pass
+    sketch — so the oracle is ``cms_heavy_hitters``'s exact SQL, making
+    the linearity claim driver-visible, not just pytest-visible."""
+    import shutil
+
+    from .catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("bigint").alias("k")
+    )
+    keys = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("bigint").alias("k")
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_cms_")
+    try:
+        src = f"{tmp}/keys"
+        state = f"{tmp}/cms_state"
+        ckpt = f"{tmp}/ckpt"
+        for name, parity in (("b1", 0), ("b2", 1)):
+            li.where(F.col("k") % 2 == parity).coalesce(1).write.option(
+                "header", True
+            ).csv(f"{src}/{name}")
+            streaming_cms_monitor(
+                spark, f"{src}/*", "k bigint", state, key_col="k", checkpoint=ckpt
+            )
+        return cms_topk_report(spark, state, keys, "k").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _streaming_fold(
     spark: SparkSession,
     source_glob: str,

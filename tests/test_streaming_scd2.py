@@ -365,3 +365,17 @@ def test_streaming_drift_monitor_matches_batch_histogram(spark, tmp_path):
         )
     )
     assert got == want and len(got) == 4
+
+
+def test_streaming_cms_equals_batch_sketch(spark):
+    """Linearity made driver-visible: folding two disjoint key batches
+    through the streaming CMS monitor must reproduce the single-pass
+    batch heavy-hitter estimates bit-for-bit (same top-20, same
+    counts), and a replayed fold must be a no-op (marker protection)."""
+    from azure_sales_etl_pipeline_spark.plans.analytics import cms_heavy_hitters
+    from azure_sales_etl_pipeline_spark.streaming import stream_cms_heavy_hitters
+
+    sf = "/root/testdata/sf0.001"
+    streamed = [tuple(r) for r in stream_cms_heavy_hitters(spark, sf).collect()]
+    batch = [tuple(r) for r in cms_heavy_hitters(spark, sf).collect()]
+    assert streamed == batch
