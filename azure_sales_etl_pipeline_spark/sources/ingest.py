@@ -27,7 +27,7 @@ import datetime as dt
 from collections.abc import Callable
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -103,11 +103,15 @@ class CsvIngestor:
             )
         if df.isEmpty():
             return 0
+        # The ingested-rows count rides the WRITE job via the Observation
+        # API instead of a second count() pass — at 100 TB that second
+        # pass re-reads the whole landing batch for one log number.
+        obs = Observation()
         enriched = df.withColumn(
             "ingestion_timestamp", F.lit(self.clock()).cast("timestamp")
-        )
+        ).observe(obs, F.count(F.lit(1)).alias("n"))
         append_evolve(self.spark, enriched, self.bronze_path(table))
-        return enriched.count()
+        return int(obs.get["n"])
 
     def run(self, landing_root: str) -> dict[str, int | None]:
         """The per-table loop with error isolation (C3; the reference
