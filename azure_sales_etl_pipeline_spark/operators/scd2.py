@@ -131,6 +131,39 @@ class SCD2Table:
             & (F.col("end_date").isNull() | (F.col("end_date") > F.lit(ts)))
         )
 
+    def enrich_asof(
+        self, facts: DataFrame, fact_key: str, ts_col: str
+    ) -> DataFrame:
+        """Temporal enrichment: left-join each fact row to the dimension
+        VERSION valid at the fact's own event time (``effective_date <=
+        ts < end_date``, open end = still current) — the per-row
+        generalization of ``as_of``'s single-timestamp snapshot, and the
+        read that keeps ML features leak-free ("the customer's segment
+        AS OF the order", never as of today).
+
+        Scalable temporal-join shape: an EQUI-join on the entity key
+        with the validity interval as a residual predicate. Versions per
+        key are few by construction, so the residual prunes locally
+        after the key shuffle — never a time-bucketed interval range
+        join when an entity key exists. Left join: facts referencing
+        never-loaded keys keep NULL dimension attributes (they surface,
+        not vanish). Dimension columns are prefixed ``dim_`` to avoid
+        colliding with fact columns."""
+        hist = self.history()
+        dim_cols = [c for c in hist.columns if c not in SCD_COLS and c != BUCKET_COL]
+        renamed = hist.select(
+            *[F.col(c).alias(f"dim_{c}") for c in dim_cols],
+            "effective_date",
+            "end_date",
+        )
+        ts = F.col(ts_col)
+        cond = (
+            (facts[fact_key] == renamed[f"dim_{self.key}"])
+            & (ts >= F.col("effective_date"))
+            & (F.col("end_date").isNull() | (ts < F.col("end_date")))
+        )
+        return facts.join(renamed, cond, "left").drop("effective_date", "end_date")
+
     def ensure_members(self, keys_df: DataFrame) -> int:
         """Late-arriving dimension handling (Kimball "inferred member"):
         facts sometimes reference dimension keys whose descriptive row

@@ -53,6 +53,7 @@ _SWEEP_PRIORITY = (
     "orders_quality_suite",
     "source_curation_rollup",
     "stream_cms_heavy_hitters",
+    "fact_temporal_dimension_join",
     "sql_volume_shipping",
     "sql_market_share",
     "sql_product_margin",

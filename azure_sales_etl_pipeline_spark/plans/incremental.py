@@ -819,6 +819,97 @@ _JDBC_WM_SQL = """
 """
 
 
+def fact_temporal_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store-style TEMPORAL ENRICHMENT: join every fact row to
+    the dimension VERSION that was valid at the fact's event time —
+    the query that makes SCD2 history worth keeping (training-data
+    pipelines need "the customer's segment AS OF the order", not as of
+    today, or they leak the future into features).
+
+    Builds the same two-batch SCD2 customer dimension as
+    [[scd2_point_in_time]] (real parquet state, injected clocks _T1/_T2)
+    and gives each order a deterministic event time straddling the
+    version boundary (even order keys → mid-window, odd → after batch
+    2). The join is ``SCD2Table.enrich_asof`` — an EQUI-join on
+    the entity key with the validity interval [effective_date,
+    end_date) as a residual predicate — versions per key are few, so
+    the residual prunes locally after the key shuffle; never a
+    time-bucketed interval×interval range join when an entity key
+    exists. Left join: facts referencing keys the dimension never
+    loaded keep NULL attributes (they surface, not vanish). The oracle
+    replays both version snapshots declaratively."""
+    from ..operators.scd2 import SCD2Table
+
+    customer = load_table(spark, sf_dir, "customer")
+    b1 = customer.where(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    b2 = customer.where(F.col("c_custkey") % 3 != 0).select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("CHANGED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    tmp = tempfile.mkdtemp(prefix="scd2_tdj_")
+    try:
+        clock = [_T1]
+        dim = SCD2Table(
+            spark, f"{tmp}/dim_customer", "c_custkey", clock=lambda: clock[0]
+        )
+        dim.upsert(b1)
+        clock[0] = _T2
+        dim.upsert(b2)
+        facts = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 2 == 0, F.lit(_T_MID))
+            .otherwise(F.lit(_T3))
+            .cast("timestamp")
+            .alias("fact_ts"),
+        )
+        joined = dim.enrich_asof(facts, "o_custkey", "fact_ts").withColumn(
+            "segment_at_fact", F.col("dim_c_mktsegment")
+        )
+        return joined.select(
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            F.col("o_custkey").cast("bigint").alias("o_custkey"),
+            F.when(F.col("o_orderkey") % 2 == 0, "mid")
+            .otherwise("late")
+            .alias("fact_label"),
+            "segment_at_fact",
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_TEMPORAL_JOIN_SQL = """
+    WITH b1 AS (
+        SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 2 = 0
+    ),
+    b2 AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 5 = 0 THEN 'CHANGED' ELSE c_mktsegment END
+                   AS c_mktsegment
+        FROM customer WHERE c_custkey % 3 != 0
+    ),
+    final AS (
+        SELECT * FROM b2
+        UNION ALL
+        SELECT * FROM b1 WHERE c_custkey NOT IN (SELECT c_custkey FROM b2)
+    )
+    SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o.o_custkey AS BIGINT) AS o_custkey,
+           CASE WHEN o.o_orderkey % 2 = 0 THEN 'mid' ELSE 'late' END
+               AS fact_label,
+           CASE WHEN o.o_orderkey % 2 = 0 THEN m.c_mktsegment
+                ELSE f.c_mktsegment END AS segment_at_fact
+    FROM orders o
+    LEFT JOIN b1 m ON m.c_custkey = o.o_custkey
+    LEFT JOIN final f ON f.c_custkey = o.o_custkey
+"""
+
+
 QUERIES = {
     "pipeline_end_to_end": pipeline_end_to_end,
     "pipeline_run_log": pipeline_run_log,
@@ -826,6 +917,7 @@ QUERIES = {
     "jdbc_watermark_round_trip": jdbc_watermark_round_trip,
     "scd2_two_batch_history": scd2_two_batch_history,
     "scd2_point_in_time": scd2_point_in_time,
+    "fact_temporal_dimension_join": fact_temporal_dimension_join,
     "late_dimension_inferred": late_dimension_inferred,
     "dedup_index_two_batch": dedup_index_two_batch,
     "partition_pruned_revenue": partition_pruned_revenue,
@@ -841,6 +933,7 @@ ORACLES = {
     "jdbc_watermark_round_trip": _JDBC_WM_SQL,
     "scd2_two_batch_history": _SCD2_HISTORY_SQL,
     "scd2_point_in_time": _SCD2_PIT_SQL,
+    "fact_temporal_dimension_join": _TEMPORAL_JOIN_SQL,
     "late_dimension_inferred": _LATE_DIM_SQL,
     "dedup_index_two_batch": _DEDUP_INDEX_SQL,
     "partition_pruned_revenue": _PARTITION_PRUNED_SQL,

@@ -255,3 +255,36 @@ def test_ensure_members_does_not_expire_on_delete_expire_table(spark, tmp_path):
     )
     assert stats["deleted"] == 1
     assert {r["k"] for r in dim.current().collect()} == {1, 3}
+
+
+def test_enrich_asof_boundary_and_missing_keys(spark, tmp_path):
+    """Temporal enrichment edges: a fact at EXACTLY the new version's
+    effective instant gets the NEW version (closed start), a fact at
+    the old version's end instant does NOT get the old one (open end),
+    and facts for never-loaded keys survive with NULL attributes."""
+    import datetime as _dt
+
+    import pyspark.sql.functions as F
+
+    t1, t2 = _dt.datetime(2024, 1, 1), _dt.datetime(2024, 2, 1)
+    clock = [t1]
+    dim = SCD2Table(spark, str(tmp_path / "dim"), "k", clock=lambda: clock[0])
+    dim.upsert(spark.createDataFrame([(1, "v1")], "k bigint, attr string"))
+    clock[0] = t2
+    dim.upsert(spark.createDataFrame([(1, "v2")], "k bigint, attr string"))
+
+    facts = spark.createDataFrame(
+        [
+            (100, 1, t2),                          # exactly at boundary -> v2
+            (101, 1, t2 - _dt.timedelta(seconds=1)),  # just before -> v1
+            (102, 1, t1),                          # at first load -> v1
+            (103, 9, t2),                          # never-loaded key -> NULL
+        ],
+        "fact_id bigint, k bigint, ts timestamp",
+    )
+    out = {r["fact_id"]: r for r in dim.enrich_asof(facts, "k", "ts").collect()}
+    assert out[100]["dim_attr"] == "v2"
+    assert out[101]["dim_attr"] == "v1"
+    assert out[102]["dim_attr"] == "v1"
+    assert out[103]["dim_attr"] is None and out[103]["dim_k"] is None
+    assert len(out) == 4  # left join: one row per fact, none duplicated
