@@ -54,6 +54,7 @@ _SWEEP_PRIORITY = (
     "source_curation_rollup",
     "stream_cms_heavy_hitters",
     "fact_temporal_dimension_join",
+    "user_trailing_features",
     "sql_volume_shipping",
     "sql_market_share",
     "sql_product_margin",

@@ -428,7 +428,75 @@ _MONTH_RANK_SQL = """
 """
 
 
+def user_trailing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-horizon trailing activity features per user AT EVERY EVENT
+    — the feature-store export pattern: for each event, how many events
+    and how much value the user accrued in the trailing 1 hour / 24
+    hours / 7 days INCLUDING this one. Computing features at event time
+    (instead of "as of today") is what keeps offline training features
+    consistent with what an online store would have served — the same
+    leak-freedom argument as [[fact_temporal_dimension_join]].
+
+    All three horizons ride ONE shuffle on the user key: range frames
+    over the event's epoch seconds, partitioned per user, inclusive
+    bounds [-horizon, 0] (ties on the same second all join the frame in
+    both engines). Value sums are exact integer cents per the engine
+    convention — a float sum over a sliding frame diverges between
+    engines in the last ulp depending on accumulation order."""
+    events = load_table(spark, sf_dir, "events")
+    cents = F.expr(
+        "CAST(round(CAST(value AS DECIMAL(18,4)), 2) * 100 AS BIGINT)"
+    )
+    base = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.unix_seconds(F.col("ts")).alias("epoch_s"),
+        cents.alias("value_cents"),
+    )
+    out_cols = ["user_id", "event_id", "ts"]
+    df = base
+    for label, secs in (("1h", 3600), ("24h", 86400), ("7d", 604800)):
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("epoch_s")
+            .rangeBetween(-secs, 0)
+        )
+        df = df.withColumn(
+            f"n_{label}", F.count(F.lit(1)).over(w).cast("bigint")
+        ).withColumn(f"value_{label}_cents", F.sum("value_cents").over(w))
+        out_cols += [f"n_{label}", f"value_{label}_cents"]
+    return df.select(*out_cols)
+
+
+_TRAILING_FEATURES_SQL = """
+    WITH base AS (
+        SELECT user_id, event_id, ts,
+               epoch(ts) AS epoch_s,
+               CAST(round(CAST(value AS DECIMAL(18,4)), 2) * 100 AS BIGINT)
+                   AS value_cents
+        FROM events
+    )
+    SELECT user_id, event_id, ts,
+           CAST(count(*) OVER w1 AS BIGINT) AS n_1h,
+           CAST(sum(value_cents) OVER w1 AS BIGINT) AS value_1h_cents,
+           CAST(count(*) OVER w24 AS BIGINT) AS n_24h,
+           CAST(sum(value_cents) OVER w24 AS BIGINT) AS value_24h_cents,
+           CAST(count(*) OVER w7d AS BIGINT) AS n_7d,
+           CAST(sum(value_cents) OVER w7d AS BIGINT) AS value_7d_cents
+    FROM base
+    WINDOW
+        w1 AS (PARTITION BY user_id ORDER BY epoch_s
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW),
+        w24 AS (PARTITION BY user_id ORDER BY epoch_s
+                RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW),
+        w7d AS (PARTITION BY user_id ORDER BY epoch_s
+                RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
+    "user_trailing_features": user_trailing_features,
     "top_parts_per_supplier": top_parts_per_supplier,
     "order_month_rank_profile": order_month_rank_profile,
     "customer_running_revenue": customer_running_revenue,
@@ -439,6 +507,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "user_trailing_features": _TRAILING_FEATURES_SQL,
     "top_parts_per_supplier": _TOP_PARTS_SQL,
     "order_month_rank_profile": _MONTH_RANK_SQL,
     "customer_running_revenue": _RUNNING_SQL,

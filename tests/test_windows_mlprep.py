@@ -435,3 +435,34 @@ def test_curation_funnel_single_scan(spark):
     mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     plan = df._jdf.queryExecution().explainString(mode)
     assert plan.count(") Scan parquet") == 1
+
+
+def test_user_trailing_features_horizons(spark, tmp_path):
+    """Planted timeline: events at t0, t0+30min, t0+2h, t0+3d for one
+    user. The trailing windows must include exactly the events within
+    each horizon (inclusive bounds), and the 7d value sum must be exact
+    integer cents."""
+    import datetime as dt
+
+    from azure_sales_etl_pipeline_spark.plans.windows import (
+        user_trailing_features,
+    )
+
+    t0 = dt.datetime(2024, 5, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 1, "view", 1.00, "{}"),
+        (2, t0 + dt.timedelta(minutes=30), 1, "view", 2.00, "{}"),
+        (3, t0 + dt.timedelta(hours=2), 1, "view", 4.00, "{}"),
+        (4, t0 + dt.timedelta(days=3), 1, "view", 8.00, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {r["event_id"]: r for r in user_trailing_features(spark, str(tmp_path)).collect()}
+    assert out[2]["n_1h"] == 2 and out[2]["value_1h_cents"] == 300
+    assert out[3]["n_1h"] == 1  # 90min gap: only itself
+    assert out[3]["n_24h"] == 3 and out[3]["value_24h_cents"] == 700
+    assert out[4]["n_24h"] == 1
+    assert out[4]["n_7d"] == 4 and out[4]["value_7d_cents"] == 1500
