@@ -55,6 +55,7 @@ _SWEEP_PRIORITY = (
     "stream_cms_heavy_hitters",
     "fact_temporal_dimension_join",
     "user_trailing_features",
+    "negative_samples",
     "sql_volume_shipping",
     "sql_market_share",
     "sql_product_margin",

@@ -1465,7 +1465,106 @@ _SPAN_MASKS_SQL = rf"""
 """
 
 
+def negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic NEGATIVE SAMPLING for recommendation training:
+    for every customer, up to 5 parts they never purchased — the
+    contrastive pairs a two-tower / matrix-factorization trainer needs
+    next to the positive (customer, part) interactions.
+
+    Candidates come from pure hash arithmetic on (customer, slot) —
+    not from sampling the part table — so membership is reproducible
+    under re-partitioning, appends, and re-runs (the same stability
+    argument as [[train_test_split]]), and the whole op is
+    value-oracled: DuckDB replays the same integer arithmetic. The
+    anti-join against actual purchases is the only wide step, keyed on
+    (customer, part) with the purchase side pre-distincted; candidate
+    fan-out is a fixed 8 slots per customer, so the join input is
+    8×|customers| rows regardless of fact size. Collisions with a
+    purchased part or duplicate candidate parts drop a slot (a
+    customer can yield <5 negatives) — acceptable and deterministic.
+    """
+    purchased = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            load_table(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    max_pk = load_table(spark, sf_dir, "part").agg(
+        F.max("p_partkey").alias("max_pk")
+    )
+    cand = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("cust"))
+        .crossJoin(F.broadcast(max_pk))
+        .select(
+            "cust",
+            "max_pk",
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("slot"),
+        )
+        .select(
+            "cust",
+            "slot",
+            (
+                ((F.col("cust") % 1000003) * 2654435761 + F.col("slot") * 40503)
+                % F.col("max_pk")
+                + 1
+            ).alias("part"),
+        )
+        # min(slot) per (cust, part): dropDuplicates keeps an ARBITRARY
+        # survivor — nondeterministic under partitioning; the grouped min
+        # is the same row on every run and every engine.
+        .groupBy("cust", "part")
+        .agg(F.min("slot").alias("slot"))
+    )
+    neg = cand.join(purchased, ["cust", "part"], "left_anti")
+    w = Window.partitionBy("cust").orderBy("slot")
+    return (
+        neg.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select(
+            F.col("cust").cast("bigint").alias("cust"),
+            F.col("part").cast("bigint").alias("neg_part"),
+            F.col("slot").cast("bigint").alias("slot"),
+        )
+    )
+
+
+_NEGATIVE_SAMPLES_SQL = """
+    WITH purchased AS (
+        SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    mx AS (SELECT max(p_partkey) AS max_pk FROM part),
+    slots AS (SELECT unnest(range(0, 8)) AS slot),
+    cand AS (
+        SELECT c.c_custkey AS cust,
+               ((c.c_custkey % 1000003) * 2654435761 + s.slot * 40503)
+                   % mx.max_pk + 1 AS part,
+               min(s.slot) AS slot
+        FROM customer c CROSS JOIN slots s CROSS JOIN mx
+        GROUP BY 1, 2
+    ),
+    neg AS (
+        SELECT cand.* FROM cand
+        ANTI JOIN purchased USING (cust, part)
+    ),
+    ranked AS (
+        SELECT cust, part, slot,
+               row_number() OVER (PARTITION BY cust ORDER BY slot) AS rk
+        FROM neg
+    )
+    SELECT CAST(cust AS BIGINT) AS cust,
+           CAST(part AS BIGINT) AS neg_part,
+           CAST(slot AS BIGINT) AS slot
+    FROM ranked WHERE rk <= 5
+"""
+
+
 QUERIES = {
+    "negative_samples": negative_samples,
     "train_test_split": train_test_split,
     "wds_export_manifest": wds_export_manifest,
     "span_corruption_masks": span_corruption_masks,
@@ -1487,6 +1586,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "negative_samples": _NEGATIVE_SAMPLES_SQL,
     "train_test_split": _SPLIT_SQL,
     "wds_export_manifest": _WDS_MANIFEST_SQL,
     "span_corruption_masks": _SPAN_MASKS_SQL,

@@ -466,3 +466,33 @@ def test_user_trailing_features_horizons(spark, tmp_path):
     assert out[3]["n_24h"] == 3 and out[3]["value_24h_cents"] == 700
     assert out[4]["n_24h"] == 1
     assert out[4]["n_7d"] == 4 and out[4]["value_7d_cents"] == 1500
+
+
+def test_negative_samples_are_true_negatives(spark):
+    """Every emitted (cust, neg_part) pair must be absent from the
+    actual purchase pairs, at most 5 per customer, and stable across
+    two evaluations (hash-deterministic candidates)."""
+    import pyspark.sql.functions as F
+
+    from azure_sales_etl_pipeline_spark.catalog import load_table
+    from azure_sales_etl_pipeline_spark.plans.mlprep import negative_samples
+
+    sf = "/root/testdata/sf0.001"
+    neg = negative_samples(spark, sf)
+    purchased = (
+        load_table(spark, sf, "orders")
+        .join(
+            load_table(spark, sf, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("neg_part")
+        )
+        .distinct()
+    )
+    assert neg.join(purchased, ["cust", "neg_part"]).count() == 0
+    per_cust = neg.groupBy("cust").count().agg(F.max("count")).first()[0]
+    assert per_cust <= 5
+    a = sorted(map(tuple, neg.collect()))
+    b = sorted(map(tuple, negative_samples(spark, sf).collect()))
+    assert a == b
