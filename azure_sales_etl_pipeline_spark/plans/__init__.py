@@ -56,6 +56,7 @@ _SWEEP_PRIORITY = (
     "fact_temporal_dimension_join",
     "user_trailing_features",
     "negative_samples",
+    "drift_psi",
     "sql_volume_shipping",
     "sql_market_share",
     "sql_product_margin",

@@ -836,6 +836,101 @@ _DRIFT_SQL = f"""
 """
 
 
+# Shared expression text for the PSI terms: the SAME character-for-
+# character arithmetic runs on both engines (Spark SQL and DuckDB).
+# CRITICAL: no libm transcendentals — Spark's JVM ln() and DuckDB's C
+# ln() disagree in the last ulp, which flipped a floor() boundary at
+# sf0.001 during development. The logarithm is instead an explicitly
+# truncated atanh series (ln(p/q) = 2*artanh(z), z=(p-q)/(p+q)) built
+# from *, /, +, - only: IEEE-754 basic ops are correctly rounded on
+# BOTH engines, so every intermediate double — and therefore the
+# floor() quantization — is bit-identical by construction, not by
+# luck. Truncation error at 5 terms is < 1e-3 for share ratios up to
+# ~5x (z ≤ 0.67) — noise for a drift score whose alarm threshold is
+# 0.25. Laplace (+1) smoothing keeps p, q > 0 on bins one period
+# never hit, which is where raw PSI blows up.
+# NB: `x * 1.0` is NOT a double coercion — both engines parse 1.0 as
+# DECIMAL and run decimal division with engine-specific scale/rounding
+# (the first value this shipped with diverged by exactly 1 micro-unit).
+# Explicit CAST AS DOUBLE is the only portable float coercion.
+_PSI_P = "(CAST(n_before + 1 AS DOUBLE) / CAST(tot_before + n_bins AS DOUBLE))"
+_PSI_Q = "(CAST(n_after + 1 AS DOUBLE) / CAST(tot_after + n_bins AS DOUBLE))"
+_PSI_Z = f"(({_PSI_P} - {_PSI_Q}) / ({_PSI_P} + {_PSI_Q}))"
+_PSI_LN = (
+    f"(2 * {_PSI_Z} * (1 + ({_PSI_Z}*{_PSI_Z})/3"
+    f" + ({_PSI_Z}*{_PSI_Z})*({_PSI_Z}*{_PSI_Z})/5"
+    f" + ({_PSI_Z}*{_PSI_Z})*({_PSI_Z}*{_PSI_Z})*({_PSI_Z}*{_PSI_Z})/7"
+    f" + ({_PSI_Z}*{_PSI_Z})*({_PSI_Z}*{_PSI_Z})*({_PSI_Z}*{_PSI_Z})*({_PSI_Z}*{_PSI_Z})/9))"
+)
+_PSI_TERM = (
+    f"CAST(floor(({_PSI_P} - {_PSI_Q}) * {_PSI_LN} * 1000000) AS BIGINT)"
+)
+
+
+def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-Stability-Index drift between the same two order
+    snapshots as [[order_drift_histogram]] — the industry-standard
+    drift score (PSI < 0.1 stable, > 0.25 shifted) next to the
+    histogram's L1 distance. Per-bin contribution (p−q)·ln(p/q) with
+    Laplace-smoothed shares, quantized to integer micro-units with a
+    series logarithm built from IEEE basic ops only (see _PSI_LN —
+    libm ln() differs between the JVM and C in the last ulp and DID
+    flip a floor boundary), so the quantization is bit-identical
+    across engines by construction. Each term is ≥ 0 ((p−q) and ln(p/q) share sign), so
+    Σ psi_micro over the output IS the corpus PSI×1e6. Same plan shape
+    as the histogram: one conditional-count hash-agg on the bin key,
+    single-row totals broadcast back."""
+    orders = load_table(spark, sf_dir, "orders")
+    split = F.col("o_orderdate") < F.lit(_DRIFT_SPLIT_DATE).cast("timestamp")
+    bins = (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / _HIST_BIN_WIDTH)
+            .cast("bigint")
+            .alias("bin_id")
+        )
+        .agg(
+            F.count(F.when(split, 1)).alias("n_before"),
+            F.count(F.when(~split, 1)).alias("n_after"),
+        )
+        .localCheckpoint()
+    )
+    totals = bins.agg(
+        F.sum("n_before").alias("tot_before"),
+        F.sum("n_after").alias("tot_after"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    return bins.crossJoin(F.broadcast(totals)).select(
+        "bin_id",
+        "n_before",
+        "n_after",
+        F.expr(_PSI_TERM).alias("psi_micro"),
+    )
+
+
+_PSI_SQL = f"""
+    WITH bins AS (
+        SELECT CAST(floor(o_totalprice / {_HIST_BIN_WIDTH}) AS BIGINT) AS bin_id,
+               count(*) FILTER (o_orderdate <  TIMESTAMP '{_DRIFT_SPLIT_DATE}')
+                   AS n_before,
+               count(*) FILTER (o_orderdate >= TIMESTAMP '{_DRIFT_SPLIT_DATE}')
+                   AS n_after
+        FROM orders
+        GROUP BY 1
+    ),
+    t AS (
+        SELECT CAST(sum(n_before) AS BIGINT) AS tot_before,
+               CAST(sum(n_after) AS BIGINT) AS tot_after,
+               CAST(count(*) AS BIGINT) AS n_bins
+        FROM bins
+    )
+    SELECT bin_id,
+           CAST(n_before AS BIGINT) AS n_before,
+           CAST(n_after AS BIGINT) AS n_after,
+           {_PSI_TERM} AS psi_micro
+    FROM bins CROSS JOIN t
+"""
+
+
 # Count-min sketch parameters, shared by the Spark plans and the oracle
 # text below. d=3 pairwise-independent multiply-shift hashes over the
 # Mersenne prime 2^31-1; w=1024 buckets. a*k stays under 2^62 for any
@@ -1056,6 +1151,7 @@ QUERIES = {
     "repeat_buyers_intersect": repeat_buyers_intersect,
     "revenue_unpivot": revenue_unpivot,
     "cms_heavy_hitters": cms_heavy_hitters,
+    "drift_psi": drift_psi,
     "cms_accuracy_check": cms_accuracy_check,
 }
 
@@ -1078,5 +1174,6 @@ ORACLES = {
     "repeat_buyers_intersect": _INTERSECT_SQL,
     "revenue_unpivot": _UNPIVOT_SQL,
     "cms_heavy_hitters": _CMS_HH_SQL,
+    "drift_psi": _PSI_SQL,
     "cms_accuracy_check": _CMS_ACCURACY_SQL,
 }

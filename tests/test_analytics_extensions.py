@@ -180,3 +180,22 @@ def test_cms_estimates_broadcast_the_sketch(spark):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "Cartesian" not in plan
+
+
+def test_drift_psi_terms_nonnegative_and_consistent(spark):
+    """Every per-bin PSI contribution is >= 0 ((p-q) and ln(p/q) share
+    sign), and the histogram's bins/counts agree with the PSI query's
+    (same split, same bin width, same scan shape)."""
+    from azure_sales_etl_pipeline_spark.plans.analytics import (
+        drift_psi,
+        order_drift_histogram,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    psi = {r["bin_id"]: r for r in drift_psi(spark, sf).collect()}
+    hist = {r["bin_id"]: r for r in order_drift_histogram(spark, sf).collect()}
+    assert set(psi) == set(hist)
+    for b, r in psi.items():
+        assert r["psi_micro"] >= 0, (b, r)
+        assert r["n_before"] == hist[b]["n_before"]
+        assert r["n_after"] == hist[b]["n_after"]
