@@ -57,6 +57,7 @@ _SWEEP_PRIORITY = (
     "user_trailing_features",
     "negative_samples",
     "drift_psi",
+    "supplier_revenue_gini",
     "sql_volume_shipping",
     "sql_market_share",
     "sql_product_margin",

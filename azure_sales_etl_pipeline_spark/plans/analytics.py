@@ -931,6 +931,68 @@ _PSI_SQL = f"""
 """
 
 
+def supplier_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Gini coefficient across suppliers — the
+    "how skewed is our marketplace" number, computed ENTIRELY in
+    integer arithmetic: with supplier revenues x_1 ≤ … ≤ x_n in exact
+    cents and rank i, Gini = Σ(2i−n−1)·x_i / (n·Σx_i); the output is
+    floor(10⁶·numer/denom), a pure bigint division — no float ever
+    exists, so no engine can disagree (the lesson of [[drift_psi]]'s
+    two float traps, taken to its conclusion: when the formula has a
+    rational closed form, use it).
+
+    Shape: lineitem aggregates to supplier grain (one shuffle, map-side
+    combined), then the rank window and the final fold run over
+    |suppliers| rows — bounded by the dimension, not the fact, so the
+    single-partition window is safe at any fact scale (same bounded-
+    input argument as `key_skew_profile`'s top-k). Ties rank by
+    (revenue, supplier key): deterministic on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.expr(
+            "CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)"
+            " AS DECIMAL(18,4))), 2) * 100 AS BIGINT)"
+        ).alias("revenue_cents")
+    )
+    w = Window.orderBy("revenue_cents", "l_suppkey")
+    ranked = per_supp.select(
+        "revenue_cents",
+        F.row_number().over(w).cast("bigint").alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum("revenue_cents").cast("bigint").alias("total_revenue_cents"),
+        F.expr(
+            "CAST(sum((2*i - n - 1) * revenue_cents)"
+            " * 1000000 DIV (count(1) * sum(revenue_cents)) AS BIGINT)"
+        ).alias("gini_e6"),
+    )
+
+
+_GINI_SQL = """
+    WITH per_supp AS (
+        SELECT l_suppkey,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,4))), 2) * 100 AS BIGINT)
+                   AS revenue_cents
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    ranked AS (
+        SELECT revenue_cents,
+               CAST(row_number() OVER (ORDER BY revenue_cents, l_suppkey)
+                    AS BIGINT) AS i,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM per_supp
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(revenue_cents) AS BIGINT) AS total_revenue_cents,
+           CAST((sum((2*i - n - 1) * revenue_cents) * 1000000)
+                // (count(*) * sum(revenue_cents)) AS BIGINT) AS gini_e6
+    FROM ranked
+"""
+
+
 # Count-min sketch parameters, shared by the Spark plans and the oracle
 # text below. d=3 pairwise-independent multiply-shift hashes over the
 # Mersenne prime 2^31-1; w=1024 buckets. a*k stays under 2^62 for any
@@ -1152,6 +1214,7 @@ QUERIES = {
     "revenue_unpivot": revenue_unpivot,
     "cms_heavy_hitters": cms_heavy_hitters,
     "drift_psi": drift_psi,
+    "supplier_revenue_gini": supplier_revenue_gini,
     "cms_accuracy_check": cms_accuracy_check,
 }
 
@@ -1175,5 +1238,6 @@ ORACLES = {
     "revenue_unpivot": _UNPIVOT_SQL,
     "cms_heavy_hitters": _CMS_HH_SQL,
     "drift_psi": _PSI_SQL,
+    "supplier_revenue_gini": _GINI_SQL,
     "cms_accuracy_check": _CMS_ACCURACY_SQL,
 }

@@ -199,3 +199,60 @@ def test_drift_psi_terms_nonnegative_and_consistent(spark):
         assert r["psi_micro"] >= 0, (b, r)
         assert r["n_before"] == hist[b]["n_before"]
         assert r["n_after"] == hist[b]["n_after"]
+
+
+def test_supplier_revenue_gini_known_values(spark, tmp_path):
+    """Hand-computable Gini: equal revenues -> 0; one supplier takes
+    everything -> (n-1)/n. Pure integer arithmetic end to end."""
+    from azure_sales_etl_pipeline_spark.plans.analytics import (
+        supplier_revenue_gini,
+    )
+
+    def build(rows, sub):
+        d = tmp_path / sub
+        spark.createDataFrame(
+            [(i + 1, i + 1, s, 1, float(v), 0.0, 0.0, 0.0, "N", "O",
+              __import__("datetime").datetime(1995, 1, 1))
+             for i, (s, v) in enumerate(rows)],
+            "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+            " l_linenumber int, l_quantity double, l_extendedprice double,"
+            " l_discount double, l_tax double, l_returnflag string,"
+            " l_linestatus string, l_shipdate timestamp",
+        ).write.parquet(str(d / "lineitem.parquet"))
+        return str(d)
+
+    # equal: four suppliers, 100.00 each -> gini 0
+    rows = [(s, 0) for s in (1, 2, 3, 4)]
+    eq = spark.createDataFrame(
+        [(i + 1, i + 1, s, 1, 1.0, 100.0, 0.0, 0.0, "N", "O",
+          __import__("datetime").datetime(1995, 1, 1))
+         for i, (s, _) in enumerate(rows)],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    )
+    d1 = tmp_path / "eq"
+    eq.write.parquet(str(d1 / "lineitem.parquet"))
+    r = supplier_revenue_gini(spark, str(d1)).first()
+    assert r["gini_e6"] == 0 and r["n_suppliers"] == 4
+
+    # concentrated: three suppliers at ~0, one at 400 -> gini ~ 3/4
+    conc = spark.createDataFrame(
+        [(1, 1, 1, 1, 1.0, 0.01, 0.0, 0.0, "N", "O",
+          __import__("datetime").datetime(1995, 1, 1)),
+         (2, 2, 2, 1, 1.0, 0.01, 0.0, 0.0, "N", "O",
+          __import__("datetime").datetime(1995, 1, 1)),
+         (3, 3, 3, 1, 1.0, 0.01, 0.0, 0.0, "N", "O",
+          __import__("datetime").datetime(1995, 1, 1)),
+         (4, 4, 4, 1, 1.0, 400.0, 0.0, 0.0, "N", "O",
+          __import__("datetime").datetime(1995, 1, 1))],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    )
+    d2 = tmp_path / "conc"
+    conc.write.parquet(str(d2 / "lineitem.parquet"))
+    r2 = supplier_revenue_gini(spark, str(d2)).first()
+    assert 740_000 <= r2["gini_e6"] <= 750_000
