@@ -77,9 +77,19 @@ def main() -> None:
     samples: dict[str, list[float]] = {name: [] for name in qs}
     bench_t0 = time.perf_counter()
     passes_done = 0
+    last_pass_sec = 0.0
     for _ in range(max(1, n_runs)):
-        if passes_done >= 1 and time.perf_counter() - bench_t0 > budget:
+        # Duration-aware pass gate: start another pass only if it is
+        # PREDICTED to finish inside the wall budget (estimate = the
+        # previous pass's duration). The old elapsed-only gate let a
+        # growing registry start a pass at budget-minus-epsilon and blow
+        # straight through the wall; this degrades to fewer passes
+        # instead.
+        if passes_done >= 1 and (
+            time.perf_counter() - bench_t0 + last_pass_sec > budget
+        ):
             break
+        pass_t0 = time.perf_counter()
         # The three pipeline_* queries share one cached demo-orchestrator
         # run per process (they read different layers of the same
         # deterministic lake). Reset the cache each PASS so the median
@@ -105,6 +115,7 @@ def main() -> None:
             gc.collect()
             spark.sparkContext._jvm.System.gc()
         passes_done += 1
+        last_pass_sec = time.perf_counter() - pass_t0
 
     total = 0.0
     for name, ss in samples.items():
