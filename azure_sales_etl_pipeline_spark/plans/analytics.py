@@ -960,12 +960,17 @@ def supplier_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("bigint").alias("i"),
         F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
     )
+    # DECIMAL(38,0) for the fold: numer*1e6 exceeds int64 already at
+    # sf0.1 (Spark ANSI raised ARITHMETIC_OVERFLOW; DuckDB silently
+    # survives on HUGEINT). `div` (IntegralDivide) on decimals is an
+    # exact integer quotient on both engines, so exactness is kept.
     return ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
         F.sum("revenue_cents").cast("bigint").alias("total_revenue_cents"),
         F.expr(
-            "CAST(sum((2*i - n - 1) * revenue_cents)"
-            " * 1000000 DIV (count(1) * sum(revenue_cents)) AS BIGINT)"
+            "CAST(sum(CAST(2*i - n - 1 AS DECIMAL(38,0)) * revenue_cents)"
+            " * 1000000 div (CAST(count(1) AS DECIMAL(38,0))"
+            " * sum(CAST(revenue_cents AS DECIMAL(38,0)))) AS BIGINT)"
         ).alias("gini_e6"),
     )
 
