@@ -58,6 +58,7 @@ _SWEEP_PRIORITY = (
     "negative_samples",
     "drift_psi",
     "supplier_revenue_gini",
+    "stream_drift_psi",
     "sql_volume_shipping",
     "sql_market_share",
     "sql_product_margin",

@@ -10,6 +10,7 @@ from ..streaming import (
     STREAM_CUSTOM_STATE_SQL,
     stream_cms_heavy_hitters,
     stream_drift_monitor,
+    stream_drift_psi,
     STREAM_DEDUP_SQL,
     STREAM_JOIN_SQL,
     STREAM_SESSION_SQL,
@@ -23,6 +24,7 @@ from ..streaming import (
     stream_user_totals_custom_state,
 )
 from .analytics import _CMS_HH_SQL as _STREAM_CMS_SQL
+from .analytics import _PSI_SQL as _STREAM_PSI_SQL
 from .analytics import _DRIFT_SQL as _STREAM_DRIFT_SQL
 
 QUERIES = {
@@ -34,6 +36,7 @@ QUERIES = {
     "stream_user_totals_custom_state": stream_user_totals_custom_state,
     "stream_drift_monitor": stream_drift_monitor,
     "stream_cms_heavy_hitters": stream_cms_heavy_hitters,
+    "stream_drift_psi": stream_drift_psi,
 }
 
 ORACLES = {
@@ -45,4 +48,5 @@ ORACLES = {
     "stream_user_totals_custom_state": STREAM_CUSTOM_STATE_SQL,
     "stream_drift_monitor": _STREAM_DRIFT_SQL,
     "stream_cms_heavy_hitters": _STREAM_CMS_SQL,
+    "stream_drift_psi": _STREAM_PSI_SQL,
 }

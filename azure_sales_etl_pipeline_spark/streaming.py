@@ -718,6 +718,71 @@ def cms_topk_report(
     )
 
 
+def psi_report(spark: SparkSession, state_path: str) -> DataFrame:
+    """Project the persisted drift state into per-bin PSI contributions
+    — [[drift_psi]]'s formula (Laplace-smoothed shares, engine-exact
+    series logarithm) over the STREAMED per-bin counts instead of a
+    fact re-scan. |bins| rows in, |bins| rows out; no fact scan."""
+    from .operators.writer import read_table
+    from .plans.analytics import _PSI_TERM
+
+    bins = read_table(spark, state_path).select("bin_id", "n_before", "n_after")
+    totals = bins.agg(
+        F.sum("n_before").alias("tot_before"),
+        F.sum("n_after").alias("tot_after"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    return bins.crossJoin(F.broadcast(totals)).select(
+        "bin_id",
+        F.col("n_before").cast("bigint").alias("n_before"),
+        F.col("n_after").cast("bigint").alias("n_after"),
+        F.expr(_PSI_TERM).alias("psi_micro"),
+    )
+
+
+def stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract form: land orders as two parity micro-batches,
+    fold them through the SAME streaming drift monitor state as
+    [[stream_drift_monitor]], then report PSI from the folded state.
+    Because the per-bin indicator counts are mergeable, the streamed
+    state is identical to the batch conditional-count histogram — so
+    the oracle is ``drift_psi``'s exact SQL: one persisted ≤|bins|-row
+    state serves BOTH drift reports (L1 and PSI) without ever
+    re-reading history."""
+    import shutil
+
+    from .catalog import load_table
+    from .plans.analytics import _DRIFT_SPLIT_DATE, _HIST_BIN_WIDTH
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_psi_")
+    try:
+        src = f"{tmp}/orders"
+        state = f"{tmp}/drift_state"
+        ckpt = f"{tmp}/ckpt"
+        schema = "o_totalprice double, o_orderdate timestamp"
+        for name, parity in (("b1", 0), ("b2", 1)):
+            orders.where(F.col("o_orderkey") % 2 == parity).select(
+                "o_totalprice", "o_orderdate"
+            ).coalesce(1).write.option("header", True).csv(f"{src}/{name}")
+            streaming_drift_monitor(
+                spark,
+                f"{src}/*",
+                schema,
+                state,
+                value_col="o_totalprice",
+                ts_col="o_orderdate",
+                split_ts=_DRIFT_SPLIT_DATE,
+                bin_width=_HIST_BIN_WIDTH,
+                checkpoint=ckpt,
+            )
+        return psi_report(spark, state).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract form of ``streaming_cms_monitor``: land the
     lineitem part keys as two CSV micro-batches (even keys, then odd),

@@ -379,3 +379,16 @@ def test_streaming_cms_equals_batch_sketch(spark):
     streamed = [tuple(r) for r in stream_cms_heavy_hitters(spark, sf).collect()]
     batch = [tuple(r) for r in cms_heavy_hitters(spark, sf).collect()]
     assert streamed == batch
+
+
+def test_streaming_psi_equals_batch(spark):
+    """One persisted drift state serves both reports: PSI projected
+    from the streamed per-bin counts must equal the batch drift_psi
+    bit-for-bit (mergeable indicator counts + deterministic formula)."""
+    from azure_sales_etl_pipeline_spark.plans.analytics import drift_psi
+    from azure_sales_etl_pipeline_spark.streaming import stream_drift_psi
+
+    sf = "/root/testdata/sf0.001"
+    streamed = sorted(map(tuple, stream_drift_psi(spark, sf).collect()))
+    batch = sorted(map(tuple, drift_psi(spark, sf).collect()))
+    assert streamed == batch
