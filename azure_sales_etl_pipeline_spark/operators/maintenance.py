@@ -52,6 +52,8 @@ def merge_aggregate(
     sums: list[str],
     count_col: str = "n_rows",
     commit_meta: dict | None = None,
+    mins: list[str] | None = None,
+    maxs: list[str] | None = None,
 ) -> DataFrame:
     """Incrementally maintain a grouped aggregate: fold ``batch`` into
     the mart at ``mart_path`` keyed on ``keys``, where the mart carries
@@ -71,16 +73,32 @@ def merge_aggregate(
     history), and the union re-aggregates on keys that are already
     near-unique per side. History is never re-scanned.
     """
-    agg_exprs = [F.sum(c).alias(c) for c in sums] + [
-        F.count(F.lit(1)).alias(count_col)
-    ]
+    mins = mins or []
+    maxs = maxs or []
+    cols = sums + mins + maxs + [count_col]
+    if len(set(cols)) != len(cols):
+        # each folded column keeps its own name across re-folds, so one
+        # source column can carry only one monoid — stage it twice under
+        # two names (min_x / max_x) to track both bounds.
+        raise ValueError(f"merge_aggregate: duplicate folded columns in {cols}")
+    agg_exprs = (
+        [F.sum(c).alias(c) for c in sums]
+        + [F.min(c).alias(c) for c in mins]
+        + [F.max(c).alias(c) for c in maxs]
+        + [F.count(F.lit(1)).alias(count_col)]
+    )
     _reject_delta_table(mart_path, "merge_aggregate")
     batch_agg = batch.groupBy(*keys).agg(*agg_exprs)
     if Path(mart_path).exists():
         existing = read_table(spark, mart_path)
-        merge_exprs = [F.sum(c).alias(c) for c in sums] + [
-            F.sum(count_col).alias(count_col)
-        ]
+        # min/max re-fold with themselves (idempotent monoids); sums and
+        # the row count re-fold by summation.
+        merge_exprs = (
+            [F.sum(c).alias(c) for c in sums]
+            + [F.min(c).alias(c) for c in mins]
+            + [F.max(c).alias(c) for c in maxs]
+            + [F.sum(count_col).alias(count_col)]
+        )
         merged = existing.unionByName(batch_agg).groupBy(*keys).agg(*merge_exprs)
     else:
         merged = batch_agg

@@ -59,6 +59,7 @@ _SWEEP_PRIORITY = (
     "drift_psi",
     "supplier_revenue_gini",
     "stream_drift_psi",
+    "stream_quality_suite",
     "sql_volume_shipping",
     "sql_market_share",
     "sql_product_margin",

@@ -7,10 +7,12 @@ deterministically — streaming and batch compute the same aggregate.
 from __future__ import annotations
 
 from ..streaming import (
+    _STREAM_QUALITY_SQL,
     STREAM_CUSTOM_STATE_SQL,
     stream_cms_heavy_hitters,
     stream_drift_monitor,
     stream_drift_psi,
+    stream_quality_suite,
     STREAM_DEDUP_SQL,
     STREAM_JOIN_SQL,
     STREAM_SESSION_SQL,
@@ -37,6 +39,7 @@ QUERIES = {
     "stream_drift_monitor": stream_drift_monitor,
     "stream_cms_heavy_hitters": stream_cms_heavy_hitters,
     "stream_drift_psi": stream_drift_psi,
+    "stream_quality_suite": stream_quality_suite,
 }
 
 ORACLES = {
@@ -49,4 +52,5 @@ ORACLES = {
     "stream_drift_monitor": _STREAM_DRIFT_SQL,
     "stream_cms_heavy_hitters": _STREAM_CMS_SQL,
     "stream_drift_psi": _STREAM_PSI_SQL,
+    "stream_quality_suite": _STREAM_QUALITY_SQL,
 }

@@ -718,6 +718,164 @@ def cms_topk_report(
     )
 
 
+def streaming_quality_monitor(
+    spark: SparkSession,
+    source_glob: str,
+    schema,
+    state_path: str,
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming upkeep of the MERGEABLE quality metrics from
+    [[orders_quality_suite]]: each micro-batch folds its completeness /
+    accepted-values / date-range counts (monoid sums) and cents bounds
+    (min/max monoids) into a single persisted state row — quality gates
+    answered from O(1) state instead of a table re-scan. The one
+    non-mergeable check, key uniqueness (countDistinct), is deliberately
+    absent: it needs either the full recompute or sketch state
+    (``merge_sketch_distinct``), exactly the tradeoff the
+    ``merge_aggregate`` docstring documents."""
+    from .operators.maintenance import merge_aggregate
+
+    cents = F.expr(
+        "CAST(round(CAST(o_totalprice AS DECIMAL(18,4)), 2) * 100 AS BIGINT)"
+    )
+
+    def fold(batch_df: DataFrame, commit_meta: dict) -> None:
+        staged = batch_df.select(
+            F.lit("orders").alias("table_name"),
+            F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0).alias(
+                "n_custkey"
+            ),
+            F.when(
+                F.col("o_orderstatus").isin("O", "F", "P"), 1
+            ).otherwise(0).alias("n_status_ok"),
+            F.when(
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") >= F.lit("2010-01-01").cast("timestamp")),
+                1,
+            ).otherwise(0).alias("n_date_bad"),
+            cents.alias("min_cents"),
+            cents.alias("max_cents"),
+        )
+        merge_aggregate(
+            spark,
+            state_path,
+            staged,
+            keys=["table_name"],
+            sums=["n_custkey", "n_status_ok", "n_date_bad"],
+            mins=["min_cents"],
+            maxs=["max_cents"],
+            commit_meta=commit_meta,
+        )
+
+    _streaming_fold(spark, source_glob, schema, state_path, checkpoint, fold)
+
+
+def quality_report(spark: SparkSession, state_path: str) -> DataFrame:
+    """Project the folded quality state into the same (check, metric,
+    lo, hi, passed) rows as the batch suite (minus the non-mergeable
+    uniqueness check). One state row in, five rows out."""
+    from .operators.writer import read_table
+
+    st = read_table(spark, state_path)
+    one = st.select(
+        F.expr("(1000 * n_custkey) div n_rows").alias("m0"),
+        F.col("min_cents").alias("m1"),
+        F.col("max_cents").alias("m2"),
+        F.expr("(1000 * n_status_ok) div n_rows").alias("m3"),
+        F.col("n_date_bad").alias("m4"),
+    )
+    rows = [
+        ("completeness_custkey_permille", "m0", 1000, 1000),
+        ("min_totalprice_cents", "m1", 0, 10_000_000_000),
+        ("max_totalprice_cents", "m2", 0, 10_000_000_000),
+        ("status_accepted_permille", "m3", 1000, 1000),
+        ("orderdate_out_of_range", "m4", 0, 0),
+    ]
+    stack = ", ".join(
+        f"'{n}', CAST({m} AS BIGINT), CAST({lo} AS BIGINT), CAST({hi} AS BIGINT)"
+        for n, m, lo, hi in rows
+    )
+    return one.select(
+        F.expr(f"stack({len(rows)}, {stack}) AS (check, metric, lo, hi)")
+    ).select(
+        "check",
+        "metric",
+        "lo",
+        "hi",
+        ((F.col("metric") >= F.col("lo")) & (F.col("metric") <= F.col("hi"))).alias(
+            "passed"
+        ),
+    )
+
+
+def stream_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract form: land orders as two parity micro-batches,
+    fold each through the streaming quality monitor, and report the
+    five mergeable checks from the folded state. All five metrics are
+    monoid folds, so streamed state == one-pass aggregate and the
+    oracle recomputes the suite rows from raw orders in SQL."""
+    import shutil
+
+    from .catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_q_")
+    try:
+        src = f"{tmp}/orders"
+        state = f"{tmp}/q_state"
+        ckpt = f"{tmp}/ckpt"
+        schema = (
+            "o_custkey bigint, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp"
+        )
+        for name, parity in (("b1", 0), ("b2", 1)):
+            orders.where(F.col("o_orderkey") % 2 == parity).drop(
+                "o_orderkey"
+            ).coalesce(1).write.option("header", True).csv(f"{src}/{name}")
+            streaming_quality_monitor(
+                spark, f"{src}/*", schema, state, checkpoint=ckpt
+            )
+        return quality_report(spark, state).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_STREAM_QUALITY_SQL = """
+    WITH agg AS (
+        SELECT CAST((1000 * count(o_custkey)) // count(*) AS BIGINT) AS m0,
+               CAST(min(CAST(round(CAST(o_totalprice AS DECIMAL(18,4)), 2)
+                             * 100 AS BIGINT)) AS BIGINT) AS m1,
+               CAST(max(CAST(round(CAST(o_totalprice AS DECIMAL(18,4)), 2)
+                             * 100 AS BIGINT)) AS BIGINT) AS m2,
+               CAST((1000 * sum(CASE WHEN o_orderstatus IN ('O','F','P')
+                                     THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+                   AS m3,
+               CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                               OR o_orderdate >= TIMESTAMP '2010-01-01'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS m4
+        FROM orders
+    ),
+    rows AS (
+        SELECT 'completeness_custkey_permille' AS "check", m0 AS metric,
+               CAST(1000 AS BIGINT) AS lo, CAST(1000 AS BIGINT) AS hi FROM agg
+        UNION ALL SELECT 'min_totalprice_cents', m1,
+               CAST(0 AS BIGINT), CAST(10000000000 AS BIGINT) FROM agg
+        UNION ALL SELECT 'max_totalprice_cents', m2,
+               CAST(0 AS BIGINT), CAST(10000000000 AS BIGINT) FROM agg
+        UNION ALL SELECT 'status_accepted_permille', m3,
+               CAST(1000 AS BIGINT), CAST(1000 AS BIGINT) FROM agg
+        UNION ALL SELECT 'orderdate_out_of_range', m4,
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM agg
+    )
+    SELECT "check", metric, lo, hi,
+           metric >= lo AND metric <= hi AS passed
+    FROM rows
+"""
+
+
 def psi_report(spark: SparkSession, state_path: str) -> DataFrame:
     """Project the persisted drift state into per-bin PSI contributions
     — [[drift_psi]]'s formula (Laplace-smoothed shares, engine-exact

@@ -247,3 +247,33 @@ def test_compact_partitioned_per_directory(spark, tmp_path):
     assert back.count() == 200
     # layout intact: partition filter still prunes
     assert back.where("k = '1'").count() == df.where("k = '1'").count()
+
+
+def test_merge_aggregate_min_max_monoids(spark, tmp_path):
+    """min/max columns fold idempotently across batches: two-batch fold
+    equals the one-pass aggregate for sums AND bounds."""
+    import pyspark.sql.functions as F
+
+    from azure_sales_etl_pipeline_spark.operators.maintenance import (
+        merge_aggregate,
+    )
+
+    path = str(tmp_path / "mart")
+    schema = "k string, v bigint, lo bigint, hi bigint"
+    b1 = spark.createDataFrame([("a", 5, 10, 10), ("a", 3, 2, 2)], schema)
+    b2 = spark.createDataFrame([("a", 7, 30, 30), ("b", 1, 1, 1)], schema)
+    merge_aggregate(spark, path, b1, keys=["k"], sums=["v"], mins=["lo"], maxs=["hi"])
+    out = merge_aggregate(
+        spark, path, b2, keys=["k"], sums=["v"], mins=["lo"], maxs=["hi"]
+    )
+    rows = {r["k"]: r for r in out.collect()}
+    assert rows["a"]["v"] == 15 and rows["a"]["lo"] == 2 and rows["a"]["hi"] == 30
+    assert rows["a"]["n_rows"] == 3
+    assert rows["b"]["v"] == 1 and rows["b"]["lo"] == 1 and rows["b"]["hi"] == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        merge_aggregate(
+            spark, path, b2, keys=["k"], sums=["v"], mins=["v"], maxs=["v"]
+        )
