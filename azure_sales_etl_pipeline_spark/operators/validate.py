@@ -91,14 +91,26 @@ def metric_suite(df: DataFrame, checks: list[MetricCheck]) -> DataFrame:
     one = df.agg(
         *[c.metric.cast("bigint").alias(f"m_{i}") for i, c in enumerate(checks)]
     )
-    stack_args = ", ".join(
-        f"'{c.name}', m_{i}, CAST({c.lo} AS BIGINT), CAST({c.hi} AS BIGINT)"
-        for i, c in enumerate(checks)
+    return unpivot_checks(
+        one, [(c.name, f"m_{i}", c.lo, c.hi) for i, c in enumerate(checks)]
     )
-    return one.select(
-        F.expr(
-            f"stack({len(checks)}, {stack_args}) AS (check, metric, lo, hi)"
-        )
+
+
+def unpivot_checks(
+    one_row: DataFrame, rows: list[tuple[str, str, int, int]]
+) -> DataFrame:
+    """Project a one-row metrics frame into per-check
+    (check, metric, lo, hi, passed) rows — the suite's output contract,
+    shared by ``metric_suite`` and any state-backed report (e.g. the
+    streaming quality monitor) so bounds/naming live in ONE place.
+    ``rows`` entries are (check_name, metric_column, lo, hi)."""
+    stack_args = ", ".join(
+        f"'{name}', CAST({col} AS BIGINT), CAST({lo} AS BIGINT),"
+        f" CAST({hi} AS BIGINT)"
+        for name, col, lo, hi in rows
+    )
+    return one_row.select(
+        F.expr(f"stack({len(rows)}, {stack_args}) AS (check, metric, lo, hi)")
     ).select(
         "check",
         "metric",
@@ -108,3 +120,52 @@ def metric_suite(df: DataFrame, checks: list[MetricCheck]) -> DataFrame:
             "passed"
         ),
     )
+
+
+def checks_rows_sql(rows: list[tuple[str, str, int, int]]) -> str:
+    """The SQL twin of ``unpivot_checks``: given (check_name,
+    metric_expr, lo, hi) rows, emit the UNION ALL + passed projection
+    that turns a one-row ``agg`` CTE into suite rows. Oracle texts
+    compose this so the check names/bounds can never drift from the
+    engine's."""
+    selects = []
+    for i, (name, metric, lo, hi) in enumerate(rows):
+        head = 'SELECT ' if i == 0 else 'UNION ALL SELECT '
+        alias = ' AS "check"' if i == 0 else ""
+        cols = (
+            f"{head}'{name}'{alias}, CAST({metric} AS BIGINT)"
+            + (" AS metric" if i == 0 else "")
+            + f", CAST({lo} AS BIGINT)" + (" AS lo" if i == 0 else "")
+            + f", CAST({hi} AS BIGINT)" + (" AS hi" if i == 0 else "")
+            + " FROM agg"
+        )
+        selects.append(cols)
+    body = "\n        ".join(selects)
+    return f"""
+    rows AS (
+        {body}
+    )
+    SELECT "check", metric, lo, hi,
+           metric >= lo AND metric <= hi AS passed
+    FROM rows
+"""
+
+
+#: The orders quality checks, single source of truth for the batch
+#: suite (relational.orders_quality_suite), the streamed report
+#: (streaming.quality_report) and both oracle texts. Mergeable entries
+#: carry the metric's monoid; the uniqueness check is batch-only
+#: (countDistinct does not fold — merge_aggregate's documented
+#: tradeoff).
+ORDERS_MERGEABLE_CHECKS: list[tuple[str, int, int]] = [
+    ("completeness_custkey_permille", 1000, 1000),
+    ("min_totalprice_cents", 0, 10_000_000_000),
+    ("max_totalprice_cents", 0, 10_000_000_000),
+    ("status_accepted_permille", 1000, 1000),
+    ("orderdate_out_of_range", 0, 0),
+]
+ORDERS_UNIQUENESS_CHECK: tuple[str, int, int] = (
+    "uniqueness_orderkey_permille",
+    1000,
+    1000,
+)

@@ -591,17 +591,27 @@ def _segment_mart(spark: SparkSession, catalog) -> DataFrame:
 # identical on-disk state. The cache holds the pipeline handle and its
 # tmp lake dir; dirs are reaped at interpreter exit. Determinism makes
 # this safe: same sf_dir -> bit-identical lake.
-_DEMO_PIPELINES: dict[str, object] = {}
+_DEMO_PIPELINES: dict[str, tuple[object, str]] = {}
 
 
 def _demo_pipeline_cached(spark: SparkSession, sf_dir: str):
-    pipe = _DEMO_PIPELINES.get(sf_dir)
-    if pipe is None:
+    entry = _DEMO_PIPELINES.get(sf_dir)
+    if entry is None:
         tmp = tempfile.mkdtemp(prefix="pipe_demo_")
         atexit.register(shutil.rmtree, tmp, ignore_errors=True)
-        pipe = _run_demo_pipeline(spark, sf_dir, tmp)
-        _DEMO_PIPELINES[sf_dir] = pipe
-    return pipe
+        entry = (_run_demo_pipeline(spark, sf_dir, tmp), tmp)
+        _DEMO_PIPELINES[sf_dir] = entry
+    return entry[0]
+
+
+def evict_demo_pipelines() -> None:
+    """Drop cached demo-pipeline runs AND their tmp lake dirs now (the
+    atexit hook only covers interpreter exit — a caller that evicts
+    per pass, like bench.py, would otherwise accumulate one orphaned
+    lake per pass until exit)."""
+    for _, tmp in _DEMO_PIPELINES.values():
+        shutil.rmtree(tmp, ignore_errors=True)
+    _DEMO_PIPELINES.clear()
 
 
 def _run_demo_pipeline(spark: SparkSession, sf_dir: str, tmp: str):

@@ -621,8 +621,16 @@ def orders_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate no matter how many checks — the table-level complement
     to [[orders_validation]]'s row-level quarantine. A plan audit pins
     the single-scan property."""
-    from ..operators.validate import MetricCheck, metric_suite
+    from ..operators.validate import (
+        ORDERS_MERGEABLE_CHECKS,
+        ORDERS_UNIQUENESS_CHECK,
+        MetricCheck,
+        metric_suite,
+    )
 
+    bounds = dict(
+        (n, (lo, hi)) for n, lo, hi in [*ORDERS_MERGEABLE_CHECKS, ORDERS_UNIQUENESS_CHECK]
+    )
     orders = load_table(spark, sf_dir, "orders")
     cents = F.expr(
         "CAST(round(CAST(o_totalprice AS DECIMAL(18,4)), 2) * 100 AS BIGINT)"
@@ -631,25 +639,22 @@ def orders_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         MetricCheck(
             "completeness_custkey_permille",
             F.expr("(1000 * count(o_custkey)) div count(1)"),
-            1000,
-            1000,
+            *bounds["completeness_custkey_permille"],
         ),
         MetricCheck(
             "uniqueness_orderkey_permille",
             F.expr("(1000 * count(DISTINCT o_orderkey)) div count(1)"),
-            1000,
-            1000,
+            *bounds["uniqueness_orderkey_permille"],
         ),
-        MetricCheck("min_totalprice_cents", F.min(cents), 0, 10_000_000_000),
-        MetricCheck("max_totalprice_cents", F.max(cents), 0, 10_000_000_000),
+        MetricCheck("min_totalprice_cents", F.min(cents), *bounds["min_totalprice_cents"]),
+        MetricCheck("max_totalprice_cents", F.max(cents), *bounds["max_totalprice_cents"]),
         MetricCheck(
             "status_accepted_permille",
             F.expr(
                 "(1000 * sum(CASE WHEN o_orderstatus IN ('O','F','P') "
                 "THEN 1 ELSE 0 END)) div count(1)"
             ),
-            1000,
-            1000,
+            *bounds["status_accepted_permille"],
         ),
         MetricCheck(
             "orderdate_out_of_range",
@@ -660,8 +665,7 @@ def orders_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                     1,
                 ).otherwise(0)
             ),
-            0,
-            0,
+            *bounds["orderdate_out_of_range"],
         ),
     ]
     return metric_suite(orders, checks)
@@ -683,25 +687,31 @@ _QUALITY_SUITE_SQL = """
                                OR o_orderdate >= TIMESTAMP '2010-01-01'
                              THEN 1 ELSE 0 END) AS BIGINT) AS m5
         FROM orders
-    ),
-    rows AS (
-        SELECT 'completeness_custkey_permille' AS "check", m0 AS metric,
-               CAST(1000 AS BIGINT) AS lo, CAST(1000 AS BIGINT) AS hi FROM agg
-        UNION ALL SELECT 'uniqueness_orderkey_permille', m1,
-               CAST(1000 AS BIGINT), CAST(1000 AS BIGINT) FROM agg
-        UNION ALL SELECT 'min_totalprice_cents', m2,
-               CAST(0 AS BIGINT), CAST(10000000000 AS BIGINT) FROM agg
-        UNION ALL SELECT 'max_totalprice_cents', m3,
-               CAST(0 AS BIGINT), CAST(10000000000 AS BIGINT) FROM agg
-        UNION ALL SELECT 'status_accepted_permille', m4,
-               CAST(1000 AS BIGINT), CAST(1000 AS BIGINT) FROM agg
-        UNION ALL SELECT 'orderdate_out_of_range', m5,
-               CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM agg
+    ),"""
+
+
+def _quality_rows_tail() -> str:
+    from ..operators.validate import (
+        ORDERS_MERGEABLE_CHECKS,
+        ORDERS_UNIQUENESS_CHECK,
+        checks_rows_sql,
     )
-    SELECT "check", metric, lo, hi,
-           metric >= lo AND metric <= hi AS passed
-    FROM rows
-"""
+
+    by_name = dict(
+        (n, (lo, hi)) for n, lo, hi in [*ORDERS_MERGEABLE_CHECKS, ORDERS_UNIQUENESS_CHECK]
+    )
+    order = [
+        ("completeness_custkey_permille", "m0"),
+        ("uniqueness_orderkey_permille", "m1"),
+        ("min_totalprice_cents", "m2"),
+        ("max_totalprice_cents", "m3"),
+        ("status_accepted_permille", "m4"),
+        ("orderdate_out_of_range", "m5"),
+    ]
+    return checks_rows_sql([(n, col, *by_name[n]) for n, col in order])
+
+
+_QUALITY_SUITE_SQL = _QUALITY_SUITE_SQL + _quality_rows_tail()
 
 
 QUERIES = {

@@ -600,7 +600,10 @@ def sql_product_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     part-name LIKE family. TPC-H Q9's profit subtracts
     ps_supplycost×quantity; the testdata has no partsupp table, so the
     cost leg is re-expressed as half the part's retail price per unit
-    (p_retailprice/2 × l_quantity) — same shape: a per-line arithmetic
+    (p_retailprice × 0.5 × l_quantity; multiplication by the DECIMAL
+    literal 0.5, never division — DuckDB degrades DECIMAL division to
+    DOUBLE while Spark keeps DECIMAL, the engine-divergence class the
+    PSI work documented) — same shape: a per-line arithmetic
     combining columns from three tables, aggregated at
     (nation, year) grain. The LIKE '%widget%' predicate must push into
     the part scan (substring filters are scan-level, not join-level),
@@ -618,7 +621,7 @@ _PRODUCT_MARGIN_SQL = """
            CAST(year(o.o_orderdate) AS INT) AS order_year,
            CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
                                AS DECIMAL(18,4))
-                        - CAST(p.p_retailprice AS DECIMAL(18,4)) / 2
+                        - CAST(p.p_retailprice AS DECIMAL(18,4)) * 0.5
                           * CAST(l.l_quantity AS DECIMAL(18,4))),
                       2) * 100 AS BIGINT) AS profit_cents
     FROM part p

@@ -438,9 +438,12 @@ def user_trailing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     leak-freedom argument as [[fact_temporal_dimension_join]].
 
     All three horizons ride ONE shuffle on the user key: range frames
-    over the event's epoch seconds, partitioned per user, inclusive
-    bounds [-horizon, 0] (ties on the same second all join the frame in
-    both engines). Value sums are exact integer cents per the engine
+    over the event's epoch MICROSECONDS (integer on both engines —
+    Spark's unix_seconds truncates sub-second fractions while DuckDB's
+    epoch() keeps them as a double, which made the two engines disagree
+    about events exactly at a horizon boundary; unix_micros vs epoch_us
+    are both exact integers, so frame membership is identical),
+    partitioned per user, inclusive bounds [-horizon, 0]. Value sums are exact integer cents per the engine
     convention — a float sum over a sliding frame diverges between
     engines in the last ulp depending on accumulation order."""
     events = load_table(spark, sf_dir, "events")
@@ -451,7 +454,7 @@ def user_trailing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "ts",
-        F.unix_seconds(F.col("ts")).alias("epoch_s"),
+        F.unix_micros(F.col("ts")).alias("epoch_us"),
         cents.alias("value_cents"),
     )
     out_cols = ["user_id", "event_id", "ts"]
@@ -459,8 +462,8 @@ def user_trailing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     for label, secs in (("1h", 3600), ("24h", 86400), ("7d", 604800)):
         w = (
             Window.partitionBy("user_id")
-            .orderBy("epoch_s")
-            .rangeBetween(-secs, 0)
+            .orderBy("epoch_us")
+            .rangeBetween(-secs * 1_000_000, 0)
         )
         df = df.withColumn(
             f"n_{label}", F.count(F.lit(1)).over(w).cast("bigint")
@@ -472,7 +475,7 @@ def user_trailing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRAILING_FEATURES_SQL = """
     WITH base AS (
         SELECT user_id, event_id, ts,
-               epoch(ts) AS epoch_s,
+               epoch_us(ts) AS epoch_us,
                CAST(round(CAST(value AS DECIMAL(18,4)), 2) * 100 AS BIGINT)
                    AS value_cents
         FROM events
@@ -486,12 +489,12 @@ _TRAILING_FEATURES_SQL = """
            CAST(sum(value_cents) OVER w7d AS BIGINT) AS value_7d_cents
     FROM base
     WINDOW
-        w1 AS (PARTITION BY user_id ORDER BY epoch_s
-               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW),
-        w24 AS (PARTITION BY user_id ORDER BY epoch_s
-                RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW),
-        w7d AS (PARTITION BY user_id ORDER BY epoch_s
-                RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+        w1 AS (PARTITION BY user_id ORDER BY epoch_us
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+        w24 AS (PARTITION BY user_id ORDER BY epoch_us
+                RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW),
+        w7d AS (PARTITION BY user_id ORDER BY epoch_us
+                RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
 """
 
 

@@ -616,6 +616,36 @@ def drift_report(spark: SparkSession, state_path: str) -> DataFrame:
     )
 
 
+def _fold_parity_batches(
+    spark: SparkSession,
+    df: DataFrame,
+    parity_col: str,
+    batch_cols: list[str],
+    schema,
+    tmp: str,
+    run_monitor,
+) -> str:
+    """Shared driver-query harness: land ``df`` as two CSV micro-batches
+    (even ``parity_col`` keys, then odd), invoking ``run_monitor(glob,
+    schema, state, ckpt)`` after each landing. Returns the state path.
+    One copy of the replay-sensitive landing choreography serves every
+    stream_* driver query — a change to the batching (a third batch, a
+    different split) cannot reach one query and miss the others."""
+    src = f"{tmp}/src"
+    state = f"{tmp}/state"
+    ckpt = f"{tmp}/ckpt"
+    for name, parity in (("b1", 0), ("b2", 1)):
+        (
+            df.where(F.col(parity_col) % 2 == parity)
+            .select(*batch_cols)
+            .coalesce(1)
+            .write.option("header", True)
+            .csv(f"{src}/{name}")
+        )
+        run_monitor(f"{src}/*", schema, state, ckpt)
+    return state
+
+
 def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract form of ``streaming_drift_monitor``: land the
     orders fact as two CSV micro-batch files (even keys, then odd),
@@ -635,17 +665,16 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="stream_drift_")
     try:
-        src = f"{tmp}/orders"
-        state = f"{tmp}/drift_state"
-        ckpt = f"{tmp}/ckpt"
-        schema = "o_totalprice double, o_orderdate timestamp"
-        for name, parity in (("b1", 0), ("b2", 1)):
-            orders.where(F.col("o_orderkey") % 2 == parity).select(
-                "o_totalprice", "o_orderdate"
-            ).coalesce(1).write.option("header", True).csv(f"{src}/{name}")
-            streaming_drift_monitor(
+        state = _fold_parity_batches(
+            spark,
+            orders,
+            "o_orderkey",
+            ["o_totalprice", "o_orderdate"],
+            "o_totalprice double, o_orderdate timestamp",
+            tmp,
+            lambda glob, schema, state, ckpt: streaming_drift_monitor(
                 spark,
-                f"{src}/*",
+                glob,
                 schema,
                 state,
                 value_col="o_totalprice",
@@ -653,7 +682,8 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
                 split_ts=_DRIFT_SPLIT_DATE,
                 bin_width=_HIST_BIN_WIDTH,
                 checkpoint=ckpt,
-            )
+            ),
+        )
         return drift_report(spark, state).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -677,14 +707,13 @@ def streaming_cms_monitor(
     history is never re-read. Replay protection shared with
     ``streaming_mart`` (a redelivered batch would double-count)."""
     from .operators.maintenance import merge_aggregate
-    from .plans.analytics import _cms_buckets
+    from .plans.analytics import _cms_sketch
 
     def fold(batch_df: DataFrame, commit_meta: dict) -> None:
-        partial = (
-            batch_df.select(F.explode(_cms_buckets(key_col)).alias("rb"))
-            .groupBy(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
+        # The partial sketch IS the batch sketch — shared constructor, so
+        # a change to the sketch shape (d, w, column names) cannot
+        # desynchronize the streamed state from the batch oracle.
+        partial = _cms_sketch(batch_df, key_col)
         merge_aggregate(
             spark,
             state_path,
@@ -774,38 +803,35 @@ def streaming_quality_monitor(
 def quality_report(spark: SparkSession, state_path: str) -> DataFrame:
     """Project the folded quality state into the same (check, metric,
     lo, hi, passed) rows as the batch suite (minus the non-mergeable
-    uniqueness check). One state row in, five rows out."""
+    uniqueness check). One state row in, five rows out. Check names and
+    bounds come from validate.ORDERS_MERGEABLE_CHECKS and the unpivot
+    from validate.unpivot_checks — ONE definition serves the batch
+    suite, this report, and both oracle texts."""
+    from .operators.validate import ORDERS_MERGEABLE_CHECKS, unpivot_checks
     from .operators.writer import read_table
 
     st = read_table(spark, state_path)
-    one = st.select(
-        F.expr("(1000 * n_custkey) div n_rows").alias("m0"),
-        F.col("min_cents").alias("m1"),
-        F.col("max_cents").alias("m2"),
-        F.expr("(1000 * n_status_ok) div n_rows").alias("m3"),
-        F.col("n_date_bad").alias("m4"),
-    )
-    rows = [
-        ("completeness_custkey_permille", "m0", 1000, 1000),
-        ("min_totalprice_cents", "m1", 0, 10_000_000_000),
-        ("max_totalprice_cents", "m2", 0, 10_000_000_000),
-        ("status_accepted_permille", "m3", 1000, 1000),
-        ("orderdate_out_of_range", "m4", 0, 0),
-    ]
-    stack = ", ".join(
-        f"'{n}', CAST({m} AS BIGINT), CAST({lo} AS BIGINT), CAST({hi} AS BIGINT)"
-        for n, m, lo, hi in rows
-    )
-    return one.select(
-        F.expr(f"stack({len(rows)}, {stack}) AS (check, metric, lo, hi)")
-    ).select(
-        "check",
-        "metric",
-        "lo",
-        "hi",
-        ((F.col("metric") >= F.col("lo")) & (F.col("metric") <= F.col("hi"))).alias(
-            "passed"
+    metric_cols = {
+        "completeness_custkey_permille": F.expr(
+            "(1000 * n_custkey) div n_rows"
         ),
+        "min_totalprice_cents": F.col("min_cents"),
+        "max_totalprice_cents": F.col("max_cents"),
+        "status_accepted_permille": F.expr("(1000 * n_status_ok) div n_rows"),
+        "orderdate_out_of_range": F.col("n_date_bad"),
+    }
+    one = st.select(
+        *[
+            metric_cols[name].alias(f"m_{i}")
+            for i, (name, _, _) in enumerate(ORDERS_MERGEABLE_CHECKS)
+        ]
+    )
+    return unpivot_checks(
+        one,
+        [
+            (name, f"m_{i}", lo, hi)
+            for i, (name, lo, hi) in enumerate(ORDERS_MERGEABLE_CHECKS)
+        ],
     )
 
 
@@ -824,20 +850,18 @@ def stream_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="stream_q_")
     try:
-        src = f"{tmp}/orders"
-        state = f"{tmp}/q_state"
-        ckpt = f"{tmp}/ckpt"
-        schema = (
+        state = _fold_parity_batches(
+            spark,
+            orders,
+            "o_orderkey",
+            ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"],
             "o_custkey bigint, o_orderstatus string,"
-            " o_totalprice double, o_orderdate timestamp"
+            " o_totalprice double, o_orderdate timestamp",
+            tmp,
+            lambda glob, schema, state, ckpt: streaming_quality_monitor(
+                spark, glob, schema, state, checkpoint=ckpt
+            ),
         )
-        for name, parity in (("b1", 0), ("b2", 1)):
-            orders.where(F.col("o_orderkey") % 2 == parity).drop(
-                "o_orderkey"
-            ).coalesce(1).write.option("header", True).csv(f"{src}/{name}")
-            streaming_quality_monitor(
-                spark, f"{src}/*", schema, state, checkpoint=ckpt
-            )
         return quality_report(spark, state).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -857,23 +881,26 @@ _STREAM_QUALITY_SQL = """
                                OR o_orderdate >= TIMESTAMP '2010-01-01'
                              THEN 1 ELSE 0 END) AS BIGINT) AS m4
         FROM orders
-    ),
-    rows AS (
-        SELECT 'completeness_custkey_permille' AS "check", m0 AS metric,
-               CAST(1000 AS BIGINT) AS lo, CAST(1000 AS BIGINT) AS hi FROM agg
-        UNION ALL SELECT 'min_totalprice_cents', m1,
-               CAST(0 AS BIGINT), CAST(10000000000 AS BIGINT) FROM agg
-        UNION ALL SELECT 'max_totalprice_cents', m2,
-               CAST(0 AS BIGINT), CAST(10000000000 AS BIGINT) FROM agg
-        UNION ALL SELECT 'status_accepted_permille', m3,
-               CAST(1000 AS BIGINT), CAST(1000 AS BIGINT) FROM agg
-        UNION ALL SELECT 'orderdate_out_of_range', m4,
-               CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM agg
+    ),"""
+
+
+def _stream_quality_sql() -> str:
+    from .operators.validate import ORDERS_MERGEABLE_CHECKS, checks_rows_sql
+
+    cols = {
+        "completeness_custkey_permille": "m0",
+        "min_totalprice_cents": "m1",
+        "max_totalprice_cents": "m2",
+        "status_accepted_permille": "m3",
+        "orderdate_out_of_range": "m4",
+    }
+    return _STREAM_QUALITY_AGG_SQL + checks_rows_sql(
+        [(n, cols[n], lo, hi) for n, lo, hi in ORDERS_MERGEABLE_CHECKS]
     )
-    SELECT "check", metric, lo, hi,
-           metric >= lo AND metric <= hi AS passed
-    FROM rows
-"""
+
+
+_STREAM_QUALITY_AGG_SQL = _STREAM_QUALITY_SQL
+_STREAM_QUALITY_SQL = _stream_quality_sql()
 
 
 def psi_report(spark: SparkSession, state_path: str) -> DataFrame:
@@ -917,17 +944,16 @@ def stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="stream_psi_")
     try:
-        src = f"{tmp}/orders"
-        state = f"{tmp}/drift_state"
-        ckpt = f"{tmp}/ckpt"
-        schema = "o_totalprice double, o_orderdate timestamp"
-        for name, parity in (("b1", 0), ("b2", 1)):
-            orders.where(F.col("o_orderkey") % 2 == parity).select(
-                "o_totalprice", "o_orderdate"
-            ).coalesce(1).write.option("header", True).csv(f"{src}/{name}")
-            streaming_drift_monitor(
+        state = _fold_parity_batches(
+            spark,
+            orders,
+            "o_orderkey",
+            ["o_totalprice", "o_orderdate"],
+            "o_totalprice double, o_orderdate timestamp",
+            tmp,
+            lambda glob, schema, state, ckpt: streaming_drift_monitor(
                 spark,
-                f"{src}/*",
+                glob,
                 schema,
                 state,
                 value_col="o_totalprice",
@@ -935,7 +961,8 @@ def stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
                 split_ts=_DRIFT_SPLIT_DATE,
                 bin_width=_HIST_BIN_WIDTH,
                 checkpoint=ckpt,
-            )
+            ),
+        )
         return psi_report(spark, state).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -961,16 +988,17 @@ def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="stream_cms_")
     try:
-        src = f"{tmp}/keys"
-        state = f"{tmp}/cms_state"
-        ckpt = f"{tmp}/ckpt"
-        for name, parity in (("b1", 0), ("b2", 1)):
-            li.where(F.col("k") % 2 == parity).coalesce(1).write.option(
-                "header", True
-            ).csv(f"{src}/{name}")
-            streaming_cms_monitor(
-                spark, f"{src}/*", "k bigint", state, key_col="k", checkpoint=ckpt
-            )
+        state = _fold_parity_batches(
+            spark,
+            li,
+            "k",
+            ["k"],
+            "k bigint",
+            tmp,
+            lambda glob, schema, state, ckpt: streaming_cms_monitor(
+                spark, glob, schema, state, key_col="k", checkpoint=ckpt
+            ),
+        )
         return cms_topk_report(spark, state, keys, "k").localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

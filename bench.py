@@ -99,7 +99,7 @@ def main() -> None:
         # cache as if the orchestration were free.
         from azure_sales_etl_pipeline_spark.plans import incremental
 
-        incremental._DEMO_PIPELINES.clear()
+        incremental.evict_demo_pipelines()
         for name, fn in qs.items():
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
