@@ -931,6 +931,9 @@ _PSI_SQL = f"""
 """
 
 
+_GINI_RANGES = 16
+
+
 def supplier_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue-concentration Gini coefficient across suppliers — the
     "how skewed is our marketplace" number, computed ENTIRELY in
@@ -942,11 +945,22 @@ def supplier_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     rational closed form, use it).
 
     Shape: lineitem aggregates to supplier grain (one shuffle, map-side
-    combined), then the rank window and the final fold run over
-    |suppliers| rows — bounded by the dimension, not the fact, so the
-    single-partition window is safe at any fact scale (same bounded-
-    input argument as `key_skew_profile`'s top-k). Ties rank by
-    (revenue, supplier key): deterministic on both engines."""
+    combined); the global rank `i` is then a **two-phase distributed
+    prefix count** (the `token_budget_shards` pattern, r7 verdict item
+    1): range-repartition on (revenue_cents, l_suppkey) so partition
+    ids follow the sort order, `row_number` WITHIN each partition, then
+    add per-partition row-count offsets. The offsets come from a
+    triangular self-join on the tiny per-partition totals (≤
+    `_GINI_RANGES` rows), NOT a no-partition window — this plan
+    contains zero single-partition WindowExec nodes (pinned by
+    `tests/test_plans_explain.py::test_gini_has_no_global_window`), so
+    it scales with the supplier dimension instead of funneling it
+    through one task. Ties rank by (revenue, supplier key):
+    deterministic on both engines.
+
+    The per-row `n` of the textbook fold is algebraically eliminated:
+    Σ(2i−n−1)·x = 2·Σ(i·x) − (n+1)·Σx, so the final aggregate only
+    needs count, Σx and Σ(i·x)."""
     li = load_table(spark, sf_dir, "lineitem")
     per_supp = li.groupBy("l_suppkey").agg(
         F.expr(
@@ -954,11 +968,32 @@ def supplier_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DECIMAL(18,4))), 2) * 100 AS BIGINT)"
         ).alias("revenue_cents")
     )
-    w = Window.orderBy("revenue_cents", "l_suppkey")
-    ranked = per_supp.select(
-        "revenue_cents",
-        F.row_number().over(w).cast("bigint").alias("i"),
-        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+    # Eager localCheckpoint pins the (pid, row) layout: the rank branch
+    # and the totals branch below must see the SAME range split (the
+    # sampled boundaries are not guaranteed identical across
+    # re-evaluations — same trap documented at mlprep.token_budget_shards).
+    ranged = (
+        per_supp.repartitionByRange(_GINI_RANGES, "revenue_cents", "l_suppkey")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("pcnt"))
+    offsets = (
+        counts.alias("a")
+        .join(counts.alias("b"), F.col("b.pid") < F.col("a.pid"), "left")
+        .groupBy(F.col("a.pid").alias("pid"))
+        .agg(F.coalesce(F.sum("b.pcnt"), F.lit(0)).alias("offset"))
+    )
+    local_rank = F.row_number().over(
+        Window.partitionBy("pid").orderBy("revenue_cents", "l_suppkey")
+    )
+    ranked = (
+        ranged.withColumn("local_rank", local_rank)
+        .join(F.broadcast(offsets), "pid")
+        .select(
+            "revenue_cents",
+            (F.col("offset") + F.col("local_rank")).cast("bigint").alias("i"),
+        )
     )
     # DECIMAL(38,0) for the fold: numer*1e6 exceeds int64 already at
     # sf0.1 (Spark ANSI raised ARITHMETIC_OVERFLOW; DuckDB silently
@@ -968,7 +1003,8 @@ def supplier_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
         F.sum("revenue_cents").cast("bigint").alias("total_revenue_cents"),
         F.expr(
-            "CAST(sum(CAST(2*i - n - 1 AS DECIMAL(38,0)) * revenue_cents)"
+            "CAST((2 * sum(CAST(i AS DECIMAL(38,0)) * revenue_cents)"
+            " - (count(1) + 1) * sum(CAST(revenue_cents AS DECIMAL(38,0))))"
             " * 1000000 div (CAST(count(1) AS DECIMAL(38,0))"
             " * sum(CAST(revenue_cents AS DECIMAL(38,0)))) AS BIGINT)"
         ).alias("gini_e6"),

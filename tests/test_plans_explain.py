@@ -432,6 +432,19 @@ def test_sql_q9_like_pushes_into_part_scan(spark):
     assert any("p_name" in l or "widget" in l for l in pushed), pushed
 
 
+def test_gini_has_no_global_window(spark):
+    """r7 verdict item 1: supplier_revenue_gini's global rank must be
+    the two-phase distributed prefix count, NOT a no-partition window
+    pulling every supplier into one task. Every window spec in the
+    plan must be partitioned (by the range-partition id)."""
+    from azure_sales_etl_pipeline_spark.plans.analytics import supplier_revenue_gini
+
+    plan = plan_of(supplier_revenue_gini(spark, SF_DIR))
+    spec_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert spec_lines, "expected the pid-partitioned rank window"
+    assert all("pid#" in l for l in spec_lines), spec_lines
+
+
 def test_revenue_7d_window_is_year_partitioned(spark):
     """r6 verdict: the trailing-7d window must not be a global-order
     single-partition WindowExec — it partitions by year (parallel per
