@@ -81,6 +81,14 @@ def merge_aggregate(
         # source column can carry only one monoid — stage it twice under
         # two names (min_x / max_x) to track both bounds.
         raise ValueError(f"merge_aggregate: duplicate folded columns in {cols}")
+    key_overlap = set(keys) & set(cols)
+    if key_overlap:
+        # a column can't be both a grouping key and a folded aggregate —
+        # the re-fold groupBy would consume its own output name.
+        raise ValueError(
+            f"merge_aggregate: columns {sorted(key_overlap)} appear in both "
+            f"keys and folded aggregates"
+        )
     agg_exprs = (
         [F.sum(c).alias(c) for c in sums]
         + [F.min(c).alias(c) for c in mins]
@@ -91,6 +99,20 @@ def merge_aggregate(
     batch_agg = batch.groupBy(*keys).agg(*agg_exprs)
     if Path(mart_path).exists():
         existing = read_table(spark, mart_path)
+        # Schema gate (r8 advisory): folding new aggregates against a
+        # mart created WITHOUT them would die inside unionByName with an
+        # opaque missing-column error. Fail descriptively instead — the
+        # persisted state predates the requested aggregate set and needs
+        # a rebuild/migration, not a fold.
+        wanted = [*keys, *cols]
+        lacking = [c for c in wanted if c not in existing.columns]
+        if lacking:
+            raise ValueError(
+                f"merge_aggregate: existing mart at {mart_path} lacks "
+                f"columns {lacking} (has {existing.columns}); the mart "
+                "state predates these aggregates — rebuild the mart (or "
+                "backfill the new columns) before folding into it"
+            )
         # min/max re-fold with themselves (idempotent monoids); sums and
         # the row count re-fold by summation.
         merge_exprs = (

@@ -147,22 +147,30 @@ class SCD2Table:
         after the key shuffle — never a time-bucketed interval range
         join when an entity key exists. Left join: facts referencing
         never-loaded keys keep NULL dimension attributes (they surface,
-        not vanish). Dimension columns are prefixed ``dim_`` to avoid
-        colliding with fact columns."""
+        not vanish). EVERY dimension-side column is prefixed ``dim_`` —
+        including the validity interval itself (``dim_effective_date`` /
+        ``dim_end_date``), so a facts table that carries its own
+        ``effective_date``/``end_date`` columns (common in ETL facts)
+        neither collides nor gets silently dropped (r8 advisory)."""
         hist = self.history()
         dim_cols = [c for c in hist.columns if c not in SCD_COLS and c != BUCKET_COL]
         renamed = hist.select(
             *[F.col(c).alias(f"dim_{c}") for c in dim_cols],
-            "effective_date",
-            "end_date",
+            F.col("effective_date").alias("dim_effective_date"),
+            F.col("end_date").alias("dim_end_date"),
         )
-        ts = F.col(ts_col)
+        ts = facts[ts_col]
         cond = (
             (facts[fact_key] == renamed[f"dim_{self.key}"])
-            & (ts >= F.col("effective_date"))
-            & (F.col("end_date").isNull() | (ts < F.col("end_date")))
+            & (ts >= renamed["dim_effective_date"])
+            & (
+                renamed["dim_end_date"].isNull()
+                | (ts < renamed["dim_end_date"])
+            )
         )
-        return facts.join(renamed, cond, "left").drop("effective_date", "end_date")
+        return facts.join(renamed, cond, "left").drop(
+            "dim_effective_date", "dim_end_date"
+        )
 
     def ensure_members(self, keys_df: DataFrame) -> int:
         """Late-arriving dimension handling (Kimball "inferred member"):

@@ -1120,7 +1120,10 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic function of the input and the driver VALUE-oracles
     it: DuckDB replays the same hashes and must reproduce every
     estimated count bit-for-bit. Candidate keys come from the part
-    dimension (bounded); absent keys floor at 0."""
+    dimension (bounded); absent keys receive the usual one-sided CMS
+    overestimate — the min over their (possibly collided) bucket
+    counters, which is 0 only when some probed cell is empty (the
+    coalesce-to-0 covers cells entirely missing from the sketch)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").cast("bigint").alias("k")
     )

@@ -277,3 +277,29 @@ def test_merge_aggregate_min_max_monoids(spark, tmp_path):
         merge_aggregate(
             spark, path, b2, keys=["k"], sums=["v"], mins=["v"], maxs=["v"]
         )
+
+
+def test_merge_aggregate_schema_gate_errors(spark, tmp_path):
+    """r8 advisory: folding new aggregate columns against a mart created
+    without them must raise a descriptive error (not die inside
+    unionByName), and keys overlapping folded columns are rejected."""
+    import pytest
+
+    mart = str(tmp_path / "mart")
+    orders = load_table(spark, SF_DIR, "orders").select(
+        F.to_date("o_orderdate").alias("order_date"), "o_totalprice"
+    )
+    merge_aggregate(spark, mart, orders, keys=["order_date"], sums=["o_totalprice"])
+    with pytest.raises(ValueError, match="lacks.*o_totalprice_min|lacks.*\\['o_totalprice_min'\\]"):
+        merge_aggregate(
+            spark,
+            mart,
+            orders.withColumn("o_totalprice_min", F.col("o_totalprice")),
+            keys=["order_date"],
+            sums=["o_totalprice"],
+            mins=["o_totalprice_min"],
+        )
+    with pytest.raises(ValueError, match="both .*keys and folded"):
+        merge_aggregate(
+            spark, mart, orders, keys=["order_date"], sums=["order_date"]
+        )

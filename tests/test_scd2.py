@@ -288,3 +288,30 @@ def test_enrich_asof_boundary_and_missing_keys(spark, tmp_path):
     assert out[102]["dim_attr"] == "v1"
     assert out[103]["dim_attr"] is None and out[103]["dim_k"] is None
     assert len(out) == 4  # left join: one row per fact, none duplicated
+
+
+def test_enrich_asof_facts_with_own_validity_columns(spark, tmp_path):
+    """r8 advisory: a facts table carrying its OWN effective_date /
+    end_date columns (common in ETL fact tables) must neither raise an
+    ambiguous-reference error nor lose those columns — the dimension's
+    validity interval is dim_-prefixed like every other dim column."""
+    import datetime as _dt
+
+    t1, t2 = _dt.datetime(2024, 1, 1), _dt.datetime(2024, 2, 1)
+    clock = [t1]
+    dim = SCD2Table(spark, str(tmp_path / "dim"), "k", clock=lambda: clock[0])
+    dim.upsert(spark.createDataFrame([(1, "v1")], "k bigint, attr string"))
+    clock[0] = t2
+    dim.upsert(spark.createDataFrame([(1, "v2")], "k bigint, attr string"))
+
+    facts = spark.createDataFrame(
+        [(100, 1, t2, t1, t2), (101, 1, t1, t1, None)],
+        "fact_id bigint, k bigint, ts timestamp,"
+        " effective_date timestamp, end_date timestamp",
+    )
+    enriched = dim.enrich_asof(facts, "k", "ts")
+    assert "effective_date" in enriched.columns  # the FACT's own column
+    assert "end_date" in enriched.columns
+    out = {r["fact_id"]: r for r in enriched.collect()}
+    assert out[100]["dim_attr"] == "v2" and out[100]["effective_date"] == t1
+    assert out[101]["dim_attr"] == "v1" and out[101]["end_date"] is None
