@@ -40,63 +40,11 @@ _DOMAINS = (
 # Registry ORDER IS DELIBERATE: the driver's per-round correctness sweep
 # walks it in order under a bounded budget (50 entries per round), so
 # the entries with the LEAST accumulated driver evidence go first.
-# Rebuilt for round 7 from CORRECTNESS_r02-r06 staleness: (1) queries
-# NEW this round (never driver-checked), (2) last green in r04 — the
-# oldest surviving evidence, 42 queries r05/r06 budgets truncated,
-# (3) last green r05, (4) last green r06 at the tail, where truncation
-# costs the least information. Update each round as evidence
-# accumulates (scripts: recompute from the CORRECTNESS_r*.json files).
+# GENERATED — do not hand-sort. Regenerate each round after registering
+# new queries with `python scripts/sweep_priority.py --write`, which
+# orders by CORRECTNESS_r*.json staleness: regressions first, then
+# never-checked queries, then ascending last-green round.
 _SWEEP_PRIORITY = (
-    "cms_heavy_hitters",
-    "cms_accuracy_check",
-    "peak_concurrent_sessions",
-    "orders_quality_suite",
-    "source_curation_rollup",
-    "stream_cms_heavy_hitters",
-    "fact_temporal_dimension_join",
-    "user_trailing_features",
-    "negative_samples",
-    "drift_psi",
-    "supplier_revenue_gini",
-    "stream_drift_psi",
-    "stream_quality_suite",
-    "sql_volume_shipping",
-    "sql_market_share",
-    "sql_product_margin",
-    "sql_returned_item_reporting",
-    "sql_priority_shipping",
-    "sql_promo_revenue",
-    "pipeline_end_to_end",
-    "pipeline_run_log",
-    "pipeline_gold_mart",
-    "sql_discounted_brand_revenue",
-    "sql_global_sales_opportunity",
-    "bpe_merge_steps",
-    "stream_drift_monitor",
-    "jdbc_watermark_round_trip",
-    "asof_join_cogroup",
-    "bloom_decontaminate",
-    "dedup_keep_first",
-    "doc_chunks",
-    "doc_fingerprint",
-    "doc_quality",
-    "doc_token_stats",
-    "embedding_near_dup",
-    "embedding_norms",
-    "exact_dedup",
-    "forecast_revenue_change",
-    "ingest_schema_evolution",
-    "label_centroids",
-    "lang_id",
-    "media_decode_features",
-    "media_metadata",
-    "minhash_lsh_candidates",
-    "ngram_jaccard_pairs",
-    "order_status_pivot",
-    "pii_redact",
-    "price_percentiles",
-    "pricing_summary",
-    "purchase_attribution_asof",
     "repeat_buyers_intersect",
     "repetition_signals",
     "revenue_rollup_sets",
@@ -116,102 +64,152 @@ _SWEEP_PRIORITY = (
     "user_event_gaps_window",
     "watermark_incremental_batch",
     "winnowing_fingerprints",
-    "vocab_coverage",
-    "dup_ngram_fraction",
-    "unigram_surprisal",
-    "bpe_pair_counts",
-    "media_frame_sample",
-    "event_funnel",
-    "sketch_union_rollup",
-    "kll_quantile_rollup",
-    "retention_cohorts",
-    "event_props_json",
-    "percentile_accuracy_check",
-    "revenue_unpivot",
-    "customer_running_revenue",
-    "order_value_deciles",
-    "purchase_prior_clicks",
-    "revenue_7d_window",
-    "events_hourly_gapfill",
-    "salted_event_type_counts",
-    "events_sessionize",
-    "stratified_sample",
-    "split_contamination",
-    "token_budget_shards",
-    "curation_funnel",
-    "dedup_clusters",
-    "doc_tfidf_topterms",
     "balanced_downsample",
-    "fact_order_details",
-    "seller_performance_daily_approx",
-    "hll_accuracy_check",
-    "seller_performance_daily",
-    "seller_performance_monthly",
-    "seller_performance_quarterly",
+    "bpe_pair_counts",
+    "curation_funnel",
     "customer_behavior",
-    "star_projection",
-    "drop_and_cast",
-    "filter_sql_string",
-    "filter_column_expr",
-    "null_test_classify",
+    "customer_running_revenue",
+    "customers_without_urgent_orders",
+    "dedup_clusters",
     "distinct_keys",
+    "doc_tfidf_topterms",
+    "drop_and_cast",
+    "dup_ngram_fraction",
+    "event_funnel",
+    "event_props_json",
+    "events_hourly_gapfill",
+    "events_sessionize",
+    "fact_order_details",
+    "filter_column_expr",
+    "filter_sql_string",
     "global_watermark",
     "hash_diff_rows",
+    "hll_accuracy_check",
+    "kll_quantile_rollup",
+    "media_frame_sample",
+    "null_test_classify",
+    "order_value_deciles",
+    "percentile_accuracy_check",
+    "purchase_prior_clicks",
+    "retention_cohorts",
+    "revenue_7d_window",
+    "revenue_unpivot",
+    "salted_event_type_counts",
     "scd2_classify",
-    "customers_without_urgent_orders",
-    "top_spenders",
-    "sql_shipping_priority",
+    "seller_performance_daily",
+    "seller_performance_daily_approx",
+    "seller_performance_monthly",
+    "seller_performance_quarterly",
+    "sketch_union_rollup",
+    "split_contamination",
     "sql_nation_revenue",
-    "global_shuffle_export",
-    "leakage_safe_split",
-    "fuzzy_name_pairs",
-    "key_skew_profile",
-    "sql_customer_distribution",
-    "sql_large_volume_customers",
-    "sql_waiting_suppliers",
-    "media_dedup",
-    "order_month_rank_profile",
-    "embedding_gram",
-    "pca_power_iteration_check",
-    "wds_export_manifest",
-    "k_anonymity_audit",
-    "order_drift_histogram",
-    "sql_cheapest_supplier_per_nation",
-    "sql_part_type_supplier_counts",
-    "source_vocab_drift",
-    "sql_nation_balance_share",
-    "click_conversion_asof",
-    "scd2_point_in_time",
-    "late_dimension_inferred",
-    "referential_integrity_audit",
-    "span_corruption_masks",
-    "sql_widget_shippers",
-    "minhash_recall_check",
-    "pack_sequences",
-    "salted_join_topk",
-    "dedup_index_two_batch",
-    "sql_order_priority_count",
-    "sql_top_supplier",
-    "bucketed_join_summary",
-    "pack_sequences_greedy",
-    "embedding_quantize",
-    "bigram_surprisal",
-    "cluster_representatives",
-    "orders_validation",
-    "partition_pruned_revenue",
-    "zorder_clustering_stats",
-    "supplier_copurchase_pagerank",
-    "events_daily_anomalies",
-    "order_value_histogram",
-    "table_profile",
-    "theta_set_ops",
-    "seller_order_rates",
-    "seller_segmentation",
-    "train_test_split",
+    "sql_shipping_priority",
+    "star_projection",
+    "stratified_sample",
+    "token_budget_shards",
+    "top_spenders",
+    "unigram_surprisal",
+    "vocab_coverage",
     "ann_recall_check",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "ann_topk_lsh",
+    "bigram_surprisal",
+    "bucketed_join_summary",
+    "click_conversion_asof",
+    "cluster_representatives",
+    "dedup_index_two_batch",
+    "embedding_gram",
+    "embedding_quantize",
+    "events_daily_anomalies",
+    "fuzzy_name_pairs",
+    "global_shuffle_export",
+    "k_anonymity_audit",
+    "key_skew_profile",
+    "late_dimension_inferred",
+    "leakage_safe_split",
+    "media_dedup",
+    "minhash_recall_check",
+    "order_drift_histogram",
+    "order_month_rank_profile",
+    "order_value_histogram",
+    "orders_validation",
+    "pack_sequences",
+    "pack_sequences_greedy",
+    "partition_pruned_revenue",
+    "pca_power_iteration_check",
+    "referential_integrity_audit",
+    "salted_join_topk",
+    "scd2_point_in_time",
+    "seller_order_rates",
+    "seller_segmentation",
+    "source_vocab_drift",
+    "span_corruption_masks",
+    "sql_cheapest_supplier_per_nation",
+    "sql_customer_distribution",
+    "sql_large_volume_customers",
+    "sql_nation_balance_share",
+    "sql_order_priority_count",
+    "sql_part_type_supplier_counts",
+    "sql_top_supplier",
+    "sql_waiting_suppliers",
+    "sql_widget_shippers",
+    "supplier_copurchase_pagerank",
+    "table_profile",
+    "theta_set_ops",
+    "train_test_split",
+    "wds_export_manifest",
+    "zorder_clustering_stats",
+    "asof_join_cogroup",
+    "bloom_decontaminate",
+    "bpe_merge_steps",
+    "cms_accuracy_check",
+    "cms_heavy_hitters",
+    "dedup_keep_first",
+    "doc_chunks",
+    "doc_fingerprint",
+    "doc_quality",
+    "doc_token_stats",
+    "drift_psi",
+    "embedding_near_dup",
+    "embedding_norms",
+    "exact_dedup",
+    "fact_temporal_dimension_join",
+    "forecast_revenue_change",
+    "ingest_schema_evolution",
+    "jdbc_watermark_round_trip",
+    "label_centroids",
+    "lang_id",
+    "media_decode_features",
+    "media_metadata",
+    "minhash_lsh_candidates",
+    "negative_samples",
+    "ngram_jaccard_pairs",
+    "order_status_pivot",
+    "orders_quality_suite",
+    "peak_concurrent_sessions",
+    "pii_redact",
+    "pipeline_end_to_end",
+    "pipeline_gold_mart",
+    "pipeline_run_log",
+    "price_percentiles",
+    "pricing_summary",
+    "purchase_attribution_asof",
+    "source_curation_rollup",
+    "sql_discounted_brand_revenue",
+    "sql_global_sales_opportunity",
+    "sql_market_share",
+    "sql_priority_shipping",
+    "sql_product_margin",
+    "sql_promo_revenue",
+    "sql_returned_item_reporting",
+    "sql_volume_shipping",
+    "stream_cms_heavy_hitters",
+    "stream_drift_monitor",
+    "stream_drift_psi",
+    "stream_quality_suite",
+    "supplier_revenue_gini",
+    "user_trailing_features",
 )
 
 

@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Regenerate ``plans.__init__._SWEEP_PRIORITY`` from driver evidence.
+
+The driver's per-round correctness sweep walks the registry in order
+under a bounded budget (50 entries per round), so registry order decides
+which queries accumulate evidence. This script computes, for every
+registered query, the LAST round in which the driver checked it green
+(``CORRECTNESS_r*.json``), and emits a staleness-first order:
+
+1. queries the driver has NEVER checked (new this round) — first;
+2. then ascending by last-green round (oldest evidence first);
+3. alphabetical within a tier (stable across reruns).
+
+Queries whose most recent driver sample FAILED are pinned to the very
+front regardless of round, so a regression is re-checked immediately.
+
+Usage::
+
+    python scripts/sweep_priority.py            # print the ordered tuple
+    python scripts/sweep_priority.py --write    # patch plans/__init__.py in place
+
+Run with --write after registering new queries each round (r7 verdict
+item 4 — the order is generated, not hand-sorted).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+INIT = REPO / "azure_sales_etl_pipeline_spark" / "plans" / "__init__.py"
+
+
+def _green(rec: dict) -> bool:
+    if rec.get("err") == "no_oracle":
+        # rows-only check: the driver records rows_match=None and just
+        # the observed row count; a completed run IS the evidence.
+        return rec.get("spark_rows") is not None
+    if rec.get("err") is not None:
+        return False
+    return (
+        bool(rec.get("rows_match"))
+        and bool(rec.get("schema_match"))
+        and bool(rec.get("hash_match"))
+    )
+
+
+def compute_order() -> list[str]:
+    from azure_sales_etl_pipeline_spark.plans import registry
+
+    queries, _ = registry()
+    names = set(queries)
+
+    last_green: dict[str, int] = {}
+    last_failed: set[str] = set()
+    for path in sorted(glob.glob(str(REPO / "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        for name, rec in json.load(open(path)).items():
+            if name not in names:
+                continue  # renamed/retired query
+            if _green(rec):
+                last_green[name] = max(last_green.get(name, 0), rnd)
+                last_failed.discard(name)
+            else:
+                # failure in a LATER round than the last green pins it
+                if last_green.get(name, 0) < rnd:
+                    last_failed.add(name)
+
+    def key(name: str):
+        if name in last_failed:
+            return (0, 0, name)
+        return (1, last_green.get(name, 0), name)
+
+    return sorted(names, key=key)
+
+
+def render(order: list[str]) -> str:
+    body = "\n".join(f'    "{n}",' for n in order)
+    return f"_SWEEP_PRIORITY = (\n{body}\n)"
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--write", action="store_true", help="patch plans/__init__.py")
+    args = ap.parse_args()
+
+    order = compute_order()
+    block = render(order)
+    if args.write:
+        src = INIT.read_text()
+        new, n = re.subn(
+            r"_SWEEP_PRIORITY = \(\n(?:    \"[^\"]+\",\n)+\)", block, src, count=1
+        )
+        if n != 1:
+            print("could not locate _SWEEP_PRIORITY block", file=sys.stderr)
+            return 1
+        INIT.write_text(new)
+        print(f"wrote {len(order)} entries to {INIT}")
+    else:
+        print(block)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
