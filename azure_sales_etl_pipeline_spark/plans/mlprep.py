@@ -760,15 +760,16 @@ def supplier_copurchase_pagerank(
     beyond connected components.
 
     Every quantity is an INTEGER in micro-units: ranks start at 1e6,
-    each round a node emits ``rank div outdeg`` along its edges and
-    collects ``150000 + (85 · Σcontrib) div 100`` (damping 0.85, done
-    as integer multiply-then-div) — so there is NO float anywhere,
-    aggregation order cannot wobble a single unit, and the DuckDB
-    oracle (the same {n} rounds unrolled as sequential CTEs) matches
-    bit-for-bit. Simplified semantics (no dangling-mass
-    redistribution, no normalization — isolated suppliers rest at the
-    150000 base) — documented, deterministic, and identical on both
-    engines.
+    each round a node emits ``rank div outdeg`` along its edges,
+    DANGLING nodes (no out-edges) redistribute their whole rank evenly
+    (``dang_sum div n_nodes`` added to every node's inflow — the
+    standard dangling-mass term, r7 verdict item 5), and each node
+    collects ``150000 + (85 · (Σcontrib + dangling_share)) div 100``
+    (damping 0.85 as integer multiply-then-div) — so there is NO float
+    anywhere, aggregation order cannot wobble a single unit, and the
+    DuckDB oracle (the same rounds unrolled as sequential CTEs)
+    matches bit-for-bit. Ranks stay unnormalized (sum ≈ n·1e6 up to
+    integer truncation), which is the conventional fixed-point form.
 
     Scale shape per round: one equi-join of edges against the rank
     table (shuffle on the node key) + one aggregate, with
@@ -795,6 +796,7 @@ def supplier_copurchase_pagerank(
     edges = cut(edges)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    n_nodes = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
     rank = nodes.withColumn("rank_micro", F.lit(_PR_SCALE).cast("bigint"))
     for _ in range(_PR_ITERS):
         contrib = (
@@ -803,13 +805,24 @@ def supplier_copurchase_pagerank(
             .select("dst", F.expr("rank_micro div deg").alias("c"))
         )
         inc = contrib.groupBy("dst").agg(F.sum("c").alias("inc"))
+        # Dangling mass: rank held by nodes with no out-edges, spread
+        # evenly (integer share) to every node. One left-anti + scalar
+        # aggregate per round, broadcast-attached — no extra shuffle of
+        # the rank table.
+        dang = rank.join(outdeg, rank.s_suppkey == outdeg.src, "left_anti").agg(
+            F.coalesce(F.sum("rank_micro"), F.lit(0)).cast("bigint").alias("dang_sum")
+        )
         rank = cut(
             nodes.join(inc, nodes.s_suppkey == inc.dst, "left")
+            .crossJoin(F.broadcast(dang))
+            .crossJoin(F.broadcast(n_nodes))
             .select(
                 "s_suppkey",
                 (
                     F.lit(150_000)
-                    + F.expr("85 * coalesce(inc, 0) div 100")
+                    + F.expr(
+                        "85 * (coalesce(inc, 0) + dang_sum div n_nodes) div 100"
+                    )
                 ).cast("bigint").alias("rank_micro"),
             )
         )
@@ -835,6 +848,7 @@ def _pagerank_sql() -> str:
           ON a.l_orderkey = b.l_orderkey AND a.l_suppkey != b.l_suppkey
     ),
     outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM supplier),
     r0 AS (SELECT s_suppkey, CAST({_PR_SCALE} AS BIGINT) AS rank_micro
            FROM supplier)"""
     layers = []
@@ -847,11 +861,19 @@ def _pagerank_sql() -> str:
         JOIN outdeg o ON o.src = e.src
         GROUP BY e.dst
     ),
+    d{k} AS (
+        SELECT CAST(coalesce(sum(r.rank_micro), 0) AS BIGINT) AS dang_sum
+        FROM r{k} r LEFT JOIN outdeg o ON o.src = r.s_suppkey
+        WHERE o.src IS NULL
+    ),
     r{k + 1} AS (
         SELECT n.s_suppkey,
-               CAST(150000 + (85 * coalesce(c.inc, 0)) // 100 AS BIGINT)
+               CAST(150000 + (85 * (coalesce(c.inc, 0)
+                    + d.dang_sum // nn.n_nodes)) // 100 AS BIGINT)
                    AS rank_micro
-        FROM supplier n LEFT JOIN c{k} c ON c.dst = n.s_suppkey
+        FROM supplier n
+        LEFT JOIN c{k} c ON c.dst = n.s_suppkey
+        CROSS JOIN d{k} d CROSS JOIN nn
     )""")
     return (
         "WITH "
