@@ -90,6 +90,7 @@ def write_wds_shards(
     payload_col: str = "payload",
     meta_cols: tuple[str, ...] = (),
     suffix: str = "txt",
+    filesystem=None,
 ) -> None:
     """Export samples as WebDataset-style tar shards — the POSIX-tar
     container convention training loaders stream sequentially (one
@@ -109,48 +110,76 @@ def write_wds_shards(
     ``global_shuffle_export``-style shard assignment so sequential
     shard reads see a shuffled stream.
 
-    REQUIREMENT: ``out_dir`` must be a POSIX filesystem visible to every
-    executor AND the driver (local mode, NFS, Lustre, /dbfs fuse) —
-    shards are written with ``os`` calls from executor Python workers,
-    which have no JVM gateway and therefore no Hadoop FileSystem access.
-    Pointing this at a bare object-store URI would strand shards on
-    executor-local disks (r6 advisory), so scheme-qualified paths are
-    rejected up front; for S3/ABFS/GCS exports, mount the bucket (fuse)
-    or swap the ``os`` calls for an fsspec filesystem."""
+    PATH REQUIREMENTS: a plain path must be a POSIX filesystem visible
+    to every executor AND the driver (local mode, NFS, Lustre, /dbfs
+    fuse) — shards are written from executor Python workers, which have
+    no JVM gateway and therefore no Hadoop FileSystem access. A real
+    100 TB export targets an object store instead (r7 verdict item 6):
+    pass ``filesystem=`` an fsspec-style filesystem (needs
+    ``makedirs``/``open``/``mv``; every fsspec ``AbstractFileSystem``
+    qualifies and must be picklable — executors get it by closure), or
+    give a scheme-qualified URI and let ``fsspec.core.url_to_fs``
+    resolve it when the fsspec package is installed. The write protocol
+    is identical on both branches: stream the tar to ``<shard>.tmp``,
+    then one atomic-visibility rename (``os.replace`` / ``fs.mv``) per
+    shard. A bare object-store URI without fsspec still fails up front
+    — shards must never silently strand on executor-local disks
+    (r6 advisory)."""
     import io
     import json as _json
     import os
     import tarfile
 
-    if "://" in out_dir:
-        raise ValueError(
-            f"write_wds_shards writes via executor-local POSIX I/O; "
-            f"object-store URI {out_dir!r} is not reachable from Python "
-            "workers — mount it (fuse) or provide a posix path shared by "
-            "driver and executors"
-        )
-    os.makedirs(out_dir, exist_ok=True)
+    if filesystem is None and "://" in out_dir:
+        try:
+            import fsspec
+        except ImportError:
+            raise ValueError(
+                f"write_wds_shards writes via executor-local POSIX I/O; "
+                f"object-store URI {out_dir!r} is not reachable from Python "
+                "workers — mount it (fuse), pass filesystem= an fsspec "
+                "filesystem, or install fsspec so the URI can be resolved"
+            ) from None
+        filesystem, out_dir = fsspec.core.url_to_fs(out_dir)
+
+    if filesystem is None:
+        _makedirs = lambda p: os.makedirs(p, exist_ok=True)  # noqa: E731
+        _open_w = lambda p: open(p, "wb")  # noqa: E731
+        _commit = os.replace
+        _join = os.path.join
+    else:
+        fs = filesystem
+        _makedirs = lambda p: fs.makedirs(p, exist_ok=True)  # noqa: E731
+        _open_w = lambda p: fs.open(p, "wb")  # noqa: E731
+        _commit = fs.mv
+        _join = lambda d, f: f"{d.rstrip('/')}/{f}"  # noqa: E731
+
+    _makedirs(out_dir)
     cols = [shard_col, key_col, payload_col, *meta_cols]
 
     def _write_partition(rows) -> None:
         tar = None
+        fobj = None
         cur = None
 
         def _close():
-            nonlocal tar
+            nonlocal tar, fobj
             if tar is not None:
                 tar.close()
-                os.replace(tmp_name, final_name)
+                fobj.close()
+                _commit(tmp_name, final_name)
                 tar = None
+                fobj = None
 
         for row in rows:
             shard = row[shard_col]
             if shard != cur:
                 _close()
                 cur = shard
-                final_name = os.path.join(out_dir, f"shard-{shard:06d}.tar")
+                final_name = _join(out_dir, f"shard-{shard:06d}.tar")
                 tmp_name = final_name + ".tmp"
-                tar = tarfile.open(tmp_name, "w")
+                fobj = _open_w(tmp_name)
+                tar = tarfile.open(fileobj=fobj, mode="w")
             key = f"{row[key_col]:012d}"
             members = [(f"{key}.{suffix}", bytes(row[payload_col]))]
             if meta_cols:
@@ -175,26 +204,38 @@ def write_wds_shards(
     )
 
 
-def read_wds_manifest(out_dir: str) -> list[dict]:
+def read_wds_manifest(out_dir: str, *, filesystem=None) -> list[dict]:
     """Per-shard manifest of a ``write_wds_shards`` export: shard id,
     sample count, tar member count, and total PAYLOAD bytes (metadata
     members excluded — the number a loader budgets I/O by). Driver-side
     by design: it lists shard FILES (corpus_rows / shard_size of them),
     never samples — control-plane metadata, same class as partition
-    listings."""
+    listings. ``filesystem`` takes the same fsspec-style object as
+    ``write_wds_shards`` for object-store exports."""
     import os
     import re
     import tarfile
 
+    if filesystem is None:
+        names = sorted(os.listdir(out_dir))
+        _open_r = lambda f: tarfile.open(os.path.join(out_dir, f))  # noqa: E731
+    else:
+        names = sorted(
+            str(p).rstrip("/").rsplit("/", 1)[-1] for p in filesystem.ls(out_dir)
+        )
+        _open_r = lambda f: tarfile.open(  # noqa: E731
+            fileobj=filesystem.open(f"{out_dir.rstrip('/')}/{f}", "rb")
+        )
+
     out = []
-    for fname in sorted(os.listdir(out_dir)):
+    for fname in names:
         m = re.fullmatch(r"shard-(\d+)\.tar", fname)
         if not m:
             continue
         n_members = 0
         n_samples = 0
         payload_bytes = 0
-        with tarfile.open(os.path.join(out_dir, fname)) as tar:
+        with _open_r(fname) as tar:
             for info in tar:
                 n_members += 1
                 if not info.name.endswith(".json"):

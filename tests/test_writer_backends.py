@@ -371,3 +371,76 @@ def test_delta_gate_skips_only_on_import_absence():
     import delta  # present → must import cleanly, else this test fails
 
     assert hasattr(delta, "configure_spark_with_delta_pip")
+
+
+def test_wds_shards_fsspec_filesystem_branch(spark, tmp_path):
+    """r7 verdict item 6: the object-store path. An fsspec-style
+    filesystem passed via filesystem= must round-trip shards through
+    fs.open/fs.mv (write tmp + rename), bit-identical to the POSIX
+    branch on the same data; a bare URI without fsspec installed still
+    fails up front."""
+    import hashlib
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from azure_sales_etl_pipeline_spark.sources.formats import (
+        read_wds_manifest,
+        write_wds_shards,
+    )
+
+    class _FsspecStyleLocalFS:
+        """Minimal fsspec-AbstractFileSystem stand-in (makedirs / open /
+        mv / ls over the local disk) — fsspec itself is not installed in
+        this sandbox, so the object-store writer branch is exercised
+        through the same API surface a real fsspec filesystem presents.
+        Defined inside the test so cloudpickle ships it BY VALUE to
+        executors (a test-module global pickles by reference, which
+        workers cannot import)."""
+
+        def makedirs(self, path, exist_ok=False):
+            import os
+
+            os.makedirs(path, exist_ok=exist_ok)
+
+        def open(self, path, mode="rb"):
+            return open(path, mode)
+
+        def mv(self, src, dst):
+            import os
+
+            os.replace(src, dst)
+
+        def ls(self, path):
+            import os
+
+            return [f"{path.rstrip('/')}/{n}" for n in os.listdir(path)]
+
+    docs = spark.createDataFrame(
+        [(i, f"payload text {i}", "en" if i % 2 else "es") for i in range(10)],
+        "doc_id bigint, text string, lang string",
+    ).select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        "lang",
+        (F.col("doc_id") % 3).alias("shard_id"),
+    )
+
+    posix_out = tmp_path / "posix"
+    write_wds_shards(docs, str(posix_out), meta_cols=("lang",))
+
+    fs = _FsspecStyleLocalFS()
+    fs_out = tmp_path / "objstore"
+    write_wds_shards(docs, str(fs_out), meta_cols=("lang",), filesystem=fs)
+
+    manifest = read_wds_manifest(str(fs_out), filesystem=fs)
+    assert sorted(m["shard_id"] for m in manifest) == [0, 1, 2]
+    assert sum(m["n_samples"] for m in manifest) == 10
+    for shard in (0, 1, 2):
+        a = (posix_out / f"shard-{shard:06d}.tar").read_bytes()
+        b = (fs_out / f"shard-{shard:06d}.tar").read_bytes()
+        assert hashlib.sha256(a).digest() == hashlib.sha256(b).digest()
+    assert not list(fs_out.glob("*.tmp")), "tmp files must be renamed away"
+
+    with pytest.raises(ValueError, match="fsspec|not reachable"):
+        write_wds_shards(docs, "s3://bucket/wds", meta_cols=("lang",))
