@@ -204,3 +204,69 @@ def test_bucketed_arrow_paths_match_jvm_twins(spark):
     for eid in c:
         assert c[eid]["last_click_ts"] == d[eid]["last_click_ts"], eid
         assert c[eid]["ms_since_click"] == d[eid]["ms_since_click"], eid
+
+
+def test_aqe_skew_join_engages_and_matches_salted(spark, tmp_path):
+    """r7 verdict item 7: under a deliberately skewed key (~95% of the
+    big side on one key), AQE's runtime skew-join split must engage on
+    the plain sort-merge join — SortMergeJoin(skew=true) with a skewed
+    AQEShuffleRead in the final adaptive plan — and the engine's static
+    salted_join rewrite must produce the identical result. The two are
+    the runtime and the by-construction answers to the same 100 TB
+    problem (AQE when you can't touch the query, salting when the skew
+    is known up front); SCALE.md records the sf0.1 timing contrast."""
+    big_src = load_table(spark, SF_DIR, "lineitem").select(
+        F.when(F.col("l_orderkey") % 20 != 0, F.lit(0))
+        .otherwise(F.pmod(F.col("l_orderkey"), F.lit(1000)))
+        .alias("k"),
+        "l_quantity",
+    )
+    # Materialize both sides so AQE sees real post-shuffle byte sizes.
+    # The repartition(32) matters: AQE splits a skewed REDUCE partition
+    # at map-output-chunk granularity, so a shuffle fed by one map task
+    # (a single small parquet file) is unsplittable no matter how
+    # skewed — 32 files give 32 map chunks to recombine (SCALE.md).
+    big_src.repartition(32).write.mode("overwrite").parquet(str(tmp_path / "big"))
+    big = spark.read.parquet(str(tmp_path / "big"))
+    spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    ).write.mode("overwrite").parquet(str(tmp_path / "dim"))
+    dim = spark.read.parquet(str(tmp_path / "dim"))
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": "16",
+        # plain (uncoalesced) reads so the skewed AQEShuffleRead is
+        # attributable to the skew rule alone
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        # test-scale thresholds: the heavy partition is ~tens of KB
+        # here, not the 256MB default a real cluster would use. 4KB
+        # sits ABOVE the dim side's largest partition (~2KB) so only
+        # the genuinely skewed big side can be flagged.
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+    }
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        plain = big.join(dim, "k")
+        plain_rows = _rows(plain)
+        plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        # the skewed read must be the BIG side: its child scans tmp/big
+        final = plan.split("== Initial Plan ==")[0]
+        skew_read = [
+            l for l in final.splitlines() if "AQEShuffleRead" in l and "skewed" in l
+        ]
+        assert len(skew_read) == 1, final
+
+        salted = salted_join(big, dim, "k", n_salts=8)
+        assert _rows(salted.select(*plain.columns)) == plain_rows
+        splan = salted._jdf.queryExecution().executedPlan().toString()
+        assert "_salt" in splan  # join really runs on (k, _salt)
+    finally:
+        for k in confs:
+            spark.conf.unset(k)
