@@ -12,8 +12,10 @@ from ..streaming import (
     stream_cms_heavy_hitters,
     stream_drift_monitor,
     stream_drift_psi,
+    stream_late_data_audit,
     stream_quality_suite,
     STREAM_DEDUP_SQL,
+    STREAM_LATE_AUDIT_SQL,
     STREAM_JOIN_SQL,
     STREAM_SESSION_SQL,
     STREAM_SLIDING_SQL,
@@ -40,6 +42,7 @@ QUERIES = {
     "stream_cms_heavy_hitters": stream_cms_heavy_hitters,
     "stream_drift_psi": stream_drift_psi,
     "stream_quality_suite": stream_quality_suite,
+    "stream_late_data_audit": stream_late_data_audit,
 }
 
 ORACLES = {
@@ -53,4 +56,5 @@ ORACLES = {
     "stream_cms_heavy_hitters": _STREAM_CMS_SQL,
     "stream_drift_psi": _STREAM_PSI_SQL,
     "stream_quality_suite": _STREAM_QUALITY_SQL,
+    "stream_late_data_audit": STREAM_LATE_AUDIT_SQL,
 }

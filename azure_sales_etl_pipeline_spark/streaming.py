@@ -82,8 +82,44 @@ def _drain_to_memory(agg: DataFrame, name: str, mode: str = "complete") -> None:
             .start()
         )
         q.awaitTermination()
+        _publish_late_metrics(sess, name, q)
     finally:
         sess.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _harvest_progress(q) -> tuple[int, int]:
+    """(input_rows, rows_dropped_late) summed over a query's recent
+    progress. ``numRowsDroppedByWatermark`` is Spark's own per-stateful-
+    operator count of inputs discarded for arriving behind the
+    watermark — the silent-loss number a production stream must expose
+    (r7 verdict item 8)."""
+    import json as _json
+
+    inputs = 0
+    dropped = 0
+    for p in q.recentProgress:
+        d = p if isinstance(p, dict) else _json.loads(p.json)
+        inputs += int(d.get("numInputRows") or 0)
+        for so in d.get("stateOperators") or []:
+            dropped += int(so.get("numRowsDroppedByWatermark") or 0)
+    return inputs, dropped
+
+
+def _publish_late_metrics(sess: SparkSession, name: str, q) -> None:
+    """Surface late-data observability for a drained stream as the
+    ``<name>_late_metrics`` temp view (stream, input_rows,
+    rows_dropped_late) next to the result table itself."""
+    inputs, dropped = _harvest_progress(q)
+    sess.createDataFrame(
+        [(name, inputs, dropped)],
+        "stream string, input_rows bigint, rows_dropped_late bigint",
+    ).createOrReplaceTempView(f"{name}_late_metrics")
+
+
+def stream_late_metrics(spark: SparkSession, name: str) -> DataFrame:
+    """Read the late-data metrics view published when ``<name>`` was
+    drained (every withWatermark-based stream_* query publishes one)."""
+    return spark.table(f"{name}_late_metrics")
 
 
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1002,6 +1038,89 @@ def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         return cms_topk_report(spark, state, keys, "k").localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data observability end-to-end (r7 verdict item 8): land the
+    events table as two micro-batches — even event_ids first, then the
+    odd half — through a 1-hour-watermark windowed aggregation with a
+    SHARED checkpoint, so run 2 resumes with run 1's committed
+    watermark (``max(even ts) - 1h``) and every odd-half event older
+    than that is dropped by the watermark gate. The audit reports
+    Spark's own ``numRowsDroppedByWatermark`` tally (plus total input
+    rows) — the silent-loss number the other ``stream_*`` queries
+    surface per-query via ``<name>_late_metrics``.
+
+    Exactly oracle-able, two subtleties pinned down by measurement:
+    (1) timestamps are floored to whole seconds before landing (the
+    watermark is millisecond arithmetic — sub-ms input would make the
+    boundary engine-dependent) and Spark's drop predicate is strict
+    ``ts < watermark``; (2) ``numRowsDroppedByWatermark`` counts rows
+    entering the STATEFUL operator — for a windowed aggregation that
+    is post-partial-agg GROUPS, not raw events (measured: 413 of 498
+    late events at sf0.001), and the collapse depends on the input
+    partitioning, so no SQL oracle exists for that shape. A streaming
+    ``dropDuplicates`` keyed on every column has no partial phase —
+    its stateful operator sees raw rows — so the audit uses it, and
+    the DuckDB count ``count(odd rows with ts < max(even ts) -
+    INTERVAL 1 HOUR)`` is exact."""
+    import shutil
+
+    from .catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.date_trunc("second", "ts").alias("ts")
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_late_")
+    inputs = 0
+    dropped = 0
+    try:
+        src = f"{tmp}/src"
+        ckpt = f"{tmp}/ckpt"
+        for name, parity in (("b1", 0), ("b2", 1)):
+            (
+                ev.where(F.col("event_id") % 2 == parity)
+                .coalesce(1)
+                .write.option("header", True)
+                .csv(f"{src}/{name}")
+            )
+            stream = (
+                spark.readStream.schema("event_id bigint, ts timestamp")
+                .option("header", True)
+                .csv(f"{src}/*")
+            )
+            dedup = stream.withWatermark("ts", "1 hour").dropDuplicates(
+                ["event_id", "ts"]
+            )
+            q = (
+                dedup.writeStream.format("noop")
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            run_in, run_drop = _harvest_progress(q)
+            inputs += run_in
+            dropped += run_drop
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(inputs, dropped)], "input_rows bigint, rows_dropped_late bigint"
+    )
+
+
+STREAM_LATE_AUDIT_SQL = """
+    WITH ev AS (
+        SELECT event_id, date_trunc('second', ts) AS ts FROM events
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM ev) AS input_rows,
+           CAST((SELECT count(*) FROM ev
+                 WHERE event_id % 2 = 1
+                   AND ts < (SELECT max(ts) - INTERVAL 1 HOUR FROM ev
+                             WHERE event_id % 2 = 0)) AS BIGINT)
+               AS rows_dropped_late
+"""
 
 
 def _streaming_fold(
