@@ -1585,7 +1585,99 @@ _NEGATIVE_SAMPLES_SQL = """
 """
 
 
+_AFFINITY_MIN_ORDERS = 2
+
+
+def part_affinity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed TRIANGLE COUNT over the part-affinity graph (edge =
+    two parts co-ordered in ≥ ``_AFFINITY_MIN_ORDERS`` distinct orders)
+    — the clustering-structure metric of market-basket analysis, and
+    the third leg of the engine's graph suite next to connected
+    components (`dedup_clusters`) and PageRank.
+
+    Scale shape, in order: (1) the SUPPORT FILTER (min co-order count)
+    is applied before any wedge is formed — raw co-occurrence pairs
+    aggregate with map-side combine and infrequent pairs (the heavy
+    tail) die at the first shuffle; (2) edges are ORIENTED u < v, so
+    each triangle is generated exactly once as a wedge u<v<w through
+    its middle vertex and checked against the edge set with one more
+    equi-join — the node-iterator algorithm, two shuffles on vertex
+    keys, no DISTINCT over triangle candidates; (3) for power-law
+    graphs, replace the id-orientation with degree-orientation (orient
+    low→high degree) to cap wedge fan-out at the hub vertices — same
+    joins, one extra degree computation (documented, not needed at the
+    affinity graph's post-support density). All-integer output."""
+    # distinct: the same part can appear on several lines of one order;
+    # support counts DISTINCT co-orders. Checkpointed because both
+    # sides of the pair self-join consume it.
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint()
+    )
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+    )
+    # Eager localCheckpoint: the edge list feeds FOUR consumers (wedge
+    # join twice, closing-edge join, node/edge counts) — without
+    # materialization each re-runs the lineitem self-join + support
+    # aggregate (measured 13 s -> ~3 s at sf0.1). Post-support edges
+    # are small (|edges| << |pairs|), so the checkpoint is cheap.
+    edges = (
+        pairs.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= _AFFINITY_MIN_ORDERS)
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    wedges = (
+        edges.alias("e1")
+        .join(edges.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .select(
+            F.col("e1.u").alias("u"), F.col("e1.v").alias("v"), F.col("e2.v").alias("w")
+        )
+    )
+    triangles = wedges.join(
+        edges.select(F.col("u").alias("u"), F.col("v").alias("w")), ["u", "w"]
+    )
+    nodes = edges.select(F.col("u").alias("p")).union(edges.select("v")).distinct()
+    return (
+        nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+        .crossJoin(F.broadcast(edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))))
+        .crossJoin(
+            F.broadcast(triangles.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles")))
+        )
+    )
+
+
+_TRIANGLES_SQL = f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= {_AFFINITY_MIN_ORDERS}
+    ),
+    tri AS (
+        SELECT count(*) AS n FROM edges e1
+        JOIN edges e2 ON e1.v = e2.u
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT (SELECT CAST(count(DISTINCT p) AS BIGINT)
+            FROM (SELECT u AS p FROM edges UNION ALL SELECT v FROM edges))
+               AS n_parts,
+           (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT CAST(n AS BIGINT) FROM tri) AS n_triangles
+"""
+
+
 QUERIES = {
+    "part_affinity_triangles": part_affinity_triangles,
     "negative_samples": negative_samples,
     "train_test_split": train_test_split,
     "wds_export_manifest": wds_export_manifest,
@@ -1608,6 +1700,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "part_affinity_triangles": _TRIANGLES_SQL,
     "negative_samples": _NEGATIVE_SAMPLES_SQL,
     "train_test_split": _SPLIT_SQL,
     "wds_export_manifest": _WDS_MANIFEST_SQL,
