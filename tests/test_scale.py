@@ -270,3 +270,42 @@ def test_aqe_skew_join_engages_and_matches_salted(spark, tmp_path):
     finally:
         for k in confs:
             spark.conf.unset(k)
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime row-level filtering: a selective filter on the dim side
+    of a shuffle join must inject a bloom_filter_agg on the dim side
+    and a might_contain predicate on the FACT side — rows that cannot
+    join die before the fact shuffle, which at 100 TB is the
+    difference between shuffling the whole fact table and shuffling
+    the matching slice. (Complementary to broadcast: this fires when
+    the dim is too big to broadcast.)"""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # test-scale thresholds: the probe side is far below the 10 GB
+        # default a real cluster would gate on
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+    }
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        part = load_table(spark, SF_DIR, "part").where(
+            F.col("p_name").contains("green")
+        )
+        li = load_table(spark, SF_DIR, "lineitem").select("l_partkey", "l_quantity")
+        j = li.join(part, li.l_partkey == part.p_partkey).agg(
+            F.sum("l_quantity").alias("q")
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan.lower(), plan
+        assert "might_contain" in plan.lower(), plan
+        # the probe predicate must sit on the lineitem side, keyed on
+        # the fact join column
+        probe = [l for l in plan.lower().splitlines() if "might_contain" in l]
+        assert any("l_partkey" in l for l in probe), probe
+    finally:
+        for k in confs:
+            spark.conf.unset(k)
