@@ -45,6 +45,7 @@ _DOMAINS = (
 # orders by CORRECTNESS_r*.json staleness: regressions first, then
 # never-checked queries, then ascending last-green round.
 _SWEEP_PRIORITY = (
+    "cms_join_size_estimate",
     "part_affinity_triangles",
     "stream_late_data_audit",
     "repeat_buyers_intersect",

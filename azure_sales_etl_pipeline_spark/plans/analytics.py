@@ -1164,6 +1164,88 @@ _CMS_HH_SQL = f"""
 """
 
 
+def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-CARDINALITY estimation from two count-min sketches — the
+    planner primitive behind "how big will events ⋈ orders be?"
+    answered WITHOUT running the join: |A ⋈ B| = Σ_k f_A(k)·f_B(k),
+    and the CMS estimate is min over the d hash rows of the row-wise
+    sketch dot product (AMS/CMS inner-product estimator; one-sided
+    overestimate, exactly like point lookups). Each side's sketch is
+    d·w = 3072 counters built in one pass with map-side combine, so at
+    100 TB the estimate costs two narrow scans + a 3072-row join —
+    the sketches can also be maintained incrementally (they're linear)
+    and the estimate becomes FREE at plan time.
+
+    Deterministic end-to-end (explicit multiply-mod hashes), so the
+    driver value-oracles estimate AND exact side by side; the exact
+    count is computed scalably as Σ f_A·f_B over the per-key frequency
+    tables, never by materializing join rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("bigint").alias("k")
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("bigint").alias("k")
+    )
+    dots = (
+        _cms_sketch(ev, "k")
+        .alias("a")
+        .join(
+            _cms_sketch(od, "k").alias("b"),
+            (F.col("a.r") == F.col("b.r")) & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .groupBy(F.col("a.r").alias("r"))
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("dot"))
+    )
+    est = dots.agg(F.min("dot").cast("bigint").alias("est_join_rows"))
+    fe = ev.groupBy("k").agg(F.count(F.lit(1)).alias("fa"))
+    fo = od.groupBy("k").agg(F.count(F.lit(1)).alias("fb"))
+    exact = (
+        fe.join(fo, "k")
+        .agg(F.sum(F.col("fa") * F.col("fb")).cast("bigint").alias("exact_join_rows"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .select(
+            "exact_join_rows",
+            "est_join_rows",
+            F.expr("est_join_rows * 1000 div exact_join_rows")
+            .cast("bigint")
+            .alias("est_permille_of_exact"),
+            (F.col("est_join_rows") >= F.col("exact_join_rows")).alias(
+                "never_underestimates"
+            ),
+        )
+    )
+
+
+_CMS_JOIN_SIZE_SQL = f"""
+    WITH ea AS ({_cms_union_sql("events", "CAST(user_id AS BIGINT)")}),
+    sa AS (SELECT r, bucket, CAST(count(*) AS BIGINT) AS c
+           FROM ea GROUP BY r, bucket),
+    ob AS ({_cms_union_sql("orders", "CAST(o_custkey AS BIGINT)")}),
+    sb AS (SELECT r, bucket, CAST(count(*) AS BIGINT) AS c
+           FROM ob GROUP BY r, bucket),
+    dots AS (
+        SELECT sa.r, CAST(sum(sa.c * sb.c) AS BIGINT) AS dot
+        FROM sa JOIN sb ON sa.r = sb.r AND sa.bucket = sb.bucket
+        GROUP BY sa.r
+    ),
+    ex AS (
+        SELECT CAST(sum(fa.n * fb.n) AS BIGINT) AS exact_join_rows
+        FROM (SELECT user_id AS k, count(*) AS n FROM events GROUP BY 1) fa
+        JOIN (SELECT o_custkey AS k, count(*) AS n FROM orders GROUP BY 1) fb
+          USING (k)
+    )
+    SELECT ex.exact_join_rows,
+           (SELECT CAST(min(dot) AS BIGINT) FROM dots) AS est_join_rows,
+           CAST((SELECT min(dot) FROM dots) * 1000 // ex.exact_join_rows
+                AS BIGINT) AS est_permille_of_exact,
+           (SELECT min(dot) FROM dots) >= ex.exact_join_rows
+               AS never_underestimates
+    FROM ex
+"""
+
+
 def cms_accuracy_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible certification of the count-min guarantee over
     every key actually present in lineitem: the estimate may NEVER
@@ -1260,6 +1342,7 @@ QUERIES = {
     "drift_psi": drift_psi,
     "supplier_revenue_gini": supplier_revenue_gini,
     "cms_accuracy_check": cms_accuracy_check,
+    "cms_join_size_estimate": cms_join_size_estimate,
 }
 
 ORACLES = {
@@ -1284,4 +1367,5 @@ ORACLES = {
     "drift_psi": _PSI_SQL,
     "supplier_revenue_gini": _GINI_SQL,
     "cms_accuracy_check": _CMS_ACCURACY_SQL,
+    "cms_join_size_estimate": _CMS_JOIN_SIZE_SQL,
 }
