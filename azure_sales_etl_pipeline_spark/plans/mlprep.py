@@ -138,6 +138,22 @@ _CONTAM_SQL = rf"""
 """
 
 
+def _prefix_offsets(totals, total_col: str):
+    """offset(pid) = Σ total_col over partitions with smaller pid —
+    a triangular self-join over the ≤``_SHARD_RANGES``-row totals
+    table instead of a no-partition window. Same values; removes the
+    last single-partition WindowExec (and its warning) from the
+    two-phase prefix-sum plans (r8, same idiom as
+    ``analytics.supplier_revenue_gini``)."""
+    return (
+        totals.alias("a")
+        .join(totals.alias("b"), F.col("b.pid") < F.col("a.pid"), "left")
+        .groupBy(F.col("a.pid").alias("pid"))
+        .agg(F.coalesce(F.sum(f"b.{total_col}"), F.lit(0)).alias("offset"))
+    )
+
+
+
 _SHARD_TOKEN_BUDGET = 20_000
 _SHARD_RANGES = 16
 
@@ -186,17 +202,7 @@ def token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-partition totals from a plain hash agg on the checkpointed
     # rows (map-side partial sums; no window in this branch).
     totals = ranged.groupBy("pid").agg(F.sum("n_tokens").alias("ptot"))
-    offsets = totals.select(
-        "pid",
-        (
-            F.coalesce(
-                F.sum("ptot").over(
-                    W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            )
-        ).alias("offset"),
-    )
+    offsets = _prefix_offsets(totals, "ptot")
     start = F.col("offset") + F.col("local_cum") - F.col("n_tokens")
     return (
         staged.join(F.broadcast(offsets), "pid")
@@ -263,13 +269,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     staged = ranged.withColumn("local_cum", local_cum)
     totals = ranged.groupBy("pid").agg(F.sum("n_tokens").alias("ptot"))
-    offsets = totals.select(
-        "pid",
-        F.coalesce(
-            F.sum("ptot").over(W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)),
-            F.lit(0),
-        ).alias("offset"),
-    )
+    offsets = _prefix_offsets(totals, "ptot")
     g = (
         staged.join(F.broadcast(offsets), "pid")
         .select(
@@ -1251,13 +1251,7 @@ def global_shuffle_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     local_rn = F.row_number().over(W.partitionBy("pid").orderBy("skey", "doc_id"))
     staged = ranged.withColumn("local_rn", local_rn)
     counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("pcnt"))
-    offsets = counts.select(
-        "pid",
-        F.coalesce(
-            F.sum("pcnt").over(W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)),
-            F.lit(0),
-        ).alias("offset"),
-    )
+    offsets = _prefix_offsets(counts, "pcnt")
     pos = F.col("offset") + F.col("local_rn") - 1
     return staged.join(F.broadcast(offsets), "pid").select(
         "doc_id",

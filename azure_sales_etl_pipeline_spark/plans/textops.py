@@ -597,10 +597,21 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = counts.agg(F.sum("n").alias("total_n"))
     top = counts.orderBy(F.desc("n"), F.asc("token")).limit(_VOCAB_TOP_N)
-    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    # rank/cum over the top-N via a triangular self-join on the bounded
+    # post-limit rows (ahead-or-equal in the unique (n desc, token asc)
+    # order) — no single-partition WindowExec, same values (r8 idiom,
+    # see mlprep._prefix_offsets).
+    ahead = (F.col("b.n") > F.col("a.n")) | (
+        (F.col("b.n") == F.col("a.n")) & (F.col("b.token") <= F.col("a.token"))
+    )
     return (
-        top.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .withColumn("cum_n", F.sum("n").over(w).cast("bigint"))
+        top.alias("a")
+        .join(top.alias("b"), ahead)
+        .groupBy(F.col("a.token").alias("token"), F.col("a.n").alias("n"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("rank"),
+            F.sum("b.n").cast("bigint").alias("cum_n"),
+        )
         .crossJoin(F.broadcast(total))
         .select("rank", "token", "n", "cum_n", "total_n")
     )
@@ -919,10 +930,19 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
         .limit(_BPE_TOP_N)
     )
-    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
-    # rank window runs over <= _BPE_TOP_N rows post-limit: bounded, safe
-    return ranked.withColumn("rank", F.row_number().over(w)).select(
-        "rank", "pair", "n_occurrences"
+    # rank over the bounded post-limit rows via triangular self-join
+    # (ahead-or-equal in the unique order) — no single-partition
+    # WindowExec, same values (r8 idiom).
+    ahead = (F.col("b.n_occurrences") > F.col("a.n_occurrences")) | (
+        (F.col("b.n_occurrences") == F.col("a.n_occurrences"))
+        & (F.col("b.pair") <= F.col("a.pair"))
+    )
+    return (
+        ranked.alias("a")
+        .join(ranked.alias("b"), ahead)
+        .groupBy(F.col("a.pair").alias("pair"), F.col("a.n_occurrences").alias("n_occurrences"))
+        .agg(F.count(F.lit(1)).cast("int").alias("rank"))
+        .select("rank", "pair", "n_occurrences")
     )
 
 
