@@ -170,9 +170,9 @@ def token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical 100 TB deadlock. Instead: range-repartition on doc_id
     (ordered ranges → ascending partition ids), cumsum WITHIN each
     partition via a partitioned window, then add per-partition offsets
-    computed from the tiny (n_ranges)-row totals table. Every stage is
-    distributed; the only single-partition step is the window over
-    ``_SHARD_RANGES`` rows.
+    computed from the tiny (n_ranges)-row totals table via
+    ``_prefix_offsets`` (a triangular self-join — no single-partition
+    window anywhere in the plan). Every stage is distributed.
 
     The result is invariant to the sampled range boundaries: offsets
     absorb whatever split the partitioner picked, so the DuckDB global
