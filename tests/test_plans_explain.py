@@ -457,12 +457,13 @@ def test_revenue_7d_window_is_year_partitioned(spark):
     assert all("year#" in l for l in spec_lines), spec_lines
 
 
-def test_bounded_windows_limit_precedes_window(spark):
-    """vocab_coverage / bpe_pair_counts run an unpartitioned window BY
-    DESIGN — but only over a TakeOrderedAndProject'ed top-N, so the
-    single partition holds N rows, not the corpus. Pin that the limit
-    sits BELOW the window in the physical tree (Window's child), so a
-    refactor can't silently move the window onto unbounded input."""
+def test_bounded_topn_ranks_have_no_window_at_all(spark):
+    """vocab_coverage / bpe_pair_counts rank their top-N via the
+    triangular self-join over the TakeOrderedAndProject'ed rows (r8) —
+    the plan must contain NO Window node of any kind, and the limit
+    must still be present feeding the rank join. Strictly stronger
+    than the pre-r8 pin (window-above-limit): a refactor can neither
+    reintroduce a window nor drop the bounding limit."""
     from azure_sales_etl_pipeline_spark.plans.textops import (
         bpe_pair_counts,
         vocab_coverage,
@@ -470,9 +471,5 @@ def test_bounded_windows_limit_precedes_window(spark):
 
     for fn in (vocab_coverage, bpe_pair_counts):
         plan = plan_of(fn(spark, SF_DIR))
-        tree = [l for l in plan.splitlines() if "(" in l and ("+-" in l or ":-" in l)]
-        win_rows = [i for i, l in enumerate(tree) if "Window (" in l]
-        topn_rows = [i for i, l in enumerate(tree) if "TakeOrderedAndProject (" in l]
-        assert win_rows and topn_rows, plan
-        # parent prints above child: the limit is the window's subtree
-        assert min(topn_rows) == min(win_rows) + 1, tree
+        assert "Window" not in plan, plan
+        assert "TakeOrderedAndProject" in plan, plan
