@@ -1670,8 +1670,90 @@ _TRIANGLES_SQL = f"""
 """
 
 
+_LIFT_TOP_N = 20
+
+
+def part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 part pairs by LIFT — P(a,b)/(P(a)·P(b)) over order
+    baskets, the association-rule score that separates "bought together
+    because both are popular" from genuine affinity. Computed entirely
+    in integers: lift·10⁶ = n_ab·n_orders·10⁶ div (n_a·n_b), so the
+    ranking key is bit-identical on both engines; ties break on the
+    pair key, making the LIMIT cutoff deterministic.
+
+    Scale shape: per-part and per-pair counts are map-side-combined
+    aggregates; the support filter (≥ ``_AFFINITY_MIN_ORDERS``
+    co-orders) kills the random-co-occurrence tail before the two
+    frequency joins; the top-20 is TakeOrderedAndProject (per-partition
+    heaps + driver merge), never a global sort."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint()
+    )
+    n_orders = li.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    pf = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ab = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .where(F.col("n_ab") >= _AFFINITY_MIN_ORDERS)
+    )
+    scored = (
+        ab.join(pf.select(F.col("l_partkey").alias("u"), F.col("n").alias("n_a")), "u")
+        .join(pf.select(F.col("l_partkey").alias("v"), F.col("n").alias("n_b")), "v")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            F.col("u").alias("u_partkey"),
+            F.col("v").alias("v_partkey"),
+            F.col("n_ab").alias("n_copurchases"),
+            F.expr("n_ab * n_orders * 1000000 div (n_a * n_b)")
+            .cast("bigint")
+            .alias("lift_e6"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift_e6"), "u_partkey", "v_partkey"
+    ).limit(_LIFT_TOP_N)
+
+
+_LIFT_SQL = f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    no_ AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+            FROM li),
+    pf AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+           FROM li GROUP BY 1),
+    ab AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {_AFFINITY_MIN_ORDERS}
+    )
+    SELECT ab.u AS u_partkey, ab.v AS v_partkey,
+           ab.n_ab AS n_copurchases,
+           CAST(ab.n_ab * no_.n_orders * 1000000 // (pa.n * pb.n)
+                AS BIGINT) AS lift_e6
+    FROM ab
+    CROSS JOIN no_
+    JOIN pf pa ON pa.l_partkey = ab.u
+    JOIN pf pb ON pb.l_partkey = ab.v
+    ORDER BY lift_e6 DESC, u_partkey, v_partkey
+    LIMIT {_LIFT_TOP_N}
+"""
+
+
 QUERIES = {
     "part_affinity_triangles": part_affinity_triangles,
+    "part_affinity_lift": part_affinity_lift,
     "negative_samples": negative_samples,
     "train_test_split": train_test_split,
     "wds_export_manifest": wds_export_manifest,
@@ -1695,6 +1777,7 @@ QUERIES = {
 
 ORACLES = {
     "part_affinity_triangles": _TRIANGLES_SQL,
+    "part_affinity_lift": _LIFT_SQL,
     "negative_samples": _NEGATIVE_SAMPLES_SQL,
     "train_test_split": _SPLIT_SQL,
     "wds_export_manifest": _WDS_MANIFEST_SQL,
