@@ -46,6 +46,7 @@ _DOMAINS = (
 # never-checked queries, then ascending last-green round.
 _SWEEP_PRIORITY = (
     "cms_join_size_estimate",
+    "cohort_ltv",
     "part_affinity_lift",
     "part_affinity_triangles",
     "stream_late_data_audit",

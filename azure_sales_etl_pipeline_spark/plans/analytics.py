@@ -414,6 +414,61 @@ _FUNNEL_SQL = """
 """
 
 
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LIFETIME-VALUE triangle: customers cohorted by
+    first-purchase month, revenue summed per (cohort, months-since-
+    first) cell — the revenue companion to `retention_cohorts`' count
+    triangle, and the table every subscription/marketplace finance
+    deck is built from. Revenue is exact integer CENTS (DECIMAL(18,4)
+    sum then ×100), month offsets are pure integer calendar arithmetic
+    ((y·12+m) − (y₀·12+m₀)) — nothing for engines to disagree on.
+
+    Scale shape: first-purchase month and the cell rollup share the
+    customer-key shuffle (two aggregations + one join, all on
+    o_custkey); the output is O(months²) rows regardless of fact
+    size."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        "o_totalprice",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
+    )
+    first = orders.groupBy("o_custkey").agg(F.min("ym").alias("ym0"))
+    return (
+        orders.join(first, "o_custkey")
+        .groupBy(
+            F.col("ym0").cast("bigint").alias("cohort_ym"),
+            (F.col("ym") - F.col("ym0")).cast("bigint").alias("months_since"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").cast("bigint").alias("n_active_customers"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.expr(
+                "CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) * 100"
+                " AS BIGINT)"
+            ).alias("revenue_cents"),
+        )
+    )
+
+
+_COHORT_LTV_SQL = """
+    WITH o AS (
+        SELECT o_custkey, o_totalprice,
+               year(o_orderdate) * 12 + month(o_orderdate) AS ym
+        FROM orders
+    ),
+    first AS (SELECT o_custkey, min(ym) AS ym0 FROM o GROUP BY o_custkey)
+    SELECT CAST(f.ym0 AS BIGINT) AS cohort_ym,
+           CAST(o.ym - f.ym0 AS BIGINT) AS months_since,
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active_customers,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) * 100
+                AS BIGINT) AS revenue_cents
+    FROM o JOIN first f USING (o_custkey)
+    GROUP BY 1, 2
+"""
+
+
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention triangle: users cohorted by first-activity week,
     counted as retained in each later week they act in. The classic
@@ -1329,6 +1384,7 @@ QUERIES = {
     "kll_quantile_rollup": kll_quantile_rollup,
     "theta_set_ops": theta_set_ops,
     "retention_cohorts": retention_cohorts,
+    "cohort_ltv": cohort_ltv,
     "revenue_rollup_sets": revenue_rollup_sets,
     "order_status_pivot": order_status_pivot,
     "event_props_json": event_props_json,
@@ -1354,6 +1410,7 @@ ORACLES = {
     "kll_quantile_rollup": _KLL_ROLLUP_SQL,
     "theta_set_ops": _THETA_SQL,
     "retention_cohorts": _RETENTION_SQL,
+    "cohort_ltv": _COHORT_LTV_SQL,
     "revenue_rollup_sets": _ROLLUP_SQL,
     "order_status_pivot": _PIVOT_SQL,
     "event_props_json": _JSON_SQL,
