@@ -1074,6 +1074,13 @@ def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="stream_late_")
     inputs = 0
     dropped = 0
+    # Stream-sized shuffle width (state stores per stateful exec ==
+    # shuffle partitions; see _drain_to_memory's measured rationale).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"),
+    )
     try:
         src = f"{tmp}/src"
         ckpt = f"{tmp}/ckpt"
@@ -1104,6 +1111,7 @@ def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             inputs += run_in
             dropped += run_drop
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(
         [(inputs, dropped)], "input_rows bigint, rows_dropped_late bigint"
