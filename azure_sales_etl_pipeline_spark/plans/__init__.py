@@ -47,6 +47,7 @@ _DOMAINS = (
 _SWEEP_PRIORITY = (
     "cms_join_size_estimate",
     "cohort_ltv",
+    "dedup_rate_by_source",
     "part_affinity_lift",
     "part_affinity_triangles",
     "stream_late_data_audit",

@@ -755,6 +755,67 @@ def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The CC recursion nests verbatim as a CTE body; quality replays the
 # doc_quality keep rule on the SAME rounded values the Spark side ranks
 # by (doc_quality compares its round(…,4) columns).
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source near-duplicate report off the materialized cluster
+    table: how many docs each source contributes, how many survive
+    cluster collapse (one representative per cluster counted toward
+    the cluster minimum's source), and the duplicate rate in integer
+    permille — the per-feed curation number a corpus team watches to
+    find which scrape is flooding the pipeline with copies.
+
+    Composes the memoized `dedup_clusters` (the CC table computes once
+    per sf_dir for all its consumers) with one broadcast-sized join to
+    the doc→source map; survivors attribute to the cluster-minimum
+    doc's source, the same deterministic representative rule the
+    oracle replays."""
+    clusters = dedup_clusters(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    labeled = clusters.join(src, "doc_id")
+    per_source = labeled.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    survivors = (
+        labeled.where(F.col("doc_id") == F.col("cluster_id"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_survivors"))
+    )
+    return (
+        per_source.join(survivors, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_survivors", F.lit(0)).cast("bigint").alias("n_survivors"),
+            F.expr(
+                "(n_docs - coalesce(n_survivors, 0)) * 1000 div n_docs"
+            )
+            .cast("bigint")
+            .alias("dup_rate_permille"),
+        )
+    )
+
+
+_DEDUP_RATE_SQL = f"""
+    WITH cc AS ({_CC_SQL}),
+    labeled AS (
+        SELECT cc.doc_id, cc.cluster_id, d.source
+        FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+    ),
+    per_source AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM labeled GROUP BY source
+    ),
+    survivors AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_survivors
+        FROM labeled WHERE doc_id = cluster_id GROUP BY source
+    )
+    SELECT p.source, p.n_docs,
+           CAST(coalesce(s.n_survivors, 0) AS BIGINT) AS n_survivors,
+           CAST((p.n_docs - coalesce(s.n_survivors, 0)) * 1000 // p.n_docs
+                AS BIGINT) AS dup_rate_permille
+    FROM per_source p LEFT JOIN survivors s USING (source)
+"""
+
+
 _REPS_SQL = f"""
     WITH cc AS ({_CC_SQL}),
     q AS (
@@ -1798,6 +1859,7 @@ _LIFT_SQL = f"""
 QUERIES = {
     "part_affinity_triangles": part_affinity_triangles,
     "part_affinity_lift": part_affinity_lift,
+    "dedup_rate_by_source": dedup_rate_by_source,
     "negative_samples": negative_samples,
     "train_test_split": train_test_split,
     "wds_export_manifest": wds_export_manifest,
@@ -1822,6 +1884,7 @@ QUERIES = {
 ORACLES = {
     "part_affinity_triangles": _TRIANGLES_SQL,
     "part_affinity_lift": _LIFT_SQL,
+    "dedup_rate_by_source": _DEDUP_RATE_SQL,
     "negative_samples": _NEGATIVE_SAMPLES_SQL,
     "train_test_split": _SPLIT_SQL,
     "wds_export_manifest": _WDS_MANIFEST_SQL,
