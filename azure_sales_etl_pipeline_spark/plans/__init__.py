@@ -44,57 +44,17 @@ _DOMAINS = (
 # new queries with `python scripts/sweep_priority.py --write`, which
 # orders by CORRECTNESS_r*.json staleness: regressions first, then
 # never-checked queries, then ascending last-green round.
+_SWEEP_PRIORITY_INPUTS = (
+    "CORRECTNESS_r01.json",
+    "CORRECTNESS_r02.json",
+    "CORRECTNESS_r03.json",
+    "CORRECTNESS_r04.json",
+    "CORRECTNESS_r05.json",
+    "CORRECTNESS_r06.json",
+    "CORRECTNESS_r07.json",
+    "CORRECTNESS_r08.json",
+)
 _SWEEP_PRIORITY = (
-    "cms_join_size_estimate",
-    "cohort_ltv",
-    "dedup_rate_by_source",
-    "part_affinity_lift",
-    "part_affinity_triangles",
-    "stream_late_data_audit",
-    "repeat_buyers_intersect",
-    "repetition_signals",
-    "revenue_rollup_sets",
-    "scd2_delete_expiry",
-    "scd2_two_batch_history",
-    "simhash",
-    "stream_click_purchase_join",
-    "stream_dedup_events",
-    "stream_session_windows",
-    "stream_sliding_user_activity",
-    "stream_tumbling_counts",
-    "stream_user_totals_custom_state",
-    "term_frequencies",
-    "token_balanced_mixture",
-    "top_parts_per_supplier",
-    "user_event_gaps",
-    "user_event_gaps_window",
-    "watermark_incremental_batch",
-    "winnowing_fingerprints",
-    "balanced_downsample",
-    "bpe_pair_counts",
-    "curation_funnel",
-    "customer_behavior",
-    "customer_running_revenue",
-    "customers_without_urgent_orders",
-    "dedup_clusters",
-    "distinct_keys",
-    "doc_tfidf_topterms",
-    "drop_and_cast",
-    "dup_ngram_fraction",
-    "event_funnel",
-    "event_props_json",
-    "events_hourly_gapfill",
-    "events_sessionize",
-    "fact_order_details",
-    "filter_column_expr",
-    "filter_sql_string",
-    "global_watermark",
-    "hash_diff_rows",
-    "hll_accuracy_check",
-    "kll_quantile_rollup",
-    "media_frame_sample",
-    "null_test_classify",
-    "order_value_deciles",
     "percentile_accuracy_check",
     "purchase_prior_clicks",
     "retention_cohorts",
@@ -216,6 +176,56 @@ _SWEEP_PRIORITY = (
     "stream_quality_suite",
     "supplier_revenue_gini",
     "user_trailing_features",
+    "balanced_downsample",
+    "bpe_pair_counts",
+    "cms_join_size_estimate",
+    "cohort_ltv",
+    "curation_funnel",
+    "customer_behavior",
+    "customer_running_revenue",
+    "customers_without_urgent_orders",
+    "dedup_clusters",
+    "dedup_rate_by_source",
+    "distinct_keys",
+    "doc_tfidf_topterms",
+    "drop_and_cast",
+    "dup_ngram_fraction",
+    "event_funnel",
+    "event_props_json",
+    "events_hourly_gapfill",
+    "events_sessionize",
+    "fact_order_details",
+    "filter_column_expr",
+    "filter_sql_string",
+    "global_watermark",
+    "hash_diff_rows",
+    "hll_accuracy_check",
+    "kll_quantile_rollup",
+    "media_frame_sample",
+    "null_test_classify",
+    "order_value_deciles",
+    "part_affinity_lift",
+    "part_affinity_triangles",
+    "repeat_buyers_intersect",
+    "repetition_signals",
+    "revenue_rollup_sets",
+    "scd2_delete_expiry",
+    "scd2_two_batch_history",
+    "simhash",
+    "stream_click_purchase_join",
+    "stream_dedup_events",
+    "stream_late_data_audit",
+    "stream_session_windows",
+    "stream_sliding_user_activity",
+    "stream_tumbling_counts",
+    "stream_user_totals_custom_state",
+    "term_frequencies",
+    "token_balanced_mixture",
+    "top_parts_per_supplier",
+    "user_event_gaps",
+    "user_event_gaps_window",
+    "watermark_incremental_batch",
+    "winnowing_fingerprints",
 )
 
 

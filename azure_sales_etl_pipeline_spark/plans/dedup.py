@@ -227,51 +227,92 @@ def _shingles(toks: Column, n: int = _SHINGLE_N) -> Column:
     )
 
 
+def _hash_slices(sh_col: Column) -> Column:
+    """Per-shingle 128-hex-char digest: sha256('a|'+s) ‖ sha256('b|'+s).
+
+    The k=16 min-hash streams are the 16 non-overlapping 8-hex-char
+    (32-bit) slices of this concatenation. ENGINE-PORTABLE by
+    construction (r8 verdict item 2, the CMS trick applied to strings):
+    both Spark's ``sha2`` and DuckDB's ``sha256`` emit the same
+    lowercase hex, and a fixed-width lowercase-hex slice orders
+    lexicographically exactly as its integer value — so ``array_min``
+    over slices IS min-hash, with no hex→int parse that DuckDB lacks
+    (the reason xxhash64 forced rows-only checks through r8). Two
+    sha256 calls per shingle replace sixteen xxhash64 calls."""
+    return F.transform(
+        sh_col,
+        lambda s: F.concat(
+            F.sha2(F.concat(F.lit("a|"), s), 256),
+            F.sha2(F.concat(F.lit("b|"), s), 256),
+        ),
+    )
+
+
+def _sig_slice(hs_col: Column, i: int) -> Column:
+    """Min-hash i (0..15): min over the i-th 8-hex-char slice."""
+    return F.array_min(F.transform(hs_col, lambda h: F.substring(h, 8 * i + 1, 8)))
+
+
 def minhash_signature(df: DataFrame, text_col: str = "text", k: int = _MINHASH_K) -> DataFrame:
     """Append ``signature: array<bigint>`` — k min-hashes over word
     shingles, all computed map-side (array_min over a transform; zero
-    shuffles). Seeded by hashing (seed, shingle) pairs with xxhash64.
+    shuffles). Each hash stream is a 32-bit slice of two sha256 digests
+    per shingle (`_hash_slices`) — the engine-portable scheme the
+    value-oracled ``minhash_lsh_candidates`` uses, parsed to BIGINT
+    here for a numeric signature API.
 
-    The token and shingle arrays are each staged behind a plan_barrier
-    fence: a bare projection is NOT a materialization point —
-    CollapseProject would inline the shingle build into all k per-seed
-    transforms (and the regex split into every shingle position), and a
-    deterministic guard gets alias-substituted and pushed; the
-    nondeterministic fence is the reliable boundary (see
+    The token, shingle and digest arrays are each staged behind a
+    plan_barrier fence: a bare projection is NOT a materialization
+    point — CollapseProject would inline the shingle build into all k
+    per-seed transforms (and the regex split into every shingle
+    position), and a deterministic guard gets alias-substituted and
+    pushed; the nondeterministic fence is the reliable boundary (see
     functions.plan_barrier)."""
     from ..functions import plan_barrier
 
     staged = plan_barrier(
         plan_barrier(
-            df.withColumn("__t", F.split(F.trim(F.col(text_col)), _WS))
-        ).withColumn("__sh", _shingles(F.col("__t")))
+            plan_barrier(
+                df.withColumn("__t", F.split(F.trim(F.col(text_col)), _WS))
+            ).withColumn("__sh", _shingles(F.col("__t")))
+        ).withColumn("__hs", _hash_slices(F.col("__sh")))
     )
+    if k > _MINHASH_K:
+        raise ValueError(f"k={k} exceeds the {_MINHASH_K} portable hash streams")
     sig = F.array(
         *[
-            F.array_min(F.transform(F.col("__sh"), lambda s, i=i: F.xxhash64(F.lit(i), s)))
+            F.conv(_sig_slice(F.col("__hs"), i), 16, 10).cast("long")
             for i in range(k)
         ]
     )
-    return staged.withColumn("signature", sig).drop("__sh", "__t")
+    return staged.withColumn("signature", sig).drop("__hs", "__sh", "__t")
 
 
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH, Jaccard-verified.
 
-    Plan: signature (map-side) → explode K/r band hashes → shuffle on
-    (band, band_hash) → self-join within buckets → distinct pairs →
+    Plan: signature (map-side) → explode K/r band keys → shuffle on
+    (band, band_key) → self-join within buckets → distinct pairs →
     exact shingle-Jaccard verify ≥ 0.5. The only all-pairs work happens
     inside a bucket, whose expected size is O(duplicate cluster), not
     O(corpus) — this is the 100 TB dedup shape (MMDS ch.3 LSH banding).
 
-    The shingle sets and band hashes are PERSISTED and eagerly
+    VALUE-ORACLED as of round 9: the hash streams are 32-bit slices of
+    two sha256 digests per shingle (`_hash_slices`), which DuckDB
+    replays bit-exactly — fixed-width lowercase hex orders as its
+    integer value, so string ``array_min`` IS min-hash and the band key
+    is the '|'-joined slice quadruple. This retired the r2–r8
+    rows-only status (xxhash64 has no DuckDB replay). Determinism and
+    recall stay pinned by ``minhash_recall_check``.
+
+    The shingle sets and band keys are PERSISTED and eagerly
     materialized: the bands self-join reads both sides from cache, and
-    the Jaccard verify reuses the same staged shingle arrays — the k×|sh|
-    xxhash64 signature work runs exactly once regardless of plan shape.
-    (r2 relied on ReusedExchange, which the driver's run didn't get:
-    everything computed twice, 80.7 s. Explicit persist removes the
-    fragility; at 100 TB this is persist-to-disk of a sketch that is
-    ~100× smaller than the corpus text.)
+    the Jaccard verify reuses the same staged shingle arrays — the
+    2×|sh| sha256 signature work runs exactly once regardless of plan
+    shape. (r2 relied on ReusedExchange, which the driver's run didn't
+    get: everything computed twice, 80.7 s. Explicit persist removes
+    the fragility; at 100 TB this is persist-to-disk of a sketch that
+    is ~100× smaller than the corpus text.)
     """
     from ..functions import spread_for_cpu
 
@@ -289,25 +330,25 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import plan_barrier
 
     staged = (
-        plan_barrier(docs.select("doc_id", _tokens().alias("t")))
-        .select("doc_id", F.array_distinct(_shingles(F.col("t"))).alias("sh"))
+        plan_barrier(
+            plan_barrier(docs.select("doc_id", _tokens().alias("t"))).select(
+                "doc_id", F.array_distinct(_shingles(F.col("t"))).alias("sh")
+            )
+        )
+        .withColumn("hs", _hash_slices(F.col("sh")))
         .localCheckpoint()
     )
-    # sig[i] inlines into exactly one band hash (Catalyst folds
-    # GetArrayItem(CreateArray(...)) to the element), so each of the k
-    # array_min computations appears once in the bands projection.
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("sh"), lambda s, i=i: F.xxhash64(F.lit(i), s)))
-            for i in range(_MINHASH_K)
-        ]
-    )
+    # Each of the 16 slice-minimums appears exactly once in the bands
+    # projection (one per band member); the digest array `hs` is read
+    # from the checkpoint, so the 2-sha256-per-shingle work never
+    # recomputes across the 16 slices.
+    sigs = [_sig_slice(F.col("hs"), i) for i in range(_MINHASH_K)]
     bands = staged.select(
         "doc_id",
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(*[sig[b * r + j] for j in range(r)])
+                    F.concat_ws("|", *[sigs[b * r + j] for j in range(r)])
                     for b in range(_LSH_BANDS)
                 ]
             )
@@ -328,7 +369,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    sets = staged
+    sets = staged.select("doc_id", "sh")
     verified = (
         cand.join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
         .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
@@ -344,6 +385,73 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("shingle_jaccard") >= 0.5)
     )
     return verified
+
+
+def _minhash_lsh_sql() -> str:
+    """DuckDB replay of the full LSH pipeline: same shingles, same
+    sha256-slice min-hashes (string min over fixed-width lowercase hex
+    == integer min), same band keys, same Jaccard verify. Generated
+    from the same constants as the Spark plan so k/bands/shingle-width
+    changes cannot drift."""
+    r = _MINHASH_K // _LSH_BANDS
+    sig_cols = ",\n               ".join(
+        f"list_aggregate(list_transform(h, v -> v[{8 * i + 1} : {8 * i + 8}]),"
+        f" 'min') AS s{i}"
+        for i in range(_MINHASH_K)
+    )
+    band_selects = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, concat_ws('|', "
+        + ", ".join(f"s{b * r + j}" for j in range(r))
+        + ") AS band_key FROM sig"
+        for b in range(_LSH_BANDS)
+    )
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(t) - {_SHINGLE_N}, 0) + 2),
+                   i -> array_to_string(t[i : i + {_SHINGLE_N} - 1], ' ')
+               )) AS s
+        FROM toks
+    ),
+    hs AS (
+        SELECT doc_id,
+               list_transform(s, x ->
+                   concat(sha256(concat('a|', x)), sha256(concat('b|', x)))) AS h
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id,
+               {sig_cols}
+        FROM hs
+    ),
+    bands AS (
+        {band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+          ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+         AND x.doc_id < y.doc_id
+    ),
+    j AS (
+        SELECT c.doc_a, c.doc_b,
+               round(len(list_intersect(sa.s, sb.s)) * 1.0
+                     / len(list_distinct(list_concat(sa.s, sb.s))), 4)
+                   AS shingle_jaccard
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, shingle_jaccard FROM j WHERE shingle_jaccard >= 0.5
+"""
+
+
+_MINHASH_LSH_SQL = _minhash_lsh_sql()
 
 
 def minhash_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -536,14 +644,14 @@ QUERIES = {
     "fuzzy_name_pairs": fuzzy_name_pairs,
 }
 
-# minhash_lsh_candidates: LSH banding is probabilistic by construction —
-# the driver records a rows-only check; recall on planted duplicates is
-# asserted in tests/test_dedup.py.
 ORACLES = {
     "exact_dedup": _EXACT_SQL,
     "dedup_keep_first": _KEEP_FIRST_SQL,
     "ngram_jaccard_pairs": _JACCARD_SQL,
     "simhash": _SIMHASH_SQL,
+    # Value-oracled since round 9 (sha256-slice hashes replace xxhash64,
+    # which DuckDB could not replay — r8 verdict item 2).
+    "minhash_lsh_candidates": _MINHASH_LSH_SQL,
     "minhash_recall_check": _MINHASH_RECALL_SQL,
     "fuzzy_name_pairs": _FUZZY_SQL,
 }

@@ -121,8 +121,13 @@ def write_wds_shards(
     give a scheme-qualified URI and let ``fsspec.core.url_to_fs``
     resolve it when the fsspec package is installed. The write protocol
     is identical on both branches: stream the tar to ``<shard>.tmp``,
-    then one atomic-visibility rename (``os.replace`` / ``fs.mv``) per
-    shard. A bare object-store URI without fsspec still fails up front
+    then one write-then-rename commit (``os.replace`` / ``fs.mv``) per
+    shard. NOTE: ``os.replace`` is atomic on POSIX; fsspec ``mv`` on an
+    object store is copy+delete — NOT atomic, and a crash between copy
+    and delete can leave both the ``.tmp`` and final objects. Readers
+    must therefore filter ``*.tmp`` (``read_wds_manifest``'s
+    ``shard-\\d+\\.tar`` regex already does). A bare object-store URI
+    without fsspec still fails up front
     — shards must never silently strand on executor-local disks
     (r6 advisory)."""
     import io
@@ -216,16 +221,31 @@ def read_wds_manifest(out_dir: str, *, filesystem=None) -> list[dict]:
     import re
     import tarfile
 
+    import contextlib
+
     if filesystem is None:
         names = sorted(os.listdir(out_dir))
-        _open_r = lambda f: tarfile.open(os.path.join(out_dir, f))  # noqa: E731
+
+        @contextlib.contextmanager
+        def _open_r(f):
+            with tarfile.open(os.path.join(out_dir, f)) as tar:
+                yield tar
+
     else:
         names = sorted(
             str(p).rstrip("/").rsplit("/", 1)[-1] for p in filesystem.ls(out_dir)
         )
-        _open_r = lambda f: tarfile.open(  # noqa: E731
-            fileobj=filesystem.open(f"{out_dir.rstrip('/')}/{f}", "rb")
-        )
+
+        @contextlib.contextmanager
+        def _open_r(f):
+            # tarfile.close() does NOT close an externally supplied
+            # fileobj — close the remote handle ourselves or one leaks
+            # per shard.
+            with contextlib.closing(
+                filesystem.open(f"{out_dir.rstrip('/')}/{f}", "rb")
+            ) as fobj:
+                with tarfile.open(fileobj=fobj) as tar:
+                    yield tar
 
     out = []
     for fname in names:

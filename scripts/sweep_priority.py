@@ -14,6 +14,12 @@ registered query, the LAST round in which the driver checked it green
 Queries whose most recent driver sample FAILED are pinned to the very
 front regardless of round, so a regression is re-checked immediately.
 
+The exact set of CORRECTNESS files the order was generated from is
+stamped into ``plans/__init__.py`` as ``_SWEEP_PRIORITY_INPUTS`` so the
+freshness test verifies the committed order against ITS OWN inputs —
+a driver artifact dropped after the final commit (the r8 failure mode)
+no longer turns the suite red.
+
 Usage::
 
     python scripts/sweep_priority.py            # print the ordered tuple
@@ -52,16 +58,32 @@ def _green(rec: dict) -> bool:
     )
 
 
-def compute_order() -> list[str]:
+def correctness_files() -> list[str]:
+    """Repo-relative names of every CORRECTNESS artifact present, sorted."""
+    return sorted(
+        Path(p).name for p in glob.glob(str(REPO / "CORRECTNESS_r*.json"))
+    )
+
+
+def compute_order(files: list[str] | None = None) -> list[str]:
+    """Staleness-first registry order from the given CORRECTNESS files.
+
+    ``files`` are repo-relative names (the stamped ``_SWEEP_PRIORITY_INPUTS``
+    form); default is every artifact currently on disk.
+    """
     from azure_sales_etl_pipeline_spark.plans import registry
 
     queries, _ = registry()
     names = set(queries)
 
+    if files is None:
+        files = correctness_files()
+
     last_green: dict[str, int] = {}
     last_failed: set[str] = set()
-    for path in sorted(glob.glob(str(REPO / "CORRECTNESS_r*.json"))):
-        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+    for fname in sorted(files):
+        path = REPO / fname
+        rnd = int(re.search(r"_r(\d+)\.json$", fname).group(1))
         for name, rec in json.load(open(path)).items():
             if name not in names:
                 continue  # renamed/retired query
@@ -81,9 +103,21 @@ def compute_order() -> list[str]:
     return sorted(names, key=key)
 
 
-def render(order: list[str]) -> str:
+def render(order: list[str], files: list[str]) -> str:
+    inputs = "\n".join(f'    "{f}",' for f in sorted(files))
     body = "\n".join(f'    "{n}",' for n in order)
-    return f"_SWEEP_PRIORITY = (\n{body}\n)"
+    return (
+        f"_SWEEP_PRIORITY_INPUTS = (\n{inputs}\n)\n"
+        f"_SWEEP_PRIORITY = (\n{body}\n)"
+    )
+
+
+# Matches the stamped-inputs block (if present) plus the priority tuple,
+# so --write is idempotent across the pre-stamp and post-stamp formats.
+_BLOCK_RE = (
+    r"(?:_SWEEP_PRIORITY_INPUTS = \(\n(?:    \"[^\"]+\",\n)*\)\n)?"
+    r"_SWEEP_PRIORITY = \(\n(?:    \"[^\"]+\",\n)+\)"
+)
 
 
 def main() -> int:
@@ -91,18 +125,17 @@ def main() -> int:
     ap.add_argument("--write", action="store_true", help="patch plans/__init__.py")
     args = ap.parse_args()
 
-    order = compute_order()
-    block = render(order)
+    files = correctness_files()
+    order = compute_order(files)
+    block = render(order, files)
     if args.write:
         src = INIT.read_text()
-        new, n = re.subn(
-            r"_SWEEP_PRIORITY = \(\n(?:    \"[^\"]+\",\n)+\)", block, src, count=1
-        )
+        new, n = re.subn(_BLOCK_RE, block, src, count=1)
         if n != 1:
             print("could not locate _SWEEP_PRIORITY block", file=sys.stderr)
             return 1
         INIT.write_text(new)
-        print(f"wrote {len(order)} entries to {INIT}")
+        print(f"wrote {len(order)} entries ({len(files)} input files) to {INIT}")
     else:
         print(block)
     return 0

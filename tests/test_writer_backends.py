@@ -5,6 +5,7 @@ SCD2 upsert over a schema-evolved batch."""
 from __future__ import annotations
 
 import datetime as dt
+import sys
 from pathlib import Path
 
 import pytest
@@ -373,7 +374,7 @@ def test_delta_gate_skips_only_on_import_absence():
     assert hasattr(delta, "configure_spark_with_delta_pip")
 
 
-def test_wds_shards_fsspec_filesystem_branch(spark, tmp_path):
+def test_wds_shards_fsspec_filesystem_branch(spark, tmp_path, monkeypatch):
     """r7 verdict item 6: the object-store path. An fsspec-style
     filesystem passed via filesystem= must round-trip shards through
     fs.open/fs.mv (write tmp + rename), bit-identical to the POSIX
@@ -442,5 +443,11 @@ def test_wds_shards_fsspec_filesystem_branch(spark, tmp_path):
         assert hashlib.sha256(a).digest() == hashlib.sha256(b).digest()
     assert not list(fs_out.glob("*.tmp")), "tmp files must be renamed away"
 
+    # Pin the intended fsspec-absent branch deterministically: if fsspec
+    # ever lands in this environment, the bare URI would otherwise
+    # resolve and attempt real network I/O instead of raising
+    # (r8 advisory). sys.modules[name] = None makes `import fsspec`
+    # raise ImportError regardless of installation.
+    monkeypatch.setitem(sys.modules, "fsspec", None)
     with pytest.raises(ValueError, match="fsspec|not reachable"):
         write_wds_shards(docs, "s3://bucket/wds", meta_cols=("lang",))
