@@ -203,6 +203,77 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMB_DIM = 64  # driver testdata embedding width (all SFs); the Spark
+# plan discovers dim at runtime — the oracle replays the driver corpus.
+
+
+def _ann_lsh_sql() -> str:
+    """DuckDB replay of the full SRP forest (r8 verdict item 2): the
+    hyperplanes are deterministic driver-side constants
+    (`_projection_matrix`, an LCG — no RNG state), so the oracle embeds
+    the SAME matrices as literal DOUBLE[] rows and recomputes every
+    bucket bit with `list_dot_product`, which sums in element order
+    exactly like the Spark `F.aggregate` fold (parity proven by the
+    value-oracled `embedding_near_dup` / `ann_topk_bruteforce`). Sign
+    boundaries are safe: |dot| of random 64-d vectors is O(1), never
+    within float noise of 0."""
+    rows = []
+    for t in range(_LSH_TABLES):
+        mat = _projection_matrix(_EMB_DIM, _LSH_BITS, _LSH_SEED + 1000 * t)
+        for b in range(_LSH_BITS):
+            vals = ", ".join(repr(v) for v in mat[b])
+            rows.append(f"({t}, {b}, [{vals}]::DOUBLE[])")
+    mats_values = ",\n        ".join(rows)
+    return f"""
+    WITH mats(table_id, bit, hyp) AS (
+        VALUES {mats_values}
+    ),
+    corpus AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+        FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ),
+    ck AS (
+        SELECT c.vec_id, m.table_id,
+               CAST(sum(CASE WHEN list_dot_product(c.vec, m.hyp) >= 0
+                             THEN 1 << m.bit ELSE 0 END) AS INTEGER) AS bucket
+        FROM corpus c, mats m
+        GROUP BY c.vec_id, m.table_id
+    ),
+    qk AS (
+        SELECT q.query_id, m.table_id,
+               CAST(sum(CASE WHEN list_dot_product(q.qvec, m.hyp) >= 0
+                             THEN 1 << m.bit ELSE 0 END) AS INTEGER) AS bucket
+        FROM q, mats m
+        GROUP BY q.query_id, m.table_id
+    ),
+    cand AS (
+        SELECT DISTINCT qk.query_id, ck.vec_id
+        FROM ck JOIN qk ON ck.table_id = qk.table_id AND ck.bucket = qk.bucket
+        WHERE ck.vec_id != qk.query_id
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.vec_id, c.label,
+               list_dot_product(q.qvec, c.vec)
+               / (sqrt(list_dot_product(q.qvec, q.qvec))
+                  * sqrt(list_dot_product(c.vec, c.vec))) AS sim
+        FROM cand
+        JOIN corpus c ON c.vec_id = cand.vec_id
+        JOIN q ON q.query_id = cand.query_id
+    )
+    SELECT query_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank,
+           vec_id, label, round(sim, 6) AS sim
+    FROM scored
+    QUALIFY rank <= {_TOP_K}
+"""
+
+
+_ANN_LSH_SQL = _ann_lsh_sql()
+
+
 # ---------------------------------------------------------------------------
 # pairwise label-blocked cosine (exact, oracle-able; the "embedding
 # near-dup" shape: block on a cheap key, verify with cosine)
@@ -248,7 +319,10 @@ _NEAR_DUP_SQL = """
 # ---------------------------------------------------------------------------
 
 _IVF_K = 16  # centroid count (√N-ish for the test corpus; tune per corpus)
-_IVF_PROBES = 4  # nearest centroid lists searched per query
+_IVF_PROBES = 6  # nearest centroid lists searched per query (multi-probe:
+# 4 → 6 lifted recall-vs-bruteforce 0.54 → 0.74 at sf0.01 and 0.68 → 0.84
+# at sf0.001, letting the ann_recall_check gate tighten 0.4 → 0.6 —
+# r8 verdict item 6; candidates stay bucket-restricted, cost ~probes/k)
 _IVF_ITERS = 1  # Lloyd iterations (deterministic seeds → deterministic index;
 # one iteration already moves the strided seeds to their cluster means —
 # precision vs brute force stays ≥ the pytest floor, and each extra
@@ -520,7 +594,8 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible recall gate for the probabilistic ANN paths (the
     hll_accuracy_check pattern applied to retrieval): overlap of the
     LSH-forest and IVF top-k with the exact brute-force top-k, reduced
-    to booleans at 0.4 (measured 0.66 / 0.54 at the sf0.01 gate;
+    to booleans at 0.6 (measured LSH 0.74/0.66 and IVF 0.84/0.74 at
+    sf0.001/sf0.01 with 6-probe IVF — gate tightened from 0.4 in r9;
     all three pipelines are deterministic — seeded hyperplanes, seeded
     centroids — so the booleans are stable, not flaky). The oracle
     asserts the expected outcome, so a silent retrieval regression
@@ -558,8 +633,8 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.agg(
         F.countDistinct("query_id").alias("n_queries"),
-        (F.count("lsh_hit") / F.count(F.lit(1)) >= 0.4).alias("lsh_recall_ok"),
-        (F.count("ivf_hit") / F.count(F.lit(1)) >= 0.4).alias("ivf_recall_ok"),
+        (F.count("lsh_hit") / F.count(F.lit(1)) >= 0.6).alias("lsh_recall_ok"),
+        (F.count("ivf_hit") / F.count(F.lit(1)) >= 0.6).alias("ivf_recall_ok"),
     )
 
 
@@ -739,11 +814,13 @@ QUERIES = {
     "ann_recall_check": ann_recall_check,
 }
 
-# ann_topk_lsh / ann_topk_ivf are probabilistic (bucket/probe recall) →
-# rows-only for the driver; recall vs brute force asserted in
-# tests/test_dedup_similarity.py.
+# ann_topk_ivf stays rows-only (float k-means centroids are not
+# engine-replayable); its recall is gated by ann_recall_check.
+# ann_topk_lsh is VALUE-oracled since round 9 — the SRP hyperplanes are
+# deterministic constants both engines share (r8 verdict item 2).
 ORACLES = {
     "ann_topk_bruteforce": _BRUTE_SQL,
+    "ann_topk_lsh": _ANN_LSH_SQL,
     "embedding_near_dup": _NEAR_DUP_SQL,
     "label_centroids": _CENTROID_SQL,
     "embedding_norms": _NORMS_SQL,
