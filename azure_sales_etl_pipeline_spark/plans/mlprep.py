@@ -1687,6 +1687,83 @@ _NEGATIVE_SAMPLES_SQL = """
 _AFFINITY_MIN_ORDERS = 2
 
 
+def _triangles_id_oriented(edges: DataFrame):
+    """Node-iterator triangle enumeration over id-oriented edges
+    ``(u, v)`` with u < v: wedge u<v<w through the middle vertex, then
+    one closing-edge equi-join. Returns ``(wedges, triangles)``.
+
+    Wedge fan-out at a vertex is in-deg × out-deg under ID order — on a
+    power-law graph a hub with a mid-range id generates O(deg²) wedge
+    rows. Kept for the equivalence test; production uses
+    `_triangles_degree_oriented`."""
+    wedges = (
+        edges.alias("e1")
+        .join(edges.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .select(
+            F.col("e1.u").alias("u"), F.col("e1.v").alias("v"), F.col("e2.v").alias("w")
+        )
+    )
+    triangles = wedges.join(
+        edges.select(F.col("u").alias("u"), F.col("v").alias("w")), ["u", "w"]
+    )
+    return wedges, triangles
+
+
+def _triangles_degree_oriented(edges: DataFrame):
+    """Triangle enumeration with DEGREE orientation: rank(x) =
+    (deg(x), x); every undirected edge points low-rank → high-rank, a
+    triangle is two out-edges of its lowest-ranked vertex plus the
+    directed closing edge between their heads. Returns
+    ``(wedges, triangles)``.
+
+    Out-degree under this orientation is O(√m) for EVERY vertex
+    (a vertex with out-degree d has d neighbors of degree ≥ its own, so
+    d² ≤ Σdeg = 2m) — wedge volume is Σ out-deg² ≤ 2m·√m worst-case vs
+    the unbounded deg² of an unluckily-id'd hub. This is the standard
+    power-law-safe formulation (node-iterator++ / compact-forward).
+
+    Shuffle shape: one vertex-keyed degree aggregate over 2|E| rows,
+    two |V|-row joins to tag endpoint degrees, then the same wedge +
+    closing joins as the id variant. The degree table and directed edge
+    list are both |E|-bounded — nothing new materializes at corpus
+    scale."""
+    deg = (
+        edges.select(F.col("u").alias("p"))
+        .union(edges.select("v"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tagged = (
+        edges.join(
+            deg.select(F.col("p").alias("u"), F.col("deg").alias("du")), "u"
+        ).join(deg.select(F.col("p").alias("v"), F.col("deg").alias("dv")), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    directed = tagged.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
+    )
+    # two out-edges of the same src, ordered by head rank so each
+    # unordered head pair appears once
+    head_lt = (F.col("e1.ddeg") < F.col("e2.ddeg")) | (
+        (F.col("e1.ddeg") == F.col("e2.ddeg")) & (F.col("e1.dst") < F.col("e2.dst"))
+    )
+    wedges = (
+        directed.alias("e1")
+        .join(directed.alias("e2"), F.col("e1.src") == F.col("e2.src"))
+        .where(head_lt)
+        .select(F.col("e1.dst").alias("a"), F.col("e2.dst").alias("b"))
+    )
+    # closing edge is directed a → b because rank(a) < rank(b) by head_lt
+    triangles = wedges.join(
+        directed.select(F.col("src").alias("a"), F.col("dst").alias("b")), ["a", "b"]
+    )
+    return wedges, triangles
+
+
 def part_affinity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed TRIANGLE COUNT over the part-affinity graph (edge =
     two parts co-ordered in ≥ ``_AFFINITY_MIN_ORDERS`` distinct orders)
@@ -1697,15 +1774,18 @@ def part_affinity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape, in order: (1) the SUPPORT FILTER (min co-order count)
     is applied before any wedge is formed — raw co-occurrence pairs
     aggregate with map-side combine and infrequent pairs (the heavy
-    tail) die at the first shuffle; (2) edges are ORIENTED u < v, so
-    each triangle is generated exactly once as a wedge u<v<w through
-    its middle vertex and checked against the edge set with one more
-    equi-join — the node-iterator algorithm, two shuffles on vertex
-    keys, no DISTINCT over triangle candidates; (3) for power-law
-    graphs, replace the id-orientation with degree-orientation (orient
-    low→high degree) to cap wedge fan-out at the hub vertices — same
-    joins, one extra degree computation (documented, not needed at the
-    affinity graph's post-support density). All-integer output."""
+    tail) die at the first shuffle; (2) edges are DEGREE-ORIENTED
+    (r8 verdict item 3): every edge points from its lower-(degree, id)
+    endpoint to the higher one, so each triangle is generated exactly
+    once as a pair of out-edges from its lowest-ranked vertex and
+    closed with one more equi-join — and a hub's edges all point INTO
+    it, capping per-vertex wedge fan-out at O(√m) out-degree instead
+    of the O(deg²) an id-ordered hub suffers on power-law graphs
+    (`_triangles_degree_oriented`; the id-oriented variant is kept for
+    the equivalence pytest). Cost over id-orientation: one degree
+    aggregation + two joins against the |V|-row degree table.
+    All-integer output; the triangle COUNT is orientation-invariant,
+    so the DuckDB oracle keeps the simple id-oriented replay."""
     # distinct: the same part can appear on several lines of one order;
     # support counts DISTINCT co-orders. Checkpointed because both
     # sides of the pair self-join consume it.
@@ -1733,16 +1813,7 @@ def part_affinity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
         .localCheckpoint()
     )
-    wedges = (
-        edges.alias("e1")
-        .join(edges.alias("e2"), F.col("e1.v") == F.col("e2.u"))
-        .select(
-            F.col("e1.u").alias("u"), F.col("e1.v").alias("v"), F.col("e2.v").alias("w")
-        )
-    )
-    triangles = wedges.join(
-        edges.select(F.col("u").alias("u"), F.col("v").alias("w")), ["u", "w"]
-    )
+    _, triangles = _triangles_degree_oriented(edges)
     nodes = edges.select(F.col("u").alias("p")).union(edges.select("v")).distinct()
     return (
         nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))

@@ -543,3 +543,41 @@ def test_pagerank_dangling_mass_redistributed(spark, tmp_path):
     assert got[3][1] == 0 and got[3][0] > 150_000
     # symmetric pair ties exactly
     assert got[1] == got[2]
+
+
+def test_degree_oriented_triangles_hub_graph(spark):
+    """Degree orientation must (a) count exactly the same triangles as
+    id orientation and (b) bound wedge fan-out on a hub-heavy graph.
+
+    The planted graph: a hub with a MID-RANGE id (the id-orientation
+    worst case: ~half its edges incoming, half outgoing -> ~n²/4 wedge
+    rows through it) connected to n spokes, plus a chain of spoke-spoke
+    edges that closes some triangles through the hub. Under degree
+    orientation every hub edge points INTO the hub, so the hub forms
+    zero wedges and all wedges come from degree<=3 spokes."""
+    from azure_sales_etl_pipeline_spark.plans.mlprep import (
+        _triangles_degree_oriented,
+        _triangles_id_oriented,
+    )
+
+    n = 200
+    hub = n  # spokes 0..n-1 below, n+1..2n above -> mid-range id
+    spokes = list(range(n // 2)) + list(range(n + 1, n + 1 + n // 2))
+    edges = [(min(s, hub), max(s, hub)) for s in spokes]
+    # ring among consecutive spokes: closes a triangle (s_i, s_i+1, hub)
+    for a, b in zip(spokes, spokes[1:]):
+        edges.append((min(a, b), max(a, b)))
+    df = spark.createDataFrame(edges, "u long, v long").localCheckpoint()
+
+    w_id, t_id = _triangles_id_oriented(df)
+    w_deg, t_deg = _triangles_degree_oriented(df)
+
+    n_tri_id, n_tri_deg = t_id.count(), t_deg.count()
+    assert n_tri_id == n_tri_deg == len(spokes) - 1  # one per ring edge
+
+    n_w_id, n_w_deg = w_id.count(), w_deg.count()
+    # id orientation explodes through the mid-id hub (~n²/4 wedges)...
+    assert n_w_id > (n // 2) ** 2 // 2
+    # ...degree orientation stays linear: hub out-degree is 0, spokes
+    # have degree <= 3, so each forms at most C(3,2)=3 wedges.
+    assert n_w_deg <= 3 * len(spokes)
