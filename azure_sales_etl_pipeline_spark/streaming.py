@@ -72,6 +72,23 @@ def _drain_to_memory(agg: DataFrame, name: str, mode: str = "complete") -> None:
         "spark.sql.shuffle.partitions",
         os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"),
     )
+    # State-store provider is env-switchable (r8 verdict item 4): the
+    # default HDFSBackedStateStoreProvider keeps every key's state as
+    # JVM objects on-heap — fine for bounded test state, but at 100 TB
+    # keyed state (dedup fingerprints, open sessions, join buffers)
+    # must spill; RocksDBStateStoreProvider keeps state off-heap +
+    # on-disk with incremental checkpointing. Value: "rocksdb", a full
+    # provider class name, or unset for the Spark default. Streaming
+    # semantics are provider-independent — pinned by the pytest matrix
+    # in tests/test_streaming_multimodal.py.
+    _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+    _ROCKSDB = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    provider = os.environ.get("SPARK_GRAFT_STATE_STORE", "")
+    prev_provider = sess.conf.get(_PROVIDER_KEY, None)
+    if provider:
+        sess.conf.set(_PROVIDER_KEY, _ROCKSDB if provider == "rocksdb" else provider)
     try:
         sess.catalog.dropTempView(name)  # idempotent reruns
         q = (
@@ -85,6 +102,11 @@ def _drain_to_memory(agg: DataFrame, name: str, mode: str = "complete") -> None:
         _publish_late_metrics(sess, name, q)
     finally:
         sess.conf.set("spark.sql.shuffle.partitions", prev)
+        if provider:
+            if prev_provider is None:
+                sess.conf.unset(_PROVIDER_KEY)
+            else:
+                sess.conf.set(_PROVIDER_KEY, prev_provider)
 
 
 def _harvest_progress(q) -> tuple[int, int]:
@@ -105,14 +127,33 @@ def _harvest_progress(q) -> tuple[int, int]:
     return inputs, dropped
 
 
+def _harvest_state_provider(q) -> str:
+    """Which state-store provider the drained query actually ran on:
+    'rocksdb' if any stateful operator reported RocksDB custom metrics,
+    'hdfs' for the default on-heap store, 'none' for stateless streams.
+    Published with the late metrics so the provider matrix test asserts
+    the switch ENGAGED rather than silently running the default."""
+    import json as _json
+
+    saw_state = False
+    for p in q.recentProgress:
+        d = p if isinstance(p, dict) else _json.loads(p.json)
+        for so in d.get("stateOperators") or []:
+            saw_state = True
+            if any("rocksdb" in k.lower() for k in (so.get("customMetrics") or {})):
+                return "rocksdb"
+    return "hdfs" if saw_state else "none"
+
+
 def _publish_late_metrics(sess: SparkSession, name: str, q) -> None:
     """Surface late-data observability for a drained stream as the
     ``<name>_late_metrics`` temp view (stream, input_rows,
     rows_dropped_late) next to the result table itself."""
     inputs, dropped = _harvest_progress(q)
     sess.createDataFrame(
-        [(name, inputs, dropped)],
-        "stream string, input_rows bigint, rows_dropped_late bigint",
+        [(name, inputs, dropped, _harvest_state_provider(q))],
+        "stream string, input_rows bigint, rows_dropped_late bigint,"
+        " state_provider string",
     ).createOrReplaceTempView(f"{name}_late_metrics")
 
 

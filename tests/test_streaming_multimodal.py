@@ -209,3 +209,59 @@ def test_drained_streams_publish_late_metrics_view(spark):
     assert m["stream"] == "stream_tumbling_counts"
     assert m["input_rows"] > 0
     assert m["rows_dropped_late"] == 0  # one availableNow batch: nothing late
+
+
+@pytest.mark.parametrize("provider", ["", "rocksdb"])
+def test_state_store_provider_matrix(spark, provider, monkeypatch):
+    """Streamed results must be provider-independent: the default
+    on-heap HDFSBackedStateStoreProvider and RocksDB (off-heap/on-disk,
+    the 100 TB keyed-state path - r8 verdict item 4) must produce
+    identical windows, dedup survivors, join matches, and custom-state
+    folds. Each query also re-checks against its batch/oracle truth
+    via the module-level asserts baked into the cached expected dict."""
+    from azure_sales_etl_pipeline_spark.streaming import (
+        stream_dedup_events,
+        stream_session_windows,
+        stream_user_totals_custom_state,
+    )
+    from azure_sales_etl_pipeline_spark.streaming import (
+        stream_click_purchase_join,
+    )
+
+    if provider:
+        monkeypatch.setenv("SPARK_GRAFT_STATE_STORE", provider)
+    else:
+        monkeypatch.delenv("SPARK_GRAFT_STATE_STORE", raising=False)
+
+    got = {
+        "session": sorted(map(tuple, stream_session_windows(spark, SF_DIR).collect())),
+        "dedup": sorted(map(tuple, stream_dedup_events(spark, SF_DIR).collect())),
+        "join": sorted(
+            map(tuple, stream_click_purchase_join(spark, SF_DIR).collect())
+        ),
+        "custom": sorted(
+            map(tuple, stream_user_totals_custom_state(spark, SF_DIR).collect())
+        ),
+    }
+    for k, rows in got.items():
+        assert rows, f"{k} drained empty under provider={provider!r}"
+
+    # the switch must have ENGAGED, not silently run the default: the
+    # drain publishes which provider the state operators reported.
+    from azure_sales_etl_pipeline_spark.streaming import stream_late_metrics
+
+    engaged = stream_late_metrics(spark, "stream_session_windows").first()[
+        "state_provider"
+    ]
+    assert engaged == ("rocksdb" if provider else "hdfs")
+
+    # cross-provider equivalence: stash the first provider's results on
+    # the module and compare when the second run arrives.
+    cache = getattr(test_state_store_provider_matrix, "_results", {})
+    if cache:
+        (other_provider, other) = next(iter(cache.items()))
+        assert got == other, (
+            f"provider {provider!r} diverged from {other_provider!r}"
+        )
+    cache[provider] = got
+    test_state_store_provider_matrix._results = cache
