@@ -55,6 +55,9 @@ _SWEEP_PRIORITY_INPUTS = (
     "CORRECTNESS_r08.json",
 )
 _SWEEP_PRIORITY = (
+    "embedding_decontaminate",
+    "minhash_source_similarity",
+    "vocab_growth",
     "percentile_accuracy_check",
     "purchase_prior_clicks",
     "retention_cohorts",

@@ -454,6 +454,104 @@ def _minhash_lsh_sql() -> str:
 _MINHASH_LSH_SQL = _minhash_lsh_sql()
 
 
+def minhash_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise SOURCE-level Jaccard estimates from merged MinHash
+    signatures — sketch algebra on the portable hash scheme: the
+    signature of a UNION of shingle sets is the elementwise MIN of the
+    per-doc signatures, so each feed's signature folds per batch
+    (groupBy(source).min) and cross-feed overlap is estimated WITHOUT
+    ever intersecting shingle sets: Ĵ = (# matching slices)/k.
+    Integer permille output keeps it engine-exact.
+
+    Scale: this is the `sketch_union_rollup` story applied to set
+    similarity — per-source state is k slices (~128 bytes), the
+    estimate join is |sources|² over that tiny sketch table, and
+    history never re-scans (signatures are mergeable across batches,
+    same contract as `merge_fingerprint_index`). The per-doc shingle +
+    digest work is the same map-side pipeline `minhash_lsh_candidates`
+    runs; nothing here shuffles more than (source, 16 slices) rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions import plan_barrier
+
+    staged = (
+        plan_barrier(
+            plan_barrier(docs.select("source", "doc_id", _tokens().alias("t"))).select(
+                "source", F.array_distinct(_shingles(F.col("t"))).alias("sh")
+            )
+        ).withColumn("hs", _hash_slices(F.col("sh")))
+    )
+    per_doc = staged.select(
+        "source",
+        *[_sig_slice(F.col("hs"), i).alias(f"s{i}") for i in range(_MINHASH_K)],
+    )
+    sig = per_doc.groupBy("source").agg(
+        *[F.min(f"s{i}").alias(f"s{i}") for i in range(_MINHASH_K)]
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    matches = sum(
+        F.when(F.col(f"a.s{i}") == F.col(f"b.s{i}"), 1).otherwise(0)
+        for i in range(_MINHASH_K)
+    )
+    return (
+        a.join(F.broadcast(b), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            matches.alias("matching_slices"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.col("matching_slices").cast("int").alias("matching_slices"),
+            F.expr(
+                f"CAST(matching_slices * 1000 DIV {_MINHASH_K} AS BIGINT)"
+            ).alias("est_jaccard_permille"),
+        )
+    )
+
+
+def _minhash_source_sql() -> str:
+    sig_cols = ",\n               ".join(
+        f"min(list_aggregate(list_transform(h, v -> v[{8 * i + 1} : {8 * i + 8}]),"
+        f" 'min')) AS s{i}"
+        for i in range(_MINHASH_K)
+    )
+    match_expr = " + ".join(
+        f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(_MINHASH_K)
+    )
+    return rf"""
+    WITH toks AS (
+        SELECT source, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    hs AS (
+        SELECT source,
+               list_transform(
+                   list_distinct(list_transform(
+                       range(1, greatest(len(t) - {_SHINGLE_N}, 0) + 2),
+                       i -> array_to_string(t[i : i + {_SHINGLE_N} - 1], ' ')
+                   )),
+                   x -> concat(sha256(concat('a|', x)), sha256(concat('b|', x)))
+               ) AS h
+        FROM toks
+    ),
+    sig AS (
+        SELECT source,
+               {sig_cols}
+        FROM hs
+        GROUP BY source
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST({match_expr} AS INTEGER) AS matching_slices,
+           CAST(({match_expr}) * 1000 // {_MINHASH_K} AS BIGINT)
+               AS est_jaccard_permille
+    FROM sig a JOIN sig b ON a.source < b.source
+"""
+
+
+_MINHASH_SOURCE_SQL = _minhash_source_sql()
+
+
 def minhash_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible recall gate for ``minhash_lsh_candidates`` — the
     ``ann_recall_check`` pattern applied to LSH dedup, closing the last
@@ -469,9 +567,10 @@ def minhash_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut re-joined full shingle arrays per candidate and spent 8 s at
     sf0.1 intersecting them; the count form runs ~2 s). The LSH pairs
     are Jaccard-verified ⊆ truth by construction, so recall is the only
-    free metric. Everything is seeded (xxhash64 signatures,
-    deterministic banding), so the boolean is stable: measured 0.93 at
-    sf0.001 and 0.96 at sf0.01 against a 0.7 gate.
+    free metric. Everything is deterministic (sha256-slice signatures,
+    deterministic banding), so the boolean is stable: measured 1.00 at
+    BOTH sf0.001 and sf0.01 with the r9 portable hashes (was 0.93/0.96
+    under xxhash64) against a gate tightened 0.7 → 0.9.
 
     Scale: the truth side is the expensive half (the self-join fans out
     per posting) — at 100 TB the gate runs on a sampled corpus slice,
@@ -532,7 +631,7 @@ def minhash_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) == 0)
             | (
                 F.count("hit") / F.greatest(F.count(F.lit(1)), F.lit(1))
-                >= 0.7
+                >= 0.9
             )
         ).alias("recall_ok"),
     )
@@ -638,6 +737,7 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "simhash": simhash,
     "minhash_lsh_candidates": minhash_lsh_candidates,
+    "minhash_source_similarity": minhash_source_similarity,
     "minhash_recall_check": minhash_recall_check,
     "exact_dedup": exact_dedup,
     "dedup_keep_first": dedup_keep_first,
@@ -652,6 +752,7 @@ ORACLES = {
     # Value-oracled since round 9 (sha256-slice hashes replace xxhash64,
     # which DuckDB could not replay — r8 verdict item 2).
     "minhash_lsh_candidates": _MINHASH_LSH_SQL,
+    "minhash_source_similarity": _MINHASH_SOURCE_SQL,
     "minhash_recall_check": _MINHASH_RECALL_SQL,
     "fuzzy_name_pairs": _FUZZY_SQL,
 }

@@ -203,6 +203,93 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECON_TAU = 0.35  # semantic-contamination cut: random 64-d pairs have
+# cosine ~N(0, 1/64)^0.5 ≈ σ=0.125, so 0.35 ≈ +2.8σ — flags genuine
+# neighbors, not noise
+
+
+def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination: for every corpus vector, its nearest
+    eval-set vector (vec_id < _N_QUERIES plays the held-out benchmark)
+    by exact cosine, flagged ``contaminated`` past ``_DECON_TAU`` — the
+    embedding-space complement to `bloom_decontaminate`'s exact-match
+    pass (paraphrased eval rows survive n-gram blooms; they don't
+    survive a cosine cut).
+
+    Scale shape: the eval set rides as ONE broadcast row holding an
+    array of (eval_id, vec) structs, so the corpus side is MAP-ONLY —
+    per row, `array_max` over the transform picks (max sim, max
+    eval_id) by struct ordering; no shuffle, no groupBy, corpus never
+    moves. At a real 100 TB corpus × 50k-row eval suite, the same plan
+    holds with the eval array chunked to fit the broadcast budget."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    evals = (
+        emb.where(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("eval_id"),
+                _as_double("embedding").alias("vec"),
+            ).alias("e")
+        )
+        .groupBy()
+        .agg(F.collect_list("e").alias("evals"))
+    )
+    corpus = plan_barrier(
+        emb.where(F.col("vec_id") >= _N_QUERIES).select(
+            "vec_id", _as_double("embedding").alias("vec")
+        )
+    )
+    best = F.array_max(
+        F.transform(
+            F.col("evals"),
+            lambda e: F.struct(
+                F.coalesce(
+                    cosine_similarity(F.col("vec"), e["vec"]), F.lit(-2.0)
+                ).alias("sim"),
+                e["eval_id"].alias("eval_id"),
+            ),
+        )
+    )
+    return (
+        corpus.crossJoin(F.broadcast(evals))
+        .select("vec_id", best.alias("b"))
+        .select(
+            "vec_id",
+            F.col("b.eval_id").alias("nearest_eval_id"),
+            F.round("b.sim", 6).alias("max_sim"),
+            (F.col("b.sim") >= _DECON_TAU).alias("contaminated"),
+        )
+    )
+
+
+_DECON_SQL = f"""
+    WITH q AS (
+        SELECT vec_id AS eval_id, embedding::DOUBLE[] AS qvec
+        FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ),
+    c AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec
+        FROM embeddings WHERE vec_id >= {_N_QUERIES}
+    ),
+    scored AS (
+        SELECT c.vec_id, q.eval_id,
+               list_dot_product(c.vec, q.qvec)
+               / (sqrt(list_dot_product(c.vec, c.vec))
+                  * sqrt(list_dot_product(q.qvec, q.qvec))) AS sim
+        FROM c, q
+    ),
+    best AS (
+        SELECT vec_id, eval_id, sim,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, eval_id DESC) AS rn
+        FROM scored
+    )
+    SELECT vec_id, eval_id AS nearest_eval_id, round(sim, 6) AS max_sim,
+           sim >= {_DECON_TAU} AS contaminated
+    FROM best WHERE rn = 1
+"""
+
+
 _EMB_DIM = 64  # driver testdata embedding width (all SFs); the Spark
 # plan discovers dim at runtime — the oracle replays the driver corpus.
 
@@ -802,6 +889,7 @@ _PCA_CHECK_SQL = f"""
 
 
 QUERIES = {
+    "embedding_decontaminate": embedding_decontaminate,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "embedding_gram": embedding_gram,
     "pca_power_iteration_check": pca_power_iteration_check,
@@ -819,6 +907,7 @@ QUERIES = {
 # ann_topk_lsh is VALUE-oracled since round 9 — the SRP hyperplanes are
 # deterministic constants both engines share (r8 verdict item 2).
 ORACLES = {
+    "embedding_decontaminate": _DECON_SQL,
     "ann_topk_bruteforce": _BRUTE_SQL,
     "ann_topk_lsh": _ANN_LSH_SQL,
     "embedding_near_dup": _NEAR_DUP_SQL,

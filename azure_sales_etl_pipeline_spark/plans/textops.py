@@ -1282,7 +1282,93 @@ def _source_rollup_sql() -> str:
     """
 
 
+_VOCAB_GROWTH_BUCKETS = 10
+
+
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps-law) curve: corpus docs in doc_id order
+    are cut into 10 equal-width buckets; each bucket reports how many
+    word-TRIGRAM types appear there for the first time and the
+    cumulative type count — the curve that tells a tokenizer-training
+    run how fast new types keep arriving (sublinear growth ⇒
+    diminishing returns per extra shard of data). Trigram types, not
+    unigrams: the synthetic corpus has a ~31-word closed vocabulary
+    that saturates in the first bucket, while trigram contexts keep
+    growing — exactly why real tokenizer studies track n-gram growth.
+
+    Scale shape: first occurrence is ``groupBy(type).agg(min(doc_id))``
+    — ONE type-keyed shuffle with map-side combine (shuffled bytes ~
+    vocabulary-sized, like `term_frequencies`); the doc_id range scalar
+    rides a broadcast one-row crossJoin; bucketing is integer
+    arithmetic (`first_doc · B div (max_id+1)` — exact on both
+    engines); the cumulative sum runs over ≤B rows via the triangular
+    self-join idiom, NEVER a global window (plan-audit invariant)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, 3), " "),
+    )
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("gram")
+    )
+    first = tok.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    bound = docs.agg((F.max("doc_id") + 1).alias("maxp1"))
+    per_bucket = (
+        first.crossJoin(F.broadcast(bound))
+        .select(
+            F.expr(
+                f"CAST(first_doc * {_VOCAB_GROWTH_BUCKETS} DIV maxp1 AS BIGINT)"
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    cum = (
+        per_bucket.alias("a")
+        .join(
+            F.broadcast(per_bucket.alias("b")),
+            F.col("b.bucket") <= F.col("a.bucket"),
+        )
+        .groupBy(F.col("a.bucket").alias("bucket"), F.col("a.new_types").alias("new_types"))
+        .agg(F.sum("b.new_types").alias("vocab_size"))
+    )
+    return cum.select("bucket", "new_types", F.col("vocab_size").cast("bigint").alias("vocab_size"))
+
+
+_VOCAB_GROWTH_SQL = rf"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 3, 0) + 2),
+                   i -> array_to_string(t[i : i + 2], ' ')
+               ))) AS gram
+        FROM t
+    ),
+    first AS (
+        SELECT gram, min(doc_id) AS first_doc FROM tok GROUP BY gram
+    ),
+    bound AS (SELECT max(doc_id) + 1 AS maxp1 FROM documents),
+    per_bucket AS (
+        SELECT CAST(first_doc * {_VOCAB_GROWTH_BUCKETS} // maxp1 AS BIGINT)
+                   AS bucket,
+               count(*) AS new_types
+        FROM first, bound
+        GROUP BY 1
+    )
+    SELECT a.bucket, a.new_types,
+           CAST(sum(b.new_types) AS BIGINT) AS vocab_size
+    FROM per_bucket a JOIN per_bucket b ON b.bucket <= a.bucket
+    GROUP BY a.bucket, a.new_types
+"""
+
+
 QUERIES = {
+    "vocab_growth": vocab_growth,
     "doc_token_stats": doc_token_stats,
     "source_vocab_drift": source_vocab_drift,
     "source_curation_rollup": source_curation_rollup,
@@ -1303,6 +1389,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "vocab_growth": _VOCAB_GROWTH_SQL,
     "doc_token_stats": _TOKEN_STATS_SQL,
     "source_vocab_drift": _SOURCE_DRIFT_SQL,
     "source_curation_rollup": _source_rollup_sql(),

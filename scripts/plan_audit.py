@@ -46,9 +46,12 @@ GLOBAL_WINDOW_RE = re.compile(
 
 def plan_features(plan: str) -> dict:
     return {
-        "exchanges": plan.count("Exchange hashpartitioning")
-        + plan.count("Exchange rangepartitioning")
-        + plan.count("Exchange SinglePartition"),
+        # Formatted explain renders exchange nodes as "(N) Exchange"
+        # headers with the partitioning in an Arguments: line — the old
+        # "Exchange hashpartitioning" substring never occurs in this
+        # mode and under-counted every plan to 0 (fixed r9 alongside
+        # the expectations table, which needs a real shuffle budget).
+        "exchanges": len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE)),
         "smj": plan.count("SortMergeJoin"),
         "bhj": plan.count("BroadcastHashJoin"),
         "bnlj": plan.count("BroadcastNestedLoopJoin"),
@@ -70,7 +73,69 @@ def plan_features(plan: str) -> dict:
         "pushed": any(
             g.strip() for g in re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
         ),
+        "partition_pruned": any(
+            g.strip() for g in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        ),
     }
+
+
+# Per-query structural EXPECTATIONS (r8 verdict item 7) for the
+# scan/join-critical registry entries: a refactor that silently drops a
+# parquet pushdown, loses a broadcast, or adds a shuffle now FAILS the
+# audit instead of flipping a ledger column nobody re-reads.
+#   must_push        — at least one scan must report non-empty PushedFilters
+#   must_prune       — at least one scan must report non-empty PartitionFilters
+#   min_bhj          — at least this many BroadcastHashJoins
+#   max_exchanges    — shuffle budget (measured value at sf0.001; an
+#                      added exchange is a plan regression, not noise —
+#                      plans are deterministic at a fixed SF/config)
+EXPECTATIONS: dict[str, dict] = {
+    # relational front door: the filter must reach the parquet scan
+    "filter_sql_string": {"must_push": True, "max_exchanges": 0},
+    "filter_column_expr": {"must_push": True, "max_exchanges": 0},
+    "forecast_revenue_change": {"must_push": True},
+    # partition_pruned_revenue returns an eager localCheckpoint (its tmp
+    # partitioned dir is deleted before the audit explains the result),
+    # so PartitionFilters can't appear here — the pruning is pinned by
+    # tests/test_plans_explain.py on the live read instead.
+    "customers_without_urgent_orders": {"must_push": True, "max_exchanges": 2},
+    "customer_behavior": {"must_push": True, "min_bhj": 1, "max_exchanges": 2},
+    "scd2_classify": {"must_push": True, "max_exchanges": 2},
+    # gold marts: dims broadcast against the lineitem/orders fact
+    "fact_order_details": {"must_push": True, "min_bhj": 5, "max_exchanges": 0},
+    "seller_performance_daily": {"must_push": True, "min_bhj": 1, "max_exchanges": 2},
+    "seller_order_rates": {"must_push": True, "min_bhj": 1, "max_exchanges": 2},
+    "seller_segmentation": {"must_push": True, "min_bhj": 1, "max_exchanges": 5},
+    "repeat_buyers_intersect": {"must_push": True, "min_bhj": 1, "max_exchanges": 1},
+    # TPC-H front-door shapes: selective scans + broadcast dims
+    "sql_shipping_priority": {"must_push": True, "min_bhj": 2, "max_exchanges": 1},
+    "sql_market_share": {"must_push": True, "min_bhj": 5, "max_exchanges": 1},
+    "sql_nation_revenue": {"must_push": True, "min_bhj": 3, "max_exchanges": 2},
+    "sql_volume_shipping": {"must_push": True, "min_bhj": 3, "max_exchanges": 1},
+    "sql_product_margin": {"must_push": True, "min_bhj": 3, "max_exchanges": 1},
+    "sql_returned_item_reporting": {"must_push": True, "min_bhj": 2, "max_exchanges": 1},
+    "sql_large_volume_customers": {"must_push": True, "max_exchanges": 3},
+    "sql_promo_revenue": {"must_push": True, "min_bhj": 1, "max_exchanges": 1},
+    "sql_top_supplier": {"must_push": True, "min_bhj": 1, "max_exchanges": 3},
+}
+
+
+def expectation_violations(name: str, feats: dict) -> list[str]:
+    exp = EXPECTATIONS.get(name)
+    if not exp or feats.get("error"):
+        return []
+    out = []
+    if exp.get("must_push") and not feats["pushed"]:
+        out.append("expected-pushdown-missing")
+    if exp.get("must_prune") and not feats["partition_pruned"]:
+        out.append("expected-partition-pruning-missing")
+    if feats["bhj"] < exp.get("min_bhj", 0):
+        out.append(f"expected>={exp['min_bhj']}-broadcast-joins-got-{feats['bhj']}")
+    if "max_exchanges" in exp and feats["exchanges"] > exp["max_exchanges"]:
+        out.append(
+            f"exchange-budget-{exp['max_exchanges']}-exceeded-{feats['exchanges']}"
+        )
+    return out
 
 
 def violations(feats: dict) -> list[str]:
@@ -122,7 +187,7 @@ def render(results: dict[str, dict], sf_dir: str) -> str:
         if f.get("error"):
             lines.append(f"| {name} | — | — | — | — | — | — | ERROR: {f['error'][:60]} |")
             continue
-        v = ", ".join(violations(f)) or "—"
+        v = ", ".join(violations(f) + expectation_violations(name, f)) or "—"
         lines.append(
             f"| {name} | {f['exchanges']} | {f['smj']} | {f['bhj']} | "
             f"{f['bnlj']} | {f['arrow_python']} | "
@@ -143,24 +208,25 @@ def main() -> int:
     spark = get_spark(app_name="plan_audit", master="local[8]")
     results = audit(spark, args.sf, args.names or None)
 
+    def all_violations(n: str, f: dict) -> list[str]:
+        return violations(f) + expectation_violations(n, f) if not f.get("error") else []
+
     bad = {
         n: v
         for n, f in results.items()
-        if f.get("error") or (v := violations(f))
+        if f.get("error") or (v := all_violations(n, f))
     }
     errors = {n: f["error"] for n, f in results.items() if f.get("error")}
     if args.write:
         (REPO / "PLANS.md").write_text(render(results, args.sf))
         print(f"wrote PLANS.md ({len(results)} queries)")
     for n, f in sorted(results.items()):
-        if not f.get("error") and violations(f):
-            print(f"VIOLATION {n}: {violations(f)}")
+        if not f.get("error") and all_violations(n, f):
+            print(f"VIOLATION {n}: {all_violations(n, f)}")
     for n, e in errors.items():
         print(f"ERROR {n}: {e}")
-    print(
-        f"{len(results)} audited, {len(errors)} errors, "
-        f"{sum(1 for n, f in results.items() if not f.get('error') and violations(f))} violations"
-    )
+    n_viol = sum(1 for n, f in results.items() if not f.get("error") and all_violations(n, f))
+    print(f"{len(results)} audited, {len(errors)} errors, {n_viol} violations")
     return 1 if bad else 0
 
 
