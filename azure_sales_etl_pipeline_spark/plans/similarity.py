@@ -416,16 +416,31 @@ _IVF_ITERS = 1  # Lloyd iterations (deterministic seeds → deterministic index;
 # iteration is a full assign+reduce job over the corpus)
 
 
-def _sq_dist_col(vec: Column, cent: Column) -> Column:
-    """Squared L2 between two array<double> COLUMNS (no literals)."""
+_IVF_SCALE = 1_000_000  # micro-unit quantization for the coarse quantizer:
+# the ENTIRE k-means (seeds → assignment → centroid means → probes) runs
+# on floor(x·1e6) BIGINTs, which both engines compute bit-identically
+# (floor over IEEE double is exact; integer div truncates toward zero in
+# BOTH Spark `div` and DuckDB `//` — verified on negatives). This is what
+# made ann_topk_ivf VALUE-oracled in r9 (float centroid means are not
+# engine-replayable: cross-partition float sums have no defined order).
+# Worst-case arithmetic: |q|≤~4e6, diff²≤2.6e13, ×64 dims ≈ 1.7e15 « 2^63.
+
+
+def _as_q(vec_col: Column) -> Column:
+    """Micro-quantized array<bigint> view of a double vector."""
+    return F.transform(vec_col, lambda x: F.floor(x * _IVF_SCALE).cast("bigint"))
+
+
+def _sq_dist_int(vec: Column, cent: Column) -> Column:
+    """Exact squared L2 between two array<bigint> COLUMNS."""
     return F.aggregate(
         F.zip_with(vec, cent, lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
+        F.lit(0).cast("bigint"),
         lambda acc, v: acc + v,
     )
 
 
-def _with_centroids(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
+def _with_centroids(df: DataFrame, centroids: list[list[int]]) -> DataFrame:
     """Attach the k×dim centroid matrix as ONE broadcast column.
 
     Centroids ship as DATA (a one-row broadcast cross join), not as
@@ -436,27 +451,39 @@ def _with_centroids(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
     column, distance-to-all-centroids is a single HOF transform whose
     generated code is independent of k."""
     spark = df.sparkSession
-    cents = spark.createDataFrame([(centroids,)], "cents: array<array<double>>")
+    cents = spark.createDataFrame([(centroids,)], "cents: array<array<bigint>>")
     return df.crossJoin(F.broadcast(cents))
 
 
-def _nearest_cluster(vec: Column) -> Column:
+def _nearest_cluster(qvec: Column) -> Column:
     """argmin over the attached ``cents`` column (first index on ties —
-    same tie-break as sorting (dist, idx) structs)."""
-    dists = F.transform(F.col("cents"), lambda c: _sq_dist_col(vec, c))
+    same tie-break as sorting (dist, idx) structs). ``qvec`` is the
+    micro-quantized array<bigint>; distances are exact integers."""
+    dists = F.transform(F.col("cents"), lambda c: _sq_dist_int(qvec, c))
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
-def _train_centroids(emb: DataFrame, k: int = _IVF_K, iters: int = _IVF_ITERS) -> list[list[float]]:
-    """Mini k-means on the corpus: deterministic strided seeds, then
-    Lloyd iterations expressed as DataFrame jobs (assign = narrow map,
-    update = posexplode + per-dimension mean — one shuffle keyed on
-    (cluster, dim)). Only the k×dim centroid matrix ever reaches the
-    driver; the corpus never does."""
+def _trunc_div(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division — the semantics BOTH Spark
+    ``div`` and DuckDB ``//`` use (Python ``//`` floors, which differs
+    on negative sums; centroid coordinates are routinely negative)."""
+    q = abs(a) // b
+    return -q if a < 0 else q
+
+
+def _train_centroids(emb: DataFrame, k: int = _IVF_K, iters: int = _IVF_ITERS) -> list[list[int]]:
+    """Mini k-means on the micro-quantized corpus (column ``q``):
+    deterministic strided seeds, then Lloyd iterations expressed as
+    DataFrame jobs (assign = narrow map, update = posexplode +
+    per-dimension integer mean — one shuffle keyed on (cluster, dim)).
+    Only the k×dim centroid matrix ever reaches the driver; the corpus
+    never does. All-integer end-to-end (see ``_IVF_SCALE``), so the
+    trained index is bit-identical across engines and runs — what lets
+    the DuckDB oracle replay the whole index build."""
     n = emb.count()
     stride = max(n // k, 1)
     seeds = [
-        [float(v) for v in r["vec"]]
+        [int(v) for v in r["q"]]
         for r in emb.where(F.col("vec_id") % stride == 0).orderBy("vec_id").limit(k).collect()
     ]
     centroids = seeds
@@ -467,19 +494,21 @@ def _train_centroids(emb: DataFrame, k: int = _IVF_K, iters: int = _IVF_ITERS) -
         # measured 64× overwork (12 s → <1 s at sf0.1).
         assign = (
             _with_centroids(emb, centroids)
-            .select(_nearest_cluster(F.col("vec")).alias("cluster"), "vec")
+            .select(_nearest_cluster(F.col("q")).alias("cluster"), "q")
             .persist()
         )
-        means = (
-            assign.select("cluster", F.posexplode("vec").alias("dim", "val"))
+        sums = (
+            assign.select("cluster", F.posexplode("q").alias("dim", "val"))
             .groupBy("cluster", "dim")
-            .agg(F.avg("val").alias("m"))
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
             .collect()
         )
         assign.unpersist()
-        by_cluster: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cluster.setdefault(r["cluster"], {})[r["dim"]] = r["m"]
+        by_cluster: dict[int, dict[int, int]] = {}
+        for r in sums:
+            by_cluster.setdefault(r["cluster"], {})[r["dim"]] = _trunc_div(
+                int(r["s"]), int(r["c"])
+            )
         centroids = [
             [by_cluster[c][d] for d in sorted(by_cluster[c])] if c in by_cluster else centroids[c]
             for c in range(len(centroids))
@@ -493,22 +522,34 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     only its _IVF_PROBES nearest lists. Candidate volume per query is
     ~corpus·probes/k instead of corpus — the standard
     recall-vs-cost dial (probes↑ → recall↑). Recall vs brute force is
-    asserted in tests/test_dedup_similarity.py."""
+    asserted in tests/test_dedup_similarity.py.
+
+    VALUE-oracled since r9: index build and probe selection run on
+    micro-quantized integers (``_IVF_SCALE``) that DuckDB replays
+    bit-exactly; only the final re-rank uses doubles (exact cosine, the
+    same replayable form as the brute-force oracle)."""
     emb = load_table(spark, sf_dir, "embeddings")
     # plan_barrier fences as in the LSH twin (functions.plan_barrier).
     corpus = plan_barrier(
-        emb.select("vec_id", _as_double("embedding").alias("vec"), "label")
+        emb.select(
+            "vec_id",
+            _as_double("embedding").alias("vec"),
+            _as_q(_as_double("embedding")).alias("q"),
+            "label",
+        )
     )
     centroids = _train_centroids(corpus)
 
     indexed = plan_barrier(
         plan_barrier(_with_centroids(corpus, centroids))
-        .withColumn("cluster", _nearest_cluster(F.col("vec")))
-        .drop("cents")
+        .withColumn("cluster", _nearest_cluster(F.col("q")))
+        .drop("cents", "q")
     )
     queries = plan_barrier(
         emb.where(F.col("vec_id") < _N_QUERIES).select(
-            F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qvec")
+            F.col("vec_id").alias("query_id"),
+            _as_double("embedding").alias("qvec"),
+            _as_q(_as_double("embedding")).alias("qq"),
         )
     )
     probe_pairs = F.slice(
@@ -516,7 +557,7 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(
                 F.col("cents"),
                 lambda c, i: F.struct(
-                    _sq_dist_col(F.col("qvec"), c).alias("d"), i.alias("i")
+                    _sq_dist_int(F.col("qq"), c).alias("d"), i.alias("i")
                 ),
             )
         ),
@@ -545,6 +586,101 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _TOP_K)
         .select("query_id", "rank", "vec_id", "label", F.round("sim", 6).alias("sim"))
     )
+
+
+def _ann_ivf_sql() -> str:
+    """DuckDB replay of the ENTIRE IVF pipeline — strided seeds, one
+    integer-Lloyd iteration, final assignment, multi-probe selection,
+    exact cosine re-rank. Valid for _IVF_ITERS == 1 (asserted); every
+    step before the re-rank is BIGINT arithmetic both engines compute
+    identically (floor-quantized coordinates, truncating integer-mean
+    centroids, exact squared-L2 argmins with (dist, cid) tie-break)."""
+    assert _IVF_ITERS == 1, "oracle replays exactly one Lloyd iteration"
+    k, p, nq, topk, s = _IVF_K, _IVF_PROBES, _N_QUERIES, _TOP_K, _IVF_SCALE
+    d = _EMB_DIM
+    return f"""
+    WITH corpus AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS vec,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(floor(x * {s}) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    stats AS (SELECT greatest(count(*) // {k}, 1) AS stride FROM corpus),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS sq
+        FROM corpus, stats
+        WHERE vec_id % stride = 0
+        ORDER BY vec_id
+        LIMIT {k}
+    ),
+    d0 AS (
+        SELECT c.vec_id, se.cid,
+               list_sum(list_transform(range(1, {d + 1}),
+                   i -> (c.q[i] - se.sq[i]) * (c.q[i] - se.sq[i]))) AS d2
+        FROM corpus c, seeds se
+    ),
+    a0 AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM d0) WHERE rn = 1
+    ),
+    cent AS (
+        SELECT a0.cid, dd.dim, CAST(sum(c.q[dd.dim]) // count(*) AS BIGINT) AS cv
+        FROM a0 JOIN corpus c USING (vec_id),
+             (SELECT unnest(range(1, {d + 1})) AS dim) dd
+        GROUP BY a0.cid, dd.dim
+    ),
+    cents AS (SELECT cid, list(cv ORDER BY dim) AS cq FROM cent GROUP BY cid),
+    d1 AS (
+        SELECT c.vec_id, t.cid,
+               list_sum(list_transform(range(1, {d + 1}),
+                   i -> (c.q[i] - t.cq[i]) * (c.q[i] - t.cq[i]))) AS d2
+        FROM corpus c, cents t
+    ),
+    assign AS (
+        SELECT vec_id, cid AS cluster FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM d1) WHERE rn = 1
+    ),
+    qset AS (
+        SELECT vec_id AS query_id, vec AS qvec, q AS qq
+        FROM corpus WHERE vec_id < {nq}
+    ),
+    qd AS (
+        SELECT query_id, cid,
+               row_number() OVER (PARTITION BY query_id ORDER BY d2, cid) AS rn
+        FROM (
+            SELECT qs.query_id, t.cid,
+                   list_sum(list_transform(range(1, {d + 1}),
+                       i -> (qs.qq[i] - t.cq[i]) * (qs.qq[i] - t.cq[i]))) AS d2
+            FROM qset qs, cents t)
+    ),
+    probes AS (SELECT query_id, cid AS cluster FROM qd WHERE rn <= {p}),
+    cand AS (
+        SELECT pr.query_id, a.vec_id
+        FROM probes pr JOIN assign a ON a.cluster = pr.cluster
+        WHERE a.vec_id != pr.query_id
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.vec_id, c.label,
+               list_dot_product(qs.qvec, c.vec)
+               / (sqrt(list_dot_product(qs.qvec, qs.qvec))
+                  * sqrt(list_dot_product(c.vec, c.vec))) AS sim
+        FROM cand
+        JOIN corpus c ON c.vec_id = cand.vec_id
+        JOIN qset qs ON qs.query_id = cand.query_id
+    )
+    SELECT query_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank,
+           vec_id, label, round(sim, 6) AS sim
+    FROM scored
+    QUALIFY rank <= {topk}
+"""
+
+
+_ANN_IVF_SQL = _ann_ivf_sql()
 
 
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -902,14 +1038,15 @@ QUERIES = {
     "ann_recall_check": ann_recall_check,
 }
 
-# ann_topk_ivf stays rows-only (float k-means centroids are not
-# engine-replayable); its recall is gated by ann_recall_check.
-# ann_topk_lsh is VALUE-oracled since round 9 — the SRP hyperplanes are
-# deterministic constants both engines share (r8 verdict item 2).
+# All three ANN paths are VALUE-oracled as of round 9: ann_topk_lsh via
+# shared deterministic hyperplane constants (r8 verdict item 2) and
+# ann_topk_ivf via the all-integer index build (_IVF_SCALE) whose one
+# Lloyd iteration DuckDB replays bit-exactly.
 ORACLES = {
     "embedding_decontaminate": _DECON_SQL,
     "ann_topk_bruteforce": _BRUTE_SQL,
     "ann_topk_lsh": _ANN_LSH_SQL,
+    "ann_topk_ivf": _ANN_IVF_SQL,
     "embedding_near_dup": _NEAR_DUP_SQL,
     "label_centroids": _CENTROID_SQL,
     "embedding_norms": _NORMS_SQL,
