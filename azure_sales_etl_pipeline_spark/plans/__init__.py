@@ -56,6 +56,7 @@ _SWEEP_PRIORITY_INPUTS = (
 )
 _SWEEP_PRIORITY = (
     "embedding_decontaminate",
+    "ivf_index_maintenance",
     "minhash_source_similarity",
     "vocab_growth",
     "percentile_accuracy_check",

@@ -588,6 +588,135 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index MAINTENANCE without quantizer retraining — the 100 TB
+    operational question ("new data arrived; do the inverted lists
+    still fit the quantizer?") answered as a first-class query. The
+    coarse quantizer trains on batch A only (vec_id % 2 = 0, standing
+    in for 'yesterday's corpus') and is then FROZEN; batch B rows are
+    assigned to the frozen centroids — per-row independent, so
+    per-batch index folds are exact by construction (assignment of new
+    data never re-reads history, the `merge_fingerprint_index`
+    contract applied to ANN). Per cluster, the report compares batch
+    occupancy (growth_permille) and quantization fit (avg squared-L2
+    to the assigned centroid, avg_d2_a vs avg_d2_b): a cluster whose
+    B-side avg_d2 runs hot is drifting off its centroid — the retrain
+    signal.
+
+    All-integer end-to-end on the ``_IVF_SCALE`` quantization, so the
+    entire pipeline (train on A → freeze → assign A∪B → per-cluster
+    integer means) is VALUE-oracled in DuckDB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = plan_barrier(
+        emb.select("vec_id", _as_q(_as_double("embedding")).alias("q"))
+    )
+    batch_a = base.where(F.col("vec_id") % 2 == 0)
+    centroids = _train_centroids(batch_a)
+
+    assigned = plan_barrier(
+        plan_barrier(_with_centroids(base, centroids))
+        .withColumn("cluster", _nearest_cluster(F.col("q")))
+        .withColumn(
+            "d2",
+            _sq_dist_int(
+                F.col("q"), F.element_at(F.col("cents"), F.col("cluster") + 1)
+            ),
+        )
+        .select(
+            "cluster",
+            (F.col("vec_id") % 2 == 0).alias("is_a"),
+            "d2",
+        )
+    )
+    per = assigned.groupBy("cluster").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("is_a"), F.col("d2")).otherwise(0)).alias("sd2_a"),
+        F.sum(F.when(~F.col("is_a"), F.col("d2")).otherwise(0)).alias("sd2_b"),
+    )
+    return per.select(
+        "cluster",
+        "n_a",
+        "n_b",
+        F.expr("CAST(sd2_a DIV greatest(n_a, 1) AS BIGINT)").alias("avg_d2_a"),
+        F.expr("CAST(sd2_b DIV greatest(n_b, 1) AS BIGINT)").alias("avg_d2_b"),
+        F.expr("CAST(n_b * 1000 DIV greatest(n_a, 1) AS BIGINT)").alias(
+            "growth_permille"
+        ),
+    )
+
+
+def _ivf_maint_sql() -> str:
+    """DuckDB replay of ``ivf_index_maintenance``: train on the even
+    batch, freeze, assign everything, integer per-cluster report."""
+    k, s, d = _IVF_K, _IVF_SCALE, _EMB_DIM
+    return f"""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(floor(x * {s}) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    a AS (SELECT * FROM base WHERE vec_id % 2 = 0),
+    stats AS (SELECT greatest(count(*) // {k}, 1) AS stride FROM a),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS sq
+        FROM a, stats
+        WHERE vec_id % stride = 0
+        ORDER BY vec_id
+        LIMIT {k}
+    ),
+    d0 AS (
+        SELECT c.vec_id, se.cid,
+               list_sum(list_transform(range(1, {d + 1}),
+                   i -> (c.q[i] - se.sq[i]) * (c.q[i] - se.sq[i]))) AS d2
+        FROM a c, seeds se
+    ),
+    a0 AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM d0) WHERE rn = 1
+    ),
+    cent AS (
+        SELECT a0.cid, dd.dim, CAST(sum(c.q[dd.dim]) // count(*) AS BIGINT) AS cv
+        FROM a0 JOIN a c USING (vec_id),
+             (SELECT unnest(range(1, {d + 1})) AS dim) dd
+        GROUP BY a0.cid, dd.dim
+    ),
+    cents AS (SELECT cid, list(cv ORDER BY dim) AS cq FROM cent GROUP BY cid),
+    d1 AS (
+        SELECT b.vec_id, t.cid,
+               list_sum(list_transform(range(1, {d + 1}),
+                   i -> (b.q[i] - t.cq[i]) * (b.q[i] - t.cq[i]))) AS d2
+        FROM base b, cents t
+    ),
+    assign AS (
+        SELECT vec_id, cid AS cluster, CAST(d2 AS BIGINT) AS d2 FROM (
+            SELECT vec_id, cid, d2,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM d1) WHERE rn = 1
+    )
+    SELECT cluster,
+           CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           CAST(sum(CASE WHEN vec_id % 2 = 0 THEN d2 ELSE 0 END)
+                // greatest(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END), 1)
+                AS BIGINT) AS avg_d2_a,
+           CAST(sum(CASE WHEN vec_id % 2 = 1 THEN d2 ELSE 0 END)
+                // greatest(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END), 1)
+                AS BIGINT) AS avg_d2_b,
+           CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) * 1000
+                // greatest(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END), 1)
+                AS BIGINT) AS growth_permille
+    FROM assign
+    GROUP BY cluster
+"""
+
+
+_IVF_MAINT_SQL = _ivf_maint_sql()
+
+
 def _ann_ivf_sql() -> str:
     """DuckDB replay of the ENTIRE IVF pipeline — strided seeds, one
     integer-Lloyd iteration, final assignment, multi-probe selection,
@@ -1026,6 +1155,7 @@ _PCA_CHECK_SQL = f"""
 
 QUERIES = {
     "embedding_decontaminate": embedding_decontaminate,
+    "ivf_index_maintenance": ivf_index_maintenance,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "embedding_gram": embedding_gram,
     "pca_power_iteration_check": pca_power_iteration_check,
@@ -1044,6 +1174,7 @@ QUERIES = {
 # Lloyd iteration DuckDB replays bit-exactly.
 ORACLES = {
     "embedding_decontaminate": _DECON_SQL,
+    "ivf_index_maintenance": _IVF_MAINT_SQL,
     "ann_topk_bruteforce": _BRUTE_SQL,
     "ann_topk_lsh": _ANN_LSH_SQL,
     "ann_topk_ivf": _ANN_IVF_SQL,
