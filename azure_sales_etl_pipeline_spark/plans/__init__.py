@@ -58,6 +58,7 @@ _SWEEP_PRIORITY = (
     "embedding_decontaminate",
     "ivf_index_maintenance",
     "minhash_source_similarity",
+    "repeated_spans",
     "vocab_growth",
     "percentile_accuracy_check",
     "purchase_prior_clicks",

@@ -1367,7 +1367,75 @@ _VOCAB_GROWTH_SQL = rf"""
 """
 
 
+_SPAN_W = 20  # tokens per span (the Lee-et-al exact-substring dedup
+# window, scaled to this corpus; 50 in the paper)
+_SPAN_TOP = 20
+
+
+def repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document EXACT-SUBSTRING dedup signal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    ``_SPAN_W``-token sliding window, aggregated corpus-wide; spans
+    seen in ≥2 distinct docs are the memorization-risk passages a
+    span-level deduper would cut. Top-20 by occurrence count (ties on
+    the span text) with per-span doc counts.
+
+    Scale shape: windows explode map-side (≈ one row per token — the
+    same fan-out a tokenizer pays), then ONE shuffle keyed on the span
+    with map-side combine; the heavy tail of singleton spans dies in
+    the partial aggregate. At 100 TB the group key would be a span
+    HASH with the text resolved for the survivors only (same
+    plan, narrower shuffle rows — documented, not needed at test SF).
+    Top-N via TakeOrderedAndProject, never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    spans = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (_SPAN_W - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, _SPAN_W), " "),
+    )
+    exploded = docs.select("doc_id", F.explode(spans).alias("span"))
+    g = (
+        exploded.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+    return (
+        g.orderBy(F.col("n_occ").desc(), F.col("span").asc())
+        .limit(_SPAN_TOP)
+        .select(F.substring("span", 1, 60).alias("span_prefix"), "n_occ", "n_docs")
+    )
+
+
+_REPEATED_SPANS_SQL = rf"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(t) - {_SPAN_W}, 0) + 2),
+                   i -> array_to_string(t[i : i + {_SPAN_W - 1}], ' ')
+               )) AS span
+        FROM t
+    ),
+    g AS (
+        SELECT span, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+        FROM w GROUP BY span
+        HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT substr(span, 1, 60) AS span_prefix, n_occ, n_docs
+    FROM g
+    ORDER BY n_occ DESC, span ASC
+    LIMIT {_SPAN_TOP}
+"""
+
+
 QUERIES = {
+    "repeated_spans": repeated_spans,
     "vocab_growth": vocab_growth,
     "doc_token_stats": doc_token_stats,
     "source_vocab_drift": source_vocab_drift,
@@ -1389,6 +1457,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "repeated_spans": _REPEATED_SPANS_SQL,
     "vocab_growth": _VOCAB_GROWTH_SQL,
     "doc_token_stats": _TOKEN_STATS_SQL,
     "source_vocab_drift": _SOURCE_DRIFT_SQL,
