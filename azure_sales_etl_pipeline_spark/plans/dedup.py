@@ -150,15 +150,11 @@ _JACCARD_SQL = r"""
 # ---------------------------------------------------------------------------
 
 
-def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document. Each token votes ±1 on 64 bit
-    positions; the vote for bit i is the high bit of sha256(token)'s i-th
-    hex nibble (portable across engines, unlike xxhash64). Sign of the
-    vote sum → bit. Map-only: tokens never leave their partition.
-    """
-    from ..functions import spread_for_cpu
-
-    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"))
+def _simhash_bits(docs: DataFrame) -> DataFrame:
+    """``(doc_id, simhash_bits)`` — the shared 64-bit SimHash kernel
+    behind both the ``simhash`` sketch query and the banded
+    ``simhash_hamming_pairs`` near-dup join. Map-only: tokens never
+    leave their partition."""
     # Materialize the per-token hash array in its own projection: HOF
     # lambdas defeat common-subexpression elimination, so inlining this
     # into the 64 bit-votes would recompute every sha256 64×.
@@ -191,6 +187,16 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.select("doc_id", F.array_join(bits, "").alias("simhash_bits"))
 
 
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document. Each token votes ±1 on 64 bit
+    positions; the vote for bit i is the high bit of sha256(token)'s i-th
+    hex nibble (portable across engines, unlike xxhash64). Sign of the
+    vote sum → bit (see ``_simhash_bits``)."""
+    from ..functions import spread_for_cpu
+
+    return _simhash_bits(spread_for_cpu(load_table(spark, sf_dir, "documents")))
+
+
 _SIMHASH_SQL = r"""
     WITH t AS (
         SELECT doc_id,
@@ -207,6 +213,132 @@ _SIMHASH_SQL = r"""
                'string_agg', '') AS simhash_bits
     FROM t
 """
+
+
+_SIMHASH_BANDS = 4  # 16 bits each; pigeonhole-exact for hamming <= 3
+_SIMHASH_MAX_HAMMING = 3
+
+
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs whose 64-bit SimHashes differ in at most
+    ``_SIMHASH_MAX_HAMMING`` bits — via banded LSH that is EXACT, not
+    approximate: with 4 disjoint 16-bit bands and a threshold of 3
+    differing bits, the pigeonhole principle guarantees at least one
+    band is untouched, so every qualifying pair shares an exact band
+    value and the banded equi-join has perfect recall (Manku et al.,
+    WWW'07 — the web-scale simhash dedup shape). The oracle computes
+    the same banding independently, so a recall hole would hash-fail.
+
+    Plan: one map-only sketch pass (``_simhash_bits``, eagerly
+    checkpointed so the 64-vote aggregation runs once, not once per
+    self-join side) → posexplode 4 band keys → shuffle on
+    (band, band_bits) → in-bucket self-join → distinct pairs → exact
+    Hamming verify JVM-side. Never all-pairs: at sf0.01 the bucket
+    join yields ~5.4k candidates against ~1.4M possible pairs.
+
+    Scale caveat (documented, inherent): short or templated documents
+    produce low-entropy sketches that collapse into hot band buckets —
+    the verify cost is O(Σ bucket²), not O(corpus²). The production
+    remedy is a second-level split of oversized buckets on the other
+    48 bits; at the driver SFs bucket sizes stay small enough that the
+    flat join is the right plan.
+    """
+    from ..functions import spread_for_cpu
+
+    sigs = _simhash_bits(
+        spread_for_cpu(load_table(spark, sf_dir, "documents"))
+    ).localCheckpoint()
+    band_w = 64 // _SIMHASH_BANDS
+    bands = sigs.select(
+        "doc_id",
+        "simhash_bits",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("simhash_bits", b * band_w + 1, band_w)
+                    for b in range(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_bits"),
+    )
+    hamming = F.size(
+        F.filter(
+            F.zip_with(
+                F.split(F.col("bits_a"), ""),
+                F.split(F.col("bits_b"), ""),
+                lambda x, y: x != y,
+            ),
+            lambda d: d,
+        )
+    ).cast("long")
+    return (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_bits") == F.col("y.band_bits"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+            "inner",
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash_bits").alias("bits_a"),
+            F.col("y.simhash_bits").alias("bits_b"),
+        )
+        .distinct()
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
+    )
+
+
+def _simhash_pairs_sql() -> str:
+    """DuckDB replay: same sketch (the ``simhash`` oracle's CTE), same
+    4-band split, same Hamming verify — generated from the same
+    constants so band/threshold changes cannot drift."""
+    band_w = 64 // _SIMHASH_BANDS
+    return rf"""
+    WITH t AS (
+        SELECT doc_id,
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              w -> sha256(lower(w))) AS hs
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+               list_aggregate(
+                   list_transform(range(1, 65), i ->
+                       CASE WHEN list_sum(list_transform(hs, h ->
+                            CASE WHEN substr(h, i, 1) SIMILAR TO '[89a-f]'
+                                 THEN 1 ELSE -1 END)) > 0
+                       THEN '1' ELSE '0' END),
+                   'string_agg', '') AS bits
+        FROM t
+    ),
+    bands AS (
+        SELECT doc_id, bits, b AS band_idx,
+               substr(bits, b * {band_w} + 1, {band_w}) AS band_bits
+        FROM sig, range(0, {_SIMHASH_BANDS}) r(b)
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               x.bits AS bits_a, y.bits AS bits_b
+        FROM bands x JOIN bands y
+          ON x.band_idx = y.band_idx AND x.band_bits = y.band_bits
+         AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(list_sum(list_transform(range(1, 65), i ->
+               CASE WHEN substr(bits_a, i, 1) <> substr(bits_b, i, 1)
+                    THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE list_sum(list_transform(range(1, 65), i ->
+               CASE WHEN substr(bits_a, i, 1) <> substr(bits_b, i, 1)
+                    THEN 1 ELSE 0 END)) <= {_SIMHASH_MAX_HAMMING}
+"""
+
+
+_SIMHASH_PAIRS_SQL = _simhash_pairs_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -736,6 +868,7 @@ _FUZZY_SQL = f"""
 QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "simhash": simhash,
+    "simhash_hamming_pairs": simhash_hamming_pairs,
     "minhash_lsh_candidates": minhash_lsh_candidates,
     "minhash_source_similarity": minhash_source_similarity,
     "minhash_recall_check": minhash_recall_check,
@@ -749,6 +882,9 @@ ORACLES = {
     "dedup_keep_first": _KEEP_FIRST_SQL,
     "ngram_jaccard_pairs": _JACCARD_SQL,
     "simhash": _SIMHASH_SQL,
+    # Oracle-side banding replays the pigeonhole-exact recall argument
+    # independently — a Spark-side recall hole would hash-fail here.
+    "simhash_hamming_pairs": _SIMHASH_PAIRS_SQL,
     # Value-oracled since round 9 (sha256-slice hashes replace xxhash64,
     # which DuckDB could not replay — r8 verdict item 2).
     "minhash_lsh_candidates": _MINHASH_LSH_SQL,

@@ -144,3 +144,49 @@ def test_pca_power_iteration_check_passes_and_rejects_isotropy(spark):
     assert row["n_vecs"] == 500 and row["trace_e6"] > 0
     # isotropy floor: an identity-like spectrum gives exactly 1000/d
     assert _PCA_EXPLAINED_MIN_PERMILLE > 1000 // _GRAM_DIM
+
+
+def test_simhash_banding_is_exhaustive_for_hamming_le_3(spark, tmp_path):
+    """The pigeonhole claim behind simhash_hamming_pairs: with 4
+    disjoint 16-bit bands and threshold 3, the banded join must return
+    EXACTLY the brute-force hamming<=3 pair set — perfect recall (an
+    untouched band always exists) AND no extras (every candidate is
+    Hamming-verified). Planted clones + one-token edits guarantee the
+    truth set is non-empty."""
+    import itertools
+    import random
+
+    from azure_sales_etl_pipeline_spark.plans.dedup import (
+        _SIMHASH_MAX_HAMMING,
+        _simhash_bits,
+        simhash_hamming_pairs,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(300)]
+    rows = []
+    for i in range(40):
+        base = [rng.choice(vocab) for _ in range(30)]
+        rows.append((3 * i, " ".join(base)))
+        rows.append((3 * i + 1, " ".join(base)))  # exact clone → hamming 0
+        near = list(base)
+        near[rng.randrange(30)] = rng.choice(vocab)
+        rows.append((3 * i + 2, " ".join(near)))  # near clone → small hamming
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_hamming_pairs(spark, str(tmp_path)).collect()
+    }
+    bits = {
+        r["doc_id"]: r["simhash_bits"]
+        for r in _simhash_bits(spark.read.parquet(str(tmp_path / "documents.parquet"))).collect()
+    }
+    truth = {}
+    for a, b in itertools.combinations(sorted(bits), 2):
+        h = sum(x != y for x, y in zip(bits[a], bits[b]))
+        if h <= _SIMHASH_MAX_HAMMING:
+            truth[(a, b)] = h
+    assert truth, "planted clones must produce a non-empty truth set"
+    assert got == truth
