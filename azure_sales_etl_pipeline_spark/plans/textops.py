@@ -1434,7 +1434,145 @@ _REPEATED_SPANS_SQL = rf"""
 """
 
 
+# ---------------------------------------------------------------------------
+# model-based quality filtering (hashing-trick linear classifier)
+# ---------------------------------------------------------------------------
+
+_QC_VOCAB_N = 512  # model vocabulary (top corpus tokens)
+_QC_WEIGHT_SPAN = 2001  # weights land in [-1000, 1000]
+
+
+def _qc_weight(token: Column) -> Column:
+    """Deterministic integer weight in [-1000, 1000] for a vocab token:
+    a positional ascii fold of the token's sha256 hex prefix, mod the
+    span. Portable by construction (``ascii``/``substring``/``%`` agree
+    across engines — no hex→int parse, the same dodge as the minhash
+    slices). Stands in for an exported fasttext/logistic weight vector;
+    the APPLY mechanics (broadcast model, map-side dot product, integer
+    margins) are the real artifact."""
+    h = F.sha2(token, 256)
+    folded = sum(
+        (F.ascii(F.substring(h, i, 1)) * F.lit(i)) for i in range(1, 17)
+    )
+    return (folded % F.lit(_QC_WEIGHT_SPAN)) - F.lit(1000)
+
+
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering — the fasttext-style linear
+    classifier pass every production curation pipeline runs after the
+    heuristic filters (``doc_quality``): score each document with a
+    linear model over token features, threshold into a keep decision,
+    and roll keep rates up per source.
+
+    Model = top-``_QC_VOCAB_N`` corpus tokens (count desc, token asc —
+    deterministic at the boundary) with integer weights (`_qc_weight`).
+    Doc margin = sum of matched token weights, normalized per token:
+    ``score_milli = (1000 * margin) div n_tokens`` (``div`` truncates
+    toward zero in BOTH engines, verified — negative margins safe).
+    Keep ⇔ margin ≥ 0.
+
+    Plan: vocab build is one token-key shuffle with map-side combine +
+    TakeOrderedAndProject (the offline model-training pass — at 100 TB
+    this ships as a precomputed artifact; here it derives from the same
+    corpus for a closed oracle). Apply is explode → BROADCAST hash join
+    against the 512-row model → doc-key partial-agg shuffle → source
+    rollup. The corpus text is scanned twice (train + apply) by
+    design — the production apply path alone scans once.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.transform(_tokens(), lambda w: F.lower(w)).alias("toks"),
+    )
+    exploded = toks.select(
+        "doc_id", F.explode("toks").alias("token")
+    )
+    vocab = (
+        exploded.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(_QC_VOCAB_N)
+        .select("token", _qc_weight(F.col("token")).alias("wt"))
+    )
+    margins = (
+        exploded.join(F.broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(F.sum("wt").alias("margin"))
+    )
+    per_doc = (
+        toks.select(
+            "doc_id",
+            "source",
+            F.greatest(F.size("toks"), F.lit(1)).alias("n_toks"),
+        )
+        .join(margins, "doc_id", "left")
+        .withColumn("margin", F.coalesce(F.col("margin"), F.lit(0)))
+        .withColumn("score_milli", F.expr("(1000 * margin) div n_toks"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("score_milli") >= 0, 1).otherwise(0)).alias(
+                "kept_docs"
+            ),
+            F.expr(
+                "(1000 * sum(CASE WHEN score_milli >= 0 THEN 1 ELSE 0 END))"
+                " div count(1)"
+            ).alias("keep_permille"),
+            F.expr("sum(score_milli) div count(1)").alias("avg_score_milli"),
+        )
+    )
+
+
+def _qc_sql() -> str:
+    fold = " + ".join(
+        f"ascii(substr(h, {i}, 1)) * {i}" for i in range(1, 17)
+    )
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              w -> lower(w)) AS t
+        FROM documents
+    ),
+    exploded AS (SELECT doc_id, unnest(t) AS token FROM toks),
+    vocab AS (
+        SELECT token, count(*) AS cnt FROM exploded GROUP BY token
+        ORDER BY cnt DESC, token LIMIT {_QC_VOCAB_N}
+    ),
+    w AS (
+        SELECT token,
+               (({fold}) % {_QC_WEIGHT_SPAN}) - 1000 AS wt
+        FROM (SELECT token, sha256(token) AS h FROM vocab)
+    ),
+    margins AS (
+        SELECT e.doc_id, CAST(sum(w.wt) AS BIGINT) AS margin
+        FROM exploded e JOIN w USING (token) GROUP BY e.doc_id
+    ),
+    per_doc AS (
+        SELECT t.source,
+               (1000 * coalesce(m.margin, 0)) // greatest(len(t.t), 1)
+                   AS score_milli
+        FROM toks t LEFT JOIN margins m USING (doc_id)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (score_milli >= 0) AS BIGINT) AS kept_docs,
+           (1000 * count(*) FILTER (score_milli >= 0)) // count(*)
+               AS keep_permille,
+           CAST(sum(score_milli) AS BIGINT) // count(*) AS avg_score_milli
+    FROM per_doc
+    GROUP BY source
+"""
+
+
+_QC_SQL = _qc_sql()
+
+
 QUERIES = {
+    "quality_classifier_score": quality_classifier_score,
     "repeated_spans": repeated_spans,
     "vocab_growth": vocab_growth,
     "doc_token_stats": doc_token_stats,
@@ -1457,6 +1595,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "quality_classifier_score": _QC_SQL,
     "repeated_spans": _REPEATED_SPANS_SQL,
     "vocab_growth": _VOCAB_GROWTH_SQL,
     "doc_token_stats": _TOKEN_STATS_SQL,

@@ -473,3 +473,22 @@ def test_bounded_topn_ranks_have_no_window_at_all(spark):
         plan = plan_of(fn(spark, SF_DIR))
         assert "Window" not in plan, plan
         assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_quality_classifier_broadcasts_model_and_bounds_vocab(spark):
+    """The classifier apply path must join the exploded corpus against
+    the 512-row model via BroadcastHashJoin (a shuffled join on the
+    token key would reshuffle the whole corpus for a model-sized dim),
+    and the model build must bound itself through
+    TakeOrderedAndProject, not a global sort."""
+    from azure_sales_etl_pipeline_spark.plans.textops import (
+        quality_classifier_score,
+    )
+
+    df = quality_classifier_score(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    rows = df.collect()
+    assert rows and all(0 <= r["keep_permille"] <= 1000 for r in rows)
+    assert all(r["kept_docs"] <= r["n_docs"] for r in rows)
