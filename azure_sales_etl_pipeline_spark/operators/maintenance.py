@@ -248,6 +248,134 @@ def merge_fingerprint_index(
     return survivors, read_table(spark, index_path)
 
 
+_CC_FOLD_MAX_ITERS = 8
+
+
+def _cc_min_label(edges: DataFrame, max_iters: int = _CC_FOLD_MAX_ITERS) -> DataFrame:
+    """Min-label connected components over an edge list — ``(node,
+    label)`` for every node that appears in an edge, labeled with the
+    minimum node id reachable from it. The same pointer-doubling loop
+    as ``plans.mlprep._compute_dedup_clusters`` (see its docstring for
+    the convergence argument), but over an arbitrary ``(src, dst)``
+    edge DataFrame so ``merge_cluster_labels`` can run it on the
+    CONTRACTED label graph, whose size is proportional to the new
+    batch's edges — never the corpus."""
+    adj = (
+        edges.select(F.col("src").alias("doc_a"), F.col("dst").alias("doc_b"))
+        .union(edges.select(F.col("dst").alias("doc_a"), F.col("src").alias("doc_b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        adj.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    changed = 0
+    for _ in range(max_iters):
+        neighbor_min = (
+            adj.join(labels, adj.doc_b == labels.node)
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        relaxed = labels.join(neighbor_min, labels.node == neighbor_min.doc_a).select(
+            "node", F.least(F.col("label"), F.col("nbr_min")).alias("mid"), "label"
+        )
+        lab_map = relaxed.select(
+            F.col("node").alias("r_node"), F.col("mid").alias("r_lab")
+        )
+        updated = (
+            relaxed.join(lab_map, F.col("mid") == F.col("r_node"))
+            .select("node", F.col("r_lab").alias("new_label"), "label")
+            .localCheckpoint(eager=True)
+        )
+        changed = updated.where(F.col("new_label") != F.col("label")).count()
+        labels = updated.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"_cc_min_label did not converge in {max_iters} pointer-doubling "
+        f"rounds ({changed} labels still changing); raise max_iters"
+    )
+
+
+def merge_cluster_labels(
+    spark: SparkSession,
+    labels_path: str,
+    new_edges: DataFrame,
+    new_nodes: DataFrame,
+    *,
+    commit_meta: dict | None = None,
+) -> DataFrame:
+    """Fold a batch of near-dup edges into a PERSISTED cluster-label
+    table — incremental connected components, the index-maintenance
+    form of ``plans.mlprep.dedup_clusters`` (same min-doc_id labels):
+    new documents join existing clusters, and a new bridge document
+    MERGES two old clusters, without ever re-running CC over history.
+
+    The textbook label-contraction fold:
+
+    1. map each new edge's endpoints to their CURRENT labels (old
+       nodes → persisted label, new nodes → themselves);
+    2. contract: edges between LABELS (self-loops drop) — a graph
+       whose size is O(new edges), independent of corpus size;
+    3. run min-label CC on the contracted graph (``_cc_min_label`` —
+       pointer doubling; old clusters are single contracted nodes);
+    4. remap: one hash join of the persisted label table against the
+       label→label fix-ups (clusters untouched by the batch pass
+       through), plus one lookup for the new nodes, union, staged
+       atomic swap.
+
+    History is touched exactly once, by the remap join in (4) — at
+    100 TB bucket the label table on ``cluster_id`` and broadcast the
+    fix-up map (its size is bounded by the batch's edge count).
+    Sequential folds converge to the one-shot CC answer exactly —
+    driver-hash-checked via ``cluster_labels_two_batch`` and pinned by
+    a bridge-merge pytest.
+
+    ``new_edges``: (doc_a, doc_b) candidate pairs with at least one
+    endpoint in the batch (in production these come from the persisted
+    LSH band index — cross-batch candidates without scanning history).
+    ``new_nodes``: one ``doc_id`` row per batch document (singletons
+    included — they enter as their own clusters).
+    """
+    _reject_delta_table(labels_path, "merge_cluster_labels")
+    if Path(labels_path).exists():
+        old = read_table(spark, labels_path).select("doc_id", "cluster_id")
+    else:
+        old = spark.createDataFrame([], "doc_id long, cluster_id long")
+    old_map = old.select(
+        F.col("doc_id").alias("m_doc"), F.col("cluster_id").alias("m_lab")
+    )
+    seeded = (
+        new_edges.select("doc_a", "doc_b")
+        .join(old_map, F.col("doc_a") == F.col("m_doc"), "left")
+        .select(
+            F.coalesce("m_lab", "doc_a").alias("lab_a"), "doc_b"
+        )
+        .join(old_map, F.col("doc_b") == F.col("m_doc"), "left")
+        .select("lab_a", F.coalesce("m_lab", "doc_b").alias("lab_b"))
+    )
+    contracted = seeded.where(F.col("lab_a") != F.col("lab_b")).select(
+        F.col("lab_a").alias("src"), F.col("lab_b").alias("dst")
+    )
+    remap = _cc_min_label(contracted).select(
+        F.col("node").alias("r_node"), F.col("label").alias("r_lab")
+    )
+    updated_old = old.join(
+        remap, old.cluster_id == F.col("r_node"), "left"
+    ).select(
+        "doc_id", F.coalesce("r_lab", "cluster_id").alias("cluster_id")
+    )
+    new_rows = new_nodes.select("doc_id").join(
+        remap, F.col("doc_id") == F.col("r_node"), "left"
+    ).select("doc_id", F.coalesce("r_lab", "doc_id").alias("cluster_id"))
+    merged = updated_old.unionByName(new_rows).localCheckpoint(eager=True)
+    overwrite_table(merged, labels_path, commit_meta=commit_meta)
+    return read_table(spark, labels_path)
+
+
 _DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
 
 

@@ -357,6 +357,65 @@ _DEDUP_INDEX_SQL = r"""
 """
 
 
+def cluster_labels_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fold the near-dup graph into a persisted cluster-label table in
+    two id-ordered batches (operators.maintenance.merge_cluster_labels
+    — label contraction over real parquet state, staged atomic swaps)
+    and return the final table. Batch 2's edge set is every candidate
+    pair TOUCHING a batch-2 doc — including the cross-batch bridges
+    that must merge previously-separate batch-1 clusters — so the fold
+    exercises the hard path (cluster merge through a new node), and
+    the oracle is the ONE-SHOT recursive-CTE CC recompute
+    (``mlprep._CC_SQL``): the incremental path must converge to it
+    exactly, hash-checked by the driver.
+
+    Candidate pairs here come from the registered blocked-Jaccard join
+    (one computation, split by batch membership); a production fold
+    would pull cross-batch candidates from the persisted LSH band
+    index instead of recomputing — the fold operator is agnostic to
+    where its edges come from."""
+    from ..operators.maintenance import merge_cluster_labels
+    from .mlprep import _CC_JACCARD_MIN
+    from ..functions import plan_barrier  # noqa: F401  (dedup import parity)
+    from .dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    edges = (
+        ngram_jaccard_pairs(spark, sf_dir)
+        .where(F.col("jaccard") >= _CC_JACCARD_MIN)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    tmp = tempfile.mkdtemp(prefix="ccidx_q_")
+    try:
+        merge_cluster_labels(
+            spark,
+            f"{tmp}/labels",
+            edges.where(
+                (F.col("doc_a") <= mid) & (F.col("doc_b") <= mid)
+            ),
+            docs.where(F.col("doc_id") <= mid),
+        )
+        final = merge_cluster_labels(
+            spark,
+            f"{tmp}/labels",
+            edges.where(
+                (F.col("doc_a") > mid) | (F.col("doc_b") > mid)
+            ),
+            docs.where(F.col("doc_id") > mid),
+        )
+        return final.select("doc_id", "cluster_id").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _cc_oracle_sql() -> str:
+    from .mlprep import _CC_SQL
+
+    return _CC_SQL
+
+
 def partition_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-partitioned layout end-to-end: orders write partitioned on
     o_orderstatus (operators.writer.write_partitioned), a second
@@ -930,6 +989,7 @@ QUERIES = {
     "fact_temporal_dimension_join": fact_temporal_dimension_join,
     "late_dimension_inferred": late_dimension_inferred,
     "dedup_index_two_batch": dedup_index_two_batch,
+    "cluster_labels_two_batch": cluster_labels_two_batch,
     "partition_pruned_revenue": partition_pruned_revenue,
     "scd2_delete_expiry": scd2_delete_expiry,
     "watermark_incremental_batch": watermark_incremental_batch,
@@ -946,6 +1006,8 @@ ORACLES = {
     "fact_temporal_dimension_join": _TEMPORAL_JOIN_SQL,
     "late_dimension_inferred": _LATE_DIM_SQL,
     "dedup_index_two_batch": _DEDUP_INDEX_SQL,
+    # one-shot CC recompute: the incremental fold must converge to it
+    "cluster_labels_two_batch": _cc_oracle_sql(),
     "partition_pruned_revenue": _PARTITION_PRUNED_SQL,
     "scd2_delete_expiry": _SCD2_DELETE_SQL,
     "watermark_incremental_batch": _WM_BATCH_SQL,

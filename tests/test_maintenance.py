@@ -303,3 +303,40 @@ def test_merge_aggregate_schema_gate_errors(spark, tmp_path):
         merge_aggregate(
             spark, mart, orders, keys=["order_date"], sums=["order_date"]
         )
+
+
+def test_merge_cluster_labels_bridges_old_clusters(spark, tmp_path):
+    """The hard path of incremental CC: a batch-2 document bridging two
+    batch-1 clusters must merge BOTH old clusters' members to one
+    label — including old members that touch no new edge — and
+    untouched clusters must pass through byte-identical."""
+    from azure_sales_etl_pipeline_spark.operators.maintenance import (
+        merge_cluster_labels,
+    )
+
+    path = str(tmp_path / "labels")
+    # batch 1: clusters {1,2,3} (label 1), {10,11} (label 10),
+    # untouched {20,21} (label 20), singleton 30
+    edges1 = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "doc_a long, doc_b long"
+    )
+    nodes1 = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20, 21, 30)], "doc_id long"
+    )
+    out1 = {
+        r["doc_id"]: r["cluster_id"]
+        for r in merge_cluster_labels(spark, path, edges1, nodes1).collect()
+    }
+    assert out1 == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 30: 30}
+    # batch 2: doc 40 bridges cluster 1 and cluster 10 (via members 3
+    # and 11 — NOT the labels); doc 41 is a new singleton
+    edges2 = spark.createDataFrame([(3, 40), (40, 11)], "doc_a long, doc_b long")
+    nodes2 = spark.createDataFrame([(40,), (41,)], "doc_id long")
+    out2 = {
+        r["doc_id"]: r["cluster_id"]
+        for r in merge_cluster_labels(spark, path, edges2, nodes2).collect()
+    }
+    assert out2 == {
+        1: 1, 2: 1, 3: 1, 10: 1, 11: 1, 40: 1,  # merged through the bridge
+        20: 20, 21: 20, 30: 30, 41: 41,          # untouched / singletons
+    }
