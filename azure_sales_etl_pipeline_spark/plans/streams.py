@@ -17,10 +17,12 @@ from ..streaming import (
     STREAM_DEDUP_SQL,
     STREAM_LATE_AUDIT_SQL,
     STREAM_JOIN_SQL,
+    STREAM_OUTER_SQL,
     STREAM_SESSION_SQL,
     STREAM_SLIDING_SQL,
     STREAM_TUMBLING_SQL,
     stream_click_purchase_join,
+    stream_click_purchase_outer,
     stream_dedup_events,
     stream_session_windows,
     stream_sliding_user_activity,
@@ -36,6 +38,7 @@ QUERIES = {
     "stream_sliding_user_activity": stream_sliding_user_activity,
     "stream_session_windows": stream_session_windows,
     "stream_click_purchase_join": stream_click_purchase_join,
+    "stream_click_purchase_outer": stream_click_purchase_outer,
     "stream_dedup_events": stream_dedup_events,
     "stream_user_totals_custom_state": stream_user_totals_custom_state,
     "stream_drift_monitor": stream_drift_monitor,
@@ -50,6 +53,7 @@ ORACLES = {
     "stream_sliding_user_activity": STREAM_SLIDING_SQL,
     "stream_session_windows": STREAM_SESSION_SQL,
     "stream_click_purchase_join": STREAM_JOIN_SQL,
+    "stream_click_purchase_outer": STREAM_OUTER_SQL,
     "stream_dedup_events": STREAM_DEDUP_SQL,
     "stream_user_totals_custom_state": STREAM_CUSTOM_STATE_SQL,
     "stream_drift_monitor": _STREAM_DRIFT_SQL,

@@ -334,6 +334,87 @@ STREAM_JOIN_SQL = """
 """
 
 
+def stream_click_purchase_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join — the state-EVICTION semantics the
+    inner join never exercises: purchases left-join the clicks of the
+    preceding hour; a purchase with no attributable click emits its
+    null-padded row only when the watermark passes the point where a
+    matching click could still arrive. Purchases as the left side makes
+    that point the purchase's own event time (clicks must precede the
+    purchase), so the outer cut is clean: matched pairs emit eagerly
+    (same as the inner join); null rows appear exactly for unmatched
+    purchases older than the final watermark. The oracle applies the
+    same cut — the eviction boundary itself is what's hash-checked."""
+    src = _events_stream(spark, sf_dir)
+    clicks = (
+        src.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        src.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            """
+            p_user = c_user
+            AND click_ts <= purchase_ts
+            AND click_ts > purchase_ts - INTERVAL 1 HOUR
+            """
+        ),
+        "left_outer",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "click_ts",
+    )
+    _drain_to_memory(joined, "stream_click_purchase_outer", mode="append")
+    return spark.table("stream_click_purchase_outer")
+
+
+# Outer cut: matched pairs carry no watermark condition (emitted
+# eagerly); null rows appear for unmatched purchases strictly older
+# than the final global watermark = min(per-side max event time) - 2h
+# (the watermark is the min across inputs; strict `<` per the engine's
+# watermark convention — see SCALE.md late-boundary row).
+STREAM_OUTER_SQL = """
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT * FROM events WHERE event_type = 'click'),
+         wm AS (
+            SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+                   - INTERVAL 2 HOUR AS w
+         )
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
+    FROM p JOIN c
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts
+     AND c.ts > p.ts - INTERVAL 1 HOUR
+    UNION ALL
+    SELECT p.event_id, NULL, p.user_id, p.ts, NULL
+    FROM p, wm
+    WHERE p.ts < wm.w
+      AND NOT EXISTS (
+          SELECT 1 FROM c
+          WHERE c.user_id = p.user_id
+            AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 1 HOUR
+      )
+"""
+
+
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once dedup by event key: ``dropDuplicates`` on
     ``event_id`` with an event-time watermark bounding the key-tracking

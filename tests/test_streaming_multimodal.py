@@ -226,6 +226,7 @@ def test_state_store_provider_matrix(spark, provider, monkeypatch):
     )
     from azure_sales_etl_pipeline_spark.streaming import (
         stream_click_purchase_join,
+        stream_click_purchase_outer,
     )
 
     if provider:
@@ -238,6 +239,13 @@ def test_state_store_provider_matrix(spark, provider, monkeypatch):
         "dedup": sorted(map(tuple, stream_dedup_events(spark, SF_DIR).collect())),
         "join": sorted(
             map(tuple, stream_click_purchase_join(spark, SF_DIR).collect())
+        ),
+        # left-outer adds the state-EVICTION path (null emission) to
+        # the matrix; key=repr because null click fields don't compare
+        # against datetimes.
+        "outer": sorted(
+            map(tuple, stream_click_purchase_outer(spark, SF_DIR).collect()),
+            key=repr,
         ),
         "custom": sorted(
             map(tuple, stream_user_totals_custom_state(spark, SF_DIR).collect())
