@@ -1927,7 +1927,171 @@ _LIFT_SQL = f"""
 """
 
 
+_SOURCE_CAP_N = 20  # max docs per source
+
+
+def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — the crawl-balancing sample every
+    web-scale corpus applies so one prolific domain can't dominate the
+    mix: keep at most ``_SOURCE_CAP_N`` docs per source, chosen in
+    md5-hash order (deterministic, portable "random" — the same idiom
+    as the hash splits, so membership is stable under repartitioning
+    and appends). One source-key shuffle; the rank window is bounded
+    by the per-source doc count and the cap keeps the output ~|sources|
+    × cap regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        docs.withColumn("rank_in_source", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank_in_source") <= _SOURCE_CAP_N)
+        .select("doc_id", "source", "rank_in_source")
+    )
+
+
+_SOURCE_CAP_SQL = f"""
+    SELECT doc_id, source, rank_in_source
+    FROM (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(doc_id::VARCHAR), doc_id
+               ) AS BIGINT) AS rank_in_source
+        FROM documents
+    )
+    WHERE rank_in_source <= {_SOURCE_CAP_N}
+"""
+
+
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixture (the multilingual/multi-
+    domain sampling standard, p_i ∝ n_i^α): per-source sampling weight
+    at α = 1/2 in integer permille. α = 1/2 specifically because
+    ``sqrt`` is an IEEE-754 BASIC operation — correctly rounded in
+    every engine — unlike ``pow``/``ln`` whose last-ulp divergence the
+    exactness rules ban (SCALE.md arithmetic traps); the flattening
+    floor(sqrt(n_tokens)) is therefore bit-portable. Reports raw vs
+    flattened shares side by side: the flattened permille is what a
+    mixture sampler consumes; the delta shows how much the temperature
+    lifts low-resource sources. Two tiny aggregates over one narrow
+    scan — all output BIGINT."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    per_source = docs.groupBy("source").agg(
+        F.sum("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    ).withColumn("w_sqrt", F.floor(F.sqrt(F.col("n_tokens"))).cast("bigint"))
+    totals = per_source.agg(
+        F.sum("n_tokens").alias("tot_tokens"), F.sum("w_sqrt").alias("tot_w")
+    )
+    return (
+        per_source.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr("(1000 * n_tokens) div tot_tokens").alias("raw_permille"),
+            F.expr("(1000 * w_sqrt) div tot_w").alias("temp_permille"),
+        )
+    )
+
+
+_MIXTURE_TEMP_SQL = r"""
+    WITH per_source AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+        GROUP BY source
+    ),
+    w AS (
+        SELECT *, CAST(floor(sqrt(n_tokens)) AS BIGINT) AS w_sqrt
+        FROM per_source
+    ),
+    tot AS (
+        SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+               CAST(sum(w_sqrt) AS BIGINT) AS tot_w
+        FROM w
+    )
+    SELECT source, n_docs, n_tokens,
+           (1000 * n_tokens) // tot_tokens AS raw_permille,
+           (1000 * w_sqrt) // tot_w AS temp_permille
+    FROM w, tot
+"""
+
+
+_LEN_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 4096)
+
+
+def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching report — the inference/training-serving
+    prep step that decides padding waste: assign every document to the
+    smallest power-of-two-ish length bucket that fits its token count,
+    then report per bucket how many tokens a pad-to-bucket-max batcher
+    would move vs how many are real. ``waste_permille`` is the metric a
+    bucketing config is tuned on (more buckets → less padding, more
+    ragged batches). The bucket ladder is a generated CASE chain — no
+    log2/pow floats anywhere; all output exact BIGINT off one narrow
+    scan + one bucket-key aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    bucket = F.lit(_LEN_BUCKETS[-1])
+    for b in reversed(_LEN_BUCKETS[:-1]):
+        bucket = F.when(F.col("n_tokens") <= b, F.lit(b)).otherwise(bucket)
+    return (
+        docs.withColumn("bucket_max", bucket.cast("bigint"))
+        .groupBy("bucket_max")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("real_tokens"),
+        )
+        .withColumn("padded_tokens", F.expr("n_docs * bucket_max"))
+        .withColumn(
+            "waste_permille",
+            F.expr("(1000 * (padded_tokens - real_tokens)) div padded_tokens"),
+        )
+    )
+
+
+def _len_buckets_sql() -> str:
+    ladder = " ".join(
+        f"WHEN n_tokens <= {b} THEN {b}" for b in _LEN_BUCKETS[:-1]
+    )
+    return rf"""
+    WITH toks AS (
+        SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    bucketed AS (
+        SELECT n_tokens,
+               CAST(CASE {ladder} ELSE {_LEN_BUCKETS[-1]} END AS BIGINT)
+                   AS bucket_max
+        FROM toks
+    ),
+    agg AS (
+        SELECT bucket_max,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS real_tokens
+        FROM bucketed GROUP BY bucket_max
+    )
+    SELECT bucket_max, n_docs, real_tokens,
+           n_docs * bucket_max AS padded_tokens,
+           (1000 * (n_docs * bucket_max - real_tokens))
+               // (n_docs * bucket_max) AS waste_permille
+    FROM agg
+"""
+
+
 QUERIES = {
+    "source_cap_sample": source_cap_sample,
+    "mixture_temperature_weights": mixture_temperature_weights,
+    "length_bucketed_batches": length_bucketed_batches,
     "part_affinity_triangles": part_affinity_triangles,
     "part_affinity_lift": part_affinity_lift,
     "dedup_rate_by_source": dedup_rate_by_source,
@@ -1953,6 +2117,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "source_cap_sample": _SOURCE_CAP_SQL,
+    "mixture_temperature_weights": _MIXTURE_TEMP_SQL,
+    "length_bucketed_batches": _len_buckets_sql(),
     "part_affinity_triangles": _TRIANGLES_SQL,
     "part_affinity_lift": _LIFT_SQL,
     "dedup_rate_by_source": _DEDUP_RATE_SQL,
