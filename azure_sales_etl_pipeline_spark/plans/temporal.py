@@ -318,7 +318,122 @@ _PEAK_CONCURRENCY_SQL = f"""
 """
 
 
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral Markov transitions: count every consecutive
+    (prev_event_type → event_type) pair along each user's timeline,
+    with row-normalized integer permille — the transition matrix that
+    feeds next-action models and journey anomaly detection. One
+    user-key shuffle for the lag window (bounded by per-user history),
+    one tiny (|types|²) aggregate; ties at identical ts break on
+    event_id so the sequence is total-ordered and engine-portable."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    return pairs.select(
+        "prev_type",
+        F.col("event_type").alias("next_type"),
+        "n_transitions",
+        F.expr(
+            "(1000 * n_transitions) div sum(n_transitions)"
+            " OVER (PARTITION BY prev_type)"
+        ).alias("permille"),
+    )
+
+
+_TRANSITION_SQL = """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(count(*) AS BIGINT) AS n_transitions
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, n_transitions,
+           (1000 * n_transitions)
+               // CAST(sum(n_transitions) OVER (PARTITION BY prev_type)
+                       AS BIGINT) AS permille
+    FROM pairs
+"""
+
+
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution — the complement of the
+    last-touch as-of join: every click in the hour before a purchase
+    shares the credit equally (credit = 1000 permille div n touching
+    clicks), then credit rolls up per click event. The banded join is
+    the same state-bounded shape as the streaming attribution join;
+    the per-purchase touch count comes from a purchase-key window over
+    the join output (bounded by the band), never a second join. All
+    integer arithmetic."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    touched = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") > F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    n_touch = F.count(F.lit(1)).over(Window.partitionBy("purchase_id"))
+    credited = touched.withColumn("n_touches", n_touch).withColumn(
+        "credit_permille", F.expr("1000 div n_touches")
+    )
+    return (
+        credited.groupBy("click_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases_touched"),
+            F.sum("credit_permille").alias("total_credit_permille"),
+        )
+    )
+
+
+_MULTI_TOUCH_SQL = """
+    WITH touched AS (
+        SELECT p.event_id AS purchase_id, c.event_id AS click_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id
+         AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 1 HOUR
+    ),
+    credited AS (
+        SELECT click_id,
+               1000 // CAST(count(*) OVER (PARTITION BY purchase_id)
+                           AS BIGINT) AS credit_permille
+        FROM touched
+    )
+    SELECT click_id,
+           CAST(count(*) AS BIGINT) AS n_purchases_touched,
+           CAST(sum(credit_permille) AS BIGINT) AS total_credit_permille
+    FROM credited
+    GROUP BY click_id
+"""
+
+
 QUERIES = {
+    "event_transition_matrix": event_transition_matrix,
+    "multi_touch_attribution": multi_touch_attribution,
     "purchase_attribution_asof": purchase_attribution_asof,
     "click_conversion_asof": click_conversion_asof,
     "events_sessionize": events_sessionize,
@@ -326,6 +441,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "event_transition_matrix": _TRANSITION_SQL,
+    "multi_touch_attribution": _MULTI_TOUCH_SQL,
     "purchase_attribution_asof": _ASOF_SQL,
     "click_conversion_asof": _FORWARD_ASOF_SQL,
     "events_sessionize": _SESSIONIZE_SQL,
