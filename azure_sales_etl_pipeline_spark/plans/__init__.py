@@ -55,10 +55,22 @@ _SWEEP_PRIORITY_INPUTS = (
     "CORRECTNESS_r08.json",
 )
 _SWEEP_PRIORITY = (
+    "brand_size_price_corr",
+    "cluster_labels_two_batch",
+    "copurchase_neighbor_jaccard",
     "embedding_decontaminate",
+    "event_transition_matrix",
     "ivf_index_maintenance",
+    "length_bucketed_batches",
     "minhash_source_similarity",
+    "mixture_temperature_weights",
+    "multi_touch_attribution",
+    "quality_classifier_score",
     "repeated_spans",
+    "simhash_hamming_pairs",
+    "source_cap_sample",
+    "stratified_topk_sample",
+    "stream_click_purchase_outer",
     "vocab_growth",
     "percentile_accuracy_check",
     "purchase_prior_clicks",

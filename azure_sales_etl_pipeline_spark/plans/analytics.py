@@ -1375,7 +1375,84 @@ _CMS_ACCURACY_SQL = f"""
 """
 
 
+def brand_size_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pearson correlation between part size and retail
+    price — the feature-vs-feature screening statistic of an ML prep
+    pass, computed the CROSS-ENGINE-DETERMINISTIC way. Spark's own
+    ``F.corr`` accumulates doubles in partition order, so its last bits
+    are nondeterministic and un-oracle-able; here every sum (Σx, Σy,
+    Σx², Σy², Σxy over integer size and floor-cents price) is EXACT
+    int64, and floats enter only in the final per-group scalar ops —
+    int64→double conversion, sqrt, multiply, divide — all of which
+    IEEE 754 requires to be correctly rounded, so both engines produce
+    bit-identical doubles from bit-identical integer inputs (the
+    repo's exactness rule: exact integer core, deterministic float
+    shell; unlike exp/ln there is no libm variance in sqrt).
+
+    corr = (n·Σxy − ΣxΣy) / (√(n·Σx²−Σx²ᵗᵒᵗ) · √(n·Σy²−Σy²ᵗᵒᵗ)),
+    NULL when either marginal is degenerate (constant column).
+
+    Scale: one map-side-combined hash aggregate on the brand key — the
+    five sums travel as one partial row per (partition, brand); no
+    second pass, no window. Int64 headroom: n·Σy² ≤ n²·max_cents²
+    ≈ 2.6e18 at sf1; a 100 TB run promotes the five sums to
+    DECIMAL(38,0) — same plan shape."""
+    part = load_table(spark, sf_dir, "part")
+    g = (
+        part.select(
+            "p_brand",
+            F.col("p_size").cast("bigint").alias("x"),
+            F.floor(F.col("p_retailprice") * 100).cast("bigint").alias("y"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    return g.select(
+        "p_brand",
+        F.col("n").alias("n_parts"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("cov_numer"),
+        F.expr(
+            "CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+            "          * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0d)"
+        ).alias("corr"),
+    )
+
+
+_BRAND_CORR_SQL = """
+    WITH g AS (
+        SELECT p_brand,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM (SELECT p_brand,
+                     CAST(p_size AS BIGINT) AS x,
+                     CAST(floor(p_retailprice * 100) AS BIGINT) AS y
+              FROM part)
+        GROUP BY p_brand
+    )
+    SELECT p_brand, n AS n_parts,
+           n * sxy - sx * sy AS cov_numer,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0)
+               AS corr
+    FROM g
+"""
+
+
 QUERIES = {
+    "brand_size_price_corr": brand_size_price_corr,
     "event_funnel": event_funnel,
     "events_daily_anomalies": events_daily_anomalies,
     "order_value_histogram": order_value_histogram,
@@ -1402,6 +1479,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "brand_size_price_corr": _BRAND_CORR_SQL,
     "event_funnel": _FUNNEL_SQL,
     "events_daily_anomalies": _ANOMALY_SQL,
     "order_value_histogram": _HISTOGRAM_SQL,

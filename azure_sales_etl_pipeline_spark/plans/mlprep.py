@@ -1309,6 +1309,62 @@ _STRATIFIED_SQL = f"""
 """
 
 
+_TOPK_SAMPLE_K = 25
+
+
+def stratified_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-k per-stratum sample — the complement of
+    `stratified_sample`'s hash-threshold (which yields a ~rate, not a
+    count): the k docs per language with the smallest salted-md5 key, a
+    deterministic uniform draw whose membership is a pure function of
+    the key set (eval-set construction wants exactly-k, not
+    approximately-k·N/Σ). Ties in the 128-bit hash break on doc_id, so
+    the draw is a total order and bit-identical across engines.
+
+    Scale shape — the naive plan (row_number over PARTITION BY lang) is
+    a trap at corpus scale: lang has ~6 values, so each stratum lands
+    on ONE reducer and the window sorts billions of rows there. Instead
+    the standard two-phase top-k: (1) local top-k per (lang,
+    input-chunk) — the window partitions on (lang, spark_partition_id),
+    every partition bounded by the scan chunk size; (2) the ≤ k·chunks
+    candidate rows per lang (tiny) go through the final per-lang
+    ranking. Chunk assignment is nondeterministic but CANDIDATE PRUNING
+    is exact — any global top-k row is top-k of its own chunk — so the
+    result is chunk-independent and the DuckDB oracle replays the naive
+    single-window form."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    key = F.md5(F.concat(F.lit("topk:"), F.col("doc_id").cast("string")))
+    tagged = docs.select(
+        "doc_id", "lang", key.alias("k"), F.spark_partition_id().alias("pid")
+    )
+    w_local = Window.partitionBy("lang", "pid").orderBy("k", "doc_id")
+    cand = (
+        tagged.withColumn("r", F.row_number().over(w_local))
+        .where(F.col("r") <= _TOPK_SAMPLE_K)
+        .drop("r", "pid")
+    )
+    w_final = Window.partitionBy("lang").orderBy("k", "doc_id")
+    return (
+        cand.withColumn("sample_rank", F.row_number().over(w_final).cast("bigint"))
+        .where(F.col("sample_rank") <= _TOPK_SAMPLE_K)
+        .select("doc_id", "lang", "sample_rank")
+    )
+
+
+_TOPK_SAMPLE_SQL = f"""
+    SELECT doc_id, lang, sample_rank
+    FROM (
+        SELECT doc_id, lang,
+               CAST(row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('topk:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS sample_rank
+        FROM documents
+    )
+    WHERE sample_rank <= {_TOPK_SAMPLE_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # global shuffle + fixed-size sharding (training export)
 # ---------------------------------------------------------------------------
@@ -1755,7 +1811,11 @@ def _triangles_degree_oriented(edges: DataFrame):
         directed.alias("e1")
         .join(directed.alias("e2"), F.col("e1.src") == F.col("e2.src"))
         .where(head_lt)
-        .select(F.col("e1.dst").alias("a"), F.col("e2.dst").alias("b"))
+        .select(
+            F.col("e1.src").alias("apex"),
+            F.col("e1.dst").alias("a"),
+            F.col("e2.dst").alias("b"),
+        )
     )
     # closing edge is directed a → b because rank(a) < rank(b) by head_lt
     triangles = wedges.join(
@@ -1927,6 +1987,131 @@ _LIFT_SQL = f"""
 """
 
 
+def copurchase_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EDGE neighborhood Jaccard over the part-affinity graph —
+    the classic link-prediction / node-similarity score: for each
+    qualified edge (u, v), |N(u)∩N(v)| div |N(u)∪N(v)| in integer
+    permille, where the common-neighbor count is exactly the number of
+    triangles through the edge and |N(u)∪N(v)| = deg(u)+deg(v)−common
+    (endpoints are each other's neighbors, so the denominator is ≥ 2
+    and the division is total). The fourth leg of the graph suite:
+    components (`dedup_clusters`), PageRank, triangle census, and now
+    edge similarity.
+
+    Scale shape: triangles are enumerated ONCE with the power-law-safe
+    degree orientation (`_triangles_degree_oriented`, wedge volume
+    O(m^1.5) regardless of hubs), then each triangle (apex, a, b)
+    scatters +1 to its three undirected edges — a 3×|Δ| explode into a
+    map-side-combined count, NOT a per-edge wedge re-join. Degrees are
+    one vertex-keyed aggregate over 2|E| rows; the final assembly is
+    two |V|-row joins onto the |E|-row edge list. Triangle-free edges
+    survive via the left join with common = 0.
+
+    The DuckDB oracle replays the simpler id-oriented enumeration —
+    per-edge triangle counts are orientation-invariant, so the two
+    engines agree bit-for-bit on every row."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint()
+    )
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+    )
+    edges = (
+        pairs.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= _AFFINITY_MIN_ORDERS)
+        .select("u", "v")
+        .localCheckpoint()  # feeds degree agg, triangle enum, and final join
+    )
+    _, triangles = _triangles_degree_oriented(edges)
+    # scatter each triangle to its three undirected edges, normalized
+    # u < v (degree orientation does not respect id order)
+    tri_edges = (
+        triangles.select(
+            F.array(
+                F.struct(F.col("apex").alias("x"), F.col("a").alias("y")),
+                F.struct(F.col("apex").alias("x"), F.col("b").alias("y")),
+                F.struct(F.col("a").alias("x"), F.col("b").alias("y")),
+            ).alias("es")
+        )
+        .select(F.explode("es").alias("e"))
+        .select(
+            F.least("e.x", "e.y").alias("u"), F.greatest("e.x", "e.y").alias("v")
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    deg = (
+        edges.select(F.col("u").alias("p"))
+        .union(edges.select("v"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    return (
+        edges.join(tri_edges, ["u", "v"], "left")
+        .join(deg.select(F.col("p").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("p").alias("v"), F.col("deg").alias("dv")), "v")
+        .select(
+            F.col("u").alias("u_partkey"),
+            F.col("v").alias("v_partkey"),
+            F.coalesce(F.col("common"), F.lit(0).cast("bigint")).alias(
+                "common_neighbors"
+            ),
+            F.expr(
+                "1000 * coalesce(common, 0L)"
+                " div (du + dv - coalesce(common, 0L))"
+            ).alias("jaccard_permille"),
+        )
+    )
+
+
+_NEIGHBOR_JACCARD_SQL = f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= {_AFFINITY_MIN_ORDERS}
+    ),
+    tri AS (
+        SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    tri_edges AS (
+        SELECT u, v, CAST(count(*) AS BIGINT) AS common
+        FROM (
+            SELECT x AS u, y AS v FROM tri
+            UNION ALL SELECT y, z FROM tri
+            UNION ALL SELECT x, z FROM tri
+        )
+        GROUP BY u, v
+    ),
+    deg AS (
+        SELECT p, CAST(count(*) AS BIGINT) AS deg
+        FROM (SELECT u AS p FROM edges UNION ALL SELECT v FROM edges)
+        GROUP BY p
+    )
+    SELECT e.u AS u_partkey, e.v AS v_partkey,
+           COALESCE(t.common, 0) AS common_neighbors,
+           (1000 * COALESCE(t.common, 0))
+               // (du.deg + dv.deg - COALESCE(t.common, 0))
+               AS jaccard_permille
+    FROM edges e
+    LEFT JOIN tri_edges t ON t.u = e.u AND t.v = e.v
+    JOIN deg du ON du.p = e.u
+    JOIN deg dv ON dv.p = e.v
+"""
+
+
 _SOURCE_CAP_N = 20  # max docs per source
 
 
@@ -2094,6 +2279,7 @@ QUERIES = {
     "length_bucketed_batches": length_bucketed_batches,
     "part_affinity_triangles": part_affinity_triangles,
     "part_affinity_lift": part_affinity_lift,
+    "copurchase_neighbor_jaccard": copurchase_neighbor_jaccard,
     "dedup_rate_by_source": dedup_rate_by_source,
     "negative_samples": negative_samples,
     "train_test_split": train_test_split,
@@ -2102,6 +2288,7 @@ QUERIES = {
     "leakage_safe_split": leakage_safe_split,
     "global_shuffle_export": global_shuffle_export,
     "stratified_sample": stratified_sample,
+    "stratified_topk_sample": stratified_topk_sample,
     "split_contamination": split_contamination,
     "token_budget_shards": token_budget_shards,
     "pack_sequences": pack_sequences,
@@ -2122,6 +2309,7 @@ ORACLES = {
     "length_bucketed_batches": _len_buckets_sql(),
     "part_affinity_triangles": _TRIANGLES_SQL,
     "part_affinity_lift": _LIFT_SQL,
+    "copurchase_neighbor_jaccard": _NEIGHBOR_JACCARD_SQL,
     "dedup_rate_by_source": _DEDUP_RATE_SQL,
     "negative_samples": _NEGATIVE_SAMPLES_SQL,
     "train_test_split": _SPLIT_SQL,
@@ -2130,6 +2318,7 @@ ORACLES = {
     "leakage_safe_split": _LEAKAGE_SPLIT_SQL,
     "global_shuffle_export": _GLOBAL_SHUFFLE_SQL,
     "stratified_sample": _STRATIFIED_SQL,
+    "stratified_topk_sample": _TOPK_SAMPLE_SQL,
     "split_contamination": _CONTAM_SQL,
     "token_budget_shards": _SHARDS_SQL,
     "pack_sequences": _PACK_SQL,
