@@ -155,3 +155,78 @@ def zorder_key_sql(a: str, b: str, bits: int = _ZORDER_BITS) -> str:
         terms.append(f"((({a} >> {i}) & 1) << {2 * i + 1})")
         terms.append(f"((({b} >> {i}) & 1) << {2 * i})")
     return "(" + " | ".join(terms) + ")"
+
+
+# ---------------------------------------------------------------------------
+# engine-portable natural logarithm (shared SQL text)
+# ---------------------------------------------------------------------------
+
+#: Nearest double to ln 2; the literal parses to the SAME bits on both
+#: engines (exponent notation — see _dlit).
+_LN2_LIT = "0.6931471805599453e0"
+
+
+def _dlit(x: float) -> str:
+    """Render a float as a literal both engines parse as DOUBLE.
+
+    Bare decimal literals are DECIMAL in BOTH Spark SQL and DuckDB and
+    go through engine-specific decimal scale/rounding rules (this
+    shipped a 1-micro-unit divergence once — plans/analytics.py
+    ``_PSI_*``). Exponent notation is unambiguously DOUBLE in both, and
+    ``repr`` is the shortest round-trip form, so the parsed double is
+    bit-identical to ``x``."""
+    s = repr(float(x))
+    return s if "e" in s else s + "e0"
+
+
+def ln_k_sql(x: str, lo_k: int = -28, hi_k: int = 28) -> str:
+    """Stage 1 of the portable ln: the binary exponent k = floor(log2 x)
+    as a CASE chain over EXACT power-of-two double literals — integer
+    output, no float op at all, so it cannot diverge. Domain
+    [2**lo_k, 2**(hi_k+1)); below the floor it clamps to lo_k (the
+    series then sees m < 1 and stays correct until z leaves its
+    convergence budget around m ≈ 0.5).
+
+    Why not libm: Spark's JVM ``ln`` and DuckDB's C ``ln`` disagree in
+    the last ulp (it flipped a floor() quantization boundary in the PSI
+    work, plans/analytics.py). This family rebuilds ln from IEEE-754
+    BASIC ops only — compare, multiply by exact 2**-k, add, divide —
+    which both engines are required to round identically."""
+    branches = " ".join(
+        f"WHEN {x} >= {_dlit(2.0 ** k)} THEN {k}"
+        for k in range(hi_k, lo_k - 1, -1)
+    )
+    return f"(CASE {branches} ELSE {lo_k} END)"
+
+
+def ln_m_sql(x: str, k: str, lo_k: int = -28, hi_k: int = 28) -> str:
+    """Stage 2: the mantissa m = x * 2**(−k) ∈ [1, 2). Multiplying by a
+    power of two is EXACT in IEEE 754 (exponent shift, mantissa bits
+    untouched), so m carries x's full precision into the series."""
+    branches = " ".join(
+        f"WHEN {kk} THEN ({x}) * {_dlit(2.0 ** -kk)}"
+        for kk in range(lo_k, hi_k + 1)
+    )
+    return f"(CASE {k} {branches} END)"
+
+
+#: Stage 3: z = (m−1)/(m+1) ∈ [0, 1/3) for m ∈ [1, 2) — the atanh
+#: argument. Callers alias stage 2 as ``__ln_m`` first so the division
+#: happens once.
+LN_Z_SQL = "((__ln_m - 1.0e0) / (__ln_m + 1.0e0))"
+
+
+def ln_from_kz_sql(k: str, z: str) -> str:
+    """Stage 4: ln x = k·ln2 + 2·artanh(z), artanh by truncated odd
+    series through z¹¹. For z < 1/3 the truncation error is
+    < 2·(1/3)¹³/13 ≈ 1.9e-7 — and, unlike libm, the truncation point is
+    explicit so both engines compute the identical value, error
+    included. Identical text + left-associative SQL arithmetic on both
+    engines ⇒ bit-identical doubles by construction."""
+    zz = f"({z}*{z})"
+    series = (
+        f"2.0e0 * {z} * (1.0e0 + {zz}/3.0e0 + {zz}*{zz}/5.0e0"
+        f" + {zz}*{zz}*{zz}/7.0e0 + {zz}*{zz}*{zz}*{zz}/9.0e0"
+        f" + {zz}*{zz}*{zz}*{zz}*{zz}/11.0e0)"
+    )
+    return f"(CAST({k} AS DOUBLE) * {_LN2_LIT} + {series})"

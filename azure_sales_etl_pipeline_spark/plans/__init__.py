@@ -55,6 +55,7 @@ _SWEEP_PRIORITY_INPUTS = (
     "CORRECTNESS_r08.json",
 )
 _SWEEP_PRIORITY = (
+    "bm25_topterms",
     "brand_size_price_corr",
     "cluster_labels_two_batch",
     "copurchase_neighbor_jaccard",

@@ -1571,7 +1571,146 @@ def _qc_sql() -> str:
 _QC_SQL = _qc_sql()
 
 
+# ---------------------------------------------------------------------------
+# BM25 top terms (portable-ln IDF)
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = "1.2e0"  # term-frequency saturation
+_BM25_TOP = 3
+
+#: Robertson–Sparck-Jones idf argument (N − df + ½)/(df + ½) — always
+#: > 0, negative log for terms in more than half the corpus (classic
+#: BM25 keeps the sign). Shared text; every float op is basic IEEE.
+_BM25_IDF_ARG = (
+    "((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5e0)"
+    " / (CAST(df AS DOUBLE) + 0.5e0))"
+)
+#: tf saturation × length normalization, b = 0.75 (1−b written as the
+#: exact literal 0.25). avgdl is the deterministic double quotient of
+#: two exact bigints.
+_BM25_TF_PART = (
+    f"((CAST(tf AS DOUBLE) * (1.0e0 + {_BM25_K1}))"
+    f" / (CAST(tf AS DOUBLE) + {_BM25_K1} * (0.25e0 + 0.75e0"
+    " * (CAST(dl AS DOUBLE)"
+    " / (CAST(tot_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))))))"
+)
+
+
+def _bm25_score_sql() -> str:
+    from ..functions import ln_from_kz_sql
+
+    idf = ln_from_kz_sql("__ln_k", "__ln_z")
+    return f"CAST(floor({idf} * {_BM25_TF_PART} * 1.0e6) AS BIGINT)"
+
+
+def bm25_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{top} BM25 terms per document (k1 = 1.2, b = 0.75) — the
+    retrieval-grade keyword extractor next to `doc_tfidf_topterms`,
+    and the first consumer of the engine's PORTABLE LOGARITHM
+    (functions.ln_k_sql family): the idf ln((N−df+½)/(df+½)) is rebuilt
+    from IEEE basic ops — exact power-of-two range reduction (exponent
+    CASE over exact literals, mantissa via exact 2⁻ᵏ multiply) plus a
+    truncated atanh series — so the score is bit-identical across
+    engines BY CONSTRUCTION, where `unigram_surprisal`'s libm log
+    relies on an empirically-probed floor parity.
+
+    Shape: one (doc, token) shuffle for tf; dl and df re-aggregate from
+    the checkpointed tf table (corpus is never re-scanned); scalars
+    broadcast; the idf/tf arithmetic is a narrow codegen projection;
+    top-k per doc is a window bounded by per-doc vocabulary. At 100 TB
+    the df join keys on the token — high-cardinality, map-side-combined
+    — the same scale story as `term_frequencies`."""
+    from ..functions import LN_Z_SQL, ln_k_sql, ln_m_sql
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(_tokens()).alias("token"))
+        .where(F.length("token") > 0)
+        .select("doc_id", F.lower("token").alias("token"))
+    )
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .localCheckpoint()  # feeds dl, df, tot_tokens, and the join
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    scalars = (
+        docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .crossJoin(tf.agg(F.sum("tf").cast("bigint").alias("tot_tokens")))
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(dfreq, "token")
+        .crossJoin(F.broadcast(scalars))
+        .withColumn("__ln_k", F.expr(ln_k_sql(_BM25_IDF_ARG)))
+        .withColumn("__ln_m", F.expr(ln_m_sql(_BM25_IDF_ARG, "__ln_k")))
+        .withColumn("__ln_z", F.expr(LN_Z_SQL))
+        .withColumn("bm25_micro", F.expr(_bm25_score_sql()))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("bm25_micro"), "token")
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("term_rank") <= _BM25_TOP)
+        .select("doc_id", "token", "tf", "bm25_micro", "term_rank")
+    )
+
+
+bm25_topterms.__doc__ = bm25_topterms.__doc__.format(top=_BM25_TOP)
+
+
+def _bm25_sql() -> str:
+    from ..functions import LN_Z_SQL, ln_k_sql, ln_m_sql
+
+    return rf"""
+    WITH tok AS (
+        SELECT doc_id, lower(token) AS token
+        FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+            FROM documents
+        )
+        WHERE length(token) > 0
+    ),
+    tf AS (
+        SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY ALL
+    ),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+    df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    sc AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+               (SELECT CAST(sum(tf) AS BIGINT) FROM tf) AS tot_tokens
+    ),
+    base AS (
+        SELECT tf.doc_id, tf.token, tf.tf, dl.dl, df.df,
+               sc.n_docs, sc.tot_tokens
+        FROM tf JOIN dl USING (doc_id) JOIN df USING (token) CROSS JOIN sc
+    ),
+    s1 AS (SELECT *, {ln_k_sql(_BM25_IDF_ARG)} AS __ln_k FROM base),
+    s2 AS (SELECT *, {ln_m_sql(_BM25_IDF_ARG, "__ln_k")} AS __ln_m FROM s1),
+    s3 AS (SELECT *, {LN_Z_SQL} AS __ln_z FROM s2),
+    scored AS (
+        SELECT doc_id, token, tf, {_bm25_score_sql()} AS bm25_micro
+        FROM s3
+    ),
+    ranked AS (
+        SELECT doc_id, token, tf, bm25_micro,
+               CAST(row_number() OVER (
+                   PARTITION BY doc_id ORDER BY bm25_micro DESC, token
+               ) AS BIGINT) AS term_rank
+        FROM scored
+    )
+    SELECT doc_id, token, tf, bm25_micro, term_rank
+    FROM ranked WHERE term_rank <= {_BM25_TOP}
+"""
+
+
+_BM25_SQL = _bm25_sql()
+
+
 QUERIES = {
+    "bm25_topterms": bm25_topterms,
     "quality_classifier_score": quality_classifier_score,
     "repeated_spans": repeated_spans,
     "vocab_growth": vocab_growth,
@@ -1595,6 +1734,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "bm25_topterms": _BM25_SQL,
     "quality_classifier_score": _QC_SQL,
     "repeated_spans": _REPEATED_SPANS_SQL,
     "vocab_growth": _VOCAB_GROWTH_SQL,

@@ -145,3 +145,46 @@ def test_orders_quality_suite_one_scan(spark):
         "orderdate_out_of_range",
     }
     assert all(r["passed"] for r in df.collect())
+
+
+def test_portable_ln_cross_engine_bit_exact(spark):
+    """The functions.ln_* stages must produce BIT-IDENTICAL doubles on
+    Spark and DuckDB (that is their whole contract — libm ln does not),
+    and track math.log within the documented ~2e-7 relative truncation
+    error, across the full reduction range including the sub-1 branch."""
+    import math
+    import struct
+
+    import duckdb
+
+    from azure_sales_etl_pipeline_spark.functions import (
+        LN_Z_SQL,
+        ln_from_kz_sql,
+        ln_k_sql,
+        ln_m_sql,
+    )
+
+    xs = [2.0**-28, 1e-7, 0.0043, 0.5, 0.75, 1.0, 1.0000001, 1.5,
+          2.0, math.pi, 42.0, 3334.7, 1e6, 2.0**28 * 1.999]
+    stages = lambda src: (  # noqa: E731
+        f"WITH b AS ({src}), "
+        f"s1 AS (SELECT x, {ln_k_sql('x')} AS __ln_k FROM b), "
+        f"s2 AS (SELECT *, {ln_m_sql('x', '__ln_k')} AS __ln_m FROM s1), "
+        f"s3 AS (SELECT *, {LN_Z_SQL} AS __ln_z FROM s2) "
+        f"SELECT x, {ln_from_kz_sql('__ln_k', '__ln_z')} AS lnx FROM s3"
+    )
+    duck = dict(
+        duckdb.sql(
+            stages("SELECT unnest(" + repr(xs) + ") AS x")
+        ).fetchall()
+    )
+    spark.createDataFrame([(x,) for x in xs], "x double").createOrReplaceTempView(
+        "portable_ln_probe"
+    )
+    sp = dict(
+        spark.sql(stages("SELECT x FROM portable_ln_probe")).collect()
+    )
+    for x in xs:
+        bits = struct.pack("<d", sp[x]), struct.pack("<d", duck[x])
+        assert bits[0] == bits[1], (x, sp[x], duck[x])
+        assert abs(sp[x] - math.log(x)) <= 3e-7 * max(1.0, abs(math.log(x)))
