@@ -70,6 +70,7 @@ _SWEEP_PRIORITY = (
     "repeated_spans",
     "simhash_hamming_pairs",
     "source_cap_sample",
+    "source_token_entropy",
     "stratified_topk_sample",
     "stream_click_purchase_outer",
     "vocab_growth",

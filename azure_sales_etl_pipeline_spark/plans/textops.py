@@ -1709,8 +1709,130 @@ def _bm25_sql() -> str:
 _BM25_SQL = _bm25_sql()
 
 
+# ---------------------------------------------------------------------------
+# per-source token entropy (portable-ln)
+# ---------------------------------------------------------------------------
+
+#: ln domain bounds for p = n/tot ∈ (0, 1]: lo −48 covers singleton
+#: tokens in a 10¹²-token corpus (p = 10⁻¹² > 2⁻⁴⁸); hi 1 because
+#: p ≤ 1.
+_ENTROPY_LO_K, _ENTROPY_HI_K = -48, 1
+_ENTROPY_P = "(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))"
+#: Per-token Shannon term −p·ln p in floor NANOnats (nano, not micro:
+#: each term is ≤ 1/e, and vocab-many floors accumulate — nano keeps
+#: the total's truncation bias under 10⁻⁴ nats per 10⁵-type vocab).
+_ENTROPY_TERM = (
+    "CAST(floor(-({p} * {ln}) * 1.0e9) AS BIGINT)"
+)
+
+
+def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's unigram distribution, in
+    nanonats — the lexical-diversity signal of corpus curation (a
+    boilerplate-heavy or template-spam source scores low even when its
+    doc-level quality checks pass; compare against `source_vocab_drift`
+    which measures distance from the corpus, not spread). Second
+    consumer of the portable logarithm — p spans eight decades here, so
+    the wide-domain reduction (lo_k = −48) is exercised, not just the
+    BM25 ratio range.
+
+    Exactness: per-type terms −p·ln p are floor-quantized to integer
+    nanonats and SUMMED AS BIGINTS — a float Σ would be
+    partition-order-dependent, the integer sum is associative, so the
+    aggregate is deterministic under any shuffle schedule (and the
+    truncated-series ln makes each term bit-identical across engines).
+
+    Shape: one (source, token) shuffle with map-side combine, per-source
+    totals re-aggregated from the type counts and joined back on the
+    ~|sources|-row key, then one narrow codegen projection and a final
+    per-source fold. Never rescans the corpus."""
+    from ..functions import LN_Z_SQL, ln_from_kz_sql, ln_k_sql, ln_m_sql
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("source", F.explode(_tokens()).alias("token"))
+        .where(F.length("token") > 0)
+        .select("source", F.lower("token").alias("token"))
+    )
+    counts = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    totals = counts.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+    )
+    term = _ENTROPY_TERM.format(
+        p=_ENTROPY_P, ln=ln_from_kz_sql("__ln_k", "__ln_z")
+    )
+    scored = (
+        counts.join(totals, "source")
+        .withColumn(
+            "__ln_k", F.expr(ln_k_sql(_ENTROPY_P, _ENTROPY_LO_K, _ENTROPY_HI_K))
+        )
+        .withColumn(
+            "__ln_m",
+            F.expr(ln_m_sql(_ENTROPY_P, "__ln_k", _ENTROPY_LO_K, _ENTROPY_HI_K)),
+        )
+        .withColumn("__ln_z", F.expr(LN_Z_SQL))
+        .withColumn("term_nano", F.expr(term))
+    )
+    return scored.groupBy("source").agg(
+        F.max("tot").alias("n_tokens"),
+        F.max("vocab").alias("vocab_size"),
+        F.sum("term_nano").alias("entropy_nanonats"),
+    )
+
+
+def _entropy_sql() -> str:
+    from ..functions import LN_Z_SQL, ln_from_kz_sql, ln_k_sql, ln_m_sql
+
+    term = _ENTROPY_TERM.format(
+        p=_ENTROPY_P, ln=ln_from_kz_sql("__ln_k", "__ln_z")
+    )
+    return rf"""
+    WITH tok AS (
+        SELECT source, lower(token) AS token
+        FROM (
+            SELECT source,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+            FROM documents
+        )
+        WHERE length(token) > 0
+    ),
+    counts AS (
+        SELECT source, token, CAST(count(*) AS BIGINT) AS n
+        FROM tok GROUP BY ALL
+    ),
+    totals AS (
+        SELECT source, CAST(sum(n) AS BIGINT) AS tot,
+               CAST(count(*) AS BIGINT) AS vocab
+        FROM counts GROUP BY source
+    ),
+    s1 AS (
+        SELECT counts.source, n, tot, vocab,
+               {ln_k_sql(_ENTROPY_P, _ENTROPY_LO_K, _ENTROPY_HI_K)} AS __ln_k
+        FROM counts JOIN totals USING (source)
+    ),
+    s2 AS (SELECT *,
+               {ln_m_sql(_ENTROPY_P, "__ln_k", _ENTROPY_LO_K, _ENTROPY_HI_K)}
+                   AS __ln_m
+           FROM s1),
+    s3 AS (SELECT *, {LN_Z_SQL} AS __ln_z FROM s2)
+    SELECT source,
+           CAST(max(tot) AS BIGINT) AS n_tokens,
+           CAST(max(vocab) AS BIGINT) AS vocab_size,
+           CAST(sum({term}) AS BIGINT) AS entropy_nanonats
+    FROM s3
+    GROUP BY source
+"""
+
+
+_ENTROPY_SQL = _entropy_sql()
+
+
 QUERIES = {
     "bm25_topterms": bm25_topterms,
+    "source_token_entropy": source_token_entropy,
     "quality_classifier_score": quality_classifier_score,
     "repeated_spans": repeated_spans,
     "vocab_growth": vocab_growth,
@@ -1735,6 +1857,7 @@ QUERIES = {
 
 ORACLES = {
     "bm25_topterms": _BM25_SQL,
+    "source_token_entropy": _ENTROPY_SQL,
     "quality_classifier_score": _QC_SQL,
     "repeated_spans": _REPEATED_SPANS_SQL,
     "vocab_growth": _VOCAB_GROWTH_SQL,
