@@ -751,6 +751,33 @@ _DUP_NGRAM_SQL = rf"""
 # ---------------------------------------------------------------------------
 
 
+#: ln domain for token probabilities p ∈ (0, 1]: lo −48 covers a
+#: singleton token in a 10¹²-token corpus. Shared by both surprisal
+#: orders and their parity pytest.
+_SURPRISAL_LO_K, _SURPRISAL_HI_K = -48, 1
+_SURPRISAL_UNI_P = "(CAST(n AS DOUBLE) / CAST(corpus_total AS DOUBLE))"
+_SURPRISAL_BG_P = "(CAST(n_bg AS DOUBLE) / CAST(n_prefix AS DOUBLE))"
+
+
+def _surprisal_stage_sqls(p: str) -> tuple[str, str, str]:
+    from ..functions import LN_Z_SQL, ln_k_sql, ln_m_sql
+
+    return (
+        ln_k_sql(p, _SURPRISAL_LO_K, _SURPRISAL_HI_K),
+        ln_m_sql(p, "__ln_k", _SURPRISAL_LO_K, _SURPRISAL_HI_K),
+        LN_Z_SQL,
+    )
+
+
+def _surprisal_term_sql() -> str:
+    from ..functions import ln_from_kz_sql
+
+    return (
+        f"CAST(floor(-({ln_from_kz_sql('__ln_k', '__ln_z')}) * 1.0e6)"
+        " AS BIGINT)"
+    )
+
+
 def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document total surprisal under the corpus's own unigram MLE
     — the distributed skeleton of perplexity-based quality filtering
@@ -766,21 +793,26 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     Surprisal is stored as ``floor(-ln(p) * 1e6)`` micronats: the
     per-token value quantizes to an integer BEFORE the sum, so the
     aggregation is order-free-exact and the driver hash can't wobble
-    (floats sum in partition order; integers don't care). Cross-engine
-    floor parity was probed over the corpus's n/N range: 0 mismatches.
-    """
+    (floats sum in partition order; integers don't care). ln is the
+    engine-portable series logarithm (functions.ln_k_sql family) —
+    originally this used libm log with an empirically-probed floor
+    parity; since round 9 the parity holds BY CONSTRUCTION, and the
+    probe pytest pins the production term text on both engines."""
     docs = load_table(spark, sf_dir, "documents")
     positions = docs.select(
         "doc_id", F.explode(_tokens()).alias("token")
     ).where(F.length("token") > 0)
     counts = positions.groupBy("token").agg(F.count("*").alias("n"))
-    total = counts.agg(F.sum("n").alias("corpus_total"))
-    scored = positions.join(F.broadcast(counts), "token").crossJoin(
-        F.broadcast(total)
+    total = counts.agg(F.sum("n").cast("bigint").alias("corpus_total"))
+    k_sql, m_sql, z_sql = _surprisal_stage_sqls(_SURPRISAL_UNI_P)
+    scored = (
+        positions.join(F.broadcast(counts), "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn("__ln_k", F.expr(k_sql))
+        .withColumn("__ln_m", F.expr(m_sql))
+        .withColumn("__ln_z", F.expr(z_sql))
     )
-    micronats = F.floor(
-        -F.log(F.col("n") / F.col("corpus_total")) * F.lit(1e6)
-    ).cast("bigint")
+    micronats = F.expr(_surprisal_term_sql())
     return (
         scored.groupBy("doc_id")
         .agg(
@@ -798,23 +830,32 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SURPRISAL_SQL = r"""
+def _unigram_surprisal_sql() -> str:
+    k_sql, m_sql, z_sql = _surprisal_stage_sqls(_SURPRISAL_UNI_P)
+    term = _surprisal_term_sql()
+    return rf"""
     WITH pos AS (
         SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
         FROM documents
     ),
     clean AS (SELECT * FROM pos WHERE length(token) > 0),
     counts AS (SELECT token, count(*) AS n FROM clean GROUP BY token),
-    total AS (SELECT CAST(sum(n) AS BIGINT) AS corpus_total FROM counts)
+    total AS (SELECT CAST(sum(n) AS BIGINT) AS corpus_total FROM counts),
+    s1 AS (SELECT doc_id, n, corpus_total, {k_sql} AS __ln_k
+           FROM clean JOIN counts USING (token), total),
+    s2 AS (SELECT *, {m_sql} AS __ln_m FROM s1),
+    s3 AS (SELECT *, {z_sql} AS __ln_z FROM s2)
     SELECT doc_id,
            count(*) AS n_tokens,
-           CAST(sum(CAST(floor(-ln(n * 1.0 / corpus_total) * 1e6) AS BIGINT))
-                AS BIGINT) AS surprisal_micronats,
-           CAST(sum(CAST(floor(-ln(n * 1.0 / corpus_total) * 1e6) AS BIGINT))
-                // count(*) AS BIGINT) AS mean_surprisal_micronats
-    FROM clean JOIN counts USING (token), total
+           CAST(sum({term}) AS BIGINT) AS surprisal_micronats,
+           CAST(sum({term}) // count(*) AS BIGINT)
+               AS mean_surprisal_micronats
+    FROM s3
     GROUP BY doc_id
 """
+
+
+_SURPRISAL_SQL = _unigram_surprisal_sql()
 
 
 def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -832,10 +873,10 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the (w1, w2) key for counts; the prefix totals re-aggregate from
     the bigram counts (Zipf-small, broadcast). Same integer-micronat
     quantization as the unigram score — each term floors to BIGINT
-    before the sum, so aggregation order can't wobble the driver hash;
-    the cross-engine ln floor-boundary parity is probed over this
-    query's full (n_bg, n_prefix) range in pytest, like the unigram
-    probe."""
+    before the sum, so aggregation order can't wobble the driver hash —
+    and the same by-construction portable ln (the parity pytest probes
+    the production term over this query's full (n_bg, n_prefix)
+    range)."""
     from ..functions import plan_barrier
 
     docs = load_table(spark, sf_dir, "documents")
@@ -851,13 +892,18 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(pairs).alias("p")
     ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     counts = positions.groupBy("w1", "w2").agg(F.count("*").alias("n_bg"))
-    prefix = counts.groupBy("w1").agg(F.sum("n_bg").alias("n_prefix"))
-    scored = positions.join(F.broadcast(counts), ["w1", "w2"]).join(
-        F.broadcast(prefix), "w1"
+    prefix = counts.groupBy("w1").agg(
+        F.sum("n_bg").cast("bigint").alias("n_prefix")
     )
-    micronats = F.floor(
-        -F.log(F.col("n_bg") / F.col("n_prefix")) * F.lit(1e6)
-    ).cast("bigint")
+    k_sql, m_sql, z_sql = _surprisal_stage_sqls(_SURPRISAL_BG_P)
+    scored = (
+        positions.join(F.broadcast(counts), ["w1", "w2"])
+        .join(F.broadcast(prefix), "w1")
+        .withColumn("__ln_k", F.expr(k_sql))
+        .withColumn("__ln_m", F.expr(m_sql))
+        .withColumn("__ln_z", F.expr(z_sql))
+    )
+    micronats = F.expr(_surprisal_term_sql())
     return (
         scored.groupBy("doc_id")
         .agg(
@@ -875,7 +921,10 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BIGRAM_SURPRISAL_SQL = r"""
+def _bigram_surprisal_sql() -> str:
+    k_sql, m_sql, z_sql = _surprisal_stage_sqls(_SURPRISAL_BG_P)
+    term = _surprisal_term_sql()
+    return rf"""
     WITH toks AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
         FROM documents
@@ -887,16 +936,22 @@ _BIGRAM_SURPRISAL_SQL = r"""
     ),
     cnt AS (SELECT w1, w2, count(*) AS n_bg FROM pos GROUP BY w1, w2),
     pre AS (SELECT w1, CAST(sum(n_bg) AS BIGINT) AS n_prefix
-            FROM cnt GROUP BY w1)
+            FROM cnt GROUP BY w1),
+    s1 AS (SELECT doc_id, n_bg, n_prefix, {k_sql} AS __ln_k
+           FROM pos JOIN cnt USING (w1, w2) JOIN pre USING (w1)),
+    s2 AS (SELECT *, {m_sql} AS __ln_m FROM s1),
+    s3 AS (SELECT *, {z_sql} AS __ln_z FROM s2)
     SELECT doc_id,
            count(*) AS n_bigrams,
-           CAST(sum(CAST(floor(-ln(n_bg * 1.0 / n_prefix) * 1e6) AS BIGINT))
-                AS BIGINT) AS surprisal_micronats,
-           CAST(sum(CAST(floor(-ln(n_bg * 1.0 / n_prefix) * 1e6) AS BIGINT))
-                // count(*) AS BIGINT) AS mean_surprisal_micronats
-    FROM pos JOIN cnt USING (w1, w2) JOIN pre USING (w1)
+           CAST(sum({term}) AS BIGINT) AS surprisal_micronats,
+           CAST(sum({term}) // count(*) AS BIGINT)
+               AS mean_surprisal_micronats
+    FROM s3
     GROUP BY doc_id
 """
+
+
+_BIGRAM_SURPRISAL_SQL = _bigram_surprisal_sql()
 
 
 # ---------------------------------------------------------------------------

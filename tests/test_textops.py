@@ -175,13 +175,51 @@ def test_bpe_pair_counts_hand_checked(spark, tmp_path):
     assert out["ab"]["rank"] == 1
 
 
+def _production_term_both_engines(spark, pairs, num, den):
+    """Evaluate the EXACT production surprisal term (the portable-ln
+    stage columns + floor-micronat quantization, same text both
+    engines) over (num, den) integer pairs; return the two maps."""
+    import duckdb
+    import pandas as pd
+
+    from azure_sales_etl_pipeline_spark.plans import textops as T
+
+    p_sql = {"n": T._SURPRISAL_UNI_P, "n_bg": T._SURPRISAL_BG_P}[num]
+    k, m, z = T._surprisal_stage_sqls(p_sql)
+    term = T._surprisal_term_sql()
+    body = (
+        f"s1 AS (SELECT *, {k} AS __ln_k FROM b), "
+        f"s2 AS (SELECT *, {m} AS __ln_m FROM s1), "
+        f"s3 AS (SELECT *, {z} AS __ln_z FROM s2) "
+        f"SELECT {num}, {den}, {term} AS micronats FROM s3"
+    )
+    probe_pdf = pd.DataFrame(pairs, columns=[num, den])
+    duck = {
+        (r[0], r[1]): r[2]
+        for r in duckdb.sql(
+            f"WITH b AS (SELECT * FROM probe_pdf), {body}"
+        ).fetchall()
+    }
+    spark.createDataFrame(
+        pairs, f"{num} bigint, {den} bigint"
+    ).createOrReplaceTempView("surprisal_probe_pairs")
+    sp = {
+        (r[0], r[1]): r[2]
+        for r in spark.sql(
+            f"WITH b AS (SELECT * FROM surprisal_probe_pairs), {body}"
+        ).collect()
+    }
+    return sp, duck
+
+
 def test_surprisal_micronat_floor_parity_full_corpus(spark):
     """ADVICE r5: floor(-ln(n/N)*1e6) quantizes independently in Spark
-    and DuckDB; a last-ulp ln() divergence at a floor boundary would
-    flip a micronat and break the driver hash. The original probe was a
-    one-off — this re-probes EVERY distinct (n, N) pair of the current
-    testdata generation, so a regenerated corpus that lands on a
-    boundary fails loudly here instead of mysteriously in the driver."""
+    and DuckDB; any divergence at a floor boundary would flip a
+    micronat and break the driver hash. Since round 9 the ln is the
+    portable series logarithm (parity by construction); this probe
+    still pins the PRODUCTION term text on both engines over EVERY
+    distinct (n, N) pair of the current testdata generation, guarding
+    engine parsing/eval-order regressions."""
     import duckdb
 
     from tests.conftest import SF_DIR
@@ -199,31 +237,14 @@ def test_surprisal_micronat_floor_parity_full_corpus(spark):
             clean AS (SELECT token FROM pos WHERE length(token) > 0),
             counts AS (SELECT token, count(*) AS n FROM clean GROUP BY token),
             total AS (SELECT CAST(sum(n) AS BIGINT) AS corpus_total FROM counts)
-            SELECT DISTINCT n, corpus_total,
-                   CAST(floor(-ln(n * 1.0 / corpus_total) * 1e6) AS BIGINT)
-                       AS micronats
-            FROM counts, total
+            SELECT DISTINCT n, corpus_total FROM counts, total
             """
         )
         .fetchall()
     )
     assert duck_pairs, "corpus produced no (n, N) pairs"
-    import pyspark.sql.functions as F
-
-    pairs = spark.createDataFrame(
-        [(n, t) for n, t, _ in duck_pairs], "n bigint, corpus_total bigint"
-    )
-    # the EXACT production expression from unigram_surprisal
-    sparked = pairs.select(
-        "n",
-        F.floor(-F.log(F.col("n") / F.col("corpus_total")) * F.lit(1e6))
-        .cast("bigint")
-        .alias("micronats"),
-    ).collect()
-    spark_by_n = {r["n"]: r["micronats"] for r in sparked}
-    mismatches = [
-        (n, spark_by_n[n], m) for n, _, m in duck_pairs if spark_by_n[n] != m
-    ]
+    sp, duck = _production_term_both_engines(spark, duck_pairs, "n", "corpus_total")
+    mismatches = [(k, sp[k], duck[k]) for k in duck if sp[k] != duck[k]]
     assert not mismatches, f"floor-boundary divergence at: {mismatches[:10]}"
 
 
@@ -255,33 +276,15 @@ def test_bigram_surprisal_floor_parity_and_ranking(spark, dup_docs_dir):
             cnt AS (SELECT w1, w2, count(*) AS n_bg FROM pos GROUP BY w1, w2),
             pre AS (SELECT w1, CAST(sum(n_bg) AS BIGINT) AS n_prefix
                     FROM cnt GROUP BY w1)
-            SELECT DISTINCT n_bg, n_prefix,
-                   CAST(floor(-ln(n_bg * 1.0 / n_prefix) * 1e6) AS BIGINT)
-                       AS micronats
+            SELECT DISTINCT n_bg, n_prefix
             FROM cnt JOIN pre USING (w1)
             """
         )
         .fetchall()
     )
     assert duck_pairs
-    import pyspark.sql.functions as F
-
-    pairs = spark.createDataFrame(
-        [(n, p) for n, p, _ in duck_pairs], "n_bg bigint, n_prefix bigint"
-    )
-    sparked = pairs.select(
-        "n_bg",
-        "n_prefix",
-        F.floor(-F.log(F.col("n_bg") / F.col("n_prefix")) * F.lit(1e6))
-        .cast("bigint")
-        .alias("micronats"),
-    ).collect()
-    spark_by_pair = {(r["n_bg"], r["n_prefix"]): r["micronats"] for r in sparked}
-    mismatches = [
-        (n, p, spark_by_pair[(n, p)], m)
-        for n, p, m in duck_pairs
-        if spark_by_pair[(n, p)] != m
-    ]
+    sp, duck = _production_term_both_engines(spark, duck_pairs, "n_bg", "n_prefix")
+    mismatches = [(k, sp[k], duck[k]) for k in duck if sp[k] != duck[k]]
     assert not mismatches, f"floor-boundary divergence at: {mismatches[:10]}"
 
     out = {r["doc_id"]: r for r in bigram_surprisal(spark, dup_docs_dir).collect()}
