@@ -73,6 +73,7 @@ _SWEEP_PRIORITY = (
     "source_token_entropy",
     "stratified_topk_sample",
     "stream_click_purchase_outer",
+    "stream_transition_matrix",
     "vocab_growth",
     "percentile_accuracy_check",
     "purchase_prior_clicks",

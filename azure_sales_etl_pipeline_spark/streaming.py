@@ -540,6 +540,117 @@ STREAM_CUSTOM_STATE_SQL = """
 """
 
 
+def _drain_transition_fold(src: DataFrame, name: str) -> None:
+    """Keyed-state fold emitting per-batch TRANSITION-PAIR deltas: each
+    user's state is (last_ts_micros, last_event_type); a micro-batch's
+    rows are sorted by (ts, event_id), the boundary pair
+    (state.last → batch.first) plus all intra-batch consecutive pairs
+    are counted, and ONE delta row per (prev, next) pair is emitted.
+    Deltas are mergeable (plain sums), so the sink aggregation is
+    batch-split-independent.
+
+    Ordering contract: cross-batch correctness assumes each new batch's
+    events for a user are ≥ the user's state timestamp — the ordered-log
+    property a Kafka-partition or landing-sequence source provides (the
+    same assumption every streaming sessionizer makes). Within a batch,
+    order is irrelevant (the handler sorts); the multi-batch pytest
+    feeds time-split files via maxFilesPerTrigger to pin the
+    boundary-pair path."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [
+            StructField("last_ts_micros", LongType()),
+            StructField("last_type", StringType()),
+        ]
+    )
+    out_schema = StructType(
+        [
+            StructField("prev_type", StringType()),
+            StructField("next_type", StringType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        from collections import Counter
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:
+            return
+        rows = rows.sort_values(["ts", "event_id"])
+        types = rows["event_type"].tolist()
+        seq = ([state.get[1]] if state.exists else []) + types
+        pair_counts = Counter(zip(seq, seq[1:]))
+        state.update(
+            (int(rows["ts"].iloc[-1].value) // 1000, types[-1])
+        )
+        if pair_counts:
+            keys = list(pair_counts)
+            yield pd.DataFrame(
+                {
+                    "prev_type": [a for a, _ in keys],
+                    "next_type": [b for _, b in keys],
+                    "n": [pair_counts[k] for k in keys],
+                }
+            )
+
+    folded = src.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    _drain_to_memory(folded, name, mode="update")
+
+
+def _transition_counts(pairs: DataFrame) -> DataFrame:
+    """Fold the emitted pair deltas to the transition matrix — the same
+    projection as the batch `event_transition_matrix`."""
+    agg = pairs.groupBy("prev_type", "next_type").agg(
+        F.sum("n").cast("bigint").alias("n_transitions")
+    )
+    return agg.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.expr(
+            "(1000 * n_transitions) div sum(n_transitions)"
+            " OVER (PARTITION BY prev_type)"
+        ).alias("permille"),
+    )
+
+
+def stream_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Markov transition matrix — the incremental twin of
+    the batch `event_transition_matrix`, maintained by a custom
+    keyed-state operator instead of a lag window (streams can't lag:
+    the previous event may be in a batch processed minutes ago). Each
+    user's last event type lives in the state store; micro-batches emit
+    mergeable pair-count DELTAS whose sum equals the batch answer for
+    any batch split that respects per-user arrival order — so the
+    batch window query is the value oracle, and the multi-batch
+    boundary path is pinned by pytest with time-split file feeds.
+
+    Scale: state is ONE tiny row per user (the sessionizer's footprint,
+    watermark-evictable if the key space grows unbounded); emission is
+    ≤ |types|² rows per user-batch, the sink fold is a map-side-combined
+    count — nothing driver-side."""
+    src = _events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    _drain_transition_fold(src, "stream_transition_matrix")
+    return _transition_counts(spark.table("stream_transition_matrix"))
+
+
 STREAM_SLIDING_SQL = """
     WITH assigned AS (
         SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, user_id FROM events
