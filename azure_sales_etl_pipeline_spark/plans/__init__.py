@@ -66,6 +66,7 @@ _SWEEP_PRIORITY = (
     "minhash_source_similarity",
     "mixture_temperature_weights",
     "multi_touch_attribution",
+    "priority_status_woe",
     "quality_classifier_score",
     "repeated_spans",
     "simhash_hamming_pairs",

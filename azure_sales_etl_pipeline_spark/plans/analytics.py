@@ -1375,6 +1375,108 @@ _CMS_ACCURACY_SQL = f"""
 """
 
 
+#: WOE ratio ((n_pos+1)/(tot_pos+k)) / ((n_neg+1)/(tot_neg+k)) — the
+#: Laplace-smoothed odds ratio per category vs the corpus. Shared text;
+#: the +1/+n_cats smoothing keeps both numerator and denominator > 0.
+_WOE_ARG = (
+    "((CAST(n_pos + 1 AS DOUBLE) / CAST(tot_pos + n_cats AS DOUBLE))"
+    " / (CAST(n_neg + 1 AS DOUBLE) / CAST(tot_neg + n_cats AS DOUBLE)))"
+)
+_WOE_DIFF = (
+    "(CAST(n_pos + 1 AS DOUBLE) / CAST(tot_pos + n_cats AS DOUBLE)"
+    " - CAST(n_neg + 1 AS DOUBLE) / CAST(tot_neg + n_cats AS DOUBLE))"
+)
+
+
+def _woe_exprs() -> tuple[str, str]:
+    from ..functions import ln_from_kz_sql
+
+    ln = ln_from_kz_sql("__ln_k", "__ln_z")
+    return (
+        f"CAST(floor({ln} * 1.0e6) AS BIGINT)",
+        f"CAST(floor({_WOE_DIFF} * {ln} * 1.0e6) AS BIGINT)",
+    )
+
+
+def priority_status_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding of order priority against the
+    finished-order target — the credit-scoring-style categorical
+    encoder (WOE = ln of the smoothed class-conditional odds ratio)
+    plus each category's Information-Value contribution, the
+    feature-selection score (IV = Σ (p⁺−p⁻)·WOE, every term ≥ 0 since
+    the factors share sign). Third consumer of the portable ln, so the
+    micro-quantized scores are bit-identical across engines by
+    construction.
+
+    Shape: one conditional-count hash aggregate on the category key
+    (map-side combined), single-row class totals broadcast back, then
+    a narrow codegen projection — the same plan skeleton as
+    [[drift_psi]]. At any scale the category table is the grain of the
+    feature, not the data."""
+    from ..functions import LN_Z_SQL, ln_k_sql, ln_m_sql
+
+    orders = load_table(spark, sf_dir, "orders")
+    pos = F.col("o_orderstatus") == "F"
+    cats = (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(pos, 1)).cast("bigint").alias("n_pos"),
+            F.count(F.when(~pos, 1)).cast("bigint").alias("n_neg"),
+        )
+        .localCheckpoint()
+    )
+    totals = cats.agg(
+        F.sum("n_pos").cast("bigint").alias("tot_pos"),
+        F.sum("n_neg").cast("bigint").alias("tot_neg"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cats"),
+    )
+    woe, iv = _woe_exprs()
+    return (
+        cats.crossJoin(F.broadcast(totals))
+        .withColumn("__ln_k", F.expr(ln_k_sql(_WOE_ARG)))
+        .withColumn("__ln_m", F.expr(ln_m_sql(_WOE_ARG, "__ln_k")))
+        .withColumn("__ln_z", F.expr(LN_Z_SQL))
+        .select(
+            "o_orderpriority",
+            "n_pos",
+            "n_neg",
+            F.expr(woe).alias("woe_micro"),
+            F.expr(iv).alias("iv_micro"),
+        )
+    )
+
+
+def _woe_sql() -> str:
+    from ..functions import LN_Z_SQL, ln_k_sql, ln_m_sql
+
+    woe, iv = _woe_exprs()
+    return f"""
+    WITH cats AS (
+        SELECT o_orderpriority,
+               CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_pos,
+               CAST(count(*) FILTER (o_orderstatus <> 'F') AS BIGINT) AS n_neg
+        FROM orders GROUP BY o_orderpriority
+    ),
+    t AS (
+        SELECT CAST(sum(n_pos) AS BIGINT) AS tot_pos,
+               CAST(sum(n_neg) AS BIGINT) AS tot_neg,
+               CAST(count(*) AS BIGINT) AS n_cats
+        FROM cats
+    ),
+    s1 AS (SELECT cats.*, t.*, {ln_k_sql(_WOE_ARG)} AS __ln_k
+           FROM cats CROSS JOIN t),
+    s2 AS (SELECT *, {ln_m_sql(_WOE_ARG, "__ln_k")} AS __ln_m FROM s1),
+    s3 AS (SELECT *, {LN_Z_SQL} AS __ln_z FROM s2)
+    SELECT o_orderpriority, n_pos, n_neg,
+           {woe} AS woe_micro,
+           {iv} AS iv_micro
+    FROM s3
+"""
+
+
+_WOE_SQL = _woe_sql()
+
+
 def brand_size_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-brand Pearson correlation between part size and retail
     price — the feature-vs-feature screening statistic of an ML prep
@@ -1453,6 +1555,7 @@ _BRAND_CORR_SQL = """
 
 QUERIES = {
     "brand_size_price_corr": brand_size_price_corr,
+    "priority_status_woe": priority_status_woe,
     "event_funnel": event_funnel,
     "events_daily_anomalies": events_daily_anomalies,
     "order_value_histogram": order_value_histogram,
@@ -1480,6 +1583,7 @@ QUERIES = {
 
 ORACLES = {
     "brand_size_price_corr": _BRAND_CORR_SQL,
+    "priority_status_woe": _WOE_SQL,
     "event_funnel": _FUNNEL_SQL,
     "events_daily_anomalies": _ANOMALY_SQL,
     "order_value_histogram": _HISTOGRAM_SQL,
