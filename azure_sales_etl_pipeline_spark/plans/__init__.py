@@ -55,12 +55,15 @@ _SWEEP_PRIORITY_INPUTS = (
     "CORRECTNESS_r08.json",
 )
 _SWEEP_PRIORITY = (
+    "benford_first_digit",
     "bm25_topterms",
     "brand_size_price_corr",
     "cluster_labels_two_batch",
     "copurchase_neighbor_jaccard",
+    "doc_novelty",
     "embedding_decontaminate",
     "event_transition_matrix",
+    "event_weekday_mi",
     "ivf_index_maintenance",
     "length_bucketed_batches",
     "minhash_source_similarity",

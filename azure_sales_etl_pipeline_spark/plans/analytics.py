@@ -1477,6 +1477,167 @@ def _woe_sql() -> str:
 _WOE_SQL = _woe_sql()
 
 
+#: floor(1000·log10(1 + 1/d)) — precomputed in Python, embedded as
+#: integer literals in BOTH engines' text, so no runtime log exists.
+_BENFORD_PERMILLE = {1: 301, 2: 176, 3: 124, 4: 96, 5: 79, 6: 66, 7: 57, 8: 51, 9: 45}
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_PERMILLE.items()
+) + " END"
+
+
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals against
+    Benford's law — the classic forensic-accounting / data-fabrication
+    screen (hand-entered or synthesized amounts over-represent mid
+    digits). Per digit: observed count, observed permille, the
+    expected Benford permille (PRECOMPUTED integer constants — no
+    runtime logarithm at all), and the absolute deviation; the
+    deviation column sums to the L1 distance from Benford.
+
+    Exactness: the first digit comes from the decimal STRING of exact
+    integer cents — both engines render a BIGINT identically, where a
+    float log10/pow route would reintroduce libm. Shape: map-side
+    digit extraction, one 9-row hash aggregate, broadcast total —
+    scan-bound at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        orders.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .localCheckpoint()
+    )
+    total = counts.agg(F.sum("n_orders").cast("bigint").alias("tot"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_orders",
+            F.expr("1000 * n_orders div tot").alias("observed_permille"),
+            F.expr(_BENFORD_CASE).cast("bigint").alias("benford_permille"),
+            F.expr(
+                f"abs(1000 * n_orders div tot - ({_BENFORD_CASE}))"
+            ).cast("bigint").alias("deviation_permille"),
+        )
+    )
+
+
+_BENFORD_SQL = f"""
+    WITH counts AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS tot FROM counts)
+    SELECT digit, n_orders,
+           (1000 * n_orders) // tot AS observed_permille,
+           CAST({_BENFORD_CASE} AS BIGINT) AS benford_permille,
+           CAST(abs((1000 * n_orders) // tot - ({_BENFORD_CASE}))
+                AS BIGINT) AS deviation_permille
+    FROM counts CROSS JOIN t
+"""
+
+
+#: Pointwise-MI ratio p(x,y)/(p(x)p(y)) = n_xy·tot / (n_x·n_y), as
+#: deterministic double arithmetic over exact int64 counts.
+_MI_ARG = (
+    "((CAST(n_xy AS DOUBLE) * CAST(tot AS DOUBLE))"
+    " / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)))"
+)
+#: weekday 0=Mon..6=Sun from pure integer epoch arithmetic —
+#: 1970-01-01 was a Thursday, so (+3) mod 7 lands Monday on 0. Both
+#: engines' dayofweek()/date_part('dow') disagree on the week origin;
+#: integer µs division does not.
+_WEEKDAY_SPARK = "(unix_micros(ts) div 86400000000 + 3) % 7"
+_WEEKDAY_DUCK = "(epoch_us(ts) // 86400000000 + 3) % 7"
+
+
+def event_weekday_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and weekday — the
+    feature-screening statistic that says whether a categorical pair
+    carries signal before a model ever trains (MI ≈ 0 ⇒ the features
+    are independent; rows are the pointwise terms, Σ mi_micro = corpus
+    MI × 1e6). Each cell's term p(x,y)·ln(p(x,y)/(p(x)p(y))) is
+    micro-floor-quantized through the portable ln, so the table is
+    bit-identical cross-engine.
+
+    Shape: ONE conditional hash aggregate on the (type, weekday) cell
+    key (≤ |types|·7 rows leave any partition), marginals re-aggregated
+    from the checkpointed cell table, two tiny broadcast joins, narrow
+    projection. Weekday comes from integer epoch-µs arithmetic — the
+    engines' native dayofweek functions disagree on the week origin."""
+    from ..functions import LN_Z_SQL, ln_k_sql, ln_m_sql
+
+    events = load_table(spark, sf_dir, "events")
+    cells = (
+        events.select(
+            "event_type", F.expr(_WEEKDAY_SPARK).cast("int").alias("weekday")
+        )
+        .groupBy("event_type", "weekday")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_xy"))
+        .localCheckpoint()
+    )
+    mx = cells.groupBy("event_type").agg(F.sum("n_xy").cast("bigint").alias("n_x"))
+    my = cells.groupBy("weekday").agg(F.sum("n_xy").cast("bigint").alias("n_y"))
+    tot = cells.agg(F.sum("n_xy").cast("bigint").alias("tot"))
+    term = (
+        "CAST(floor((CAST(n_xy AS DOUBLE) / CAST(tot AS DOUBLE))"
+        f" * {{ln}} * 1.0e6) AS BIGINT)"
+    )
+    from ..functions import ln_from_kz_sql
+
+    term = term.format(ln=ln_from_kz_sql("__ln_k", "__ln_z"))
+    return (
+        cells.join(F.broadcast(mx), "event_type")
+        .join(F.broadcast(my), "weekday")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("__ln_k", F.expr(ln_k_sql(_MI_ARG)))
+        .withColumn("__ln_m", F.expr(ln_m_sql(_MI_ARG, "__ln_k")))
+        .withColumn("__ln_z", F.expr(LN_Z_SQL))
+        .select(
+            "event_type",
+            "weekday",
+            "n_xy",
+            F.expr(term).alias("mi_micro"),
+        )
+    )
+
+
+def _mi_sql() -> str:
+    from ..functions import LN_Z_SQL, ln_from_kz_sql, ln_k_sql, ln_m_sql
+
+    term = (
+        "CAST(floor((CAST(n_xy AS DOUBLE) / CAST(tot AS DOUBLE))"
+        f" * {ln_from_kz_sql('__ln_k', '__ln_z')} * 1.0e6) AS BIGINT)"
+    )
+    return f"""
+    WITH cells AS (
+        SELECT event_type,
+               CAST({_WEEKDAY_DUCK} AS INTEGER) AS weekday,
+               CAST(count(*) AS BIGINT) AS n_xy
+        FROM events GROUP BY 1, 2
+    ),
+    mx AS (SELECT event_type, CAST(sum(n_xy) AS BIGINT) AS n_x
+           FROM cells GROUP BY event_type),
+    my AS (SELECT weekday, CAST(sum(n_xy) AS BIGINT) AS n_y
+           FROM cells GROUP BY weekday),
+    t AS (SELECT CAST(sum(n_xy) AS BIGINT) AS tot FROM cells),
+    s1 AS (SELECT cells.*, n_x, n_y, tot, {ln_k_sql(_MI_ARG)} AS __ln_k
+           FROM cells JOIN mx USING (event_type) JOIN my USING (weekday)
+           CROSS JOIN t),
+    s2 AS (SELECT *, {ln_m_sql(_MI_ARG, "__ln_k")} AS __ln_m FROM s1),
+    s3 AS (SELECT *, {LN_Z_SQL} AS __ln_z FROM s2)
+    SELECT event_type, weekday, n_xy, {term} AS mi_micro
+    FROM s3
+"""
+
+
+_MI_SQL = _mi_sql()
+
+
 def brand_size_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-brand Pearson correlation between part size and retail
     price — the feature-vs-feature screening statistic of an ML prep
@@ -1556,6 +1717,8 @@ _BRAND_CORR_SQL = """
 QUERIES = {
     "brand_size_price_corr": brand_size_price_corr,
     "priority_status_woe": priority_status_woe,
+    "benford_first_digit": benford_first_digit,
+    "event_weekday_mi": event_weekday_mi,
     "event_funnel": event_funnel,
     "events_daily_anomalies": events_daily_anomalies,
     "order_value_histogram": order_value_histogram,
@@ -1584,6 +1747,8 @@ QUERIES = {
 ORACLES = {
     "brand_size_price_corr": _BRAND_CORR_SQL,
     "priority_status_woe": _WOE_SQL,
+    "benford_first_digit": _BENFORD_SQL,
+    "event_weekday_mi": _MI_SQL,
     "event_funnel": _FUNNEL_SQL,
     "events_daily_anomalies": _ANOMALY_SQL,
     "order_value_histogram": _HISTOGRAM_SQL,

@@ -1885,9 +1885,98 @@ def _entropy_sql() -> str:
 _ENTROPY_SQL = _entropy_sql()
 
 
+# ---------------------------------------------------------------------------
+# n-gram novelty (corpus redundancy growth)
+# ---------------------------------------------------------------------------
+
+_NOVEL_K = 3  # shingle width (tokens)
+
+
+def doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document shingle NOVELTY against everything earlier in
+    ingestion order: the share of a doc's distinct 3-token shingles
+    whose FIRST corpus occurrence (min doc_id) is this doc — the
+    doc-grain redundancy-growth signal (a crawl whose novelty permille
+    decays toward 0 is re-crawling itself; complements
+    `dup_ngram_fraction`, which scores duplication, not first-ness,
+    and `vocab_growth`, which is corpus-grain).
+
+    Shape: shingles build map-side (sequence→slice→sha2, the winnowing
+    hex scheme — sha256 is computable on both engines so the shuffle
+    key is 64 hex chars, not raw text), distinct-ed per doc BEFORE the
+    explode; first-occurrence is one min-aggregate on the shingle key;
+    the join back is shingle-keyed with skew structurally absent (the
+    per-doc distinct collapsed within-doc repeats, and min(doc_id) is
+    insensitive to cross-doc multiplicity). Two shuffles total on the
+    same key."""
+    from ..functions import plan_barrier
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks_expr = _tokens()
+    staged = plan_barrier(
+        docs.where(F.size(toks_expr) >= _NOVEL_K).select(
+            "doc_id", toks_expr.alias("t")
+        )
+    )
+    t = F.col("t")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (_NOVEL_K - 1)),
+            lambda i: F.sha2(F.array_join(F.slice(t, i, _NOVEL_K), " "), 256),
+        )
+    )
+    pos = plan_barrier(staged.select("doc_id", grams.alias("gs"))).select(
+        "doc_id", F.explode("gs").alias("g")
+    )
+    first = pos.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        pos.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("1000 * n_novel div n_shingles").alias("novelty_permille"),
+        )
+    )
+
+
+_NOVELTY_SQL = rf"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   list_transform(range(1, len(toks) - {_NOVEL_K - 1} + 1),
+                       i -> sha256(array_to_string(
+                           list_slice(toks, i, i + {_NOVEL_K - 1}), ' ')))))
+                   AS g
+        FROM t
+        WHERE len(toks) >= {_NOVEL_K}
+    ),
+    first AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(*) FILTER (first_doc = doc_id) AS BIGINT) AS n_novel,
+           (1000 * count(*) FILTER (first_doc = doc_id)) // count(*)
+               AS novelty_permille
+    FROM g JOIN first USING (g)
+    GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "bm25_topterms": bm25_topterms,
     "source_token_entropy": source_token_entropy,
+    "doc_novelty": doc_novelty,
     "quality_classifier_score": quality_classifier_score,
     "repeated_spans": repeated_spans,
     "vocab_growth": vocab_growth,
@@ -1913,6 +2002,7 @@ QUERIES = {
 ORACLES = {
     "bm25_topterms": _BM25_SQL,
     "source_token_entropy": _ENTROPY_SQL,
+    "doc_novelty": _NOVELTY_SQL,
     "quality_classifier_score": _QC_SQL,
     "repeated_spans": _REPEATED_SPANS_SQL,
     "vocab_growth": _VOCAB_GROWTH_SQL,
