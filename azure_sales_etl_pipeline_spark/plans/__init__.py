@@ -64,6 +64,7 @@ _SWEEP_PRIORITY = (
     "embedding_decontaminate",
     "event_transition_matrix",
     "event_weekday_mi",
+    "golden_part_records",
     "ivf_index_maintenance",
     "length_bucketed_batches",
     "minhash_source_similarity",

@@ -862,6 +862,109 @@ _FUZZY_SQL = f"""
 """
 
 
+def golden_part_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution END-TO-END — the MDM "golden record" pipeline:
+    (1) blocked fuzzy matching ([[fuzzy_name_pairs]] — head-noun
+    blocks, levenshtein survivors), (2) transitive closure of the
+    match graph (min-label pointer-doubling components via
+    `operators.maintenance._cc_min_label`, run over EDGE NAMES only —
+    singleton names, the overwhelming majority, skip the iteration),
+    (3) survivorship: per entity cluster keep the member with the
+    highest exact-cents price (completeness proxy), ties to the lowest
+    partkey, and report cluster size. This composes three registered,
+    individually-oracled stages into the classic dedupe-then-merge
+    record-linkage flow.
+
+    Scale: the only all-to-all risk (fuzzy matching) is blocked; CC
+    state is one row per MATCHED name; survivorship is a
+    cluster-partitioned window + one grain aggregate. String labels
+    propagate fine through the CC loop (min over names — binary
+    collation on both engines)."""
+    from ..operators.maintenance import _cc_min_label
+
+    pairs = (
+        fuzzy_name_pairs(spark, sf_dir)
+        .select(F.col("name_a").alias("src"), F.col("name_b").alias("dst"))
+        .localCheckpoint()  # feeds both CC directions; blocks re-running the fuzzy join
+    )
+    edge_labels = _cc_min_label(pairs)
+    parts = load_table(spark, sf_dir, "part")
+    names = parts.select("p_name").distinct()
+    labels = names.join(
+        edge_labels, names.p_name == edge_labels.node, "left"
+    ).select(
+        "p_name", F.coalesce("label", F.col("p_name")).alias("cluster_name")
+    )
+    members = parts.join(labels, "p_name").withColumn(
+        "price_cents", F.floor(F.col("p_retailprice") * 100).cast("bigint")
+    )
+    stats = members.groupBy("cluster_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.countDistinct("p_name").cast("bigint").alias("n_names"),
+    )
+    w = Window.partitionBy("cluster_name").orderBy(
+        F.desc("price_cents"), "p_partkey"
+    )
+    golden = (
+        members.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_name",
+            F.col("p_partkey").alias("golden_partkey"),
+            F.col("p_name").alias("golden_name"),
+            F.col("price_cents").alias("golden_price_cents"),
+        )
+    )
+    return golden.join(stats, "cluster_name")
+
+
+_GOLDEN_SQL = f"""
+    WITH RECURSIVE
+    n AS (SELECT DISTINCT p_name FROM part),
+    b AS (SELECT p_name, string_split(p_name, ' ')[-1] AS block FROM n),
+    pairs AS (
+        SELECT a.p_name AS src, c.p_name AS dst
+        FROM b a JOIN b c ON a.block = c.block AND a.p_name < c.p_name
+        WHERE levenshtein(a.p_name, c.p_name) <= {_FUZZY_MAX_DIST}
+    ),
+    edges AS (
+        SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+    ),
+    reach(node, root) AS (
+        SELECT p_name, p_name FROM n
+        UNION
+        SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    labels AS (
+        SELECT node AS p_name, min(root) AS cluster_name
+        FROM reach GROUP BY node
+    ),
+    members AS (
+        SELECT p.p_partkey, p.p_name, l.cluster_name,
+               CAST(floor(p.p_retailprice * 100) AS BIGINT) AS price_cents
+        FROM part p JOIN labels l USING (p_name)
+    ),
+    stats AS (
+        SELECT cluster_name,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(count(DISTINCT p_name) AS BIGINT) AS n_names
+        FROM members GROUP BY 1
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY cluster_name
+                   ORDER BY price_cents DESC, p_partkey
+               ) AS rn
+        FROM members
+    )
+    SELECT g.cluster_name, g.p_partkey AS golden_partkey,
+           g.p_name AS golden_name, g.price_cents AS golden_price_cents,
+           s.n_parts, s.n_names
+    FROM ranked g JOIN stats s USING (cluster_name)
+    WHERE g.rn = 1
+"""
+
+
 # Registry order: the near-dup trio first — round 3's driver sweep
 # truncated exactly before them, so they carry the least driver
 # evidence; exact_dedup/dedup_keep_first are green in r02+r03.
@@ -875,6 +978,7 @@ QUERIES = {
     "exact_dedup": exact_dedup,
     "dedup_keep_first": dedup_keep_first,
     "fuzzy_name_pairs": fuzzy_name_pairs,
+    "golden_part_records": golden_part_records,
 }
 
 ORACLES = {
@@ -891,4 +995,5 @@ ORACLES = {
     "minhash_source_similarity": _MINHASH_SOURCE_SQL,
     "minhash_recall_check": _MINHASH_RECALL_SQL,
     "fuzzy_name_pairs": _FUZZY_SQL,
+    "golden_part_records": _GOLDEN_SQL,
 }
