@@ -66,6 +66,7 @@ _SWEEP_PRIORITY = (
     "event_weekday_mi",
     "golden_part_records",
     "ivf_index_maintenance",
+    "join_cardinality_audit",
     "length_bucketed_batches",
     "minhash_source_similarity",
     "mixture_temperature_weights",

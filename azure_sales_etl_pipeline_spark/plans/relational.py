@@ -612,6 +612,98 @@ def _ri_audit_sql() -> str:
     return " UNION ALL ".join(selects)
 
 
+def join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relationship-class audit for every FK edge of the star schema —
+    the dbt-style `relationships` contract one level deeper: not just
+    "do the keys resolve" ([[referential_integrity_audit]]) but "is
+    the edge still the SHAPE the joins assume". A duplicated dimension
+    key silently FANS OUT every downstream join (revenue double-counts
+    — the classic broken-mart incident); this reports, per edge, the
+    observed child/parent multiplicities and the relationship class
+    (one_to_one / many_to_one / many_to_many) so a contract test can
+    pin `many_to_one` and fail loudly when a load breaks it.
+
+    Shape: per edge, one group-count per side collapsed to a 1-row
+    profile (map-side combined, |keys|-bounded), broadcast-joined —
+    the union is |edges| rows. NULL keys excluded on both sides, same
+    semantics note as the RI audit."""
+    out = None
+    for fact, fk, dim, pk in _FK_EDGES:
+        f = (
+            load_table(spark, sf_dir, fact)
+            .select(F.col(fk).alias("fk"))
+            .where(F.col("fk").isNotNull())
+        )
+        d = (
+            load_table(spark, sf_dir, dim)
+            .select(F.col(pk).alias("pk"))
+            .where(F.col("pk").isNotNull())
+        )
+        child = (
+            f.groupBy("fk")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.sum("n").cast("bigint").alias("n_child_rows"),
+                F.count(F.lit(1)).cast("bigint").alias("n_child_keys"),
+                F.max("n").cast("bigint").alias("max_rows_per_key"),
+            )
+        )
+        parent = (
+            d.groupBy("pk")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_parent_keys"),
+                F.max("n").cast("bigint").alias("max_dup_pk"),
+            )
+        )
+        edge = child.crossJoin(F.broadcast(parent)).select(
+            F.lit(f"{fact}.{fk}->{dim}.{pk}").alias("fk_edge"),
+            "n_child_rows",
+            "n_child_keys",
+            "max_rows_per_key",
+            "n_parent_keys",
+            "max_dup_pk",
+            F.expr(
+                "CASE WHEN max_dup_pk = 1 AND max_rows_per_key = 1"
+                " THEN 'one_to_one'"
+                " WHEN max_dup_pk = 1 THEN 'many_to_one'"
+                " ELSE 'many_to_many' END"
+            ).alias("relationship"),
+        )
+        out = edge if out is None else out.unionByName(edge)
+    return out
+
+
+def _join_cardinality_sql() -> str:
+    selects = []
+    for fact, fk, dim, pk in _FK_EDGES:
+        selects.append(
+            f"""
+            SELECT '{fact}.{fk}->{dim}.{pk}' AS fk_edge,
+                   c.n_child_rows, c.n_child_keys, c.max_rows_per_key,
+                   p.n_parent_keys, p.max_dup_pk,
+                   CASE WHEN p.max_dup_pk = 1 AND c.max_rows_per_key = 1
+                        THEN 'one_to_one'
+                        WHEN p.max_dup_pk = 1 THEN 'many_to_one'
+                        ELSE 'many_to_many' END AS relationship
+            FROM (
+                SELECT CAST(sum(n) AS BIGINT) AS n_child_rows,
+                       CAST(count(*) AS BIGINT) AS n_child_keys,
+                       CAST(max(n) AS BIGINT) AS max_rows_per_key
+                FROM (SELECT {fk}, count(*) AS n FROM {fact}
+                      WHERE {fk} IS NOT NULL GROUP BY 1)
+            ) c
+            CROSS JOIN (
+                SELECT CAST(count(*) AS BIGINT) AS n_parent_keys,
+                       CAST(max(n) AS BIGINT) AS max_dup_pk
+                FROM (SELECT {pk}, count(*) AS n FROM {dim}
+                      WHERE {pk} IS NOT NULL GROUP BY 1)
+            ) p
+            """
+        )
+    return " UNION ALL ".join(selects)
+
+
 def orders_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style declarative quality suite over orders, evaluated by
     ``operators.validate.metric_suite`` in ONE aggregate pass: key
@@ -719,6 +811,7 @@ QUERIES = {
     "table_profile": table_profile,
     "k_anonymity_audit": k_anonymity_audit,
     "referential_integrity_audit": referential_integrity_audit,
+    "join_cardinality_audit": join_cardinality_audit,
     "orders_validation": orders_validation,
     "orders_quality_suite": orders_quality_suite,
     "drop_and_cast": drop_and_cast,
@@ -738,6 +831,7 @@ ORACLES = {
     "table_profile": _profile_sql(),
     "k_anonymity_audit": _K_ANON_SQL,
     "referential_integrity_audit": _ri_audit_sql(),
+    "join_cardinality_audit": _join_cardinality_sql(),
     "orders_validation": _VALIDATION_SQL,
     "orders_quality_suite": _QUALITY_SUITE_SQL,
     "drop_and_cast": _DROP_CAST_SQL,
