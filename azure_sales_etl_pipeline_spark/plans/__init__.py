@@ -80,6 +80,7 @@ _SWEEP_PRIORITY = (
     "stratified_topk_sample",
     "stream_click_purchase_outer",
     "stream_transition_matrix",
+    "timed_event_funnel",
     "vocab_growth",
     "percentile_accuracy_check",
     "purchase_prior_clicks",

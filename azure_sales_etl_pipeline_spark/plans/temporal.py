@@ -431,8 +431,98 @@ _MULTI_TOUCH_SQL = """
 """
 
 
+def timed_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-BUDGETED funnel — `event_funnel`'s strict ordering plus a
+    per-step deadline: a click converts only within 1 hour of SOME
+    view, a purchase only within 1 hour of some already-qualified
+    click. This is the funnel product analytics actually ships (a
+    purchase three weeks after the click is not that campaign's
+    conversion); the unbounded variant keeps the ordering-only
+    semantics for comparison.
+
+    Shape: two banded LEFT-SEMI joins chained on the user key — each
+    stage keeps qualifying events only, so stage N+1's probe side
+    shrinks monotonically; the band keeps join state bounded by the
+    1-hour horizon (the same state argument as the stream-stream band
+    join). Distinct-user counts fold in one final aggregate. No
+    window, no self-cartesian."""
+    events = load_table(spark, sf_dir, "events")
+
+    def stage(name: str) -> DataFrame:
+        return events.where(F.col("event_type") == name).select(
+            F.col("user_id").alias(f"{name}_user"), F.col("ts").alias(f"{name}_ts")
+        )
+
+    views, clicks, purchases = stage("view"), stage("click"), stage("purchase")
+    q_clicks = clicks.join(
+        views,
+        (F.col("click_user") == F.col("view_user"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") > F.col("click_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left_semi",
+    )
+    q_purchases = purchases.join(
+        q_clicks,
+        (F.col("purchase_user") == F.col("click_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") > F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left_semi",
+    )
+    return (
+        views.agg(F.countDistinct("view_user").cast("bigint").alias("n_view_users"))
+        .crossJoin(
+            F.broadcast(
+                q_clicks.agg(
+                    F.countDistinct("click_user")
+                    .cast("bigint")
+                    .alias("n_timed_click_users")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                q_purchases.agg(
+                    F.countDistinct("purchase_user")
+                    .cast("bigint")
+                    .alias("n_timed_purchase_users")
+                )
+            )
+        )
+    )
+
+
+_TIMED_FUNNEL_SQL = """
+    WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    qc AS (
+        SELECT * FROM c
+        WHERE EXISTS (
+            SELECT 1 FROM v
+            WHERE v.user_id = c.user_id
+              AND v.ts <= c.ts AND v.ts > c.ts - INTERVAL 1 HOUR
+        )
+    ),
+    qp AS (
+        SELECT * FROM p
+        WHERE EXISTS (
+            SELECT 1 FROM qc
+            WHERE qc.user_id = p.user_id
+              AND qc.ts <= p.ts AND qc.ts > p.ts - INTERVAL 1 HOUR
+        )
+    )
+    SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM v)
+               AS n_view_users,
+           (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM qc)
+               AS n_timed_click_users,
+           (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM qp)
+               AS n_timed_purchase_users
+"""
+
+
 QUERIES = {
     "event_transition_matrix": event_transition_matrix,
+    "timed_event_funnel": timed_event_funnel,
     "multi_touch_attribution": multi_touch_attribution,
     "purchase_attribution_asof": purchase_attribution_asof,
     "click_conversion_asof": click_conversion_asof,
@@ -442,6 +532,7 @@ QUERIES = {
 
 ORACLES = {
     "event_transition_matrix": _TRANSITION_SQL,
+    "timed_event_funnel": _TIMED_FUNNEL_SQL,
     "multi_touch_attribution": _MULTI_TOUCH_SQL,
     "purchase_attribution_asof": _ASOF_SQL,
     "click_conversion_asof": _FORWARD_ASOF_SQL,
