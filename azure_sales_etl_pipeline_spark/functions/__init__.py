@@ -230,3 +230,28 @@ def ln_from_kz_sql(k: str, z: str) -> str:
         f" + {zz}*{zz}*{zz}*{zz}*{zz}/11.0e0)"
     )
     return f"(CAST({k} AS DOUBLE) * {_LN2_LIT} + {series})"
+
+
+def hex_to_bigint_sql(x: str, width: int = 15) -> str:
+    """Fixed-width lowercase-hex → BIGINT as shared SQL text (≤ 15 hex
+    chars so the value fits int64): Σ digit(i)·16^(width−i), each digit
+    via ``instr('0123456789abcdef', substr(x, i, 1)) − 1`` — both
+    engines implement instr/substr identically and the arithmetic is
+    pure integer, so the conversion cannot diverge. Exists because
+    Spark has ``conv(hex, 16, 10)`` but DuckDB has no base-16 string
+    parse — the sketch family keeps hashes as hex strings (fixed-width
+    hex ORDERS like its integer value) and drops to integers only
+    where arithmetic needs them (e.g. the KMV estimator's division)."""
+    if width > 15:
+        raise ValueError(f"width={width} overflows BIGINT (max 15 hex chars)")
+    # Every multiplier is CAST to BIGINT: bare 268435456 (16⁷) parses
+    # as INT32 on Spark, and digit ≥ 8 at that position made the INT
+    # multiply overflow under ANSI mode (data-dependent — it surfaced
+    # only at sf0.1). The CAST promotes the whole term chain to
+    # bigint on both engines.
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substr({x}, {i + 1}, 1)) - 1)"
+        f" * CAST({16 ** (width - 1 - i)} AS BIGINT)"
+        for i in range(width)
+    )
+    return f"(CAST({terms} AS BIGINT))"

@@ -67,6 +67,7 @@ _SWEEP_PRIORITY = (
     "golden_part_records",
     "ivf_index_maintenance",
     "join_cardinality_audit",
+    "kmv_distinct_estimate",
     "length_bucketed_batches",
     "minhash_source_similarity",
     "mixture_temperature_weights",

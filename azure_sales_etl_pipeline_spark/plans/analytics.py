@@ -1541,6 +1541,98 @@ _BENFORD_SQL = f"""
 """
 
 
+_KMV_K = 256  # sketch size; rsd ≈ 1/√k ≈ 6%
+
+
+def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch WITH ITS OWN ACCURACY
+    ROW — the fully VALUE-ORACLED approximate-distinct (HLL++ stays
+    rows-only because its register hashing can't replay in DuckDB;
+    KMV's can): hash every user to a 60-bit value (15-hex sha256
+    slice), keep the k smallest, estimate n ≈ (k−1)·2⁶⁰ / h₍ₖ₎. The
+    sketch is mergeable (union = k smallest of the concatenation —
+    same algebra as the theta/HLL union rollups), and every number in
+    the output is deterministic: hex slices order as their integer
+    value, the single division is correctly-rounded IEEE on exact
+    int64 inputs, and the driver hash checks est AND the realized
+    error against DuckDB bit-for-bit.
+
+    Shape: one distinct-hash aggregate (map-side combined, 32-byte
+    keys), then TakeOrderedAndProject k rows (per-partition heaps +
+    driver merge — never a global sort) and a broadcast of the 1-row
+    exact count; at 100 TB the distinct pass is the same shuffle the
+    exact count needs, and the k-row sketch is what you'd persist."""
+    from ..functions import hex_to_bigint_sql
+
+    events = load_table(spark, sf_dir, "events")
+    hashes = (
+        events.select(
+            F.substring(F.sha2(F.col("user_id").cast("string"), 256), 1, 15).alias(
+                "h"
+            )
+        )
+        .distinct()
+        .localCheckpoint()  # feeds the top-k AND the exact count
+    )
+    kth = (
+        hashes.orderBy("h")
+        .limit(_KMV_K)
+        .agg(F.max("h").alias("kth_hex"), F.count(F.lit(1)).alias("k_seen"))
+    )
+    exact = hashes.agg(F.count(F.lit(1)).cast("bigint").alias("true_distinct"))
+    kth_int = hex_to_bigint_sql("kth_hex")
+    est = (
+        f"CAST(floor((CAST(k_seen - 1 AS DOUBLE) * 1.152921504606846976e18)"
+        f" / CAST({kth_int} AS DOUBLE)) AS BIGINT)"
+    )
+    return (
+        kth.crossJoin(F.broadcast(exact))
+        .withColumn("est_distinct", F.expr(est))
+        .select(
+            F.col("k_seen").cast("bigint").alias("k"),
+            "kth_hex",
+            "est_distinct",
+            "true_distinct",
+            F.expr(
+                "abs(est_distinct - true_distinct) * 1000 div true_distinct"
+            ).alias("err_permille"),
+        )
+    )
+
+
+def _kmv_sql() -> str:
+    from ..functions import hex_to_bigint_sql
+
+    kth_int = hex_to_bigint_sql("kth_hex")
+    est = (
+        f"CAST(floor((CAST(k_seen - 1 AS DOUBLE) * 1.152921504606846976e18)"
+        f" / CAST({kth_int} AS DOUBLE)) AS BIGINT)"
+    )
+    return f"""
+    WITH hashes AS (
+        SELECT DISTINCT substr(sha256(CAST(user_id AS VARCHAR)), 1, 15) AS h
+        FROM events
+    ),
+    kth AS (
+        SELECT max(h) AS kth_hex, count(*) AS k_seen
+        FROM (SELECT h FROM hashes ORDER BY h LIMIT {_KMV_K})
+    ),
+    exact AS (SELECT CAST(count(*) AS BIGINT) AS true_distinct FROM hashes),
+    est AS (
+        SELECT CAST(k_seen AS BIGINT) AS k, kth_hex, {est} AS est_distinct,
+               true_distinct
+        FROM kth CROSS JOIN exact
+    )
+    SELECT k, kth_hex, est_distinct, true_distinct,
+           abs(est_distinct - true_distinct) * 1000 // true_distinct
+               AS err_permille
+    FROM est
+"""
+
+
+_KMV_SQL = _kmv_sql()
+
+
 #: Pointwise-MI ratio p(x,y)/(p(x)p(y)) = n_xy·tot / (n_x·n_y), as
 #: deterministic double arithmetic over exact int64 counts.
 _MI_ARG = (
@@ -1719,6 +1811,7 @@ QUERIES = {
     "priority_status_woe": priority_status_woe,
     "benford_first_digit": benford_first_digit,
     "event_weekday_mi": event_weekday_mi,
+    "kmv_distinct_estimate": kmv_distinct_estimate,
     "event_funnel": event_funnel,
     "events_daily_anomalies": events_daily_anomalies,
     "order_value_histogram": order_value_histogram,
@@ -1749,6 +1842,7 @@ ORACLES = {
     "priority_status_woe": _WOE_SQL,
     "benford_first_digit": _BENFORD_SQL,
     "event_weekday_mi": _MI_SQL,
+    "kmv_distinct_estimate": _KMV_SQL,
     "event_funnel": _FUNNEL_SQL,
     "events_daily_anomalies": _ANOMALY_SQL,
     "order_value_histogram": _HISTOGRAM_SQL,

@@ -188,3 +188,32 @@ def test_portable_ln_cross_engine_bit_exact(spark):
         bits = struct.pack("<d", sp[x]), struct.pack("<d", duck[x])
         assert bits[0] == bits[1], (x, sp[x], duck[x])
         assert abs(sp[x] - math.log(x)) <= 3e-7 * max(1.0, abs(math.log(x)))
+
+
+def test_hex_to_bigint_sql_full_range(spark):
+    """The shared hex→bigint text must agree with int(hex, 16) on BOTH
+    engines including digits ≥ 8 at every position — bare 16⁷ parses as
+    INT32 on Spark, and an un-CAST multiplier overflowed under ANSI
+    mode for kth_hex values with a high digit in that slot (surfaced
+    only at sf0.1; the multipliers are now CAST to BIGINT)."""
+    import duckdb
+
+    from azure_sales_etl_pipeline_spark.functions import hex_to_bigint_sql
+
+    cases = [
+        "fffffffffffffff",
+        "000000000000000",
+        "888888888888888",
+        "00000008fffffff",  # digit 8 exactly at the old INT32 trap slot
+        "298647699bcb31c",
+    ]
+    expr = hex_to_bigint_sql("h")
+    sdf = spark.createDataFrame([(c,) for c in cases], "h string")
+    got_spark = {r["h"]: r["v"] for r in sdf.selectExpr("h", f"{expr} AS v").collect()}
+    got_duck = dict(
+        duckdb.sql(
+            "SELECT h, " + expr + " AS v FROM (SELECT unnest(" + repr(cases) + ") AS h)"
+        ).fetchall()
+    )
+    for c in cases:
+        assert got_spark[c] == got_duck[c] == int(c, 16), c
