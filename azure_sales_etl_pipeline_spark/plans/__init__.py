@@ -83,6 +83,7 @@ _SWEEP_PRIORITY = (
     "stream_transition_matrix",
     "timed_event_funnel",
     "vocab_growth",
+    "weighted_doc_sample",
     "percentile_accuracy_check",
     "purchase_prior_clicks",
     "retention_cohorts",

@@ -1365,6 +1365,96 @@ _TOPK_SAMPLE_SQL = f"""
 """
 
 
+_WEIGHTED_SAMPLE_K = 50
+#: ln domain for u = (h+1)/2⁶⁰ ∈ (2⁻⁶⁰, 1]: the full hash range.
+_WS_LO_K, _WS_HI_K = -60, 1
+_WS_U = "(CAST(h + 1 AS DOUBLE) / 1.152921504606846976e18)"
+
+
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED sample without replacement, k = {k}, P(doc) ∝ n_chars —
+    Efraimidis–Spirakis exponential clocks: each doc draws
+    key = −ln(u)/w from its own deterministic uniform u (salted-hash
+    fraction) and the k SMALLEST keys are exactly a weight-proportional
+    draw without replacement. The length-biased sample every
+    curation-eval loop wants ("inspect docs by their share of the token
+    budget, not per-doc"), fully deterministic: u comes from the
+    hex→bigint shared text, ln is the portable series logarithm, and
+    the IEEE divide is correctly rounded — both engines produce
+    bit-identical keys, so the top-k cut is identical too.
+
+    Shape: one narrow map pass computes keys in codegen (no UDF — the
+    classic formulation needs pow(u, 1/w), which is libm; −ln(u)/w is
+    the same order statistic through the engine's own portable ln),
+    then TakeOrderedAndProject k rows — per-partition heaps, no global
+    sort, no shuffle beyond the k-row collect."""
+    from ..functions import (
+        LN_Z_SQL,
+        hex_to_bigint_sql,
+        ln_from_kz_sql,
+        ln_k_sql,
+        ln_m_sql,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    h = hex_to_bigint_sql(
+        "substr(sha2(concat('esw:', CAST(doc_id AS STRING)), 256), 1, 15)"
+    )
+    key = (
+        f"-({ln_from_kz_sql('__ln_k', '__ln_z')})"
+        " / CAST(n_chars AS DOUBLE)"
+    )
+    return (
+        docs.withColumn("h", F.expr(h))
+        .withColumn("__ln_k", F.expr(ln_k_sql(_WS_U, _WS_LO_K, _WS_HI_K)))
+        .withColumn(
+            "__ln_m", F.expr(ln_m_sql(_WS_U, "__ln_k", _WS_LO_K, _WS_HI_K))
+        )
+        .withColumn("__ln_z", F.expr(LN_Z_SQL))
+        .withColumn("sample_key", F.expr(key))
+        .select("doc_id", "n_chars", "sample_key")
+        .orderBy("sample_key", "doc_id")
+        .limit(_WEIGHTED_SAMPLE_K)
+    )
+
+
+weighted_doc_sample.__doc__ = weighted_doc_sample.__doc__.format(
+    k=_WEIGHTED_SAMPLE_K
+)
+
+
+def _weighted_sample_sql() -> str:
+    from ..functions import (
+        LN_Z_SQL,
+        hex_to_bigint_sql,
+        ln_from_kz_sql,
+        ln_k_sql,
+        ln_m_sql,
+    )
+
+    h = hex_to_bigint_sql(
+        "substr(sha256('esw:' || CAST(doc_id AS VARCHAR)), 1, 15)"
+    )
+    key = (
+        f"-({ln_from_kz_sql('__ln_k', '__ln_z')})"
+        " / CAST(n_chars AS DOUBLE)"
+    )
+    return f"""
+    WITH b AS (SELECT doc_id, n_chars, {h} AS h FROM documents),
+    s1 AS (SELECT *, {ln_k_sql(_WS_U, _WS_LO_K, _WS_HI_K)} AS __ln_k FROM b),
+    s2 AS (SELECT *, {ln_m_sql(_WS_U, "__ln_k", _WS_LO_K, _WS_HI_K)} AS __ln_m
+           FROM s1),
+    s3 AS (SELECT *, {LN_Z_SQL} AS __ln_z FROM s2)
+    SELECT doc_id, n_chars, {key} AS sample_key
+    FROM s3
+    ORDER BY sample_key, doc_id
+    LIMIT {_WEIGHTED_SAMPLE_K}
+"""
+
+
+_WEIGHTED_SAMPLE_SQL = _weighted_sample_sql()
+
+
 # ---------------------------------------------------------------------------
 # global shuffle + fixed-size sharding (training export)
 # ---------------------------------------------------------------------------
@@ -2289,6 +2379,7 @@ QUERIES = {
     "global_shuffle_export": global_shuffle_export,
     "stratified_sample": stratified_sample,
     "stratified_topk_sample": stratified_topk_sample,
+    "weighted_doc_sample": weighted_doc_sample,
     "split_contamination": split_contamination,
     "token_budget_shards": token_budget_shards,
     "pack_sequences": pack_sequences,
@@ -2319,6 +2410,7 @@ ORACLES = {
     "global_shuffle_export": _GLOBAL_SHUFFLE_SQL,
     "stratified_sample": _STRATIFIED_SQL,
     "stratified_topk_sample": _TOPK_SAMPLE_SQL,
+    "weighted_doc_sample": _WEIGHTED_SAMPLE_SQL,
     "split_contamination": _CONTAM_SQL,
     "token_budget_shards": _SHARDS_SQL,
     "pack_sequences": _PACK_SQL,
