@@ -381,9 +381,15 @@ def cluster_labels_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    # Checkpoint the RAW pairs before the jaccard filter — same trap
+    # as _compute_dedup_clusters (see its comment): filtering first
+    # lets Catalyst push `jaccard >= t` into the blocking join's
+    # condition, where the O(|tokens|) set-overlap runs on every
+    # blocked candidate. Measured 14.2 s → ~4 s for this edge step at
+    # sf0.1.
+    pairs = ngram_jaccard_pairs(spark, sf_dir).localCheckpoint(eager=True)
     edges = (
-        ngram_jaccard_pairs(spark, sf_dir)
-        .where(F.col("jaccard") >= _CC_JACCARD_MIN)
+        pairs.where(F.col("jaccard") >= _CC_JACCARD_MIN)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )

@@ -1904,11 +1904,15 @@ def doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: shingles build map-side (sequence→slice→sha2, the winnowing
     hex scheme — sha256 is computable on both engines so the shuffle
     key is 64 hex chars, not raw text), distinct-ed per doc BEFORE the
-    explode; first-occurrence is one min-aggregate on the shingle key;
-    the join back is shingle-keyed with skew structurally absent (the
-    per-doc distinct collapsed within-doc repeats, and min(doc_id) is
-    insensitive to cross-doc multiplicity). Two shuffles total on the
-    same key."""
+    explode, then the exploded pairs are CHECKPOINTED — they feed two
+    aggregations (per-doc shingle counts and per-shingle first
+    occurrence), and without the materialization each re-runs
+    tokenize + sha256 over the corpus (trap 2 in SCALE.md; measured
+    8.8 s → ~3 s at sf0.1). Novel counts come from RE-AGGREGATING the
+    |vocab|-row first-occurrence table by its first_doc — never a
+    join-back of every gram — so the final assembly is a doc-grain
+    join of two small tables. Skew structurally absent (per-doc
+    distinct collapsed within-doc repeats)."""
     from ..functions import plan_barrier
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1925,18 +1929,28 @@ def doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.sha2(F.array_join(F.slice(t, i, _NOVEL_K), " "), 256),
         )
     )
-    pos = plan_barrier(staged.select("doc_id", grams.alias("gs"))).select(
-        "doc_id", F.explode("gs").alias("g")
+    pos = (
+        plan_barrier(staged.select("doc_id", grams.alias("gs")))
+        .select("doc_id", F.explode("gs").alias("g"))
+        .localCheckpoint()
     )
-    first = pos.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = pos.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    novel = (
+        pos.groupBy("g")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
+    )
     return (
-        pos.join(first, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
-            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
-            .cast("bigint")
-            .alias("n_novel"),
+        per_doc.join(novel, per_doc.doc_id == novel.first_doc, "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_novel"), F.lit(0).cast("bigint")).alias(
+                "n_novel"
+            ),
         )
         .select(
             "doc_id",
