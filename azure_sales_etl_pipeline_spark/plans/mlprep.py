@@ -547,6 +547,63 @@ def evict_cluster_cache() -> None:
     _CLUSTER_CACHE.clear()
 
 
+_AFFINITY_CACHE: dict[str, str] = {}
+
+
+def evict_affinity_cache() -> None:
+    """Drop materialized affinity-edge tables (bench.py evicts per pass
+    so each pass pays the lineitem self-join + support aggregate exactly
+    once — same honesty contract as evict_cluster_cache)."""
+    import shutil
+
+    for tmp in _AFFINITY_CACHE.values():
+        shutil.rmtree(tmp, ignore_errors=True)
+    _AFFINITY_CACHE.clear()
+
+
+def _affinity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The support-filtered co-purchase edge list (u, v) — memoized per
+    sf_dir to a tmp parquet table, because TWO registered graph queries
+    (`part_affinity_triangles`, `copurchase_neighbor_jaccard`) consume
+    the identical edges (the lift query needs pair COUNTS, a different
+    grain, and stays independent). A production pipeline materializes
+    its edge table exactly the same way; re-deriving the lineitem
+    self-join per consumer doubles the dominant cost. Parquet rather
+    than a cached DataFrame for the same session-hygiene reason as the
+    cluster-table memo above."""
+    import atexit
+    import shutil
+    import tempfile
+
+    tmp = _AFFINITY_CACHE.get(sf_dir)
+    if tmp is None:
+        tmp = tempfile.mkdtemp(prefix="affinity_cache_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        li = (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+            .localCheckpoint()
+        )
+        pairs = (
+            li.alias("a")
+            .join(li.alias("b"), "l_orderkey")
+            .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+            .select(
+                F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+            )
+        )
+        edges = (
+            pairs.groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .where(F.col("n_orders") >= _AFFINITY_MIN_ORDERS)
+            .select("u", "v")
+        )
+        edges.write.mode("overwrite").parquet(f"{tmp}/edges")
+        _AFFINITY_CACHE[sf_dir] = tmp
+    return spark.read.parquet(f"{tmp}/edges")
+
+
 def dedup_clusters(
     spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
 ) -> DataFrame:
@@ -1936,33 +1993,12 @@ def part_affinity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation + two joins against the |V|-row degree table.
     All-integer output; the triangle COUNT is orientation-invariant,
     so the DuckDB oracle keeps the simple id-oriented replay."""
-    # distinct: the same part can appear on several lines of one order;
-    # support counts DISTINCT co-orders. Checkpointed because both
-    # sides of the pair self-join consume it.
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-        .localCheckpoint()
-    )
-    pairs = (
-        li.alias("a")
-        .join(li.alias("b"), "l_orderkey")
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-    )
-    # Eager localCheckpoint: the edge list feeds FOUR consumers (wedge
-    # join twice, closing-edge join, node/edge counts) — without
-    # materialization each re-runs the lineitem self-join + support
-    # aggregate (measured 13 s -> ~3 s at sf0.1). Post-support edges
-    # are small (|edges| << |pairs|), so the checkpoint is cheap.
-    edges = (
-        pairs.groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .where(F.col("n_orders") >= _AFFINITY_MIN_ORDERS)
-        .select("u", "v")
-        .localCheckpoint()
-    )
+    # Edge list from the memoized affinity-edge table (`_affinity_edges`
+    # — shared with the edge-Jaccard query; the parquet materialization
+    # also serves the FOUR consumers inside this query: wedge join
+    # twice, closing-edge join, node/edge counts. Measured 13 s -> ~3 s
+    # at sf0.1 vs re-running the lineitem self-join per consumer).
+    edges = _affinity_edges(spark, sf_dir)
     _, triangles = _triangles_degree_oriented(edges)
     nodes = edges.select(F.col("u").alias("p")).union(edges.select("v")).distinct()
     return (
@@ -2100,25 +2136,10 @@ def copurchase_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle replays the simpler id-oriented enumeration —
     per-edge triangle counts are orientation-invariant, so the two
     engines agree bit-for-bit on every row."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-        .localCheckpoint()
-    )
-    pairs = (
-        li.alias("a")
-        .join(li.alias("b"), "l_orderkey")
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-    )
-    edges = (
-        pairs.groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .where(F.col("n_orders") >= _AFFINITY_MIN_ORDERS)
-        .select("u", "v")
-        .localCheckpoint()  # feeds degree agg, triangle enum, and final join
-    )
+    # Memoized edge table (shared with part_affinity_triangles) — it
+    # feeds the degree agg, the triangle enumeration, and the final
+    # join here.
+    edges = _affinity_edges(spark, sf_dir)
     _, triangles = _triangles_degree_oriented(edges)
     # scatter each triangle to its three undirected edges, normalized
     # u < v (degree orientation does not respect id order)

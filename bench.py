@@ -104,6 +104,8 @@ def main() -> None:
         # full CC iteration once (first CC consumer), cached reads show
         # their true marginal cost.
         mlprep.evict_cluster_cache()
+        # Same contract for the shared co-purchase edge table.
+        mlprep.evict_affinity_cache()
         for name, fn in qs.items():
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
