@@ -247,3 +247,97 @@ def save_managed_table(
     metastore and is queryable via ``spark.table(name)`` / SQL. The
     database part must already exist (``create_database``)."""
     df.write.format(resolve_backend(backend)).mode(mode).saveAsTable(qualified_name)
+
+
+# ---------------------------------------------------------------------------
+# versioned snapshots (parquet-native time travel)
+# ---------------------------------------------------------------------------
+
+_VERSION_PTR = "_current_version.json"
+
+
+def write_snapshot(
+    df: DataFrame,
+    path: str,
+    retain: int = 5,
+    commit_meta: dict | None = None,
+) -> int:
+    """Versioned table write with TIME TRAVEL — the parquet-native half
+    of what a Delta/Iceberg log provides. Each call writes a new
+    IMMUTABLE snapshot directory ``v=N`` under ``path`` (invisible to
+    readers while being written — nothing references it yet), then
+    flips the current-version POINTER file via write-then-``os.replace``
+    (atomic on POSIX): a reader always resolves to a complete version,
+    never a torn table, and concurrent readers of version N−1 keep a
+    consistent view while N lands, because old snapshot files are never
+    mutated — unlike ``overwrite_table``'s swap, which deletes the old
+    directory out from under a slow reader. Old versions stay readable
+    (``read_snapshot(..., version=k)``) until pruned past ``retain``.
+
+    What this does NOT give: multi-writer arbitration — two concurrent
+    writers can both stage v=N+1 and the second pointer flip silently
+    wins. That needs a real table-format log (the ``backend="delta"``
+    seam); single-writer pipelines (this engine's orchestrator model,
+    like the reference's ADF trigger) are the supported contract.
+
+    Returns the committed version number."""
+    import json
+    import os
+
+    p = Path(path)
+    p.mkdir(parents=True, exist_ok=True)
+    cur = snapshot_current_version(path)
+    new = 1 if cur is None else cur + 1
+    df.write.mode("overwrite").parquet(str(p / f"v={new}"))
+    tmp = p / f".ptr_tmp_{new}"
+    tmp.write_text(
+        json.dumps({"version": new, "meta": commit_meta})
+    )
+    os.replace(tmp, p / _VERSION_PTR)
+    for old in snapshot_versions(path):
+        if old <= new - retain:
+            shutil.rmtree(p / f"v={old}", ignore_errors=True)
+    return new
+
+
+def snapshot_current_version(path: str) -> int | None:
+    """Version the pointer currently commits to, or None (no table)."""
+    import json
+
+    f = Path(path) / _VERSION_PTR
+    if not f.exists():
+        return None
+    return int(json.loads(f.read_text())["version"])
+
+
+def snapshot_versions(path: str) -> list[int]:
+    """All snapshot versions present on disk (committed pointer target,
+    retained history, and any staged-but-unreferenced directory — the
+    crash leftovers a vacuum would prune), ascending."""
+    p = Path(path)
+    if not p.exists():
+        return []
+    return sorted(
+        int(d.name.split("=", 1)[1])
+        for d in p.iterdir()
+        if d.is_dir() and d.name.startswith("v=")
+    )
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a snapshot table — the committed version by default, or a
+    pinned historical ``version`` (time travel). Raises KeyError for a
+    version that was pruned or never committed... a staged directory
+    abandoned by a crash has no pointer and is invisible here unless
+    pinned explicitly (mirroring Delta's rule that uncommitted files
+    are not part of any version)."""
+    cur = snapshot_current_version(path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot table at {path}")
+    v = cur if version is None else version
+    d = Path(path) / f"v={v}"
+    if version is not None and not d.exists():
+        raise KeyError(f"version {version} not present under {path}")
+    return spark.read.parquet(str(d))

@@ -72,6 +72,7 @@ _SWEEP_PRIORITY = (
     "minhash_source_similarity",
     "mixture_temperature_weights",
     "multi_touch_attribution",
+    "orders_snapshot_diff",
     "priority_status_woe",
     "quality_classifier_score",
     "repeated_spans",

@@ -422,6 +422,87 @@ def _cc_oracle_sql() -> str:
     return _CC_SQL
 
 
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet-native TIME TRAVEL end-to-end (operators.writer
+    `write_snapshot` / `read_snapshot` — immutable ``v=N`` directories
+    plus an atomically-flipped pointer file, the transaction-log half
+    of Delta this environment can't install) driven through a
+    CDC-style version diff: write the orders table as version 1, a
+    mutated version 2 (urgent orders repriced, 'P' orders deleted, a
+    deterministic ~1% of keys cloned as NEW rows), then FULL-OUTER
+    join the two PINNED versions and classify every key as
+    added / removed / changed / unchanged. The oracle recomputes the
+    expected class counts declaratively from the source table — any
+    torn snapshot, wrong pointer resolution, or version bleed-through
+    shifts a count and hash-fails.
+
+    The reprice is ``+ 1.0`` on the double (identical IEEE op in both
+    engines), so 'changed' is bit-deterministic. Scale: the diff is
+    one key-equi full-outer join + a 4-row aggregate; snapshots add no
+    read amplification (readers resolve the pointer once)."""
+    import shutil
+    import tempfile
+
+    from ..operators.writer import read_snapshot, write_snapshot
+
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="snap_q_")
+    try:
+        path = f"{tmp}/orders_snap"
+        write_snapshot(orders, path)
+        base = orders.where(F.col("o_orderstatus") != "P").withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderpriority") == "1-URGENT",
+                F.col("o_totalprice") + F.lit(1.0),
+            ).otherwise(F.col("o_totalprice")),
+        )
+        clones = orders.where(F.col("o_orderkey") % 97 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(1000000000).cast("bigint")
+        )
+        write_snapshot(base.unionByName(clones), path)
+        v1 = read_snapshot(spark, path, version=1).select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("p1"),
+            F.lit(1).alias("in1"),
+        )
+        v2 = read_snapshot(spark, path).select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("p2"),
+            F.lit(1).alias("in2"),
+        )
+        diff = (
+            v1.join(v2, "o_orderkey", "full_outer")
+            .select(
+                F.when(F.col("in1").isNull(), "added")
+                .when(F.col("in2").isNull(), "removed")
+                .when(F.col("p1") != F.col("p2"), "changed")
+                .otherwise("unchanged")
+                .alias("change_type")
+            )
+            .groupBy("change_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        )
+        return diff.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_SNAPSHOT_DIFF_SQL = """
+    SELECT 'added' AS change_type, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders WHERE o_orderkey % 97 = 0
+    UNION ALL
+    SELECT 'removed', CAST(count(*) AS BIGINT)
+    FROM orders WHERE o_orderstatus = 'P'
+    UNION ALL
+    SELECT 'changed', CAST(count(*) AS BIGINT)
+    FROM orders WHERE o_orderstatus <> 'P' AND o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT 'unchanged', CAST(count(*) AS BIGINT)
+    FROM orders WHERE o_orderstatus <> 'P' AND o_orderpriority <> '1-URGENT'
+"""
+
+
 def partition_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-partitioned layout end-to-end: orders write partitioned on
     o_orderstatus (operators.writer.write_partitioned), a second
@@ -996,6 +1077,7 @@ QUERIES = {
     "late_dimension_inferred": late_dimension_inferred,
     "dedup_index_two_batch": dedup_index_two_batch,
     "cluster_labels_two_batch": cluster_labels_two_batch,
+    "orders_snapshot_diff": orders_snapshot_diff,
     "partition_pruned_revenue": partition_pruned_revenue,
     "scd2_delete_expiry": scd2_delete_expiry,
     "watermark_incremental_batch": watermark_incremental_batch,
@@ -1014,6 +1096,7 @@ ORACLES = {
     "dedup_index_two_batch": _DEDUP_INDEX_SQL,
     # one-shot CC recompute: the incremental fold must converge to it
     "cluster_labels_two_batch": _cc_oracle_sql(),
+    "orders_snapshot_diff": _SNAPSHOT_DIFF_SQL,
     "partition_pruned_revenue": _PARTITION_PRUNED_SQL,
     "scd2_delete_expiry": _SCD2_DELETE_SQL,
     "watermark_incremental_batch": _WM_BATCH_SQL,

@@ -451,3 +451,49 @@ def test_wds_shards_fsspec_filesystem_branch(spark, tmp_path, monkeypatch):
     monkeypatch.setitem(sys.modules, "fsspec", None)
     with pytest.raises(ValueError, match="fsspec|not reachable"):
         write_wds_shards(docs, "s3://bucket/wds", meta_cols=("lang",))
+
+
+def test_snapshot_time_travel_semantics(spark, tmp_path):
+    """write_snapshot / read_snapshot: version pinning, pointer
+    atomicity (a staged-but-unflipped directory is invisible),
+    retention pruning, and KeyError on pruned/never-committed pins."""
+    import pytest as _pytest
+
+    from azure_sales_etl_pipeline_spark.operators.writer import (
+        read_snapshot,
+        snapshot_current_version,
+        snapshot_versions,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "snap")
+    df = lambda n: spark.range(n).withColumnRenamed("id", "k")  # noqa: E731
+
+    assert snapshot_current_version(path) is None
+    assert write_snapshot(df(3), path) == 1
+    assert write_snapshot(df(5), path) == 2
+    assert snapshot_current_version(path) == 2
+    # time travel: pinned v1 still reads the OLD data
+    assert read_snapshot(spark, path, version=1).count() == 3
+    assert read_snapshot(spark, path).count() == 5
+
+    # crash simulation: a staged v=3 directory with NO pointer flip —
+    # readers must keep resolving to v2 (uncommitted files are not part
+    # of any version), while snapshot_versions (the vacuum's view) sees
+    # the leftover.
+    df(9).write.parquet(str(tmp_path / "snap" / "v=3"))
+    assert snapshot_current_version(path) == 2
+    assert read_snapshot(spark, path).count() == 5
+    assert snapshot_versions(path) == [1, 2, 3]
+
+    # next commit claims v3 — monotone from the POINTER, not the dirs —
+    # and mode=overwrite HEALS the crashed leftover by replacing it
+    assert write_snapshot(df(7), path, retain=2) == 3
+    # retention: retain=2 on the latest write prunes versions <= new-2
+    vs = snapshot_versions(path)
+    cur = snapshot_current_version(path)
+    assert cur == vs[-1]
+    assert read_snapshot(spark, path).count() == 7
+    assert 1 not in vs  # pruned
+    with _pytest.raises(KeyError):
+        read_snapshot(spark, path, version=1)
