@@ -341,3 +341,26 @@ def read_snapshot(
     if version is not None and not d.exists():
         raise KeyError(f"version {version} not present under {path}")
     return spark.read.parquet(str(d))
+
+
+def vacuum_snapshots(path: str, retain: int = 5) -> list[int]:
+    """Prune a snapshot table: drop versions older than the last
+    ``retain`` committed ones AND any staged-but-never-committed
+    leftover directories ABOVE the pointer (crash debris from a writer
+    that died between staging and the pointer flip). The committed
+    version itself is never dropped regardless of ``retain``. Returns
+    the pruned version numbers. Safe to run any time — it only deletes
+    directories no reader can resolve through the pointer (modulo
+    time-travel pins older than the retention window, same caveat as
+    Delta's VACUUM)."""
+    cur = snapshot_current_version(path)
+    if cur is None:
+        return []
+    pruned = []
+    for v in snapshot_versions(path):
+        if v == cur:
+            continue
+        if v <= cur - max(1, retain) or v > cur:
+            shutil.rmtree(Path(path) / f"v={v}", ignore_errors=True)
+            pruned.append(v)
+    return pruned

@@ -164,8 +164,16 @@ def test_portable_ln_cross_engine_bit_exact(spark):
         ln_m_sql,
     )
 
+    import random
+
+    rng = random.Random(0xC0FFEE)
     xs = [2.0**-28, 1e-7, 0.0043, 0.5, 0.75, 1.0, 1.0000001, 1.5,
           2.0, math.pi, 42.0, 3334.7, 1e6, 2.0**28 * 1.999]
+    # seeded random sweep across the full reduction domain — 500 points
+    # at uniformly-random binary exponents, one Spark job
+    xs += [
+        rng.uniform(1.0, 2.0) * 2.0 ** rng.randint(-28, 28) for _ in range(500)
+    ]
     stages = lambda src: (  # noqa: E731
         f"WITH b AS ({src}), "
         f"s1 AS (SELECT x, {ln_k_sql('x')} AS __ln_k FROM b), "
@@ -173,10 +181,16 @@ def test_portable_ln_cross_engine_bit_exact(spark):
         f"s3 AS (SELECT *, {LN_Z_SQL} AS __ln_z FROM s2) "
         f"SELECT x, {ln_from_kz_sql('__ln_k', '__ln_z')} AS lnx FROM s3"
     )
+    # Feed DuckDB through a pandas frame, NOT a repr() list literal —
+    # bare decimal literals parse as DECIMAL (the exact trap _dlit
+    # documents) and a handful of the random points came back one ulp
+    # off, KeyError-ing the comparison. Arrow transfer keeps the
+    # doubles bit-exact.
+    import pandas as pd
+
+    probe_pdf = pd.DataFrame({"x": xs})
     duck = dict(
-        duckdb.sql(
-            stages("SELECT unnest(" + repr(xs) + ") AS x")
-        ).fetchall()
+        duckdb.sql(stages("SELECT x FROM probe_pdf")).fetchall()
     )
     spark.createDataFrame([(x,) for x in xs], "x double").createOrReplaceTempView(
         "portable_ln_probe"
@@ -184,6 +198,8 @@ def test_portable_ln_cross_engine_bit_exact(spark):
     sp = dict(
         spark.sql(stages("SELECT x FROM portable_ln_probe")).collect()
     )
+    assert len(sp) == len(set(xs)), (len(sp), len(set(xs)))
+    assert len(duck) == len(set(xs)), (len(duck), len(set(xs)))
     for x in xs:
         bits = struct.pack("<d", sp[x]), struct.pack("<d", duck[x])
         assert bits[0] == bits[1], (x, sp[x], duck[x])

@@ -497,3 +497,27 @@ def test_snapshot_time_travel_semantics(spark, tmp_path):
     assert 1 not in vs  # pruned
     with _pytest.raises(KeyError):
         read_snapshot(spark, path, version=1)
+
+
+def test_vacuum_snapshots_prunes_history_and_crash_debris(spark, tmp_path):
+    from azure_sales_etl_pipeline_spark.operators.writer import (
+        read_snapshot,
+        snapshot_versions,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "snap")
+    df = lambda n: spark.range(n).withColumnRenamed("id", "k")  # noqa: E731
+    for n in (2, 3, 4, 5):
+        write_snapshot(df(n), path, retain=99)
+    # crash debris ABOVE the pointer
+    df(9).write.parquet(str(tmp_path / "snap" / "v=9"))
+    assert snapshot_versions(path) == [1, 2, 3, 4, 9]
+    pruned = vacuum_snapshots(path, retain=2)
+    assert pruned == [1, 2, 9]
+    assert snapshot_versions(path) == [3, 4]
+    assert read_snapshot(spark, path).count() == 5
+    assert read_snapshot(spark, path, version=3).count() == 4
+    # vacuum on an empty/absent table is a no-op
+    assert vacuum_snapshots(str(tmp_path / "nothing")) == []
