@@ -438,3 +438,42 @@ def compact_partitioned(
             f"{path} has no key=value partition directories; use compact_table"
         )
     return {p.name: compact_table(spark, str(p), target_bytes) for p in parts}
+
+
+def merge_kmin(
+    spark: SparkSession,
+    state_path: str,
+    batch: DataFrame,
+    key_col: str = "h",
+    k: int = 256,
+    commit_meta: dict | None = None,
+) -> DataFrame:
+    """Fold a batch into persisted K-MINIMUM-VALUES state: the k
+    smallest DISTINCT keys of (state ∪ batch). Min-union is an
+    IDEMPOTENT commutative monoid — the folded state is identical to
+    the single-pass sketch over the union of all batches under any
+    batching, reordering, or redelivery (idempotence makes replays
+    structurally harmless; the ``commit_meta`` marker still rides the
+    swap so fold accounting stays uniform with the additive marts).
+    The state is ≤ k rows forever; history is never re-read.
+
+    Scale shape: the batch contributes at most its own k smallest
+    (TakeOrderedAndProject — per-partition heaps, no global sort), the
+    state read is k rows, and the merge is a ≤ 2k-row re-limit."""
+    from .writer import overwrite_table, read_table
+
+    b = (
+        batch.select(F.col(key_col).alias("h"))
+        .where(F.col("h").isNotNull())
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    _reject_delta_table(state_path, "merge_kmin")
+    if Path(state_path).exists():
+        cur = read_table(spark, state_path).select("h")
+        merged = cur.unionByName(b).distinct().orderBy("h").limit(k)
+    else:
+        merged = b
+    overwrite_table(merged, state_path, commit_meta=commit_meta)
+    return read_table(spark, state_path)

@@ -81,6 +81,7 @@ _SWEEP_PRIORITY = (
     "source_token_entropy",
     "stratified_topk_sample",
     "stream_click_purchase_outer",
+    "stream_kmv_distinct",
     "stream_transition_matrix",
     "timed_event_funnel",
     "vocab_growth",

@@ -1544,6 +1544,22 @@ _BENFORD_SQL = f"""
 _KMV_K = 256  # sketch size; rsd ≈ 1/√k ≈ 6%
 
 
+def _kmv_estimate_exprs() -> tuple[str, str]:
+    """Shared (estimate, error) expression texts over the sketch row
+    columns (kth_hex, k_seen, true_distinct) — one constructor serves
+    the batch query, its oracle, AND the streamed fold
+    (`streaming.stream_kmv_distinct`), so the three cannot drift."""
+    from ..functions import hex_to_bigint_sql
+
+    kth_int = hex_to_bigint_sql("kth_hex")
+    est = (
+        f"CAST(floor((CAST(k_seen - 1 AS DOUBLE) * 1.152921504606846976e18)"
+        f" / CAST({kth_int} AS DOUBLE)) AS BIGINT)"
+    )
+    err = "abs(est_distinct - true_distinct) * 1000 div true_distinct"
+    return est, err
+
+
 def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-minimum-values distinct-count sketch WITH ITS OWN ACCURACY
     ROW — the fully VALUE-ORACLED approximate-distinct (HLL++ stays
@@ -1580,11 +1596,7 @@ def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("h").alias("kth_hex"), F.count(F.lit(1)).alias("k_seen"))
     )
     exact = hashes.agg(F.count(F.lit(1)).cast("bigint").alias("true_distinct"))
-    kth_int = hex_to_bigint_sql("kth_hex")
-    est = (
-        f"CAST(floor((CAST(k_seen - 1 AS DOUBLE) * 1.152921504606846976e18)"
-        f" / CAST({kth_int} AS DOUBLE)) AS BIGINT)"
-    )
+    est, err = _kmv_estimate_exprs()
     return (
         kth.crossJoin(F.broadcast(exact))
         .withColumn("est_distinct", F.expr(est))
@@ -1593,9 +1605,7 @@ def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kth_hex",
             "est_distinct",
             "true_distinct",
-            F.expr(
-                "abs(est_distinct - true_distinct) * 1000 div true_distinct"
-            ).alias("err_permille"),
+            F.expr(err).alias("err_permille"),
         )
     )
 

@@ -27,11 +27,13 @@ from ..streaming import (
     stream_session_windows,
     stream_sliding_user_activity,
     stream_tumbling_counts,
+    stream_kmv_distinct,
     stream_transition_matrix,
     stream_user_totals_custom_state,
 )
 from .analytics import _CMS_HH_SQL as _STREAM_CMS_SQL
 from .temporal import _TRANSITION_SQL
+from .analytics import _KMV_SQL as _STREAM_KMV_SQL
 from .analytics import _PSI_SQL as _STREAM_PSI_SQL
 from .analytics import _DRIFT_SQL as _STREAM_DRIFT_SQL
 
@@ -44,6 +46,7 @@ QUERIES = {
     "stream_dedup_events": stream_dedup_events,
     "stream_user_totals_custom_state": stream_user_totals_custom_state,
     "stream_transition_matrix": stream_transition_matrix,
+    "stream_kmv_distinct": stream_kmv_distinct,
     "stream_drift_monitor": stream_drift_monitor,
     "stream_cms_heavy_hitters": stream_cms_heavy_hitters,
     "stream_drift_psi": stream_drift_psi,
@@ -60,6 +63,7 @@ ORACLES = {
     "stream_dedup_events": STREAM_DEDUP_SQL,
     "stream_user_totals_custom_state": STREAM_CUSTOM_STATE_SQL,
     "stream_transition_matrix": _TRANSITION_SQL,
+    "stream_kmv_distinct": _STREAM_KMV_SQL,
     "stream_drift_monitor": _STREAM_DRIFT_SQL,
     "stream_cms_heavy_hitters": _STREAM_CMS_SQL,
     "stream_drift_psi": _STREAM_PSI_SQL,

@@ -340,3 +340,19 @@ def test_merge_cluster_labels_bridges_old_clusters(spark, tmp_path):
         1: 1, 2: 1, 3: 1, 10: 1, 11: 1, 40: 1,  # merged through the bridge
         20: 20, 21: 20, 30: 30, 41: 41,          # untouched / singletons
     }
+
+
+def test_merge_kmin_idempotent_and_converges(spark, tmp_path):
+    """Min-union folds: (a) refolding the SAME batch leaves the state
+    identical (idempotence — redelivery is structurally harmless),
+    (b) two-batch fold equals the one-shot k smallest of the union."""
+    from azure_sales_etl_pipeline_spark.operators.maintenance import merge_kmin
+
+    state = str(tmp_path / "kmv")
+    b1 = spark.createDataFrame([(f"{i:03d}",) for i in range(0, 40, 2)], "h string")
+    b2 = spark.createDataFrame([(f"{i:03d}",) for i in range(1, 40, 2)], "h string")
+    merge_kmin(spark, state, b1, "h", k=10)
+    once = sorted(r["h"] for r in merge_kmin(spark, state, b2, "h", k=10).collect())
+    again = sorted(r["h"] for r in merge_kmin(spark, state, b2, "h", k=10).collect())
+    assert once == again  # idempotent under redelivery
+    assert once == [f"{i:03d}" for i in range(10)]  # == one-shot k smallest
