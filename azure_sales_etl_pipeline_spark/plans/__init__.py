@@ -64,6 +64,7 @@ _SWEEP_PRIORITY = (
     "embedding_decontaminate",
     "event_transition_matrix",
     "event_weekday_mi",
+    "events_session_window_native",
     "golden_part_records",
     "ivf_index_maintenance",
     "join_cardinality_audit",
@@ -73,6 +74,7 @@ _SWEEP_PRIORITY = (
     "mixture_temperature_weights",
     "multi_touch_attribution",
     "orders_snapshot_diff",
+    "price_bracket_rollup",
     "priority_status_woe",
     "quality_classifier_score",
     "repeated_spans",

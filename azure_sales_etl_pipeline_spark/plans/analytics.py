@@ -1643,6 +1643,75 @@ def _kmv_sql() -> str:
 _KMV_SQL = _kmv_sql()
 
 
+#: Price brackets in exact cents: [lo, hi) half-open, contiguous, so
+#: every part lands in exactly one bracket.
+_PRICE_BRACKETS = (
+    (0, 92_500, "budget"),
+    (92_500, 95_000, "mid"),
+    (95_000, 97_500, "premium"),
+    (97_500, 10**9, "luxury"),
+)
+
+
+def price_bracket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-dimension lookup — the tax-bracket/tier-table join shape:
+    each part joins the bracket whose [lo, hi) cents interval contains
+    its price, then rolls up per tier. The physical strategy matters
+    more than the logic: a range predicate has no equi-key, so Spark
+    MUST plan BroadcastNestedLoopJoin — which is exactly right when
+    the range dim is tiny (every fact row probes an in-memory 4-row
+    table; cost is one scan), and catastrophic if the dim were big
+    (the plan audit's no-CartesianProduct rule still holds — BNLJ with
+    a broadcast side and a join condition is the sanctioned form).
+    At 100 TB the alternative for a LARGE range dim is binning both
+    sides to an equi-key (`purchase_prior_clicks`' bucketed band
+    join); for a literal tier table, broadcast-probe wins.
+
+    Exactness: bracket bounds and membership are integer cents;
+    half-open contiguous intervals make membership total and unique."""
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
+    )
+    brackets = spark.createDataFrame(
+        list(_PRICE_BRACKETS), "lo bigint, hi bigint, tier string"
+    )
+    joined = parts.join(
+        F.broadcast(brackets),
+        (F.col("cents") >= F.col("lo")) & (F.col("cents") < F.col("hi")),
+        "inner",
+    )
+    return (
+        joined.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            F.min("cents").cast("bigint").alias("min_cents"),
+            F.max("cents").cast("bigint").alias("max_cents"),
+        )
+    )
+
+
+def _bracket_sql() -> str:
+    rows = ", ".join(f"({lo}, {hi}, '{t}')" for lo, hi, t in _PRICE_BRACKETS)
+    return f"""
+    WITH brackets(lo, hi, tier) AS (VALUES {rows}),
+    p AS (SELECT p_partkey,
+                 CAST(floor(p_retailprice * 100) AS BIGINT) AS cents
+          FROM part)
+    SELECT tier,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM p JOIN brackets ON p.cents >= brackets.lo AND p.cents < brackets.hi
+    GROUP BY tier
+"""
+
+
+_BRACKET_SQL = _bracket_sql()
+
+
 #: Pointwise-MI ratio p(x,y)/(p(x)p(y)) = n_xy·tot / (n_x·n_y), as
 #: deterministic double arithmetic over exact int64 counts.
 _MI_ARG = (
@@ -1822,6 +1891,7 @@ QUERIES = {
     "benford_first_digit": benford_first_digit,
     "event_weekday_mi": event_weekday_mi,
     "kmv_distinct_estimate": kmv_distinct_estimate,
+    "price_bracket_rollup": price_bracket_rollup,
     "event_funnel": event_funnel,
     "events_daily_anomalies": events_daily_anomalies,
     "order_value_histogram": order_value_histogram,
@@ -1853,6 +1923,7 @@ ORACLES = {
     "benford_first_digit": _BENFORD_SQL,
     "event_weekday_mi": _MI_SQL,
     "kmv_distinct_estimate": _KMV_SQL,
+    "price_bracket_rollup": _BRACKET_SQL,
     "event_funnel": _FUNNEL_SQL,
     "events_daily_anomalies": _ANOMALY_SQL,
     "order_value_histogram": _HISTOGRAM_SQL,

@@ -520,8 +520,74 @@ _TIMED_FUNNEL_SQL = """
 """
 
 
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions via Spark's NATIVE ``session_window``
+    aggregate (the same operator the streaming family uses, run in
+    batch) — the built-in twin of [[events_sessionize]]'s manual
+    lag-and-running-sum islands. Both must produce identical sessions,
+    so this query is oracled by the ISLANDS formulation in DuckDB: the
+    native operator's merge semantics (window end = last event +
+    gap; sessions merge while events fall inside the extending window)
+    is exactly the 30-minute-inactivity rule.
+
+    Output grain: (user, session) with event count and exact-second
+    duration. Scale: one shuffle on the user key; Spark plans
+    UpdatingSessionsExec + MergingSessionsExec — per-key state is the
+    open session, the same bound as the streaming variant."""
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    gap = f"{_SESSION_GAP_SECS} seconds"
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            # native session windows end at last_event + gap; subtract
+            # the gap back so the bound is the LAST EVENT, matching the
+            # islands rollup's max(ts)
+            (
+                F.col("session_window.end")
+                - F.expr(f"INTERVAL {_SESSION_GAP_SECS} SECONDS")
+            ).alias("session_end"),
+            "n_events",
+            F.expr(
+                "(unix_micros(session_window.end) - unix_micros(session_window.start))"
+                f" div 1000000 - {_SESSION_GAP_SECS}"
+            ).alias("duration_secs"),
+        )
+    )
+
+
+_SESSION_NATIVE_SQL = f"""
+    WITH flagged AS (
+        -- >= not >: the native operator is END-EXCLUSIVE (an event at
+        -- exactly prev + gap starts a NEW session), one boundary off
+        -- from events_sessionize's strict-> islands
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) >= {float(_SESSION_GAP_SECS)}
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           count(*) AS n_events,
+           epoch_us(max(ts) - min(ts)) // 1000000 AS duration_secs
+    FROM sess
+    GROUP BY user_id, session_seq
+"""
+
+
 QUERIES = {
     "event_transition_matrix": event_transition_matrix,
+    "events_session_window_native": events_session_window_native,
     "timed_event_funnel": timed_event_funnel,
     "multi_touch_attribution": multi_touch_attribution,
     "purchase_attribution_asof": purchase_attribution_asof,
@@ -532,6 +598,7 @@ QUERIES = {
 
 ORACLES = {
     "event_transition_matrix": _TRANSITION_SQL,
+    "events_session_window_native": _SESSION_NATIVE_SQL,
     "timed_event_funnel": _TIMED_FUNNEL_SQL,
     "multi_touch_attribution": _MULTI_TOUCH_SQL,
     "purchase_attribution_asof": _ASOF_SQL,

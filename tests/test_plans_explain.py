@@ -492,3 +492,37 @@ def test_quality_classifier_broadcasts_model_and_bounds_vocab(spark):
     rows = df.collect()
     assert rows and all(0 <= r["keep_permille"] <= 1000 for r in rows)
     assert all(r["kept_docs"] <= r["n_docs"] for r in rows)
+
+
+def test_price_bracket_rollup_broadcast_nested_loop(spark):
+    """The range-dimension lookup must plan BroadcastNestedLoopJoin
+    (range predicates have no equi-key; broadcast-probe of the 4-row
+    tier table is the sanctioned shape) and must NOT degrade to a
+    CartesianProduct. Every part lands in exactly one bracket."""
+    from azure_sales_etl_pipeline_spark.plans.analytics import (
+        price_bracket_rollup,
+    )
+
+    df = price_bracket_rollup(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    rows = df.collect()
+    import duckdb
+
+    n_parts = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_DIR}/part.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n_parts"] for r in rows) == n_parts  # total, unique
+
+
+def test_native_session_window_plans_session_execs(spark):
+    """The batch session_window aggregate must plan the dedicated
+    session operators (UpdatingSessions/MergingSessions), not a generic
+    window — pinning that the NATIVE operator path is actually in use."""
+    from azure_sales_etl_pipeline_spark.plans.temporal import (
+        events_session_window_native,
+    )
+
+    plan = plan_of(events_session_window_native(spark, SF_DIR))
+    assert "Sessions" in plan, plan  # UpdatingSessionsExec / MergingSessionsExec
