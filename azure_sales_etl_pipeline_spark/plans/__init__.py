@@ -65,6 +65,7 @@ _SWEEP_PRIORITY = (
     "event_transition_matrix",
     "event_weekday_mi",
     "events_session_window_native",
+    "frequent_baskets",
     "golden_part_records",
     "ivf_index_maintenance",
     "join_cardinality_audit",

@@ -1643,6 +1643,59 @@ def _kmv_sql() -> str:
 _KMV_SQL = _kmv_sql()
 
 
+_BASKET_TOP_N = 20
+
+
+def frequent_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent-basket mining at the COMPOSITION grain: the
+    top-{n} complete baskets (sorted part-key arrays) by how many
+    orders bought exactly that combination — the itemset-level
+    complement of `part_affinity_lift`'s pairwise scores, and the
+    engine's demonstration of ARRAY-VALUED grouping keys (the basket
+    array itself is the groupBy key; both engines hash and compare
+    arrays element-wise, and `sort_array` makes the key canonical so
+    permuted line orders collapse).
+
+    Determinism: collect_list is order-nondeterministic under shuffle —
+    ``sort_array`` canonicalizes BEFORE the array becomes a key or an
+    output value (the dropDuplicates survivor rule, applied to
+    arrays); the top-{n} cutoff totals on (count desc, basket asc),
+    where array comparison is lexicographic in both engines. Scale:
+    two shuffles (order key, then basket key — baskets are small
+    arrays) and a TakeOrderedAndProject."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("basket")
+    )
+    return (
+        baskets.groupBy("basket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "basket")
+        .limit(_BASKET_TOP_N)
+    )
+
+
+frequent_baskets.__doc__ = frequent_baskets.__doc__.format(n=_BASKET_TOP_N)
+
+
+_BASKETS_SQL = f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    b AS (
+        SELECT l_orderkey, list_sort(list(l_partkey)) AS basket
+        FROM li GROUP BY l_orderkey
+    )
+    SELECT basket, CAST(count(*) AS BIGINT) AS n_orders
+    FROM b
+    GROUP BY basket
+    ORDER BY n_orders DESC, basket
+    LIMIT {_BASKET_TOP_N}
+"""
+
+
 #: Price brackets in exact cents: [lo, hi) half-open, contiguous, so
 #: every part lands in exactly one bracket.
 _PRICE_BRACKETS = (
@@ -1892,6 +1945,7 @@ QUERIES = {
     "event_weekday_mi": event_weekday_mi,
     "kmv_distinct_estimate": kmv_distinct_estimate,
     "price_bracket_rollup": price_bracket_rollup,
+    "frequent_baskets": frequent_baskets,
     "event_funnel": event_funnel,
     "events_daily_anomalies": events_daily_anomalies,
     "order_value_histogram": order_value_histogram,
@@ -1924,6 +1978,7 @@ ORACLES = {
     "event_weekday_mi": _MI_SQL,
     "kmv_distinct_estimate": _KMV_SQL,
     "price_bracket_rollup": _BRACKET_SQL,
+    "frequent_baskets": _BASKETS_SQL,
     "event_funnel": _FUNNEL_SQL,
     "events_daily_anomalies": _ANOMALY_SQL,
     "order_value_histogram": _HISTOGRAM_SQL,
