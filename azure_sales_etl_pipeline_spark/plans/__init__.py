@@ -60,6 +60,7 @@ _SWEEP_PRIORITY = (
     "brand_size_price_corr",
     "cluster_labels_two_batch",
     "copurchase_neighbor_jaccard",
+    "customer_masked_export",
     "doc_novelty",
     "embedding_decontaminate",
     "event_transition_matrix",

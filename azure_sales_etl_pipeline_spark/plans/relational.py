@@ -534,6 +534,67 @@ _K_ANON_SQL = f"""
 """
 
 
+_MASK_MOD = 10**9  # digit-preserving pseudonym width (9 digits)
+_BAL_BAND_CENTS = 50_000  # $500 balance bands
+
+
+def customer_masked_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governance masking export — the share-with-analytics-vendor view
+    of the customer dimension: (1) the key becomes a SALTED PSEUDONYM
+    (16-hex sha256 slice — referentially STABLE, so the same customer
+    pseudonymizes identically in every masked table and joins still
+    work, but the mapping is not invertible without the salt); (2) the
+    name's embedded digit run is rewritten FORMAT-PRESERVINGLY (9
+    digits stay 9 digits — hex→bigint mod 10⁹, zero-padded — so
+    downstream regex/length validations keep passing); (3) the
+    account balance generalizes to $500 bands (the k-anonymity
+    treatment `k_anonymity_audit` measures). Everything is
+    deterministic shared-text arithmetic, so the masked export itself
+    is value-oracled — the oracle proves masking is applied
+    consistently, not just that it ran."""
+    from ..functions import hex_to_bigint_sql
+
+    cust = load_table(spark, sf_dir, "customer")
+    digits = hex_to_bigint_sql(
+        "substr(sha2(concat('mask:', CAST(c_custkey AS STRING)), 256), 1, 15)"
+    )
+    return cust.select(
+        F.expr(
+            "substr(sha2(concat('pseud:', CAST(c_custkey AS STRING)), 256), 1, 16)"
+        ).alias("pseud_id"),
+        F.expr(
+            f"concat('Customer#', lpad(CAST({digits} % {_MASK_MOD} AS STRING), 9, '0'))"
+        ).alias("c_name_masked"),
+        F.expr(
+            f"CAST(floor(c_acctbal * 100) AS BIGINT)"
+            f" div {_BAL_BAND_CENTS} * {_BAL_BAND_CENTS}"
+        ).alias("acctbal_band_cents"),
+        "c_mktsegment",
+        "c_nationkey",
+    )
+
+
+def _masked_sql() -> str:
+    from ..functions import hex_to_bigint_sql
+
+    digits = hex_to_bigint_sql(
+        "substr(sha256('mask:' || CAST(c_custkey AS VARCHAR)), 1, 15)"
+    )
+    return f"""
+    SELECT substr(sha256('pseud:' || CAST(c_custkey AS VARCHAR)), 1, 16)
+               AS pseud_id,
+           'Customer#' || lpad(CAST({digits} % {_MASK_MOD} AS VARCHAR), 9, '0')
+               AS c_name_masked,
+           CAST(floor(c_acctbal * 100) AS BIGINT)
+               // {_BAL_BAND_CENTS} * {_BAL_BAND_CENTS} AS acctbal_band_cents,
+           c_mktsegment, c_nationkey
+    FROM customer
+"""
+
+
+_MASKED_SQL = _masked_sql()
+
+
 #: FK edges of the star schema: (fact, fk_col, dim, pk_col).
 _FK_EDGES = (
     ("lineitem", "l_orderkey", "orders", "o_orderkey"),
@@ -812,6 +873,7 @@ QUERIES = {
     "k_anonymity_audit": k_anonymity_audit,
     "referential_integrity_audit": referential_integrity_audit,
     "join_cardinality_audit": join_cardinality_audit,
+    "customer_masked_export": customer_masked_export,
     "orders_validation": orders_validation,
     "orders_quality_suite": orders_quality_suite,
     "drop_and_cast": drop_and_cast,
@@ -832,6 +894,7 @@ ORACLES = {
     "k_anonymity_audit": _K_ANON_SQL,
     "referential_integrity_audit": _ri_audit_sql(),
     "join_cardinality_audit": _join_cardinality_sql(),
+    "customer_masked_export": _MASKED_SQL,
     "orders_validation": _VALIDATION_SQL,
     "orders_quality_suite": _QUALITY_SUITE_SQL,
     "drop_and_cast": _DROP_CAST_SQL,
