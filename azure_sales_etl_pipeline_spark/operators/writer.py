@@ -294,8 +294,11 @@ def write_snapshot(
         json.dumps({"version": new, "meta": commit_meta})
     )
     os.replace(tmp, p / _VERSION_PTR)
+    # max(1, retain): the just-committed version must never prune
+    # itself (retain<=0 would delete v=new and leave the pointer
+    # dangling) — same guard vacuum_snapshots applies.
     for old in snapshot_versions(path):
-        if old <= new - retain:
+        if old <= new - max(1, retain):
             shutil.rmtree(p / f"v={old}", ignore_errors=True)
     return new
 

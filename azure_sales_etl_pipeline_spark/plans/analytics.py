@@ -1582,7 +1582,10 @@ def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     hashes = (
-        events.select(
+        events.where(F.col("user_id").isNotNull())  # NULLs sort FIRST on
+        # Spark / LAST on DuckDB and must never occupy a sketch slot —
+        # same filter as the streamed fold's merge_kmin
+        .select(
             F.substring(F.sha2(F.col("user_id").cast("string"), 256), 1, 15).alias(
                 "h"
             )
@@ -1611,17 +1614,14 @@ def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmv_sql() -> str:
-    from ..functions import hex_to_bigint_sql
-
-    kth_int = hex_to_bigint_sql("kth_hex")
-    est = (
-        f"CAST(floor((CAST(k_seen - 1 AS DOUBLE) * 1.152921504606846976e18)"
-        f" / CAST({kth_int} AS DOUBLE)) AS BIGINT)"
-    )
+    # SAME constructor as the Spark side and the streamed fold — the
+    # only engine delta is integer division spelling (div vs //).
+    est, err = _kmv_estimate_exprs()
+    err = err.replace(" div ", " // ")
     return f"""
     WITH hashes AS (
         SELECT DISTINCT substr(sha256(CAST(user_id AS VARCHAR)), 1, 15) AS h
-        FROM events
+        FROM events WHERE user_id IS NOT NULL
     ),
     kth AS (
         SELECT max(h) AS kth_hex, count(*) AS k_seen
@@ -1634,8 +1634,7 @@ def _kmv_sql() -> str:
         FROM kth CROSS JOIN exact
     )
     SELECT k, kth_hex, est_distinct, true_distinct,
-           abs(est_distinct - true_distinct) * 1000 // true_distinct
-               AS err_permille
+           {err} AS err_permille
     FROM est
 """
 

@@ -565,9 +565,15 @@ def customer_masked_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"concat('Customer#', lpad(CAST({digits} % {_MASK_MOD} AS STRING), 9, '0'))"
         ).alias("c_name_masked"),
+        # floor-aligned half-open bands: `div` truncates toward zero,
+        # which would make band 0 span (-$500, +$500) and label negative
+        # bands by their UPPER bound — the double-mod subtraction is
+        # floor division for any sign (both engines' % follow the
+        # dividend sign identically)
         F.expr(
             f"CAST(floor(c_acctbal * 100) AS BIGINT)"
-            f" div {_BAL_BAND_CENTS} * {_BAL_BAND_CENTS}"
+            f" - ((CAST(floor(c_acctbal * 100) AS BIGINT) % {_BAL_BAND_CENTS}"
+            f" + {_BAL_BAND_CENTS}) % {_BAL_BAND_CENTS})"
         ).alias("acctbal_band_cents"),
         "c_mktsegment",
         "c_nationkey",
@@ -586,7 +592,9 @@ def _masked_sql() -> str:
            'Customer#' || lpad(CAST({digits} % {_MASK_MOD} AS VARCHAR), 9, '0')
                AS c_name_masked,
            CAST(floor(c_acctbal * 100) AS BIGINT)
-               // {_BAL_BAND_CENTS} * {_BAL_BAND_CENTS} AS acctbal_band_cents,
+               - ((CAST(floor(c_acctbal * 100) AS BIGINT) % {_BAL_BAND_CENTS}
+                   + {_BAL_BAND_CENTS}) % {_BAL_BAND_CENTS})
+               AS acctbal_band_cents,
            c_mktsegment, c_nationkey
     FROM customer
 """

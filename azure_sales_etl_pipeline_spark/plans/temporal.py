@@ -318,6 +318,23 @@ _PEAK_CONCURRENCY_SQL = f"""
 """
 
 
+def transition_matrix_projection(pairs: DataFrame) -> DataFrame:
+    """Shared final projection for the transition matrix — consumed by
+    the batch `event_transition_matrix` AND the streaming fold
+    (`streaming._transition_counts`), which is oracled by the batch
+    query's SQL: one projection, so the two cannot drift. ``pairs``
+    carries (prev_type, next_type, n_transitions)."""
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.expr(
+            "(1000 * n_transitions) div sum(n_transitions)"
+            " OVER (PARTITION BY prev_type)"
+        ).alias("permille"),
+    )
+
+
 def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user behavioral Markov transitions: count every consecutive
     (prev_event_type → event_type) pair along each user's timeline,
@@ -333,18 +350,10 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         events.withColumn("prev_type", F.lag("event_type").over(w))
         .where(F.col("prev_type").isNotNull())
-        .groupBy("prev_type", "event_type")
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
-    return pairs.select(
-        "prev_type",
-        F.col("event_type").alias("next_type"),
-        "n_transitions",
-        F.expr(
-            "(1000 * n_transitions) div sum(n_transitions)"
-            " OVER (PARTITION BY prev_type)"
-        ).alias("permille"),
-    )
+    return transition_matrix_projection(pairs)
 
 
 _TRANSITION_SQL = """
@@ -562,10 +571,15 @@ _SESSION_NATIVE_SQL = f"""
     WITH flagged AS (
         -- >= not >: the native operator is END-EXCLUSIVE (an event at
         -- exactly prev + gap starts a NEW session), one boundary off
-        -- from events_sessionize's strict-> islands
+        -- from events_sessionize's strict-> islands. Integer-µs
+        -- arithmetic, NOT float epoch(): the Spark side is the native
+        -- integer-µs operator, and a double epoch subtraction at an
+        -- exact 30-min gap can land one ulp under the bare-decimal
+        -- 1800.0 and merge sessions the operator splits (review r9).
         SELECT user_id, ts,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR epoch(ts) - epoch(lag(ts) OVER w) >= {float(_SESSION_GAP_SECS)}
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            >= {_SESSION_GAP_SECS * 1_000_000}
                     THEN 1 ELSE 0 END AS new_sess
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -550,9 +550,15 @@ def _drain_transition_fold(src: DataFrame, name: str) -> None:
     batch-split-independent.
 
     Ordering contract: cross-batch correctness assumes each new batch's
-    events for a user are ≥ the user's state timestamp — the ordered-log
-    property a Kafka-partition or landing-sequence source provides (the
-    same assumption every streaming sessionizer makes). Within a batch,
+    events for a user are STRICTLY AFTER the user's state position in
+    (ts, event_id) order — the ordered-log property a Kafka-partition
+    or landing-sequence source provides (the same assumption every
+    streaming sessionizer makes). A later batch delivering an event
+    that sorts BEFORE the state position cannot be re-ordered against
+    pairs already emitted (that needs buffering, i.e. a watermark); the
+    state carries (last_ts, last_event_id) so the boundary position is
+    the full sort key, and equal-ts boundary events still order
+    correctly when their ids respect the log order. Within a batch,
     order is irrelevant (the handler sorts); the multi-batch pytest
     feeds time-split files via maxFilesPerTrigger to pin the
     boundary-pair path."""
@@ -568,6 +574,7 @@ def _drain_transition_fold(src: DataFrame, name: str) -> None:
     state_schema = StructType(
         [
             StructField("last_ts_micros", LongType()),
+            StructField("last_event_id", LongType()),
             StructField("last_type", StringType()),
         ]
     )
@@ -587,10 +594,15 @@ def _drain_transition_fold(src: DataFrame, name: str) -> None:
             return
         rows = rows.sort_values(["ts", "event_id"])
         types = rows["event_type"].tolist()
-        seq = ([state.get[1]] if state.exists else []) + types
+        seq = ([state.get[2]] if state.exists else []) + types
         pair_counts = Counter(zip(seq, seq[1:]))
+        last = rows.iloc[-1]
         state.update(
-            (int(rows["ts"].iloc[-1].value) // 1000, types[-1])
+            (
+                int(last["ts"].value) // 1000,
+                int(last["event_id"]),
+                types[-1],
+            )
         )
         if pair_counts:
             keys = list(pair_counts)
@@ -613,20 +625,16 @@ def _drain_transition_fold(src: DataFrame, name: str) -> None:
 
 
 def _transition_counts(pairs: DataFrame) -> DataFrame:
-    """Fold the emitted pair deltas to the transition matrix — the same
-    projection as the batch `event_transition_matrix`."""
+    """Fold the emitted pair deltas and apply the batch query's OWN
+    final projection (`plans.temporal.transition_matrix_projection`) —
+    shared code, because this streamed result is oracled by the batch
+    SQL and a drifting copy would fail only as a driver hash."""
+    from .plans.temporal import transition_matrix_projection
+
     agg = pairs.groupBy("prev_type", "next_type").agg(
         F.sum("n").cast("bigint").alias("n_transitions")
     )
-    return agg.select(
-        "prev_type",
-        "next_type",
-        "n_transitions",
-        F.expr(
-            "(1000 * n_transitions) div sum(n_transitions)"
-            " OVER (PARTITION BY prev_type)"
-        ).alias("permille"),
-    )
+    return transition_matrix_projection(agg)
 
 
 def stream_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1339,6 +1347,7 @@ def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         exact = (
             load_table(spark, sf_dir, "events")
+            .where(F.col("user_id").isNotNull())  # batch-query parity
             .select(
                 F.substring(
                     F.sha2(F.col("user_id").cast("string"), 256), 1, 15

@@ -498,6 +498,12 @@ def test_snapshot_time_travel_semantics(spark, tmp_path):
     with _pytest.raises(KeyError):
         read_snapshot(spark, path, version=1)
 
+    # retain<=0 must NOT prune the version just committed (review r9:
+    # an unguarded prune deleted v=new and left the pointer dangling)
+    v = write_snapshot(df(11), path, retain=0)
+    assert snapshot_current_version(path) == v
+    assert read_snapshot(spark, path).count() == 11
+
 
 def test_vacuum_snapshots_prunes_history_and_crash_debris(spark, tmp_path):
     from azure_sales_etl_pipeline_spark.operators.writer import (
