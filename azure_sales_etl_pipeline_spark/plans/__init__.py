@@ -76,6 +76,7 @@ _SWEEP_PRIORITY = (
     "mixture_temperature_weights",
     "multi_touch_attribution",
     "orders_snapshot_diff",
+    "pareto_frontier_parts",
     "price_bracket_rollup",
     "priority_status_woe",
     "quality_classifier_score",
@@ -86,6 +87,7 @@ _SWEEP_PRIORITY = (
     "stratified_topk_sample",
     "stream_click_purchase_outer",
     "stream_kmv_distinct",
+    "stream_static_enrichment",
     "stream_transition_matrix",
     "timed_event_funnel",
     "vocab_growth",

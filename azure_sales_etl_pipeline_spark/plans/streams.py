@@ -20,8 +20,10 @@ from ..streaming import (
     STREAM_OUTER_SQL,
     STREAM_SESSION_SQL,
     STREAM_SLIDING_SQL,
+    STREAM_STATIC_SQL,
     STREAM_TUMBLING_SQL,
     stream_click_purchase_join,
+    stream_static_enrichment,
     stream_click_purchase_outer,
     stream_dedup_events,
     stream_session_windows,
@@ -41,6 +43,7 @@ QUERIES = {
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_sliding_user_activity": stream_sliding_user_activity,
     "stream_session_windows": stream_session_windows,
+    "stream_static_enrichment": stream_static_enrichment,
     "stream_click_purchase_join": stream_click_purchase_join,
     "stream_click_purchase_outer": stream_click_purchase_outer,
     "stream_dedup_events": stream_dedup_events,
@@ -58,6 +61,7 @@ ORACLES = {
     "stream_tumbling_counts": STREAM_TUMBLING_SQL,
     "stream_sliding_user_activity": STREAM_SLIDING_SQL,
     "stream_session_windows": STREAM_SESSION_SQL,
+    "stream_static_enrichment": STREAM_STATIC_SQL,
     "stream_click_purchase_join": STREAM_JOIN_SQL,
     "stream_click_purchase_outer": STREAM_OUTER_SQL,
     "stream_dedup_events": STREAM_DEDUP_SQL,

@@ -498,7 +498,75 @@ _TRAILING_FEATURES_SQL = """
 """
 
 
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier query per brand: the parts no other
+    same-brand part dominates on (price LOW, size HIGH) — the classic
+    multi-criteria shortlist ("no strictly better offer exists") that
+    a plain ORDER BY can't express. Dominance: q dominates p iff
+    q.price <= p.price AND q.size >= p.size with at least one strict.
+
+    Distributed shape: a naive dominance test is an all-pairs self-join
+    (quadratic); the 2-D skyline collapses to TWO prefix maxima on one
+    brand-key shuffle — a part is dominated iff (a) some STRICTLY
+    cheaper same-brand part has size >= this one (max(p_size) over the
+    price-ordered RANGE frame ending at -1, so price ties stay out of
+    the strict-cheaper frame), or (b) some equal-priced part has size
+    STRICTLY greater (max over the (brand, price) peer group). Both
+    windows are partitioned by brand — no global window, no self-join,
+    no cross product; the frontier itself is output-sparse (monotone
+    price-up/size-up chains only).
+
+    The oracle deliberately uses the OTHER formulation (NOT EXISTS
+    dominance probe) — two independent algorithms must agree on every
+    frontier row."""
+    part = load_table(spark, sf_dir, "part")
+    base = part.select(
+        "p_brand",
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100).cast("bigint").alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("p_size"),
+    )
+    w_cheaper = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_peer = Window.partitionBy("p_brand", "price_cents")
+    return (
+        base.withColumn("max_size_cheaper", F.max("p_size").over(w_cheaper))
+        .withColumn("max_size_peer", F.max("p_size").over(w_peer))
+        .where(
+            (
+                F.col("max_size_cheaper").isNull()
+                | (F.col("max_size_cheaper") < F.col("p_size"))
+            )
+            & (F.col("max_size_peer") == F.col("p_size"))
+        )
+        .select("p_brand", "p_partkey", "price_cents", "p_size")
+    )
+
+
+_PARETO_SQL = """
+    WITH base AS (
+        SELECT p_brand, p_partkey,
+               CAST(floor(p_retailprice * 100) AS BIGINT) AS price_cents,
+               CAST(p_size AS BIGINT) AS p_size
+        FROM part
+    )
+    SELECT p.p_brand, p.p_partkey, p.price_cents, p.p_size
+    FROM base p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM base q
+        WHERE q.p_brand = p.p_brand
+          AND q.price_cents <= p.price_cents
+          AND q.p_size >= p.p_size
+          AND (q.price_cents < p.price_cents OR q.p_size > p.p_size)
+    )
+"""
+
+
 QUERIES = {
+    "pareto_frontier_parts": pareto_frontier_parts,
     "user_trailing_features": user_trailing_features,
     "top_parts_per_supplier": top_parts_per_supplier,
     "order_month_rank_profile": order_month_rank_profile,
@@ -510,6 +578,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pareto_frontier_parts": _PARETO_SQL,
     "user_trailing_features": _TRAILING_FEATURES_SQL,
     "top_parts_per_supplier": _TOP_PARTS_SQL,
     "order_month_rank_profile": _MONTH_RANK_SQL,

@@ -274,6 +274,56 @@ STREAM_SESSION_SQL = """
 """
 
 
+def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join — the dimension-enrichment pattern every
+    production stream needs (events arrive keyed; reporting wants them
+    by customer segment). The static side is a plain batch DataFrame:
+    Spark re-plans it per micro-batch (so a slowly-refreshing dim picks
+    up changes between batches) and — crucially — the join is
+    STATELESS: unlike a stream-stream join there is no join buffer, no
+    watermark bookkeeping, no state store; each micro-batch hash-joins
+    against the dim and moves on. With the dim explicitly broadcast the
+    streaming side never shuffles for the join at all — at 100 TB/day
+    of events the only shuffle is the final segment-grain aggregate
+    (map-side combined, |segments|×|types| rows of state).
+
+    Left join + UNKNOWN default so a user missing from the dimension
+    surfaces as a labeled bucket rather than silently dropping revenue
+    (the same orphan-visibility stance as `referential_integrity_audit`)."""
+    from .catalog import load_table
+
+    src = _events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    cents = F.expr("CAST(round(CAST(value AS DECIMAL(18,4)), 2) * 100 AS BIGINT)")
+    agg = (
+        src.join(F.broadcast(dim), "user_id", "left")
+        .groupBy(
+            F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("mktsegment"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).alias("value_cents"),
+        )
+    )
+    _drain_to_memory(agg, "stream_static_enrichment")
+    return spark.table("stream_static_enrichment")
+
+
+STREAM_STATIC_SQL = """
+    SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS mktsegment,
+           e.event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(CAST(e.value AS DECIMAL(18,4)), 2) * 100
+                         AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events e
+    LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+"""
+
+
 def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with an event-time band: every
     (click, purchase) pair for the same user where the click happened in
