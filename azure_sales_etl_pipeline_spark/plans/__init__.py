@@ -81,6 +81,7 @@ _SWEEP_PRIORITY = (
     "priority_status_woe",
     "quality_classifier_score",
     "repeated_spans",
+    "revenue_ewma",
     "simhash_hamming_pairs",
     "source_cap_sample",
     "source_token_entropy",

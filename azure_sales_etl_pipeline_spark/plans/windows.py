@@ -297,6 +297,92 @@ _REVENUE_7D_SQL = """
 """
 
 
+def revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue — the
+    trend-smoothing signal dashboards and anomaly baselines want, made
+    CROSS-ENGINE EXACT by construction: with decay α = 1/2 the weights
+    are dyadic (2^19, 2^18, … 2^0 over a 20-day horizon), so the whole
+    computation lives in int64 — weight × cents products, their sums,
+    and one truncating bigint division at the end. No float ever
+    exists, so there is nothing for accumulation order to perturb (the
+    usual EWMA recursion S_t = αx + (1-α)S_{t-1} is inherently
+    sequential AND float — unusable both for a distributed plan and for
+    an oracle). Partial windows (series start, gap days) normalize by
+    the REALIZED weight mass, so the output is a weighted moving
+    average at every day, not a ramp-in artifact.
+
+    Distributed shape: revenue first collapses to the DAY grain (one
+    map-side-combined shuffle; the grain is calendar-bounded — ~3.7k
+    rows per decade at ANY fact volume). The 20-day trailing band then
+    becomes an EQUI-join, not a range join: each target day explodes
+    into the 20 (need_idx = idx − lag) rows it wants, each carrying its
+    dyadic weight, and hash-joins contributor days on need_idx — the
+    same explode-the-bounded-band trick as `purchase_prior_clicks`,
+    with zero BroadcastNestedLoop anywhere."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2) * 100)
+        .cast("bigint")
+        .alias("cents"),
+    ).withColumn("idx", F.datediff(F.col("day"), F.lit("1995-01-01")))
+    probe = (
+        daily.select("day", "idx")
+        .withColumn("lag", F.explode(F.sequence(F.lit(0), F.lit(19))))
+        .select(
+            "day",
+            "idx",
+            (F.col("idx") - F.col("lag")).alias("need_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), 19 - lag)").alias("w"),
+        )
+    )
+    contrib = daily.select(
+        F.col("idx").alias("c_idx"), F.col("cents").alias("c_cents")
+    )
+    return (
+        probe.join(contrib, probe.need_idx == contrib.c_idx, "inner")
+        .groupBy("day", "idx")
+        .agg(
+            F.max(
+                F.when(F.col("c_idx") == F.col("idx"), F.col("c_cents"))
+            ).alias("day_revenue_cents"),
+            F.sum(F.col("w") * F.col("c_cents")).alias("ewma_numer"),
+            F.sum("w").alias("ewma_denom"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "day_revenue_cents",
+            "ewma_numer",
+            "ewma_denom",
+            F.expr("ewma_numer DIV ewma_denom").alias("ewma_cents"),
+        )
+    )
+
+
+_EWMA_SQL = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                   AS idx,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) * 100
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT strftime(d1.day, '%Y-%m-%d') AS day,
+           max(CASE WHEN d2.idx = d1.idx THEN d2.cents END)
+               AS day_revenue_cents,
+           CAST(sum(d2.cents * (CAST(1 AS BIGINT) << (19 - (d1.idx - d2.idx))))
+                AS BIGINT) AS ewma_numer,
+           CAST(sum(CAST(1 AS BIGINT) << (19 - (d1.idx - d2.idx)))
+                AS BIGINT) AS ewma_denom,
+           CAST(sum(d2.cents * (CAST(1 AS BIGINT) << (19 - (d1.idx - d2.idx))))
+                // sum(CAST(1 AS BIGINT) << (19 - (d1.idx - d2.idx)))
+                AS BIGINT) AS ewma_cents
+    FROM daily d1
+    JOIN daily d2 ON d2.idx BETWEEN d1.idx - 19 AND d1.idx
+    GROUP BY d1.day
+"""
+
+
 def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-filled hourly counts per event type — the calendar-scaffold
     resampling pass every time-series rollup needs (a plain groupBy
@@ -574,6 +660,7 @@ QUERIES = {
     "order_value_deciles": order_value_deciles,
     "purchase_prior_clicks": purchase_prior_clicks,
     "revenue_7d_window": revenue_7d_window,
+    "revenue_ewma": revenue_ewma,
     "events_hourly_gapfill": events_hourly_gapfill,
 }
 
@@ -586,5 +673,6 @@ ORACLES = {
     "order_value_deciles": _DECILES_SQL,
     "purchase_prior_clicks": _RANGE_JOIN_SQL,
     "revenue_7d_window": _REVENUE_7D_SQL,
+    "revenue_ewma": _EWMA_SQL,
     "events_hourly_gapfill": _GAPFILL_SQL,
 }
