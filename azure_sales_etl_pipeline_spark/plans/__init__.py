@@ -71,6 +71,7 @@ _SWEEP_PRIORITY = (
     "ivf_index_maintenance",
     "join_cardinality_audit",
     "kmv_distinct_estimate",
+    "lapsed_buyers_except",
     "length_bucketed_batches",
     "minhash_source_similarity",
     "mixture_temperature_weights",
@@ -81,6 +82,7 @@ _SWEEP_PRIORITY = (
     "priority_status_woe",
     "quality_classifier_score",
     "repeated_spans",
+    "revenue_cube",
     "revenue_ewma",
     "simhash_hamming_pairs",
     "source_cap_sample",
@@ -93,6 +95,7 @@ _SWEEP_PRIORITY = (
     "timed_event_funnel",
     "vocab_growth",
     "weighted_doc_sample",
+    "weighted_median_price",
     "percentile_accuracy_check",
     "purchase_prior_clicks",
     "retention_cohorts",

@@ -48,6 +48,149 @@ _ROLLUP_SQL = """
 """
 
 
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, year): every subtotal combination — detail,
+    per-status, per-year, grand total — in ONE pass (the Expand
+    operator replicates each row into its 4 grouping sets before a
+    single shuffle; 4× map-side rows, zero extra scans — vs 4 separate
+    jobs re-reading the fact). Complements `revenue_rollup_sets`'
+    hierarchical ROLLUP with the full cross-product lattice a BI
+    dashboard slices on. Revenue is exact cents so subtotal rows (which
+    sum the SAME doubles in a different grouping) can never drift a ulp
+    from their detail rows."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.year("o_orderdate").alias("order_year"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    return orders.cube("o_orderstatus", "order_year").agg(
+        (F.round(F.sum("price"), 2) * 100).cast("bigint").alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.grouping_id().cast("bigint").alias("grouping_level"),
+    )
+
+
+_CUBE_SQL = """
+    SELECT o_orderstatus,
+           year(o_orderdate) AS order_year,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) * 100
+                AS BIGINT) AS revenue_cents,
+           count(*) AS n_orders,
+           CAST(GROUPING(o_orderstatus, year(o_orderdate)) AS BIGINT)
+               AS grouping_level
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, year(o_orderdate))
+"""
+
+
+def lapsed_buyers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set-op front door (the one §2.5 set operation without a
+    representative): customers who ordered in 1995 but not in 1996 —
+    the churn cohort. Both sides reduce to DISTINCT keys first (so
+    EXCEPT ALL ≡ EXCEPT and each side is one map-side-combined
+    distinct), the except itself plans as a left-anti hash join on the
+    key, and the surviving keys join back to the customer dim for
+    segment context. At 100 TB both sides are |customers|-bounded after
+    the distinct — the except never sees fact-sized inputs."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+    def _buyers(yr: int) -> DataFrame:
+        return (
+            orders.where(F.year("o_orderdate") == yr)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    lapsed = _buyers(1995).exceptAll(_buyers(1996))
+    return lapsed.join(cust, lapsed.o_custkey == cust.c_custkey, "inner").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+_EXCEPT_SQL = """
+    WITH lapsed AS (
+        SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        EXCEPT
+        SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    )
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM lapsed l JOIN customer c ON l.o_custkey = c.c_custkey
+"""
+
+
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-WEIGHTED median unit price per brand — "the price at
+    which half the purchased volume sits below", the robust price-point
+    statistic a plain median (which weights a 1-unit and a 50-unit line
+    equally) gets wrong. No built-in computes this; the distributed
+    formulation is exact and all-integer: collapse to the (brand,
+    price) grain first (map-side combined), then one brand-partitioned
+    window gives each price its cumulative quantity, and the weighted
+    median is the MINIMUM price whose doubled cumulative quantity
+    reaches the brand total (lower weighted median — no interpolation,
+    so no float). The window runs over the price-distinct grain (≤
+    |prices per brand| rows), never over raw line items."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.col("l_quantity").cast("bigint").alias("qty")
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.floor(F.col("p_retailprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    grain = (
+        li.join(part, li.l_partkey == part.p_partkey, "inner")
+        .groupBy("p_brand", "price_cents")
+        .agg(F.sum("qty").alias("qty"))
+    )
+    w_cum = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("p_brand")
+    return (
+        grain.withColumn("cum_qty", F.sum("qty").over(w_cum))
+        .withColumn("total_qty", F.sum("qty").over(w_tot))
+        .groupBy("p_brand")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum_qty") * 2 >= F.col("total_qty"), F.col("price_cents")
+                )
+            ).alias("weighted_median_cents"),
+            F.max("total_qty").alias("total_qty"),
+        )
+    )
+
+
+_WEIGHTED_MEDIAN_SQL = """
+    WITH grain AS (
+        SELECT p.p_brand,
+               CAST(floor(p.p_retailprice * 100) AS BIGINT) AS price_cents,
+               CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT p_brand, price_cents, qty,
+               sum(qty) OVER (PARTITION BY p_brand ORDER BY price_cents
+                              ROWS UNBOUNDED PRECEDING) AS cum_qty,
+               sum(qty) OVER (PARTITION BY p_brand) AS total_qty
+        FROM grain
+    )
+    SELECT p_brand,
+           CAST(min(CASE WHEN cum_qty * 2 >= total_qty THEN price_cents END)
+                AS BIGINT) AS weighted_median_cents,
+           CAST(max(total_qty) AS BIGINT) AS total_qty
+    FROM cum
+    GROUP BY p_brand
+"""
+
+
 def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Status → columns pivot of yearly revenue. Pivot values are PINNED
     (["O","F","P"]) so Spark skips the extra distinct-values job — at
@@ -1955,6 +2098,9 @@ QUERIES = {
     "retention_cohorts": retention_cohorts,
     "cohort_ltv": cohort_ltv,
     "revenue_rollup_sets": revenue_rollup_sets,
+    "revenue_cube": revenue_cube,
+    "lapsed_buyers_except": lapsed_buyers_except,
+    "weighted_median_price": weighted_median_price,
     "order_status_pivot": order_status_pivot,
     "event_props_json": event_props_json,
     "price_percentiles": price_percentiles,
@@ -1988,6 +2134,9 @@ ORACLES = {
     "retention_cohorts": _RETENTION_SQL,
     "cohort_ltv": _COHORT_LTV_SQL,
     "revenue_rollup_sets": _ROLLUP_SQL,
+    "revenue_cube": _CUBE_SQL,
+    "lapsed_buyers_except": _EXCEPT_SQL,
+    "weighted_median_price": _WEIGHTED_MEDIAN_SQL,
     "order_status_pivot": _PIVOT_SQL,
     "event_props_json": _JSON_SQL,
     "price_percentiles": _PERCENTILE_SQL,
