@@ -59,6 +59,7 @@ _SWEEP_PRIORITY = (
     "bm25_topterms",
     "brand_size_price_corr",
     "cluster_labels_two_batch",
+    "copurchase_bfs_hops",
     "copurchase_neighbor_jaccard",
     "customer_masked_export",
     "doc_novelty",

@@ -2223,6 +2223,93 @@ _NEIGHBOR_JACCARD_SQL = f"""
 """
 
 
+_BFS_SEED_MOD = 500  # deterministic seed set: p_partkey % _BFS_SEED_MOD == 7
+_BFS_MAX_HOPS = 3
+
+
+def copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop BFS over the co-purchase graph — the fifth leg of
+    the graph suite (components, PageRank, triangles, edge similarity,
+    now REACHABILITY): minimum hop distance (≤ 3) from a deterministic
+    seed set ("parts under recall investigation", every 500th key) to
+    every part it can contaminate through co-purchase adjacency — the
+    blast-radius query behind recalls, fraud spread, and related-item
+    expansion.
+
+    Distributed shape is textbook frontier expansion (Pregel-lite):
+    each round joins the CURRENT FRONTIER (not the visited set) against
+    the undirected edge list — a key-partitioned hash join whose probe
+    side only ever holds the newest ring — distincts the neighbors,
+    and anti-joins the visited set so every vertex keeps its FIRST
+    (minimum) hop count. ``localCheckpoint`` per round cuts the
+    iterative lineage exactly like the CC loop; the hop bound caps the
+    rounds, and at 100 TB the edge list persists pre-bucketed on ``u``
+    so every round's join is shuffle-free on the edge side.
+
+    The oracle unrolls the three rounds as CTEs (the house style for
+    iterative algorithms — see PageRank/BPE): two independent
+    formulations, one answer."""
+    edges = _affinity_edges(spark, sf_dir)
+    und = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    seeds = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_partkey") % _BFS_SEED_MOD == 7)
+        .select(F.col("p_partkey").alias("part"))
+    )
+    known = seeds.withColumn("hops", F.lit(0).cast("bigint")).localCheckpoint()
+    frontier = seeds
+    for hop in range(1, _BFS_MAX_HOPS + 1):
+        nbrs = (
+            frontier.join(und, frontier.part == und.u, "inner")
+            .select(F.col("v").alias("part"))
+            .distinct()
+        )
+        new = (
+            nbrs.join(known, "part", "left_anti")
+            .withColumn("hops", F.lit(hop).cast("bigint"))
+            .localCheckpoint()
+        )
+        known = known.unionByName(new).localCheckpoint()
+        frontier = new.select("part")
+    return known.select(F.col("part").alias("p_partkey"), "hops")
+
+
+_BFS_SQL = f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= {_AFFINITY_MIN_ORDERS}
+    ),
+    eu AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+    d0 AS (SELECT p_partkey AS part FROM part
+           WHERE p_partkey % {_BFS_SEED_MOD} = 7),
+    n1 AS (
+        SELECT DISTINCT e.v AS part FROM d0 JOIN eu e ON e.u = d0.part
+        WHERE e.v NOT IN (SELECT part FROM d0)
+    ),
+    n2 AS (
+        SELECT DISTINCT e.v AS part FROM n1 JOIN eu e ON e.u = n1.part
+        WHERE e.v NOT IN (SELECT part FROM d0)
+          AND e.v NOT IN (SELECT part FROM n1)
+    ),
+    n3 AS (
+        SELECT DISTINCT e.v AS part FROM n2 JOIN eu e ON e.u = n2.part
+        WHERE e.v NOT IN (SELECT part FROM d0)
+          AND e.v NOT IN (SELECT part FROM n1)
+          AND e.v NOT IN (SELECT part FROM n2)
+    )
+    SELECT part AS p_partkey, CAST(0 AS BIGINT) AS hops FROM d0
+    UNION ALL SELECT part, CAST(1 AS BIGINT) FROM n1
+    UNION ALL SELECT part, CAST(2 AS BIGINT) FROM n2
+    UNION ALL SELECT part, CAST(3 AS BIGINT) FROM n3
+"""
+
+
 _SOURCE_CAP_N = 20  # max docs per source
 
 
@@ -2391,6 +2478,7 @@ QUERIES = {
     "part_affinity_triangles": part_affinity_triangles,
     "part_affinity_lift": part_affinity_lift,
     "copurchase_neighbor_jaccard": copurchase_neighbor_jaccard,
+    "copurchase_bfs_hops": copurchase_bfs_hops,
     "dedup_rate_by_source": dedup_rate_by_source,
     "negative_samples": negative_samples,
     "train_test_split": train_test_split,
@@ -2422,6 +2510,7 @@ ORACLES = {
     "part_affinity_triangles": _TRIANGLES_SQL,
     "part_affinity_lift": _LIFT_SQL,
     "copurchase_neighbor_jaccard": _NEIGHBOR_JACCARD_SQL,
+    "copurchase_bfs_hops": _BFS_SQL,
     "dedup_rate_by_source": _DEDUP_RATE_SQL,
     "negative_samples": _NEGATIVE_SAMPLES_SQL,
     "train_test_split": _SPLIT_SQL,
