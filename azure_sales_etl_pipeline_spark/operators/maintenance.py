@@ -440,6 +440,75 @@ def compact_partitioned(
     return {p.name: compact_table(spark, str(p), target_bytes) for p in parts}
 
 
+def erase_cascade(
+    spark: SparkSession,
+    root_keys: DataFrame,
+    steps: list[dict],
+    backend: str = "parquet",
+) -> list[dict]:
+    """Right-to-erasure cascade (GDPR Art. 17 / CCPA delete): remove a
+    set of root entities AND every dependent row they fan out to,
+    across a chain of FK edges, with per-table audit counts. The
+    governance complement to `customer_masked_export` (masking) and
+    `k_anonymity_audit` (risk measurement) — this one actually forgets.
+
+    ``steps`` are declared PARENT-FIRST; each names the doom-set it
+    filters on and may emit the next one::
+
+        {"path": ..., "match": <key col>, "doom": <doom-set name>,
+         "emit": (<col>, <new doom-set name>)   # optional
+        }
+
+    with the root key set registered as doom-set ``"root"``. All doom
+    sets are resolved (and localCheckpointed) BEFORE any rewrite, then
+    tables rewrite CHILDREN-FIRST: a crash between rewrites leaves a
+    partially-erased but referentially-INTACT star (children vanish
+    before their parents, so no intermediate state ever has a dangling
+    FK), and the whole cascade is idempotent — re-running with the same
+    keys matches nothing and rewrites nothing away.
+
+    Each rewrite is one anti-join + the staged atomic swap of
+    ``overwrite_table`` (erasure count stamped into ``_commit.json``).
+    At 100 TB: erasure batches are folded weekly, the anti-join is one
+    keyed shuffle per table (or partition-pruned when the table is
+    partitioned by the match key), and the doom sets — not the tables —
+    are what crosses stage boundaries. Returns parent-first
+    ``[{table, rows_before, rows_removed, rows_after}, ...]``."""
+    dooms: dict[str, DataFrame] = {
+        "root": root_keys.toDF("__doom_k").distinct().localCheckpoint()
+    }
+    plans: list[tuple[dict, DataFrame, DataFrame]] = []
+    for st in steps:
+        df = read_table(spark, st["path"], backend)
+        doom = dooms[st["doom"]].withColumnRenamed("__doom_k", st["match"])
+        if "emit" in st:
+            col, name = st["emit"]
+            dooms[name] = (
+                df.join(doom, st["match"], "left_semi")
+                .select(F.col(col).alias("__doom_k"))
+                .distinct()
+                .localCheckpoint()
+            )
+        plans.append((st, df, df.join(doom, st["match"], "left_anti")))
+    report: list[dict] = []
+    for st, df, keep in reversed(plans):
+        before = df.count()
+        after = keep.count()
+        overwrite_table(
+            keep, st["path"], backend, commit_meta={"erased_rows": before - after}
+        )
+        report.append(
+            {
+                "table": Path(st["path"]).name,
+                "rows_before": before,
+                "rows_removed": before - after,
+                "rows_after": after,
+            }
+        )
+    report.reverse()
+    return report
+
+
 def merge_kmin(
     spark: SparkSession,
     state_path: str,

@@ -68,6 +68,7 @@ _SWEEP_PRIORITY = (
     "event_weekday_mi",
     "events_session_window_native",
     "frequent_baskets",
+    "gdpr_erasure_cascade",
     "golden_part_records",
     "ivf_index_maintenance",
     "join_cardinality_audit",

@@ -260,6 +260,116 @@ _WM_BATCH_SQL = """
 """
 
 
+def gdpr_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive ``operators.maintenance.erase_cascade`` end-to-end: copy
+    the customer→orders→lineitem star into a scratch dir, erase every
+    customer with ``c_custkey % 100 == 3`` (plus their orders and those
+    orders' line items), and return the per-table audit — before /
+    removed / after counts PLUS the post-erasure orphan count per FK
+    edge, re-measured from the REWRITTEN tables (lineitems whose order
+    vanished, orders whose customer vanished). The oracle recomputes
+    the expected counts declaratively and pins every orphan count at
+    zero — so the children-first rewrite ordering and the cascade's
+    completeness are both hash-checked, not just asserted."""
+    from ..operators.maintenance import erase_cascade
+    from ..operators.writer import read_table
+
+    tmp = tempfile.mkdtemp(prefix="gdpr_q_")
+    try:
+        for t in ("customer", "orders", "lineitem"):
+            cols = {
+                "customer": ["c_custkey", "c_name", "c_nationkey"],
+                "orders": ["o_orderkey", "o_custkey", "o_totalprice"],
+                "lineitem": ["l_orderkey", "l_partkey", "l_quantity"],
+            }[t]
+            load_table(spark, sf_dir, t).select(*cols).write.parquet(f"{tmp}/{t}")
+        keys = (
+            load_table(spark, sf_dir, "customer")
+            .where(F.col("c_custkey") % 100 == 3)
+            .select("c_custkey")
+        )
+        report = erase_cascade(
+            spark,
+            keys,
+            [
+                {"path": f"{tmp}/customer", "match": "c_custkey", "doom": "root"},
+                {
+                    "path": f"{tmp}/orders",
+                    "match": "o_custkey",
+                    "doom": "root",
+                    "emit": ("o_orderkey", "orders"),
+                },
+                {"path": f"{tmp}/lineitem", "match": "l_orderkey", "doom": "orders"},
+            ],
+        )
+        cust = read_table(spark, f"{tmp}/customer")
+        orders = read_table(spark, f"{tmp}/orders")
+        li = read_table(spark, f"{tmp}/lineitem")
+        orphans = {
+            "customer": 0,
+            "orders": orders.join(
+                cust.select(F.col("c_custkey").alias("o_custkey")),
+                "o_custkey",
+                "left_anti",
+            ).count(),
+            "lineitem": li.join(
+                orders.select(F.col("o_orderkey").alias("l_orderkey")),
+                "l_orderkey",
+                "left_anti",
+            ).count(),
+        }
+        rows = [
+            (
+                r["table"],
+                r["rows_before"],
+                r["rows_removed"],
+                r["rows_after"],
+                orphans[r["table"]],
+            )
+            for r in report
+        ]
+        return spark.createDataFrame(
+            rows,
+            "table_name string, rows_before bigint, rows_removed bigint, "
+            "rows_after bigint, orphans_after bigint",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_GDPR_SQL = """
+    WITH doomed AS (
+        SELECT c_custkey AS k FROM customer WHERE c_custkey % 100 = 3
+    ),
+    doomed_orders AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT k FROM doomed)
+    )
+    SELECT 'customer' AS table_name,
+           (SELECT count(*) FROM customer) AS rows_before,
+           (SELECT count(*) FROM doomed) AS rows_removed,
+           (SELECT count(*) FROM customer) - (SELECT count(*) FROM doomed)
+               AS rows_after,
+           CAST(0 AS BIGINT) AS orphans_after
+    UNION ALL
+    SELECT 'orders',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM doomed_orders),
+           (SELECT count(*) FROM orders)
+               - (SELECT count(*) FROM doomed_orders),
+           CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM doomed_orders)),
+           (SELECT count(*) FROM lineitem)
+               - (SELECT count(*) FROM lineitem
+                  WHERE l_orderkey IN (SELECT o_orderkey FROM doomed_orders)),
+           CAST(0 AS BIGINT)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Schema-evolving append (S1/S2/S5, F1; the Landing→Bronze lifecycle)
 # ---------------------------------------------------------------------------
@@ -1081,6 +1191,7 @@ QUERIES = {
     "partition_pruned_revenue": partition_pruned_revenue,
     "scd2_delete_expiry": scd2_delete_expiry,
     "watermark_incremental_batch": watermark_incremental_batch,
+    "gdpr_erasure_cascade": gdpr_erasure_cascade,
     "ingest_schema_evolution": ingest_schema_evolution,
 }
 
@@ -1100,5 +1211,6 @@ ORACLES = {
     "partition_pruned_revenue": _PARTITION_PRUNED_SQL,
     "scd2_delete_expiry": _SCD2_DELETE_SQL,
     "watermark_incremental_batch": _WM_BATCH_SQL,
+    "gdpr_erasure_cascade": _GDPR_SQL,
     "ingest_schema_evolution": _INGEST_SQL,
 }

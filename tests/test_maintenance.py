@@ -356,3 +356,45 @@ def test_merge_kmin_idempotent_and_converges(spark, tmp_path):
     again = sorted(r["h"] for r in merge_kmin(spark, state, b2, "h", k=10).collect())
     assert once == again  # idempotent under redelivery
     assert once == [f"{i:03d}" for i in range(10)]  # == one-shot k smallest
+
+
+def test_erase_cascade_counts_children_first_and_idempotent(spark, tmp_path):
+    """GDPR cascade: (a) audit counts match the hand-computed fan-out,
+    (b) no surviving row references an erased parent, (c) re-running
+    with the same keys removes nothing (idempotent)."""
+    from azure_sales_etl_pipeline_spark.operators.maintenance import erase_cascade
+    from azure_sales_etl_pipeline_spark.operators.writer import read_table
+
+    cust = spark.createDataFrame([(1,), (2,), (3,)], "c long")
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 1), (20, 2), (30, 3)], "o long, c long"
+    )
+    li = spark.createDataFrame(
+        [(10, 100), (10, 101), (11, 102), (20, 103), (30, 104)],
+        "o long, item long",
+    )
+    paths = {}
+    for name, df in (("cust", cust), ("orders", orders), ("li", li)):
+        paths[name] = str(tmp_path / name)
+        df.write.parquet(paths[name])
+    steps = [
+        {"path": paths["cust"], "match": "c", "doom": "root"},
+        {"path": paths["orders"], "match": "c", "doom": "root",
+         "emit": ("o", "orders")},
+        {"path": paths["li"], "match": "o", "doom": "orders"},
+    ]
+    keys = spark.createDataFrame([(1,)], "c long")
+    report = erase_cascade(spark, keys, steps)
+    by_table = {r["table"]: r for r in report}
+    assert by_table["cust"]["rows_removed"] == 1
+    assert by_table["orders"]["rows_removed"] == 2  # orders 10, 11
+    assert by_table["li"]["rows_removed"] == 3  # items of orders 10, 11
+    assert by_table["li"]["rows_after"] == 2
+    # referential integrity of the survivors
+    surv_orders = {r["c"] for r in read_table(spark, paths["orders"]).collect()}
+    assert surv_orders == {2, 3}
+    surv_li = {r["o"] for r in read_table(spark, paths["li"]).collect()}
+    assert surv_li == {20, 30}
+    # idempotent: same keys again → nothing matches, nothing removed
+    again = erase_cascade(spark, keys, steps)
+    assert all(r["rows_removed"] == 0 for r in again)
