@@ -603,6 +603,82 @@ def _masked_sql() -> str:
 _MASKED_SQL = _masked_sql()
 
 
+_COMPLETENESS_BLOCK = 1024  # keyspace audit granularity (keys per block)
+
+
+def key_completeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyspace-completeness audit — "did the extract drop rows?" for a
+    source whose keys are contractually DENSE (sequence/identity
+    columns): report every 1024-key block that is missing keys, with
+    the block's present count, first/last present key, and missing
+    count. The block grain is the form that survives scale — at 100 TB
+    you triage damaged RANGES (one row per broken block, almost always
+    a tiny result), not an enumeration of billions of individual gap
+    keys; a damaged block then scopes a targeted re-extract (the
+    `watermark_incremental_batch` machinery re-pulls exactly that key
+    window).
+
+    The audited subset here simulates a lossy extract deterministically
+    (drops o_orderkey % 97 == 13, ~1% spread damage). Plan: one
+    map-side-combined groupBy at the block grain + a broadcast 1-row
+    scalar for the global max (the last block's expected span is
+    shorter; keys lost AFTER the last present key are unknowable from
+    the data alone — that tail needs the source's row count, which is
+    exactly what the reference's ADF Lookup step fetched)."""
+    keys = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 97 != 13)
+        .select(F.col("o_orderkey").alias("k"))
+    )
+    blocks = keys.groupBy(
+        F.expr(f"k DIV {_COMPLETENESS_BLOCK}").alias("block")
+    ).agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.min("k").alias("first_present"),
+        F.max("k").alias("last_present"),
+    )
+    maxk = keys.agg(F.max("k").alias("global_max"))
+    return (
+        blocks.crossJoin(F.broadcast(maxk))
+        .select(
+            "block",
+            "n_present",
+            "first_present",
+            "last_present",
+            (
+                F.least(
+                    F.lit(_COMPLETENESS_BLOCK),
+                    F.col("global_max") - F.col("block") * _COMPLETENESS_BLOCK + 1,
+                )
+                - F.col("n_present")
+            ).alias("n_missing"),
+        )
+        .where(F.col("n_missing") > 0)
+    )
+
+
+_COMPLETENESS_SQL = f"""
+    WITH keys AS (
+        SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 97 != 13
+    ),
+    blocks AS (
+        SELECT k // {_COMPLETENESS_BLOCK} AS block,
+               count(*) AS n_present,
+               min(k) AS first_present,
+               max(k) AS last_present
+        FROM keys GROUP BY 1
+    )
+    SELECT block, n_present, first_present, last_present,
+           least({_COMPLETENESS_BLOCK},
+                 (SELECT max(k) FROM keys) - block * {_COMPLETENESS_BLOCK} + 1)
+               - n_present AS n_missing
+    FROM blocks
+    WHERE least({_COMPLETENESS_BLOCK},
+                (SELECT max(k) FROM keys) - block * {_COMPLETENESS_BLOCK} + 1)
+              - n_present > 0
+"""
+
+
 #: FK edges of the star schema: (fact, fk_col, dim, pk_col).
 _FK_EDGES = (
     ("lineitem", "l_orderkey", "orders", "o_orderkey"),
@@ -882,6 +958,7 @@ QUERIES = {
     "referential_integrity_audit": referential_integrity_audit,
     "join_cardinality_audit": join_cardinality_audit,
     "customer_masked_export": customer_masked_export,
+    "key_completeness_audit": key_completeness_audit,
     "orders_validation": orders_validation,
     "orders_quality_suite": orders_quality_suite,
     "drop_and_cast": drop_and_cast,
@@ -903,6 +980,7 @@ ORACLES = {
     "referential_integrity_audit": _ri_audit_sql(),
     "join_cardinality_audit": _join_cardinality_sql(),
     "customer_masked_export": _MASKED_SQL,
+    "key_completeness_audit": _COMPLETENESS_SQL,
     "orders_validation": _VALIDATION_SQL,
     "orders_quality_suite": _QUALITY_SUITE_SQL,
     "drop_and_cast": _DROP_CAST_SQL,
