@@ -99,6 +99,116 @@ _BRUTE_SQL = f"""
 """
 
 
+def ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k retrieval over the INT8-QUANTIZED corpus — the serving
+    configuration every large vector store actually runs (4× smaller
+    vectors, integer SIMD dot products): each vector is L2-normalized
+    then floor-quantized at fixed scale 127, so the score is a pure
+    int64 dot product approximating cosine × 127². The whole ranking
+    is integer — ties, rank cutoffs, and the driver hash all see
+    exactly the numbers a C++ int8 kernel would produce, and the
+    float→int boundary is floor-over-IEEE-double only (divide, sqrt,
+    multiply, floor — every step correctly rounded, bit-identical
+    cross-engine; same exactness class as `embedding_quantize`).
+
+    Plan mirrors `ann_topk_bruteforce`: queries broadcast, corpus maps
+    in place (quantization is a narrow transform — at 100 TB it is done
+    ONCE at ingest and stored, which is the point of int8), one
+    per-query top-k window. The quality cost of quantization vs the
+    float path is visible by diffing against `ann_topk_bruteforce` —
+    here rank order itself is the value-oracled artifact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = _as_double("embedding")
+    zero = F.lit(0).cast("bigint")
+    base = plan_barrier(
+        emb.select(
+            "vec_id",
+            "label",
+            vec.alias("v"),
+            F.sqrt(
+                F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x)
+            ).alias("nrm"),
+        )
+    )
+    quant = plan_barrier(
+        base.select(
+            "vec_id",
+            "label",
+            F.when(
+                F.col("nrm") > 0,
+                F.transform(
+                    F.col("v"),
+                    lambda x: F.floor(x * 127.0 / F.col("nrm")).cast("bigint"),
+                ),
+            )
+            .otherwise(F.transform(F.col("v"), lambda x: zero))
+            .alias("q"),
+        )
+    )
+    queries = plan_barrier(
+        quant.where(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+        )
+    )
+    scored = quant.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id"), "inner"
+    ).select(
+        "query_id",
+        "vec_id",
+        "label",
+        F.aggregate(
+            F.zip_with(F.col("qq"), F.col("q"), lambda a, b: a * b),
+            zero,
+            lambda a, b: a + b,
+        ).alias("dot_q"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_q").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= _TOP_K)
+        .select("query_id", "rank", "vec_id", "label", "dot_q")
+    )
+
+
+_INT8_SQL = f"""
+    WITH base AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_dot_product(list_transform(embedding,
+                                                    x -> CAST(x AS DOUBLE)),
+                                     list_transform(embedding,
+                                                    x -> CAST(x AS DOUBLE))))
+                   AS nrm
+        FROM embeddings
+    ),
+    quant AS (
+        SELECT vec_id, label,
+               CASE WHEN nrm > 0
+                    THEN list_transform(v, x -> CAST(floor(x * 127.0 / nrm)
+                                                     AS BIGINT))
+                    ELSE list_transform(v, x -> CAST(0 AS BIGINT))
+               END AS q
+        FROM base
+    ),
+    scored AS (
+        SELECT qs.vec_id AS query_id, c.vec_id, c.label,
+               CAST(list_dot_product(qs.q, c.q) AS BIGINT) AS dot_q
+        FROM quant c
+        JOIN (SELECT vec_id, q FROM quant WHERE vec_id < {_N_QUERIES}) qs
+          ON c.vec_id != qs.vec_id
+    )
+    SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dot_q DESC, vec_id ASC)
+                AS BIGINT) AS rank,
+           vec_id, label, dot_q
+    FROM scored
+    QUALIFY rank <= {_TOP_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # LSH-bucketed path (sign random projection)
 # ---------------------------------------------------------------------------
@@ -1157,6 +1267,7 @@ QUERIES = {
     "embedding_decontaminate": embedding_decontaminate,
     "ivf_index_maintenance": ivf_index_maintenance,
     "ann_topk_bruteforce": ann_topk_bruteforce,
+    "ann_topk_int8": ann_topk_int8,
     "embedding_gram": embedding_gram,
     "pca_power_iteration_check": pca_power_iteration_check,
     "ann_topk_lsh": ann_topk_lsh,
@@ -1176,6 +1287,7 @@ ORACLES = {
     "embedding_decontaminate": _DECON_SQL,
     "ivf_index_maintenance": _IVF_MAINT_SQL,
     "ann_topk_bruteforce": _BRUTE_SQL,
+    "ann_topk_int8": _INT8_SQL,
     "ann_topk_lsh": _ANN_LSH_SQL,
     "ann_topk_ivf": _ANN_IVF_SQL,
     "embedding_near_dup": _NEAR_DUP_SQL,
