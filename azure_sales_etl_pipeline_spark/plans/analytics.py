@@ -191,6 +191,120 @@ _WEIGHTED_MEDIAN_SQL = """
 """
 
 
+def robust_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-brand outlier screen: median + MAD (median absolute
+    deviation) instead of mean + stddev — the estimator that does NOT
+    let the outliers it is hunting inflate its own threshold (one fat
+    tail wrecks a z-score; the median/MAD breakdown point is 50%).
+    Flags parts whose |price − median| exceeds 3×MAD and reports the
+    per-brand summary.
+
+    Everything is integer-exact: both medians are LOWER medians via the
+    cumulative-count trick (collapse to the (brand, value) grain, one
+    brand-partitioned window over the value-distinct grain, min value
+    whose doubled cumulative count reaches the total) — the same
+    no-interpolation formulation as `weighted_median_price`, applied
+    twice (prices, then deviations). The per-brand medians join back as
+    a |brands|-row broadcast. No float, no unpartitioned window, two
+    value-grain shuffles."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_brand",
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
+    )
+
+    def _lower_median(df: DataFrame, val: str, out: str) -> DataFrame:
+        grain = df.groupBy("p_brand", val).agg(F.count(F.lit(1)).alias("n"))
+        w_cum = (
+            Window.partitionBy("p_brand")
+            .orderBy(val)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_tot = Window.partitionBy("p_brand")
+        return (
+            grain.withColumn("cum", F.sum("n").over(w_cum))
+            .withColumn("tot", F.sum("n").over(w_tot))
+            .groupBy("p_brand")
+            .agg(
+                F.min(
+                    F.when(F.col("cum") * 2 >= F.col("tot"), F.col(val))
+                ).alias(out)
+            )
+        )
+
+    med = _lower_median(part, "cents", "median_cents")
+    dev = part.join(F.broadcast(med), "p_brand").select(
+        "p_brand",
+        "p_partkey",
+        "cents",
+        F.abs(F.col("cents") - F.col("median_cents")).alias("dev"),
+        "median_cents",
+    )
+    mad = _lower_median(dev, "dev", "mad_cents")
+    return (
+        dev.join(F.broadcast(mad), "p_brand")
+        .groupBy("p_brand")
+        .agg(
+            F.max("median_cents").alias("median_cents"),
+            F.max("mad_cents").alias("mad_cents"),
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(
+                F.when(F.col("dev") > 3 * F.col("mad_cents"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+
+
+_MAD_SQL = """
+    WITH base AS (
+        SELECT p_brand, p_partkey,
+               CAST(floor(p_retailprice * 100) AS BIGINT) AS cents
+        FROM part
+    ),
+    med AS (
+        SELECT p_brand,
+               CAST(min(CASE WHEN cum * 2 >= tot THEN cents END) AS BIGINT)
+                   AS median_cents
+        FROM (
+            SELECT p_brand, cents,
+                   sum(n) OVER (PARTITION BY p_brand ORDER BY cents
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(n) OVER (PARTITION BY p_brand) AS tot
+            FROM (SELECT p_brand, cents, count(*) AS n
+                  FROM base GROUP BY 1, 2)
+        )
+        GROUP BY p_brand
+    ),
+    dev AS (
+        SELECT b.p_brand, b.p_partkey, b.cents,
+               abs(b.cents - m.median_cents) AS dev, m.median_cents
+        FROM base b JOIN med m ON b.p_brand = m.p_brand
+    ),
+    mad AS (
+        SELECT p_brand,
+               CAST(min(CASE WHEN cum * 2 >= tot THEN dev END) AS BIGINT)
+                   AS mad_cents
+        FROM (
+            SELECT p_brand, dev,
+                   sum(n) OVER (PARTITION BY p_brand ORDER BY dev
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(n) OVER (PARTITION BY p_brand) AS tot
+            FROM (SELECT p_brand, dev, count(*) AS n
+                  FROM dev GROUP BY 1, 2)
+        )
+        GROUP BY p_brand
+    )
+    SELECT d.p_brand,
+           max(d.median_cents) AS median_cents,
+           max(a.mad_cents) AS mad_cents,
+           count(*) AS n_parts,
+           CAST(sum(CASE WHEN d.dev > 3 * a.mad_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad a ON d.p_brand = a.p_brand
+    GROUP BY d.p_brand
+"""
+
+
 def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Status → columns pivot of yearly revenue. Pivot values are PINNED
     (["O","F","P"]) so Spark skips the extra distinct-values job — at
@@ -2101,6 +2215,7 @@ QUERIES = {
     "revenue_cube": revenue_cube,
     "lapsed_buyers_except": lapsed_buyers_except,
     "weighted_median_price": weighted_median_price,
+    "robust_price_outliers": robust_price_outliers,
     "order_status_pivot": order_status_pivot,
     "event_props_json": event_props_json,
     "price_percentiles": price_percentiles,
@@ -2137,6 +2252,7 @@ ORACLES = {
     "revenue_cube": _CUBE_SQL,
     "lapsed_buyers_except": _EXCEPT_SQL,
     "weighted_median_price": _WEIGHTED_MEDIAN_SQL,
+    "robust_price_outliers": _MAD_SQL,
     "order_status_pivot": _PIVOT_SQL,
     "event_props_json": _JSON_SQL,
     "price_percentiles": _PERCENTILE_SQL,
