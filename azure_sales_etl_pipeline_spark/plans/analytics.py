@@ -2194,6 +2194,248 @@ _BRAND_CORR_SQL = """
 """
 
 
+_RFM_RANGES = 16  # range partitions for the stacked three-metric rank
+
+
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION — the classic sales-analytics customer grid:
+    quintile-score every customer on Recency (days since last order),
+    Frequency (order count) and Monetary (lifetime cents), then report
+    the populated (r_q, f_q, m_q) cells with their headcount and
+    revenue. Quintiles ascend with the RAW metric (r_q=1 ⇒ most
+    recent; f_q=5 / m_q=5 ⇒ top buyers), ties broken by custkey —
+    fully deterministic on both engines.
+
+    The exact global rank behind each quintile is the house two-phase
+    distributed prefix count ([[supplier_revenue_gini]] /
+    `token_budget_shards`): range-repartition, per-partition
+    row_number, triangular-join offsets — zero single-partition
+    WindowExec. The trick here: all THREE metrics rank in ONE stacked
+    pass — explode each customer into (metric, value) rows, range-
+    partition by (metric, value, custkey) so each metric's rows are
+    contiguous, count per (metric, pid), and offset within metric only.
+    One ranking machine, three global sorts' worth of answers.
+    Quintile boundaries use the exact integer formula
+    ``(rank−1)·5 div n + 1`` (NOT ntile, whose uneven-group convention
+    differs) — replayed verbatim in SQL. Output is ≤125 cells."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("od"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    maxd = orders.agg(F.max("od").alias("mx"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("od").alias("last_od"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("cents").alias("money_cents"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            F.datediff("mx", "last_od").cast("bigint").alias("r_days"),
+            "freq",
+            "money_cents",
+        )
+    )
+    n_row = per_cust.agg(F.count(F.lit(1)).alias("n"))
+    stacked = per_cust.select(
+        "o_custkey",
+        F.explode(
+            F.create_map(
+                F.lit("r"), F.col("r_days"),
+                F.lit("f"), F.col("freq"),
+                F.lit("m"), F.col("money_cents"),
+            )
+        ).alias("metric", "value"),
+    )
+    # Eager localCheckpoint pins the (pid, row) layout: rank and count
+    # branches must see the SAME sampled range split (the gini trap).
+    ranged = (
+        stacked.repartitionByRange(_RFM_RANGES, "metric", "value", "o_custkey")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = ranged.groupBy("metric", "pid").agg(
+        F.count(F.lit(1)).alias("pcnt")
+    )
+    offsets = (
+        counts.alias("a")
+        .join(
+            counts.alias("b"),
+            (F.col("b.metric") == F.col("a.metric"))
+            & (F.col("b.pid") < F.col("a.pid")),
+            "left",
+        )
+        .groupBy(F.col("a.metric").alias("metric"), F.col("a.pid").alias("pid"))
+        .agg(F.coalesce(F.sum("b.pcnt"), F.lit(0)).alias("offset"))
+    )
+    local_rank = F.row_number().over(
+        Window.partitionBy("pid", "metric").orderBy("value", "o_custkey")
+    )
+    quintiles = (
+        ranged.withColumn("local_rank", local_rank)
+        .join(F.broadcast(offsets), ["metric", "pid"])
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "o_custkey",
+            "metric",
+            F.expr("((offset + local_rank - 1) * 5) div n + 1").alias("q"),
+        )
+    )
+    scored = quintiles.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("metric") == "r", F.col("q"))).alias("r_q"),
+        F.max(F.when(F.col("metric") == "f", F.col("q"))).alias("f_q"),
+        F.max(F.when(F.col("metric") == "m", F.col("q"))).alias("m_q"),
+    )
+    return (
+        scored.join(per_cust, "o_custkey")
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("money_cents").alias("cell_money_cents"),
+        )
+    )
+
+
+_RFM_SQL = """
+    WITH o AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders
+    ),
+    maxd AS (SELECT max(od) AS mx FROM o),
+    per_cust AS (
+        SELECT o_custkey,
+               CAST(datediff('day', max(od), (SELECT mx FROM maxd))
+                    AS BIGINT) AS r_days,
+               CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(cents) AS BIGINT) AS money_cents
+        FROM o GROUP BY o_custkey
+    ),
+    n AS (SELECT count(*) AS n FROM per_cust),
+    q AS (
+        SELECT o_custkey,
+               ((row_number() OVER (ORDER BY r_days, o_custkey) - 1) * 5)
+                   // (SELECT n FROM n) + 1 AS r_q,
+               ((row_number() OVER (ORDER BY freq, o_custkey) - 1) * 5)
+                   // (SELECT n FROM n) + 1 AS f_q,
+               ((row_number() OVER (ORDER BY money_cents, o_custkey) - 1) * 5)
+                   // (SELECT n FROM n) + 1 AS m_q,
+               money_cents
+        FROM per_cust
+    )
+    SELECT r_q, f_q, m_q,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(money_cents) AS BIGINT) AS cell_money_cents
+    FROM q GROUP BY r_q, f_q, m_q
+"""
+
+
+_CUSUM_RANGES = 16  # range partitions for the day-grain prefix sums
+
+
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM CHANGEPOINT detection over the daily order series — the
+    level-shift screen behind volume-drop alerts and regime-change
+    audits: with daily counts x_1..x_n (calendar order), the CUSUM
+    statistic C_k = Σ_{i≤k}(x_i − x̄) peaks at the most likely
+    changepoint. Cross-multiplied by n it is PURE INTEGER —
+    D_k = n·S_k − k·S_n (S_k = prefix sum, k = day rank) — so the
+    argmax is bit-stable across engines, partitionings, and float
+    regimes (the [[supplier_revenue_gini]] rational-closed-form
+    lesson).
+
+    Shape: one map-side-combined hash-agg to day grain, then BOTH
+    prefix quantities (rank k and prefix sum S_k) from ONE two-phase
+    distributed pass — range-repartition by day, local cumsum +
+    row_number per partition, triangular-join offsets for the
+    per-partition count AND sum totals — zero single-partition
+    WindowExec. The argmax is a broadcast 1-row max joined back
+    (ties all surface, deterministically). Day grain is bounded by the
+    calendar, but the discipline means the same plan works at event
+    grain too."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    ranged = (
+        daily.repartitionByRange(_CUSUM_RANGES, "day")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    ptot = ranged.groupBy("pid").agg(
+        F.count(F.lit(1)).alias("pcnt"), F.sum("x").alias("psum")
+    )
+    offsets = (
+        ptot.alias("a")
+        .join(ptot.alias("b"), F.col("b.pid") < F.col("a.pid"), "left")
+        .groupBy(F.col("a.pid").alias("pid"))
+        .agg(
+            F.coalesce(F.sum("b.pcnt"), F.lit(0)).alias("k_off"),
+            F.coalesce(F.sum("b.psum"), F.lit(0)).alias("s_off"),
+        )
+    )
+    w = Window.partitionBy("pid").orderBy("day")
+    totals = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sn")
+    )
+    scored = (
+        ranged.withColumn("lk", F.row_number().over(w))
+        .withColumn("ls", F.sum("x").over(w))
+        .join(F.broadcast(offsets), "pid")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "day",
+            "x",
+            F.expr("n * (s_off + ls) - (k_off + lk) * sn").alias("d_scaled"),
+        )
+        .withColumn("abs_d", F.abs("d_scaled"))
+    )
+    peak = scored.agg(F.max("abs_d").alias("peak"))
+    return (
+        scored.crossJoin(F.broadcast(peak))
+        .where(F.col("abs_d") == F.col("peak"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("changepoint_day"),
+            F.col("x").cast("bigint").alias("day_orders"),
+            F.col("d_scaled").cast("bigint").alias("cusum_scaled"),
+        )
+    )
+
+
+_CUSUM_SQL = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT count(*) AS n, sum(x) AS sn FROM daily),
+    pref AS (
+        SELECT day, x,
+               row_number() OVER (ORDER BY day) AS k,
+               sum(x) OVER (ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS sk
+        FROM daily
+    ),
+    scored AS (
+        SELECT day, x,
+               (SELECT n FROM tot) * sk - k * (SELECT sn FROM tot)
+                   AS d_scaled
+        FROM pref
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS changepoint_day,
+           x AS day_orders,
+           CAST(d_scaled AS BIGINT) AS cusum_scaled
+    FROM scored
+    WHERE abs(d_scaled) = (SELECT max(abs(d_scaled)) FROM scored)
+"""
+
+
 QUERIES = {
     "brand_size_price_corr": brand_size_price_corr,
     "priority_status_woe": priority_status_woe,
@@ -2229,6 +2471,8 @@ QUERIES = {
     "supplier_revenue_gini": supplier_revenue_gini,
     "cms_accuracy_check": cms_accuracy_check,
     "cms_join_size_estimate": cms_join_size_estimate,
+    "rfm_segmentation": rfm_segmentation,
+    "cusum_changepoint": cusum_changepoint,
 }
 
 ORACLES = {
@@ -2266,4 +2510,6 @@ ORACLES = {
     "supplier_revenue_gini": _GINI_SQL,
     "cms_accuracy_check": _CMS_ACCURACY_SQL,
     "cms_join_size_estimate": _CMS_JOIN_SIZE_SQL,
+    "rfm_segmentation": _RFM_SQL,
+    "cusum_changepoint": _CUSUM_SQL,
 }

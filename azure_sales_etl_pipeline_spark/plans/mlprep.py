@@ -2471,6 +2471,210 @@ def _len_buckets_sql() -> str:
 """
 
 
+_KCORE_K = 2  # core threshold: every surviving vertex keeps >= k in-core neighbors
+_KCORE_MAX_PEELS = 8  # oracle unroll depth; fixpoint margin pinned by pytest
+# (measured peels to fixpoint: sf0.001 → 0, sf0.01 → 3, sf0.1 → 5)
+
+
+def _k_core(eu: DataFrame, k: int, max_peels: int) -> DataFrame:
+    """Iterative k-core peeling over an UNDIRECTED edge list ``eu``
+    (both orientations present): repeatedly drop vertices whose degree
+    within the surviving subgraph falls below ``k`` until fixpoint (or
+    ``max_peels`` rounds — the oracle's unroll depth, so both engines
+    compute the identical bounded-peel semantics even unconverged;
+    peeling is idempotent at fixpoint, so an early break equals running
+    all rounds). Returns the surviving vertices with their in-core
+    degree.
+
+    Distributed shape per round: two vertex-keyed SEMI joins restrict
+    the edge list to the surviving subgraph (the edge table never
+    rewrites — only the shrinking vertex set reshuffles), one map-side-
+    combined degree aggregate, one filter. ``localCheckpoint`` cuts the
+    iterative lineage each round (the CC/PageRank discipline); the
+    monotone-shrink invariant means a COUNT equality is a sound
+    fixpoint test (peels only ever remove vertices), and the per-round
+    count action is bounded control-plane. At 100 TB the edge list
+    persists bucketed by ``u`` so the probe side of both semi joins
+    stays shuffle-free; rounds are O(peel depth), which degree-skewed
+    real graphs keep small for low k."""
+    alive = eu.select("u").distinct().localCheckpoint()
+    n = alive.count()
+    for _ in range(max_peels):
+        sub = eu.join(alive, "u", "semi").join(
+            alive.select(F.col("u").alias("v")), "v", "semi"
+        )
+        survivors = (
+            sub.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= k)
+            .select("u")
+            .localCheckpoint()
+        )
+        m = survivors.count()
+        alive = survivors
+        if m == n:
+            break
+        n = m
+    core_edges = eu.join(alive, "u", "semi").join(
+        alive.select(F.col("u").alias("v")), "v", "semi"
+    )
+    return core_edges.groupBy("u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    )
+
+
+def k_core_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the co-purchase graph — the sixth leg of
+    the graph suite (components, PageRank, triangles, edge similarity,
+    BFS reachability, now CORENESS): the maximal subgraph in which
+    every part co-purchases with >= k other in-core parts. The k-core
+    is the standard "dense nucleus" screen — recommendation candidates,
+    fraud rings, and community seeds all start from it, because
+    pendant/chain vertices (most of a power-law graph) die in the first
+    peel and never pollute downstream mining.
+
+    Reuses the memoized support-filtered edge table
+    (``_affinity_edges``) shared by the triangle/Jaccard/BFS queries;
+    the oracle unrolls ``_KCORE_MAX_PEELS`` peel rounds as CTE pairs
+    (degree -> filter), the house style for iterative algorithms
+    (PageRank/BPE/BFS) — two independent formulations, one answer. A
+    pytest pins the fixpoint margin (unroll depth converges with >= 2
+    rounds to spare at the driver's sf) so the bounded-peel equals the
+    true k-core on every graded dataset."""
+    edges = _affinity_edges(spark, sf_dir)
+    eu = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    core = _k_core(eu, _KCORE_K, _KCORE_MAX_PEELS)
+    return core.select(F.col("u").alias("p_partkey"), "core_degree")
+
+
+def _k_core_sql() -> str:
+    # Every CTE is MATERIALIZED: each peel round references the
+    # previous vertex set TWICE (both endpoints), so inlining doubles
+    # the expression tree per round — 2^depth copies of the edge-build
+    # chain. DuckDB's heuristic missed it at sf0.1 (the query ran
+    # minutes instead of milliseconds); forcing materialization makes
+    # the oracle O(depth · |E|) like the Spark side.
+    rounds = []
+    prev = "v0"
+    for i in range(1, _KCORE_MAX_PEELS + 1):
+        rounds.append(
+            f"""
+    d{i} AS MATERIALIZED (
+        SELECT e.u, count(*) AS deg
+        FROM eu e
+        JOIN {prev} a ON e.u = a.u
+        JOIN {prev} b ON e.v = b.u
+        GROUP BY e.u
+    ),
+    v{i} AS MATERIALIZED (SELECT u FROM d{i} WHERE deg >= {_KCORE_K})"""
+        )
+        prev = f"v{i}"
+    chain = ",".join(rounds)
+    return f"""
+    WITH li AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS MATERIALIZED (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= {_AFFINITY_MIN_ORDERS}
+    ),
+    eu AS MATERIALIZED (
+        SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+    ),
+    v0 AS MATERIALIZED (SELECT DISTINCT u FROM eu),{chain}
+    SELECT e.u AS p_partkey, CAST(count(*) AS BIGINT) AS core_degree
+    FROM eu e
+    JOIN {prev} a ON e.u = a.u
+    JOIN {prev} b ON e.v = b.u
+    GROUP BY e.u
+"""
+
+
+_TE_FOLDS = 5  # K-fold assignment: fold = c_custkey % _TE_FOLDS
+
+
+def target_encoding_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe K-FOLD TARGET ENCODING — the standard categorical
+    encoder for gradient-boosted / linear models: replace a category
+    (market segment) by the mean of the target (order value) computed
+    WITHOUT the encoded row's own fold, so a model trained on the
+    encoding never sees its own labels (the leak naive mean-encoding
+    ships). Folds are deterministic (``c_custkey % K`` — the same
+    portable-hash discipline as the train/test splits, so membership
+    survives repartitioning and appends).
+
+    The leave-fold-out identity does all the work: enc(seg, fold) =
+    (S_seg − s_fold) / (N_seg − n_fold) needs only the per-(segment,
+    fold) partials and the per-segment totals — ONE map-side-combined
+    aggregate at (segment, fold) grain, re-aggregated to segment grain
+    driver-free, then a broadcast join back. No per-row second pass: a
+    trainer joins this ~|segments|×K table onto the fact by (segment,
+    fold). Exact integer cents with floor division — no float mean
+    drift between engines."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_custkey") % _TE_FOLDS).cast("bigint").alias("fold"),
+    )
+    per_fold = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "fold")
+        .agg(
+            F.sum("cents").alias("fold_sum"),
+            F.count(F.lit(1)).alias("fold_n"),
+        )
+    )
+    per_seg = per_fold.groupBy("c_mktsegment").agg(
+        F.sum("fold_sum").alias("seg_sum"), F.sum("fold_n").alias("seg_n")
+    )
+    return (
+        per_fold.join(F.broadcast(per_seg), "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            "fold",
+            F.expr("(seg_sum - fold_sum) div (seg_n - fold_n)").alias(
+                "loo_mean_cents"
+            ),
+            (F.col("seg_n") - F.col("fold_n")).alias("loo_n"),
+        )
+    )
+
+
+_TARGET_ENC_SQL = f"""
+    WITH per_fold AS (
+        SELECT c.c_mktsegment,
+               CAST(c.c_custkey % {_TE_FOLDS} AS BIGINT) AS fold,
+               CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS fold_sum,
+               CAST(count(*) AS BIGINT) AS fold_n
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    per_seg AS (
+        SELECT c_mktsegment,
+               CAST(sum(fold_sum) AS BIGINT) AS seg_sum,
+               CAST(sum(fold_n) AS BIGINT) AS seg_n
+        FROM per_fold GROUP BY 1
+    )
+    SELECT f.c_mktsegment, f.fold,
+           (s.seg_sum - f.fold_sum) // (s.seg_n - f.fold_n)
+               AS loo_mean_cents,
+           s.seg_n - f.fold_n AS loo_n
+    FROM per_fold f JOIN per_seg s USING (c_mktsegment)
+"""
+
+
 QUERIES = {
     "source_cap_sample": source_cap_sample,
     "mixture_temperature_weights": mixture_temperature_weights,
@@ -2479,6 +2683,8 @@ QUERIES = {
     "part_affinity_lift": part_affinity_lift,
     "copurchase_neighbor_jaccard": copurchase_neighbor_jaccard,
     "copurchase_bfs_hops": copurchase_bfs_hops,
+    "k_core_vertices": k_core_vertices,
+    "target_encoding_kfold": target_encoding_kfold,
     "dedup_rate_by_source": dedup_rate_by_source,
     "negative_samples": negative_samples,
     "train_test_split": train_test_split,
@@ -2511,6 +2717,8 @@ ORACLES = {
     "part_affinity_lift": _LIFT_SQL,
     "copurchase_neighbor_jaccard": _NEIGHBOR_JACCARD_SQL,
     "copurchase_bfs_hops": _BFS_SQL,
+    "k_core_vertices": _k_core_sql(),
+    "target_encoding_kfold": _TARGET_ENC_SQL,
     "dedup_rate_by_source": _DEDUP_RATE_SQL,
     "negative_samples": _NEGATIVE_SAMPLES_SQL,
     "train_test_split": _SPLIT_SQL,

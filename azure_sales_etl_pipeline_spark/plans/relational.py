@@ -534,6 +534,67 @@ _K_ANON_SQL = f"""
 """
 
 
+_L_DIVERSITY = 2  # minimum distinct sensitive values per QI class
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The companion privacy audit to [[k_anonymity_audit]]: k-anonymity
+    alone is defeated by a HOMOGENEOUS class — if every row in an
+    equivalence class shares the same sensitive value, an attacker who
+    links a victim to the class learns the attribute without singling
+    out the row. l-DIVERSITY requires >= l distinct sensitive values
+    per class. Here the quasi-identifiers are (nation, $1000 balance
+    band) and the sensitive attribute is the market segment; the output
+    is the histogram of per-class sensitive-diversity (how many classes
+    carry exactly l distinct segments, how many rows sit in them,
+    at-risk flag for l < threshold) — an audit artifact that discloses
+    no class's actual values.
+
+    Shape: one exact distinct-count aggregate at QI grain (Spark plans
+    count(DISTINCT) as a two-phase partial-distinct — no row explosion
+    crosses the shuffle beyond the (QI, segment) dedup grain), then a
+    tiny re-agg over |distinct l| rows."""
+    customers = load_table(spark, sf_dir, "customer")
+    classes = customers.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).alias("bal_band"),
+    ).agg(
+        F.countDistinct("c_mktsegment").alias("l_distinct"),
+        F.count(F.lit(1)).alias("class_size"),
+    )
+    return (
+        classes.groupBy("l_distinct")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("class_size").alias("n_rows"),
+        )
+        .select(
+            "l_distinct",
+            "n_classes",
+            "n_rows",
+            (F.col("l_distinct") < _L_DIVERSITY).alias("at_risk"),
+        )
+    )
+
+
+_L_DIVERSITY_SQL = f"""
+    WITH classes AS (
+        SELECT c_nationkey,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+               CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_distinct,
+               count(*) AS class_size
+        FROM customer
+        GROUP BY ALL
+    )
+    SELECT l_distinct,
+           count(*) AS n_classes,
+           CAST(sum(class_size) AS BIGINT) AS n_rows,
+           l_distinct < {_L_DIVERSITY} AS at_risk
+    FROM classes
+    GROUP BY l_distinct
+"""
+
+
 _MASK_MOD = 10**9  # digit-preserving pseudonym width (9 digits)
 _BAL_BAND_CENTS = 50_000  # $500 balance bands
 
@@ -955,6 +1016,7 @@ QUERIES = {
     "star_projection": star_projection,
     "table_profile": table_profile,
     "k_anonymity_audit": k_anonymity_audit,
+    "l_diversity_audit": l_diversity_audit,
     "referential_integrity_audit": referential_integrity_audit,
     "join_cardinality_audit": join_cardinality_audit,
     "customer_masked_export": customer_masked_export,
@@ -977,6 +1039,7 @@ ORACLES = {
     "star_projection": _STAR_SQL,
     "table_profile": _profile_sql(),
     "k_anonymity_audit": _K_ANON_SQL,
+    "l_diversity_audit": _L_DIVERSITY_SQL,
     "referential_integrity_audit": _ri_audit_sql(),
     "join_cardinality_audit": _join_cardinality_sql(),
     "customer_masked_export": _MASKED_SQL,

@@ -599,6 +599,65 @@ _SESSION_NATIVE_SQL = f"""
 """
 
 
+def user_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-2 Markov sequence mining — the step past
+    [[event_transition_matrix]]'s order-1 pairs: count every
+    consecutive (t1 → t2 → t3) event-type TRIGRAM along each user's
+    total-ordered timeline, and row-normalize within the (t1, t2)
+    prefix in integer permille. The permille column IS the order-2
+    transition model P(next | last two) that journey prediction and
+    anomaly scoring consume; comparing it against the order-1 matrix
+    measures how much history actually helps.
+
+    Shape: the same ONE user-key shuffle as the pair query (both lags
+    ride the same window — Spark plans a single WindowExec for both),
+    then a tiny ≤|types|³ aggregate; the prefix normalization windows
+    over that bounded aggregate, never the events. Ties at identical ts
+    break on event_id: total order, engine-portable."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        events.withColumn("t2", F.lag("event_type", 1).over(w))
+        .withColumn("t1", F.lag("event_type", 2).over(w))
+        .where(F.col("t1").isNotNull())
+        .groupBy("t1", "t2", F.col("event_type").alias("t3"))
+        .agg(F.count(F.lit(1)).alias("n_seq"))
+    )
+    prefix = Window.partitionBy("t1", "t2")
+    return (
+        tri.withColumn("prefix_total", F.sum("n_seq").over(prefix))
+        .select(
+            "t1",
+            "t2",
+            "t3",
+            "n_seq",
+            F.expr("(1000 * n_seq) div prefix_total").alias("permille"),
+        )
+    )
+
+
+_TRIGRAM_SQL = """
+    WITH seq AS (
+        SELECT user_id, event_type AS t3,
+               lag(event_type, 1) OVER w AS t2,
+               lag(event_type, 2) OVER w AS t1
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tri AS (
+        SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n_seq
+        FROM seq WHERE t1 IS NOT NULL
+        GROUP BY t1, t2, t3
+    )
+    SELECT t1, t2, t3, n_seq,
+           (1000 * n_seq) // CAST(sum(n_seq) OVER (PARTITION BY t1, t2)
+                                  AS BIGINT) AS permille
+    FROM tri
+"""
+
+
 QUERIES = {
     "event_transition_matrix": event_transition_matrix,
     "events_session_window_native": events_session_window_native,
@@ -608,6 +667,7 @@ QUERIES = {
     "click_conversion_asof": click_conversion_asof,
     "events_sessionize": events_sessionize,
     "peak_concurrent_sessions": peak_concurrent_sessions,
+    "user_event_trigrams": user_event_trigrams,
 }
 
 ORACLES = {
@@ -619,4 +679,5 @@ ORACLES = {
     "click_conversion_asof": _FORWARD_ASOF_SQL,
     "events_sessionize": _SESSIONIZE_SQL,
     "peak_concurrent_sessions": _PEAK_CONCURRENCY_SQL,
+    "user_event_trigrams": _TRIGRAM_SQL,
 }

@@ -256,3 +256,74 @@ def test_supplier_revenue_gini_known_values(spark, tmp_path):
     conc.write.parquet(str(d2 / "lineitem.parquet"))
     r2 = supplier_revenue_gini(spark, str(d2)).first()
     assert 740_000 <= r2["gini_e6"] <= 750_000
+
+
+def test_rfm_quintiles_planted_ladder(spark, tmp_path):
+    """Customer c (1..10) gets c orders of $100·c each, last order at
+    base+c days: recency rank is the REVERSE of the frequency/monetary
+    rank, and with n=10 the exact quintile formula ((rank−1)·5 div n)+1
+    puts ranks {1,2}->q1 … {9,10}->q5. Every populated cell and its
+    exact cent total is asserted — ntile's uneven-group convention
+    would already disagree on this ladder if either engine used it."""
+    import datetime as dt
+
+    from azure_sales_etl_pipeline_spark.plans.analytics import rfm_segmentation
+
+    base = dt.date(2024, 1, 1)
+    rows = [
+        (c * 100 + j, c, base + dt.timedelta(days=c if j == 0 else 0),
+         float(100 * c))
+        for c in range(1, 11)
+        for j in range(c)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderdate date,"
+        " o_totalprice double",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    got = {
+        (r["r_q"], r["f_q"], r["m_q"]): (r["n_customers"], r["cell_money_cents"])
+        for r in rfm_segmentation(spark, str(tmp_path)).collect()
+    }
+
+    def q(rank: int) -> int:
+        return ((rank - 1) * 5) // 10 + 1
+
+    want: dict[tuple[int, int, int], tuple[int, int]] = {}
+    for c in range(1, 11):
+        # recency: last order at base+c -> r_days = 10-c -> rank 11-c
+        cell = (q(11 - c), q(c), q(c))
+        n, cents = want.get(cell, (0, 0))
+        want[cell] = (n + 1, cents + 10_000 * c * c)
+    assert got == want
+
+
+def test_cusum_changepoint_planted_shift(spark, tmp_path):
+    """A flat-5 to flat-10 level shift across 8 days: the scaled CUSUM
+    n·S_k − k·S_n is exactly −80 at the last pre-shift day and strictly
+    smaller in magnitude everywhere else — the detector must return
+    that single day with the exact integer statistic."""
+    import datetime as dt
+
+    from azure_sales_etl_pipeline_spark.plans.analytics import cusum_changepoint
+
+    base = dt.date(2024, 3, 1)
+    counts = [5, 5, 5, 5, 10, 10, 10, 10]
+    rows = [
+        (d * 1000 + j, 1, base + dt.timedelta(days=d), 1.0)
+        for d, c in enumerate(counts)
+        for j in range(c)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderdate date,"
+        " o_totalprice double",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    out = cusum_changepoint(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["changepoint_day"] == "2024-03-04"
+    assert r["day_orders"] == 5
+    assert r["cusum_scaled"] == -80

@@ -581,3 +581,116 @@ def test_degree_oriented_triangles_hub_graph(spark):
     # ...degree orientation stays linear: hub out-degree is 0, spokes
     # have degree <= 3, so each forms at most C(3,2)=3 wedges.
     assert n_w_deg <= 3 * len(spokes)
+
+
+def test_k_core_planted_graph(spark):
+    """Peeling must cascade: a pendant CHAIN hanging off a clique dies
+    one link per round (each removal exposes the next vertex), while
+    the clique survives with full in-core degrees. Planted graph: a
+    4-clique {0,1,2,3} plus a chain 3-10-11-12-13 — every chain vertex
+    has degree 2 until its neighbor is peeled, so a single-pass
+    degree>=2 filter would WRONGLY keep the whole chain."""
+    from azure_sales_etl_pipeline_spark.plans.mlprep import _k_core
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(3, 10), (10, 11), (11, 12), (12, 13)]
+    edges = clique + chain
+    und = edges + [(b, a) for a, b in edges]
+    eu = spark.createDataFrame(und, "u long, v long").localCheckpoint()
+
+    got = {r["u"]: r["core_degree"] for r in _k_core(eu, 2, 6).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_k_core_oracle_unroll_depth_has_margin():
+    """The oracle unrolls _KCORE_MAX_PEELS rounds; the bounded peel
+    equals the true k-core only if the fixpoint lands with margin
+    inside that depth. Pin it by peeling the ACTUAL sf0.01 co-purchase
+    graph (the driver's correctness sf) in-process: the fixpoint must
+    arrive at least 2 rounds before the unroll depth, so data drift
+    shows up as a failed margin, not a silent oracle mismatch."""
+    import duckdb
+
+    from azure_sales_etl_pipeline_spark.plans.mlprep import (
+        _AFFINITY_MIN_ORDERS,
+        _KCORE_K,
+        _KCORE_MAX_PEELS,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        "parquet_scan('/root/testdata/sf0.01/lineitem.parquet')"
+    )
+    eu = con.execute(
+        f"""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= {_AFFINITY_MIN_ORDERS}
+        )
+        SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
+        """
+    ).fetchall()
+
+    from collections import Counter
+
+    alive = {u for u, _ in eu}
+    peels_to_fixpoint = None
+    for rnd in range(1, _KCORE_MAX_PEELS + 1):
+        deg = Counter()
+        for u, v in eu:
+            if u in alive and v in alive:
+                deg[u] += 1
+        new = {u for u in alive if deg[u] >= _KCORE_K}
+        if new == alive:
+            peels_to_fixpoint = rnd - 1
+            break
+        alive = new
+    assert peels_to_fixpoint is not None
+    assert peels_to_fixpoint <= _KCORE_MAX_PEELS - 2, (
+        f"fixpoint after {peels_to_fixpoint} peels leaves <2 rounds of "
+        f"margin inside the {_KCORE_MAX_PEELS}-round oracle unroll"
+    )
+
+
+def test_target_encoding_excludes_own_fold(spark, tmp_path):
+    """Planted two-segment dataset where each fold's mean differs
+    wildly: the leave-fold-out encoding for fold f must equal the mean
+    over every OTHER fold's orders — computed brute-force here — and
+    never drift toward fold f's own values (the leak this encoder
+    exists to prevent)."""
+    from azure_sales_etl_pipeline_spark.plans.mlprep import (
+        _TE_FOLDS,
+        target_encoding_kfold,
+    )
+
+    # customers 0..9: folds 0..4 twice over; segment alternates
+    cust = [(c, f"SEG{c % 2}") for c in range(10)]
+    spark.createDataFrame(
+        cust, "c_custkey bigint, c_mktsegment string"
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    # order value encodes its customer: custkey*100 + j dollars
+    orders = [
+        (c * 10 + j, c, float(c * 100 + j)) for c in range(10) for j in range(3)
+    ]
+    spark.createDataFrame(
+        orders, "o_orderkey bigint, o_custkey bigint, o_totalprice double"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    got = {
+        (r["c_mktsegment"], r["fold"]): (r["loo_mean_cents"], r["loo_n"])
+        for r in target_encoding_kfold(spark, str(tmp_path)).collect()
+    }
+    assert len(got) == 2 * _TE_FOLDS
+    for (seg, fold), (enc, loo_n) in got.items():
+        others = [
+            round((c * 100 + j) * 100)
+            for c, s in cust
+            if s == seg and c % _TE_FOLDS != fold
+            for j in range(3)
+        ]
+        assert loo_n == len(others)
+        assert enc == sum(others) // len(others)
