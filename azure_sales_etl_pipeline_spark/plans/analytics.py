@@ -2436,6 +2436,93 @@ _CUSUM_SQL = """
 """
 
 
+_AUTOCORR_LAGS = (1, 7)  # adjacent-day and weekly seasonality
+
+
+def seasonality_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged AUTOCORRELATION of the daily order series — the
+    seasonality screen run before choosing forecast features: Pearson r
+    between day t and day t+lag for lag ∈ {1, 7} (adjacent-day
+    momentum vs weekly cycle). Pairs come from a DATE-ARITHMETIC
+    EQUI-JOIN (b.day = a.day + lag) — gap days drop out of the pair
+    set, exactly right for sparse calendars, and the join is hash not
+    range. All Pearson components accumulate as exact BIGINTs from
+    day-grain counts ([[brand_size_price_corr]] convention); the final
+    r divides through correctly-rounded IEEE sqrt — portable because
+    sqrt is a BASIC op, unlike the banned libm pow/ln.
+
+    Shape per lag: one map-side-combined hash-agg to day grain (shared
+    via localCheckpoint), one self equi-join on the shifted key, one
+    scalar aggregate. Day grain is calendar-bounded; nothing here grows
+    with row count."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .localCheckpoint()
+    )
+    out = None
+    for lag in _AUTOCORR_LAGS:
+        b = daily.select(
+            F.col("day").alias("bday"), F.col("x").alias("y")
+        )
+        pairs = daily.join(b, F.date_add("day", lag) == F.col("bday"))
+        g = pairs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        ).select(
+            F.lit(lag).cast("bigint").alias("lag_days"),
+            F.col("n").alias("n_pairs"),
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+                "cov_numer"
+            ),
+            F.expr(
+                "CAST(n * sxy - sx * sy AS DOUBLE)"
+                " / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+                "          * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0d)"
+            ).alias("autocorr"),
+        )
+        out = g if out is None else out.unionByName(g)
+    return out
+
+
+def _autocorr_sql() -> str:
+    legs = []
+    for lag in _AUTOCORR_LAGS:
+        legs.append(
+            f"""
+    SELECT CAST({lag} AS BIGINT) AS lag_days,
+           n AS n_pairs,
+           n * sxy - sx * sy AS cov_numer,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0)
+               AS autocorr
+    FROM (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(a.x) AS BIGINT) AS sx,
+               CAST(sum(b.x) AS BIGINT) AS sy,
+               CAST(sum(a.x * a.x) AS BIGINT) AS sxx,
+               CAST(sum(b.x * b.x) AS BIGINT) AS syy,
+               CAST(sum(a.x * b.x) AS BIGINT) AS sxy
+        FROM daily a JOIN daily b ON b.day = a.day + {lag}
+    )"""
+        )
+    union = "\n    UNION ALL".join(legs)
+    return f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    )
+    {union}
+"""
+
+
 QUERIES = {
     "brand_size_price_corr": brand_size_price_corr,
     "priority_status_woe": priority_status_woe,
@@ -2473,6 +2560,7 @@ QUERIES = {
     "cms_join_size_estimate": cms_join_size_estimate,
     "rfm_segmentation": rfm_segmentation,
     "cusum_changepoint": cusum_changepoint,
+    "seasonality_autocorr": seasonality_autocorr,
 }
 
 ORACLES = {
@@ -2512,4 +2600,5 @@ ORACLES = {
     "cms_join_size_estimate": _CMS_JOIN_SIZE_SQL,
     "rfm_segmentation": _RFM_SQL,
     "cusum_changepoint": _CUSUM_SQL,
+    "seasonality_autocorr": _autocorr_sql(),
 }

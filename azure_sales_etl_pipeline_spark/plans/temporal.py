@@ -658,6 +658,114 @@ _TRIGRAM_SQL = """
 """
 
 
+def repeat_purchase_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-second-order HAZARD CURVE — the survival-analysis
+    retention metric: for each gap length t (days between a customer's
+    first and second order), the discrete hazard h(t) = P(repeat at t |
+    no repeat before t) with one-time buyers correctly RIGHT-CENSORED
+    at the observation horizon (max order date) instead of dropped —
+    dropping them is the classic retention-inflation bug this query
+    exists to avoid. All integer: d_t = repeats at gap t, n_t =
+    customers still at risk at t (event OR censor time ≥ t),
+    hazard_permille = 1000·d_t div n_t; Kaplan-Meier survival is the
+    running product downstream tools take from exactly these columns.
+
+    Shape: one customer-key window (per-customer history is bounded)
+    yields first/second order dates; times aggregate to the
+    calendar-bounded gap grain; the at-risk suffix count is a
+    triangular join over that tiny grain (the [[supplier_revenue_gini]]
+    offsets idiom, transposed) — no global window anywhere. Only gaps
+    with at least one event surface (the hazard is 0 elsewhere)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("od"),
+        "o_orderkey",
+    )
+    horizon = orders.agg(F.max("od").alias("mx"))
+    w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    firsts = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("od"))).alias("first_od"),
+            F.min(F.when(F.col("rn") == 2, F.col("od"))).alias("second_od"),
+        )
+    )
+    times = firsts.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("second_od").isNotNull(),
+            F.datediff("second_od", "first_od"),
+        )
+        .otherwise(F.datediff("mx", "first_od"))
+        .cast("bigint")
+        .alias("t"),
+        F.col("second_od").isNotNull().cast("bigint").alias("is_event"),
+    )
+    grain = times.groupBy("t").agg(
+        F.sum("is_event").alias("d_t"),
+        F.count(F.lit(1)).alias("c_t"),
+    )
+    at_risk = (
+        grain.alias("a")
+        .join(grain.alias("b"), F.col("b.t") >= F.col("a.t"))
+        .groupBy(F.col("a.t").alias("t"), F.col("a.d_t").alias("d_t"))
+        .agg(F.sum("b.c_t").alias("n_at_risk"))
+    )
+    return at_risk.where(F.col("d_t") > 0).select(
+        F.col("t").alias("gap_days"),
+        F.col("d_t").alias("n_events"),
+        "n_at_risk",
+        F.expr("(1000 * d_t) div n_at_risk").alias("hazard_permille"),
+    )
+
+
+_HAZARD_SQL = """
+    WITH o AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS od, o_orderkey
+        FROM orders
+    ),
+    horizon AS (SELECT max(od) AS mx FROM o),
+    ranked AS (
+        SELECT o_custkey, od,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY od, o_orderkey) AS rn
+        FROM o
+    ),
+    firsts AS (
+        SELECT o_custkey,
+               min(CASE WHEN rn = 1 THEN od END) AS first_od,
+               min(CASE WHEN rn = 2 THEN od END) AS second_od
+        FROM ranked WHERE rn <= 2
+        GROUP BY o_custkey
+    ),
+    times AS (
+        SELECT CASE WHEN second_od IS NOT NULL
+                    THEN datediff('day', first_od, second_od)
+                    ELSE datediff('day', first_od, (SELECT mx FROM horizon))
+               END AS t,
+               CASE WHEN second_od IS NOT NULL THEN 1 ELSE 0 END AS is_event
+        FROM firsts
+    ),
+    grain AS (
+        SELECT CAST(t AS BIGINT) AS t,
+               CAST(sum(is_event) AS BIGINT) AS d_t,
+               CAST(count(*) AS BIGINT) AS c_t
+        FROM times GROUP BY 1
+    ),
+    risk AS (
+        SELECT t, d_t,
+               CAST(sum(c_t) OVER (ORDER BY t DESC
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS n_at_risk
+        FROM grain
+    )
+    SELECT t AS gap_days, d_t AS n_events, n_at_risk,
+           (1000 * d_t) // n_at_risk AS hazard_permille
+    FROM risk WHERE d_t > 0
+"""
+
+
 QUERIES = {
     "event_transition_matrix": event_transition_matrix,
     "events_session_window_native": events_session_window_native,
@@ -668,6 +776,7 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "peak_concurrent_sessions": peak_concurrent_sessions,
     "user_event_trigrams": user_event_trigrams,
+    "repeat_purchase_hazard": repeat_purchase_hazard,
 }
 
 ORACLES = {
@@ -680,4 +789,5 @@ ORACLES = {
     "events_sessionize": _SESSIONIZE_SQL,
     "peak_concurrent_sessions": _PEAK_CONCURRENCY_SQL,
     "user_event_trigrams": _TRIGRAM_SQL,
+    "repeat_purchase_hazard": _HAZARD_SQL,
 }

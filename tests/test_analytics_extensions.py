@@ -327,3 +327,78 @@ def test_cusum_changepoint_planted_shift(spark, tmp_path):
     assert r["changepoint_day"] == "2024-03-04"
     assert r["day_orders"] == 5
     assert r["cusum_scaled"] == -80
+
+
+def test_repeat_purchase_hazard_censoring(spark, tmp_path):
+    """Three customers: two repeat at gap 2, one never repeats and must
+    be RIGHT-CENSORED at the horizon (not dropped): the at-risk count
+    at gap 2 must include the censored customer, giving hazard
+    1000·2 div 3 = 666 — dropping the one-timer would inflate it to
+    1000. Gap-3 (the pure-censor time) must not emit a row."""
+    import datetime as dt
+
+    from azure_sales_etl_pipeline_spark.plans.temporal import (
+        repeat_purchase_hazard,
+    )
+
+    d = dt.date(2024, 6, 1)
+
+    def day(i):
+        return d + dt.timedelta(days=i)
+
+    rows = [
+        (1, 10, day(0), 1.0),
+        (2, 10, day(2), 1.0),   # A: event at gap 2
+        (3, 20, day(1), 1.0),
+        (4, 20, day(3), 1.0),   # B: event at gap 2; horizon = day 3
+        (5, 30, day(0), 1.0),   # C: censored at gap 3
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderdate date,"
+        " o_totalprice double",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    out = repeat_purchase_hazard(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["gap_days"], r["n_events"], r["n_at_risk"]) == (2, 2, 3)
+    assert r["hazard_permille"] == 666
+
+
+def test_seasonality_autocorr_linear_series(spark, tmp_path):
+    """A strictly linear daily series (count = day index + 1 over 21
+    consecutive days) has Pearson autocorrelation exactly 1 at every
+    lag; the exact-integer cov_numer is asserted against the closed
+    form n·Σt(t+L) − Σt·Σ(t+L) computed in Python."""
+    import datetime as dt
+
+    from azure_sales_etl_pipeline_spark.plans.analytics import (
+        _AUTOCORR_LAGS,
+        seasonality_autocorr,
+    )
+
+    base = dt.date(2024, 1, 1)
+    rows = [
+        (d * 1000 + j, 1, base + dt.timedelta(days=d), 1.0)
+        for d in range(21)
+        for j in range(d + 1)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderdate date,"
+        " o_totalprice double",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    got = {
+        r["lag_days"]: r for r in seasonality_autocorr(spark, str(tmp_path)).collect()
+    }
+    for lag in _AUTOCORR_LAGS:
+        xs = [d + 1 for d in range(21 - lag)]
+        ys = [d + 1 + lag for d in range(21 - lag)]
+        n = len(xs)
+        cov = n * sum(a * b for a, b in zip(xs, ys)) - sum(xs) * sum(ys)
+        r = got[lag]
+        assert r["n_pairs"] == n
+        assert r["cov_numer"] == cov
+        assert abs(r["autocorr"] - 1.0) < 1e-12
