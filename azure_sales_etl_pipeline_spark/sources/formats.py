@@ -69,6 +69,28 @@ def write_avro(df: DataFrame, path: str) -> None:
         raise
 
 
+def write_xml(df: DataFrame, path: str, *, row_tag: str = "row") -> None:
+    """XML export (built into Spark 4 — the spark-xml package was
+    upstreamed): each row becomes a ``<row_tag>`` element with one
+    child element per column, null columns omitted. The B2B/EDI
+    interchange shape; distributed exactly like any FileFormat sink
+    (one file per partition)."""
+    df.write.mode("overwrite").option("rowTag", row_tag).xml(path)
+
+
+def read_xml(
+    spark: SparkSession, path: str, *, row_tag: str = "row", schema: str | None = None
+) -> DataFrame:
+    """XML ingest. Pass ``schema`` (DDL string) in production — like
+    the CSV infer-then-pin discipline, XML inference is a full extra
+    pass over the data and type drift across dumps is silent without a
+    pinned schema."""
+    reader = spark.read.option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.xml(path)
+
+
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
     try:
         return spark.read.format("avro").load(path)

@@ -398,3 +398,34 @@ def test_erase_cascade_counts_children_first_and_idempotent(spark, tmp_path):
     # idempotent: same keys again → nothing matches, nothing removed
     again = erase_cascade(spark, keys, steps)
     assert all(r["rows_removed"] == 0 for r in again)
+
+
+def test_xml_round_trip_pinned_schema(spark, tmp_path):
+    """XML (built into Spark 4): write the customer dim as <customer>
+    elements, read it back with a PINNED schema (the infer-then-pin
+    discipline — XML inference is an extra full pass), and the values
+    must survive the trip exactly. Null columns are omitted on write
+    and must come back as nulls, not absent rows."""
+    from azure_sales_etl_pipeline_spark.sources.formats import read_xml, write_xml
+
+    cust = load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    path = str(tmp_path / "cust_xml")
+    write_xml(cust, path, row_tag="customer")
+    back = read_xml(
+        spark,
+        path,
+        row_tag="customer",
+        schema="c_custkey bigint, c_name string, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    a = sorted(cust.collect(), key=lambda r: r["c_custkey"])
+    b = sorted(back.collect(), key=lambda r: r["c_custkey"])
+    assert len(a) == len(b)
+    assert all(
+        ra["c_name"] == rb["c_name"]
+        and abs(ra["c_acctbal"] - rb["c_acctbal"]) < 1e-9
+        and ra["c_mktsegment"] == rb["c_mktsegment"]
+        for ra, rb in zip(a, b)
+    )
