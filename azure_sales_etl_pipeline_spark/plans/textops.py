@@ -1024,6 +1024,143 @@ _BPE_SQL = rf"""
 
 
 
+# ---------------------------------------------------------------------------
+# PMI collocations (corpus phrase mining)
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5  # support floor: PMI is famously noisy on rare pairs
+_PMI_TOP_N = 20
+#: PMI ratio r = n_ab·N / (n1·n2) ∈ [1/N, N]: lo −48 covers N up to
+#: 2⁴⁸ bigrams (~10¹⁴, a 100 TB corpus); hi 28 caps the useful top end
+#: (r > 2²⁸ needs a pair whose words essentially never appear apart in
+#: a ≥268M-bigram corpus — document the ladder if one ever does).
+_PMI_P = (
+    "(CAST(n_ab AS DOUBLE) * CAST(n_total AS DOUBLE)"
+    " / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))"
+)
+
+
+def _pmi_stage_sqls() -> tuple[str, str, str, str]:
+    from ..functions import LN_Z_SQL, ln_from_kz_sql, ln_k_sql, ln_m_sql
+
+    return (
+        ln_k_sql(_PMI_P, -48, 28),
+        ln_m_sql(_PMI_P, "__ln_k", -48, 28),
+        LN_Z_SQL,
+        f"CAST(floor({ln_from_kz_sql('__ln_k', '__ln_z')} * 1.0e6) AS BIGINT)",
+    )
+
+
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N COLLOCATIONS by pointwise mutual information — the classic
+    phrase-mining pass (Church & Hanks): PMI(a,b) = ln(p(ab)/(p(a)p(b)))
+    over adjacent word pairs, with positional marginals (a as first
+    word, b as second) and a support floor of ``_PMI_MIN_COUNT`` —
+    unsmoothed PMI maximizes on hapax pairs, so the floor is part of
+    the definition, not a performance trick. High-PMI survivors are
+    the multi-word expressions a phrase-aware tokenizer or n-gram
+    vocabulary promotes to single units.
+
+    Plan: the same map-side bigram build as [[bigram_surprisal]] (one
+    (w1,w2)-key shuffle, map-side combined); BOTH marginals and the
+    grand total re-aggregate from that Zipf-bounded count table —
+    the corpus is never re-scanned. The ratio is three IEEE-basic ops
+    on exact counts; ln is the portable series ([[bm25_topterms]]
+    family), so pmi_micronats is bit-identical cross-engine. Top-N by
+    (pmi, words) via orderBy+limit (TakeOrderedAndProject), ranked by
+    the bounded triangular ahead-or-equal join — no single-partition
+    window."""
+    from ..functions import plan_barrier
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = plan_barrier(
+        docs.select(_tokens().alias("t")).where(F.size("t") >= 2)
+    )
+    pairs = F.zip_with(
+        F.slice(F.col("t"), 1, F.size("t") - 1),
+        F.slice(F.col("t"), 2, F.size("t") - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    positions = staged.select(F.explode(pairs).alias("p")).select(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    counts = positions.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("n_ab")
+    )
+    left = counts.groupBy("w1").agg(F.sum("n_ab").alias("n1"))
+    right = counts.groupBy("w2").agg(F.sum("n_ab").alias("n2"))
+    total = counts.agg(F.sum("n_ab").alias("n_total"))
+    k_sql, m_sql, z_sql, term = _pmi_stage_sqls()
+    scored = (
+        counts.where(F.col("n_ab") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(left), "w1")
+        .join(F.broadcast(right), "w2")
+        .crossJoin(F.broadcast(total))
+        .withColumn("__ln_k", F.expr(k_sql))
+        .withColumn("__ln_m", F.expr(m_sql))
+        .withColumn("__ln_z", F.expr(z_sql))
+        .withColumn("pmi_micronats", F.expr(term))
+        .select("w1", "w2", "n_ab", "pmi_micronats")
+    )
+    top = scored.orderBy(
+        F.col("pmi_micronats").desc(), F.col("w1"), F.col("w2")
+    ).limit(_PMI_TOP_N)
+    ahead = (F.col("b.pmi_micronats") > F.col("a.pmi_micronats")) | (
+        (F.col("b.pmi_micronats") == F.col("a.pmi_micronats"))
+        & (
+            (F.col("b.w1") < F.col("a.w1"))
+            | ((F.col("b.w1") == F.col("a.w1")) & (F.col("b.w2") <= F.col("a.w2")))
+        )
+    )
+    return (
+        top.alias("a")
+        .join(top.alias("b"), ahead)
+        .groupBy(
+            F.col("a.w1").alias("w1"),
+            F.col("a.w2").alias("w2"),
+            F.col("a.n_ab").alias("n_ab"),
+            F.col("a.pmi_micronats").alias("pmi_micronats"),
+        )
+        .agg(F.count(F.lit(1)).cast("int").alias("rank"))
+        .select("rank", "w1", "w2", "n_ab", "pmi_micronats")
+    )
+
+
+def _pmi_sql() -> str:
+    k_sql, m_sql, z_sql, term = _pmi_stage_sqls()
+    return rf"""
+    WITH toks AS (
+        SELECT regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    pos AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM (SELECT t, unnest(range(1, len(t))) AS i
+              FROM toks WHERE len(t) >= 2)
+    ),
+    cnt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab
+            FROM pos GROUP BY w1, w2),
+    l AS (SELECT w1, CAST(sum(n_ab) AS BIGINT) AS n1 FROM cnt GROUP BY w1),
+    r AS (SELECT w2, CAST(sum(n_ab) AS BIGINT) AS n2 FROM cnt GROUP BY w2),
+    tot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_total FROM cnt),
+    s1 AS (
+        SELECT w1, w2, n_ab, n1, n2, n_total, {k_sql} AS __ln_k
+        FROM cnt JOIN l USING (w1) JOIN r USING (w2), tot
+        WHERE n_ab >= {_PMI_MIN_COUNT}
+    ),
+    s2 AS (SELECT *, {m_sql} AS __ln_m FROM s1),
+    s3 AS (SELECT *, {z_sql} AS __ln_z FROM s2),
+    scored AS (
+        SELECT w1, w2, n_ab, {term} AS pmi_micronats FROM s3
+        ORDER BY pmi_micronats DESC, w1, w2 LIMIT {_PMI_TOP_N}
+    )
+    SELECT CAST(row_number() OVER (ORDER BY pmi_micronats DESC, w1, w2)
+                AS INTEGER) AS rank,
+           w1, w2, n_ab, pmi_micronats
+    FROM scored
+"""
+
+
 _BPE_MERGE_ROUNDS = 5
 
 
@@ -2009,6 +2146,7 @@ QUERIES = {
     "dup_ngram_fraction": dup_ngram_fraction,
     "unigram_surprisal": unigram_surprisal,
     "bigram_surprisal": bigram_surprisal,
+    "pmi_collocations": pmi_collocations,
     "bpe_pair_counts": bpe_pair_counts,
     "bpe_merge_steps": bpe_merge_steps,
 }
@@ -2035,6 +2173,7 @@ ORACLES = {
     "dup_ngram_fraction": _DUP_NGRAM_SQL,
     "unigram_surprisal": _SURPRISAL_SQL,
     "bigram_surprisal": _BIGRAM_SURPRISAL_SQL,
+    "pmi_collocations": _pmi_sql(),
     "bpe_pair_counts": _BPE_SQL,
     "bpe_merge_steps": _bpe_merge_sql(),
 }

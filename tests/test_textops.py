@@ -344,3 +344,34 @@ def test_source_curation_rollup_single_scan_and_gate(spark):
         )
         assert 0 <= r["keep_permille"] <= 1000
         assert 0 <= r["en_permille"] <= 1000
+
+
+def test_pmi_collocations_support_floor_and_values(spark, tmp_path):
+    """Planted corpus: (xx,yy) occurs 5x exclusively (PMI = ln 3 given
+    the marginals), (aa,bb) 5x with diluted marginals (PMI = ln 75/56);
+    (aa,cc) at 3 and (dd,bb) at 2 sit under the support floor and must
+    NOT appear no matter how high their PMI. Values checked against
+    math.log within the portable series' documented 2e-7 relative
+    error."""
+    import math
+
+    from azure_sales_etl_pipeline_spark.plans.textops import pmi_collocations
+
+    docs = (
+        ["aa bb"] * 5 + ["aa cc"] * 3 + ["dd bb"] * 2 + ["xx yy"] * 5
+    )
+    spark.createDataFrame(
+        [(i, d, "src") for i, d in enumerate(docs)],
+        "doc_id bigint, text string, source string",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = sorted(
+        pmi_collocations(spark, str(tmp_path)).collect(), key=lambda r: r["rank"]
+    )
+    assert [(r["w1"], r["w2"], r["n_ab"]) for r in out] == [
+        ("xx", "yy", 5),
+        ("aa", "bb", 5),
+    ]
+    # N = 15; (xx,yy): r = 5*15/(5*5) = 3; (aa,bb): r = 5*15/(8*7)
+    for row, expect in zip(out, (3.0, 75.0 / 56.0)):
+        assert abs(row["pmi_micronats"] / 1e6 - math.log(expect)) < 1e-5
