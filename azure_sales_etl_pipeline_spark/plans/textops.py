@@ -1025,6 +1025,138 @@ _BPE_SQL = rf"""
 
 
 # ---------------------------------------------------------------------------
+# Zipf fit (corpus frequency-distribution statistics)
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP_N = 1000  # fit over the head: the tail bends off the power law
+
+
+def _zipf_ln_cols(df: DataFrame, p: str, out: str, lo: int, hi: int) -> DataFrame:
+    """Attach ``out`` = floor(ln(p)·1e4) as BIGINT via the portable
+    series ln, staging through the shared __ln_* column names (dropped
+    after). 1e-4-nat quantization BEFORE the sums keeps every OLS
+    accumulator an order-free-exact integer that fits int64 at
+    _ZIPF_TOP_N terms (Σxy ≤ 10³·(7e4·5.5e5) ≈ 4e13)."""
+    from ..functions import LN_Z_SQL, ln_from_kz_sql, ln_k_sql, ln_m_sql
+
+    return (
+        df.withColumn("__ln_k", F.expr(ln_k_sql(p, lo, hi)))
+        .withColumn("__ln_m", F.expr(ln_m_sql(p, "__ln_k", lo, hi)))
+        .withColumn("__ln_z", F.expr(LN_Z_SQL))
+        .withColumn(
+            out,
+            F.expr(
+                f"CAST(floor({ln_from_kz_sql('__ln_k', '__ln_z')} * 1.0e4)"
+                " AS BIGINT)"
+            ),
+        )
+        .drop("__ln_k", "__ln_m", "__ln_z")
+    )
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF-LAW FIT over the corpus token distribution — the companion
+    statistic to [[vocab_growth]]'s Heaps law: OLS slope of ln(count)
+    on ln(rank) over the top-``_ZIPF_TOP_N`` tokens (natural text ≈ −1;
+    a corpus drifting toward template/boilerplate flattens, heavy
+    dedup steepens — a one-number corpus-health tracker across dumps).
+
+    Plan: one token-key count shuffle (map-side combined), top-N by
+    (count desc, token) via TakeOrderedAndProject, rank over the
+    bounded N rows by the triangular ahead-or-equal join ([[
+    bpe_pair_counts]] idiom), both logs via the portable series ln
+    quantized to integer 1e-4 nats BEFORE the sums — the five OLS
+    accumulators are exact BIGINTs, so the slope's numerator and
+    denominator are bit-stable and only the final single division is
+    float (one IEEE op, portable). Output is ONE row."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(_tokens()).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("w")).limit(_ZIPF_TOP_N)
+    ahead = (F.col("b.n") > F.col("a.n")) | (
+        (F.col("b.n") == F.col("a.n")) & (F.col("b.w") <= F.col("a.w"))
+    )
+    ranked = (
+        top.alias("a")
+        .join(top.alias("b"), ahead)
+        .groupBy(F.col("a.w").alias("w"), F.col("a.n").alias("n"))
+        .agg(F.count(F.lit(1)).alias("rank"))
+    )
+    staged = _zipf_ln_cols(ranked, "CAST(rank AS DOUBLE)", "x_e4", 0, 10)
+    staged = _zipf_ln_cols(staged, "CAST(n AS DOUBLE)", "y_e4", 0, 48)
+    g = staged.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("x_e4").alias("sx"),
+        F.sum("y_e4").alias("sy"),
+        F.sum(F.col("x_e4") * F.col("x_e4")).alias("sxx"),
+        F.sum(F.col("x_e4") * F.col("y_e4")).alias("sxy"),
+    )
+    return g.select(
+        "n_terms",
+        (F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+            "slope_num"
+        ),
+        (F.col("n_terms") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+            "slope_den"
+        ),
+        F.expr(
+            "CAST(n_terms * sxy - sx * sy AS DOUBLE)"
+            " / CAST(n_terms * sxx - sx * sx AS DOUBLE)"
+        ).alias("zipf_slope"),
+    )
+
+
+def _zipf_sql() -> str:
+    from ..functions import LN_Z_SQL, ln_from_kz_sql, ln_k_sql, ln_m_sql
+
+    def stages(p: str, out: str, lo: int, hi: int, src: str, n: int) -> str:
+        return f"""
+    z{n}a AS (SELECT *, {ln_k_sql(p, lo, hi)} AS __ln_k FROM {src}),
+    z{n}b AS (SELECT *, {ln_m_sql(p, '__ln_k', lo, hi)} AS __ln_m FROM z{n}a),
+    z{n}c AS (SELECT *, {LN_Z_SQL} AS __ln_z FROM z{n}b),
+    z{n} AS (
+        SELECT w, n, rank,{" x_e4," if n == 2 else ""}
+               CAST(floor({ln_from_kz_sql('__ln_k', '__ln_z')} * 1.0e4)
+                    AS BIGINT) AS {out}
+        FROM z{n}c
+    )"""
+
+    return rf"""
+    WITH counts AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+              FROM documents)
+        GROUP BY w
+    ),
+    top AS (
+        SELECT w, n FROM counts ORDER BY n DESC, w LIMIT {_ZIPF_TOP_N}
+    ),
+    ranked AS (
+        SELECT w, n,
+               CAST(row_number() OVER (ORDER BY n DESC, w) AS BIGINT) AS rank
+        FROM top
+    ),{stages("CAST(rank AS DOUBLE)", "x_e4", 0, 10, "ranked", 1)},{stages("CAST(n AS DOUBLE)", "y_e4", 0, 48, "z1", 2)},
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_terms,
+               CAST(sum(x_e4) AS BIGINT) AS sx,
+               CAST(sum(y_e4) AS BIGINT) AS sy,
+               CAST(sum(x_e4 * x_e4) AS BIGINT) AS sxx,
+               CAST(sum(x_e4 * y_e4) AS BIGINT) AS sxy
+        FROM z2
+    )
+    SELECT n_terms,
+           n_terms * sxy - sx * sy AS slope_num,
+           n_terms * sxx - sx * sx AS slope_den,
+           CAST(n_terms * sxy - sx * sy AS DOUBLE)
+               / CAST(n_terms * sxx - sx * sx AS DOUBLE) AS zipf_slope
+    FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
 # PMI collocations (corpus phrase mining)
 # ---------------------------------------------------------------------------
 
@@ -2147,6 +2279,7 @@ QUERIES = {
     "unigram_surprisal": unigram_surprisal,
     "bigram_surprisal": bigram_surprisal,
     "pmi_collocations": pmi_collocations,
+    "zipf_fit": zipf_fit,
     "bpe_pair_counts": bpe_pair_counts,
     "bpe_merge_steps": bpe_merge_steps,
 }
@@ -2174,6 +2307,7 @@ ORACLES = {
     "unigram_surprisal": _SURPRISAL_SQL,
     "bigram_surprisal": _BIGRAM_SURPRISAL_SQL,
     "pmi_collocations": _pmi_sql(),
+    "zipf_fit": _zipf_sql(),
     "bpe_pair_counts": _BPE_SQL,
     "bpe_merge_steps": _bpe_merge_sql(),
 }

