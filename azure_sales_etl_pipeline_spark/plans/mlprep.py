@@ -2675,6 +2675,95 @@ _TARGET_ENC_SQL = f"""
 """
 
 
+_FX_BUCKETS = 1024  # hashing-trick width
+
+
+def hashed_feature_crosses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HASHING TRICK for categorical feature crosses — the CTR-model
+    encoder that maps the unbounded cross (segment × priority ×
+    weekday) into a fixed ``_FX_BUCKETS``-wide space without a vocab
+    build or a second pass: bucket = sha256(cross) mod width. The
+    output is the per-bucket training statistic (rows, exact revenue
+    cents) PLUS the collision audit (distinct crosses per bucket) that
+    decides whether the width is adequate — the measurement half of
+    the trick most pipelines skip.
+
+    Portability: weekday comes from EPOCH-DAY ARITHMETIC (days since a
+    fixed Monday, mod 7) — NOT dayofweek(), whose 0/1-origin and week
+    start differ across engines; the hash is the shared
+    ``hex_to_bigint_sql`` text over a fixed-width sha256 slice
+    ([[customer_masked_export]] family), so bucket assignment is
+    engine-exact. One join + one bucket-key aggregate, output bounded
+    by the width forever."""
+    from ..functions import hex_to_bigint_sql
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderpriority",
+        F.to_date("o_orderdate").alias("od"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    crossed = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .withColumn(
+            "wd", F.expr("CAST(datediff(od, DATE '1970-01-05') % 7 AS BIGINT)")
+        )
+        .withColumn(
+            "cross",
+            F.concat_ws(
+                "|", "c_mktsegment", "o_orderpriority", F.col("wd").cast("string")
+            ),
+        )
+        .withColumn(
+            "bucket",
+            F.expr(
+                hex_to_bigint_sql(
+                    "substr(sha2(concat('fx:', cross), 256), 1, 15)"
+                )
+                + f" % {_FX_BUCKETS}"
+            ),
+        )
+    )
+    return crossed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("cross").alias("n_distinct_crosses"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+
+
+def _fx_sql() -> str:
+    from ..functions import hex_to_bigint_sql
+
+    return f"""
+    WITH crossed AS (
+        SELECT c.c_mktsegment || '|' || o.o_orderpriority || '|'
+                   || CAST(CAST(datediff('day', DATE '1970-01-05',
+                                         CAST(o.o_orderdate AS DATE)) % 7
+                                AS BIGINT) AS VARCHAR) AS "cross",
+               CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    bucketed AS (
+        SELECT {hex_to_bigint_sql('''substr(sha256('fx:' || "cross"), 1, 15)''')}
+                   % {_FX_BUCKETS} AS bucket,
+               "cross", cents
+        FROM crossed
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT "cross") AS BIGINT) AS n_distinct_crosses,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM bucketed
+    GROUP BY bucket
+"""
+
+
 QUERIES = {
     "source_cap_sample": source_cap_sample,
     "mixture_temperature_weights": mixture_temperature_weights,
@@ -2685,6 +2774,7 @@ QUERIES = {
     "copurchase_bfs_hops": copurchase_bfs_hops,
     "k_core_vertices": k_core_vertices,
     "target_encoding_kfold": target_encoding_kfold,
+    "hashed_feature_crosses": hashed_feature_crosses,
     "dedup_rate_by_source": dedup_rate_by_source,
     "negative_samples": negative_samples,
     "train_test_split": train_test_split,
@@ -2719,6 +2809,7 @@ ORACLES = {
     "copurchase_bfs_hops": _BFS_SQL,
     "k_core_vertices": _k_core_sql(),
     "target_encoding_kfold": _TARGET_ENC_SQL,
+    "hashed_feature_crosses": _fx_sql(),
     "dedup_rate_by_source": _DEDUP_RATE_SQL,
     "negative_samples": _NEGATIVE_SAMPLES_SQL,
     "train_test_split": _SPLIT_SQL,
