@@ -651,6 +651,112 @@ _PARETO_SQL = """
 """
 
 
+_STREAK_TOP_TIES_N = 5
+
+
+def purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISLANDS-AND-GAPS: longest run of CONSECUTIVE order days per
+    customer, reported as the streak-length histogram — the
+    engagement-streak metric (and the canonical gaps-and-islands SQL
+    interview problem, distributed properly). The island key is the
+    classic rank-difference trick: within a customer's DISTINCT order
+    days, ``epoch_day − row_number`` is constant exactly along a
+    consecutive run, so one customer-partitioned window + two hash-aggs
+    produce every streak with no self-join. Epoch day comes from fixed
+    date arithmetic (datediff vs an anchor), not engine week/era
+    functions. All windows are customer-partitioned — bounded by
+    per-customer history; the histogram output is bounded by the
+    longest streak."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("od")
+    )
+    days = orders.distinct().withColumn(
+        "day_num", F.expr("CAST(datediff(od, DATE '1970-01-01') AS BIGINT)")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day_num")
+    runs = (
+        days.withColumn("grp", F.col("day_num") - F.row_number().over(w))
+        .groupBy("o_custkey", "grp")
+        .agg(F.count(F.lit(1)).alias("streak_len"))
+    )
+    longest = runs.groupBy("o_custkey").agg(
+        F.max("streak_len").alias("best_streak")
+    )
+    return longest.groupBy("best_streak").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+_STREAKS_SQL = """
+    WITH days AS (
+        SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS od
+        FROM orders
+    ),
+    numbered AS (
+        SELECT o_custkey,
+               CAST(datediff('day', DATE '1970-01-01', od) AS BIGINT)
+                   AS day_num
+        FROM days
+    ),
+    runs AS (
+        SELECT o_custkey,
+               day_num - row_number() OVER (PARTITION BY o_custkey
+                                            ORDER BY day_num) AS grp
+        FROM numbered
+    ),
+    streaks AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS streak_len
+        FROM runs GROUP BY o_custkey, grp
+    ),
+    longest AS (
+        SELECT o_custkey, max(streak_len) AS best_streak
+        FROM streaks GROUP BY o_custkey
+    )
+    SELECT best_streak, CAST(count(*) AS BIGINT) AS n_customers
+    FROM longest GROUP BY best_streak
+"""
+
+
+def top_orders_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI ``FETCH FIRST n ROWS WITH TIES`` semantics per group —
+    the [[top_parts_per_supplier]] row_number variant deliberately
+    BREAKS ties; this one keeps them (rank() with no tie-break column),
+    which is what "top 5 order values per priority" must mean when
+    audit completeness matters: an arbitrary tie cut is a compliance
+    bug, not a convenience. The window runs per priority over the
+    orders grain (partition-bounded); output size is 5·|priorities|
+    plus however many genuine ties exist — both engines must agree on
+    exactly which rows tie, which exact parquet doubles guarantee."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc()
+    )
+    return (
+        orders.withColumn("price_rank", F.rank().over(w).cast("bigint"))
+        .where(F.col("price_rank") <= _STREAK_TOP_TIES_N)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("price_cents"),
+            "price_rank",
+        )
+    )
+
+
+_TOP_TIES_SQL = f"""
+    SELECT o_orderpriority, o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS price_cents,
+           CAST(rank() OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice DESC) AS BIGINT)
+               AS price_rank
+    FROM orders
+    QUALIFY price_rank <= {_STREAK_TOP_TIES_N}
+"""
+
+
 QUERIES = {
     "pareto_frontier_parts": pareto_frontier_parts,
     "user_trailing_features": user_trailing_features,
@@ -662,6 +768,8 @@ QUERIES = {
     "revenue_7d_window": revenue_7d_window,
     "revenue_ewma": revenue_ewma,
     "events_hourly_gapfill": events_hourly_gapfill,
+    "purchase_streaks": purchase_streaks,
+    "top_orders_with_ties": top_orders_with_ties,
 }
 
 ORACLES = {
@@ -675,4 +783,6 @@ ORACLES = {
     "revenue_7d_window": _REVENUE_7D_SQL,
     "revenue_ewma": _EWMA_SQL,
     "events_hourly_gapfill": _GAPFILL_SQL,
+    "purchase_streaks": _STREAKS_SQL,
+    "top_orders_with_ties": _TOP_TIES_SQL,
 }

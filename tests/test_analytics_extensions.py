@@ -402,3 +402,62 @@ def test_seasonality_autocorr_linear_series(spark, tmp_path):
         assert r["n_pairs"] == n
         assert r["cov_numer"] == cov
         assert abs(r["autocorr"] - 1.0) < 1e-12
+
+
+def test_purchase_streaks_islands(spark, tmp_path):
+    """Customer 1 orders on days {0,1,2, 5,6, 10} (best streak 3, with
+    a duplicate order on day 1 that must NOT break the run); customer 2
+    on {0, 2, 4} (best streak 1). Histogram: {3: 1, 1: 1}."""
+    import datetime as dt
+
+    from azure_sales_etl_pipeline_spark.plans.windows import purchase_streaks
+
+    base = dt.date(2024, 1, 1)
+
+    def day(i):
+        return base + dt.timedelta(days=i)
+
+    rows = (
+        [(k, 1, day(d), 1.0) for k, d in enumerate([0, 1, 1, 2, 5, 6, 10])]
+        + [(100 + k, 2, day(d), 1.0) for k, d in enumerate([0, 2, 4])]
+    )
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderdate date,"
+        " o_totalprice double",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    got = {
+        r["best_streak"]: r["n_customers"]
+        for r in purchase_streaks(spark, str(tmp_path)).collect()
+    }
+    assert got == {3: 1, 1: 1}
+
+
+def test_top_orders_with_ties_keeps_ties(spark, tmp_path):
+    """Seven orders in one priority: values 100 (x3 tied at rank 3),
+    200, 300, 400, 50. rank()<=5 must return ALL SEVEN minus the one
+    strictly below the tie block — i.e. the three tied 100s survive
+    (ranks 4,4,4), 50 (rank 7) does not. row_number semantics would
+    arbitrarily cut one of the tied rows."""
+    from azure_sales_etl_pipeline_spark.plans.windows import (
+        top_orders_with_ties,
+    )
+    import datetime as dt
+
+    vals = [400.0, 300.0, 200.0, 100.0, 100.0, 100.0, 50.0]
+    rows = [
+        (k, 1, dt.date(2024, 1, 1), v, "1-URGENT") for k, v in enumerate(vals)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderdate date,"
+        " o_totalprice double, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    out = top_orders_with_ties(spark, str(tmp_path)).collect()
+    got = sorted((r["price_cents"], r["price_rank"]) for r in out)
+    assert got == [
+        (10000, 4), (10000, 4), (10000, 4),
+        (20000, 3), (30000, 2), (40000, 1),
+    ]
