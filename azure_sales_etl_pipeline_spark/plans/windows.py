@@ -726,13 +726,35 @@ def top_orders_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     bug, not a convenience. The window runs per priority over the
     orders grain (partition-bounded); output size is 5·|priorities|
     plus however many genuine ties exist — both engines must agree on
-    exactly which rows tie, which exact parquet doubles guarantee."""
-    orders = load_table(spark, sf_dir, "orders")
+    exactly which rows tie, which exact parquet doubles guarantee.
+
+    Scale shape: |priorities| is ~5, so a raw-grain window partitioned
+    by priority funnels the whole fact through 5 tasks at 100 TB. The
+    [[stratified_topk_sample]] two-phase prune fixes it: a (pid,
+    priority) LOCAL rank — parallel across all input partitions —
+    keeps each chunk's top-n-with-ties (any global top-n row has < n
+    strictly-greater values globally, hence < n in its own chunk, and
+    rank() keeps its ties), then the real per-priority window runs
+    over those ≤ n·chunks candidates only."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.spark_partition_id().alias("pid"),
+    )
+    local_w = Window.partitionBy("pid", "o_orderpriority").orderBy(
+        F.col("o_totalprice").desc()
+    )
+    candidates = (
+        orders.withColumn("local_rank", F.rank().over(local_w))
+        .where(F.col("local_rank") <= _STREAK_TOP_TIES_N)
+        .drop("local_rank", "pid")
+    )
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.col("o_totalprice").desc()
     )
     return (
-        orders.withColumn("price_rank", F.rank().over(w).cast("bigint"))
+        candidates.withColumn("price_rank", F.rank().over(w).cast("bigint"))
         .where(F.col("price_rank") <= _STREAK_TOP_TIES_N)
         .select(
             "o_orderpriority",
