@@ -2523,6 +2523,79 @@ def _autocorr_sql() -> str:
 """
 
 
+#: Wilson 95% lower bound as SHARED SQL TEXT — every op is IEEE-basic
+#: (+ − × ÷ sqrt, all correctly rounded) and the text is identical on
+#: both engines, so the double is bit-identical and the final permille
+#: floor cannot flip. p and n are bound by the caller's columns.
+_WILSON_LO_SQL = (
+    "((p + 1.9208e0 / n"
+    " - 1.96e0 * sqrt((p * (1.0e0 - p) + 0.9604e0 / n) / n))"
+    " / (1.0e0 + 3.8416e0 / n))"
+)
+
+
+def return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate ranking by the WILSON 95% LOWER BOUND — the correct
+    way to rank brands by a proportion when group sizes differ wildly
+    (the Evan Miller "don't sort by average rating" fix): a brand with
+    2/3 returns must NOT outrank one with 180/1000, and the lower
+    confidence bound encodes exactly that. The bound is pure IEEE-basic
+    arithmetic (one divide for p̂, the shared-text formula above — z² =
+    3.8416 etc. pre-folded as exact literals), so even though the
+    output is a float-derived permille, both engines floor the SAME
+    double. One lineitem→part join (broadcast dim), one brand
+    aggregate; output |brands| rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", (F.col("l_returnflag") == "R").cast("bigint").alias("ret")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    g = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("ret").alias("n_returned"),
+        )
+    )
+    return (
+        g.withColumn("n", F.expr("CAST(n_lines AS DOUBLE)"))
+        .withColumn(
+            "p", F.expr("CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE)")
+        )
+        .select(
+            "p_brand",
+            "n_lines",
+            "n_returned",
+            F.expr("(1000 * n_returned) div n_lines").alias("rate_permille"),
+            F.expr(f"CAST(floor({_WILSON_LO_SQL} * 1.0e3) AS BIGINT)").alias(
+                "wilson_lo_permille"
+            ),
+        )
+    )
+
+
+_WILSON_SQL = f"""
+    WITH g AS (
+        SELECT p.p_brand,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_returned
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+    ),
+    staged AS (
+        SELECT *, CAST(n_lines AS DOUBLE) AS n,
+               CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE) AS p
+        FROM g
+    )
+    SELECT p_brand, n_lines, n_returned,
+           (1000 * n_returned) // n_lines AS rate_permille,
+           CAST(floor({_WILSON_LO_SQL} * 1.0e3) AS BIGINT)
+               AS wilson_lo_permille
+    FROM staged
+"""
+
+
 QUERIES = {
     "brand_size_price_corr": brand_size_price_corr,
     "priority_status_woe": priority_status_woe,
@@ -2561,6 +2634,7 @@ QUERIES = {
     "rfm_segmentation": rfm_segmentation,
     "cusum_changepoint": cusum_changepoint,
     "seasonality_autocorr": seasonality_autocorr,
+    "return_rate_wilson": return_rate_wilson,
 }
 
 ORACLES = {
@@ -2601,4 +2675,5 @@ ORACLES = {
     "rfm_segmentation": _RFM_SQL,
     "cusum_changepoint": _CUSUM_SQL,
     "seasonality_autocorr": _autocorr_sql(),
+    "return_rate_wilson": _WILSON_SQL,
 }

@@ -1201,7 +1201,9 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     family), so pmi_micronats is bit-identical cross-engine. Top-N by
     (pmi, words) via orderBy+limit (TakeOrderedAndProject), ranked by
     the bounded triangular ahead-or-equal join — no single-partition
-    window."""
+    window. The marginal tables are unigram-vocab-sized: broadcast is
+    right up to ~100M types; past that drop the hints and let AQE plan
+    the two shuffle joins (the [[unigram_surprisal]] caveat)."""
     from ..functions import plan_barrier
 
     docs = load_table(spark, sf_dir, "documents")

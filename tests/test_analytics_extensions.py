@@ -461,3 +461,42 @@ def test_top_orders_with_ties_keeps_ties(spark, tmp_path):
         (10000, 4), (10000, 4), (10000, 4),
         (20000, 3), (30000, 2), (40000, 1),
     ]
+
+
+def test_return_rate_wilson_small_vs_large_sample(spark, tmp_path):
+    """The whole point of the Wilson lower bound: brand A at 2/3
+    returned (raw rate 666‰) must rank BELOW brand B at 300/1000 (raw
+    rate 300‰) on the bound — three observations can't beat a
+    well-measured 30% (wilson_lo: ~207‰ vs ~272‰). Bound values are
+    replayed in Python with the identical formula."""
+    import math
+
+    from azure_sales_etl_pipeline_spark.plans.analytics import (
+        return_rate_wilson,
+    )
+
+    # parts 1 -> brand A, 2 -> brand B
+    spark.createDataFrame(
+        [(1, "BrandA"), (2, "BrandB")], "p_partkey bigint, p_brand string"
+    ).write.parquet(str(tmp_path / "part.parquet"))
+    rows = [(1, 1, "R" if i < 2 else "N") for i in range(3)] + [
+        (1000 + i, 2, "R" if i < 300 else "N") for i in range(1000)
+    ]
+    spark.createDataFrame(
+        rows, "l_orderkey bigint, l_partkey bigint, l_returnflag string"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    got = {r["p_brand"]: r for r in return_rate_wilson(spark, str(tmp_path)).collect()}
+
+    def wilson_lo(k: int, n: int) -> int:
+        p = k / n
+        lo = (p + 1.9208 / n - 1.96 * math.sqrt((p * (1 - p) + 0.9604 / n) / n)) / (
+            1 + 3.8416 / n
+        )
+        return math.floor(lo * 1e3)
+
+    a, b = got["BrandA"], got["BrandB"]
+    assert (a["rate_permille"], b["rate_permille"]) == (666, 300)
+    assert a["wilson_lo_permille"] == wilson_lo(2, 3)
+    assert b["wilson_lo_permille"] == wilson_lo(300, 1000)
+    assert a["wilson_lo_permille"] < b["wilson_lo_permille"]
