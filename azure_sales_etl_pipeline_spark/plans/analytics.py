@@ -2596,6 +2596,311 @@ _WILSON_SQL = f"""
 """
 
 
+_AUC_RANGES = 16
+_AUC_POS = ("1-URGENT", "2-HIGH")
+
+
+def order_priority_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed AUC (Mann-Whitney U with midrank ties) per
+    order status: how well does order value separate urgent/high
+    priority orders from the rest — the canonical offline-eval metric
+    for any ranking model (quality classifiers, dedup scorers), shown
+    here on a closed label so the oracle is exact.
+
+    AUC needs a GLOBAL rank per group — the classic 100 TB trap is
+    ``Window.orderBy(score)`` with no partition (one-task sort). This
+    plan never ranks rows at all:
+
+    1. Aggregate to the (status, score)-VALUE grain — one hash-agg
+       shuffle; |distinct scores| rows, ties collapse.
+    2. Two-phase prefix count over score order WITHIN each status:
+       range-repartition the value-grain rows, local cumulative count
+       per (status, pid) partition-window, per-(status, pid) totals +
+       triangular offset join (same idiom as
+       ``supplier_revenue_gini`` / ``mlprep._prefix_offsets``) — no
+       single-partition WindowExec anywhere.
+    3. Midrank identity, all BIGINT: 2·R⁺ = Σ_v pos(v)·(2·below(v) +
+       cnt(v) + 1); 2U = 2·R⁺ − n⁺(n⁺+1); auc_micros = 10⁶·2U div
+       (2·n⁺·n⁻) — exact while 10⁶·2·n⁺·n⁻ < 2⁶³ (n ≲ 2·10⁶ per
+       group; past that, grain the metric per day/segment and average,
+       or accept the 1-ulp double path — documented, not silent).
+
+    The eager localCheckpoint pins the sampled range boundaries so the
+    cumsum branch and the totals branch see the SAME pid layout (the
+    ``token_budget_shards`` lesson — correctness must not ride on
+    ReusedExchange).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("score"),
+        F.col("o_orderpriority").isin(*_AUC_POS).cast("bigint").alias("pos"),
+    )
+    vg = base.groupBy("o_orderstatus", "score").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("pos").alias("pos")
+    )
+    ranged = (
+        vg.repartitionByRange(_AUC_RANGES, "o_orderstatus", "score")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    local_below = F.coalesce(
+        F.sum("cnt").over(
+            Window.partitionBy("o_orderstatus", "pid")
+            .orderBy("score")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    staged = ranged.withColumn("local_below", local_below)
+    totals = ranged.groupBy("o_orderstatus", "pid").agg(
+        F.sum("cnt").alias("ptot")
+    )
+    offsets = (
+        totals.alias("a")
+        .join(
+            totals.alias("b"),
+            (F.col("b.o_orderstatus") == F.col("a.o_orderstatus"))
+            & (F.col("b.pid") < F.col("a.pid")),
+            "left",
+        )
+        .groupBy(
+            F.col("a.o_orderstatus").alias("o_orderstatus"),
+            F.col("a.pid").alias("pid"),
+        )
+        .agg(F.coalesce(F.sum("b.ptot"), F.lit(0)).alias("offset"))
+    )
+    ranked = staged.join(F.broadcast(offsets), ["o_orderstatus", "pid"]).select(
+        "o_orderstatus",
+        "cnt",
+        "pos",
+        (F.col("offset") + F.col("local_below")).alias("below"),
+    )
+    agg = ranked.groupBy("o_orderstatus").agg(
+        F.sum("pos").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("pos")).alias("n_neg"),
+        F.sum(
+            F.col("pos") * (2 * F.col("below") + F.col("cnt") + 1)
+        ).alias("r2"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        "n_pos",
+        "n_neg",
+        F.expr(
+            "CASE WHEN n_pos * n_neg = 0 THEN NULL"
+            " ELSE (1000000 * (r2 - n_pos * (n_pos + 1)))"
+            "      div (2 * n_pos * n_neg) END"
+        ).alias("auc_micros"),
+    )
+
+
+_AUC_SQL = f"""
+    WITH base AS (
+        SELECT o_orderstatus,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS score,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS pos
+        FROM orders
+    ),
+    vg AS (
+        SELECT o_orderstatus, score,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(pos) AS BIGINT) AS pos
+        FROM base GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT *,
+               CAST(coalesce(sum(cnt) OVER (
+                   PARTITION BY o_orderstatus ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS below
+        FROM vg
+    ),
+    agg AS (
+        SELECT o_orderstatus,
+               CAST(sum(pos) AS BIGINT) AS n_pos,
+               CAST(sum(cnt - pos) AS BIGINT) AS n_neg,
+               CAST(sum(pos * (2 * below + cnt + 1)) AS BIGINT) AS r2
+        FROM r GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, n_pos, n_neg,
+           CASE WHEN n_pos * n_neg = 0 THEN NULL
+                ELSE (1000000 * (r2 - n_pos * (n_pos + 1)))
+                     // (2 * n_pos * n_neg) END AS auc_micros
+    FROM agg
+"""
+
+
+_LIFT_BIN_CENTS = 5_000_000  # $50k fixed-width score bins
+
+
+def priority_lift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile-style lift/calibration table on FIXED-WIDTH score bins:
+    per $50k order-value bin, the observed urgent/high-priority rate
+    and its lift vs the global base rate — the reliability-diagram
+    companion to ``order_priority_auc`` (AUC says "ranks well"; the
+    lift table says WHERE the signal concentrates).
+
+    Fixed-width bins instead of quantile bins on purpose: quantile
+    edges need a global rank (or an approx sketch whose edges drift
+    per run); integer ``div`` bins are deterministic, shuffle once,
+    and the oracle is exact. Plan: one hash agg to the bin grain, one
+    1-row global aggregate attached via broadcast cross join (scalar
+    attach idiom), all-BIGINT lift arithmetic:
+    lift_permille = (1000·pos_bin·N) div (n_bin·POS)."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        (
+            F.floor(F.col("o_totalprice") * 100).cast("bigint")
+            / F.lit(_LIFT_BIN_CENTS)
+        ).cast("bigint").alias("bin_id"),
+        F.col("o_orderpriority").isin(*_AUC_POS).cast("bigint").alias("pos"),
+    )
+    bins = base.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("pos").alias("n_priority"),
+    )
+    glob = base.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("pos").alias("pos_total"),
+    )
+    return (
+        bins.crossJoin(F.broadcast(glob))
+        .select(
+            "bin_id",
+            (F.col("bin_id") * _LIFT_BIN_CENTS).alias("bin_lo_cents"),
+            "n_orders",
+            "n_priority",
+            F.expr("(1000 * n_priority) div n_orders").alias("rate_permille"),
+            F.expr(
+                "CASE WHEN pos_total = 0 THEN NULL"
+                " ELSE (1000 * n_priority * n_total)"
+                "      div (n_orders * pos_total) END"
+            ).alias("lift_permille"),
+        )
+    )
+
+
+_LIFT_SQL = f"""
+    WITH base AS (
+        SELECT CAST(floor(o_totalprice * 100) AS BIGINT) // {_LIFT_BIN_CENTS}
+                   AS bin_id,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS pos
+        FROM orders
+    ),
+    bins AS (
+        SELECT bin_id,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(pos) AS BIGINT) AS n_priority
+        FROM base GROUP BY bin_id
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(pos) AS BIGINT) AS pos_total
+        FROM base
+    )
+    SELECT bin_id,
+           bin_id * {_LIFT_BIN_CENTS} AS bin_lo_cents,
+           n_orders, n_priority,
+           (1000 * n_priority) // n_orders AS rate_permille,
+           CASE WHEN pos_total = 0 THEN NULL
+                ELSE (1000 * n_priority * n_total)
+                     // (n_orders * pos_total) END AS lift_permille
+    FROM bins, tot
+"""
+
+
+def priority_status_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen between two categoricals
+    (o_orderpriority × o_orderstatus): the per-cell contingency table
+    with expected counts and χ² contributions — the profiling op that
+    decides whether a categorical pair is worth a crossed feature
+    (``hashed_feature_crosses``) or carries no signal. Completes the
+    dependence toolkit next to ``event_weekday_mi`` (mutual
+    information) and ``priority_status_woe`` (directional evidence).
+
+    Emitted PER CELL, not summed: a cross-engine float SUM would tie
+    the result to addition order; per-cell contributions are each a
+    fixed IEEE-basic expression (x·x, no pow/libm) over exact-integer
+    inputs, so both engines floor the same double. expected_milli is
+    exact BIGINT: (1000·row_tot·col_tot) div N. Plan: one cell-grain
+    hash agg, two tiny margin re-aggs broadcast back — margins derive
+    from the cell table, so the raw table shuffles once."""
+    orders = load_table(spark, sf_dir, "orders")
+    cells = (
+        orders.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    row_tot = cells.groupBy("o_orderpriority").agg(
+        F.sum("observed").alias("row_tot")
+    )
+    col_tot = cells.groupBy("o_orderstatus").agg(
+        F.sum("observed").alias("col_tot")
+    )
+    n_tot = cells.agg(F.sum("observed").alias("n_tot"))
+    return (
+        cells.join(F.broadcast(row_tot), "o_orderpriority")
+        .join(F.broadcast(col_tot), "o_orderstatus")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "o_orderpriority",
+            "o_orderstatus",
+            "observed",
+            F.expr("(1000 * row_tot * col_tot) div n_tot").alias(
+                "expected_milli"
+            ),
+            F.expr(
+                "CAST(floor("
+                " ((CAST(observed AS DOUBLE)"
+                "   - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)"
+                "     / CAST(n_tot AS DOUBLE))"
+                "  * (CAST(observed AS DOUBLE)"
+                "   - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)"
+                "     / CAST(n_tot AS DOUBLE)))"
+                " / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)"
+                "    / CAST(n_tot AS DOUBLE))"
+                " * 1.0e6) AS BIGINT)"
+            ).alias("chisq_contrib_micros"),
+        )
+    )
+
+
+_CHISQ_SQL = """
+    WITH cells AS (
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(count(*) AS BIGINT) AS observed
+        FROM orders GROUP BY 1, 2
+    ),
+    rt AS (
+        SELECT o_orderpriority, CAST(sum(observed) AS BIGINT) AS row_tot
+        FROM cells GROUP BY 1
+    ),
+    ct AS (
+        SELECT o_orderstatus, CAST(sum(observed) AS BIGINT) AS col_tot
+        FROM cells GROUP BY 1
+    ),
+    nt AS (SELECT CAST(sum(observed) AS BIGINT) AS n_tot FROM cells)
+    SELECT c.o_orderpriority, c.o_orderstatus, c.observed,
+           (1000 * rt.row_tot * ct.col_tot) // nt.n_tot AS expected_milli,
+           CAST(floor(
+               ((CAST(c.observed AS DOUBLE)
+                 - CAST(rt.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE)
+                   / CAST(nt.n_tot AS DOUBLE))
+                * (CAST(c.observed AS DOUBLE)
+                 - CAST(rt.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE)
+                   / CAST(nt.n_tot AS DOUBLE)))
+               / (CAST(rt.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE)
+                  / CAST(nt.n_tot AS DOUBLE))
+               * 1.0e6) AS BIGINT) AS chisq_contrib_micros
+    FROM cells c
+    JOIN rt USING (o_orderpriority)
+    JOIN ct USING (o_orderstatus)
+    CROSS JOIN nt
+"""
+
+
 QUERIES = {
     "brand_size_price_corr": brand_size_price_corr,
     "priority_status_woe": priority_status_woe,
@@ -2635,6 +2940,9 @@ QUERIES = {
     "cusum_changepoint": cusum_changepoint,
     "seasonality_autocorr": seasonality_autocorr,
     "return_rate_wilson": return_rate_wilson,
+    "order_priority_auc": order_priority_auc,
+    "priority_lift_bins": priority_lift_bins,
+    "priority_status_chisq": priority_status_chisq,
 }
 
 ORACLES = {
@@ -2676,4 +2984,7 @@ ORACLES = {
     "cusum_changepoint": _CUSUM_SQL,
     "seasonality_autocorr": _autocorr_sql(),
     "return_rate_wilson": _WILSON_SQL,
+    "order_priority_auc": _AUC_SQL,
+    "priority_lift_bins": _LIFT_SQL,
+    "priority_status_chisq": _CHISQ_SQL,
 }
