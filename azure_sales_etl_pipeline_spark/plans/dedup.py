@@ -965,6 +965,144 @@ _GOLDEN_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# containment (asymmetric near-dup: A-inside-B that Jaccard misses)
+# ---------------------------------------------------------------------------
+
+_CONT_K = 3  # word-shingle width
+_CONT_DF_MIN, _CONT_DF_MAX = 2, 4  # rare-shingle blocking band
+_CONT_FLAG_PERMILLE = 900
+
+
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT dedup: C(A→B) = |S(A)∩S(B)| / |S(A)| over
+    distinct 3-token shingles. Jaccard misses the quote/subset case — a
+    short doc fully embedded in a long one has tiny |∩|/|∪| but
+    containment ≈ 1 from the short side; every curation pipeline needs
+    this second metric or it ships the same paragraph twice at two
+    lengths (Broder's original resemblance/containment pair).
+
+    Candidate generation is RARE-SHINGLE inverted-index blocking, not a
+    doc-window: explode distinct shingles, keep shingles whose document
+    frequency is in [{df_min}, {df_max}], self-join the tiny postings
+    within each rare shingle (fan-out ≤ df_max²/2 per shingle — the
+    hot-key blowup of common shingles is filtered BEFORE the join, the
+    standard inverted-index trick), distinct the pairs, then join the
+    full shingle arrays back for the exact intersection. No all-pairs
+    anywhere; every stage is an equi-join or hash agg, so the shape
+    survives 100 TB (postings of rare shingles grow linearly with the
+    corpus while the df cap keeps per-key work constant).
+
+    Integer-exact output: containment in permille via BIGINT div;
+    subset_dup flags max-side containment ≥ {flag}‰.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (_CONT_K - 1)),
+            lambda i: F.sha2(
+                F.array_join(F.slice(toks, i, _CONT_K), " "), 256
+            ),
+        )
+    )
+    s = docs.where(F.size(toks) >= _CONT_K).select(
+        "doc_id", shingles.alias("sh")
+    )
+    ex = s.select("doc_id", F.explode("sh").alias("g"))
+    rare = (
+        ex.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df").between(_CONT_DF_MIN, _CONT_DF_MAX))
+        .select("g")
+    )
+    postings = ex.join(rare, "g")
+    cand = (
+        postings.alias("a")
+        .join(
+            postings.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = cand.join(sa, "doc_a").join(sb, "doc_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        F.size("sh_a").cast("bigint").alias("n_sh_a"),
+        F.size("sh_b").cast("bigint").alias("n_sh_b"),
+        inter.cast("bigint").alias("overlap"),
+    ).select(
+        "doc_a",
+        "doc_b",
+        "n_sh_a",
+        "n_sh_b",
+        "overlap",
+        F.expr("(1000 * overlap) div n_sh_a").alias("contain_a_permille"),
+        F.expr("(1000 * overlap) div n_sh_b").alias("contain_b_permille"),
+        F.expr(
+            f"greatest((1000 * overlap) div n_sh_a,"
+            f" (1000 * overlap) div n_sh_b) >= {_CONT_FLAG_PERMILLE}"
+        ).alias("subset_dup"),
+    )
+
+
+shingle_containment_pairs.__doc__ = shingle_containment_pairs.__doc__.format(
+    df_min=_CONT_DF_MIN, df_max=_CONT_DF_MAX, flag=_CONT_FLAG_PERMILLE
+)
+
+
+_CONTAINMENT_SQL = rf"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, len(toks) - {_CONT_K - 1} + 1),
+                   i -> sha256(array_to_string(
+                       list_slice(toks, i, i + {_CONT_K - 1}), ' '))
+               )) AS sh
+        FROM t WHERE len(toks) >= {_CONT_K}
+    ),
+    ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+    rare AS (
+        SELECT g FROM ex GROUP BY g
+        HAVING count(*) BETWEEN {_CONT_DF_MIN} AND {_CONT_DF_MAX}
+    ),
+    p AS (SELECT ex.doc_id, ex.g FROM ex JOIN rare USING (g)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM p a JOIN p b ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
+    m AS (
+        SELECT doc_a, doc_b,
+               CAST(len(sa.sh) AS BIGINT) AS n_sh_a,
+               CAST(len(sb.sh) AS BIGINT) AS n_sh_b,
+               CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS overlap
+        FROM cand
+        JOIN s sa ON sa.doc_id = cand.doc_a
+        JOIN s sb ON sb.doc_id = cand.doc_b
+    )
+    SELECT doc_a, doc_b, n_sh_a, n_sh_b, overlap,
+           (1000 * overlap) // n_sh_a AS contain_a_permille,
+           (1000 * overlap) // n_sh_b AS contain_b_permille,
+           greatest((1000 * overlap) // n_sh_a,
+                    (1000 * overlap) // n_sh_b)
+               >= {_CONT_FLAG_PERMILLE} AS subset_dup
+    FROM m
+"""
+
+
 # Registry order: the near-dup trio first — round 3's driver sweep
 # truncated exactly before them, so they carry the least driver
 # evidence; exact_dedup/dedup_keep_first are green in r02+r03.
@@ -979,6 +1117,7 @@ QUERIES = {
     "dedup_keep_first": dedup_keep_first,
     "fuzzy_name_pairs": fuzzy_name_pairs,
     "golden_part_records": golden_part_records,
+    "shingle_containment_pairs": shingle_containment_pairs,
 }
 
 ORACLES = {
@@ -996,4 +1135,5 @@ ORACLES = {
     "minhash_recall_check": _MINHASH_RECALL_SQL,
     "fuzzy_name_pairs": _FUZZY_SQL,
     "golden_part_records": _GOLDEN_SQL,
+    "shingle_containment_pairs": _CONTAINMENT_SQL,
 }
