@@ -1103,6 +1103,213 @@ _CONTAINMENT_SQL = rf"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter record-linkage scoring (probabilistic match weights)
+# ---------------------------------------------------------------------------
+
+#: (field, m-probability) — m is the P(agree | same entity) prior, an
+#: EXACT DYADIC double so the literal parses bit-identically on both
+#: engines. u = P(agree | different entities) is NOT a prior: it is
+#: estimated from the data as the chance-agreement rate Σ n_v²/N².
+_RL_FIELDS = (("brand", 0.9375), ("type", 0.9375), ("size", 0.875), ("price_band", 0.75))
+_RL_LO_K, _RL_HI_K = -40, 40
+_RL_LINK_MICRO = 6_000_000  # ≥ 6 nats of evidence → link
+_RL_REVIEW_MICRO = 3_000_000  # ≥ 3 nats → clerical-review band
+
+
+def _rl_ln_micro(df: DataFrame, p: str, out: str) -> DataFrame:
+    """Attach ``out`` = floor(ln(p)·1e6) BIGINT micronats via the
+    portable series ln (identical staged text on both engines —
+    same idiom as textops._zipf_ln_cols)."""
+    from ..functions import LN_Z_SQL, ln_from_kz_sql, ln_k_sql, ln_m_sql
+
+    return (
+        df.withColumn("__ln_k", F.expr(ln_k_sql(p, _RL_LO_K, _RL_HI_K)))
+        .withColumn("__ln_m", F.expr(ln_m_sql(p, "__ln_k", _RL_LO_K, _RL_HI_K)))
+        .withColumn("__ln_z", F.expr(LN_Z_SQL))
+        .withColumn(
+            out,
+            F.expr(
+                f"CAST(floor({ln_from_kz_sql('__ln_k', '__ln_z')} * 1.0e6)"
+                " AS BIGINT)"
+            ),
+        )
+        .drop("__ln_k", "__ln_m", "__ln_z")
+    )
+
+
+_RL_PA_SQL = (
+    "(m * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) / CAST(sum_sq AS DOUBLE))"
+)
+_RL_PD_SQL = (
+    "((1.0e0 - m) / (1.0e0 - CAST(sum_sq AS DOUBLE)"
+    " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))"
+)
+
+
+def _rl_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("type"),
+        F.col("p_size").alias("size"),
+        F.expr("floor(p_retailprice * 100) div 1000").alias("price_band"),
+        F.element_at(F.split(F.col("p_name"), " "), -1).alias("block"),
+    )
+
+
+def record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage over blocked part
+    pairs: each compared field contributes log-odds evidence —
+    ln(m/u) when the pair AGREES on the field, ln((1−m)/(1−u)) when it
+    disagrees — and the pair's total score classifies it link /
+    possible (clerical review), the 1969 framework every production
+    matcher (Splink, dedupe.io) still implements. Complements
+    [[fuzzy_name_pairs]] (edit-distance survivors) with calibrated
+    multi-field evidence: two parts agreeing on brand+size+price-band
+    outscore a pair that merely shares a rare token.
+
+    u-probabilities are ESTIMATED FROM THE DATA (chance agreement =
+    Σ n_v²/N², the standard frequency-based u), so the weights table is
+    a 4-row aggregate computed in the same job — at 100 TB it is the
+    same two-column scans as [[functional_dependency_audit]], and the
+    weights broadcast as one wide row. Candidate pairs are head-noun
+    blocked (the [[fuzzy_name_pairs]] contract: never all-pairs).
+
+    Integer-exact end to end: each weight quantizes to BIGINT micronats
+    ONCE via the portable series ln (floor before any sum — order-free
+    exact), pair scores are 4-term integer adds, and the thresholds are
+    integer micronat constants. Output: review-band-and-above pairs
+    with per-field agreement flags."""
+    parts = _rl_parts(spark, sf_dir)
+    freq = None
+    for field, m in _RL_FIELDS:
+        g = (
+            parts.groupBy(field)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .agg(
+                F.lit(field).alias("field"),
+                F.lit(m).alias("m"),
+                F.sum(F.col("cnt") * F.col("cnt")).alias("sum_sq"),
+                F.sum("cnt").alias("n"),
+            )
+        )
+        freq = g if freq is None else freq.unionByName(g)
+    w = _rl_ln_micro(freq, _RL_PA_SQL, "wa_micro")
+    w = _rl_ln_micro(w, _RL_PD_SQL, "wd_micro")
+    wide = w.agg(
+        *[
+            c
+            for field, _ in _RL_FIELDS
+            for c in (
+                F.max(F.when(F.col("field") == field, F.col("wa_micro"))).alias(
+                    f"wa_{field}"
+                ),
+                F.max(F.when(F.col("field") == field, F.col("wd_micro"))).alias(
+                    f"wd_{field}"
+                ),
+            )
+        ]
+    )
+    a = parts.alias("a")
+    b = parts.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).crossJoin(F.broadcast(wide))
+    agree = {
+        field: (F.col(f"a.{field}") == F.col(f"b.{field}")).cast("bigint")
+        for field, _ in _RL_FIELDS
+    }
+    score = None
+    for field, _ in _RL_FIELDS:
+        term = F.when(
+            agree[field] == 1, F.col(f"wa_{field}")
+        ).otherwise(F.col(f"wd_{field}"))
+        score = term if score is None else score + term
+    return (
+        pairs.select(
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            *[agree[field].alias(f"agree_{field}") for field, _ in _RL_FIELDS],
+            score.alias("score_micronats"),
+        )
+        .where(F.col("score_micronats") >= _RL_REVIEW_MICRO)
+        .withColumn(
+            "decision",
+            F.when(F.col("score_micronats") >= _RL_LINK_MICRO, "link").otherwise(
+                "possible"
+            ),
+        )
+    )
+
+
+def _rl_sql() -> str:
+    from ..functions import LN_Z_SQL, _dlit, ln_from_kz_sql, ln_k_sql, ln_m_sql
+
+    freq_legs = []
+    for field, m in _RL_FIELDS:
+        freq_legs.append(
+            f"""
+        SELECT '{field}' AS field, {_dlit(m)} AS m,
+               CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq,
+               CAST(sum(cnt) AS BIGINT) AS n
+        FROM (SELECT count(*) AS cnt FROM p GROUP BY {field})"""
+        )
+    freq = "\n        UNION ALL".join(freq_legs)
+    wa_stage = rf"""
+    a1 AS (SELECT *, {ln_k_sql(_RL_PA_SQL, _RL_LO_K, _RL_HI_K)} AS __ln_k FROM freq),
+    a2 AS (SELECT *, {ln_m_sql(_RL_PA_SQL, "__ln_k", _RL_LO_K, _RL_HI_K)} AS __ln_m FROM a1),
+    a3 AS (SELECT *, {LN_Z_SQL} AS __ln_z FROM a2),
+    a4 AS (SELECT field, m, sum_sq, n,
+                  CAST(floor({ln_from_kz_sql('__ln_k', '__ln_z')} * 1.0e6) AS BIGINT) AS wa_micro
+           FROM a3),
+    d1 AS (SELECT *, {ln_k_sql(_RL_PD_SQL, _RL_LO_K, _RL_HI_K)} AS __ln_k FROM a4),
+    d2 AS (SELECT *, {ln_m_sql(_RL_PD_SQL, "__ln_k", _RL_LO_K, _RL_HI_K)} AS __ln_m FROM d1),
+    d3 AS (SELECT *, {LN_Z_SQL} AS __ln_z FROM d2),
+    weights AS (SELECT field, wa_micro,
+                       CAST(floor({ln_from_kz_sql('__ln_k', '__ln_z')} * 1.0e6) AS BIGINT) AS wd_micro
+                FROM d3)"""
+    wide_cols = ",\n               ".join(
+        f"max(CASE WHEN field = '{field}' THEN wa_micro END) AS wa_{field},"
+        f" max(CASE WHEN field = '{field}' THEN wd_micro END) AS wd_{field}"
+        for field, _ in _RL_FIELDS
+    )
+    agree_cols = ",\n           ".join(
+        f"CAST(a.{field} = b.{field} AS BIGINT) AS agree_{field}"
+        for field, _ in _RL_FIELDS
+    )
+    score = " + ".join(
+        f"(CASE WHEN a.{field} = b.{field} THEN w.wa_{field} ELSE w.wd_{field} END)"
+        for field, _ in _RL_FIELDS
+    )
+    return rf"""
+    WITH p AS (
+        SELECT p_partkey,
+               p_brand AS brand, p_type AS type, p_size AS size,
+               CAST(floor(p_retailprice * 100) AS BIGINT) // 1000 AS price_band,
+               string_split(p_name, ' ')[-1] AS block
+        FROM part
+    ),
+    freq AS ({freq}
+    ),{wa_stage},
+    w AS (SELECT {wide_cols} FROM weights),
+    scored AS (
+        SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           {agree_cols},
+           {score} AS score_micronats
+        FROM p a JOIN p b ON a.block = b.block AND a.p_partkey < b.p_partkey
+        CROSS JOIN w
+    )
+    SELECT *,
+           CASE WHEN score_micronats >= {_RL_LINK_MICRO} THEN 'link'
+                ELSE 'possible' END AS decision
+    FROM scored
+    WHERE score_micronats >= {_RL_REVIEW_MICRO}
+"""
+
+
 # Registry order: the near-dup trio first — round 3's driver sweep
 # truncated exactly before them, so they carry the least driver
 # evidence; exact_dedup/dedup_keep_first are green in r02+r03.
@@ -1118,6 +1325,7 @@ QUERIES = {
     "fuzzy_name_pairs": fuzzy_name_pairs,
     "golden_part_records": golden_part_records,
     "shingle_containment_pairs": shingle_containment_pairs,
+    "record_linkage_scores": record_linkage_scores,
 }
 
 ORACLES = {
@@ -1136,4 +1344,5 @@ ORACLES = {
     "fuzzy_name_pairs": _FUZZY_SQL,
     "golden_part_records": _GOLDEN_SQL,
     "shingle_containment_pairs": _CONTAINMENT_SQL,
+    "record_linkage_scores": _rl_sql(),
 }

@@ -1012,12 +1012,92 @@ def _quality_rows_tail() -> str:
 _QUALITY_SUITE_SQL = _QUALITY_SUITE_SQL + _quality_rows_tail()
 
 
+# ---------------------------------------------------------------------------
+# functional-dependency discovery audit (profiling: does lhs -> rhs hold?)
+# ---------------------------------------------------------------------------
+
+#: Candidate FDs to probe: (table, lhs column, rhs column). Mix of
+#: expected-to-hold (near-key lhs) and expected-to-fail — the audit
+#: REPORTS, it does not assume.
+_FD_CANDIDATES = (
+    ("part", "p_name", "p_brand"),
+    ("part", "p_brand", "p_type"),
+    ("customer", "c_name", "c_nationkey"),
+    ("customer", "c_mktsegment", "c_nationkey"),
+    ("nation", "n_name", "n_regionkey"),
+    ("orders", "o_custkey", "o_orderstatus"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+)
+
+
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery over candidate column pairs —
+    the schema-profiling step (Hyfd/Tane-style, restricted to a curated
+    candidate list) that catches silently-denormalized columns before a
+    dedup or SCD2 keyed on the wrong grain corrupts history: lhs → rhs
+    holds iff no lhs group sees >1 distinct rhs.
+
+    One hash aggregate per candidate — groupBy(lhs) with countDistinct
+    (rhs) partial-aggregates map-side, then a one-row rollup per
+    candidate; the union is |candidates| independent narrow jobs, each
+    scanning only its two columns (column pruning visible in
+    ReadSchema). No candidate-pair explosion: discovery over ALL column
+    pairs is quadratic in width, which is why production profilers run
+    a curated/lattice-pruned list — the operator shape is identical.
+    """
+    out = None
+    for table, lhs, rhs in _FD_CANDIDATES:
+        g = (
+            load_table(spark, sf_dir, table)
+            .groupBy(lhs)
+            .agg(F.countDistinct(rhs).alias("n_rhs"))
+            .agg(
+                F.lit(table).alias("table_name"),
+                F.lit(lhs).alias("lhs_col"),
+                F.lit(rhs).alias("rhs_col"),
+                F.count(F.lit(1)).alias("n_groups"),
+                F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0)).alias(
+                    "violating_groups"
+                ),
+                F.max("n_rhs").alias("max_distinct_rhs"),
+            )
+            .withColumn(
+                "violation_permille",
+                F.expr("(1000 * violating_groups) div n_groups"),
+            )
+            .withColumn("holds", F.col("violating_groups") == 0)
+        )
+        out = g if out is None else out.unionByName(g)
+    return out
+
+
+def _fd_audit_sql() -> str:
+    legs = []
+    for table, lhs, rhs in _FD_CANDIDATES:
+        legs.append(
+            f"""
+    SELECT '{table}' AS table_name, '{lhs}' AS lhs_col, '{rhs}' AS rhs_col,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(count(*) FILTER (n_rhs > 1) AS BIGINT) AS violating_groups,
+           CAST(max(n_rhs) AS BIGINT) AS max_distinct_rhs,
+           (1000 * count(*) FILTER (n_rhs > 1)) // count(*)
+               AS violation_permille,
+           count(*) FILTER (n_rhs > 1) = 0 AS holds
+    FROM (
+        SELECT {lhs}, count(DISTINCT {rhs}) AS n_rhs
+        FROM {table} GROUP BY {lhs}
+    )"""
+        )
+    return "\n    UNION ALL".join(legs)
+
+
 QUERIES = {
     "star_projection": star_projection,
     "table_profile": table_profile,
     "k_anonymity_audit": k_anonymity_audit,
     "l_diversity_audit": l_diversity_audit,
     "referential_integrity_audit": referential_integrity_audit,
+    "functional_dependency_audit": functional_dependency_audit,
     "join_cardinality_audit": join_cardinality_audit,
     "customer_masked_export": customer_masked_export,
     "key_completeness_audit": key_completeness_audit,
@@ -1041,6 +1121,7 @@ ORACLES = {
     "k_anonymity_audit": _K_ANON_SQL,
     "l_diversity_audit": _L_DIVERSITY_SQL,
     "referential_integrity_audit": _ri_audit_sql(),
+    "functional_dependency_audit": _fd_audit_sql(),
     "join_cardinality_audit": _join_cardinality_sql(),
     "customer_masked_export": _MASKED_SQL,
     "key_completeness_audit": _COMPLETENESS_SQL,
