@@ -1915,8 +1915,14 @@ def frequent_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: collect_list is order-nondeterministic under shuffle —
     ``sort_array`` canonicalizes BEFORE the array becomes a key or an
     output value (the dropDuplicates survivor rule, applied to
-    arrays); the top-{n} cutoff totals on (count desc, basket asc),
-    where array comparison is lexicographic in both engines. Scale:
+    arrays); the top-{n} cutoff totals on (count desc, basket asc).
+    The OUTPUT projects the basket as a canonical comma-joined STRING
+    (arrays are kept as the internal grouping key only): downstream
+    hash-comparators canonicalize rows with hashable scalars, and the
+    tie-break at the LIMIT boundary must use the SAME collation in
+    both engines — array-lexicographic and string-lexicographic order
+    disagree (e.g. [2] sorts before [10] as an array but after "10"
+    as a string), so both engines order on the string form. Scale:
     two shuffles (order key, then basket key — baskets are small
     arrays) and a TakeOrderedAndProject."""
     li = (
@@ -1925,11 +1931,17 @@ def frequent_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     baskets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_list("l_partkey")).alias("basket")
+        F.sort_array(F.collect_list("l_partkey")).alias("basket_arr")
     )
     return (
-        baskets.groupBy("basket")
+        baskets.groupBy("basket_arr")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .select(
+            F.array_join(
+                F.col("basket_arr").cast("array<string>"), ","
+            ).alias("basket"),
+            "n_orders",
+        )
         .orderBy(F.desc("n_orders"), "basket")
         .limit(_BASKET_TOP_N)
     )
@@ -1941,12 +1953,17 @@ frequent_baskets.__doc__ = frequent_baskets.__doc__.format(n=_BASKET_TOP_N)
 _BASKETS_SQL = f"""
     WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     b AS (
-        SELECT l_orderkey, list_sort(list(l_partkey)) AS basket
+        SELECT l_orderkey, list_sort(list(l_partkey)) AS basket_arr
         FROM li GROUP BY l_orderkey
+    ),
+    g AS (
+        SELECT array_to_string(basket_arr, ',') AS basket,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM b
+        GROUP BY basket_arr
     )
-    SELECT basket, CAST(count(*) AS BIGINT) AS n_orders
-    FROM b
-    GROUP BY basket
+    SELECT basket, n_orders
+    FROM g
     ORDER BY n_orders DESC, basket
     LIMIT {_BASKET_TOP_N}
 """

@@ -217,6 +217,101 @@ _SIMHASH_SQL = r"""
 
 _SIMHASH_BANDS = 4  # 16 bits each; pigeonhole-exact for hamming <= 3
 _SIMHASH_MAX_HAMMING = 3
+#: Buckets larger than this split again on the remaining 48 bits (4
+#: sub-bands of 12): templated/short docs collapse into hot band
+#: buckets, and a flat in-bucket self-join there is O(bucket²).
+_SIMHASH_BUCKET_CAP = 64
+_SIMHASH_SUBBANDS = 4
+
+
+def _simhash_candidates(
+    sigs: DataFrame, bucket_cap: int = _SIMHASH_BUCKET_CAP
+) -> DataFrame:
+    """Distinct ``(doc_a, doc_b, bits_a, bits_b)`` candidate pairs with
+    PERFECT recall for Hamming ≤ ``_SIMHASH_MAX_HAMMING``, two-level:
+
+    Level 1: posexplode 4 disjoint 16-bit bands → buckets keyed on
+    (band_idx, band_bits). Pigeonhole: ≤3 differing bits across 4
+    bands leaves ≥1 band identical, so every qualifying pair shares a
+    bucket. Buckets at or under ``bucket_cap`` self-join flat.
+
+    Level 2 (the hot-bucket split): a bucket OVER the cap re-bands its
+    members on the remaining 48 bits — 4 sub-bands of 12 bits. For a
+    qualifying pair in that bucket, all ≤3 differing bits lie in those
+    48 bits, so pigeonhole again guarantees ≥1 identical sub-band:
+    the (band, band_bits, sub_idx, sub_bits) equi-join keeps perfect
+    recall while the verify cost drops from O(bucket²) to
+    O(Σ sub-bucket²). Recall is structural at every level — no
+    tuning knob trades it away; ``bucket_cap`` trades only fan-out
+    (4× rows for hot-bucket members) against join width.
+    """
+    band_w = 64 // _SIMHASH_BANDS
+    bands = sigs.select(
+        "doc_id",
+        "simhash_bits",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("simhash_bits", b * band_w + 1, band_w)
+                    for b in range(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_bits"),
+    )
+    sizes = bands.groupBy("band_idx", "band_bits").agg(
+        F.count(F.lit(1)).alias("bucket_n")
+    )
+    sized = bands.join(sizes, ["band_idx", "band_bits"])
+    small = sized.where(F.col("bucket_n") <= bucket_cap)
+
+    def _pairs(side: DataFrame, keys: list[str]) -> DataFrame:
+        return (
+            side.alias("x")
+            .join(
+                side.alias("y"),
+                [F.col(f"x.{k}") == F.col(f"y.{k}") for k in keys]
+                + [F.col("x.doc_id") < F.col("y.doc_id")],
+                "inner",
+            )
+            .select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+                F.col("x.simhash_bits").alias("bits_a"),
+                F.col("y.simhash_bits").alias("bits_b"),
+            )
+        )
+
+    flat = _pairs(small, ["band_idx", "band_bits"])
+
+    # Hot buckets: re-band each member on the 48 bits OUTSIDE its band
+    # (positions are 1-based; band_idx is a column, so substring
+    # arithmetic goes through expr).
+    sub_w = (64 - band_w) // _SIMHASH_SUBBANDS
+    rest = F.expr(
+        f"concat(substring(simhash_bits, 1, band_idx * {band_w}),"
+        f" substring(simhash_bits, band_idx * {band_w} + {band_w} + 1,"
+        f" {64 - band_w}))"
+    )
+    subs = (
+        sized.where(F.col("bucket_n") > bucket_cap)
+        .withColumn("rest_bits", rest)
+        .select(
+            "doc_id",
+            "simhash_bits",
+            "band_idx",
+            "band_bits",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.substring("rest_bits", s * sub_w + 1, sub_w)
+                        for s in range(_SIMHASH_SUBBANDS)
+                    ]
+                )
+            ).alias("sub_idx", "sub_bits"),
+        )
+    )
+    split = _pairs(subs, ["band_idx", "band_bits", "sub_idx", "sub_bits"])
+    return flat.unionByName(split).distinct()
 
 
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -231,36 +326,20 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one map-only sketch pass (``_simhash_bits``, eagerly
     checkpointed so the 64-vote aggregation runs once, not once per
-    self-join side) → posexplode 4 band keys → shuffle on
-    (band, band_bits) → in-bucket self-join → distinct pairs → exact
+    self-join side) → two-level banded candidate join
+    (``_simhash_candidates``: flat equi-join for normal buckets, a
+    second-level 12-bit sub-band split for buckets over
+    ``_SIMHASH_BUCKET_CAP`` — templated/short docs collapse into hot
+    buckets, and the split keeps the verify cost O(Σ sub-bucket²)
+    with structurally perfect recall) → distinct pairs → exact
     Hamming verify JVM-side. Never all-pairs: at sf0.01 the bucket
     join yields ~5.4k candidates against ~1.4M possible pairs.
-
-    Scale caveat (documented, inherent): short or templated documents
-    produce low-entropy sketches that collapse into hot band buckets —
-    the verify cost is O(Σ bucket²), not O(corpus²). The production
-    remedy is a second-level split of oversized buckets on the other
-    48 bits; at the driver SFs bucket sizes stay small enough that the
-    flat join is the right plan.
     """
     from ..functions import spread_for_cpu
 
     sigs = _simhash_bits(
         spread_for_cpu(load_table(spark, sf_dir, "documents"))
     ).localCheckpoint()
-    band_w = 64 // _SIMHASH_BANDS
-    bands = sigs.select(
-        "doc_id",
-        "simhash_bits",
-        F.posexplode(
-            F.array(
-                *[
-                    F.substring("simhash_bits", b * band_w + 1, band_w)
-                    for b in range(_SIMHASH_BANDS)
-                ]
-            )
-        ).alias("band_idx", "band_bits"),
-    )
     hamming = F.size(
         F.filter(
             F.zip_with(
@@ -272,21 +351,7 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).cast("long")
     return (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.band_idx") == F.col("y.band_idx"))
-            & (F.col("x.band_bits") == F.col("y.band_bits"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-            "inner",
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.col("x.simhash_bits").alias("bits_a"),
-            F.col("y.simhash_bits").alias("bits_b"),
-        )
-        .distinct()
+        _simhash_candidates(sigs)
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
     )
@@ -987,16 +1052,30 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency is in [{df_min}, {df_max}], self-join the tiny postings
     within each rare shingle (fan-out ≤ df_max²/2 per shingle — the
     hot-key blowup of common shingles is filtered BEFORE the join, the
-    standard inverted-index trick), distinct the pairs, then join the
-    full shingle arrays back for the exact intersection. No all-pairs
-    anywhere; every stage is an equi-join or hash agg, so the shape
-    survives 100 TB (postings of rare shingles grow linearly with the
-    corpus while the df cap keeps per-key work constant).
+    standard inverted-index trick), then distinct the pairs.
+
+    The exact intersection is computed WITHOUT shipping shingle arrays
+    (r9 finding: joining both full arrays back per pair moves
+    candidates × |array| bytes through the shuffle): each pair explodes
+    only its SMALLER side's (doc, shingle) rows, equi-joins them against
+    the exploded index on (large-doc, shingle) — a high-cardinality
+    composite key, no hot keys — and the join OUTPUT is exactly the
+    |∩| matching rows, counted per pair. Bytes shuffled scale with
+    Σ min(|S(a)|,|S(b)|) into the probe and |∩| out of it, not with
+    candidates × full-array size. Per-doc shingle counts come from a
+    per-doc hash agg joined back by key. No all-pairs anywhere; every
+    stage is an equi-join or hash agg, so the shape survives 100 TB
+    (postings of rare shingles grow linearly with the corpus while the
+    df cap keeps per-key work constant).
 
     Integer-exact output: containment in permille via BIGINT div;
     subset_dup flags max-side containment ≥ {flag}‰.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from ..functions import spread_for_cpu
+
+    # CPU-bound map (sha256 per shingle) over a small-file scan: spread
+    # across cores first or the whole shingling runs on one thread.
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"))
     toks = _tokens()
     shingles = F.array_distinct(
         F.transform(
@@ -1009,7 +1088,14 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = docs.where(F.size(toks) >= _CONT_K).select(
         "doc_id", shingles.alias("sh")
     )
-    ex = s.select("doc_id", F.explode("sh").alias("g"))
+    # The exploded (doc, shingle) index feeds FIVE consumers (doc sizes,
+    # df filter, postings, probe, matches); checkpoint it so the sha256
+    # shingling runs once, not once per consumer — at scale this is the
+    # materialized inverted index every containment system builds first.
+    ex = s.select("doc_id", F.explode("sh").alias("g")).localCheckpoint()
+    sizes = ex.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sh")
+    )
     rare = (
         ex.groupBy("g")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1030,17 +1116,47 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    joined = cand.join(sa, "doc_a").join(sb, "doc_b")
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    # Attach per-side sizes, pick the smaller side to explode (ties →
+    # doc_a, deterministic). Candidates share ≥1 rare shingle by
+    # construction, so overlap ≥ 1 and inner joins lose no pairs.
+    small_first = F.col("n_sh_a") <= F.col("n_sh_b")
+    cand_sized = (
+        cand.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_sh_a",
+            "n_sh_b",
+            F.when(small_first, F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("doc_small"),
+            F.when(small_first, F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("doc_large"),
+        )
+    )
+    probe = cand_sized.join(
+        ex.select(F.col("doc_id").alias("doc_small"), "g"), "doc_small"
+    )
+    matches = probe.join(
+        ex.select(F.col("doc_id").alias("doc_large"), "g"),
+        ["doc_large", "g"],
+    )
+    joined = matches.groupBy("doc_a", "doc_b", "n_sh_a", "n_sh_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("overlap")
+    )
     return joined.select(
-        "doc_a",
-        "doc_b",
-        F.size("sh_a").cast("bigint").alias("n_sh_a"),
-        F.size("sh_b").cast("bigint").alias("n_sh_b"),
-        inter.cast("bigint").alias("overlap"),
-    ).select(
         "doc_a",
         "doc_b",
         "n_sh_a",

@@ -13,10 +13,18 @@ variance under background load (BASELINE.md addendum), so a single
 sample per query made the round number hostage to scheduler luck. Each
 query now runs up to $SPARK_GRAFT_BENCH_RUNS passes (default 3) and
 reports the per-query MEDIAN; the headline "value" is the sum of
-medians. Pass 1 always covers every query; later passes start only
-while the $SPARK_GRAFT_BENCH_BUDGET_SEC wall budget (default 900 s)
-has room, so a slow host degrades gracefully toward the old
-single-sample behavior instead of timing out.
+medians. Pass 1 always covers every query; later passes run inside
+the $SPARK_GRAFT_BENCH_BUDGET_SEC wall budget (default 2400 s).
+
+Budget degradation (round 10): the 237-query registry outgrew the old
+900 s budget — pass 1 alone took 570 s, so BENCH_r09 silently fell
+back to ONE cold pass and every number carried cold-JVM/codegen noise.
+Two fixes: the default budget now fits 3 full passes with headroom,
+and when a full pass no longer fits, later passes degrade to a
+PARTIAL pass over the most expensive queries (descending last-sample
+cost, per-query budget gate) instead of being skipped — the heavy
+queries carry the perf signal, so they are the ones that must keep
+their medians when the wall closes in.
 """
 
 from __future__ import annotations
@@ -73,22 +81,34 @@ def main() -> None:
     spark.catalog.clearCache()
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "900"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "2400"))
     samples: dict[str, list[float]] = {name: [] for name in qs}
     bench_t0 = time.perf_counter()
     passes_done = 0
+    partial_passes = 0
     last_pass_sec = 0.0
     for _ in range(max(1, n_runs)):
-        # Duration-aware pass gate: start another pass only if it is
+        remaining = budget - (time.perf_counter() - bench_t0)
+        # Duration-aware pass gate: a FULL pass starts only if it is
         # PREDICTED to finish inside the wall budget (estimate = the
-        # previous pass's duration). The old elapsed-only gate let a
-        # growing registry start a pass at budget-minus-epsilon and blow
-        # straight through the wall; this degrades to fewer passes
-        # instead.
-        if passes_done >= 1 and (
-            time.perf_counter() - bench_t0 + last_pass_sec > budget
-        ):
-            break
+        # previous pass's duration). When a full pass no longer fits,
+        # degrade to a PARTIAL pass over the most expensive queries
+        # (descending last-sample cost) with a per-query gate — the
+        # heavy queries dominate both the headline sum and the noise,
+        # so they keep their medians when the wall closes in.
+        partial = passes_done >= 1 and last_pass_sec > remaining
+        if partial:
+            # Keep ~5% headroom for the per-pass eviction preamble and
+            # session hygiene between queries.
+            if remaining <= 0.05 * budget:
+                break
+            # Estimate each query by its last sample; run expensive
+            # first, the in-loop gate skips whatever doesn't fit.
+            run_order = sorted(
+                qs, key=lambda n: -(samples[n][-1] if samples[n] else 0.0)
+            )
+        else:
+            run_order = list(qs)
         pass_t0 = time.perf_counter()
         # The three pipeline_* queries share one cached demo-orchestrator
         # run per process (they read different layers of the same
@@ -106,7 +126,12 @@ def main() -> None:
         mlprep.evict_cluster_cache()
         # Same contract for the shared co-purchase edge table.
         mlprep.evict_affinity_cache()
-        for name, fn in qs.items():
+        for name in run_order:
+            if partial:
+                est = samples[name][-1] if samples[name] else 0.0
+                if time.perf_counter() - bench_t0 + est > budget:
+                    continue  # this one doesn't fit; a cheaper one may
+            fn = qs[name]
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
@@ -121,7 +146,10 @@ def main() -> None:
             gc.collect()
             spark.sparkContext._jvm.System.gc()
         passes_done += 1
-        last_pass_sec = time.perf_counter() - pass_t0
+        if partial:
+            partial_passes += 1
+        else:
+            last_pass_sec = time.perf_counter() - pass_t0
 
     total = 0.0
     for name, ss in samples.items():
@@ -148,6 +176,7 @@ def main() -> None:
         "queries": timings,
         "samples": {n: [round(s, 3) for s in ss] for n, ss in samples.items()},
         "passes": passes_done,
+        "partial_passes": partial_passes,
         "wall_sec": round(wall, 3),
         "sf": sf_val,
     }

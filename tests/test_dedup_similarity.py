@@ -190,3 +190,58 @@ def test_simhash_banding_is_exhaustive_for_hamming_le_3(spark, tmp_path):
             truth[(a, b)] = h
     assert truth, "planted clones must produce a non-empty truth set"
     assert got == truth
+
+
+def test_simhash_hot_bucket_split_keeps_recall_and_bounds_candidates(spark):
+    """The second-level bucket split behind simhash_hamming_pairs:
+    templated docs collapse into one hot band bucket, and a flat
+    in-bucket self-join there is O(bucket²). Plant a hot bucket — many
+    signatures sharing band 0's 16 bits but spread across the other 48
+    — plus a few true near-dup pairs, and assert:
+
+    1. recall stays PERFECT (candidates ⊇ every brute-force hamming≤3
+       pair) — the pigeonhole argument survives the split;
+    2. the candidate count is far below the flat bucket²/2 join —
+       the split actually restrains the hot bucket.
+    """
+    import itertools
+    import random
+
+    from azure_sales_etl_pipeline_spark.plans.dedup import (
+        _SIMHASH_MAX_HAMMING,
+        _simhash_candidates,
+    )
+
+    rng = random.Random(23)
+    shared_band = "1010110011010011"  # all docs share band 0 → one hot bucket
+    sigs = {}
+    n_hot = 200
+    for i in range(n_hot):
+        rest = "".join(rng.choice("01") for _ in range(48))
+        sigs[i] = shared_band + rest
+    # plant true near-dups: clone + flip <=3 bits inside the rest
+    for j, base in enumerate(range(0, 40, 10)):
+        clone = list(sigs[base])
+        for pos in rng.sample(range(16, 64), j):  # j = 0..3 flipped bits
+            clone[pos] = "1" if clone[pos] == "0" else "0"
+        sigs[n_hot + j] = "".join(clone)
+
+    truth = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if sum(x != y for x, y in zip(sigs[a], sigs[b])) <= _SIMHASH_MAX_HAMMING
+    }
+    assert len(truth) >= 4, "planted flips must land in the truth set"
+
+    df = spark.createDataFrame(
+        [(k, v) for k, v in sigs.items()], "doc_id long, simhash_bits string"
+    )
+    cap = 64
+    cand = _simhash_candidates(df, bucket_cap=cap).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in cand}
+    assert truth <= pairs, "split lost qualifying pairs — recall hole"
+    n = len(sigs)
+    flat_join = n * (n - 1) // 2  # what the un-split hot bucket would verify
+    assert len(pairs) < flat_join // 4, (
+        f"{len(pairs)} candidates vs flat {flat_join} — split not effective"
+    )

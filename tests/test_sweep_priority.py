@@ -30,13 +30,21 @@ def _stamped_inputs() -> list[str]:
     return list(_SWEEP_PRIORITY_INPUTS)
 
 
-def _last_seen(files: list[str]) -> dict[str, int]:
+def _last_seen(files: list[str]) -> tuple[dict[str, int], set[str]]:
+    """(last round each query was sampled, queries whose latest sample
+    FAILED). Failed queries are pinned to the FRONT by the generator —
+    ahead even of never-checked queries — so the staleness invariant
+    below must exclude them from the 'newest evidence' tier."""
     seen: dict[str, int] = {}
+    last_green: dict[str, int] = {}
     for fname in sorted(files):
         rnd = int(re.search(r"_r(\d+)\.json$", fname).group(1))
-        for name in json.load(open(REPO / fname)):
+        for name, rec in json.load(open(REPO / fname)).items():
             seen[name] = max(seen.get(name, 0), rnd)
-    return seen
+            if sweep_priority._green(rec):
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    failed = {n for n, r in seen.items() if last_green.get(n, 0) < r}
+    return seen, failed
 
 
 def test_order_covers_registry_and_fronts_stale_entries():
@@ -47,13 +55,21 @@ def test_order_covers_registry_and_fronts_stale_entries():
     order = sweep_priority.compute_order(inputs)
     assert sorted(order) == sorted(queries)
 
-    seen = _last_seen(inputs)
+    seen, failed = _last_seen(inputs)
     pos = {n: i for i, n in enumerate(order)}
     never = [n for n in order if n not in seen]
-    newest = [n for n, r in seen.items() if r == max(seen.values()) and n in pos]
+    newest = [
+        n
+        for n, r in seen.items()
+        if r == max(seen.values()) and n in pos and n not in failed
+    ]
     if never and newest:
-        # every never-checked query sorts before every newest-evidence query
+        # every never-checked query sorts before every newest-GREEN query
         assert max(pos[n] for n in never) < min(pos[n] for n in newest)
+    # a query whose latest sample failed is pinned ahead of everything
+    for n in failed:
+        if n in pos and never:
+            assert pos[n] < min(pos[m] for m in never)
 
 
 def test_checked_in_file_matches_generator():
