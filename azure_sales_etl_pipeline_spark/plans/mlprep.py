@@ -956,7 +956,13 @@ def supplier_copurchase_pagerank(
     )
     cut = _lineage_cutter(spark, checkpoint_dir)
     edges = cut(edges)
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # outdeg is consumed twice per round (contrib join + dangling
+    # anti-join) plus once at the end: materialize the tiny per-src
+    # count table once instead of re-aggregating the edge table 7×
+    # (r9 verdict item 3 — measured ~0.5-0.7 s per re-aggregation at
+    # sf0.1; at scale this is the degree table every PageRank system
+    # materializes next to its edge list).
+    outdeg = cut(edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
     nodes = load_table(spark, sf_dir, "supplier").select("s_suppkey")
     n_nodes = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
     rank = nodes.withColumn("rank_micro", F.lit(_PR_SCALE).cast("bigint"))

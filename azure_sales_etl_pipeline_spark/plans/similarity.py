@@ -516,14 +516,25 @@ _NEAR_DUP_SQL = """
 # ---------------------------------------------------------------------------
 
 _IVF_K = 16  # centroid count (√N-ish for the test corpus; tune per corpus)
-_IVF_PROBES = 6  # nearest centroid lists searched per query (multi-probe:
-# 4 → 6 lifted recall-vs-bruteforce 0.54 → 0.74 at sf0.01 and 0.68 → 0.84
-# at sf0.001, letting the ann_recall_check gate tighten 0.4 → 0.6 —
-# r8 verdict item 6; candidates stay bucket-restricted, cost ~probes/k)
-_IVF_ITERS = 1  # Lloyd iterations (deterministic seeds → deterministic index;
-# one iteration already moves the strided seeds to their cluster means —
-# precision vs brute force stays ≥ the pytest floor, and each extra
-# iteration is a full assign+reduce job over the corpus)
+_IVF_PROBES = 10  # nearest centroid lists searched per query (multi-probe;
+# candidates stay bucket-restricted, cost ~probes/k of the corpus)
+_IVF_ITERS = 2  # Lloyd iterations (deterministic seeds → deterministic index;
+# each iteration is one assign+reduce job over the corpus, and the
+# oracle unrolls the same number of integer-exact rounds — the pagerank
+# CTE-layers idiom — r9 verdict item 8).
+# Measured recall-vs-bruteforce across the (iters, probes) grid, at
+# sf0.001/sf0.01/sf0.1:
+# (1, 6)  = 0.84/0.74/—    (the r8 configuration);
+# (2, 6)  = 0.86/0.70/—    — better clustering TIGHTENS lists, so
+#           borderline neighbors fall outside a fixed probe budget and
+#           sf0.01 recall DROPS;
+# (2, 8)  = 0.88/0.86/0.76 — probes must grow with cluster quality;
+# (2, 10) = 0.90/0.90/0.86 — clears ann_recall_check's 0.8 IVF gate at
+#           every SF. 10/16 lists is an honest small-k setting; the
+#           synthetic embeddings have weak cluster structure, so
+#           selectivity is limited at k=16. At corpus scale, k grows
+#           ~√N (the oracle's CTEs are generated from _IVF_K, so the
+#           constant is the only thing to change) and probes/k falls.
 
 
 _IVF_SCALE = 1_000_000  # micro-unit quantization for the coarse quantizer:
@@ -756,10 +767,53 @@ def ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lloyd_rounds_sql(src: str, iters: int, d: int) -> tuple[str, str]:
+    """CTE text for ``iters`` integer-Lloyd rounds over training table
+    ``src`` (columns vec_id, q), starting from a ``seeds`` CTE
+    (cid, sq). Returns (cte_chunk, final_centroid_table) where the
+    final table has (cid, cq). Each round: exact squared-L2 argmin
+    assignment with (dist, cid) tie-break → truncating integer per-dim
+    means; an EMPTY cluster keeps its previous centroid (LEFT JOIN +
+    coalesce), matching ``_train_centroids``' fallback exactly. The
+    unrolled layers are the same idiom as pagerank's CTE rounds —
+    what keeps a multi-iteration index VALUE-oracled."""
+    parts = [f"lloyd_c0 AS (SELECT cid, sq AS cq FROM seeds)"]
+    prev = "lloyd_c0"
+    for t in range(iters):
+        parts.append(f"""lloyd_d{t} AS (
+        SELECT c.vec_id, t.cid,
+               list_sum(list_transform(range(1, {d + 1}),
+                   i -> (c.q[i] - t.cq[i]) * (c.q[i] - t.cq[i]))) AS d2
+        FROM {src} c, {prev} t
+    )""")
+        parts.append(f"""lloyd_a{t} AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM lloyd_d{t}) WHERE rn = 1
+    )""")
+        parts.append(f"""lloyd_m{t} AS (
+        SELECT a.cid, dd.dim, CAST(sum(c.q[dd.dim]) // count(*) AS BIGINT) AS cv
+        FROM lloyd_a{t} a JOIN {src} c USING (vec_id),
+             (SELECT unnest(range(1, {d + 1})) AS dim) dd
+        GROUP BY a.cid, dd.dim
+    )""")
+        parts.append(f"""lloyd_c{t + 1} AS (
+        SELECT p.cid, coalesce(n.cq, p.cq) AS cq
+        FROM {prev} p LEFT JOIN (
+            SELECT cid, list(cv ORDER BY dim) AS cq
+            FROM lloyd_m{t} GROUP BY cid) n USING (cid)
+    )""")
+        prev = f"lloyd_c{t + 1}"
+    return ",\n    ".join(parts), prev
+
+
 def _ivf_maint_sql() -> str:
     """DuckDB replay of ``ivf_index_maintenance``: train on the even
-    batch, freeze, assign everything, integer per-cluster report."""
+    batch (``_IVF_ITERS`` unrolled Lloyd rounds), freeze, assign
+    everything, integer per-cluster report."""
     k, s, d = _IVF_K, _IVF_SCALE, _EMB_DIM
+    lloyd, cents = _lloyd_rounds_sql("a", _IVF_ITERS, d)
     return f"""
     WITH base AS (
         SELECT vec_id,
@@ -776,30 +830,12 @@ def _ivf_maint_sql() -> str:
         ORDER BY vec_id
         LIMIT {k}
     ),
-    d0 AS (
-        SELECT c.vec_id, se.cid,
-               list_sum(list_transform(range(1, {d + 1}),
-                   i -> (c.q[i] - se.sq[i]) * (c.q[i] - se.sq[i]))) AS d2
-        FROM a c, seeds se
-    ),
-    a0 AS (
-        SELECT vec_id, cid FROM (
-            SELECT vec_id, cid,
-                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-            FROM d0) WHERE rn = 1
-    ),
-    cent AS (
-        SELECT a0.cid, dd.dim, CAST(sum(c.q[dd.dim]) // count(*) AS BIGINT) AS cv
-        FROM a0 JOIN a c USING (vec_id),
-             (SELECT unnest(range(1, {d + 1})) AS dim) dd
-        GROUP BY a0.cid, dd.dim
-    ),
-    cents AS (SELECT cid, list(cv ORDER BY dim) AS cq FROM cent GROUP BY cid),
+    {lloyd},
     d1 AS (
         SELECT b.vec_id, t.cid,
                list_sum(list_transform(range(1, {d + 1}),
                    i -> (b.q[i] - t.cq[i]) * (b.q[i] - t.cq[i]))) AS d2
-        FROM base b, cents t
+        FROM base b, {cents} t
     ),
     assign AS (
         SELECT vec_id, cid AS cluster, CAST(d2 AS BIGINT) AS d2 FROM (
@@ -828,15 +864,16 @@ _IVF_MAINT_SQL = _ivf_maint_sql()
 
 
 def _ann_ivf_sql() -> str:
-    """DuckDB replay of the ENTIRE IVF pipeline — strided seeds, one
-    integer-Lloyd iteration, final assignment, multi-probe selection,
-    exact cosine re-rank. Valid for _IVF_ITERS == 1 (asserted); every
-    step before the re-rank is BIGINT arithmetic both engines compute
-    identically (floor-quantized coordinates, truncating integer-mean
-    centroids, exact squared-L2 argmins with (dist, cid) tie-break)."""
-    assert _IVF_ITERS == 1, "oracle replays exactly one Lloyd iteration"
+    """DuckDB replay of the ENTIRE IVF pipeline — strided seeds,
+    ``_IVF_ITERS`` unrolled integer-Lloyd rounds (``_lloyd_rounds_sql``),
+    final assignment, multi-probe selection, exact cosine re-rank.
+    Every step before the re-rank is BIGINT arithmetic both engines
+    compute identically (floor-quantized coordinates, truncating
+    integer-mean centroids, exact squared-L2 argmins with (dist, cid)
+    tie-break)."""
     k, p, nq, topk, s = _IVF_K, _IVF_PROBES, _N_QUERIES, _TOP_K, _IVF_SCALE
     d = _EMB_DIM
+    lloyd, cents = _lloyd_rounds_sql("corpus", _IVF_ITERS, d)
     return f"""
     WITH corpus AS (
         SELECT vec_id, label, embedding::DOUBLE[] AS vec,
@@ -852,30 +889,12 @@ def _ann_ivf_sql() -> str:
         ORDER BY vec_id
         LIMIT {k}
     ),
-    d0 AS (
-        SELECT c.vec_id, se.cid,
-               list_sum(list_transform(range(1, {d + 1}),
-                   i -> (c.q[i] - se.sq[i]) * (c.q[i] - se.sq[i]))) AS d2
-        FROM corpus c, seeds se
-    ),
-    a0 AS (
-        SELECT vec_id, cid FROM (
-            SELECT vec_id, cid,
-                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-            FROM d0) WHERE rn = 1
-    ),
-    cent AS (
-        SELECT a0.cid, dd.dim, CAST(sum(c.q[dd.dim]) // count(*) AS BIGINT) AS cv
-        FROM a0 JOIN corpus c USING (vec_id),
-             (SELECT unnest(range(1, {d + 1})) AS dim) dd
-        GROUP BY a0.cid, dd.dim
-    ),
-    cents AS (SELECT cid, list(cv ORDER BY dim) AS cq FROM cent GROUP BY cid),
+    {lloyd},
     d1 AS (
         SELECT c.vec_id, t.cid,
                list_sum(list_transform(range(1, {d + 1}),
                    i -> (c.q[i] - t.cq[i]) * (c.q[i] - t.cq[i]))) AS d2
-        FROM corpus c, cents t
+        FROM corpus c, {cents} t
     ),
     assign AS (
         SELECT vec_id, cid AS cluster FROM (
@@ -894,7 +913,7 @@ def _ann_ivf_sql() -> str:
             SELECT qs.query_id, t.cid,
                    list_sum(list_transform(range(1, {d + 1}),
                        i -> (qs.qq[i] - t.cq[i]) * (qs.qq[i] - t.cq[i]))) AS d2
-            FROM qset qs, cents t)
+            FROM qset qs, {cents} t)
     ),
     probes AS (SELECT query_id, cid AS cluster FROM qd WHERE rn <= {p}),
     cand AS (
@@ -1056,12 +1075,13 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible recall gate for the probabilistic ANN paths (the
     hll_accuracy_check pattern applied to retrieval): overlap of the
     LSH-forest and IVF top-k with the exact brute-force top-k, reduced
-    to booleans at 0.6 (measured LSH 0.74/0.66 and IVF 0.84/0.74 at
-    sf0.001/sf0.01 with 6-probe IVF — gate tightened from 0.4 in r9;
-    all three pipelines are deterministic — seeded hyperplanes, seeded
-    centroids — so the booleans are stable, not flaky). The oracle
-    asserts the expected outcome, so a silent retrieval regression
-    breaks the driver's hash instead of hiding in a rows-only row.
+    to booleans — LSH at 0.6 (measured 0.74/0.66 at sf0.001/sf0.01),
+    IVF at 0.8 (measured 0.88/0.86 with 2 Lloyd rounds + 8 probes —
+    gate tightened from 0.6 in r10; all three pipelines are
+    deterministic — seeded hyperplanes, seeded centroids — so the
+    booleans are stable, not flaky). The oracle asserts the expected
+    outcome, so a silent retrieval regression breaks the driver's hash
+    instead of hiding in a rows-only row.
 
     The three pipelines all scan the same embeddings table; caching the
     scan once lets Spark's cache manager substitute the InMemoryRelation
@@ -1096,7 +1116,7 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.agg(
         F.countDistinct("query_id").alias("n_queries"),
         (F.count("lsh_hit") / F.count(F.lit(1)) >= 0.6).alias("lsh_recall_ok"),
-        (F.count("ivf_hit") / F.count(F.lit(1)) >= 0.6).alias("ivf_recall_ok"),
+        (F.count("ivf_hit") / F.count(F.lit(1)) >= 0.8).alias("ivf_recall_ok"),
     )
 
 
