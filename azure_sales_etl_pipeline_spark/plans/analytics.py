@@ -2768,10 +2768,13 @@ def priority_lift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     lift_permille = (1000·pos_bin·N) div (n_bin·POS)."""
     orders = load_table(spark, sf_dir, "orders")
     base = orders.select(
-        (
-            F.floor(F.col("o_totalprice") * 100).cast("bigint")
-            / F.lit(_LIFT_BIN_CENTS)
-        ).cast("bigint").alias("bin_id"),
+        # Integer `div` by construction (r9 advice): float `/` +
+        # cast-truncation was only incidentally equivalent (non-negative
+        # prices, quotients far from double rounding edges); `div`
+        # matches the oracle's `//` exactly with no precondition.
+        F.expr(f"floor(o_totalprice * 100) div {_LIFT_BIN_CENTS}").alias(
+            "bin_id"
+        ),
         F.col("o_orderpriority").isin(*_AUC_POS).cast("bigint").alias("pos"),
     )
     bins = base.groupBy("bin_id").agg(
@@ -2790,10 +2793,18 @@ def priority_lift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
             "n_priority",
             F.expr("(1000 * n_priority) div n_orders").alias("rate_permille"),
+            # DECIMAL(38,0) for the cross-products (the gini idiom):
+            # 1000·n_priority·n_total exceeds int64 around 3e7 orders
+            # per bin at a 3e9-order table — far below the claimed
+            # scale. `div` on decimals is an exact integer quotient on
+            # both engines, so exactness is preserved, not just
+            # overflow-safety (r9 advice item 2).
             F.expr(
                 "CASE WHEN pos_total = 0 THEN NULL"
-                " ELSE (1000 * n_priority * n_total)"
-                "      div (n_orders * pos_total) END"
+                " ELSE CAST((1000 * CAST(n_priority AS DECIMAL(38,0))"
+                "            * n_total)"
+                "      div (CAST(n_orders AS DECIMAL(38,0)) * pos_total)"
+                "      AS BIGINT) END"
             ).alias("lift_permille"),
         )
     )
@@ -2823,8 +2834,9 @@ _LIFT_SQL = f"""
            n_orders, n_priority,
            (1000 * n_priority) // n_orders AS rate_permille,
            CASE WHEN pos_total = 0 THEN NULL
-                ELSE (1000 * n_priority * n_total)
-                     // (n_orders * pos_total) END AS lift_permille
+                ELSE CAST((1000 * CAST(n_priority AS HUGEINT) * n_total)
+                     // (CAST(n_orders AS HUGEINT) * pos_total)
+                     AS BIGINT) END AS lift_permille
     FROM bins, tot
 """
 
@@ -2865,9 +2877,15 @@ def priority_status_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
             "o_orderstatus",
             "observed",
-            F.expr("(1000 * row_tot * col_tot) div n_tot").alias(
-                "expected_milli"
-            ),
+            # DECIMAL(38,0) widening (gini idiom): 1000·row_tot·col_tot
+            # exceeds int64 once row_tot·col_tot > ~9.2e15 (≈4e8 orders
+            # with these margins) — an ANSI ARITHMETIC_OVERFLOW at the
+            # claimed scale; the quotient itself stays ≤1000·n_tot and
+            # fits BIGINT (r9 advice item 2).
+            F.expr(
+                "CAST((1000 * CAST(row_tot AS DECIMAL(38,0)) * col_tot)"
+                " div n_tot AS BIGINT)"
+            ).alias("expected_milli"),
             F.expr(
                 "CAST(floor("
                 " ((CAST(observed AS DOUBLE)"
@@ -2900,7 +2918,8 @@ _CHISQ_SQL = """
     ),
     nt AS (SELECT CAST(sum(observed) AS BIGINT) AS n_tot FROM cells)
     SELECT c.o_orderpriority, c.o_orderstatus, c.observed,
-           (1000 * rt.row_tot * ct.col_tot) // nt.n_tot AS expected_milli,
+           CAST((1000 * CAST(rt.row_tot AS HUGEINT) * ct.col_tot)
+                // nt.n_tot AS BIGINT) AS expected_milli,
            CAST(floor(
                ((CAST(c.observed AS DOUBLE)
                  - CAST(rt.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE)

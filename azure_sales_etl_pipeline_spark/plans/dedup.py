@@ -1286,11 +1286,24 @@ def record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     outscore a pair that merely shares a rare token.
 
     u-probabilities are ESTIMATED FROM THE DATA (chance agreement =
-    Σ n_v²/N², the standard frequency-based u), so the weights table is
-    a 4-row aggregate computed in the same job — at 100 TB it is the
-    same two-column scans as [[functional_dependency_audit]], and the
-    weights broadcast as one wide row. Candidate pairs are head-noun
-    blocked (the [[fuzzy_name_pairs]] contract: never all-pairs).
+    Σ n_v²/N², the standard frequency-based u; the per-value count
+    squares accumulate in DECIMAL(38,0) — a BIGINT cnt² overflows once
+    a value covers ~3e9 rows, plausible for low-cardinality fields at
+    scale), so the weights table is a 4-row aggregate computed in the
+    same job — at 100 TB it is the same two-column scans as
+    [[functional_dependency_audit]], and the weights broadcast as one
+    wide row.
+
+    Candidate pairs come from TWO-PASS COMPOUND BLOCKING — equi-joins
+    on (head-noun block, size) and (head-noun block, brand), unioned
+    and deduped (the multi-pass blocking every production FS matcher
+    runs): the head noun alone has ~92 distinct values, so a
+    single-key block grows candidates as n²/92 — effectively quadratic
+    (r9 advice item 3). The compound keys multiply the block count by
+    each second field's cardinality, and BOTH passes shuffle on their
+    full compound key, never on the hot single key. The documented
+    recall trade: a pair must agree on size OR brand (in addition to
+    the block) to be scored at all.
 
     Integer-exact end to end: each weight quantizes to BIGINT micronats
     ONCE via the portable series ln (floor before any sum — order-free
@@ -1306,7 +1319,9 @@ def record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(
                 F.lit(field).alias("field"),
                 F.lit(m).alias("m"),
-                F.sum(F.col("cnt") * F.col("cnt")).alias("sum_sq"),
+                F.sum(
+                    F.col("cnt").cast("decimal(38,0)") * F.col("cnt")
+                ).alias("sum_sq"),
                 F.sum("cnt").alias("n"),
             )
         )
@@ -1329,13 +1344,41 @@ def record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = parts.alias("a")
     b = parts.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.block") == F.col("b.block"))
-        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
-    ).crossJoin(F.broadcast(wide))
+
+    def _block_pass(second_key: str) -> DataFrame:
+        # Full compound equi-key (block, second_key) — Catalyst keys
+        # the shuffle on both columns, so no single hot block value
+        # concentrates the join.
+        return a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col(f"a.{second_key}") == F.col(f"b.{second_key}"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        ).select(
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+        )
+
+    cand = _block_pass("size").unionByName(_block_pass("brand")).distinct()
+    pairs = (
+        cand.join(
+            parts.select(
+                F.col("p_partkey").alias("part_a"),
+                *[F.col(f).alias(f"a_{f}") for f, _ in _RL_FIELDS],
+            ),
+            "part_a",
+        )
+        .join(
+            parts.select(
+                F.col("p_partkey").alias("part_b"),
+                *[F.col(f).alias(f"b_{f}") for f, _ in _RL_FIELDS],
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(wide))
+    )
     agree = {
-        field: (F.col(f"a.{field}") == F.col(f"b.{field}")).cast("bigint")
+        field: (F.col(f"a_{field}") == F.col(f"b_{field}")).cast("bigint")
         for field, _ in _RL_FIELDS
     }
     score = None
@@ -1346,8 +1389,8 @@ def record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         score = term if score is None else score + term
     return (
         pairs.select(
-            F.col("a.p_partkey").alias("part_a"),
-            F.col("b.p_partkey").alias("part_b"),
+            "part_a",
+            "part_b",
             *[agree[field].alias(f"agree_{field}") for field, _ in _RL_FIELDS],
             score.alias("score_micronats"),
         )
@@ -1369,7 +1412,7 @@ def _rl_sql() -> str:
         freq_legs.append(
             f"""
         SELECT '{field}' AS field, {_dlit(m)} AS m,
-               CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq,
+               sum(CAST(cnt AS HUGEINT) * cnt) AS sum_sq,
                CAST(sum(cnt) AS BIGINT) AS n
         FROM (SELECT count(*) AS cnt FROM p GROUP BY {field})"""
         )
@@ -1411,11 +1454,22 @@ def _rl_sql() -> str:
     freq AS ({freq}
     ),{wa_stage},
     w AS (SELECT {wide_cols} FROM weights),
+    cand AS (
+        SELECT a.p_partkey AS part_a, b.p_partkey AS part_b
+        FROM p a JOIN p b ON a.block = b.block AND a.size = b.size
+                         AND a.p_partkey < b.p_partkey
+        UNION
+        SELECT a.p_partkey, b.p_partkey
+        FROM p a JOIN p b ON a.block = b.block AND a.brand = b.brand
+                         AND a.p_partkey < b.p_partkey
+    ),
     scored AS (
-        SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+        SELECT cand.part_a, cand.part_b,
            {agree_cols},
            {score} AS score_micronats
-        FROM p a JOIN p b ON a.block = b.block AND a.p_partkey < b.p_partkey
+        FROM cand
+        JOIN p a ON a.p_partkey = cand.part_a
+        JOIN p b ON b.p_partkey = cand.part_b
         CROSS JOIN w
     )
     SELECT *,
