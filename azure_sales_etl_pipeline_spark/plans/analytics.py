@@ -2937,6 +2937,145 @@ _CHISQ_SQL = """
 """
 
 
+_KS_RANGES = 16  # prefix-sum range partitions (token_budget_shards idiom)
+
+
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic between the order-
+    value distributions of urgent/high-priority orders (sample A) and
+    the rest (sample B) — the nonparametric whole-distribution drift
+    test that completes the comparison toolkit: [[drift_psi]] needs a
+    binning choice and misses within-bin shape; [[order_priority_auc]]
+    (= Mann-Whitney U) measures stochastic ordering only. KS is the
+    max CDF gap — sensitive to ANY distributional difference, binning-
+    free, and the classic train-vs-serve feature-drift gate.
+
+    Integer-exact: at each distinct value v (price in exact cents),
+    D(v)·n_a·n_b = |cumA(v)·n_b − cumB(v)·n_a| — all-BIGINT cross-
+    multiplication (widened to DECIMAL(38,0): the product reaches
+    n_a·n_b, past int64 at ~3e9 rows/side), so the max and its argmax
+    (smallest value attaining it, a deterministic tie-break) are exact
+    on both engines; ks_permille = 1000·max div (n_a·n_b).
+
+    Scale: one hash agg to the distinct-value grain (conditional
+    counts for both samples in the same pass), then the running CDFs
+    via the two-phase distributed prefix sum (range-repartition on
+    value → partition-local window → triangular-join offsets,
+    ``mlprep._prefix_offsets``) — never a single-partition global
+    window; the final max is a 1-row aggregate."""
+    from pyspark.sql.window import Window as W
+
+    from .mlprep import _prefix_offsets
+
+    orders = load_table(spark, sf_dir, "orders")
+    vals = (
+        orders.select(
+            F.expr("floor(o_totalprice * 100)").alias("v_cents"),
+            F.col("o_orderpriority").isin(*_AUC_POS).alias("is_a"),
+        )
+        .groupBy("v_cents")
+        .agg(
+            F.sum(F.when(F.col("is_a"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("cnt_a"),
+            F.sum(F.when(~F.col("is_a"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("cnt_b"),
+        )
+    )
+    # Pin the (pid, row) layout — same materialization discipline as
+    # token_budget_shards: the window branch and the totals branch must
+    # see the SAME sampled range boundaries.
+    ranged = (
+        vals.repartitionByRange(_KS_RANGES, "v_cents")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w = W.partitionBy("pid").orderBy("v_cents").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    staged = ranged.withColumn("lc_a", F.sum("cnt_a").over(w)).withColumn(
+        "lc_b", F.sum("cnt_b").over(w)
+    )
+    totals = ranged.groupBy("pid").agg(
+        F.sum("cnt_a").alias("pa"), F.sum("cnt_b").alias("pb")
+    )
+    off_a = _prefix_offsets(totals, "pa").withColumnRenamed("offset", "off_a")
+    off_b = _prefix_offsets(totals, "pb").withColumnRenamed("offset", "off_b")
+    n = vals.agg(
+        F.sum("cnt_a").cast("bigint").alias("n_a"),
+        F.sum("cnt_b").cast("bigint").alias("n_b"),
+    )
+    d = (
+        staged.join(F.broadcast(off_a), "pid")
+        .join(F.broadcast(off_b), "pid")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "v_cents",
+            "n_a",
+            "n_b",
+            F.expr(
+                "abs(CAST(off_a + lc_a AS DECIMAL(38,0)) * n_b"
+                " - CAST(off_b + lc_b AS DECIMAL(38,0)) * n_a)"
+            ).alias("d_num"),
+        )
+    )
+    # Output d_num_max as BIGINT: ≤ n_a·n_b, which fits int64 up to
+    # ~3e9 rows per side — the DECIMAL widening above is what keeps the
+    # INTERMEDIATE cross-products ANSI-safe; min_by(v, struct(-d, v))
+    # picks the smallest value attaining the max gap (deterministic).
+    return d.groupBy("n_a", "n_b").agg(
+        F.expr("CAST(max(d_num) AS BIGINT)").alias("d_num_max"),
+        F.expr(
+            "CAST(min_by(v_cents, struct(-d_num, v_cents)) AS BIGINT)"
+        ).alias("d_at_cents"),
+        F.expr(
+            "CAST(1000 * max(d_num) div (CAST(max(n_a) AS DECIMAL(38,0))"
+            " * max(n_b)) AS BIGINT)"
+        ).alias("ks_permille"),
+    ).select("n_a", "n_b", "d_num_max", "d_at_cents", "ks_permille")
+
+
+_KS_SQL = """
+    WITH vals AS (
+        SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v_cents,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+        FROM orders GROUP BY 1
+    ),
+    n AS (
+        SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a,
+               CAST(sum(cnt_b) AS BIGINT) AS n_b
+        FROM vals
+    ),
+    cum AS (
+        SELECT v_cents,
+               sum(cnt_a) OVER (ORDER BY v_cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+               sum(cnt_b) OVER (ORDER BY v_cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+        FROM vals
+    ),
+    d AS (
+        SELECT v_cents, n_a, n_b,
+               abs(CAST(ca AS HUGEINT) * n_b
+                   - CAST(cb AS HUGEINT) * n_a) AS d_num
+        FROM cum CROSS JOIN n
+    )
+    SELECT n_a, n_b,
+           CAST(max(d_num) AS BIGINT) AS d_num_max,
+           CAST(min(CASE WHEN d_num = (SELECT max(d_num) FROM d)
+                    THEN v_cents END) AS BIGINT) AS d_at_cents,
+           CAST(1000 * max(d_num)
+                // (CAST(max(n_a) AS HUGEINT) * max(n_b)) AS BIGINT)
+               AS ks_permille
+    FROM d
+    GROUP BY n_a, n_b
+"""
+
+
 QUERIES = {
     "brand_size_price_corr": brand_size_price_corr,
     "priority_status_woe": priority_status_woe,
@@ -2979,6 +3118,7 @@ QUERIES = {
     "order_priority_auc": order_priority_auc,
     "priority_lift_bins": priority_lift_bins,
     "priority_status_chisq": priority_status_chisq,
+    "ks_two_sample": ks_two_sample,
 }
 
 ORACLES = {
@@ -3023,4 +3163,5 @@ ORACLES = {
     "order_priority_auc": _AUC_SQL,
     "priority_lift_bins": _LIFT_SQL,
     "priority_status_chisq": _CHISQ_SQL,
+    "ks_two_sample": _KS_SQL,
 }

@@ -1091,11 +1091,170 @@ def _fd_audit_sql() -> str:
     return "\n    UNION ALL".join(legs)
 
 
+_T_CLOSE_PERMILLE = 250  # EMD threshold: class dist > 0.25 from global
+
+
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third leg of the privacy triad ([[k_anonymity_audit]],
+    [[l_diversity_audit]]): l-diversity is defeated by SKEW — a class
+    can hold l distinct sensitive values yet still leak if its
+    distribution differs sharply from the table's (a class that is 95%
+    'high balance' tells an attacker plenty even with 2 distinct
+    bands). t-CLOSENESS requires each class's sensitive distribution
+    to sit within distance t of the global one; for an ORDERED
+    sensitive attribute the distance is the Earth Mover's Distance,
+    which for m equally-spaced ordered bins is
+    EMD = Σᵢ |CumP(i) − CumQ(i)| / (m−1) (Li, Li & Venkatasubramanian,
+    ICDE'07). Quasi-identifiers: (nation, market segment); sensitive:
+    the $1000 account-balance band.
+
+    Integer-exact: per-band cumulative counts cross-multiply instead
+    of dividing — |cum_class·N − cum_global·n_class| in DECIMAL(38,0)
+    (the product reaches n_class·N, past int64 at scale), summed, then
+    t_permille = 1000·Σ div ((m−1)·n_class·N). Every class walks the
+    SAME dense band grid (classes × global band dim, absent bands
+    count 0), so the cumulative sums align band-for-band.
+
+    Scale: one hash agg to (class, band) grain, a dense-grid cross
+    join against the tiny band dimension, a PARTITIONED cumulative
+    window (by class — never a global window; the global cumulative
+    lives on the m-row band dim via a triangular join, the
+    ``_prefix_offsets`` idiom), one per-class re-agg. Output is one
+    row per class — bounded by the QI-grid cardinality, not the table.
+    """
+    from pyspark.sql.window import Window as W
+
+    customers = load_table(spark, sf_dir, "customer")
+    base = customers.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("band"),
+    )
+    cell = base.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    bands = cell.select("band").distinct()
+    classes = cell.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("cnt").cast("bigint").alias("n_class")
+    )
+    # Global per-band counts and their cumulative — triangular join on
+    # the m-row band dim, no single-partition window.
+    g = cell.groupBy("band").agg(F.sum("cnt").cast("bigint").alias("gcnt"))
+    gcum = (
+        bands.alias("x")
+        .join(g.alias("y"), F.col("y.band") <= F.col("x.band"))
+        .groupBy(F.col("x.band").alias("band"))
+        .agg(F.sum("gcnt").cast("bigint").alias("cum_g"))
+    )
+    scalars = cell.agg(
+        F.sum("cnt").cast("bigint").alias("n_total"),
+        F.countDistinct("band").cast("bigint").alias("m_bands"),
+    )
+    grid = (
+        classes.crossJoin(bands)
+        .join(cell, ["c_nationkey", "c_mktsegment", "band"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n_class",
+            "band",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        )
+    )
+    w = W.partitionBy("c_nationkey", "c_mktsegment").orderBy("band").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = grid.withColumn("cum_c", F.sum("cnt").over(w))
+    scored = (
+        cum.join(F.broadcast(gcum), "band")
+        .crossJoin(F.broadcast(scalars))
+        .groupBy("c_nationkey", "c_mktsegment", "n_class", "n_total", "m_bands")
+        .agg(
+            F.sum(
+                F.expr(
+                    "abs(CAST(cum_c AS DECIMAL(38,0)) * n_total"
+                    " - CAST(cum_g AS DECIMAL(38,0)) * n_class)"
+                )
+            ).alias("sdiff")
+        )
+    )
+    return scored.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n_class",
+        F.expr(
+            "CAST(1000 * sdiff div ((m_bands - 1)"
+            " * CAST(n_class AS DECIMAL(38,0)) * n_total) AS BIGINT)"
+        ).alias("t_permille"),
+    ).withColumn("at_risk", F.col("t_permille") >= _T_CLOSE_PERMILLE)
+
+
+_T_CLOSE_SQL = f"""
+    WITH base AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+        FROM customer
+    ),
+    cell AS (
+        SELECT c_nationkey, c_mktsegment, band,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM base GROUP BY ALL
+    ),
+    bands AS (SELECT DISTINCT band FROM cell),
+    classes AS (
+        SELECT c_nationkey, c_mktsegment, CAST(sum(cnt) AS BIGINT) AS n_class
+        FROM cell GROUP BY 1, 2
+    ),
+    g AS (SELECT band, CAST(sum(cnt) AS BIGINT) AS gcnt FROM cell GROUP BY 1),
+    gcum AS (
+        SELECT x.band, CAST(sum(y.gcnt) AS BIGINT) AS cum_g
+        FROM bands x JOIN g y ON y.band <= x.band
+        GROUP BY x.band
+    ),
+    scalars AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+               CAST(count(DISTINCT band) AS BIGINT) AS m_bands
+        FROM cell
+    ),
+    grid AS (
+        SELECT c.c_nationkey, c.c_mktsegment, c.n_class, b.band,
+               coalesce(cl.cnt, 0) AS cnt
+        FROM classes c
+        CROSS JOIN bands b
+        LEFT JOIN cell cl ON cl.c_nationkey = c.c_nationkey
+                         AND cl.c_mktsegment = c.c_mktsegment
+                         AND cl.band = b.band
+    ),
+    cum AS (
+        SELECT *, sum(cnt) OVER (
+            PARTITION BY c_nationkey, c_mktsegment ORDER BY band
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c
+        FROM grid
+    ),
+    scored AS (
+        SELECT c_nationkey, c_mktsegment, n_class, n_total, m_bands,
+               sum(abs(CAST(cum_c AS HUGEINT) * n_total
+                       - CAST(cum_g AS HUGEINT) * n_class)) AS sdiff
+        FROM cum JOIN gcum USING (band) CROSS JOIN scalars
+        GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT c_nationkey, c_mktsegment, n_class,
+           CAST(1000 * sdiff // ((m_bands - 1)
+                * CAST(n_class AS HUGEINT) * n_total) AS BIGINT)
+               AS t_permille,
+           CAST(1000 * sdiff // ((m_bands - 1)
+                * CAST(n_class AS HUGEINT) * n_total) AS BIGINT)
+               >= {_T_CLOSE_PERMILLE} AS at_risk
+    FROM scored
+"""
+
+
 QUERIES = {
     "star_projection": star_projection,
     "table_profile": table_profile,
     "k_anonymity_audit": k_anonymity_audit,
     "l_diversity_audit": l_diversity_audit,
+    "t_closeness_audit": t_closeness_audit,
     "referential_integrity_audit": referential_integrity_audit,
     "functional_dependency_audit": functional_dependency_audit,
     "join_cardinality_audit": join_cardinality_audit,
@@ -1120,6 +1279,7 @@ ORACLES = {
     "table_profile": _profile_sql(),
     "k_anonymity_audit": _K_ANON_SQL,
     "l_diversity_audit": _L_DIVERSITY_SQL,
+    "t_closeness_audit": _T_CLOSE_SQL,
     "referential_integrity_audit": _ri_audit_sql(),
     "functional_dependency_audit": _fd_audit_sql(),
     "join_cardinality_audit": _join_cardinality_sql(),
