@@ -2770,6 +2770,108 @@ def _fx_sql() -> str:
 """
 
 
+_LPA_ITERS = 3
+
+
+def label_propagation_communities(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """Synchronous LABEL PROPAGATION over the part co-purchase graph —
+    community detection, the graph primitive the family still lacked
+    (next to [[dedup_clusters]] = connectivity,
+    [[supplier_copurchase_pagerank]] = centrality, [[k_core_vertices]]
+    = density, [[part_affinity_triangles]] = closure): labels start as
+    node ids, and each round every node adopts the MAJORITY label among
+    its neighbors (Raghavan et al. 2007). Communities are denser than
+    connected components (a bridge edge joins two CCs but rarely flips
+    a majority) — the catalog view a merchandiser reads as "product
+    families that sell together".
+
+    Deterministic by construction, so VALUE-oracled: synchronous
+    updates (round t+1 reads only round t), integer labels, ties
+    broken (highest count, then smallest label) via ``min_by(label,
+    struct(-cnt, label))`` — the DuckDB replay unrolls the same
+    ``_LPA_ITERS`` rounds as ranked CTE layers (the pagerank idiom).
+
+    Scale shape per round: one equi-join of the undirected edge list
+    (the memoized ``_affinity_edges`` parquet — shared with the
+    triangle/jaccard consumers) against the label table on the
+    neighbor key, one (node, label) hash agg, one per-node argmax agg;
+    ``localCheckpoint`` cuts lineage per round (the dedup_clusters
+    discipline). Labels are one row per node; edges never change."""
+    edges = _affinity_edges(spark, sf_dir)
+    und = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    cut = _lineage_cutter(spark, checkpoint_dir)
+    labels = cut(
+        und.select(F.col("u").alias("node")).distinct().withColumn(
+            "label", F.col("node")
+        )
+    )
+    for _ in range(_LPA_ITERS):
+        msgs = und.join(labels, und.v == labels.node).select(
+            F.col("u").alias("node"), "label"
+        )
+        votes = msgs.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        # Every node in the edge list has ≥1 neighbor, so the argmax
+        # aggregate covers every node — no left-join fallback needed.
+        labels = cut(
+            votes.groupBy("node").agg(
+                F.expr("min_by(label, struct(-cnt, label))").alias("label")
+            )
+        )
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("community_size")
+    )
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("part"),
+        F.col("label").alias("community"),
+        "community_size",
+    )
+
+
+def _lpa_sql() -> str:
+    """DuckDB replay: same support-filtered edges, ``_LPA_ITERS``
+    unrolled synchronous rounds with the (count desc, label asc)
+    tie-break as ranked CTE layers."""
+    rounds = []
+    prev = "l0"
+    for t in range(_LPA_ITERS):
+        rounds.append(f"""l{t + 1} AS (
+        SELECT node, label FROM (
+            SELECT e.u AS node, l.label, count(*) AS cnt,
+                   row_number() OVER (PARTITION BY e.u
+                       ORDER BY count(*) DESC, l.label) AS rn
+            FROM und e JOIN {prev} l ON l.node = e.v
+            GROUP BY e.u, l.label
+        ) WHERE rn = 1
+    )""")
+        prev = f"l{t + 1}"
+    layers = ",\n    ".join(rounds)
+    return f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= {_AFFINITY_MIN_ORDERS}
+    ),
+    und AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+    l0 AS (SELECT DISTINCT u AS node, u AS label FROM und),
+    {layers},
+    sizes AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS community_size
+        FROM {prev} GROUP BY label
+    )
+    SELECT l.node AS part, l.label AS community, s.community_size
+    FROM {prev} l JOIN sizes s USING (label)
+"""
+
+
 QUERIES = {
     "source_cap_sample": source_cap_sample,
     "mixture_temperature_weights": mixture_temperature_weights,
@@ -2781,6 +2883,7 @@ QUERIES = {
     "k_core_vertices": k_core_vertices,
     "target_encoding_kfold": target_encoding_kfold,
     "hashed_feature_crosses": hashed_feature_crosses,
+    "label_propagation_communities": label_propagation_communities,
     "dedup_rate_by_source": dedup_rate_by_source,
     "negative_samples": negative_samples,
     "train_test_split": train_test_split,
@@ -2816,6 +2919,7 @@ ORACLES = {
     "k_core_vertices": _k_core_sql(),
     "target_encoding_kfold": _TARGET_ENC_SQL,
     "hashed_feature_crosses": _fx_sql(),
+    "label_propagation_communities": _lpa_sql(),
     "dedup_rate_by_source": _DEDUP_RATE_SQL,
     "negative_samples": _NEGATIVE_SAMPLES_SQL,
     "train_test_split": _SPLIT_SQL,

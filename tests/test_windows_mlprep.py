@@ -694,3 +694,39 @@ def test_target_encoding_excludes_own_fold(spark, tmp_path):
         ]
         assert loo_n == len(others)
         assert enc == sum(others) // len(others)
+
+
+def test_label_propagation_separates_planted_cliques(spark, tmp_path):
+    """Two 5-cliques joined by ONE bridge edge: connected components
+    would merge them into a single blob; label propagation must keep
+    them as two communities (the majority vote never lets the single
+    bridge edge outvote four clique neighbors), with each community
+    converging to its minimum member label."""
+    from azure_sales_etl_pipeline_spark.plans.mlprep import (
+        label_propagation_communities,
+    )
+
+    rows = []
+    # clique A: parts 1..5 co-ordered in orders 1 and 2 (support 2)
+    for ok in (1, 2):
+        rows += [(ok, p) for p in range(1, 6)]
+    # clique B: parts 11..15 in orders 3 and 4
+    for ok in (3, 4):
+        rows += [(ok, p) for p in range(11, 16)]
+    # bridge: parts 5 and 11 co-ordered twice (support 2)
+    for ok in (5, 6):
+        rows += [(ok, 5), (ok, 11)]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    out = {
+        r["part"]: r
+        for r in label_propagation_communities(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == set(range(1, 6)) | set(range(11, 16))
+    comms = {r["community"] for r in out.values()}
+    assert len(comms) == 2, f"bridge edge merged the cliques: {comms}"
+    assert {out[p]["community"] for p in range(1, 6)} == {1}
+    assert {out[p]["community"] for p in range(11, 16)} == {11}
+    assert all(r["community_size"] == 5 for r in out.values())
