@@ -776,29 +776,35 @@ def _lloyd_rounds_sql(src: str, iters: int, d: int) -> tuple[str, str]:
     means; an EMPTY cluster keeps its previous centroid (LEFT JOIN +
     coalesce), matching ``_train_centroids``' fallback exactly. The
     unrolled layers are the same idiom as pagerank's CTE rounds —
-    what keeps a multi-iteration index VALUE-oracled."""
-    parts = [f"lloyd_c0 AS (SELECT cid, sq AS cq FROM seeds)"]
+    what keeps a multi-iteration index VALUE-oracled.
+
+    Every layer is ``AS MATERIALIZED``: round t's centroid table is
+    referenced TWICE by round t+1 (the distance join AND the
+    empty-cluster fallback), and an engine that inlines CTEs doubles
+    the expression tree per round — 2^iters copies of the whole seed
+    chain (the k-core trap, SCALE.md 'Oracle-side blowup')."""
+    parts = ["lloyd_c0 AS MATERIALIZED (SELECT cid, sq AS cq FROM seeds)"]
     prev = "lloyd_c0"
     for t in range(iters):
-        parts.append(f"""lloyd_d{t} AS (
+        parts.append(f"""lloyd_d{t} AS MATERIALIZED (
         SELECT c.vec_id, t.cid,
                list_sum(list_transform(range(1, {d + 1}),
                    i -> (c.q[i] - t.cq[i]) * (c.q[i] - t.cq[i]))) AS d2
         FROM {src} c, {prev} t
     )""")
-        parts.append(f"""lloyd_a{t} AS (
+        parts.append(f"""lloyd_a{t} AS MATERIALIZED (
         SELECT vec_id, cid FROM (
             SELECT vec_id, cid,
                    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
             FROM lloyd_d{t}) WHERE rn = 1
     )""")
-        parts.append(f"""lloyd_m{t} AS (
+        parts.append(f"""lloyd_m{t} AS MATERIALIZED (
         SELECT a.cid, dd.dim, CAST(sum(c.q[dd.dim]) // count(*) AS BIGINT) AS cv
         FROM lloyd_a{t} a JOIN {src} c USING (vec_id),
              (SELECT unnest(range(1, {d + 1})) AS dim) dd
         GROUP BY a.cid, dd.dim
     )""")
-        parts.append(f"""lloyd_c{t + 1} AS (
+        parts.append(f"""lloyd_c{t + 1} AS MATERIALIZED (
         SELECT p.cid, coalesce(n.cq, p.cq) AS cq
         FROM {prev} p LEFT JOIN (
             SELECT cid, list(cv ORDER BY dim) AS cq
@@ -1283,11 +1289,169 @@ _PCA_CHECK_SQL = f"""
 """
 
 
+#: int8-dot threshold for "same meaning": floor(0.35 · 127²) — the ε
+#: knob of SemDeDup, tuned per corpus (the synthetic embeddings have no
+#: planted clones; max pairwise cosine ≈ 0.48, so 0.35 exercises the
+#: keep/drop machinery on real mass instead of returning nothing).
+_SEMDEDUP_TAU_Q = 5645
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    CLUSTER-BLOCKED embedding similarity — cluster the corpus with the
+    IVF coarse quantizer, compare vectors only WITHIN their cluster,
+    and drop every vector that has a semantically-equivalent
+    predecessor (int8 dot ≥ ε), keeping the smallest vec_id as the
+    exemplar. This is the embedding-space complement of the lexical
+    near-dup family ([[minhash_lsh_candidates]] catches copies,
+    [[shingle_containment_pairs]] catches quotes; this catches
+    PARAPHRASES — same meaning, different tokens), and the curation
+    step the paper shows removes 50%+ of web-scale corpora with no
+    quality loss.
+
+    Output: one row per DROPPED vector — its cluster, its exemplar
+    (smallest qualifying smaller id, deterministic), the exact int8
+    dot with that exemplar, and how many qualifying predecessors it
+    had. Integer-exact end-to-end: the quantizer is the shared
+    integer-Lloyd build ([[ann_topk_ivf]]'s ``_train_centroids`` /
+    ``_lloyd_rounds_sql``), similarity is the int8 dot of
+    [[ann_topk_int8]]'s quantization, and the threshold is an integer
+    constant — so the DuckDB replay is bit-exact.
+
+    Scale shape: clustering is the point — pair generation is blocked
+    per cluster (corpus²/k work instead of corpus²; SemDeDup runs
+    k ~ √N or larger so cluster sizes stay bounded), one narrow
+    self-join keyed on the cluster id, one per-victim argmin agg.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = _as_double("embedding")
+    zero = F.lit(0).cast("bigint")
+    base = plan_barrier(
+        emb.select(
+            "vec_id",
+            vec.alias("v"),
+            _as_q(vec).alias("q"),
+            F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x)).alias(
+                "nrm"
+            ),
+        )
+    )
+    quant = plan_barrier(
+        base.select(
+            "vec_id",
+            "q",
+            F.when(
+                F.col("nrm") > 0,
+                F.transform(
+                    F.col("v"),
+                    lambda x: F.floor(x * 127.0 / F.col("nrm")).cast("bigint"),
+                ),
+            )
+            .otherwise(F.transform(F.col("v"), lambda x: zero))
+            .alias("q8"),
+        )
+    )
+    centroids = _train_centroids(quant)
+    assigned = plan_barrier(
+        plan_barrier(_with_centroids(quant, centroids))
+        .withColumn("cluster", _nearest_cluster(F.col("q")))
+        .select("vec_id", "cluster", "q8")
+    )
+    dot8 = F.aggregate(
+        F.zip_with(F.col("a.q8"), F.col("b.q8"), lambda x, y: x * y),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    dups = (
+        assigned.alias("a")
+        .join(
+            assigned.alias("b"),
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            F.col("b.cluster").alias("cluster"),
+            F.col("a.vec_id").alias("cand"),
+            dot8.alias("dot_q"),
+        )
+        .where(F.col("dot_q") >= _SEMDEDUP_TAU_Q)
+    )
+    return dups.groupBy("vec_id", "cluster").agg(
+        F.min("cand").cast("bigint").alias("exemplar_id"),
+        F.expr("min_by(dot_q, cand)").cast("bigint").alias("dot_q_exemplar"),
+        F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+    )
+
+
+def _semantic_dedup_sql() -> str:
+    """DuckDB replay: same int8 quantization, same unrolled integer
+    Lloyd rounds (``_lloyd_rounds_sql``), same cluster-blocked pairing
+    and integer threshold."""
+    k, s, d = _IVF_K, _IVF_SCALE, _EMB_DIM
+    lloyd, cents = _lloyd_rounds_sql("corpus", _IVF_ITERS, d)
+    return f"""
+    WITH corpus AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(floor(x * {s}) AS BIGINT)) AS q,
+               CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[],
+                                               embedding::DOUBLE[])) > 0
+                    THEN list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 127.0
+                             / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                     embedding::DOUBLE[])))
+                             AS BIGINT))
+                    ELSE list_transform(embedding::DOUBLE[],
+                                        x -> CAST(0 AS BIGINT))
+               END AS q8
+        FROM embeddings
+    ),
+    stats AS (SELECT greatest(count(*) // {k}, 1) AS stride FROM corpus),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS sq
+        FROM corpus, stats
+        WHERE vec_id % stride = 0
+        ORDER BY vec_id
+        LIMIT {k}
+    ),
+    {lloyd},
+    dfin AS (
+        SELECT c.vec_id, t.cid,
+               list_sum(list_transform(range(1, {d + 1}),
+                   i -> (c.q[i] - t.cq[i]) * (c.q[i] - t.cq[i]))) AS d2
+        FROM corpus c, {cents} t
+    ),
+    assign AS (
+        SELECT vec_id, cid AS cluster FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM dfin) WHERE rn = 1
+    ),
+    dups AS (
+        SELECT bb.vec_id, b.cluster, aa.vec_id AS cand,
+               CAST(list_dot_product(aa.q8, bb.q8) AS BIGINT) AS dot_q
+        FROM assign a JOIN assign b ON a.cluster = b.cluster
+                                   AND a.vec_id < b.vec_id
+        JOIN corpus aa ON aa.vec_id = a.vec_id
+        JOIN corpus bb ON bb.vec_id = b.vec_id
+        WHERE list_dot_product(aa.q8, bb.q8) >= {_SEMDEDUP_TAU_Q}
+    )
+    SELECT vec_id, cluster,
+           CAST(min(cand) AS BIGINT) AS exemplar_id,
+           CAST(min_by(dot_q, cand) AS BIGINT) AS dot_q_exemplar,
+           CAST(count(*) AS BIGINT) AS n_dups
+    FROM dups
+    GROUP BY vec_id, cluster
+"""
+
+
 QUERIES = {
     "embedding_decontaminate": embedding_decontaminate,
     "ivf_index_maintenance": ivf_index_maintenance,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_int8": ann_topk_int8,
+    "semantic_dedup": semantic_dedup,
     "embedding_gram": embedding_gram,
     "pca_power_iteration_check": pca_power_iteration_check,
     "ann_topk_lsh": ann_topk_lsh,
@@ -1308,6 +1472,7 @@ ORACLES = {
     "ivf_index_maintenance": _IVF_MAINT_SQL,
     "ann_topk_bruteforce": _BRUTE_SQL,
     "ann_topk_int8": _INT8_SQL,
+    "semantic_dedup": _semantic_dedup_sql(),
     "ann_topk_lsh": _ANN_LSH_SQL,
     "ann_topk_ivf": _ANN_IVF_SQL,
     "embedding_near_dup": _NEAR_DUP_SQL,

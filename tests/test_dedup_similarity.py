@@ -246,3 +246,36 @@ def test_simhash_hot_bucket_split_keeps_recall_and_bounds_candidates(spark):
     assert len(pairs) < flat_join // 4, (
         f"{len(pairs)} candidates vs flat {flat_join} — split not effective"
     )
+
+
+def test_semantic_dedup_drops_planted_clones(spark, tmp_path):
+    """Plant exact-duplicate embedding vectors among random ones: each
+    clone must be reported dropped with its ORIGINAL (smallest vec_id)
+    as exemplar and the int8 self-dot as similarity; the random
+    background (pairwise cosine well under the threshold) must survive."""
+    import random
+
+    from azure_sales_etl_pipeline_spark.plans.similarity import semantic_dedup
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(64)], "bg"))
+    # clones of vectors 3 and 17 (identical direction => int8 dot ~127^2)
+    rows.append((100, [float(x) for x in rows[3][1]], "dup"))
+    rows.append((101, [float(x) for x in rows[17][1]], "dup"))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = {r["vec_id"]: r for r in semantic_dedup(spark, str(tmp_path)).collect()}
+    assert 100 in out and out[100]["exemplar_id"] == 3
+    assert 101 in out and out[101]["exemplar_id"] == 17
+    # identical direction: int8 dot is the clone's squared quantized norm,
+    # far above the threshold
+    assert out[100]["dot_q_exemplar"] > 15000
+    # 64-dim gaussian background: cosines concentrate near 0 (σ ≈ 1/√d),
+    # but ε = 0.35 is only ~2.8σ, so the odd chance pair may cross it —
+    # the clones must dominate, the background must stay rare
+    background = set(out) - {100, 101}
+    assert len(background) <= 3, f"background drop rate too high: {background}"
