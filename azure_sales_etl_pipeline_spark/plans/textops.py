@@ -2258,6 +2258,183 @@ _NOVELTY_SQL = rf"""
 """
 
 
+_DSIR_B = 512  # hashed n-gram feature buckets
+_DSIR_TARGET = "src0"  # the target domain the raw pool is reweighted toward
+_DSIR_LO_K, _DSIR_HI_K = -40, 40
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS 2023 — "Data
+    Selection for Language Models via Importance Resampling"): score
+    every RAW-pool document by how much more likely it is under the
+    TARGET domain's hashed-n-gram generative model than under the raw
+    pool's own — weight(doc) = Σ_features count·(ln p̂_target(f) −
+    ln p̂_raw(f)), features = unigrams ∪ bigrams hashed into
+    {b} buckets (the hashing trick of [[hashed_feature_crosses]]
+    applied to a bag-of-ngrams LM), add-1 smoothed. Sampling raw docs
+    ∝ exp(weight) reshapes web-scale data toward the target domain —
+    the principled upgrade over [[quality_classifier_score]]'s
+    hand-rule filter and the selection knob feeding
+    [[weighted_doc_sample]]. Target here: documents from source
+    '{target}'; every other source is the raw pool.
+
+    Integer-exact: per-bucket log-probabilities quantize to BIGINT
+    micronats via the portable series ln ([[unigram_surprisal]]'s
+    idiom) BEFORE the per-document sum, so aggregation order cannot
+    wobble a unit and the DuckDB replay is bit-exact.
+
+    Scale shape: one (bucket)-keyed conditional count over the
+    exploded features (map-side combined; output bounded at {b} rows
+    forever), the λ table broadcast back, one per-doc sum — the same
+    two-shuffle skeleton as the surprisal family, with the vocab
+    replaced by a FIXED-width bucket table (DSIR's point: no vocab
+    build, stable memory at any corpus size)."""
+    from ..functions import LN_Z_SQL, hex_to_bigint_sql, ln_from_kz_sql, ln_k_sql, ln_m_sql
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(_tokens(), lambda t: F.length(t) > 0)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    feats = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.concat(toks, bigrams)).alias("feat"),
+        )
+        .where(F.length("feat") > 0)
+        .withColumn(
+            "bucket",
+            F.expr(
+                hex_to_bigint_sql(
+                    "substr(sha2(concat('dsir:', feat), 256), 1, 15)"
+                )
+                + f" % {_DSIR_B}"
+            ),
+        )
+        .select("doc_id", "source", "bucket")
+    )
+    is_t = F.col("source") == _DSIR_TARGET
+    counts = feats.groupBy("bucket").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).cast("bigint").alias("cnt_t"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).cast("bigint").alias("cnt_r"),
+    )
+    tots = counts.agg(
+        F.sum("cnt_t").cast("bigint").alias("tot_t"),
+        F.sum("cnt_r").cast("bigint").alias("tot_r"),
+    )
+    lam = counts.crossJoin(F.broadcast(tots))
+    for side in ("t", "r"):
+        p = (
+            f"(CAST(cnt_{side} + 1 AS DOUBLE)"
+            f" / CAST(tot_{side} + {_DSIR_B} AS DOUBLE))"
+        )
+        lam = (
+            lam.withColumn("__ln_k", F.expr(ln_k_sql(p, _DSIR_LO_K, _DSIR_HI_K)))
+            .withColumn(
+                "__ln_m", F.expr(ln_m_sql(p, "__ln_k", _DSIR_LO_K, _DSIR_HI_K))
+            )
+            .withColumn("__ln_z", F.expr(LN_Z_SQL))
+            .withColumn(
+                f"ln_{side}_micro",
+                F.expr(
+                    f"CAST(floor({ln_from_kz_sql('__ln_k', '__ln_z')} * 1.0e6)"
+                    " AS BIGINT)"
+                ),
+            )
+            .drop("__ln_k", "__ln_m", "__ln_z")
+        )
+    lam = lam.select(
+        "bucket", (F.col("ln_t_micro") - F.col("ln_r_micro")).alias("lam_micro")
+    )
+    return (
+        feats.where(~is_t)
+        .join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            F.sum("lam_micro").cast("bigint").alias("weight_micronats"),
+        )
+    )
+
+
+dsir_importance_weights.__doc__ = dsir_importance_weights.__doc__.format(
+    b=_DSIR_B, target=_DSIR_TARGET
+)
+
+
+def _dsir_sql() -> str:
+    from ..functions import LN_Z_SQL, hex_to_bigint_sql, ln_from_kz_sql, ln_k_sql, ln_m_sql
+
+    legs = {}
+    for side in ("t", "r"):
+        p = (
+            f"(CAST(cnt_{side} + 1 AS DOUBLE)"
+            f" / CAST(tot_{side} + {_DSIR_B} AS DOUBLE))"
+        )
+        legs[side] = (
+            ln_k_sql(p, _DSIR_LO_K, _DSIR_HI_K),
+            ln_m_sql(p, "__ln_k", _DSIR_LO_K, _DSIR_HI_K),
+            LN_Z_SQL,
+            f"CAST(floor({ln_from_kz_sql('__ln_k', '__ln_z')} * 1.0e6) AS BIGINT)",
+        )
+    bucket = (
+        hex_to_bigint_sql("substr(sha256('dsir:' || feat), 1, 15)")
+        + f" % {_DSIR_B}"
+    )
+    return rf"""
+    WITH t AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           x -> length(x) > 0) AS toks
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, source, {bucket} AS bucket
+        FROM (
+            SELECT doc_id, source, unnest(
+                list_concat(
+                    toks,
+                    list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                        i -> toks[i] || ' ' || toks[i + 1]))) AS feat
+            FROM t
+        ) WHERE length(feat) > 0
+    ),
+    counts AS (
+        SELECT bucket,
+               CAST(sum(CASE WHEN source = '{_DSIR_TARGET}' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cnt_t,
+               CAST(sum(CASE WHEN source = '{_DSIR_TARGET}' THEN 0 ELSE 1 END)
+                    AS BIGINT) AS cnt_r
+        FROM feats GROUP BY bucket
+    ),
+    tots AS (
+        SELECT CAST(sum(cnt_t) AS BIGINT) AS tot_t,
+               CAST(sum(cnt_r) AS BIGINT) AS tot_r
+        FROM counts
+    ),
+    t1 AS (SELECT counts.*, tots.*, {legs['t'][0]} AS __ln_k
+           FROM counts CROSS JOIN tots),
+    t2 AS (SELECT *, {legs['t'][1]} AS __ln_m FROM t1),
+    t3 AS (SELECT *, {legs['t'][2]} AS __ln_z FROM t2),
+    t4 AS (SELECT bucket, cnt_t, cnt_r, tot_t, tot_r,
+                  {legs['t'][3]} AS ln_t_micro FROM t3),
+    r1 AS (SELECT *, {legs['r'][0]} AS __ln_k FROM t4),
+    r2 AS (SELECT *, {legs['r'][1]} AS __ln_m FROM r1),
+    r3 AS (SELECT *, {legs['r'][2]} AS __ln_z FROM r2),
+    lam AS (SELECT bucket,
+                   ln_t_micro - {legs['r'][3]} AS lam_micro
+            FROM r3)
+    SELECT f.doc_id, f.source,
+           CAST(count(*) AS BIGINT) AS n_feats,
+           CAST(sum(l.lam_micro) AS BIGINT) AS weight_micronats
+    FROM feats f JOIN lam l USING (bucket)
+    WHERE f.source <> '{_DSIR_TARGET}'
+    GROUP BY f.doc_id, f.source
+"""
+
+
 QUERIES = {
     "bm25_topterms": bm25_topterms,
     "source_token_entropy": source_token_entropy,
@@ -2279,6 +2456,7 @@ QUERIES = {
     "vocab_coverage": vocab_coverage,
     "dup_ngram_fraction": dup_ngram_fraction,
     "unigram_surprisal": unigram_surprisal,
+    "dsir_importance_weights": dsir_importance_weights,
     "bigram_surprisal": bigram_surprisal,
     "pmi_collocations": pmi_collocations,
     "zipf_fit": zipf_fit,
@@ -2307,6 +2485,7 @@ ORACLES = {
     "vocab_coverage": _VOCAB_SQL,
     "dup_ngram_fraction": _DUP_NGRAM_SQL,
     "unigram_surprisal": _SURPRISAL_SQL,
+    "dsir_importance_weights": _dsir_sql(),
     "bigram_surprisal": _BIGRAM_SURPRISAL_SQL,
     "pmi_collocations": _pmi_sql(),
     "zipf_fit": _zipf_sql(),

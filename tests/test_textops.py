@@ -412,3 +412,59 @@ def test_zipf_fit_exact_power_law(spark, tmp_path):
     # the slope at that tolerance and the integers loosely
     assert abs(r["zipf_slope"] - num / den) < 1e-3
     assert abs(r["zipf_slope"] - (-1.0)) < 2e-2
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark, tmp_path):
+    """DSIR semantics: raw-pool documents written in the TARGET
+    domain's vocabulary must receive strictly higher importance
+    weights than raw documents from a disjoint vocabulary — that
+    ordering is the whole point of importance resampling."""
+    import random
+
+    from azure_sales_etl_pipeline_spark.plans.textops import (
+        _DSIR_TARGET,
+        dsir_importance_weights,
+    )
+
+    rng = random.Random(3)
+    target_vocab = [f"med{i}" for i in range(30)]   # the target domain
+    other_vocab = [f"web{i}" for i in range(30)]
+    rows = []
+    doc_id = 0
+    for _ in range(20):  # target corpus defines p_target
+        rows.append(
+            (doc_id, " ".join(rng.choice(target_vocab) for _ in range(40)),
+             "en", _DSIR_TARGET, 0)
+        )
+        doc_id += 1
+    like_ids, unlike_ids = [], []
+    for _ in range(10):  # raw pool, target-like
+        rows.append(
+            (doc_id, " ".join(rng.choice(target_vocab) for _ in range(40)),
+             "en", "raw_src", 0)
+        )
+        like_ids.append(doc_id)
+        doc_id += 1
+    for _ in range(10):  # raw pool, target-unlike
+        rows.append(
+            (doc_id, " ".join(rng.choice(other_vocab) for _ in range(40)),
+             "en", "raw_src", 0)
+        )
+        unlike_ids.append(doc_id)
+        doc_id += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        r["doc_id"]: r["weight_micronats"]
+        for r in dsir_importance_weights(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == set(like_ids) | set(unlike_ids)  # raw pool only
+    worst_like = min(out[i] for i in like_ids)
+    best_unlike = max(out[i] for i in unlike_ids)
+    # the separation, not the sign, is the invariant: half the raw pool
+    # IS target-like, so p_raw assigns real mass to target features and
+    # individual log-ratios may be ≤ 0 — but every target-like doc must
+    # still outscore every target-unlike doc
+    assert worst_like > best_unlike, (worst_like, best_unlike)
