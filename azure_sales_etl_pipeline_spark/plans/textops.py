@@ -2289,9 +2289,21 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-shuffle skeleton as the surprisal family, with the vocab
     replaced by a FIXED-width bucket table (DSIR's point: no vocab
     build, stable memory at any corpus size)."""
-    from ..functions import LN_Z_SQL, hex_to_bigint_sql, ln_from_kz_sql, ln_k_sql, ln_m_sql
+    from ..functions import (
+        LN_Z_SQL,
+        hex_to_bigint_sql,
+        ln_from_kz_sql,
+        ln_k_sql,
+        ln_m_sql,
+        spread_for_cpu,
+    )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # CPU-bound map (sha256 + 15-digit hex decode per feature) over a
+    # small-file scan: spread across cores first (the containment
+    # lesson), and checkpoint the exploded feature index — it feeds
+    # BOTH the bucket-count branch and the per-doc scoring join, and
+    # re-deriving it doubles the dominant cost.
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"))
     toks = F.filter(_tokens(), lambda t: F.length(t) > 0)
     bigrams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
@@ -2314,6 +2326,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select("doc_id", "source", "bucket")
+        .localCheckpoint()
     )
     is_t = F.col("source") == _DSIR_TARGET
     counts = feats.groupBy("bucket").agg(
