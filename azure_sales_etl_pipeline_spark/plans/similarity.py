@@ -947,6 +947,377 @@ def _ann_ivf_sql() -> str:
 _ANN_IVF_SQL = _ann_ivf_sql()
 
 
+_PQ_M = 32  # subspaces: 64 dims → 32 subvectors of 2 dims each. Codes
+# are _PQ_M 4-bit ints per vector (16 bytes vs 256 bytes of float32) —
+# the 16× compression is WHY PQ is the 100 TB serving format: the codes
+# table fits in memory where the raw corpus cannot. Config measured on
+# the test corpus (ADC-shortlist recall@10 vs bruteforce, L=50):
+# (m=8,k=16) 0.64, (m=16,k=16) 0.80, (m=32,k=16) 0.98 — these synthetic
+# embeddings have near-independent dimensions, so finer subspaces beat
+# wider ones; real correlated corpora shift the optimum toward larger
+# subdims (and OPQ rotations), but the pipeline shape is identical.
+_PQ_SUBDIM = _EMB_DIM // _PQ_M
+_PQ_K = 16  # centroids per subspace codebook (4-bit codes)
+_PQ_ITERS = _IVF_ITERS  # per-subspace Lloyd rounds, same replayable idiom
+_PQ_SHORTLIST = 50  # ADC shortlist size fed to the exact re-rank stage
+# Worst-case arithmetic on _IVF_SCALE micro-units: per-dim diff ≤ ~8e6,
+# squared 6.4e13, ×2 dims ≈ 1.3e14 per subspace; the ADC sum over 32
+# subspaces ≤ 4.1e15 ≪ 2^63 — all-BIGINT safe.
+
+
+def _as_qn(vec_col: Column) -> Column:
+    """Micro-quantized array<bigint> view of the L2-NORMALIZED vector:
+    floor(x/‖x‖ · _IVF_SCALE). On the unit sphere squared-L2 is
+    monotone in cosine (‖a−b‖² = 2−2·cos), so PQ's ADC distances rank
+    the same way the cosine baseline does — without normalization the
+    L2 ranking disagrees with cosine wherever norms vary (measured
+    recall@10 0.22 vs 0.66 on the test corpus). divide → sqrt →
+    multiply → floor is the int8 path's correctly-rounded exactness
+    class: bit-identical cross-engine."""
+    nrm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
+    return F.transform(
+        vec_col, lambda x: F.floor(x / nrm * _IVF_SCALE).cast("bigint")
+    )
+
+
+def _pq_subvecs(qdf: DataFrame) -> DataFrame:
+    """(vec_id, sub, q) rows: each micro-quantized vector split into
+    _PQ_M contiguous _PQ_SUBDIM-dim subvectors. One narrow explode —
+    rows grow ×_PQ_M but bytes stay ~constant (each row carries 1/_PQ_M
+    of the vector)."""
+    return qdf.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("sub"),
+        F.col("qfull"),
+    ).select(
+        "vec_id",
+        "sub",
+        F.expr(f"slice(qfull, sub * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})").alias("q"),
+    )
+
+
+def _with_pq_codebooks(df: DataFrame, books: list[list[list[int]]]) -> DataFrame:
+    """Attach all _PQ_M codebooks as ONE broadcast column
+    (``books[sub][cid][dim]``); each row then selects its subspace's
+    codebook with ``element_at`` — same ship-as-data discipline as
+    ``_with_centroids`` (k literal arrays per call site blew up codegen
+    in r2)."""
+    spark = df.sparkSession
+    cents = spark.createDataFrame([(books,)], "books: array<array<array<bigint>>>")
+    return df.crossJoin(F.broadcast(cents))
+
+
+def _pq_code_for(qfull: Column, sub: Column) -> Column:
+    """argmin code for subspace ``sub`` of a full quantized vector —
+    the encode step as a pure narrow expression (slice → distance
+    transform → array_position argmin, first index on ties)."""
+    book = F.element_at(F.col("books"), sub + 1)
+    sv = F.slice(qfull, sub * _PQ_SUBDIM + 1, F.lit(_PQ_SUBDIM))
+    dists = F.transform(book, lambda c: _sq_dist_int(sv, c))
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def _pq_nearest(qcol: Column) -> Column:
+    """argmin code within the row's own subspace codebook (ties → first
+    index, matching the (d2, cid) row_number tie-break in the oracle)."""
+    book = F.element_at(F.col("books"), F.col("sub") + 1)
+    dists = F.transform(book, lambda c: _sq_dist_int(qcol, c))
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def _train_pq_codebooks(
+    emb_q: DataFrame, k: int = _PQ_K, iters: int = _PQ_ITERS
+) -> list[list[list[int]]]:
+    """Per-subspace mini k-means over the micro-quantized corpus
+    (column ``qfull``). Strided deterministic seeds (the SAME seed rows
+    for every subspace, sliced per-subspace — what lets the oracle seed
+    from one LIMIT-k scan); each Lloyd round is ONE distributed
+    assign+reduce job covering all _PQ_M subspaces at once (keyed on
+    (sub, cluster, dim)), not _PQ_M separate jobs. Only the
+    _PQ_M×k×_PQ_SUBDIM codebook tensor reaches the driver. Empty
+    clusters keep their previous centroid, as in ``_train_centroids``."""
+    n = emb_q.count()
+    stride = max(n // k, 1)
+    seed_rows = (
+        emb_q.where(F.col("vec_id") % stride == 0)
+        .orderBy("vec_id")
+        .limit(k)
+        .collect()
+    )
+    books = [
+        [
+            [int(v) for v in r["qfull"][s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM]]
+            for r in seed_rows
+        ]
+        for s in range(_PQ_M)
+    ]
+    subvecs = _pq_subvecs(emb_q)
+    for _ in range(iters):
+        # Materialize the assignment BEFORE posexplode — the same
+        # projection-collapse fence as _train_centroids (the k×subdim
+        # argmin would otherwise be recomputed per (row × dim)).
+        assign = (
+            _with_pq_codebooks(subvecs, books)
+            .select("sub", _pq_nearest(F.col("q")).alias("cluster"), "q")
+            .persist()
+        )
+        sums = (
+            assign.select("sub", "cluster", F.posexplode("q").alias("dim", "val"))
+            .groupBy("sub", "cluster", "dim")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        assign.unpersist()
+        by_key: dict[tuple[int, int], dict[int, int]] = {}
+        for r in sums:
+            by_key.setdefault((r["sub"], r["cluster"]), {})[r["dim"]] = _trunc_div(
+                int(r["s"]), int(r["c"])
+            )
+        books = [
+            [
+                [by_key[(s, c)][d] for d in sorted(by_key[(s, c)])]
+                if (s, c) in by_key
+                else books[s][c]
+                for c in range(k)
+            ]
+            for s in range(_PQ_M)
+        ]
+    return books
+
+
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via PRODUCT QUANTIZATION with asymmetric
+    distance computation (ADC) and an exact re-rank — the third leg of
+    the quantized-serving stack next to [[ann_topk_int8]] (scalar 4×)
+    and [[ann_topk_ivf]] (partition pruning): each vector is stored as
+    _PQ_M 4-bit codes (16× compression), a query scores every candidate
+    WITHOUT touching the original vector (a precomputed sub×centroid
+    distance table, _PQ_M lookups per candidate), and only the
+    _PQ_SHORTLIST ADC-best survivors are re-ranked with exact cosine —
+    the standard shortlist-then-refine serving pattern.
+
+    Plan shape at 100 TB: the codes column (_PQ_M small ints) is the
+    ONLY per-row state the ADC scan reads; per-query distance tables
+    (_PQ_M×_PQ_K ints each) attach as ONE broadcast column, and the
+    score is a narrow whole-stage-codegen lookup-sum (``F.aggregate``
+    over the code array — no join, no shuffle, exactly the
+    table-lookup kernel a C++ PQ scanner runs). The only exchanges are
+    the two top-k windows (shortlist, then re-rank), both bounded by
+    queries×shortlist. Codebook training is the same assign+reduce
+    Lloyd loop as IVF, one job per round covering all subspaces.
+
+    Vectors are L2-normalized before quantization (``_as_qn``) so
+    squared-L2 ADC order agrees with the cosine baseline. All-integer
+    from training through the shortlist (``_IVF_SCALE`` micro-units),
+    exact cosine after — the full pipeline is VALUE-oracled: DuckDB
+    replays the unrolled per-subspace Lloyd rounds (``_pq_sql``)
+    bit-exactly. Recall@10 vs [[ann_topk_bruteforce]] measured 0.98 at
+    sf0.01; asserted ≥0.8 in tests/test_dedup_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_q = plan_barrier(
+        emb.select(
+            "vec_id",
+            "label",
+            _as_double("embedding").alias("vec"),
+            _as_qn(_as_double("embedding")).alias("qfull"),
+        )
+    )
+    books = _train_pq_codebooks(emb_q.select("vec_id", "qfull"))
+    # Encode: one narrow projection — per subspace, argmin over that
+    # subspace's codebook (no explode, no shuffle; codes are computed
+    # once and, at scale, STORED — the 16×-smaller serving artifact).
+    code_expr = F.transform(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        lambda sub: _pq_code_for(F.col("qfull"), sub),
+    )
+    coded = plan_barrier(
+        _with_pq_codebooks(emb_q, books).select(
+            "vec_id", "label", "vec", code_expr.alias("codes")
+        )
+    )
+    # Per-query ADC distance tables (dtq[sub][cid]), shipped as one
+    # broadcast column next to the query's exact vector for the re-rank.
+    dtq_expr = F.transform(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        lambda sub: F.transform(
+            F.element_at(F.col("books"), sub + 1),
+            lambda c: _sq_dist_int(
+                F.slice(F.col("qfull"), sub * _PQ_SUBDIM + 1, _PQ_SUBDIM), c
+            ),
+        ),
+    )
+    queries = plan_barrier(
+        _with_pq_codebooks(emb_q.where(F.col("vec_id") < _N_QUERIES), books).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec").alias("qvec"),
+            dtq_expr.alias("dtq"),
+        )
+    )
+    # ADC scan: corpus × broadcast queries, score = Σ_sub dtq[sub][code].
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, sub: acc
+        + F.element_at(
+            F.element_at(F.col("dtq"), sub + 1),
+            F.element_at(F.col("codes"), sub + 1) + 1,
+        ),
+    )
+    scored = coded.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id"), "inner"
+    ).select("query_id", "vec_id", "label", "vec", "qvec", adc.alias("adc_d2"))
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("vec_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("srank", F.row_number().over(w_short))
+        .where(F.col("srank") <= _PQ_SHORTLIST)
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            cosine_similarity(F.col("qvec"), F.col("vec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        shortlist.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOP_K)
+        .select("query_id", "rank", "vec_id", "label", F.round("sim", 6).alias("sim"))
+    )
+
+
+def _pq_lloyd_sql(iters: int) -> tuple[str, str]:
+    """CTE text for ``iters`` per-subspace integer-Lloyd rounds over a
+    ``subvecs`` table (vec_id, sub, q), seeded from a ``seeds`` CTE
+    (sub, cid, sq). The per-round layers are ``_lloyd_rounds_sql`` with
+    ``sub`` added to every key (assignment partitions by (vec_id, sub);
+    means and the empty-cluster fallback by (sub, cid)). Every layer is
+    AS MATERIALIZED — round t's codebook is referenced twice by round
+    t+1 (the k-core inlining trap, SCALE.md 'Oracle-side blowup')."""
+    sd = _PQ_SUBDIM
+    parts = ["pq_c0 AS MATERIALIZED (SELECT sub, cid, sq AS cq FROM seeds)"]
+    prev = "pq_c0"
+    for t in range(iters):
+        parts.append(f"""pq_d{t} AS MATERIALIZED (
+        SELECT c.vec_id, c.sub, t.cid,
+               list_sum(list_transform(range(1, {sd + 1}),
+                   i -> (c.q[i] - t.cq[i]) * (c.q[i] - t.cq[i]))) AS d2
+        FROM subvecs c JOIN {prev} t USING (sub)
+    )""")
+        parts.append(f"""pq_a{t} AS MATERIALIZED (
+        SELECT vec_id, sub, cid FROM (
+            SELECT vec_id, sub, cid,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d2, cid) AS rn
+            FROM pq_d{t}) WHERE rn = 1
+    )""")
+        parts.append(f"""pq_m{t} AS MATERIALIZED (
+        SELECT a.sub, a.cid, dd.dim,
+               CAST(sum(c.q[dd.dim]) // count(*) AS BIGINT) AS cv
+        FROM pq_a{t} a JOIN subvecs c USING (vec_id, sub),
+             (SELECT unnest(range(1, {sd + 1})) AS dim) dd
+        GROUP BY a.sub, a.cid, dd.dim
+    )""")
+        parts.append(f"""pq_c{t + 1} AS MATERIALIZED (
+        SELECT p.sub, p.cid, coalesce(n.cq, p.cq) AS cq
+        FROM {prev} p LEFT JOIN (
+            SELECT sub, cid, list(cv ORDER BY dim) AS cq
+            FROM pq_m{t} GROUP BY sub, cid) n USING (sub, cid)
+    )""")
+        prev = f"pq_c{t + 1}"
+    return ",\n    ".join(parts), prev
+
+
+def _pq_sql() -> str:
+    """DuckDB replay of the ENTIRE PQ pipeline — strided seed rows
+    sliced per subspace, ``_PQ_ITERS`` unrolled per-subspace Lloyd
+    rounds, final encoding, per-query ADC tables, lookup-sum scoring,
+    ADC shortlist, exact-cosine re-rank. Everything up to the
+    shortlist is BIGINT arithmetic both engines compute identically;
+    the re-rank is the brute-force oracle's exact-cosine form."""
+    m, sd, k, nq, topk, s = _PQ_M, _PQ_SUBDIM, _PQ_K, _N_QUERIES, _TOP_K, _IVF_SCALE
+    sl = _PQ_SHORTLIST
+    lloyd, books = _pq_lloyd_sql(_PQ_ITERS)
+    return f"""
+    WITH corpus AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS vec,
+               list_transform(embedding::DOUBLE[],
+                   x -> CAST(floor(x / sqrt(list_dot_product(
+                            embedding::DOUBLE[], embedding::DOUBLE[]))
+                            * {s}) AS BIGINT)) AS qfull
+        FROM embeddings
+    ),
+    subs AS (SELECT unnest(range(0, {m})) AS sub),
+    subvecs AS MATERIALIZED (
+        SELECT vec_id, sub,
+               list_slice(qfull, sub * {sd} + 1, sub * {sd} + {sd}) AS q
+        FROM corpus, subs
+    ),
+    stats AS (SELECT greatest(count(*) // {k}, 1) AS stride FROM corpus),
+    seedrows AS (
+        SELECT vec_id, qfull FROM corpus, stats
+        WHERE vec_id % stride = 0 ORDER BY vec_id LIMIT {k}
+    ),
+    seeds AS MATERIALIZED (
+        SELECT sub,
+               row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS cid,
+               list_slice(qfull, sub * {sd} + 1, sub * {sd} + {sd}) AS sq
+        FROM seedrows, subs
+    ),
+    {lloyd},
+    enc_d AS (
+        SELECT c.vec_id, c.sub, t.cid,
+               list_sum(list_transform(range(1, {sd + 1}),
+                   i -> (c.q[i] - t.cq[i]) * (c.q[i] - t.cq[i]))) AS d2
+        FROM subvecs c JOIN {books} t USING (sub)
+    ),
+    codes AS MATERIALIZED (
+        SELECT vec_id, sub, cid AS code FROM (
+            SELECT vec_id, sub, cid,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d2, cid) AS rn
+            FROM enc_d) WHERE rn = 1
+    ),
+    dt AS MATERIALIZED (
+        SELECT qs.vec_id AS query_id, t.sub, t.cid,
+               list_sum(list_transform(range(1, {sd + 1}),
+                   i -> (qs.q[i] - t.cq[i]) * (qs.q[i] - t.cq[i]))) AS d2
+        FROM (SELECT * FROM subvecs WHERE vec_id < {nq}) qs
+        JOIN {books} t USING (sub)
+    ),
+    adc AS (
+        SELECT dt.query_id, k.vec_id, CAST(sum(dt.d2) AS BIGINT) AS adc_d2
+        FROM codes k JOIN dt ON dt.sub = k.sub AND dt.cid = k.code
+        WHERE k.vec_id != dt.query_id
+        GROUP BY dt.query_id, k.vec_id
+    ),
+    shortlist AS (
+        SELECT query_id, vec_id FROM adc
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_d2 ASC, vec_id ASC) <= {sl}
+    ),
+    reranked AS (
+        SELECT sl.query_id, sl.vec_id, c.label,
+               list_dot_product(q.vec, c.vec)
+               / (sqrt(list_dot_product(q.vec, q.vec))
+                  * sqrt(list_dot_product(c.vec, c.vec))) AS sim
+        FROM shortlist sl
+        JOIN corpus c ON c.vec_id = sl.vec_id
+        JOIN corpus q ON q.vec_id = sl.query_id
+    )
+    SELECT query_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, vec_id ASC) AS rank,
+           vec_id, label, round(sim, 6) AS sim
+    FROM reranked
+    QUALIFY rank <= {topk}
+"""
+
+
+_ANN_PQ_SQL = _pq_sql()
+
+
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids in long form (label, dim, value) —
     the building block for class prototypes, IVF coarse quantizers, and
@@ -1461,6 +1832,7 @@ QUERIES = {
     "embedding_norms": embedding_norms,
     "embedding_quantize": embedding_quantize,
     "ann_recall_check": ann_recall_check,
+    "ann_topk_pq": ann_topk_pq,
 }
 
 # All three ANN paths are VALUE-oracled as of round 9: ann_topk_lsh via
@@ -1480,6 +1852,7 @@ ORACLES = {
     "embedding_norms": _NORMS_SQL,
     "embedding_quantize": _QUANTIZE_SQL,
     "ann_recall_check": _ANN_RECALL_SQL,
+    "ann_topk_pq": _ANN_PQ_SQL,
     "embedding_gram": _GRAM_SQL,
     "pca_power_iteration_check": _PCA_CHECK_SQL,
 }
