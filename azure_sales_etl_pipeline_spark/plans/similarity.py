@@ -1318,6 +1318,312 @@ def _pq_sql() -> str:
 _ANN_PQ_SQL = _pq_sql()
 
 
+_RET_DF_CAP_HALF = True  # posting-list cap: drop tokens with df*2 > N
+_RRF_DEPTH = 50  # per-retriever candidate depth fed into the fusion
+_RRF_K = 60  # the canonical reciprocal-rank-fusion damping constant
+
+
+def _sparse_weighted_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, token, w) TF-IDF term weights over word-BIGRAM shingles
+    in integer micronat units: w = tf · floor(10⁶·ln((N+1)/(df+1))) —
+    the idf via the engine-portable logarithm (functions.ln_k_sql
+    family), so the weights (and every ranking built on them) are
+    bit-identical cross-engine.
+
+    Bigrams, not unigrams: the test corpus draws from a ~30-word
+    vocabulary, so EVERY unigram is a stopword (df > N/2 — the df cap
+    killed all but one query's terms when this used unigrams), while
+    the ~900 bigrams spread well (max df 46/500 at sf0.01). Same move
+    as Lucene's shingle filter: when the unigram space saturates, the
+    shingle space is where lexical signal lives. Near-stopword shingles
+    (df·2 > N, idf < ln 2) are dropped: the posting-list cap that keeps
+    the inverted-index join's hottest keys bounded at corpus scale.
+    One (doc, shingle) shuffle for tf (checkpointed — df re-aggregates
+    from it, the corpus is never re-scanned)."""
+    from ..functions import LN_Z_SQL, ln_from_kz_sql, ln_k_sql, ln_m_sql
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.expr(
+            "transform(sequence(1, size(toks) - 1),"
+            " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tok = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode(bigrams).alias("token"))
+    )
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .localCheckpoint()
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    arg = "((n_docs + 1.0e0) / (df + 1.0e0))"
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .where(F.col("df") * 2 <= F.col("n_docs"))
+        .withColumn("__ln_k", F.expr(ln_k_sql(arg)))
+        .withColumn("__ln_m", F.expr(ln_m_sql(arg, "__ln_k")))
+        .withColumn("__ln_z", F.expr(LN_Z_SQL))
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.col("tf")
+                * F.expr(
+                    "CAST(floor("
+                    + ln_from_kz_sql("__ln_k", "__ln_z")
+                    + " * 1000000.0e0) AS BIGINT)"
+                )
+            ).alias("w"),
+        )
+    )
+
+
+def _sparse_ret_cte() -> str:
+    """Shared DuckDB CTE text mirroring ``_sparse_weighted_terms``:
+    defines ``sw`` (doc_id, token, w)."""
+    from ..functions import LN_Z_SQL, ln_from_kz_sql, ln_k_sql, ln_m_sql
+
+    arg = "((n_docs + 1.0e0) / (df + 1.0e0))"
+    return rf"""tok AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i + 1])) AS token
+        FROM (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+            FROM documents
+        )
+    ),
+    tf AS (
+        SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY ALL
+    ),
+    dfr AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    s1 AS (
+        SELECT tf.doc_id, tf.token, tf.tf, dfr.df, nn.n_docs,
+               {ln_k_sql(arg)} AS __ln_k
+        FROM tf JOIN dfr USING (token) CROSS JOIN nn
+        WHERE dfr.df * 2 <= nn.n_docs
+    ),
+    s2 AS (SELECT *, {ln_m_sql(arg, "__ln_k")} AS __ln_m FROM s1),
+    s3 AS (SELECT *, {LN_Z_SQL} AS __ln_z FROM s2),
+    sw AS MATERIALIZED (
+        SELECT doc_id, token,
+               tf * CAST(floor({ln_from_kz_sql("__ln_k", "__ln_z")}
+                         * 1000000.0e0) AS BIGINT) AS w
+        FROM s3
+    )"""
+
+
+def sparse_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse (TF-IDF dot-product) document retrieval through an
+    INVERTED INDEX — the lexical half of a retrieval stack, next to the
+    dense ANN family: each query document (doc_id < _N_QUERIES) scores
+    the corpus by Σ_token w_q·w_c, where the only join is the
+    posting-list equi-join on ``token``. Cost per query is the sum of
+    its terms' posting-list lengths — bounded by the df cap — never a
+    corpus scan; the query side broadcasts.
+
+    Integer micronat weights (``_sparse_weighted_terms``) make every
+    score an exact sum of integer products (widened to DECIMAL(38,0):
+    w ≤ ~5e8, products ~2.5e17, past int64 within a few hundred shared
+    terms); ranking happens on the exact sum, the output reports
+    dot_w_div_e6 = score div 10⁶ (fits BIGINT). Fully VALUE-oracled."""
+    sw = _sparse_weighted_terms(spark, sf_dir)
+    qw = sw.where(F.col("doc_id") < _N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "token", F.col("w").alias("wq")
+    )
+    scored = (
+        sw.join(F.broadcast(qw), "token")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.expr("sum(CAST(wq AS DECIMAL(38,0)) * w)").alias("dot")
+        )
+    )
+    w_top = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_top).cast("bigint"))
+        .where(F.col("rank") <= _TOP_K)
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            F.expr("CAST(dot div 1000000 AS BIGINT)").alias("dot_w_div_e6"),
+        )
+    )
+
+
+def _sparse_ret_sql() -> str:
+    return f"""
+    WITH {_sparse_ret_cte()},
+    scored AS (
+        SELECT q.doc_id AS query_id, c.doc_id,
+               sum(q.w::HUGEINT * c.w) AS dot
+        FROM sw c
+        JOIN (SELECT * FROM sw WHERE doc_id < {_N_QUERIES}) q USING (token)
+        WHERE c.doc_id != q.doc_id
+        GROUP BY q.doc_id, c.doc_id
+    )
+    SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dot DESC, doc_id ASC) AS BIGINT) AS rank,
+           doc_id,
+           CAST(dot // 1000000 AS BIGINT) AS dot_w_div_e6
+    FROM scored
+    QUALIFY rank <= {_TOP_K}
+"""
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval: reciprocal-rank fusion of the dense
+    (exact-cosine over ``embeddings``) and sparse
+    ([[sparse_retrieval_topk]]'s TF-IDF inverted index) rankings for
+    the same query documents — the standard two-tower serving pattern
+    (RRF, Cormack et al.): rrf_micro = Σ_retrievers 10⁶ div
+    (_RRF_K + rank), summed over the retrievers that surfaced the
+    candidate in their top-_RRF_DEPTH. Pure integer division → the
+    fused score, the ranking, and the per-retriever rank columns are
+    all VALUE-oracled.
+
+    The embeddings table covers a PREFIX of the document corpus
+    (vec_id = doc_id; at sf0.1 it's 2000 vectors over 5000 docs), so
+    the fusion is a FULL OUTER merge: docs without vectors can still
+    win on the sparse leg — exactly the partial-coverage reality of a
+    production hybrid index. Scale shape: each leg is its own
+    already-bounded top-depth list (queries×depth rows), so the merge
+    and final window are trivially small; the heavy lifting stays
+    inside the two retriever plans."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = plan_barrier(
+        emb.where(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qvec")
+        )
+    )
+    corpus = plan_barrier(
+        emb.select("vec_id", _as_double("embedding").alias("vec"))
+    )
+    w_dense = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    dense = (
+        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity(F.col("qvec"), F.col("vec")).alias("sim"),
+        )
+        .withColumn("dense_rank", F.row_number().over(w_dense).cast("bigint"))
+        .where(F.col("dense_rank") <= _RRF_DEPTH)
+        .select("query_id", F.col("vec_id").alias("doc_id"), "dense_rank")
+    )
+    sw = _sparse_weighted_terms(spark, sf_dir)
+    qw = sw.where(F.col("doc_id") < _N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "token", F.col("w").alias("wq")
+    )
+    w_sparse = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("doc_id").asc()
+    )
+    sparse = (
+        sw.join(F.broadcast(qw), "token")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.expr("sum(CAST(wq AS DECIMAL(38,0)) * w)").alias("dot"))
+        .withColumn("sparse_rank", F.row_number().over(w_sparse).cast("bigint"))
+        .where(F.col("sparse_rank") <= _RRF_DEPTH)
+        .select("query_id", "doc_id", "sparse_rank")
+    )
+    fused = (
+        dense.join(sparse, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            "dense_rank",
+            "sparse_rank",
+            (
+                F.coalesce(
+                    F.expr(f"1000000 div ({_RRF_K} + dense_rank)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"1000000 div ({_RRF_K} + sparse_rank)"), F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("rrf_micro"),
+        )
+    )
+    w_fused = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w_fused).cast("bigint"))
+        .where(F.col("rank") <= _TOP_K)
+        .select("query_id", "rank", "doc_id", "rrf_micro", "dense_rank", "sparse_rank")
+    )
+
+
+def _hybrid_rrf_sql() -> str:
+    return f"""
+    WITH {_sparse_ret_cte()},
+    qset AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+        FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ),
+    dense AS (
+        SELECT query_id, vec_id AS doc_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS dense_rank
+        FROM (
+            SELECT q.query_id, e.vec_id,
+                   list_dot_product(q.qvec, e.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(q.qvec, q.qvec))
+                      * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]))) AS sim
+            FROM embeddings e JOIN qset q ON e.vec_id != q.query_id)
+        QUALIFY dense_rank <= {_RRF_DEPTH}
+    ),
+    sparse AS (
+        SELECT query_id, doc_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY dot DESC, doc_id ASC) AS BIGINT) AS sparse_rank
+        FROM (
+            SELECT q.doc_id AS query_id, c.doc_id,
+                   sum(q.w::HUGEINT * c.w) AS dot
+            FROM sw c
+            JOIN (SELECT * FROM sw WHERE doc_id < {_N_QUERIES}) q USING (token)
+            WHERE c.doc_id != q.doc_id
+            GROUP BY q.doc_id, c.doc_id)
+        QUALIFY sparse_rank <= {_RRF_DEPTH}
+    ),
+    fused AS (
+        SELECT coalesce(d.query_id, s.query_id) AS query_id,
+               coalesce(d.doc_id, s.doc_id) AS doc_id,
+               d.dense_rank, s.sparse_rank,
+               CAST(coalesce(1000000 // ({_RRF_K} + d.dense_rank), 0)
+                    + coalesce(1000000 // ({_RRF_K} + s.sparse_rank), 0)
+                    AS BIGINT) AS rrf_micro
+        FROM dense d FULL OUTER JOIN sparse s
+             ON d.query_id = s.query_id AND d.doc_id = s.doc_id
+    )
+    SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY rrf_micro DESC, doc_id ASC) AS BIGINT) AS rank,
+           doc_id, rrf_micro, dense_rank, sparse_rank
+    FROM fused
+    QUALIFY rank <= {_TOP_K}
+"""
+
+
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids in long form (label, dim, value) —
     the building block for class prototypes, IVF coarse quantizers, and
@@ -1833,6 +2139,8 @@ QUERIES = {
     "embedding_quantize": embedding_quantize,
     "ann_recall_check": ann_recall_check,
     "ann_topk_pq": ann_topk_pq,
+    "sparse_retrieval_topk": sparse_retrieval_topk,
+    "hybrid_search_rrf": hybrid_search_rrf,
 }
 
 # All three ANN paths are VALUE-oracled as of round 9: ann_topk_lsh via
@@ -1853,6 +2161,8 @@ ORACLES = {
     "embedding_quantize": _QUANTIZE_SQL,
     "ann_recall_check": _ANN_RECALL_SQL,
     "ann_topk_pq": _ANN_PQ_SQL,
+    "sparse_retrieval_topk": _sparse_ret_sql(),
+    "hybrid_search_rrf": _hybrid_rrf_sql(),
     "embedding_gram": _GRAM_SQL,
     "pca_power_iteration_check": _PCA_CHECK_SQL,
 }

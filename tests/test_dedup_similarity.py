@@ -105,6 +105,30 @@ def test_pq_topk_recall_vs_bruteforce(spark):
     assert hits / total >= 0.8, f"PQ ANN precision vs exact: {hits}/{total}"
 
 
+def test_hybrid_rrf_fuses_both_legs(spark):
+    """RRF invariants: every fused score recomputes exactly from its
+    rank columns (10⁶ div (60+rank) per present leg); each query
+    returns a full top-10; and the fusion genuinely uses BOTH legs —
+    across the result, some rows carry a dense rank and some a sparse
+    rank (a fusion that degenerates to one retriever is a bug even if
+    every row is internally consistent)."""
+    from azure_sales_etl_pipeline_spark.plans.similarity import hybrid_search_rrf
+
+    rows = hybrid_search_rrf(spark, SF_DIR).collect()
+    assert len(rows) == 50
+    dense_seen = sparse_seen = 0
+    for r in rows:
+        expect = 0
+        if r["dense_rank"] is not None:
+            expect += 1_000_000 // (60 + r["dense_rank"])
+            dense_seen += 1
+        if r["sparse_rank"] is not None:
+            expect += 1_000_000 // (60 + r["sparse_rank"])
+            sparse_seen += 1
+        assert r["rrf_micro"] == expect, f"rrf mismatch at {r}"
+    assert dense_seen > 0 and sparse_seen > 0
+
+
 def test_exact_dedup_keeps_lowest_id(spark, tmp_path):
     docs = spark.createDataFrame(
         [(10, "same  Text"), (3, "same text"), (5, "other")], "doc_id long, text string"
