@@ -766,8 +766,235 @@ _HAZARD_SQL = """
 """
 
 
+_MARKOV_ITERS = 8  # absorption iterations; the metric is DEFINED as 8
+# rounds (the pagerank fixed-round idiom) — exactness never depends on
+# convergence, both engines unroll the same count.
+_MARKOV_GAP_US = _SESSION_GAP_SECS * 1_000_000
+
+
+def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REMOVAL-EFFECT (Markov-chain) attribution — the principled
+    successor to [[multi_touch_attribution]]'s linear split: model each
+    user session as a first-order Markov walk over event types
+    (START → … → CONV on first purchase, → EXIT if the session ends
+    unconverted), then credit each channel by how much the conversion
+    probability DROPS when the channel is removed (its inbound edges
+    redirected to EXIT, denominators unchanged).
+
+    Distributed part (the 100 TB part): sessionization + first-
+    conversion truncation + transition counting — three same-key
+    windows and one (prev, next) hash-agg over the events table,
+    identical scale shape to [[event_transition_matrix]]. The
+    resulting matrix is bounded by the EVENT-TYPE ENUM (≤ (|T|+1)·
+    (|T|+2) cells regardless of row count), so the absorption solve is
+    a control-plane computation on the collected matrix — the same
+    bounded-collect class as the watermark row and the BPE argmax —
+    in exact Python integers (micro-units, truncating division; Python
+    ints widen arbitrarily, the oracle widens to HUGEINT).
+    p_conv = _MARKOV_ITERS unrolled rounds of
+    p(s) ← Σ_next n(s,next)·contrib(next) div out(s), contrib(CONV)=10⁶,
+    contrib(EXIT)=0. The DuckDB oracle replays every step — windows,
+    truncation, unrolled iterations, removals — bit-exactly."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.expr("unix_micros(ts)") - F.expr("unix_micros(lag(ts) OVER "
+                "(PARTITION BY user_id ORDER BY ts, event_id))")
+                > F.lit(_MARKOV_GAP_US)
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn("session_seq", F.sum("new_sess").over(w))
+    ws = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    prior_p = F.coalesce(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(
+            ws.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    kept = sess.withColumn("prior_p", prior_p).where(F.col("prior_p") == 0)
+    seq = kept.withColumn("prev_raw", F.lag("event_type").over(ws)).withColumn(
+        "next_raw", F.lead("event_type").over(ws)
+    )
+    steps = seq.select(
+        F.coalesce(F.col("prev_raw"), F.lit("START")).alias("prev_state"),
+        F.when(F.col("event_type") == "purchase", F.lit("CONV"))
+        .otherwise(F.col("event_type"))
+        .alias("next_state"),
+    )
+    exits = seq.where(
+        F.col("next_raw").isNull() & (F.col("event_type") != "purchase")
+    ).select(
+        F.col("event_type").alias("prev_state"), F.lit("EXIT").alias("next_state")
+    )
+    trans = (
+        steps.unionByName(exits)
+        .groupBy("prev_state", "next_state")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .collect()  # enum-bounded: ≤ (|types|+1)·(|types|+2) cells
+    )
+    cnt = {(r["prev_state"], r["next_state"]): int(r["n"]) for r in trans}
+    outs: dict[str, int] = {}
+    for (pv, _nx), n in cnt.items():
+        outs[pv] = outs.get(pv, 0) + n
+    chans = sorted(
+        {pv for pv, _ in cnt if pv != "START"}
+        | {nx for _, nx in cnt if nx not in ("CONV", "EXIT")}
+    )
+    states = ["START", *chans]
+    removals = ["(none)", *chans]
+    p = {(r, s): 0 for r in removals for s in states}
+    for _ in range(_MARKOV_ITERS):
+        nxt = {}
+        for r in removals:
+            for s in states:
+                num = 0
+                for (pv, nx), n in cnt.items():
+                    if pv != s or (r != "(none)" and nx == r):
+                        continue
+                    contrib = (
+                        1_000_000
+                        if nx == "CONV"
+                        else 0
+                        if nx == "EXIT"
+                        else p.get((r, nx), 0)
+                    )
+                    num += n * contrib
+                nxt[(r, s)] = num // outs[s] if s in outs else 0
+        p = nxt
+    base = p[("(none)", "START")]
+    rows = [
+        (
+            ch,
+            base,
+            p[(ch, "START")],
+            (1000 * (base - p[(ch, "START")])) // base if base > 0 else 0,
+        )
+        for ch in chans
+    ]
+    return spark.createDataFrame(
+        rows,
+        "channel string, p_conv_base_micro long, p_conv_removed_micro long,"
+        " removal_effect_permille long",
+    )
+
+
+def _markov_sql() -> str:
+    """Unrolled replay of ``markov_attribution``: the window/truncation
+    pipeline, then ``_MARKOV_ITERS`` iteration CTEs carrying a
+    ``removed`` dimension (channels × states stays enum-bounded). Each
+    layer is AS MATERIALIZED — round t is referenced by round t+1's
+    LEFT JOIN, the CTE-inlining trap (SCALE.md 'Oracle-side blowup')."""
+    its = []
+    prev = "p0"
+    for t in range(_MARKOV_ITERS):
+        its.append(f"""it{t} AS MATERIALIZED (
+        SELECT b.removed, b.state, CAST(sum(b.contrib) // max(o.out_n) AS BIGINT) AS p
+        FROM (
+            SELECT r.removed, t.prev_state AS state,
+                   CAST(t.n AS HUGEINT) * (CASE
+                       WHEN t.next_state = 'CONV' THEN 1000000
+                       WHEN t.next_state = 'EXIT' THEN 0
+                       ELSE coalesce(pp.p, 0) END) AS contrib
+            FROM trans t
+            CROSS JOIN removals r
+            LEFT JOIN {prev} pp ON pp.removed = r.removed
+                                AND pp.state = t.next_state
+            WHERE NOT (r.removed != '(none)' AND t.next_state = r.removed)
+        ) b JOIN outs o ON o.prev_state = b.state
+        GROUP BY b.removed, b.state
+    )""")
+        prev = f"it{t}"
+    chain = ",\n    ".join(its)
+    return f"""
+    WITH seq0 AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > {_MARKOV_GAP_US}
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT *, sum(new_sess) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+        FROM seq0
+    ),
+    kept AS (
+        SELECT * FROM (
+            SELECT *, coalesce(sum(CASE WHEN event_type = 'purchase'
+                                        THEN 1 ELSE 0 END) OVER (
+                PARTITION BY user_id, session_seq ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior_p
+            FROM sess)
+        WHERE prior_p = 0
+    ),
+    seq AS (
+        SELECT event_type,
+               lag(event_type) OVER wk AS prev_raw,
+               lead(event_type) OVER wk AS next_raw
+        FROM kept
+        WINDOW wk AS (PARTITION BY user_id, session_seq ORDER BY ts, event_id)
+    ),
+    steps AS (
+        SELECT coalesce(prev_raw, 'START') AS prev_state,
+               CASE WHEN event_type = 'purchase' THEN 'CONV'
+                    ELSE event_type END AS next_state
+        FROM seq
+        UNION ALL
+        SELECT event_type, 'EXIT' FROM seq
+        WHERE next_raw IS NULL AND event_type != 'purchase'
+    ),
+    trans AS MATERIALIZED (
+        SELECT prev_state, next_state, CAST(count(*) AS BIGINT) AS n
+        FROM steps GROUP BY prev_state, next_state
+    ),
+    outs AS MATERIALIZED (
+        SELECT prev_state, CAST(sum(n) AS BIGINT) AS out_n
+        FROM trans GROUP BY prev_state
+    ),
+    chans AS (
+        SELECT DISTINCT prev_state AS ch FROM trans WHERE prev_state != 'START'
+        UNION
+        SELECT DISTINCT next_state FROM trans
+        WHERE next_state NOT IN ('CONV', 'EXIT')
+    ),
+    removals AS (SELECT '(none)' AS removed UNION ALL SELECT ch FROM chans),
+    states AS (SELECT 'START' AS state UNION ALL SELECT ch FROM chans),
+    p0 AS MATERIALIZED (
+        SELECT r.removed, s.state, CAST(0 AS BIGINT) AS p
+        FROM removals r, states s
+    ),
+    {chain},
+    base AS (
+        SELECT p FROM {prev} WHERE removed = '(none)' AND state = 'START'
+    )
+    SELECT c.ch AS channel,
+           CAST(b.p AS BIGINT) AS p_conv_base_micro,
+           CAST(coalesce(x.p, 0) AS BIGINT) AS p_conv_removed_micro,
+           CAST(CASE WHEN b.p > 0
+                THEN 1000 * (b.p - coalesce(x.p, 0)) // b.p
+                ELSE 0 END AS BIGINT) AS removal_effect_permille
+    FROM chans c
+    CROSS JOIN base b
+    LEFT JOIN {prev} x ON x.removed = c.ch AND x.state = 'START'
+"""
+
+
+_MARKOV_SQL = _markov_sql()
+
+
 QUERIES = {
     "event_transition_matrix": event_transition_matrix,
+    "markov_attribution": markov_attribution,
     "events_session_window_native": events_session_window_native,
     "timed_event_funnel": timed_event_funnel,
     "multi_touch_attribution": multi_touch_attribution,
@@ -781,6 +1008,7 @@ QUERIES = {
 
 ORACLES = {
     "event_transition_matrix": _TRANSITION_SQL,
+    "markov_attribution": _MARKOV_SQL,
     "events_session_window_native": _SESSION_NATIVE_SQL,
     "timed_event_funnel": _TIMED_FUNNEL_SQL,
     "multi_touch_attribution": _MULTI_TOUCH_SQL,
