@@ -3187,9 +3187,91 @@ _THEILSEN_SQL = f"""
 """
 
 
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram CALIBRATION AUDIT with a honest train/test
+    protocol — completes the ML-eval family: [[order_priority_auc]]
+    says the score RANKS well, [[priority_lift_bins]] says where the
+    signal sits, this says whether the predicted PROBABILITIES can be
+    trusted. The "model" is the per-bin positive rate learned on the
+    TRAIN half (md5(o_orderkey) parity — the engine-portable
+    deterministic split, [[train_test_split]]'s idiom); each TEST-half
+    bin then compares predicted_permille (train rate) against
+    observed_permille (its own rate), with the absolute gap ready to
+    fold into ECE. Same fixed-width integer-div bins as
+    [[priority_lift_bins]] (quantile edges need a global rank; div
+    bins are deterministic and shuffle once).
+
+    Plan: ONE scan → hash agg to the (bin, split) grain (map-side
+    combined), self-joined train-vs-test at bin grain (≤ bins rows),
+    all-BIGINT permille arithmetic. Bins missing either half drop —
+    a prediction with no training support is undefined, not zero."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.expr(f"floor(o_totalprice * 100) div {_LIFT_BIN_CENTS}").alias("bin_id"),
+        F.col("o_orderpriority").isin(*_AUC_POS).cast("bigint").alias("pos"),
+        (
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).isin(
+                *"01234567"
+            )
+        ).alias("is_train"),
+    )
+    grain = base.groupBy("bin_id", "is_train").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+    )
+    train = grain.where("is_train").select(
+        "bin_id",
+        F.col("n").alias("n_train"),
+        F.expr("(1000 * n_pos) div n").alias("predicted_permille"),
+    )
+    test = grain.where("NOT is_train").select(
+        "bin_id",
+        F.col("n").alias("n_test"),
+        F.expr("(1000 * n_pos) div n").alias("observed_permille"),
+    )
+    return train.join(test, "bin_id").select(
+        "bin_id",
+        "n_train",
+        "n_test",
+        "predicted_permille",
+        "observed_permille",
+        F.expr("abs(predicted_permille - observed_permille)").alias("gap_permille"),
+    )
+
+
+_CALIBRATION_SQL = f"""
+    WITH base AS (
+        SELECT CAST(floor(o_totalprice * 100) AS BIGINT) // {_LIFT_BIN_CENTS}
+                   AS bin_id,
+               CAST(o_orderpriority IN ('1-URGENT', '2-HIGH') AS BIGINT) AS pos,
+               substr(md5(o_orderkey::VARCHAR), 1, 1) IN
+                   ('0','1','2','3','4','5','6','7') AS is_train
+        FROM orders
+    ),
+    grain AS (
+        SELECT bin_id, is_train,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(pos) AS BIGINT) AS n_pos
+        FROM base GROUP BY bin_id, is_train
+    ),
+    train AS (
+        SELECT bin_id, n AS n_train, (1000 * n_pos) // n AS predicted_permille
+        FROM grain WHERE is_train
+    ),
+    test AS (
+        SELECT bin_id, n AS n_test, (1000 * n_pos) // n AS observed_permille
+        FROM grain WHERE NOT is_train
+    )
+    SELECT bin_id, n_train, n_test, predicted_permille, observed_permille,
+           abs(predicted_permille - observed_permille) AS gap_permille
+    FROM train JOIN test USING (bin_id)
+"""
+
+
 QUERIES = {
     "brand_size_price_corr": brand_size_price_corr,
     "theilsen_revenue_trend": theilsen_revenue_trend,
+    "calibration_bins": calibration_bins,
     "priority_status_woe": priority_status_woe,
     "benford_first_digit": benford_first_digit,
     "event_weekday_mi": event_weekday_mi,
@@ -3236,6 +3318,7 @@ QUERIES = {
 ORACLES = {
     "brand_size_price_corr": _BRAND_CORR_SQL,
     "theilsen_revenue_trend": _THEILSEN_SQL,
+    "calibration_bins": _CALIBRATION_SQL,
     "priority_status_woe": _WOE_SQL,
     "benford_first_digit": _BENFORD_SQL,
     "event_weekday_mi": _MI_SQL,
