@@ -9,7 +9,7 @@ values-discovery job), JSON path extraction JVM-side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -3268,10 +3268,159 @@ _CALIBRATION_SQL = f"""
 """
 
 
+_PERM_K = 100  # randomization replicates; p-value resolution 10‰
+# Size-corrected squared mean gap: D²·H with D = floored micro-unit
+# mean difference and H = (nA·nB) div (nA+nB) (the harmonic count that
+# makes splits of different sizes comparable). Every product that can
+# pass int64 at the claimed scale is widened BEFORE multiplying
+# (DECIMAL(38,0) on Spark, HUGEINT on DuckDB — the gini idiom): the
+# 10⁶·S products at ~1e14 summed permille, nA·nB at ~1e12 rows/side,
+# and D²·H at ~1e16·1e12. `div`/`//` truncate toward zero identically;
+# D itself is a micro-unit mean gap ≤ ~1e8, so D² stays in int64 range
+# before its own widening. greatest(n, 1) guards the (astronomically
+# unlikely) empty pseudo-group.
+_PERM_D_SPARK = (
+    "((CAST(1000000 AS DECIMAL(38,0)) * s_a) div greatest(n_a, 1)"
+    " - (CAST(1000000 AS DECIMAL(38,0)) * s_b) div greatest(n_b, 1))"
+)
+_PERM_STAT_SPARK = (
+    f"CAST({_PERM_D_SPARK} * {_PERM_D_SPARK} AS DECIMAL(38,0))"
+    " * ((CAST(n_a AS DECIMAL(38,0)) * n_b) div greatest(n_a + n_b, 1))"
+)
+_PERM_D_DUCK = (
+    "((1000000::HUGEINT * s_a) // greatest(n_a, 1)"
+    " - (1000000::HUGEINT * s_b) // greatest(n_b, 1))"
+)
+_PERM_STAT_DUCK = (
+    f"({_PERM_D_DUCK} * {_PERM_D_DUCK})"
+    " * ((n_a::HUGEINT * n_b) // greatest(n_a + n_b, 1))"
+)
+
+
+def permutation_test_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANDOMIZATION TEST for the returned-vs-kept mean-discount gap — the
+    resampling-based inference leg of the stats family ([[ks_two_sample]]
+    tests the whole distribution, [[priority_status_chisq]] needs a
+    χ² reference table; this one builds its OWN null distribution):
+    re-split the pooled rows into two pseudo-groups _PERM_K times with
+    a deterministic hash coin (md5(key-perm) first hex — the
+    engine-portable randomness idiom), compute the size-corrected
+    squared mean gap each time, and report how often a random split
+    beats the observed one. p_permille = 1000·#{stat_perm ≥ stat_obs}
+    div K. Deterministic end to end — both engines replay the same
+    coins, means are floored integers, the statistic widens in
+    DECIMAL(38,0).
+
+    Shape: one base scan; the ×_PERM_K explode collapses IMMEDIATELY
+    into a perm-keyed hash agg (map-side combined → ≤ K rows cross the
+    shuffle per partition), so the blowup is CPU, not network — the
+    honest cost of resampling inference at scale, linear in K."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.where(F.col("l_returnflag").isin("R", "N")).select(
+        (F.col("l_returnflag") == "R").alias("is_a"),
+        F.expr("CAST(floor(l_discount * 1000) AS BIGINT)").alias("v"),
+        F.concat_ws("-", "l_orderkey", "l_linenumber").alias("key"),
+    )
+    def sums(flag: Column) -> list[Column]:
+        return [
+            F.sum(F.when(flag, F.col("v")).otherwise(0)).cast("bigint").alias("s_a"),
+            F.sum(F.when(flag, 1).otherwise(0)).cast("bigint").alias("n_a"),
+            F.sum(F.when(~flag, F.col("v")).otherwise(0)).cast("bigint").alias("s_b"),
+            F.sum(F.when(~flag, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        ]
+
+    obs = base.agg(*sums(F.col("is_a"))).select(
+        F.col("n_a").alias("obs_n_a"),
+        F.col("n_b").alias("obs_n_b"),
+        F.expr(f"CAST({_PERM_D_SPARK} AS BIGINT)").alias("diff_micro_obs"),
+        F.expr(_PERM_STAT_SPARK).alias("stat_obs"),
+    )
+    coin = F.substring(
+        F.md5(F.concat_ws("-", F.col("key"), F.col("perm"))), 1, 1
+    ).isin(*"01234567")
+    perms = (
+        base.select("v", "key", F.explode(F.sequence(F.lit(1), F.lit(_PERM_K))).alias("perm"))
+        .select("perm", "v", coin.alias("pa"))
+        .groupBy("perm")
+        .agg(*sums(F.col("pa")))
+        .select("perm", F.expr(_PERM_STAT_SPARK).alias("stat"))
+    )
+    return (
+        perms.crossJoin(F.broadcast(obs))
+        .groupBy("obs_n_a", "obs_n_b", "diff_micro_obs")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_perms"),
+            F.sum(F.when(F.col("stat") >= F.col("stat_obs"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_extreme"),
+        )
+        .select(
+            F.col("obs_n_a").alias("n_a"),
+            F.col("obs_n_b").alias("n_b"),
+            "diff_micro_obs",
+            "n_perms",
+            "n_extreme",
+            F.expr("(1000 * n_extreme) div n_perms").alias("p_permille"),
+        )
+    )
+
+
+_PERM_TEST_SQL = f"""
+    WITH base AS (
+        SELECT l_returnflag = 'R' AS is_a,
+               CAST(floor(l_discount * 1000) AS BIGINT) AS v,
+               l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR AS key
+        FROM lineitem WHERE l_returnflag IN ('R', 'N')
+    ),
+    obs AS (
+        SELECT CAST(sum(CASE WHEN is_a THEN v ELSE 0 END) AS BIGINT) AS s_a,
+               CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN is_a THEN 0 ELSE v END) AS BIGINT) AS s_b,
+               CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        FROM base
+    ),
+    obs_stat AS (
+        SELECT n_a AS obs_n_a, n_b AS obs_n_b,
+               CAST({_PERM_D_DUCK} AS BIGINT) AS diff_micro_obs,
+               {_PERM_STAT_DUCK} AS stat_obs
+        FROM obs
+    ),
+    perms AS (
+        SELECT p.perm,
+               CAST(sum(CASE WHEN substr(md5(b.key || '-' || p.perm::VARCHAR), 1, 1)
+                             IN ('0','1','2','3','4','5','6','7')
+                        THEN v ELSE 0 END) AS BIGINT) AS s_a,
+               CAST(sum(CASE WHEN substr(md5(b.key || '-' || p.perm::VARCHAR), 1, 1)
+                             IN ('0','1','2','3','4','5','6','7')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN substr(md5(b.key || '-' || p.perm::VARCHAR), 1, 1)
+                             IN ('0','1','2','3','4','5','6','7')
+                        THEN 0 ELSE v END) AS BIGINT) AS s_b,
+               CAST(sum(CASE WHEN substr(md5(b.key || '-' || p.perm::VARCHAR), 1, 1)
+                             IN ('0','1','2','3','4','5','6','7')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        FROM base b, (SELECT unnest(range(1, {_PERM_K} + 1)) AS perm) p
+        GROUP BY p.perm
+    ),
+    perm_stats AS (
+        SELECT perm, {_PERM_STAT_DUCK} AS stat FROM perms
+    )
+    SELECT o.obs_n_a AS n_a, o.obs_n_b AS n_b, o.diff_micro_obs,
+           CAST(count(*) AS BIGINT) AS n_perms,
+           CAST(sum(CASE WHEN ps.stat >= o.stat_obs THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_extreme,
+           CAST(1000 * sum(CASE WHEN ps.stat >= o.stat_obs THEN 1 ELSE 0 END)
+                // count(*) AS BIGINT) AS p_permille
+    FROM perm_stats ps CROSS JOIN obs_stat o
+    GROUP BY o.obs_n_a, o.obs_n_b, o.diff_micro_obs
+"""
+
+
 QUERIES = {
     "brand_size_price_corr": brand_size_price_corr,
     "theilsen_revenue_trend": theilsen_revenue_trend,
     "calibration_bins": calibration_bins,
+    "permutation_test_discount": permutation_test_discount,
     "priority_status_woe": priority_status_woe,
     "benford_first_digit": benford_first_digit,
     "event_weekday_mi": event_weekday_mi,
@@ -3319,6 +3468,7 @@ ORACLES = {
     "brand_size_price_corr": _BRAND_CORR_SQL,
     "theilsen_revenue_trend": _THEILSEN_SQL,
     "calibration_bins": _CALIBRATION_SQL,
+    "permutation_test_discount": _PERM_TEST_SQL,
     "priority_status_woe": _WOE_SQL,
     "benford_first_digit": _BENFORD_SQL,
     "event_weekday_mi": _MI_SQL,
