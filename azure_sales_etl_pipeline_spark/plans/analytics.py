@@ -3416,11 +3416,144 @@ _PERM_TEST_SQL = f"""
 """
 
 
+_SPEAR_RANGES = 16  # prefix-sum range partitions per rank variable
+
+
+def spearman_balance_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN rank correlation between customer account balance and
+    total spend — the monotonic-association screen that [[
+    brand_size_price_corr]]'s Pearson misses (Pearson sees only linear
+    signal and is outlier-fragile; rank correlation is the robust
+    default for skewed monetary columns). Ties get textbook AVERAGE
+    ranks, kept exact by working in DOUBLED ranks (2·avg_rank =
+    2·cum_before + cnt + 1 — an integer even when the average is a
+    half), and centering is EXACT because tie-averaged ranks always
+    sum to n(n+1)/2, so the centered doubled rank is rank2 − (n+1),
+    an integer with no mean-estimation error. ρ = Σcxcy /
+    (√Σcx²·√Σcy²) — exact int64 core, correctly-rounded float shell
+    (the [[brand_size_price_corr]] exactness class; int64 holds to
+    ~1.3e6 customers since |Σcxcy| ≤ 4n³ — an entity-dimension bound;
+    promote the three sums to DECIMAL(38,0) beyond).
+
+    Plan: orders aggregate once to customer grain (map-side combined)
+    and LEFT-join to customers (no-order customers rank with spend 0 —
+    dropping them would bias the balance marginal); each variable's
+    rank table builds at its DISTINCT-VALUE grain via the two-phase
+    distributed prefix sum (no single-partition window), then joins
+    back on the value key; one 1-row final aggregate."""
+    from .mlprep import _prefix_offsets
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr("CAST(floor(c_acctbal * 100) AS BIGINT)").alias("x"),
+    )
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.expr("CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)")
+            .alias("y")
+        )
+    )
+    rows = cust.join(
+        spend, cust.c_custkey == spend.o_custkey, "left"
+    ).select("x", F.coalesce("y", F.lit(0)).cast("bigint").alias("y"))
+
+    def rank2(col: str) -> DataFrame:
+        vals = rows.groupBy(col).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        ranged = (
+            vals.repartitionByRange(_SPEAR_RANGES, col)
+            .withColumn("pid", F.spark_partition_id())
+            .localCheckpoint()
+        )
+        w = (
+            Window.partitionBy("pid")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        staged = ranged.withColumn("lc", F.sum("cnt").over(w))
+        totals = ranged.groupBy("pid").agg(F.sum("cnt").alias("pcnt"))
+        off = _prefix_offsets(totals, "pcnt")
+        return staged.join(F.broadcast(off), "pid").select(
+            col,
+            (
+                2 * (F.col("offset") + F.col("lc") - F.col("cnt"))
+                + F.col("cnt")
+                + 1
+            ).alias(f"r2_{col}"),
+        )
+
+    n = rows.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = (
+        rows.join(rank2("x"), "x")
+        .join(rank2("y"), "y")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "n",
+            (F.col("r2_x") - (F.col("n") + 1)).alias("cx"),
+            (F.col("r2_y") - (F.col("n") + 1)).alias("cy"),
+        )
+    )
+    return ranked.groupBy("n").agg(
+        F.sum(F.expr("cx * cy")).cast("bigint").alias("num"),
+        F.expr(
+            "round(CAST(sum(cx * cy) AS DOUBLE)"
+            " / nullif(sqrt(CAST(sum(cx * cx) AS DOUBLE))"
+            " * sqrt(CAST(sum(cy * cy) AS DOUBLE)), 0.0), 6)"
+        ).alias("spearman_rho"),
+    ).select(F.col("n").alias("n_customers"), "num", "spearman_rho")
+
+
+_SPEARMAN_SQL = """
+    WITH cust AS (
+        SELECT c_custkey, CAST(floor(c_acctbal * 100) AS BIGINT) AS x
+        FROM customer
+    ),
+    spend AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY o_custkey
+    ),
+    rows_ AS (
+        SELECT c.x, CAST(coalesce(s.y, 0) AS BIGINT) AS y
+        FROM cust c LEFT JOIN spend s ON s.o_custkey = c.c_custkey
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rows_),
+    rx AS (
+        SELECT x, 2 * (sum(cnt) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+                  + cnt + 1 AS r2_x
+        FROM (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM rows_ GROUP BY x)
+    ),
+    ry AS (
+        SELECT y, 2 * (sum(cnt) OVER (ORDER BY y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+                  + cnt + 1 AS r2_y
+        FROM (SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM rows_ GROUP BY y)
+    ),
+    centered AS (
+        SELECT nn.n,
+               CAST(rx.r2_x - (nn.n + 1) AS BIGINT) AS cx,
+               CAST(ry.r2_y - (nn.n + 1) AS BIGINT) AS cy
+        FROM rows_ r JOIN rx USING (x) JOIN ry USING (y) CROSS JOIN nn
+    )
+    SELECT n AS n_customers,
+           CAST(sum(cx * cy) AS BIGINT) AS num,
+           round(CAST(sum(cx * cy) AS DOUBLE)
+                 / nullif(sqrt(CAST(sum(cx * cx) AS DOUBLE))
+                          * sqrt(CAST(sum(cy * cy) AS DOUBLE)), 0.0), 6)
+               AS spearman_rho
+    FROM centered
+    GROUP BY n
+"""
+
+
 QUERIES = {
     "brand_size_price_corr": brand_size_price_corr,
     "theilsen_revenue_trend": theilsen_revenue_trend,
     "calibration_bins": calibration_bins,
     "permutation_test_discount": permutation_test_discount,
+    "spearman_balance_spend": spearman_balance_spend,
     "priority_status_woe": priority_status_woe,
     "benford_first_digit": benford_first_digit,
     "event_weekday_mi": event_weekday_mi,
@@ -3469,6 +3602,7 @@ ORACLES = {
     "theilsen_revenue_trend": _THEILSEN_SQL,
     "calibration_bins": _CALIBRATION_SQL,
     "permutation_test_discount": _PERM_TEST_SQL,
+    "spearman_balance_spend": _SPEARMAN_SQL,
     "priority_status_woe": _WOE_SQL,
     "benford_first_digit": _BENFORD_SQL,
     "event_weekday_mi": _MI_SQL,
