@@ -3548,12 +3548,161 @@ _SPEARMAN_SQL = """
 """
 
 
+def hhi_nation_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman supplier-concentration index per nation —
+    the antitrust-grade concentration number next to
+    [[supplier_revenue_gini]]'s inequality curve (HHI weights the TOP
+    of the distribution: one 50%-share supplier dominates the index
+    regardless of the tail). HHI_ppm = Σᵢ shareᵢ²·10⁶ = 10⁶·Σrᵢ² div
+    (Σr)² — computed as ONE exact integer division at the end, not a
+    per-supplier share rounding (which would accumulate n floor
+    errors). Σrᵢ² and (Σr)² widen in DECIMAL(38,0): revenue cents
+    squared passes int64 at ~$30M per supplier ([[supplier_revenue_gini]]
+    widening class).
+
+    Shape: lineitem → (nation, supplier) revenue (one map-side-combined
+    shuffle, supplier joins broadcast-able nation dim), then a nation-
+    grain re-aggregate of (Σr², Σr, n) — no window at all."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_supp = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.expr(
+                "CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)"
+                " AS DECIMAL(18,4))), 2) * 100 AS BIGINT)"
+            ).alias("r")
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return per_supp.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum("r").cast("bigint").alias("revenue_cents"),
+        F.expr(
+            "CAST(1000000 * sum(CAST(r AS DECIMAL(38,0)) * r)"
+            " div (CAST(sum(CAST(r AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+            " * sum(CAST(r AS DECIMAL(38,0)))) AS BIGINT)"
+        ).alias("hhi_ppm"),
+    )
+
+
+_HHI_SQL = """
+    WITH per_supp AS (
+        SELECT n.n_name,
+               CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(18,4))), 2) * 100 AS BIGINT) AS r
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        GROUP BY n.n_name, l.l_suppkey
+    )
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(r) AS BIGINT) AS revenue_cents,
+           CAST(1000000 * sum(r::HUGEINT * r)
+                // (sum(r::HUGEINT) * sum(r::HUGEINT)) AS BIGINT) AS hhi_ppm
+    FROM per_supp
+    GROUP BY n_name
+"""
+
+
+_TRIM_PERMILLE = 100  # two-sided trim fraction (10% per tail)
+
+
+def trimmed_mean_brand_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided 10%-TRIMMED mean retail price per brand — the robust
+    location estimate between the mean (outlier-fragile) and the
+    median ([[robust_price_outliers]]; throws away all shape): drop
+    the lowest and highest ⌊n·100‰⌋ prices by rank, average the rest —
+    exactly, in integer cents with a single final division.
+
+    Rank-range selection, not value thresholds: per brand, the
+    cumulative count at the (price, count) grain bounds each distinct
+    price's rank span [cum−cnt+1, cum]; a price contributes
+    overlap(span, [lo+1, n−lo]) copies to the kept sum, where
+    lo = n·_TRIM_PERMILLE div 1000 — so ties straddling the cut
+    contribute PARTIALLY, exactly as a per-row rank filter would,
+    without materializing per-row ranks. One brand-partitioned window
+    over the value grain (bounded by distinct prices per brand), one
+    re-aggregate; all-BIGINT."""
+    part = load_table(spark, sf_dir, "part")
+    grain = part.select(
+        "p_brand",
+        F.expr("CAST(floor(p_retailprice * 100) AS BIGINT)").alias("price_cents"),
+    ).groupBy("p_brand", "price_cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("p_brand")
+    staged = (
+        grain.withColumn("cum", F.sum("cnt").over(w_cum))
+        .withColumn("n", F.sum("cnt").over(w_tot))
+        .withColumn("lo", F.expr(f"(n * {_TRIM_PERMILLE}) div 1000"))
+        .withColumn(
+            "kept",
+            F.expr(
+                "greatest(0, least(cum, n - lo) - greatest(cum - cnt + 1, lo + 1) + 1)"
+            ),
+        )
+    )
+    return staged.groupBy("p_brand").agg(
+        F.max("n").alias("n_parts"),
+        F.max("lo").alias("n_trimmed_per_tail"),
+        F.sum("kept").cast("bigint").alias("n_kept"),
+        F.expr(
+            "CAST(sum(CAST(kept AS DECIMAL(38,0)) * price_cents)"
+            " div sum(CAST(kept AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("trimmed_mean_cents"),
+    )
+
+
+_TRIMMED_MEAN_SQL = f"""
+    WITH grain AS (
+        SELECT p_brand,
+               CAST(floor(p_retailprice * 100) AS BIGINT) AS price_cents,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM part GROUP BY p_brand, price_cents
+    ),
+    staged AS (
+        SELECT p_brand, price_cents, cnt,
+               sum(cnt) OVER (PARTITION BY p_brand ORDER BY price_cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(cnt) OVER (PARTITION BY p_brand) AS n
+        FROM grain
+    ),
+    kept AS (
+        SELECT p_brand, price_cents, cnt, cum, n,
+               (n * {_TRIM_PERMILLE}) // 1000 AS lo,
+               greatest(0, least(cum, n - (n * {_TRIM_PERMILLE}) // 1000)
+                   - greatest(cum - cnt + 1,
+                              (n * {_TRIM_PERMILLE}) // 1000 + 1) + 1) AS kept
+        FROM staged
+    )
+    SELECT p_brand,
+           CAST(max(n) AS BIGINT) AS n_parts,
+           CAST(max(lo) AS BIGINT) AS n_trimmed_per_tail,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           CAST(sum(kept::HUGEINT * price_cents) // sum(kept::HUGEINT)
+                AS BIGINT) AS trimmed_mean_cents
+    FROM kept
+    GROUP BY p_brand
+"""
+
+
 QUERIES = {
     "brand_size_price_corr": brand_size_price_corr,
     "theilsen_revenue_trend": theilsen_revenue_trend,
     "calibration_bins": calibration_bins,
     "permutation_test_discount": permutation_test_discount,
     "spearman_balance_spend": spearman_balance_spend,
+    "hhi_nation_concentration": hhi_nation_concentration,
+    "trimmed_mean_brand_price": trimmed_mean_brand_price,
     "priority_status_woe": priority_status_woe,
     "benford_first_digit": benford_first_digit,
     "event_weekday_mi": event_weekday_mi,
@@ -3603,6 +3752,8 @@ ORACLES = {
     "calibration_bins": _CALIBRATION_SQL,
     "permutation_test_discount": _PERM_TEST_SQL,
     "spearman_balance_spend": _SPEARMAN_SQL,
+    "hhi_nation_concentration": _HHI_SQL,
+    "trimmed_mean_brand_price": _TRIMMED_MEAN_SQL,
     "priority_status_woe": _WOE_SQL,
     "benford_first_digit": _BENFORD_SQL,
     "event_weekday_mi": _MI_SQL,

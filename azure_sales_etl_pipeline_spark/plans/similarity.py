@@ -1624,6 +1624,88 @@ def _hybrid_rrf_sql() -> str:
 """
 
 
+_HARD_NEG_K = 5  # hard negatives mined per anchor
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive training — for each anchor
+    vector (vec_id < _N_QUERIES), the _HARD_NEG_K most-similar corpus
+    vectors with a DIFFERENT label: the near-miss impostors that make
+    a two-tower/embedding model actually learn boundaries
+    ([[negative_samples]] supplies the cheap random negatives; these
+    are the expensive informative ones). The label filter composes
+    into the scan predicate BEFORE the top-k window, so candidate
+    volume per anchor is the wrong-label fraction of the corpus.
+
+    Same plan and exactness class as [[ann_topk_bruteforce]] (broadcast
+    anchors, exact cosine, per-anchor window); at 100 TB the scan leg
+    swaps for the PQ/IVF candidate generators — the mining contract
+    (wrong-label filter + exact re-rank) is unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = plan_barrier(
+        emb.where(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+            _as_double("embedding").alias("avec"),
+        )
+    )
+    corpus = plan_barrier(
+        emb.select("vec_id", _as_double("embedding").alias("vec"), "label")
+    )
+    scored = corpus.join(
+        F.broadcast(anchors),
+        (F.col("vec_id") != F.col("anchor_id"))
+        & (F.col("label") != F.col("anchor_label")),
+        "inner",
+    ).select(
+        "anchor_id",
+        "anchor_label",
+        "vec_id",
+        "label",
+        cosine_similarity(F.col("avec"), F.col("vec")).alias("sim"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= _HARD_NEG_K)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "rank",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            F.round("sim", 6).alias("sim"),
+        )
+    )
+
+
+_HARD_NEG_SQL = f"""
+    WITH anchors AS (
+        SELECT vec_id AS anchor_id, label AS anchor_label,
+               embedding::DOUBLE[] AS avec
+        FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ),
+    scored AS (
+        SELECT a.anchor_id, a.anchor_label, e.vec_id, e.label,
+               list_dot_product(a.avec, e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(a.avec, a.avec))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]))) AS sim
+        FROM embeddings e
+        JOIN anchors a ON e.vec_id != a.anchor_id AND e.label != a.anchor_label
+    )
+    SELECT anchor_id, anchor_label,
+           CAST(row_number() OVER (PARTITION BY anchor_id
+                ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank,
+           vec_id AS negative_id, label AS negative_label,
+           round(sim, 6) AS sim
+    FROM scored
+    QUALIFY rank <= {_HARD_NEG_K}
+"""
+
+
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids in long form (label, dim, value) —
     the building block for class prototypes, IVF coarse quantizers, and
@@ -2141,6 +2223,7 @@ QUERIES = {
     "ann_topk_pq": ann_topk_pq,
     "sparse_retrieval_topk": sparse_retrieval_topk,
     "hybrid_search_rrf": hybrid_search_rrf,
+    "hard_negative_mining": hard_negative_mining,
 }
 
 # All three ANN paths are VALUE-oracled as of round 9: ann_topk_lsh via
@@ -2163,6 +2246,7 @@ ORACLES = {
     "ann_topk_pq": _ANN_PQ_SQL,
     "sparse_retrieval_topk": _sparse_ret_sql(),
     "hybrid_search_rrf": _hybrid_rrf_sql(),
+    "hard_negative_mining": _HARD_NEG_SQL,
     "embedding_gram": _GRAM_SQL,
     "pca_power_iteration_check": _PCA_CHECK_SQL,
 }
