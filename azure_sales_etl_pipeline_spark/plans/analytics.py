@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions import hex_to_bigint_sql
 
 
 def revenue_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3103,6 +3104,12 @@ def theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .mlprep import _prefix_offsets
 
     orders = load_table(spark, sf_dir, "orders")
+    # localCheckpoint the tiny day grain AND the slope grain: days fans
+    # out three ways (both join sides + the n_days scalar) and slopes
+    # two ways (median branch + n_pairs scalar) — and repartitionByRange
+    # adds a SAMPLING pass — so without the cuts the orders scan ran 3×
+    # and the ~3M-pair broadcast join ~3× (measured 22.9 s at sf0.1;
+    # 2.6 s with the cuts).
     days = (
         orders.groupBy(
             F.datediff(F.col("o_orderdate"), F.lit(_TS_EPOCH).cast("date"))
@@ -3113,8 +3120,16 @@ def theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)")
             .alias("y")
         )
+        .localCheckpoint()
     )
     a, b = days.alias("a"), days.alias("b")
+    # The slopes are ~100% DISTINCT (high-resolution milli-cent values),
+    # so a (slope, count) grain collapses nothing — the grain groupBy
+    # just shuffled ~3M unique keys (measured 9 s of the original
+    # 22.9 s at sf0.1). Select the median on RAW rows instead:
+    # range-repartition once, rank = per-partition row_number +
+    # per-partition offsets. Still zero single-partition windows; the
+    # per-partition sort is bounded by n_pairs/_TS_RANGES.
     slopes = (
         a.join(F.broadcast(b), F.col("a.x") < F.col("b.x"))
         .select(
@@ -3123,36 +3138,22 @@ def theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " div (b.x - a.x) AS BIGINT)"
             ).alias("slope_milli")
         )
-        .groupBy("slope_milli")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    )
-    ranged = (
-        slopes.repartitionByRange(_TS_RANGES, "slope_milli")
+        .repartitionByRange(_TS_RANGES, "slope_milli")
         .withColumn("pid", F.spark_partition_id())
         .localCheckpoint()
     )
-    w_cum = (
-        Window.partitionBy("pid")
-        .orderBy("slope_milli")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    staged = ranged.withColumn("lc", F.sum("cnt").over(w_cum))
-    totals = ranged.groupBy("pid").agg(F.sum("cnt").alias("pcnt"))
+    w_rn = Window.partitionBy("pid").orderBy("slope_milli")
+    totals = slopes.groupBy("pid").agg(F.count(F.lit(1)).alias("pcnt"))
     offsets = _prefix_offsets(totals, "pcnt")
     scalars = days.agg(F.count(F.lit(1)).cast("bigint").alias("n_days")).crossJoin(
-        slopes.agg(F.sum("cnt").cast("bigint").alias("n_pairs"))
+        slopes.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
     )
     return (
-        staged.join(F.broadcast(offsets), "pid")
+        slopes.withColumn("rn", F.row_number().over(w_rn))
+        .join(F.broadcast(offsets), "pid")
         .crossJoin(F.broadcast(scalars))
-        .withColumn("cum", F.col("offset") + F.col("lc"))
-        .groupBy("n_days", "n_pairs")
-        .agg(
-            F.min(
-                F.when(F.col("cum") * 2 >= F.col("n_pairs"), F.col("slope_milli"))
-            ).alias("theilsen_slope_milli")
-        )
-        .select("n_days", "n_pairs", "theilsen_slope_milli")
+        .where(F.col("offset") + F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+        .select("n_days", "n_pairs", F.col("slope_milli").alias("theilsen_slope_milli"))
     )
 
 
@@ -3303,8 +3304,9 @@ def permutation_test_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests the whole distribution, [[priority_status_chisq]] needs a
     χ² reference table; this one builds its OWN null distribution):
     re-split the pooled rows into two pseudo-groups _PERM_K times with
-    a deterministic hash coin (md5(key-perm) first hex — the
-    engine-portable randomness idiom), compute the size-corrected
+    deterministic hash coins (bit p of each row's single md5 digest —
+    the engine-portable randomness idiom, one hash per row for all
+    _PERM_K ≤ 128 replicates), compute the size-corrected
     squared mean gap each time, and report how often a random split
     beats the observed one. p_permille = 1000·#{stat_perm ≥ stat_obs}
     div K. Deterministic end to end — both engines replay the same
@@ -3316,10 +3318,15 @@ def permutation_test_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle per partition), so the blowup is CPU, not network — the
     honest cost of resampling inference at scale, linear in K."""
     li = load_table(spark, sf_dir, "lineitem")
+    # ONE md5 per row, not per (row, perm): the 32-hex digest is 128
+    # independent coin bits, and perm p reads bit p via pure integer
+    # hex-digit arithmetic (digit div 2^(p mod 4) mod 2 — both engines
+    # compute instr/substr/div identically). The per-pair-md5 version
+    # measured 20.5 s at sf0.1; reading bits off one digest cuts it to ~4 s. _PERM_K ≤ 128 by construction.
     base = li.where(F.col("l_returnflag").isin("R", "N")).select(
         (F.col("l_returnflag") == "R").alias("is_a"),
         F.expr("CAST(floor(l_discount * 1000) AS BIGINT)").alias("v"),
-        F.concat_ws("-", "l_orderkey", "l_linenumber").alias("key"),
+        F.md5(F.concat_ws("-", "l_orderkey", "l_linenumber")).alias("h"),
     )
     def sums(flag: Column) -> list[Column]:
         return [
@@ -3335,11 +3342,33 @@ def permutation_test_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST({_PERM_D_SPARK} AS BIGINT)").alias("diff_micro_obs"),
         F.expr(_PERM_STAT_SPARK).alias("stat_obs"),
     )
-    coin = F.substring(
-        F.md5(F.concat_ws("-", F.col("key"), F.col("perm"))), 1, 1
-    ).isin(*"01234567")
+    # Per-row: 32 hex digits decoded ONCE, then all _PERM_K coins as a
+    # boolean array from pure integer arithmetic — the explode ships
+    # only (perm, coin, v), never the digest (substr-per-(row, perm)
+    # measured 2.6× slower at sf0.1). Values are IDENTICAL to the
+    # oracle's per-perm substr form — same digits, same arithmetic.
+    # The digest parses ONCE per row into two 60-bit BIGINT words
+    # (chars 1-15, 16-30); each exploded (row, perm) pair then reads
+    # its coin with one shift+mod — a pure-integer SCALAR codegen
+    # expression. Measured at sf0.1: 3.4 s vs 8.5 s for substr/instr
+    # per pair and ~13 s for a transform()-lambda formulation (HOF
+    # lambdas run interpreted at ~30 µs/element — fine per-array,
+    # never in a rows×K hot loop). The oracle parses the same words
+    # via hex_to_bigint_sql and applies the same shifts.
+    words = base.select(
+        "v",
+        F.expr("CAST(conv(substr(h, 1, 15), 16, 10) AS BIGINT)").alias("w1"),
+        F.expr("CAST(conv(substr(h, 16, 15), 16, 10) AS BIGINT)").alias("w2"),
+    )
+    coin = F.expr(
+        "(CASE WHEN perm <= 60 THEN shiftright(w1, CAST(perm - 1 AS INT))"
+        " ELSE shiftright(w2, CAST(perm - 61 AS INT)) END) % 2 = 1"
+    )
     perms = (
-        base.select("v", "key", F.explode(F.sequence(F.lit(1), F.lit(_PERM_K))).alias("perm"))
+        words.select(
+            "v", "w1", "w2",
+            F.explode(F.sequence(F.lit(1), F.lit(_PERM_K))).alias("perm"),
+        )
         .select("perm", "v", coin.alias("pa"))
         .groupBy("perm")
         .agg(*sums(F.col("pa")))
@@ -3365,11 +3394,14 @@ def permutation_test_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HX1 = hex_to_bigint_sql("substr(h, 1, 15)")
+_HX2 = hex_to_bigint_sql("substr(h, 16, 15)")
+
 _PERM_TEST_SQL = f"""
     WITH base AS (
         SELECT l_returnflag = 'R' AS is_a,
                CAST(floor(l_discount * 1000) AS BIGINT) AS v,
-               l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR AS key
+               md5(l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR) AS h
         FROM lineitem WHERE l_returnflag IN ('R', 'N')
     ),
     obs AS (
@@ -3385,22 +3417,23 @@ _PERM_TEST_SQL = f"""
                {_PERM_STAT_DUCK} AS stat_obs
         FROM obs
     ),
+    words AS (
+        SELECT v, {_HX1} AS w1, {_HX2} AS w2 FROM base
+    ),
+    coined AS (
+        SELECT p.perm, w.v,
+               (CASE WHEN p.perm <= 60 THEN w.w1 >> (p.perm - 1)
+                     ELSE w.w2 >> (p.perm - 61) END) % 2 = 1 AS pa
+        FROM words w, (SELECT unnest(range(1, {_PERM_K} + 1)) AS perm) p
+    ),
     perms AS (
-        SELECT p.perm,
-               CAST(sum(CASE WHEN substr(md5(b.key || '-' || p.perm::VARCHAR), 1, 1)
-                             IN ('0','1','2','3','4','5','6','7')
-                        THEN v ELSE 0 END) AS BIGINT) AS s_a,
-               CAST(sum(CASE WHEN substr(md5(b.key || '-' || p.perm::VARCHAR), 1, 1)
-                             IN ('0','1','2','3','4','5','6','7')
-                        THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-               CAST(sum(CASE WHEN substr(md5(b.key || '-' || p.perm::VARCHAR), 1, 1)
-                             IN ('0','1','2','3','4','5','6','7')
-                        THEN 0 ELSE v END) AS BIGINT) AS s_b,
-               CAST(sum(CASE WHEN substr(md5(b.key || '-' || p.perm::VARCHAR), 1, 1)
-                             IN ('0','1','2','3','4','5','6','7')
-                        THEN 0 ELSE 1 END) AS BIGINT) AS n_b
-        FROM base b, (SELECT unnest(range(1, {_PERM_K} + 1)) AS perm) p
-        GROUP BY p.perm
+        SELECT perm,
+               CAST(sum(CASE WHEN pa THEN v ELSE 0 END) AS BIGINT) AS s_a,
+               CAST(sum(CASE WHEN pa THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN pa THEN 0 ELSE v END) AS BIGINT) AS s_b,
+               CAST(sum(CASE WHEN pa THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        FROM coined
+        GROUP BY perm
     ),
     perm_stats AS (
         SELECT perm, {_PERM_STAT_DUCK} AS stat FROM perms

@@ -1114,14 +1114,16 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-exactly. Recall@10 vs [[ann_topk_bruteforce]] measured 0.98 at
     sf0.01; asserted ≥0.8 in tests/test_dedup_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    emb_q = plan_barrier(
-        emb.select(
-            "vec_id",
-            "label",
-            _as_double("embedding").alias("vec"),
-            _as_qn(_as_double("embedding")).alias("qfull"),
-        )
-    )
+    # localCheckpoint, not just a fence: the normalize+quantize
+    # projection feeds ~7 downstream JOBS (count, seed collect, two
+    # Lloyd assign/reduce rounds, encode, query tables, final scan) —
+    # checkpointing computes it once instead of once per job.
+    emb_q = emb.select(
+        "vec_id",
+        "label",
+        _as_double("embedding").alias("vec"),
+        _as_qn(_as_double("embedding")).alias("qfull"),
+    ).localCheckpoint()
     books = _train_pq_codebooks(emb_q.select("vec_id", "qfull"))
     # Encode: one narrow projection — per subspace, argmin over that
     # subspace's codebook (no explode, no shuffle; codes are computed
