@@ -1189,7 +1189,7 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_lloyd_sql(iters: int) -> tuple[str, str]:
+def _pq_lloyd_sql(iters: int, seeds_table: str = "seeds", subvecs: str = "subvecs") -> tuple[str, str]:
     """CTE text for ``iters`` per-subspace integer-Lloyd rounds over a
     ``subvecs`` table (vec_id, sub, q), seeded from a ``seeds`` CTE
     (sub, cid, sq). The per-round layers are ``_lloyd_rounds_sql`` with
@@ -1198,14 +1198,16 @@ def _pq_lloyd_sql(iters: int) -> tuple[str, str]:
     AS MATERIALIZED — round t's codebook is referenced twice by round
     t+1 (the k-core inlining trap, SCALE.md 'Oracle-side blowup')."""
     sd = _PQ_SUBDIM
-    parts = ["pq_c0 AS MATERIALIZED (SELECT sub, cid, sq AS cq FROM seeds)"]
+    parts = [
+        f"pq_c0 AS MATERIALIZED (SELECT sub, cid, sq AS cq FROM {seeds_table})"
+    ]
     prev = "pq_c0"
     for t in range(iters):
         parts.append(f"""pq_d{t} AS MATERIALIZED (
         SELECT c.vec_id, c.sub, t.cid,
                list_sum(list_transform(range(1, {sd + 1}),
                    i -> (c.q[i] - t.cq[i]) * (c.q[i] - t.cq[i]))) AS d2
-        FROM subvecs c JOIN {prev} t USING (sub)
+        FROM {subvecs} c JOIN {prev} t USING (sub)
     )""")
         parts.append(f"""pq_a{t} AS MATERIALIZED (
         SELECT vec_id, sub, cid FROM (
@@ -1217,7 +1219,7 @@ def _pq_lloyd_sql(iters: int) -> tuple[str, str]:
         parts.append(f"""pq_m{t} AS MATERIALIZED (
         SELECT a.sub, a.cid, dd.dim,
                CAST(sum(c.q[dd.dim]) // count(*) AS BIGINT) AS cv
-        FROM pq_a{t} a JOIN subvecs c USING (vec_id, sub),
+        FROM pq_a{t} a JOIN {subvecs} c USING (vec_id, sub),
              (SELECT unnest(range(1, {sd + 1})) AS dim) dd
         GROUP BY a.sub, a.cid, dd.dim
     )""")
@@ -1318,6 +1320,296 @@ def _pq_sql() -> str:
 
 
 _ANN_PQ_SQL = _pq_sql()
+
+
+def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production vector-index architecture (the FAISS
+    `IVFx,PQy` layout) composed from this engine's two quantizers:
+    the IVF coarse quantizer PRUNES (each query scans only its
+    _IVF_PROBES nearest inverted lists) and PQ COMPRESSES (candidates
+    are scored from _PQ_M 4-bit codes of their RESIDUAL against the
+    coarse centroid, via per-(query, probed-cell) ADC tables). Residual
+    encoding is what makes the composition better than PQ-alone at the
+    same code budget: within a cell, residuals are centered near zero,
+    so the subspace codebooks spend their 16 codes on a tighter range.
+
+    Scale shape: per-row state = cluster id + codes (the 16×-compressed
+    index); the scoring join keys on the cluster (candidates =
+    probes/k of the corpus, the IVF story) and each candidate costs
+    _PQ_M broadcast-table lookups (the PQ story); shortlist + exact
+    re-rank bound the windows at queries×_PQ_SHORTLIST. Training =
+    one coarse Lloyd loop + one residual-subspace Lloyd loop, each an
+    assign+reduce job per round.
+
+    All-integer through the shortlist on the SAME micro-quantization
+    as IVF and PQ; DuckDB replays both unrolled Lloyd builds, the
+    residual encode, the probe selection, and the ADC sums bit-exactly
+    (``_ivfpq_sql``). Recall@10 vs [[ann_topk_bruteforce]] asserted in
+    tests/test_dedup_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_q = emb.select(
+        "vec_id",
+        "label",
+        _as_double("embedding").alias("vec"),
+        _as_qn(_as_double("embedding")).alias("qfull"),
+    ).localCheckpoint()
+    coarse = _train_centroids(emb_q.select("vec_id", F.col("qfull").alias("q")))
+    # Assign + residual in one narrow pass; checkpoint — it feeds the
+    # PQ training loop (2×2 jobs) AND the encode.
+    assigned = (
+        _with_centroids(emb_q, coarse)
+        .withColumn("cluster", _nearest_cluster(F.col("qfull")))
+        .withColumn(
+            "qres",
+            F.zip_with(
+                F.col("qfull"),
+                F.element_at(F.col("cents"), F.col("cluster") + 1),
+                lambda x, c: x - c,
+            ),
+        )
+        .drop("cents")
+        .localCheckpoint()
+    )
+    books = _train_pq_codebooks(
+        assigned.select("vec_id", F.col("qres").alias("qfull"))
+    )
+    code_expr = F.transform(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        lambda sub: _pq_code_for(F.col("qres"), sub),
+    )
+    coded = plan_barrier(
+        _with_pq_codebooks(assigned, books).select(
+            "vec_id", "label", "vec", "cluster", code_expr.alias("codes")
+        )
+    )
+    # Probe selection (IVF idiom) + per-(query, cell) residual ADC
+    # tables — _N_QUERIES×_IVF_PROBES rows, each carrying its own
+    # _PQ_M×_PQ_K lookup table; broadcast.
+    queries = emb_q.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("qfull").alias("qq"),
+    )
+    probe_pairs = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("cents"),
+                lambda c, i: F.struct(
+                    _sq_dist_int(F.col("qq"), c).alias("d"), i.alias("i")
+                ),
+            )
+        ),
+        1,
+        _IVF_PROBES,
+    )
+    rq = F.zip_with(
+        F.col("qq"),
+        F.element_at(F.col("cents"), F.col("cluster") + 1),
+        lambda x, c: x - c,
+    )
+    dtq_expr = F.transform(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        lambda sub: F.transform(
+            F.element_at(F.col("books"), sub + 1),
+            lambda c: _sq_dist_int(
+                F.slice(F.col("rq"), sub * _PQ_SUBDIM + 1, F.lit(_PQ_SUBDIM)), c
+            ),
+        ),
+    )
+    probes = plan_barrier(
+        _with_pq_codebooks(
+            plan_barrier(
+                _with_centroids(queries, coarse)
+                .select(
+                    "query_id", "qvec", "qq", "cents",
+                    F.explode(probe_pairs).alias("p"),
+                )
+                .select(
+                    "query_id",
+                    "qvec",
+                    F.col("p.i").alias("cluster"),
+                    rq.alias("rq"),
+                )
+            ),
+            books,
+        ).select("query_id", "qvec", "cluster", dtq_expr.alias("dtq"))
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, sub: acc
+        + F.element_at(
+            F.element_at(F.col("dtq"), sub + 1),
+            F.element_at(F.col("codes"), sub + 1) + 1,
+        ),
+    )
+    scored = (
+        coded.join(F.broadcast(probes), "cluster")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "label", "vec", "qvec", adc.alias("adc_d2"))
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("vec_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("srank", F.row_number().over(w_short))
+        .where(F.col("srank") <= _PQ_SHORTLIST)
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            cosine_similarity(F.col("qvec"), F.col("vec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        shortlist.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOP_K)
+        .select("query_id", "rank", "vec_id", "label", F.round("sim", 6).alias("sim"))
+    )
+
+
+def _ivfpq_sql() -> str:
+    """DuckDB replay of the full IVF-PQ pipeline: coarse Lloyd build
+    (``_lloyd_rounds_sql``), assignment + residuals, residual-subspace
+    Lloyd build (``_pq_lloyd_sql`` over the residual subvectors),
+    encode, multi-probe selection, per-(query, cell) residual ADC
+    tables, lookup-sum scoring, shortlist, exact-cosine re-rank."""
+    k, p, nq, topk, s = _IVF_K, _IVF_PROBES, _N_QUERIES, _TOP_K, _IVF_SCALE
+    d, m, sd, sl = _EMB_DIM, _PQ_M, _PQ_SUBDIM, _PQ_SHORTLIST
+    lloyd, cents = _lloyd_rounds_sql("corpus", _IVF_ITERS, d)
+    pql, books = _pq_lloyd_sql(_PQ_ITERS, seeds_table="pqseeds", subvecs="rsubvecs")
+    return f"""
+    WITH corpus AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS vec,
+               list_transform(embedding::DOUBLE[],
+                   x -> CAST(floor(x / sqrt(list_dot_product(
+                            embedding::DOUBLE[], embedding::DOUBLE[]))
+                            * {s}) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    stats AS (SELECT greatest(count(*) // {k}, 1) AS stride FROM corpus),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS sq
+        FROM corpus, stats
+        WHERE vec_id % stride = 0
+        ORDER BY vec_id
+        LIMIT {k}
+    ),
+    {lloyd},
+    cd AS (
+        SELECT c.vec_id, t.cid,
+               list_sum(list_transform(range(1, {d + 1}),
+                   i -> (c.q[i] - t.cq[i]) * (c.q[i] - t.cq[i]))) AS d2
+        FROM corpus c, {cents} t
+    ),
+    assign AS MATERIALIZED (
+        SELECT vec_id, cid AS cluster FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM cd) WHERE rn = 1
+    ),
+    resid AS MATERIALIZED (
+        SELECT c.vec_id, a.cluster,
+               list_transform(range(1, {d + 1}), i -> c.q[i] - t.cq[i]) AS rq
+        FROM corpus c JOIN assign a USING (vec_id)
+        JOIN {cents} t ON t.cid = a.cluster
+    ),
+    subs AS (SELECT unnest(range(0, {m})) AS sub),
+    rsubvecs AS MATERIALIZED (
+        SELECT vec_id, sub,
+               list_slice(rq, sub * {sd} + 1, sub * {sd} + {sd}) AS q
+        FROM resid, subs
+    ),
+    pqseedrows AS (
+        SELECT vec_id, rq FROM resid, stats
+        WHERE vec_id % stride = 0 ORDER BY vec_id LIMIT {_PQ_K}
+    ),
+    pqseeds AS MATERIALIZED (
+        SELECT sub,
+               row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS cid,
+               list_slice(rq, sub * {sd} + 1, sub * {sd} + {sd}) AS sq
+        FROM pqseedrows, subs
+    ),
+    {pql},
+    enc_d AS (
+        SELECT c.vec_id, c.sub, t.cid,
+               list_sum(list_transform(range(1, {sd + 1}),
+                   i -> (c.q[i] - t.cq[i]) * (c.q[i] - t.cq[i]))) AS d2
+        FROM rsubvecs c JOIN {books} t USING (sub)
+    ),
+    codes AS MATERIALIZED (
+        SELECT vec_id, sub, cid AS code FROM (
+            SELECT vec_id, sub, cid,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d2, cid) AS rn
+            FROM enc_d) WHERE rn = 1
+    ),
+    qset AS (
+        SELECT vec_id AS query_id, vec AS qvec, q AS qq
+        FROM corpus WHERE vec_id < {nq}
+    ),
+    qd AS (
+        SELECT query_id, cid,
+               row_number() OVER (PARTITION BY query_id ORDER BY d2, cid) AS rn
+        FROM (
+            SELECT qs.query_id, t.cid,
+                   list_sum(list_transform(range(1, {d + 1}),
+                       i -> (qs.qq[i] - t.cq[i]) * (qs.qq[i] - t.cq[i]))) AS d2
+            FROM qset qs, {cents} t)
+    ),
+    probes AS (SELECT query_id, cid AS cluster FROM qd WHERE rn <= {p}),
+    qresid AS (
+        SELECT pr.query_id, pr.cluster,
+               list_transform(range(1, {d + 1}), i -> qs.qq[i] - t.cq[i]) AS rq
+        FROM probes pr
+        JOIN qset qs USING (query_id)
+        JOIN {cents} t ON t.cid = pr.cluster
+    ),
+    qsub AS (
+        SELECT query_id, cluster, sub,
+               list_slice(rq, sub * {sd} + 1, sub * {sd} + {sd}) AS q
+        FROM qresid, subs
+    ),
+    dt AS MATERIALIZED (
+        SELECT qs.query_id, qs.cluster, b.sub, b.cid,
+               list_sum(list_transform(range(1, {sd + 1}),
+                   i -> (qs.q[i] - b.cq[i]) * (qs.q[i] - b.cq[i]))) AS d2
+        FROM qsub qs JOIN {books} b USING (sub)
+    ),
+    adc AS (
+        SELECT dt.query_id, kk.vec_id, CAST(sum(dt.d2) AS BIGINT) AS adc_d2
+        FROM codes kk
+        JOIN assign a ON a.vec_id = kk.vec_id
+        JOIN dt ON dt.cluster = a.cluster
+               AND dt.sub = kk.sub AND dt.cid = kk.code
+        WHERE kk.vec_id != dt.query_id
+        GROUP BY dt.query_id, kk.vec_id
+    ),
+    shortlist AS (
+        SELECT query_id, vec_id FROM adc
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_d2 ASC, vec_id ASC) <= {sl}
+    ),
+    reranked AS (
+        SELECT sl.query_id, sl.vec_id, c.label,
+               list_dot_product(q.vec, c.vec)
+               / (sqrt(list_dot_product(q.vec, q.vec))
+                  * sqrt(list_dot_product(c.vec, c.vec))) AS sim
+        FROM shortlist sl
+        JOIN corpus c ON c.vec_id = sl.vec_id
+        JOIN corpus q ON q.vec_id = sl.query_id
+    )
+    SELECT query_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, vec_id ASC) AS rank,
+           vec_id, label, round(sim, 6) AS sim
+    FROM reranked
+    QUALIFY rank <= {topk}
+"""
+
+
+_ANN_IVFPQ_SQL = _ivfpq_sql()
 
 
 _RET_DF_CAP_HALF = True  # posting-list cap: drop tokens with df*2 > N
@@ -2226,6 +2518,7 @@ QUERIES = {
     "sparse_retrieval_topk": sparse_retrieval_topk,
     "hybrid_search_rrf": hybrid_search_rrf,
     "hard_negative_mining": hard_negative_mining,
+    "ann_topk_ivfpq": ann_topk_ivfpq,
 }
 
 # All three ANN paths are VALUE-oracled as of round 9: ann_topk_lsh via
@@ -2249,6 +2542,7 @@ ORACLES = {
     "sparse_retrieval_topk": _sparse_ret_sql(),
     "hybrid_search_rrf": _hybrid_rrf_sql(),
     "hard_negative_mining": _HARD_NEG_SQL,
+    "ann_topk_ivfpq": _ANN_IVFPQ_SQL,
     "embedding_gram": _GRAM_SQL,
     "pca_power_iteration_check": _PCA_CHECK_SQL,
 }
