@@ -3188,6 +3188,108 @@ _THEILSEN_SQL = f"""
 """
 
 
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL trend significance on daily revenue — the
+    hypothesis-test companion to [[theilsen_revenue_trend]]'s slope
+    magnitude (Theil-Sen says HOW STEEP, Mann-Kendall says whether a
+    monotonic trend exists at all): S = Σ_(i<j) sign(y_j − y_i) over
+    the same CALENDAR-BOUNDED day-pair base (≤ ~3M pairs at any row
+    count), with the textbook tie-corrected variance
+    18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) and the ±1 continuity
+    correction in the normal approximation.
+
+    Exactness: S and the 18-scaled variance are exact int64 (day grain
+    n and tie-group sizes are calendar-bounded, so the n³ products
+    stay ~1e13); z enters floats only through the int64→double
+    conversion, sqrt, and divide — the correctly-rounded shell of
+    [[brand_size_price_corr]]. Plan: the broadcast day self-join feeds
+    ONE 1-row aggregate (no median machinery); ties re-aggregate the
+    2.4k-row day table."""
+    orders = load_table(spark, sf_dir, "orders")
+    days = (
+        orders.groupBy(
+            F.datediff(F.col("o_orderdate"), F.lit(_TS_EPOCH).cast("date"))
+            .cast("bigint")
+            .alias("x")
+        )
+        .agg(
+            F.expr("CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)")
+            .alias("y")
+        )
+        .localCheckpoint()
+    )
+    a, b = days.alias("a"), days.alias("b")
+    s_stat = (
+        a.join(F.broadcast(b), F.col("a.x") < F.col("b.x"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.y") > F.col("a.y"), 1)
+                .when(F.col("b.y") < F.col("a.y"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    ties = days.groupBy("y").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    var18 = (
+        days.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .crossJoin(
+            ties.agg(
+                F.sum(F.expr("t * (t - 1) * (2 * t + 5)"))
+                .cast("bigint")
+                .alias("tie_term")
+            )
+        )
+        .select(
+            "n",
+            F.expr("n * (n - 1) * (2 * n + 5) - tie_term").alias("var_x18"),
+        )
+    )
+    return (
+        s_stat.crossJoin(F.broadcast(var18))
+        .select(
+            F.col("n").alias("n_days"),
+            "s_stat",
+            "var_x18",
+            F.expr(
+                "round(CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)"
+                " WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)"
+                " ELSE 0.0 END"
+                " / nullif(sqrt(CAST(var_x18 AS DOUBLE) / 18.0), 0.0), 6)"
+            ).alias("z_score"),
+        )
+    )
+
+
+_MANN_KENDALL_SQL = f"""
+    WITH days AS (
+        SELECT CAST(date_diff('day', DATE '{_TS_EPOCH}', o_orderdate) AS BIGINT) AS x,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(sum(CASE WHEN b.y > a.y THEN 1
+                             WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        FROM days a JOIN days b ON a.x < b.x
+    ),
+    v AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM days) AS n,
+               (SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                FROM (SELECT CAST(count(*) AS BIGINT) AS t
+                      FROM days GROUP BY y)) AS tie_term
+    )
+    SELECT v.n AS n_days, s.s_stat,
+           CAST(v.n * (v.n - 1) * (2 * v.n + 5) - v.tie_term AS BIGINT) AS var_x18,
+           round(CASE WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE)
+                      WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE)
+                      ELSE 0.0 END
+                 / nullif(sqrt(CAST(v.n * (v.n - 1) * (2 * v.n + 5) - v.tie_term
+                               AS DOUBLE) / 18.0), 0.0), 6) AS z_score
+    FROM s, v
+"""
+
+
 def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability-diagram CALIBRATION AUDIT with a honest train/test
     protocol — completes the ML-eval family: [[order_priority_auc]]
@@ -3731,6 +3833,7 @@ _TRIMMED_MEAN_SQL = f"""
 QUERIES = {
     "brand_size_price_corr": brand_size_price_corr,
     "theilsen_revenue_trend": theilsen_revenue_trend,
+    "mann_kendall_trend": mann_kendall_trend,
     "calibration_bins": calibration_bins,
     "permutation_test_discount": permutation_test_discount,
     "spearman_balance_spend": spearman_balance_spend,
@@ -3782,6 +3885,7 @@ QUERIES = {
 ORACLES = {
     "brand_size_price_corr": _BRAND_CORR_SQL,
     "theilsen_revenue_trend": _THEILSEN_SQL,
+    "mann_kendall_trend": _MANN_KENDALL_SQL,
     "calibration_bins": _CALIBRATION_SQL,
     "permutation_test_discount": _PERM_TEST_SQL,
     "spearman_balance_spend": _SPEARMAN_SQL,
