@@ -1310,22 +1310,35 @@ def record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact), pair scores are 4-term integer adds, and the thresholds are
     integer micronat constants. Output: review-band-and-above pairs
     with per-field agreement flags."""
-    parts = _rl_parts(spark, sf_dir)
-    freq = None
-    for field, m in _RL_FIELDS:
-        g = (
-            parts.groupBy(field)
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .agg(
-                F.lit(field).alias("field"),
-                F.lit(m).alias("m"),
-                F.sum(
-                    F.col("cnt").cast("decimal(38,0)") * F.col("cnt")
-                ).alias("sum_sq"),
-                F.sum("cnt").alias("n"),
-            )
+    # localCheckpoint: the parts projection feeds the freq pass, both
+    # blocking-join sides, and both attribute join-backs — ~6 jobs
+    # otherwise re-running the scan+split lineage each time.
+    parts = _rl_parts(spark, sf_dir).localCheckpoint()
+    # ONE stacked pass for all field frequencies (field, value) — the
+    # per-field loop ran |fields| separate scan+agg jobs. String-cast
+    # is injective for every compared field, so the per-value counts
+    # (and therefore sum_sq, n, and the weights) are unchanged.
+    stack_pairs = ", ".join(
+        f"'{field}', CAST({field} AS STRING)" for field, _ in _RL_FIELDS
+    )
+    m_map = F.create_map(
+        *[x for field, m in _RL_FIELDS for x in (F.lit(field), F.lit(m))]
+    )
+    freq = (
+        parts.select(
+            F.expr(f"stack({len(_RL_FIELDS)}, {stack_pairs}) AS (field, value)")
         )
-        freq = g if freq is None else freq.unionByName(g)
+        .groupBy("field", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("field")
+        .agg(
+            F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("cnt")).alias(
+                "sum_sq"
+            ),
+            F.sum("cnt").alias("n"),
+        )
+        .withColumn("m", m_map[F.col("field")])
+    )
     w = _rl_ln_micro(freq, _RL_PA_SQL, "wa_micro")
     w = _rl_ln_micro(w, _RL_PD_SQL, "wd_micro")
     wide = w.agg(
