@@ -3565,10 +3565,12 @@ def spearman_balance_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     half), and centering is EXACT because tie-averaged ranks always
     sum to n(n+1)/2, so the centered doubled rank is rank2 − (n+1),
     an integer with no mean-estimation error. ρ = Σcxcy /
-    (√Σcx²·√Σcy²) — exact int64 core, correctly-rounded float shell
-    (the [[brand_size_price_corr]] exactness class; int64 holds to
-    ~1.3e6 customers since |Σcxcy| ≤ 4n³ — an entity-dimension bound;
-    promote the three sums to DECIMAL(38,0) beyond).
+    (√Σcx²·√Σcy²) — exact integer core, correctly-rounded float shell
+    (the [[brand_size_price_corr]] exactness class). The three sums
+    widen to DECIMAL(38,0)/HUGEINT at aggregation: |Σcxcy| ≤ 4n³
+    passes int64 at ~1.3e6 customers (TPC-H sf≈15) and Spark's
+    non-ANSI BIGINT sum wraps silently — the widening is free on a
+    1-row final aggregate.
 
     Plan: orders aggregate once to customer grain (map-side combined)
     and LEFT-join to customers (no-order customers rank with spend 0 —
@@ -3629,12 +3631,16 @@ def spearman_balance_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("r2_y") - (F.col("n") + 1)).alias("cy"),
         )
     )
+    # The three sums widen to DECIMAL(38,0) BEFORE aggregation:
+    # |Σcx·cy| grows ~4n³ and passes int64 at ~1.3M customers (TPC-H
+    # sf≳15); Spark's non-ANSI BIGINT sum would wrap silently there.
+    # DECIMAL(38,0) holds to n≈10¹² rows — effectively unbounded.
     return ranked.groupBy("n").agg(
-        F.sum(F.expr("cx * cy")).cast("bigint").alias("num"),
+        F.sum(F.expr("CAST(cx AS DECIMAL(38,0)) * cy")).cast("decimal(38,0)").alias("num"),
         F.expr(
-            "round(CAST(sum(cx * cy) AS DOUBLE)"
-            " / nullif(sqrt(CAST(sum(cx * cx) AS DOUBLE))"
-            " * sqrt(CAST(sum(cy * cy) AS DOUBLE)), 0.0), 6)"
+            "round(CAST(sum(CAST(cx AS DECIMAL(38,0)) * cy) AS DOUBLE)"
+            " / nullif(sqrt(CAST(sum(CAST(cx AS DECIMAL(38,0)) * cx) AS DOUBLE))"
+            " * sqrt(CAST(sum(CAST(cy AS DECIMAL(38,0)) * cy) AS DOUBLE)), 0.0), 6)"
         ).alias("spearman_rho"),
     ).select(F.col("n").alias("n_customers"), "num", "spearman_rho")
 
@@ -3673,10 +3679,10 @@ _SPEARMAN_SQL = """
         FROM rows_ r JOIN rx USING (x) JOIN ry USING (y) CROSS JOIN nn
     )
     SELECT n AS n_customers,
-           CAST(sum(cx * cy) AS BIGINT) AS num,
-           round(CAST(sum(cx * cy) AS DOUBLE)
-                 / nullif(sqrt(CAST(sum(cx * cx) AS DOUBLE))
-                          * sqrt(CAST(sum(cy * cy) AS DOUBLE)), 0.0), 6)
+           CAST(sum(cx::HUGEINT * cy) AS DECIMAL(38,0)) AS num,
+           round(CAST(sum(cx::HUGEINT * cy) AS DOUBLE)
+                 / nullif(sqrt(CAST(sum(cx::HUGEINT * cx) AS DOUBLE))
+                          * sqrt(CAST(sum(cy::HUGEINT * cy) AS DOUBLE)), 0.0), 6)
                AS spearman_rho
     FROM centered
     GROUP BY n

@@ -1227,6 +1227,15 @@ _CONTAINMENT_SQL = rf"""
 #: EXACT DYADIC double so the literal parses bit-identically on both
 #: engines. u = P(agree | different entities) is NOT a prior: it is
 #: estimated from the data as the chance-agreement rate Σ n_v²/N².
+#:
+#: INJECTIVITY CONSTRAINT: the frequency pass stacks all fields into
+#: one (field, CAST(value AS STRING)) table, so every field added here
+#: must cast to STRING injectively (distinct values → distinct
+#: strings). True for the current string/int fields; a FLOAT field
+#: would NOT qualify (e.g. -0.0 vs 0.0, engine-dependent rendering)
+#: and would silently merge value counts, skewing the u-probabilities
+#: and every Fellegi-Sunter weight. Quantize floats to integer units
+#: (cents, micronats) before adding them.
 _RL_FIELDS = (("brand", 0.9375), ("type", 0.9375), ("size", 0.875), ("price_band", 0.75))
 _RL_LO_K, _RL_HI_K = -40, 40
 _RL_LINK_MICRO = 6_000_000  # ≥ 6 nats of evidence → link

@@ -1424,12 +1424,18 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "query_id", "qvec", "qq", "cents",
                     F.explode(probe_pairs).alias("p"),
                 )
+                # Two projections on purpose: `rq` reads the `cluster`
+                # alias, and a single select would resolve only via
+                # Spark's lateral-column-alias feature (3.4+ config-
+                # gated) — fragile across versions (r10 advice).
                 .select(
                     "query_id",
                     "qvec",
+                    "qq",
+                    "cents",
                     F.col("p.i").alias("cluster"),
-                    rq.alias("rq"),
                 )
+                .select("query_id", "qvec", "cluster", rq.alias("rq"))
             ),
             books,
         ).select("query_id", "qvec", "cluster", dtq_expr.alias("dtq"))
@@ -1612,7 +1618,10 @@ def _ivfpq_sql() -> str:
 _ANN_IVFPQ_SQL = _ivfpq_sql()
 
 
-_RET_DF_CAP_HALF = True  # posting-list cap: drop tokens with df*2 > N
+# Posting-list cap: tokens with df*2 > N are dropped (near-stopwords
+# carry no ranking signal and dominate posting-list length). The
+# predicate is intentionally hardcoded in BOTH the Spark plan and the
+# oracle CTE below — keep them in sync if the cap ever changes.
 _RRF_DEPTH = 50  # per-retriever candidate depth fed into the fusion
 _RRF_K = 60  # the canonical reciprocal-rank-fusion damping constant
 

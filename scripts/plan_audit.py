@@ -170,7 +170,36 @@ def audit(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, dict]
     return results
 
 
-def render(results: dict[str, dict], sf_dir: str) -> str:
+def _row(name: str, f: dict) -> str:
+    if f.get("error"):
+        return f"| {name} | — | — | — | — | — | — | ERROR: {f['error'][:60]} |"
+    v = ", ".join(violations(f) + expectation_violations(name, f)) or "—"
+    return (
+        f"| {name} | {f['exchanges']} | {f['smj']} | {f['bhj']} | "
+        f"{f['bnlj']} | {f['arrow_python']} | "
+        f"{'yes' if f['pushed'] else '—'} | {v} |"
+    )
+
+
+def existing_rows(path: Path) -> dict[str, str]:
+    """Parse the query->row-line map out of a committed PLANS.md ledger."""
+    rows: dict[str, str] = {}
+    if not path.exists():
+        return rows
+    for line in path.read_text().splitlines():
+        m = re.match(r"\| ([a-z0-9_]+) \| ", line)
+        if m and m.group(1) != "query":
+            rows[m.group(1)] = line
+    return rows
+
+
+def render(results: dict[str, dict], sf_dir: str, keep: dict[str, str] | None = None) -> str:
+    """Render the ledger; ``keep`` carries prior rows for un-audited queries.
+
+    A subset ``--write`` merges into the committed ledger instead of
+    replacing it (the r10 accident: a one-query subset run overwrote all
+    255 rows — VERDICT r10 item 1).
+    """
     lines = [
         "# PLANS — physical-plan audit ledger",
         "",
@@ -182,17 +211,11 @@ def render(results: dict[str, dict], sf_dir: str) -> str:
         "| query | exchanges | SMJ | BHJ | BNLJ | Arrow | pushed filters | violations |",
         "|---|---|---|---|---|---|---|---|",
     ]
-    for name in sorted(results):
-        f = results[name]
-        if f.get("error"):
-            lines.append(f"| {name} | — | — | — | — | — | — | ERROR: {f['error'][:60]} |")
-            continue
-        v = ", ".join(violations(f) + expectation_violations(name, f)) or "—"
-        lines.append(
-            f"| {name} | {f['exchanges']} | {f['smj']} | {f['bhj']} | "
-            f"{f['bnlj']} | {f['arrow_python']} | "
-            f"{'yes' if f['pushed'] else '—'} | {v} |"
-        )
+    merged: dict[str, str] = dict(keep or {})
+    for name, f in results.items():
+        merged[name] = _row(name, f)
+    for name in sorted(merged):
+        lines.append(merged[name])
     return "\n".join(lines) + "\n"
 
 
@@ -218,8 +241,13 @@ def main() -> int:
     }
     errors = {n: f["error"] for n, f in results.items() if f.get("error")}
     if args.write:
-        (REPO / "PLANS.md").write_text(render(results, args.sf))
-        print(f"wrote PLANS.md ({len(results)} queries)")
+        ledger = REPO / "PLANS.md"
+        # Subset runs MERGE into the committed ledger — a partial audit
+        # must never destroy the other queries' rows (r10 regression).
+        keep = existing_rows(ledger) if args.names else None
+        ledger.write_text(render(results, args.sf, keep=keep))
+        total = len((keep or {}) | {n: None for n in results})
+        print(f"wrote PLANS.md ({len(results)} audited, {total} rows)")
     for n, f in sorted(results.items()):
         if not f.get("error") and all_violations(n, f):
             print(f"VIOLATION {n}: {all_violations(n, f)}")

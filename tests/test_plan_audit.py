@@ -116,6 +116,41 @@ def test_expectations_detect_planted_regressions():
     )
 
 
+def test_ledger_covers_full_registry():
+    """PLANS.md must hold exactly one row per registered query — the
+    r10 accident (a one-query subset --write replaced the whole
+    255-row ledger) stays impossible: subset runs merge via
+    ``existing_rows`` and this pin fails the suite if the committed
+    ledger ever loses rows again."""
+    from azure_sales_etl_pipeline_spark.plans import registry
+
+    queries, _ = registry()
+    rows = plan_audit.existing_rows(REPO / "PLANS.md")
+    missing = sorted(set(queries) - set(rows))
+    extra = sorted(set(rows) - set(queries))
+    assert not missing, f"PLANS.md missing {len(missing)} rows: {missing[:5]}"
+    assert not extra, f"PLANS.md has stale rows: {extra[:5]}"
+
+
+def test_subset_write_merges_not_overwrites(tmp_path):
+    """A subset render must KEEP prior rows for un-audited queries."""
+    ledger = tmp_path / "PLANS.md"
+    full = plan_audit.render(
+        {"q_a": {"error": "boom"}, "q_b": {"error": "boom"}}, "sf"
+    )
+    ledger.write_text(full)
+    prior = plan_audit.existing_rows(ledger)
+    assert set(prior) == {"q_a", "q_b"}
+    merged = plan_audit.render({"q_b": {"error": "new"}}, "sf", keep=prior)
+    rows = {
+        m.group(1)
+        for line in merged.splitlines()
+        if (m := __import__("re").match(r"\| (q_[ab]) \| ", line))
+    }
+    assert rows == {"q_a", "q_b"}
+    assert "ERROR: new" in merged and "| q_a | — | — | — | — | — | — | ERROR: boom |" in merged
+
+
 def test_formatted_exchange_counter_counts_nodes(spark):
     """The exchanges feature must count real Exchange nodes in
     formatted explain (the pre-r9 substring match always returned 0)."""
