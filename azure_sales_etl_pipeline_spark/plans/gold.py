@@ -361,7 +361,7 @@ _CUSTOMER_SQL = """
 """
 
 
-def seller_performance_daily_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+def daily_approx_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The A1 aggregate with ``approx_count_distinct`` (HLL++, rsd=5%) —
     the opt-in scale variant SURVEY §2.4 prescribes: exact countDistinct
     is the only expensive agg in the plan at 100 TB (two-phase expansion
@@ -375,8 +375,12 @@ def seller_performance_daily_approx(spark: SparkSession, sf_dir: str) -> DataFra
     ~0.8 KB/group) measured 2x faster than rsd=0.02 (2^12, ~3.3 KB)
     at sf0.1 with ZERO per-seller rollup error; tighten rsd only for
     coarse grains where groups hold millions of distincts.
-    Approximate → no SQL oracle; accuracy vs exact is bounded in
-    tests/test_gold_oracle.py. Same narrow-grain shuffle as the exact
+
+    This is the PRODUCTION shape (what a deployment would materialize);
+    the registry entry is ``seller_performance_daily_approx`` below,
+    which rolls this mart up against the exact mart into a
+    value-oracled accuracy gate — an approximate column itself can't be
+    hash-compared cross-engine. Same narrow-grain shuffle as the exact
     variant; HLL sketches additionally combine map-side (one phase, no
     expand)."""
     fact = fact_order_details(spark, sf_dir)
@@ -404,6 +408,47 @@ def seller_performance_daily_approx(spark: SparkSession, sf_dir: str) -> DataFra
             "total_revenue",
             "total_quantity",
             "distinct_orders_approx",
+        )
+    )
+
+
+def seller_performance_daily_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-oracled accuracy GATE for the HLL++ daily mart
+    ([[daily_approx_mart]]): per supplier, the daily-grain approx
+    distincts rolled up next to the exact rollup, reduced to a boolean
+    "relative error ≤ 10%" (the bound tests/test_gold_oracle.py pins;
+    measured error at sf0.1 is ZERO). The oracle computes the exact
+    side and asserts ``true`` — the ``hll_accuracy_check`` /
+    ``pca_power_iteration_check`` pattern, replacing the registry's
+    only oracle-less entry (every driver sample landed it as
+    ``err: no_oracle`` — r10 verdict item 2). HLL++ is deterministic
+    for a fixed input set, so the boolean is a stable assertion.
+
+    Rollup grain on purpose: per-(date,part) groups hold ~1-7 orders
+    where a single linear-counting register collision is a >10%
+    relative error on ONE row; summing ~thousands of group sketches to
+    the supplier grain averages collisions out, which is also exactly
+    how the approx mart is consumed (the A2 rollup semantics)."""
+    approx = (
+        daily_approx_mart(spark, sf_dir)
+        .groupBy("supplier_key")
+        .agg(F.sum("distinct_orders_approx").alias("__approx_orders"))
+    )
+    exact = (
+        seller_performance_daily(spark, sf_dir)
+        .groupBy("supplier_key")
+        .agg(F.sum("distinct_orders").alias("sum_daily_orders"))
+    )
+    return (
+        exact.join(approx, "supplier_key")
+        .select(
+            "supplier_key",
+            "sum_daily_orders",
+            (
+                F.abs(F.col("__approx_orders") - F.col("sum_daily_orders"))
+                / F.col("sum_daily_orders")
+                <= F.lit(0.10)
+            ).alias("hll_rollup_within_10pct"),
         )
     )
 
@@ -533,6 +578,12 @@ QUERIES = {
 
 ORACLES = {
     "fact_order_details": FACT_SQL,
+    "seller_performance_daily_approx": f"""
+        SELECT supplier_key,
+               CAST(sum(distinct_orders) AS BIGINT) AS sum_daily_orders,
+               true AS hll_rollup_within_10pct
+        FROM ({_DAILY_SQL}) GROUP BY supplier_key
+    """,
     "hll_accuracy_check": _HLL_ACCURACY_SQL,
     "seller_performance_daily": _DAILY_SQL,
     "seller_performance_monthly": f"""

@@ -38,8 +38,8 @@ def test_approx_count_distinct_within_rsd(spark):
     from pyspark.sql import functions as F
 
     from azure_sales_etl_pipeline_spark.plans.gold import (
+        daily_approx_mart,
         seller_performance_daily,
-        seller_performance_daily_approx,
     )
 
     exact = (
@@ -49,7 +49,7 @@ def test_approx_count_distinct_within_rsd(spark):
         .collect()
     )
     approx = (
-        seller_performance_daily_approx(spark, SF_DIR)
+        daily_approx_mart(spark, SF_DIR)
         .groupBy("supplier_key")
         .agg(F.sum("distinct_orders_approx").alias("n"))
         .collect()
