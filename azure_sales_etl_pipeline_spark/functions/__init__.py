@@ -10,8 +10,42 @@ from __future__ import annotations
 import datetime as dt
 from collections.abc import Sequence
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def local_df(spark: SparkSession, rows: Sequence[tuple], ddl_schema) -> DataFrame:
+    """Small local-rows DataFrame via the ARROW path — a drop-in for
+    ``spark.createDataFrame(rows, ddl_schema)`` on control-plane data
+    (run logs, watermark commits, centroid matrices, 1-row gates).
+
+    Why: ``createDataFrame(list-of-tuples)`` builds a pickled Python
+    RDD, so EVERY downstream job pays a Python-worker
+    deserialization pass — measured 5-7 s per tiny write/action in
+    this environment vs 0.3 s through Arrow (r10's "fixed per-query
+    session overhead" was largely this). Routing through a
+    ``pyarrow.Table`` yields a JVM-side LocalRelation: no Python in
+    any later job, plans can constant-fold/broadcast it, and the
+    result is byte-identical (timestamps, nested arrays, and NULLs
+    round-trip exactly — pinned by tests/test_functions.py).
+
+    Rows are positional tuples matching the DDL field order, exactly
+    like the classic API. ``ddl_schema`` is a DDL string or a
+    ``StructType``. Empty ``rows`` is fine (schema-only frame).
+    """
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType, _parse_datatype_string
+
+    st = (
+        ddl_schema
+        if isinstance(ddl_schema, StructType)
+        else _parse_datatype_string(ddl_schema)
+    )
+    arrow_schema = to_arrow_schema(st)
+    cols = {f.name: [r[i] for r in rows] for i, f in enumerate(st.fields)}
+    table = pa.Table.from_pydict(cols, schema=arrow_schema)
+    return spark.createDataFrame(table)
 
 
 def utcnow_naive() -> dt.datetime:

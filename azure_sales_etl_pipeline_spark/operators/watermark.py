@@ -23,6 +23,8 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..functions import local_df
 from pyspark.sql.types import StringType, StructField, StructType, TimestampType
 
 DEFAULT_WATERMARK = dt.datetime(1900, 1, 1)
@@ -95,7 +97,7 @@ class WatermarkStore(_WatermarkOps):
         p = self._path(table)
         self.root.mkdir(parents=True, exist_ok=True)
         tmp = Path(tempfile.mkdtemp(dir=str(self.root.parent), prefix=".wm_stage_"))
-        df = self.spark.createDataFrame([(table, value)], _SCHEMA)
+        df = local_df(self.spark, [(table, value)], _SCHEMA)
         stage = tmp / "data"
         df.coalesce(1).write.mode("overwrite").parquet(str(stage))
         if p.exists():
@@ -142,7 +144,7 @@ class JdbcWatermarkStore(_WatermarkOps):
         self.driver = driver
 
     def set(self, table: str, value: dt.datetime) -> None:
-        df = self.spark.createDataFrame([(table, value)], _SCHEMA).withColumn(
+        df = local_df(self.spark, [(table, value)], _SCHEMA).withColumn(
             "committed_at", F.current_timestamp()
         )
         writer = (

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import LayerCatalog, table_exists
-from .functions import utcnow_naive
+from .functions import local_df, utcnow_naive
 from .operators.scd2 import SCD2Table
 from .operators.watermark import WatermarkStore
 from .operators.writer import overwrite_table, read_table
@@ -177,7 +177,7 @@ class MedallionPipeline:
                 )
         # One tiny control-plane file per run, appended — the log IS a
         # queryable engine table (vs the reference's described-only one).
-        self.spark.createDataFrame(rows, RUN_LOG_SCHEMA).coalesce(1).write.mode(
+        local_df(self.spark, rows, RUN_LOG_SCHEMA).coalesce(1).write.mode(
             "append"
         ).parquet(self.log_path)
 

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ..functions import hex_to_bigint_sql
+from ..functions import hex_to_bigint_sql, local_df
 
 
 def revenue_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2000,8 +2000,8 @@ def price_bracket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.floor(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
     )
-    brackets = spark.createDataFrame(
-        list(_PRICE_BRACKETS), "lo bigint, hi bigint, tier string"
+    brackets = local_df(
+        spark, list(_PRICE_BRACKETS), "lo bigint, hi bigint, tier string"
     )
     joined = parts.join(
         F.broadcast(brackets),

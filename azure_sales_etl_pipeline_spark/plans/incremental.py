@@ -23,6 +23,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import local_df
+
 from ..catalog import load_table
 
 _T1 = dt.datetime(2024, 1, 1)
@@ -328,7 +330,8 @@ def gdpr_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for r in report
         ]
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             rows,
             "table_name string, rows_before bigint, rows_removed bigint, "
             "rows_after bigint, orphans_after bigint",
@@ -1064,7 +1067,8 @@ def jdbc_watermark_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_run2 = batch2.count()
         store.advance_from(batch2, "o_orderdate", "orders")
         wm_run2 = store.get("orders")
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             [(wm_default, wm_run1, int(n_run2), wm_run2)],
             "wm_default timestamp, wm_run1 timestamp, n_run2 bigint, wm_run2 timestamp",
         )

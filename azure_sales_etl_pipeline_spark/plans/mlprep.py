@@ -20,6 +20,8 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..functions import local_df
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
@@ -1667,7 +1669,8 @@ def wds_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil
 
         shutil.rmtree(out, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [
             (r["shard_id"], r["n_samples"], r["n_members"], r["payload_bytes"])
             for r in rows

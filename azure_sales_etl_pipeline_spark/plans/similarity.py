@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ..functions import cosine_similarity, plan_barrier
+from ..functions import cosine_similarity, local_df, plan_barrier
 
 _N_QUERIES = 5  # vec_id < 5 are the query vectors
 _TOP_K = 10
@@ -272,7 +272,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         _projection_matrix(dim, _LSH_BITS, _LSH_SEED + 1000 * t)
         for t in range(_LSH_TABLES)
     ]
-    mats_df = spark.createDataFrame([(mats,)], "mats: array<array<array<double>>>")
+    mats_df = local_df(spark, [(mats,)], "mats: array<array<array<double>>>")
 
     # plan_barrier fences (functions.plan_barrier): keep the cast
     # projection and the 32-hyperplane bucket lambdas from being
@@ -572,7 +572,7 @@ def _with_centroids(df: DataFrame, centroids: list[list[int]]) -> DataFrame:
     column, distance-to-all-centroids is a single HOF transform whose
     generated code is independent of k."""
     spark = df.sparkSession
-    cents = spark.createDataFrame([(centroids,)], "cents: array<array<bigint>>")
+    cents = local_df(spark, [(centroids,)], "cents: array<array<bigint>>")
     return df.crossJoin(F.broadcast(cents))
 
 
@@ -1003,7 +1003,7 @@ def _with_pq_codebooks(df: DataFrame, books: list[list[list[int]]]) -> DataFrame
     ``_with_centroids`` (k literal arrays per call site blew up codegen
     in r2)."""
     spark = df.sparkSession
-    cents = spark.createDataFrame([(books,)], "books: array<array<array<bigint>>>")
+    cents = local_df(spark, [(books,)], "books: array<array<array<bigint>>>")
     return df.crossJoin(F.broadcast(cents))
 
 
@@ -2322,7 +2322,8 @@ def pca_power_iteration_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         # normalize a zero vector into NaNs (r6 advisory). Report the
         # empty input explicitly with both gates false — a driver-
         # visible mismatch that says "no data", not an unhelpful crash.
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             [(int(n_vecs), int(trace_e6), False, False)],
             "n_vecs bigint, trace_e6 bigint, variance_ok boolean, residual_ok boolean",
         )
@@ -2335,7 +2336,8 @@ def pca_power_iteration_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         np.linalg.norm(G @ v - lam * v) * 1000 <= _PCA_RESIDUAL_MAX_PERMILLE * lam
     )
     variance_ok = bool(lam * _GRAM_SCALE * 1000 >= _PCA_EXPLAINED_MIN_PERMILLE * trace_e6)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(int(n_vecs), int(trace_e6), variance_ok, residual_ok)],
         "n_vecs bigint, trace_e6 bigint, variance_ok boolean, residual_ok boolean",
     )

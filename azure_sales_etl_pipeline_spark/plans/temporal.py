@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..functions import local_df
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
@@ -879,7 +881,8 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for ch in chans
     ]
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         rows,
         "channel string, p_conv_base_micro long, p_conv_removed_micro long,"
         " removal_effect_permille long",

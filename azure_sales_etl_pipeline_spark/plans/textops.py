@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ..functions import plan_barrier
+from ..functions import local_df, plan_barrier
 
 # Whitespace tokenizer shared by every operator (and mirrored in each
 # oracle): trim, split on runs of whitespace.
@@ -1362,8 +1362,8 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         state = state.withColumn(
             "s", F.expr(f"replace(s, '({a})({b})', '({a}{b})')")
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges, "round int, lhs string, rhs string, merged string, n_occurrences bigint"
+    return local_df(
+        spark, merges, "round int, lhs string, rhs string, merged string, n_occurrences bigint"
     )
 
 

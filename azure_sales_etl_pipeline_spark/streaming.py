@@ -25,6 +25,8 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions import local_df
+
 from .catalog import table_path
 
 
@@ -150,7 +152,8 @@ def _publish_late_metrics(sess: SparkSession, name: str, q) -> None:
     ``<name>_late_metrics`` temp view (stream, input_rows,
     rows_dropped_late) next to the result table itself."""
     inputs, dropped = _harvest_progress(q)
-    sess.createDataFrame(
+    local_df(
+        sess,
         [(name, inputs, dropped, _harvest_state_provider(q))],
         "stream string, input_rows bigint, rows_dropped_late bigint,"
         " state_provider string",
@@ -1496,8 +1499,8 @@ def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
-        [(inputs, dropped)], "input_rows bigint, rows_dropped_late bigint"
+    return local_df(
+        spark, [(inputs, dropped)], "input_rows bigint, rows_dropped_late bigint"
     )
 
 

@@ -92,3 +92,20 @@ def test_checked_in_file_matches_generator():
             "run `python scripts/sweep_priority.py --write` at round start",
             stacklevel=1,
         )
+
+
+def test_round_close_gate_is_green():
+    """scripts/round_close.py (the end-of-round hygiene gate) must pass
+    at all times — it checks PLANS.md completeness, sweep-priority
+    freshness, and COVERAGE.md inventory mentions without a Spark
+    session, so there is no excuse for committing drift."""
+    import importlib.util
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "round_close", repo / "scripts" / "round_close.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.main() == 0
