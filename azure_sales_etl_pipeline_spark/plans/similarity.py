@@ -518,6 +518,9 @@ _NEAR_DUP_SQL = """
 _IVF_K = 16  # centroid count (√N-ish for the test corpus; tune per corpus)
 _IVF_PROBES = 10  # nearest centroid lists searched per query (multi-probe;
 # candidates stay bucket-restricted, cost ~probes/k of the corpus)
+_IVF_PROBES_FILTERED = 12  # filtered search probes wider: a selective
+# predicate thins each probed list ~1/|labels|, so holding recall at a
+# fixed k needs more lists (the filtered-search recall dial)
 _IVF_ITERS = 2  # Lloyd iterations (deterministic seeds → deterministic index;
 # each iteration is one assign+reduce job over the corpus, and the
 # oracle unrolls the same number of integer-exact rounds — the pagerank
@@ -637,18 +640,16 @@ def _train_centroids(emb: DataFrame, k: int = _IVF_K, iters: int = _IVF_ITERS) -
     return centroids
 
 
-def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via an IVF index: corpus rows are assigned to
-    their nearest coarse centroid (the inverted list); each query probes
-    only its _IVF_PROBES nearest lists. Candidate volume per query is
-    ~corpus·probes/k instead of corpus — the standard
-    recall-vs-cost dial (probes↑ → recall↑). Recall vs brute force is
-    asserted in tests/test_dedup_similarity.py.
-
-    VALUE-oracled since r9: index build and probe selection run on
-    micro-quantized integers (``_IVF_SCALE``) that DuckDB replays
-    bit-exactly; only the final re-rank uses doubles (exact cosine, the
-    same replayable form as the brute-force oracle)."""
+def _ivf_topk(spark: SparkSession, sf_dir: str, filtered: bool) -> DataFrame:
+    """Shared IVF probe pipeline for [[ann_topk_ivf]] (filtered=False)
+    and [[ann_topk_filtered]] (filtered=True). With ``filtered``, each
+    query carries its metadata predicate (here: same ``label``) and the
+    predicate is evaluated INSIDE the posting-list probe join — the
+    FAISS IDSelector semantics — so non-matching rows are rejected at
+    the hash-probe, before any cosine is computed, instead of scoring
+    everything and post-filtering the top-k (which at a fixed k also
+    WRONGLY truncates: a post-filtered top-10 can return <10 matching
+    rows even when the lists hold more)."""
     emb = load_table(spark, sf_dir, "embeddings")
     # plan_barrier fences as in the LSH twin (functions.plan_barrier).
     corpus = plan_barrier(
@@ -666,13 +667,14 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cluster", _nearest_cluster(F.col("q")))
         .drop("cents", "q")
     )
-    queries = plan_barrier(
-        emb.where(F.col("vec_id") < _N_QUERIES).select(
-            F.col("vec_id").alias("query_id"),
-            _as_double("embedding").alias("qvec"),
-            _as_q(_as_double("embedding")).alias("qq"),
-        )
-    )
+    qcols = [
+        F.col("vec_id").alias("query_id"),
+        _as_double("embedding").alias("qvec"),
+        _as_q(_as_double("embedding")).alias("qq"),
+    ]
+    if filtered:
+        qcols.append(F.col("label").alias("qlabel"))
+    queries = plan_barrier(emb.where(F.col("vec_id") < _N_QUERIES).select(*qcols))
     probe_pairs = F.slice(
         F.array_sort(
             F.transform(
@@ -683,16 +685,22 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
         1,
-        _IVF_PROBES,
+        _IVF_PROBES_FILTERED if filtered else _IVF_PROBES,
     )
+    keep = ["query_id", "qvec"] + (["qlabel"] if filtered else [])
     probes = (
         _with_centroids(queries, centroids)
-        .select("query_id", "qvec", F.explode(probe_pairs).alias("p"))
-        .select("query_id", "qvec", F.col("p.i").alias("cluster"))
+        .select(*keep, F.explode(probe_pairs).alias("p"))
+        .select(*keep, F.col("p.i").alias("cluster"))
     )
 
+    cond = indexed["cluster"] == probes["cluster"]
+    if filtered:
+        # The selector predicate lives IN the join condition: rows of a
+        # probed list with the wrong label never leave the hash join.
+        cond = cond & (indexed["label"] == probes["qlabel"])
     scored = (
-        indexed.join(F.broadcast(probes), "cluster")
+        indexed.join(F.broadcast(probes), cond)
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -707,6 +715,40 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _TOP_K)
         .select("query_id", "rank", "vec_id", "label", F.round("sim", 6).alias("sim"))
     )
+
+
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via an IVF index: corpus rows are assigned to
+    their nearest coarse centroid (the inverted list); each query probes
+    only its _IVF_PROBES nearest lists. Candidate volume per query is
+    ~corpus·probes/k instead of corpus — the standard
+    recall-vs-cost dial (probes↑ → recall↑). Recall vs brute force is
+    asserted in tests/test_dedup_similarity.py.
+
+    VALUE-oracled since r9: index build and probe selection run on
+    micro-quantized integers (``_IVF_SCALE``) that DuckDB replays
+    bit-exactly; only the final re-rank uses doubles (exact cosine, the
+    same replayable form as the brute-force oracle)."""
+    return _ivf_topk(spark, sf_dir, filtered=False)
+
+
+def ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED approximate top-k — vector search under a metadata
+    predicate, the most common real serving shape ("nearest products
+    in MY category", "nearest docs with license=permissive"): each
+    query keeps only candidates whose ``label`` equals the query's own,
+    with the predicate pushed into the IVF posting-list probe join
+    (FAISS IDSelector semantics — see [[_ivf_topk]] for why post-
+    filtering the unfiltered top-k is both slower and wrong).
+
+    Probe width widens to ``_IVF_PROBES_FILTERED``: under a selective
+    predicate each probed list contributes ~1/|labels| as many
+    candidates, so holding recall needs more lists — the standard
+    filtered-search dial (recall gate vs brute-force-with-filter in
+    tests/test_dedup_similarity.py). Fully value-oracled: the DuckDB
+    replay extends the IVF CTE chain with the same label equi-predicate
+    in its candidate join."""
+    return _ivf_topk(spark, sf_dir, filtered=True)
 
 
 def ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -869,15 +911,18 @@ def _ivf_maint_sql() -> str:
 _IVF_MAINT_SQL = _ivf_maint_sql()
 
 
-def _ann_ivf_sql() -> str:
+def _ann_ivf_sql(filtered: bool = False) -> str:
     """DuckDB replay of the ENTIRE IVF pipeline — strided seeds,
     ``_IVF_ITERS`` unrolled integer-Lloyd rounds (``_lloyd_rounds_sql``),
     final assignment, multi-probe selection, exact cosine re-rank.
     Every step before the re-rank is BIGINT arithmetic both engines
     compute identically (floor-quantized coordinates, truncating
     integer-mean centroids, exact squared-L2 argmins with (dist, cid)
-    tie-break)."""
-    k, p, nq, topk, s = _IVF_K, _IVF_PROBES, _N_QUERIES, _TOP_K, _IVF_SCALE
+    tie-break). With ``filtered``, the candidate join additionally
+    requires the corpus label to equal the query's label and the probe
+    width widens — the [[ann_topk_filtered]] selector semantics."""
+    k, nq, topk, s = _IVF_K, _N_QUERIES, _TOP_K, _IVF_SCALE
+    p = _IVF_PROBES_FILTERED if filtered else _IVF_PROBES
     d = _EMB_DIM
     lloyd, cents = _lloyd_rounds_sql("corpus", _IVF_ITERS, d)
     return f"""
@@ -909,7 +954,7 @@ def _ann_ivf_sql() -> str:
             FROM d1) WHERE rn = 1
     ),
     qset AS (
-        SELECT vec_id AS query_id, vec AS qvec, q AS qq
+        SELECT vec_id AS query_id, vec AS qvec, q AS qq, label AS qlabel
         FROM corpus WHERE vec_id < {nq}
     ),
     qd AS (
@@ -924,7 +969,9 @@ def _ann_ivf_sql() -> str:
     probes AS (SELECT query_id, cid AS cluster FROM qd WHERE rn <= {p}),
     cand AS (
         SELECT pr.query_id, a.vec_id
-        FROM probes pr JOIN assign a ON a.cluster = pr.cluster
+        FROM probes pr
+        JOIN assign a ON a.cluster = pr.cluster
+        {"JOIN corpus cc ON cc.vec_id = a.vec_id JOIN qset qf ON qf.query_id = pr.query_id AND cc.label = qf.qlabel" if filtered else ""}
         WHERE a.vec_id != pr.query_id
     ),
     scored AS (
@@ -945,6 +992,7 @@ def _ann_ivf_sql() -> str:
 
 
 _ANN_IVF_SQL = _ann_ivf_sql()
+_ANN_IVF_FILTERED_SQL = _ann_ivf_sql(filtered=True)
 
 
 _PQ_M = 32  # subspaces: 64 dims → 32 subvectors of 2 dims each. Codes
@@ -2520,6 +2568,7 @@ QUERIES = {
     "pca_power_iteration_check": pca_power_iteration_check,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
+    "ann_topk_filtered": ann_topk_filtered,
     "embedding_near_dup": embedding_near_dup,
     "label_centroids": label_centroids,
     "embedding_norms": embedding_norms,
@@ -2544,6 +2593,7 @@ ORACLES = {
     "semantic_dedup": _semantic_dedup_sql(),
     "ann_topk_lsh": _ANN_LSH_SQL,
     "ann_topk_ivf": _ANN_IVF_SQL,
+    "ann_topk_filtered": _ANN_IVF_FILTERED_SQL,
     "embedding_near_dup": _NEAR_DUP_SQL,
     "label_centroids": _CENTROID_SQL,
     "embedding_norms": _NORMS_SQL,

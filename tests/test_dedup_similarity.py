@@ -347,3 +347,49 @@ def test_semantic_dedup_drops_planted_clones(spark, tmp_path):
     # the clones must dominate, the background must stay rare
     background = set(out) - {100, 101}
     assert len(background) <= 3, f"background drop rate too high: {background}"
+
+
+def test_filtered_topk_recall_vs_filtered_bruteforce(spark):
+    """ann_topk_filtered (label predicate pushed into the IVF probe
+    join, 12/16 probes) must recover >=0.8 of the EXACT same-label
+    top-10 (brute force restricted to the query's label), and every
+    returned row must satisfy the predicate — the selector is a join
+    condition, so a violation would mean the probe join itself broke."""
+    import duckdb
+
+    from azure_sales_etl_pipeline_spark.plans.similarity import ann_topk_filtered
+
+    approx = ann_topk_filtered(spark, SF_DIR).collect()
+    exact = duckdb.sql(f"""
+        WITH corpus AS (
+            SELECT vec_id, embedding::DOUBLE[] AS vec, label
+            FROM read_parquet('{SF_DIR}/embeddings.parquet')
+        ),
+        q AS (SELECT vec_id AS qid, vec AS qv, label AS ql
+              FROM corpus WHERE vec_id < 5)
+        SELECT qid, vec_id FROM (
+            SELECT q.qid, c.vec_id,
+                   row_number() OVER (PARTITION BY q.qid ORDER BY
+                       list_dot_product(q.qv, c.vec)
+                       / (sqrt(list_dot_product(q.qv, q.qv))
+                          * sqrt(list_dot_product(c.vec, c.vec))) DESC,
+                       c.vec_id ASC) AS rn
+            FROM q JOIN corpus c
+              ON c.label = q.ql AND c.vec_id != q.qid)
+        WHERE rn <= 10
+    """).fetchall()
+    exact_sets: dict[int, set[int]] = {}
+    for qid, vid in exact:
+        exact_sets.setdefault(qid, set()).add(vid)
+    qlabels = dict(duckdb.sql(
+        f"SELECT vec_id, label FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+        " WHERE vec_id < 5"
+    ).fetchall())
+    hits = total = 0
+    for r in approx:
+        total += 1
+        assert r["label"] == qlabels[r["query_id"]], "predicate violated"
+        if r["vec_id"] in exact_sets.get(r["query_id"], set()):
+            hits += 1
+    assert total > 0
+    assert hits / total >= 0.8, f"filtered ANN precision vs exact: {hits}/{total}"
