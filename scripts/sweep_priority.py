@@ -44,11 +44,21 @@ sys.path.insert(0, str(REPO))
 INIT = REPO / "azure_sales_etl_pipeline_spark" / "plans" / "__init__.py"
 
 
-def _green(rec: dict) -> bool:
+def _green(rec: dict, value_required: bool) -> bool:
+    """Did this driver sample count as evidence?
+
+    ``value_required`` is True for queries that CURRENTLY have a DuckDB
+    oracle: for those, only a full value-hash pass counts — a rows-only
+    pass from before the oracle existed is evidence of execution, not
+    of correctness, so the query must sort as if never checked until
+    the driver samples the upgraded oracle (r10 verdict item 3: the
+    r9-upgraded ANN/minhash oracles sat un-resampled for four rounds
+    because their old rows-only passes ranked them as fresh)."""
     if rec.get("err") == "no_oracle":
         # rows-only check: the driver records rows_match=None and just
-        # the observed row count; a completed run IS the evidence.
-        return rec.get("spark_rows") is not None
+        # the observed row count; a completed run IS the evidence —
+        # unless the query has since grown a value oracle.
+        return (not value_required) and rec.get("spark_rows") is not None
     if rec.get("err") is not None:
         return False
     return (
@@ -73,7 +83,7 @@ def compute_order(files: list[str] | None = None) -> list[str]:
     """
     from azure_sales_etl_pipeline_spark.plans import registry
 
-    queries, _ = registry()
+    queries, oracles = registry()
     names = set(queries)
 
     if files is None:
@@ -87,10 +97,15 @@ def compute_order(files: list[str] | None = None) -> list[str]:
         for name, rec in json.load(open(path)).items():
             if name not in names:
                 continue  # renamed/retired query
-            if _green(rec):
+            if _green(rec, value_required=name in oracles):
                 last_green[name] = max(last_green.get(name, 0), rnd)
                 last_failed.discard(name)
             else:
+                # A stale-evidence-class record (rows-only but the query
+                # now has an oracle) is NOT a failure — it just doesn't
+                # advance last_green, so the query sorts as unchecked.
+                if rec.get("err") == "no_oracle":
+                    continue
                 # failure in a LATER round than the last green pins it
                 if last_green.get(name, 0) < rnd:
                     last_failed.add(name)

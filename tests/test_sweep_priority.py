@@ -31,18 +31,30 @@ def _stamped_inputs() -> list[str]:
 
 
 def _last_seen(files: list[str]) -> tuple[dict[str, int], set[str]]:
-    """(last round each query was sampled, queries whose latest sample
-    FAILED). Failed queries are pinned to the FRONT by the generator —
-    ahead even of never-checked queries — so the staleness invariant
-    below must exclude them from the 'newest evidence' tier."""
+    """(last round each query had USABLE evidence, queries whose latest
+    sample FAILED). Failed queries are pinned to the FRONT by the
+    generator — ahead even of never-checked queries — so the staleness
+    invariant below must exclude them from the 'newest evidence' tier.
+    A rows-only sample of a query that NOW has a value oracle counts as
+    no evidence (and not as a failure) — the generator sorts those with
+    the never-checked tier until the driver samples the upgraded
+    oracle."""
+    from azure_sales_etl_pipeline_spark.plans import registry
+
+    _, oracles = registry()
     seen: dict[str, int] = {}
     last_green: dict[str, int] = {}
+    rows_only: dict[str, int] = {}
     for fname in sorted(files):
         rnd = int(re.search(r"_r(\d+)\.json$", fname).group(1))
         for name, rec in json.load(open(REPO / fname)).items():
-            seen[name] = max(seen.get(name, 0), rnd)
-            if sweep_priority._green(rec):
+            if sweep_priority._green(rec, value_required=name in oracles):
+                seen[name] = max(seen.get(name, 0), rnd)
                 last_green[name] = max(last_green.get(name, 0), rnd)
+            elif rec.get("err") == "no_oracle":
+                rows_only[name] = max(rows_only.get(name, 0), rnd)
+            else:
+                seen[name] = max(seen.get(name, 0), rnd)
     failed = {n for n, r in seen.items() if last_green.get(n, 0) < r}
     return seen, failed
 
