@@ -26,6 +26,8 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..functions import local_df
 from pyspark.sql.window import Window
 
 from .writer import overwrite_table, read_table
@@ -344,7 +346,7 @@ def merge_cluster_labels(
     if Path(labels_path).exists():
         old = read_table(spark, labels_path).select("doc_id", "cluster_id")
     else:
-        old = spark.createDataFrame([], "doc_id long, cluster_id long")
+        old = local_df(spark, [], "doc_id long, cluster_id long")
     old_map = old.select(
         F.col("doc_id").alias("m_doc"), F.col("cluster_id").alias("m_lab")
     )

@@ -145,7 +145,7 @@ class MedallionPipeline:
     def run_log(self) -> DataFrame:
         """The persisted run history (empty-schema frame before any run)."""
         if not table_exists(self.log_path):
-            return self.spark.createDataFrame([], RUN_LOG_SCHEMA)
+            return local_df(self.spark, [], RUN_LOG_SCHEMA)
         return read_table(self.spark, self.log_path)
 
     def _next_run_id(self) -> int:
