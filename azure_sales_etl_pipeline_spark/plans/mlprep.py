@@ -2875,8 +2875,116 @@ def _lpa_sql() -> str:
 """
 
 
+_PREF_PAIRS_PER_GROUP = 5  # pairs mined per source group
+_PREF_MARGIN_MIN_MILLI = 200  # required chosen-rejected score gap
+
+
+def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-PAIR mining for DPO/RLHF-style training — given a
+    scored candidate pool, emit (chosen, rejected) pairs per group with
+    a minimum score margin: rank each source's documents by the shared
+    quality-classifier score ([[quality_classifier_score]]'s per-doc
+    apply pass, ``textops._qc_scores``) and zip the TOP-m against the
+    BOTTOM-m by rank (best-vs-worst, 2nd-best-vs-2nd-worst, …),
+    keeping a pair only when the margin clears
+    ``_PREF_MARGIN_MIN_MILLI`` — margin-less pairs teach a preference
+    model nothing and the guard also excludes any degenerate
+    chosen==rejected collision in small groups. Deterministic: ranks
+    tie-break on doc_id (ascending on the chosen side, DESCENDING on
+    the rejected side, so an all-tied group still pairs distinct
+    docs before the margin guard drops it).
+
+    Scale shape: the score pass is the classifier apply (explode →
+    broadcast model join → doc-grain agg); pairing adds ONE shuffle on
+    ``source`` shared by both rank windows (each bounded by the group
+    size), and the rank-equi self-join matches at most
+    ``_PREF_PAIRS_PER_GROUP`` rows per group — output is
+    |groups|·m rows regardless of corpus size. All-integer columns."""
+    from ..functions import plan_barrier
+    from .textops import _qc_scores
+
+    scores = plan_barrier(
+        _qc_scores(spark, sf_dir).select("doc_id", "source", "score_milli")
+    )
+    top_w = Window.partitionBy("source").orderBy(
+        F.col("score_milli").desc(), F.col("doc_id").asc()
+    )
+    bot_w = Window.partitionBy("source").orderBy(
+        F.col("score_milli").asc(), F.col("doc_id").desc()
+    )
+    chosen = (
+        scores.withColumn("pair_rank", F.row_number().over(top_w).cast("bigint"))
+        .where(F.col("pair_rank") <= _PREF_PAIRS_PER_GROUP)
+        .select(
+            "source",
+            "pair_rank",
+            F.col("doc_id").alias("chosen_doc"),
+            F.col("score_milli").alias("chosen_score_milli"),
+        )
+    )
+    rejected = (
+        scores.withColumn("pair_rank", F.row_number().over(bot_w).cast("bigint"))
+        .where(F.col("pair_rank") <= _PREF_PAIRS_PER_GROUP)
+        .select(
+            "source",
+            "pair_rank",
+            F.col("doc_id").alias("rejected_doc"),
+            F.col("score_milli").alias("rejected_score_milli"),
+        )
+    )
+    return (
+        chosen.join(rejected, ["source", "pair_rank"])
+        .withColumn(
+            "margin_milli",
+            F.col("chosen_score_milli") - F.col("rejected_score_milli"),
+        )
+        .where(F.col("margin_milli") >= _PREF_MARGIN_MIN_MILLI)
+        .select(
+            "source",
+            "pair_rank",
+            "chosen_doc",
+            "rejected_doc",
+            "chosen_score_milli",
+            "rejected_score_milli",
+            "margin_milli",
+        )
+    )
+
+
+def _pref_pairs_sql() -> str:
+    from .textops import _qc_per_doc_ctes
+
+    return f"""{_qc_per_doc_ctes()},
+    chosen AS (
+        SELECT source, doc_id, score_milli,
+               CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY score_milli DESC, doc_id ASC) AS BIGINT)
+                   AS pair_rank
+        FROM per_doc
+    ),
+    rejected AS (
+        SELECT source, doc_id, score_milli,
+               CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY score_milli ASC, doc_id DESC) AS BIGINT)
+                   AS pair_rank
+        FROM per_doc
+    )
+    SELECT c.source, c.pair_rank,
+           c.doc_id AS chosen_doc, r.doc_id AS rejected_doc,
+           c.score_milli AS chosen_score_milli,
+           r.score_milli AS rejected_score_milli,
+           c.score_milli - r.score_milli AS margin_milli
+    FROM chosen c
+    JOIN rejected r ON r.source = c.source AND r.pair_rank = c.pair_rank
+    WHERE c.pair_rank <= {_PREF_PAIRS_PER_GROUP}
+      AND r.pair_rank <= {_PREF_PAIRS_PER_GROUP}
+      AND c.score_milli - r.score_milli >= {_PREF_MARGIN_MIN_MILLI}
+"""
+
+
 QUERIES = {
     "source_cap_sample": source_cap_sample,
+    "preference_pairs": preference_pairs,
     "mixture_temperature_weights": mixture_temperature_weights,
     "length_bucketed_batches": length_bucketed_batches,
     "part_affinity_triangles": part_affinity_triangles,
@@ -2913,6 +3021,7 @@ QUERIES = {
 
 ORACLES = {
     "source_cap_sample": _SOURCE_CAP_SQL,
+    "preference_pairs": _pref_pairs_sql(),
     "mixture_temperature_weights": _MIXTURE_TEMP_SQL,
     "length_bucketed_batches": _len_buckets_sql(),
     "part_affinity_triangles": _TRIANGLES_SQL,

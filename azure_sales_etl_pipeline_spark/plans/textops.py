@@ -1783,6 +1783,46 @@ def _qc_weight(token: Column) -> Column:
     return (folded % F.lit(_QC_WEIGHT_SPAN)) - F.lit(1000)
 
 
+def _qc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document linear-classifier scores — the shared apply pass
+    under [[quality_classifier_score]] (per-source rollup) and
+    [[preference_pairs]] (DPO pair mining): (doc_id, source, n_toks,
+    score_milli) with ``score_milli = (1000·margin) div n_toks``
+    (truncating div, portable). See ``quality_classifier_score`` for
+    the model and plan shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.transform(_tokens(), lambda w: F.lower(w)).alias("toks"),
+    )
+    exploded = toks.select(
+        "doc_id", F.explode("toks").alias("token")
+    )
+    vocab = (
+        exploded.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(_QC_VOCAB_N)
+        .select("token", _qc_weight(F.col("token")).alias("wt"))
+    )
+    margins = (
+        exploded.join(F.broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(F.sum("wt").alias("margin"))
+    )
+    return (
+        toks.select(
+            "doc_id",
+            "source",
+            F.greatest(F.size("toks"), F.lit(1)).alias("n_toks"),
+        )
+        .join(margins, "doc_id", "left")
+        .withColumn("margin", F.coalesce(F.col("margin"), F.lit(0)))
+        .withColumn("score_milli", F.expr("CAST((1000 * margin) div n_toks AS BIGINT)"))
+    )
+
+
 def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering — the fasttext-style linear
     classifier pass every production curation pipeline runs after the
@@ -1805,39 +1845,9 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup. The corpus text is scanned twice (train + apply) by
     design — the production apply path alone scans once.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        "source",
-        F.transform(_tokens(), lambda w: F.lower(w)).alias("toks"),
-    )
-    exploded = toks.select(
-        "doc_id", F.explode("toks").alias("token")
-    )
-    vocab = (
-        exploded.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.desc("cnt"), F.asc("token"))
-        .limit(_QC_VOCAB_N)
-        .select("token", _qc_weight(F.col("token")).alias("wt"))
-    )
-    margins = (
-        exploded.join(F.broadcast(vocab), "token")
-        .groupBy("doc_id")
-        .agg(F.sum("wt").alias("margin"))
-    )
-    per_doc = (
-        toks.select(
-            "doc_id",
-            "source",
-            F.greatest(F.size("toks"), F.lit(1)).alias("n_toks"),
-        )
-        .join(margins, "doc_id", "left")
-        .withColumn("margin", F.coalesce(F.col("margin"), F.lit(0)))
-        .withColumn("score_milli", F.expr("(1000 * margin) div n_toks"))
-    )
     return (
-        per_doc.groupBy("source")
+        _qc_scores(spark, sf_dir)
+        .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.when(F.col("score_milli") >= 0, 1).otherwise(0)).alias(
@@ -1852,7 +1862,10 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _qc_sql() -> str:
+def _qc_per_doc_ctes() -> str:
+    """Shared CTE chain ending at ``per_doc(doc_id, source,
+    score_milli)`` — the oracle twin of ``_qc_scores``, reused by the
+    quality rollup and the preference-pair miner."""
     fold = " + ".join(
         f"ascii(substr(h, {i}, 1)) * {i}" for i in range(1, 17)
     )
@@ -1878,11 +1891,15 @@ def _qc_sql() -> str:
         FROM exploded e JOIN w USING (token) GROUP BY e.doc_id
     ),
     per_doc AS (
-        SELECT t.source,
-               (1000 * coalesce(m.margin, 0)) // greatest(len(t.t), 1)
-                   AS score_milli
+        SELECT t.doc_id, t.source,
+               CAST((1000 * coalesce(m.margin, 0))
+                    // greatest(len(t.t), 1) AS BIGINT) AS score_milli
         FROM toks t LEFT JOIN margins m USING (doc_id)
-    )
+    )"""
+
+
+def _qc_sql() -> str:
+    return rf"""{_qc_per_doc_ctes()}
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(count(*) FILTER (score_milli >= 0) AS BIGINT) AS kept_docs,
