@@ -117,6 +117,22 @@ EXPECTATIONS: dict[str, dict] = {
     "sql_large_volume_customers": {"must_push": True, "max_exchanges": 3},
     "sql_promo_revenue": {"must_push": True, "min_bhj": 1, "max_exchanges": 1},
     "sql_top_supplier": {"must_push": True, "min_bhj": 1, "max_exchanges": 3},
+    # LLM-pipeline flagships (r11): the shapes that make these scale —
+    # fingerprint groupBy for exact dedup (no pairs join), banded LSH
+    # bucket joins that stay BROADCAST on the band-key side, IVF probes
+    # broadcast against the posting lists, classifier models broadcast
+    # against the exploded corpus — must not silently decay into extra
+    # shuffles or shuffled joins. Budgets are the measured sf0.001
+    # values.
+    "exact_dedup": {"max_exchanges": 1},
+    "minhash_lsh_candidates": {"min_bhj": 6, "max_exchanges": 1},
+    "ann_topk_ivf": {"must_push": True, "min_bhj": 2, "max_exchanges": 1},
+    "ann_topk_filtered": {"must_push": True, "min_bhj": 2, "max_exchanges": 1},
+    "sparse_retrieval_topk": {"min_bhj": 6, "max_exchanges": 6},
+    "preference_pairs": {"must_push": True, "min_bhj": 10, "max_exchanges": 6},
+    "dsir_importance_weights": {"min_bhj": 2, "max_exchanges": 4},
+    "semantic_dedup": {"max_exchanges": 2},
+    "quality_classifier_score": {"must_push": True, "min_bhj": 4, "max_exchanges": 3},
 }
 
 
