@@ -2906,6 +2906,13 @@ def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = plan_barrier(
         _qc_scores(spark, sf_dir).select("doc_id", "source", "score_milli")
     )
+    return _pair_by_rank(scores, _PREF_PAIRS_PER_GROUP, _PREF_MARGIN_MIN_MILLI)
+
+
+def _pair_by_rank(scores: DataFrame, m: int, margin_min: int) -> DataFrame:
+    """Pairing core of [[preference_pairs]] over any (doc_id, source,
+    score_milli) frame — separated so the tie/margin properties are
+    unit-testable on planted inputs (tests/test_windows_mlprep.py)."""
     top_w = Window.partitionBy("source").orderBy(
         F.col("score_milli").desc(), F.col("doc_id").asc()
     )
@@ -2914,7 +2921,7 @@ def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chosen = (
         scores.withColumn("pair_rank", F.row_number().over(top_w).cast("bigint"))
-        .where(F.col("pair_rank") <= _PREF_PAIRS_PER_GROUP)
+        .where(F.col("pair_rank") <= m)
         .select(
             "source",
             "pair_rank",
@@ -2924,7 +2931,7 @@ def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rejected = (
         scores.withColumn("pair_rank", F.row_number().over(bot_w).cast("bigint"))
-        .where(F.col("pair_rank") <= _PREF_PAIRS_PER_GROUP)
+        .where(F.col("pair_rank") <= m)
         .select(
             "source",
             "pair_rank",
@@ -2938,7 +2945,7 @@ def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "margin_milli",
             F.col("chosen_score_milli") - F.col("rejected_score_milli"),
         )
-        .where(F.col("margin_milli") >= _PREF_MARGIN_MIN_MILLI)
+        .where(F.col("margin_milli") >= margin_min)
         .select(
             "source",
             "pair_rank",

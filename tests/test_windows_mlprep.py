@@ -730,3 +730,42 @@ def test_label_propagation_separates_planted_cliques(spark, tmp_path):
     assert {out[p]["community"] for p in range(1, 6)} == {1}
     assert {out[p]["community"] for p in range(11, 16)} == {11}
     assert all(r["community_size"] == 5 for r in out.values())
+
+
+def test_preference_pairing_ties_margins_and_bounds(spark):
+    """_pair_by_rank planted-input properties: (a) best pairs against
+    worst by rank with deterministic tie-breaks, (b) an all-tied group
+    produces NO pairs (margin guard) and never a chosen==rejected row,
+    (c) a group smaller than 2 produces no pairs, (d) at most m pairs
+    per group."""
+    from azure_sales_etl_pipeline_spark.functions import local_df
+    from azure_sales_etl_pipeline_spark.plans.mlprep import _pair_by_rank
+
+    rows = [
+        # group A: clean ladder 400..0 step 100 (5 docs)
+        *[(i, "A", 400 - 100 * i) for i in range(5)],
+        # group B: all tied
+        *[(10 + i, "B", 7) for i in range(4)],
+        # group C: single doc
+        (20, "C", 999),
+        # group D: two docs margin exactly at threshold
+        (30, "D", 200), (31, "D", 0),
+    ]
+    scores = local_df(
+        spark, rows, "doc_id bigint, source string, score_milli bigint"
+    )
+    out = _pair_by_rank(scores, 2, 200).collect()
+    by_group: dict[str, list] = {}
+    for r in out:
+        by_group.setdefault(r["source"], []).append(r)
+        assert r["chosen_doc"] != r["rejected_doc"]
+        assert r["margin_milli"] >= 200
+        assert r["chosen_score_milli"] - r["rejected_score_milli"] == r["margin_milli"]
+
+    a = sorted(by_group["A"], key=lambda r: r["pair_rank"])
+    assert [(r["chosen_doc"], r["rejected_doc"]) for r in a] == [(0, 4), (1, 3)]
+    assert "B" not in by_group  # all-tied: margin guard drops every pair
+    assert "C" not in by_group  # singleton: chosen==rejected collision dropped
+    d = by_group["D"]
+    assert len(d) == 1 and (d[0]["chosen_doc"], d[0]["rejected_doc"]) == (30, 31)
+    assert all(len(v) <= 2 for v in by_group.values())
