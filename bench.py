@@ -137,6 +137,12 @@ def main() -> None:
         mlprep.evict_cluster_cache()
         # Same contract for the shared co-purchase edge table.
         mlprep.evict_affinity_cache()
+        # Same contract for the shared IVF coarse quantizer (ann_topk_ivf
+        # / ann_topk_filtered): each pass pays ONE Lloyd build, on
+        # whichever consumer runs first.
+        from azure_sales_etl_pipeline_spark.plans import similarity
+
+        similarity.evict_ivf_centroid_cache()
         for name in run_order:
             if partial:
                 est = samples[name][-1] if samples[name] else 0.0
