@@ -1761,6 +1761,153 @@ _REPEATED_SPANS_SQL = rf"""
 
 
 # ---------------------------------------------------------------------------
+# cross-corpus boilerplate-chunk removal (corpus REWRITE, not a report)
+# ---------------------------------------------------------------------------
+
+_CDR_W = 8  # chunk width, tokens (non-overlapping grain)
+_CDR_MIN_DOCS = 2  # a chunk in >= this many distinct docs is boilerplate
+
+
+def chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-chunk REMOVAL with document reassembly — the C4 /
+    RefinedWeb curation step [[repeated_spans]] only *reports*: split
+    every document into consecutive non-overlapping ``_CDR_W``-token
+    chunks, mark any chunk whose exact text appears in >=
+    ``_CDR_MIN_DOCS`` distinct documents as boilerplate (nav bars,
+    cookie banners, license headers in real corpora), then REWRITE each
+    document by dropping those chunks and re-joining the survivors in
+    original order. Output = the affected slice of the cleaned corpus:
+    one row per document that lost at least one chunk, with chunk/token
+    removal counts and a prefix of the rebuilt text (the prefix flows
+    through the value hash, so reassembly ORDER is oracle-verified).
+
+    Scale shape: chunking is a narrow map (one row per W tokens — W x
+    cheaper fan-out than [[repeated_spans]]' per-token windows); the
+    boilerplate set comes from ONE chunk-key shuffle with map-side
+    combine (singleton chunks die in the partial agg); marking is a
+    shuffle hash join back on the same chunk key (co-partitioned with
+    the agg — AQE reuses the exchange); reassembly is a doc_id-key
+    shuffle of (pos, kept-chunk) pairs, never the raw text. At 100 TB
+    the join key would be xxhash64(chunk) with text resolved only for
+    survivors (same plan, narrower shuffle rows — as documented on
+    [[repeated_spans]]); boilerplate is a HAVING-filtered aggregate, so
+    no corpus-sized broadcast anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_chunks = F.expr(f"CAST((size(t) + {_CDR_W - 1}) div {_CDR_W} AS INT)")
+    chunks = docs.select("doc_id", toks.alias("t")).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("t"), i * _CDR_W + 1, _CDR_W), " "
+                ),
+            )
+        ).alias("pos", "chunk"),
+    )
+    chunks = plan_barrier(chunks)
+    boiler = (
+        chunks.groupBy("chunk")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= _CDR_MIN_DOCS)
+        .select("chunk", F.lit(True).alias("is_dup"))
+    )
+    marked = chunks.join(boiler, "chunk", "left").select(
+        "doc_id",
+        "pos",
+        "chunk",
+        F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.sum(
+                F.when(F.col("is_dup"), F.size(F.split(F.col("chunk"), " ")))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_tokens_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("is_dup"),
+                                F.struct(
+                                    F.col("pos").alias("pos"),
+                                    F.col("chunk").alias("chunk"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("rebuilt"),
+        )
+        .where(F.col("n_removed") >= 1)
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_removed",
+            "n_tokens_removed",
+            F.substring("rebuilt", 1, 60).alias("clean_prefix"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_CHUNK_DEDUP_REWRITE_SQL = rf"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id,
+               i AS pos,
+               array_to_string(
+                   t[i * {_CDR_W} + 1 : i * {_CDR_W} + {_CDR_W}], ' '
+               ) AS chunk
+        FROM t, unnest(range(0, (len(t) + {_CDR_W - 1}) // {_CDR_W})) AS u(i)
+    ),
+    b AS (
+        SELECT chunk
+        FROM c GROUP BY chunk
+        HAVING count(DISTINCT doc_id) >= {_CDR_MIN_DOCS}
+    ),
+    m AS (
+        SELECT c.doc_id, c.pos, c.chunk,
+               (b.chunk IS NOT NULL) AS is_dup
+        FROM c LEFT JOIN b USING (chunk)
+    ),
+    g AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_removed,
+               CAST(sum(CASE WHEN is_dup
+                             THEN len(string_split(chunk, ' '))
+                             ELSE 0 END) AS BIGINT) AS n_tokens_removed,
+               coalesce(array_to_string(
+                   list(chunk ORDER BY pos ASC)
+                       FILTER (WHERE NOT is_dup), ' '
+               ), '') AS rebuilt
+        FROM m GROUP BY doc_id
+    )
+    SELECT doc_id, n_chunks, n_removed, n_tokens_removed,
+           substr(rebuilt, 1, 60) AS clean_prefix
+    FROM g
+    WHERE n_removed >= 1
+    ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # model-based quality filtering (hashing-trick linear classifier)
 # ---------------------------------------------------------------------------
 
@@ -2471,6 +2618,7 @@ QUERIES = {
     "doc_novelty": doc_novelty,
     "quality_classifier_score": quality_classifier_score,
     "repeated_spans": repeated_spans,
+    "chunk_dedup_rewrite": chunk_dedup_rewrite,
     "vocab_growth": vocab_growth,
     "doc_token_stats": doc_token_stats,
     "source_vocab_drift": source_vocab_drift,
@@ -2500,6 +2648,7 @@ ORACLES = {
     "doc_novelty": _NOVELTY_SQL,
     "quality_classifier_score": _QC_SQL,
     "repeated_spans": _REPEATED_SPANS_SQL,
+    "chunk_dedup_rewrite": _CHUNK_DEDUP_REWRITE_SQL,
     "vocab_growth": _VOCAB_GROWTH_SQL,
     "doc_token_stats": _TOKEN_STATS_SQL,
     "source_vocab_drift": _SOURCE_DRIFT_SQL,

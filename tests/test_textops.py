@@ -468,3 +468,44 @@ def test_dsir_weights_rank_target_like_docs_higher(spark, tmp_path):
     # individual log-ratios may be ≤ 0 — but every target-like doc must
     # still outscore every target-unlike doc
     assert worst_like > best_unlike, (worst_like, best_unlike)
+
+
+def test_chunk_dedup_rewrite_boundaries_and_order(spark, tmp_path):
+    """Pins the rewrite semantics the corpus-scale hash can't explain:
+    chunk-boundary alignment (pos multiples of _CDR_W), reassembly
+    ORDER, the all-chunks-removed doc (empty prefix, still emitted),
+    and the exclusion of untouched docs."""
+    from azure_sales_etl_pipeline_spark.plans.textops import (
+        _CDR_W,
+        chunk_dedup_rewrite,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(_CDR_W))  # one aligned chunk
+    u1 = " ".join(f"a{i}" for i in range(_CDR_W))
+    u2 = " ".join(f"b{i}" for i in range(_CDR_W))
+    tail = "only three tokens"  # trailing partial chunk, unique
+    rows = [
+        (10, f"{shared} {tail}", "en", "web", 0),  # loses chunk 0
+        (11, f"{shared} " + " ".join(f"d{i}" for i in range(_CDR_W)),
+         "en", "web", 0),  # loses chunk 0
+        (12, shared, "en", "web", 0),  # loses its ONLY chunk
+        (13, " ".join(f"c{i}" for i in range(_CDR_W)) + " zz", "en", "web", 0),
+        # ^ fully unique -> untouched -> excluded from the output
+        (14, f"{u1} {shared} {u2}", "en", "web", 0),  # loses the middle
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r["doc_id"]: r for r in chunk_dedup_rewrite(spark, str(tmp_path)).collect()}
+    assert set(out) == {10, 11, 12, 14}  # doc 13 untouched, absent
+    r10 = out[10]
+    assert (r10["n_chunks"], r10["n_removed"], r10["n_tokens_removed"]) == (2, 1, _CDR_W)
+    assert r10["clean_prefix"] == tail  # partial trailing chunk survives
+    r12 = out[12]
+    assert (r12["n_chunks"], r12["n_removed"]) == (1, 1)
+    assert r12["clean_prefix"] == ""  # fully-boilerplate doc -> empty rewrite
+    r14 = out[14]
+    assert (r14["n_chunks"], r14["n_removed"]) == (3, 1)
+    # reassembly preserves original order across the removed middle chunk
+    assert r14["clean_prefix"] == f"{u1} {u2}"[:60]
