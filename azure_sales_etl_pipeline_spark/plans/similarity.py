@@ -2176,6 +2176,242 @@ _HARD_NEG_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# MMR diversity re-rank (Carbonell & Goldstein 1998)
+# ---------------------------------------------------------------------------
+
+_MMR_CAND = 16  # relevance shortlist depth fed into the greedy selector
+_MMR_K = 5  # diversified results returned per query
+_MMR_LAM = 7  # λ = 0.7 in tenths: mmr = 7·rel − 3·max-sim-to-selected
+_MMR_ONE_MINUS = 10 - _MMR_LAM
+
+
+def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversity re-rank (Carbonell &
+    Goldstein 1998) — the post-retrieval stage that keeps a result page
+    from being five paraphrases of the same document: take the
+    ``_MMR_CAND`` most-relevant candidates per query (int8 dot products,
+    the [[ann_topk_int8]] serving path), then greedily pick ``_MMR_K``
+    results maximizing ``λ·relevance − (1−λ)·max-similarity-to-already-
+    selected``. All arithmetic is integer (λ=0.7 as the 7/3 split in
+    tenths over int8 dot products), so selection order, ties (doc id
+    asc), and scores are exact cross-engine — the greedy trajectory
+    itself is value-oracled against unrolled MATERIALIZED CTE steps.
+
+    Scale shape: the only corpus-sized work is the relevance shortlist
+    (broadcast queries, corpus maps in place — at 100 TB this leg swaps
+    for the IVF/PQ candidate generator, the MMR contract is unchanged);
+    everything after is bounded by queries × _MMR_CAND rows: pairwise
+    candidate sims are |Q|·C² rows, each greedy step is a keyed join +
+    argmax on those bounded frames, parallel across queries,
+    plan_barrier per step to keep lineage linear. Nothing iterates over
+    the corpus, and no per-step work reaches the driver."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = _as_double("embedding")
+    zero = F.lit(0).cast("bigint")
+    base = emb.select(
+        "vec_id",
+        vec.alias("v"),
+        F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x)).alias(
+            "nrm"
+        ),
+    )
+    quant = plan_barrier(
+        base.select(
+            "vec_id",
+            F.when(
+                F.col("nrm") > 0,
+                F.transform(
+                    F.col("v"),
+                    lambda x: F.floor(x * 127.0 / F.col("nrm")).cast("bigint"),
+                ),
+            )
+            .otherwise(F.transform(F.col("v"), lambda x: zero))
+            .alias("q"),
+        )
+    )
+    queries = quant.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+
+    def idot(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), zero, lambda x, y: x + y
+        )
+
+    w_rel = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("vec_id").asc()
+    )
+    cand = plan_barrier(
+        quant.join(
+            F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            "q",
+            idot(F.col("qq"), F.col("q")).alias("rel"),
+        )
+        .withColumn("rn", F.row_number().over(w_rel))
+        .where(F.col("rn") <= _MMR_CAND)
+        .select("query_id", "vec_id", "rel", "q")
+    )
+    a = cand.select(
+        "query_id", F.col("vec_id").alias("va"), F.col("q").alias("qa")
+    )
+    b = cand.select(
+        "query_id", F.col("vec_id").alias("vb"), F.col("q").alias("qb")
+    )
+    pairs = plan_barrier(
+        a.join(b, "query_id")
+        .where(F.col("va") != F.col("vb"))
+        .select(
+            "query_id",
+            "va",
+            "vb",
+            idot(F.col("qa"), F.col("qb")).alias("sim"),
+        )
+    )
+    sel = plan_barrier(
+        cand.withColumn("rn", F.row_number().over(w_rel))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "vec_id",
+            "rel",
+            F.lit(1).cast("bigint").alias("mmr_rank"),
+            (F.lit(_MMR_LAM) * F.col("rel")).cast("bigint").alias("mmr_score"),
+        )
+    )
+    for step in range(2, _MMR_K + 1):
+        maxsim = (
+            pairs.join(
+                sel.select("query_id", F.col("vec_id").alias("vb")),
+                ["query_id", "vb"],
+            )
+            .groupBy("query_id", F.col("va").alias("vec_id"))
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        scored_t = (
+            cand.join(
+                sel.select("query_id", "vec_id"),
+                ["query_id", "vec_id"],
+                "left_anti",
+            )
+            .join(maxsim, ["query_id", "vec_id"])
+            .select(
+                "query_id",
+                "vec_id",
+                "rel",
+                (
+                    F.lit(_MMR_LAM) * F.col("rel")
+                    - F.lit(_MMR_ONE_MINUS) * F.col("maxsim")
+                )
+                .cast("bigint")
+                .alias("mmr_score"),
+            )
+        )
+        w_step = Window.partitionBy("query_id").orderBy(
+            F.col("mmr_score").desc(), F.col("vec_id").asc()
+        )
+        pick = (
+            scored_t.withColumn("rn", F.row_number().over(w_step))
+            .where(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "vec_id",
+                "rel",
+                F.lit(step).cast("bigint").alias("mmr_rank"),
+                "mmr_score",
+            )
+        )
+        sel = plan_barrier(sel.unionByName(pick))
+    return sel.orderBy("query_id", "mmr_rank")
+
+
+def _mmr_sql() -> str:
+    score = f"{_MMR_LAM} * c.rel - {_MMR_ONE_MINUS} * m.maxsim"
+    steps = []
+    prev = "sel1"
+    for t in range(2, _MMR_K + 1):
+        steps.append(f"""
+    ms{t} AS MATERIALIZED (
+        SELECT p.query_id, p.va AS vec_id, max(p.sim) AS maxsim
+        FROM pairs p
+        JOIN {prev} z ON z.query_id = p.query_id AND z.vec_id = p.vb
+        WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                          WHERE x.query_id = p.query_id
+                            AND x.vec_id = p.va)
+        GROUP BY p.query_id, p.va
+    ),
+    pick{t} AS MATERIALIZED (
+        SELECT c.query_id, c.vec_id, c.rel,
+               CAST({t} AS BIGINT) AS mmr_rank,
+               CAST({score} AS BIGINT) AS mmr_score
+        FROM cand c
+        JOIN ms{t} m ON m.query_id = c.query_id AND m.vec_id = c.vec_id
+        QUALIFY row_number() OVER (PARTITION BY c.query_id
+                ORDER BY ({score}) DESC, c.vec_id ASC) = 1
+    ),
+    sel{t} AS MATERIALIZED (
+        SELECT * FROM {prev} UNION ALL SELECT * FROM pick{t}
+    )""")
+        prev = f"sel{t}"
+    return f"""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_dot_product(list_transform(embedding,
+                                                    x -> CAST(x AS DOUBLE)),
+                                     list_transform(embedding,
+                                                    x -> CAST(x AS DOUBLE))))
+                   AS nrm
+        FROM embeddings
+    ),
+    quant AS MATERIALIZED (
+        SELECT vec_id,
+               CASE WHEN nrm > 0
+                    THEN list_transform(v, x -> CAST(floor(x * 127.0 / nrm)
+                                                     AS BIGINT))
+                    ELSE list_transform(v, x -> CAST(0 AS BIGINT))
+               END AS q
+        FROM base
+    ),
+    cand AS MATERIALIZED (
+        SELECT qs.vec_id AS query_id, c.vec_id,
+               CAST(list_dot_product(qs.q, c.q) AS BIGINT) AS rel,
+               c.q
+        FROM quant c
+        JOIN (SELECT vec_id, q FROM quant
+              WHERE vec_id < {_N_QUERIES}) qs
+          ON c.vec_id != qs.vec_id
+        QUALIFY row_number() OVER (PARTITION BY qs.vec_id
+                ORDER BY CAST(list_dot_product(qs.q, c.q) AS BIGINT) DESC,
+                         c.vec_id ASC) <= {_MMR_CAND}
+    ),
+    pairs AS MATERIALIZED (
+        SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+               CAST(list_dot_product(a.q, b.q) AS BIGINT) AS sim
+        FROM cand a
+        JOIN cand b ON a.query_id = b.query_id AND a.vec_id != b.vec_id
+    ),
+    sel1 AS MATERIALIZED (
+        SELECT query_id, vec_id, rel,
+               CAST(1 AS BIGINT) AS mmr_rank,
+               CAST({_MMR_LAM} * rel AS BIGINT) AS mmr_score
+        FROM cand
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                ORDER BY rel DESC, vec_id ASC) = 1
+    ),{",".join(steps)}
+    SELECT query_id, vec_id, rel, mmr_rank, mmr_score
+    FROM {prev}
+    ORDER BY query_id, mmr_rank
+"""
+
+
+_MMR_SQL = _mmr_sql()
+
+
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids in long form (label, dim, value) —
     the building block for class prototypes, IVF coarse quantizers, and
@@ -2688,6 +2924,7 @@ QUERIES = {
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
     "ann_topk_filtered": ann_topk_filtered,
+    "mmr_rerank_topk": mmr_rerank_topk,
     "matryoshka_truncation_probe": matryoshka_truncation_probe,
     "embedding_near_dup": embedding_near_dup,
     "label_centroids": label_centroids,
@@ -2714,6 +2951,7 @@ ORACLES = {
     "ann_topk_lsh": _ANN_LSH_SQL,
     "ann_topk_ivf": _ANN_IVF_SQL,
     "ann_topk_filtered": _ANN_IVF_FILTERED_SQL,
+    "mmr_rerank_topk": _MMR_SQL,
     "matryoshka_truncation_probe": _MRL_SQL,
     "embedding_near_dup": _NEAR_DUP_SQL,
     "label_centroids": _CENTROID_SQL,

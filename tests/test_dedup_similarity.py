@@ -393,3 +393,74 @@ def test_filtered_topk_recall_vs_filtered_bruteforce(spark):
             hits += 1
     assert total > 0
     assert hits / total >= 0.8, f"filtered ANN precision vs exact: {hits}/{total}"
+
+
+def test_mmr_rerank_diversifies_past_clones(spark, tmp_path):
+    """MMR must demote near-duplicate candidates a pure-relevance
+    ranking would stack at the top: plant three identical high-rel
+    clones plus moderately-relevant diverse vectors; assert (a) the
+    relevance shortlist alone would rank the clones 1-2-3, (b) the
+    engine's greedy trajectory for query 0 matches an independent
+    numpy replay of quantize -> shortlist -> greedy MMR exactly."""
+    import numpy as np
+
+    from azure_sales_etl_pipeline_spark.plans.similarity import (
+        _MMR_CAND,
+        _MMR_K,
+        _MMR_LAM,
+        _MMR_ONE_MINUS,
+        mmr_rerank_topk,
+    )
+
+    clone = [0.9, 0.4359, 0.0, 0.0]
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], "q"),  # the query
+        # other query slots (vec_id < 5), far from query 0
+        (1, [0.0, 0.0, 1.0, 0.0], "q"),
+        (2, [0.0, 0.0, 0.9, 0.1], "q"),
+        (3, [0.0, 0.0, 0.8, 0.2], "q"),
+        (4, [0.0, 0.0, 0.7, 0.3], "q"),
+        (10, list(clone), "c"),
+        (11, list(clone), "c"),
+        (12, list(clone), "c"),
+        (20, [0.6, -0.74, 0.3, 0.0], "d"),
+        (21, [0.6, -0.3, -0.74, 0.0], "d"),
+    ]
+    for i in range(8):  # low-relevance background to fill the shortlist
+        rows.append((30 + i, [0.05, 0.0, 0.0, 1.0 - i * 0.01], "bg"))
+    vecs = {vid: v for vid, v, _ in rows}
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    def qz(v):
+        v = np.asarray(v, dtype=np.float64)
+        n = np.sqrt(float(v @ v))
+        if n <= 0:
+            return np.zeros(len(v), dtype=np.int64)
+        return np.floor(v * 127.0 / n).astype(np.int64)
+
+    q = {vid: qz(v) for vid, v in vecs.items()}
+    rel = {vid: int(q[0] @ qv) for vid, qv in q.items() if vid != 0}
+    cand = sorted(rel, key=lambda v: (-rel[v], v))[:_MMR_CAND]
+    # fixture sanity: pure relevance stacks the three clones on top
+    assert sorted(cand[:3]) == [10, 11, 12]
+
+    sel = [cand[0]]
+    while len(sel) < _MMR_K:
+        rem = [c for c in cand if c not in sel]
+
+        def mmr(c):
+            ms = max(int(q[c] @ q[s]) for s in sel)
+            return _MMR_LAM * rel[c] - _MMR_ONE_MINUS * ms
+
+        sel.append(min(rem, key=lambda c: (-mmr(c), c)))
+
+    got = sorted(
+        (r for r in mmr_rerank_topk(spark, str(tmp_path)).collect()
+         if r["query_id"] == 0),
+        key=lambda r: r["mmr_rank"],
+    )
+    assert [r["vec_id"] for r in got] == sel
+    # the diversity effect itself: rank 2 is NOT one of the clones
+    assert got[0]["vec_id"] == 10 and got[1]["vec_id"] not in (11, 12)
