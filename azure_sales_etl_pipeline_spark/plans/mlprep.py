@@ -2989,7 +2989,141 @@ def _pref_pairs_sql() -> str:
 """
 
 
+# ---------------------------------------------------------------------------
+# distributed logistic-regression probe (batch gradient descent as Spark jobs)
+# ---------------------------------------------------------------------------
+
+_LR_POS_MIN = 64  # y=1: docs with >= this many whitespace tokens
+_LR_NEG_MAX = 48  # y=0: docs with <= this many; the open band is dropped
+_LR_PIVOT = 56  # feature centering for the token-count axis
+_LR_ROUNDS = 16
+_LR_STEP = 0.5  # < 2/L for this feature scaling (||x||² <= ~8.3, L <= 2.1)
+_LR_ACC_MIN_PERMILLE = 950
+
+
+def logreg_probe_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed LOGISTIC-REGRESSION probe trainer — the linear-probe
+    / quality-classifier TRAINING loop every curation stack runs on the
+    cluster (``quality_classifier_score`` is the apply side of this
+    pass; DSIR, fasttext filters, and toxicity probes all train this
+    way): batch gradient descent where each round is ONE Spark job over
+    the materialized feature table — per-round the d+1 partial sums
+    (gradient coordinates + loss) reduce map-side into a SINGLE
+    collected row, the weight update is d driver-side floats, and the
+    next round's plan embeds the new weights as literals. The corpus
+    never reaches the driver; rounds × one-scan is the whole cost, the
+    canonical distributed-ML split (same control-plane class as
+    [[pca_power_iteration_check]]'s collected Gram).
+
+    The probe task is PLANTED so the gate is decidable: features
+    [bias, (n_tokens−pivot)/20, distinct-token ratio, avg-token-len/5],
+    label = long-doc (n >= pos cut), with the open (neg, pos) margin
+    band dropped — linearly separable with margin 0.4 on one axis, so
+    GD at a descent-guaranteed step must reach accuracy >= 0.95 with
+    strictly decreasing loss. ``n_rows``/``n_pos`` replay exactly in
+    SQL; the booleans are the gate (oracle states them true — a
+    non-converging trainer is a driver-visible hash mismatch)."""
+    import math
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tok = F.size(toks)
+    feats = (
+        docs.select(
+            n_tok.alias("n"),
+            F.size(F.array_distinct(toks)).alias("nd"),
+            F.length(F.trim(F.col("text"))).alias("nchars"),
+        )
+        .where((F.col("n") >= _LR_POS_MIN) | (F.col("n") <= _LR_NEG_MAX))
+        .select(
+            F.when(F.col("n") >= _LR_POS_MIN, 1.0).otherwise(0.0).alias("y"),
+            F.lit(1.0).alias("x0"),
+            ((F.col("n") - F.lit(_LR_PIVOT)) / 20.0).alias("x1"),
+            (F.col("nd") / F.col("n")).alias("x2"),
+            ((F.col("nchars") - (F.col("n") - 1)) / F.col("n") / 5.0).alias(
+                "x3"
+            ),
+        )
+        .localCheckpoint()  # one materialization feeds all GD rounds
+    )
+    d = 4
+    w = [0.0] * d
+    losses = []
+    for _ in range(_LR_ROUNDS):
+        z = sum(
+            (F.col(f"x{j}") * float(w[j]) for j in range(1, d)),
+            F.col("x0") * float(w[0]),
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        row = feats.agg(
+            F.avg((F.lit(1.0) - F.col("y")) * z + F.log1p(F.exp(-z))).alias(
+                "loss"
+            ),
+            *[
+                F.avg((p - F.col("y")) * F.col(f"x{j}")).alias(f"g{j}")
+                for j in range(d)
+            ],
+        ).collect()[0]
+        losses.append(float(row["loss"]))
+        for j in range(d):
+            w[j] -= _LR_STEP * float(row[f"g{j}"])
+    zf = sum(
+        (F.col(f"x{j}") * float(w[j]) for j in range(1, d)),
+        F.col("x0") * float(w[0]),
+    )
+    fin = feats.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("y") > 0.5, 1).otherwise(0)).alias("n_pos"),
+        F.sum(
+            F.when((zf > 0) == (F.col("y") > 0.5), 1).otherwise(0)
+        ).alias("n_correct"),
+    ).collect()[0]
+    n_rows = int(fin["n_rows"])
+    accuracy_ok = bool(
+        n_rows > 0
+        and 1000 * int(fin["n_correct"]) >= _LR_ACC_MIN_PERMILLE * n_rows
+    )
+    loss_monotone = bool(
+        n_rows > 0
+        and all(
+            b < a and math.isfinite(a) and math.isfinite(b)
+            for a, b in zip(losses, losses[1:])
+        )
+    )
+    return local_df(
+        spark,
+        [
+            (
+                n_rows,
+                int(fin["n_pos"]),
+                _LR_ROUNDS,
+                accuracy_ok,
+                loss_monotone,
+            )
+        ],
+        "n_rows bigint, n_pos bigint, n_rounds bigint,"
+        " accuracy_ok boolean, loss_monotone boolean",
+    )
+
+
+_LOGREG_SQL = rf"""
+    WITH t AS (
+        SELECT len(regexp_split_to_array(trim(text), '\s+')) AS n
+        FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE n >= {_LR_POS_MIN}) AS BIGINT)
+               AS n_pos,
+           CAST({_LR_ROUNDS} AS BIGINT) AS n_rounds,
+           true AS accuracy_ok,
+           true AS loss_monotone
+    FROM t
+    WHERE n >= {_LR_POS_MIN} OR n <= {_LR_NEG_MAX}
+"""
+
+
 QUERIES = {
+    "logreg_probe_check": logreg_probe_check,
     "source_cap_sample": source_cap_sample,
     "preference_pairs": preference_pairs,
     "mixture_temperature_weights": mixture_temperature_weights,
@@ -3027,6 +3161,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "logreg_probe_check": _LOGREG_SQL,
     "source_cap_sample": _SOURCE_CAP_SQL,
     "preference_pairs": _pref_pairs_sql(),
     "mixture_temperature_weights": _MIXTURE_TEMP_SQL,

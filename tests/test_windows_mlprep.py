@@ -769,3 +769,38 @@ def test_preference_pairing_ties_margins_and_bounds(spark):
     d = by_group["D"]
     assert len(d) == 1 and (d[0]["chosen_doc"], d[0]["rejected_doc"]) == (30, 31)
     assert all(len(v) <= 2 for v in by_group.values())
+
+
+def test_logreg_probe_band_edges_and_convergence(spark, tmp_path):
+    """Pins the planted-task boundaries the 1-row gate can't explain on
+    its own: n = _LR_NEG_MAX is kept as a negative, n = _LR_POS_MIN is
+    kept as a positive, everything strictly inside the band is dropped
+    from training; and on a cleanly separable fixture the trainer must
+    report accuracy_ok + loss_monotone."""
+    from azure_sales_etl_pipeline_spark.plans.mlprep import (
+        _LR_NEG_MAX,
+        _LR_POS_MIN,
+        _LR_ROUNDS,
+        logreg_probe_check,
+    )
+
+    def doc(i, n):
+        return (i, " ".join(f"t{i}w{j}" for j in range(n)), "en", "web", 0)
+
+    rows = [doc(i, 70) for i in range(15)]
+    rows += [doc(100 + i, 40) for i in range(15)]
+    rows.append(doc(200, _LR_NEG_MAX))      # band edge: kept, negative
+    rows.append(doc(201, _LR_POS_MIN))      # band edge: kept, positive
+    rows.append(doc(202, _LR_NEG_MAX + 1))  # inside the band: dropped
+    rows.append(doc(203, _LR_POS_MIN - 1))  # inside the band: dropped
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = logreg_probe_check(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_rows"] == 32 and r["n_pos"] == 16
+    assert r["n_rounds"] == _LR_ROUNDS
+    assert r["accuracy_ok"] is True
+    assert r["loss_monotone"] is True
