@@ -2200,6 +2200,156 @@ _BM25_SQL = _bm25_sql()
 
 
 # ---------------------------------------------------------------------------
+# full BM25 document retrieval (query -> corpus top-k)
+# ---------------------------------------------------------------------------
+
+_BM25R_N_QUERIES = 5  # doc_id < this are the query documents
+_BM25R_TOP_K = 10
+
+
+def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BM25 DOCUMENT RETRIEVAL — the lexical ranking function
+    itself (Robertson k1 = 1.2, b = 0.75 with document-length
+    normalization), completing the stack around [[bm25_topterms]] (which
+    extracts keywords, not rankings) and [[sparse_retrieval_topk]]
+    (TF-IDF dot): each query document scores the corpus by
+    Σ_shared-terms bm25(term, doc), terms being word-bigram shingles
+    (the unigram space saturates on this vocabulary — same Lucene
+    shingle-filter move as the TF-IDF leg).
+
+    Exactness: the idf uses the engine-portable ln, and each per-term
+    score is FLOORED to integer micro-units before the per-(query, doc)
+    sum — so the total is an order-free exact integer sum, bit-identical
+    cross-engine (summing raw doubles would be partition-order
+    dependent).
+
+    Scale shape: one (doc, shingle) shuffle builds tf (checkpointed —
+    dl, df, and the totals re-aggregate from it, corpus never
+    re-scanned); the only retrieval join is the posting-list equi-join
+    on the term key with the query terms BROADCAST, so cost per query =
+    Σ posting-list lengths, bounded by the df·2 ≤ N near-stopword cap
+    (which also keeps the Robertson idf non-negative) — never a corpus
+    scan per query. Top-k per query is a bounded window."""
+    from ..functions import LN_Z_SQL, ln_k_sql, ln_m_sql
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), _WS)
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.expr(
+            "transform(sequence(1, size(toks) - 1),"
+            " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tok = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id", F.explode(bigrams).alias("token")
+    )
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .localCheckpoint()  # dl/df/totals re-aggregate from this
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    scalars = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    ).crossJoin(tf.agg(F.sum("tf").cast("bigint").alias("tot_tokens")))
+    per_term = (
+        tf.join(dl, "doc_id")
+        .join(dfreq, "token")
+        .crossJoin(F.broadcast(scalars))
+        .where(F.col("df") * 2 <= F.col("n_docs"))
+        .withColumn("__ln_k", F.expr(ln_k_sql(_BM25_IDF_ARG)))
+        .withColumn("__ln_m", F.expr(ln_m_sql(_BM25_IDF_ARG, "__ln_k")))
+        .withColumn("__ln_z", F.expr(LN_Z_SQL))
+        .select("doc_id", "token", F.expr(_bm25_score_sql()).alias("bm25_micro"))
+        .localCheckpoint()  # feeds both the query and corpus sides
+    )
+    qterms = (
+        per_term.where(F.col("doc_id") < _BM25R_N_QUERIES)
+        .select(F.col("doc_id").alias("query_id"), "token")
+        .distinct()
+    )
+    scored = (
+        per_term.join(F.broadcast(qterms), "token")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("bm25_micro").cast("bigint").alias("bm25_sum_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25_sum_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= _BM25R_TOP_K)
+        .select("query_id", "rank", "doc_id", "bm25_sum_micro")
+    )
+
+
+def _bm25_retrieval_sql() -> str:
+    from ..functions import LN_Z_SQL, ln_k_sql, ln_m_sql
+
+    return rf"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i + 1])) AS token
+        FROM (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+            FROM documents
+        )
+    ),
+    tf AS MATERIALIZED (
+        SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY ALL
+    ),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+    dfr AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    sc AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+               (SELECT CAST(sum(tf) AS BIGINT) FROM tf) AS tot_tokens
+    ),
+    base AS (
+        SELECT tf.doc_id, tf.token, tf.tf, dl.dl, dfr.df,
+               sc.n_docs, sc.tot_tokens
+        FROM tf JOIN dl USING (doc_id) JOIN dfr USING (token) CROSS JOIN sc
+        WHERE dfr.df * 2 <= sc.n_docs
+    ),
+    s1 AS (SELECT *, {ln_k_sql(_BM25_IDF_ARG)} AS __ln_k FROM base),
+    s2 AS (SELECT *, {ln_m_sql(_BM25_IDF_ARG, "__ln_k")} AS __ln_m FROM s1),
+    s3 AS (SELECT *, {LN_Z_SQL} AS __ln_z FROM s2),
+    per_term AS MATERIALIZED (
+        SELECT doc_id, token, {_bm25_score_sql()} AS bm25_micro
+        FROM s3
+    ),
+    qterms AS (
+        SELECT DISTINCT doc_id AS query_id, token
+        FROM per_term WHERE doc_id < {_BM25R_N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.query_id, p.doc_id,
+               CAST(sum(p.bm25_micro) AS BIGINT) AS bm25_sum_micro
+        FROM per_term p
+        JOIN qterms q ON p.token = q.token AND p.doc_id != q.query_id
+        GROUP BY q.query_id, p.doc_id
+    )
+    SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY bm25_sum_micro DESC, doc_id ASC)
+                AS BIGINT) AS rank,
+           doc_id, bm25_sum_micro
+    FROM scored
+    QUALIFY rank <= {_BM25R_TOP_K}
+"""
+
+
+_BM25_RETRIEVAL_SQL = _bm25_retrieval_sql()
+
+
+# ---------------------------------------------------------------------------
 # per-source token entropy (portable-ln)
 # ---------------------------------------------------------------------------
 
@@ -2614,6 +2764,7 @@ def _dsir_sql() -> str:
 
 QUERIES = {
     "bm25_topterms": bm25_topterms,
+    "bm25_retrieval_topk": bm25_retrieval_topk,
     "source_token_entropy": source_token_entropy,
     "doc_novelty": doc_novelty,
     "quality_classifier_score": quality_classifier_score,
@@ -2644,6 +2795,7 @@ QUERIES = {
 
 ORACLES = {
     "bm25_topterms": _BM25_SQL,
+    "bm25_retrieval_topk": _BM25_RETRIEVAL_SQL,
     "source_token_entropy": _ENTROPY_SQL,
     "doc_novelty": _NOVELTY_SQL,
     "quality_classifier_score": _QC_SQL,

@@ -509,3 +509,43 @@ def test_chunk_dedup_rewrite_boundaries_and_order(spark, tmp_path):
     assert (r14["n_chunks"], r14["n_removed"]) == (3, 1)
     # reassembly preserves original order across the removed middle chunk
     assert r14["clean_prefix"] == f"{u1} {u2}"[:60]
+
+
+def test_bm25_retrieval_length_norm_and_coverage(spark, tmp_path):
+    """Pins the ranking behavior behind the corpus-scale hash: (a) more
+    matched query terms beat fewer, (b) at equal tf a SHORTER document
+    outranks a longer one (the b=0.75 length normalization), (c) docs
+    sharing no query bigram never appear for that query."""
+    from azure_sales_etl_pipeline_spark.plans.textops import bm25_retrieval_topk
+
+    def filler(tag, n):
+        return " ".join(f"{tag}{j}" for j in range(n))
+
+    rows = [
+        (0, "alpha beta gamma delta", "en", "web", 0),  # the query
+        (1, filler("qa", 6), "en", "web", 0),
+        (2, filler("qb", 6), "en", "web", 0),
+        (3, filler("qc", 6), "en", "web", 0),
+        (4, filler("qd", 6), "en", "web", 0),
+        (10, "alpha beta " + filler("s", 4), "en", "web", 0),   # short match
+        (11, "alpha beta " + filler("l", 30), "en", "web", 0),  # long match
+        (12, "alpha beta gamma " + filler("t", 4), "en", "web", 0),  # 2 terms
+        (13, filler("u", 8), "en", "web", 0),  # no shared bigram
+        (14, filler("v", 8), "en", "web", 0),
+        (15, filler("w", 8), "en", "web", 0),
+        (16, filler("x", 8), "en", "web", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    q0 = {
+        r["doc_id"]: r
+        for r in bm25_retrieval_topk(spark, str(tmp_path)).collect()
+        if r["query_id"] == 0
+    }
+    assert set(q0) == {10, 11, 12}  # only bigram-sharing docs retrieved
+    assert q0[12]["rank"] == 1  # two matched terms beat one
+    # equal tf, shorter doc wins on length normalization
+    assert q0[10]["bm25_sum_micro"] > q0[11]["bm25_sum_micro"]
+    assert q0[10]["rank"] == 2 and q0[11]["rank"] == 3
