@@ -2177,6 +2177,145 @@ _HARD_NEG_SQL = f"""
 
 
 # ---------------------------------------------------------------------------
+# cross-encoder re-rank (Arrow-batched model-inference plumbing)
+# ---------------------------------------------------------------------------
+
+_CE_DEPTH = 20  # first-stage candidate depth fed to the re-ranker
+_CE_K = 5  # re-ranked results returned per query
+
+
+def cross_encoder_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve → RE-RANK with an Arrow-batched (query, document) pair
+    scorer — the cross-encoder stage of a production retrieval stack
+    (first-stage recall from the inverted index, precision from a model
+    that reads BOTH texts together). The model here is a deterministic
+    stand-in (token-set Jaccard in integer permille — replayable in
+    SQL, so the whole pipeline stays value-oracled); the Spark-side
+    plumbing is the real artifact and is exactly what a torch/ONNX
+    cross-encoder plugs into: candidate pairs with both texts attached
+    flow through ``mapInPandas`` in Arrow batches (batched inference,
+    never row-at-a-time Python — the [[media_decode_features]] seam),
+    and the scorer swaps without changing the plan.
+
+    Scale shape: first stage is the [[sparse_retrieval_topk]]
+    posting-list equi-join (df-capped, queries broadcast) cut at
+    ``_CE_DEPTH``; ONLY queries×depth pairs ever reach Python — model
+    cost is decoupled from corpus size, the entire point of the
+    retrieve-then-rerank architecture. Text attachment is one doc_id
+    join for the candidates plus a broadcast of the query texts; final
+    top-k is a bounded per-query window."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    sw = _sparse_weighted_terms(spark, sf_dir)
+    qw = sw.where(F.col("doc_id") < _N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "token", F.col("w").alias("wq")
+    )
+    w_first = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("doc_id").asc()
+    )
+    first = (
+        sw.join(F.broadcast(qw), "token")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.expr("sum(CAST(wq AS DECIMAL(38,0)) * w)").alias("dot"))
+        .withColumn("fs_rank", F.row_number().over(w_first).cast("bigint"))
+        .where(F.col("fs_rank") <= _CE_DEPTH)
+        .select("query_id", "doc_id", "fs_rank")
+    )
+    qtext = docs.where(F.col("doc_id") < _N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("qtext")
+    )
+    pairs = first.join(docs.select("doc_id", F.col("text").alias("dtext")),
+                       "doc_id").join(F.broadcast(qtext), "query_id")
+
+    def score(batches):
+        # the model seam: swap this body for tokenizer+model.forward per
+        # Arrow batch; everything around it (pairing, batching, ranking)
+        # is unchanged
+        for pdf in batches:
+            qs = [set(t.lower().split()) for t in pdf["qtext"]]
+            ds = [set(t.lower().split()) for t in pdf["dtext"]]
+            ce = [
+                (1000 * len(a & b)) // len(a | b) if (a or b) else 0
+                for a, b in zip(qs, ds)
+            ]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].astype("int64"),
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "fs_rank": pdf["fs_rank"].astype("int64"),
+                    "ce_score_milli": pd.Series(ce, dtype="int64"),
+                }
+            )
+
+    scored = pairs.mapInPandas(
+        score,
+        "query_id bigint, doc_id bigint, fs_rank bigint,"
+        " ce_score_milli bigint",
+    )
+    w_ce = Window.partitionBy("query_id").orderBy(
+        F.col("ce_score_milli").desc(),
+        F.col("fs_rank").asc(),
+        F.col("doc_id").asc(),
+    )
+    return (
+        scored.withColumn("ce_rank", F.row_number().over(w_ce).cast("bigint"))
+        .where(F.col("ce_rank") <= _CE_K)
+        .select("query_id", "ce_rank", "doc_id", "ce_score_milli", "fs_rank")
+    )
+
+
+def _ce_rerank_sql() -> str:
+    return rf"""
+    WITH {_sparse_ret_cte()},
+    first AS MATERIALIZED (
+        SELECT query_id, doc_id, fs_rank FROM (
+            SELECT query_id, doc_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY dot DESC, doc_id ASC) AS BIGINT) AS fs_rank
+            FROM (
+                SELECT q.doc_id AS query_id, c.doc_id,
+                       sum(CAST(q.w AS HUGEINT) * c.w) AS dot
+                FROM sw c
+                JOIN (SELECT doc_id, token, w FROM sw
+                      WHERE doc_id < {_N_QUERIES}) q
+                  ON c.token = q.token AND c.doc_id != q.doc_id
+                GROUP BY 1, 2
+            )
+        )
+        WHERE fs_rank <= {_CE_DEPTH}
+    ),
+    tsets AS MATERIALIZED (
+        SELECT doc_id,
+               list_distinct(regexp_split_to_array(trim(lower(text)),
+                                                   '\s+')) AS ts
+        FROM documents
+    ),
+    scored AS (
+        SELECT f.query_id, f.doc_id, f.fs_rank,
+               CAST((1000 * len(list_intersect(tq.ts, td.ts)))
+                    // (len(tq.ts) + len(td.ts)
+                        - len(list_intersect(tq.ts, td.ts)))
+                    AS BIGINT) AS ce_score_milli
+        FROM first f
+        JOIN tsets tq ON tq.doc_id = f.query_id
+        JOIN tsets td ON td.doc_id = f.doc_id
+    )
+    SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY ce_score_milli DESC, fs_rank ASC, doc_id ASC)
+                AS BIGINT) AS ce_rank,
+           doc_id, ce_score_milli, fs_rank
+    FROM scored
+    QUALIFY ce_rank <= {_CE_K}
+"""
+
+
+_CE_RERANK_SQL = _ce_rerank_sql()
+
+
+# ---------------------------------------------------------------------------
 # MMR diversity re-rank (Carbonell & Goldstein 1998)
 # ---------------------------------------------------------------------------
 
@@ -2925,6 +3064,7 @@ QUERIES = {
     "ann_topk_ivf": ann_topk_ivf,
     "ann_topk_filtered": ann_topk_filtered,
     "mmr_rerank_topk": mmr_rerank_topk,
+    "cross_encoder_rerank": cross_encoder_rerank,
     "matryoshka_truncation_probe": matryoshka_truncation_probe,
     "embedding_near_dup": embedding_near_dup,
     "label_centroids": label_centroids,
@@ -2952,6 +3092,7 @@ ORACLES = {
     "ann_topk_ivf": _ANN_IVF_SQL,
     "ann_topk_filtered": _ANN_IVF_FILTERED_SQL,
     "mmr_rerank_topk": _MMR_SQL,
+    "cross_encoder_rerank": _CE_RERANK_SQL,
     "matryoshka_truncation_probe": _MRL_SQL,
     "embedding_near_dup": _NEAR_DUP_SQL,
     "label_centroids": _CENTROID_SQL,

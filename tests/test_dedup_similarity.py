@@ -464,3 +464,51 @@ def test_mmr_rerank_diversifies_past_clones(spark, tmp_path):
     assert [r["vec_id"] for r in got] == sel
     # the diversity effect itself: rank 2 is NOT one of the clones
     assert got[0]["vec_id"] == 10 and got[1]["vec_id"] not in (11, 12)
+
+
+def test_cross_encoder_rerank_flips_first_stage(spark, tmp_path):
+    """The re-ranker must be able to OVERRULE first-stage retrieval:
+    plant a candidate that wins the bigram tf-idf stage by repeating
+    one shared bigram (high dot, low token-set overlap) and a near-copy
+    of the query (lower dot, high overlap); the cross-encoder stage has
+    to put the near-copy first."""
+    from azure_sales_etl_pipeline_spark.plans.similarity import (
+        cross_encoder_rerank,
+    )
+
+    def filler(tag, n):
+        return " ".join(f"{tag}{j}" for j in range(n))
+
+    rows = [
+        (0, "red fox jumps high", "en", "web", 0),  # the query
+        (1, filler("qa", 6), "en", "web", 0),
+        (2, filler("qb", 6), "en", "web", 0),
+        (3, filler("qc", 6), "en", "web", 0),
+        (4, filler("qd", 6), "en", "web", 0),
+        # spammy candidate: 6x the shared bigram + 20 unique tokens
+        (10, "red fox " * 6 + filler("z", 20), "en", "web", 0),
+        # near-copy: shares 3 of 3 query bigrams, tiny token diff
+        (11, "red fox jumps high extra", "en", "web", 0),
+        (12, filler("u", 8), "en", "web", 0),
+        (13, filler("v", 8), "en", "web", 0),
+        (14, filler("w", 8), "en", "web", 0),
+        (15, filler("x", 8), "en", "web", 0),
+        (16, filler("y", 8), "en", "web", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    q0 = {
+        r["doc_id"]: r
+        for r in cross_encoder_rerank(spark, str(tmp_path)).collect()
+        if r["query_id"] == 0
+    }
+    assert set(q0) == {10, 11}  # the only bigram-sharing candidates
+    # first stage preferred the spammy repeater...
+    assert q0[10]["fs_rank"] == 1 and q0[11]["fs_rank"] == 2
+    # ...the cross-encoder stage flips it
+    assert q0[11]["ce_rank"] == 1 and q0[10]["ce_rank"] == 2
+    assert q0[11]["ce_score_milli"] > q0[10]["ce_score_milli"]
+    # exact fake-model arithmetic: |{red,fox,jumps,high}∩+extra| = 4/5
+    assert q0[11]["ce_score_milli"] == 800
