@@ -1030,6 +1030,135 @@ def _ivf_maint_sql() -> str:
 _IVF_MAINT_SQL = _ivf_maint_sql()
 
 
+def cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster SIMPLIFIED SILHOUETTE over the IVF coarse quantizer —
+    the clustering-quality measurement that tells an index operator
+    whether k fits the corpus (collapsing silhouettes say re-train or
+    re-k; [[ivf_index_maintenance]] says when drift demands it, this
+    says whether the partitioning was ever good). Simplified silhouette
+    (Hruschka et al.): per point, a = d²(point, own centroid), b =
+    d²(point, nearest OTHER centroid), s = (b−a)/max(a,b) — exact in
+    integer permille because the quantizer is all-integer
+    (``_IVF_SCALE``), so the full measurement VALUE-oracles: DuckDB
+    replays seeds → Lloyd rounds → assignment → a/b → the permille
+    ratios bit-for-bit.
+
+    a and b come from ONE distance vector per point (the k-transform
+    already computed for assignment): a = min, b = second-smallest —
+    no second pass, no point-to-point distances (classic silhouette is
+    O(n²); against-centroid is the scale-sane variant). Shape: narrow
+    map over the corpus (k×d work per row behind a plan_barrier so the
+    argmin isn't recomputed per consumer) + ONE cluster-key rollup;
+    centroids ride the shared per-(process, sf_dir) cache — index
+    built once, measured here, probed by the ANN family."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = plan_barrier(
+        emb.select(
+            "vec_id",
+            _as_double("embedding").alias("vec"),
+            _as_q(_as_double("embedding")).alias("q"),
+            "label",
+        )
+    )
+    centroids = _IVF_CENTROID_CACHE.get(sf_dir)
+    if centroids is None:
+        centroids = _train_centroids(corpus)
+        _IVF_CENTROID_CACHE[sf_dir] = centroids
+    ds = F.transform(F.col("cents"), lambda c: _sq_dist_int(F.col("q"), c))
+    withds = plan_barrier(
+        _with_centroids(corpus, centroids).select(
+            "vec_id", ds.alias("ds")
+        )
+    )
+    pts = withds.select(
+        (F.array_position(F.col("ds"), F.array_min(F.col("ds"))) - 1)
+        .cast("int")
+        .alias("cluster"),
+        F.element_at(F.array_sort(F.col("ds")), 1).alias("a"),
+        F.element_at(F.array_sort(F.col("ds")), 2).alias("b"),
+    ).select(
+        "cluster",
+        # DECIMAL(38,0) widening: d2 reaches ~1.7e15 on unit-range data
+        # and only ~5x headroom remains under the 1000x scaling — larger
+        # coordinates overflow int64 (ANSI abort; caught by the planted
+        # pytest at 10x scale)
+        F.expr(
+            "CAST((1000 * CAST(b - a AS DECIMAL(38,0)))"
+            " div greatest(greatest(a, b), 1) AS BIGINT)"
+        ).alias("s_permille"),
+    )
+    return (
+        pts.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.sum("s_permille").cast("bigint").alias("sum_s_permille"),
+            F.expr(
+                "CAST(sum(s_permille) div count(1) AS BIGINT)"
+            ).alias("mean_s_permille"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def _silhouette_sql() -> str:
+    k, s, d = _IVF_K, _IVF_SCALE, _EMB_DIM
+    lloyd, cents = _lloyd_rounds_sql("base", _IVF_ITERS, d)
+    return f"""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(floor(x * {s}) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    stats AS (SELECT greatest(count(*) // {k}, 1) AS stride FROM base),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS sq
+        FROM base, stats
+        WHERE vec_id % stride = 0
+        ORDER BY vec_id
+        LIMIT {k}
+    ),
+    {lloyd},
+    dists AS (
+        SELECT b.vec_id, t.cid,
+               list_sum(list_transform(range(1, {d + 1}),
+                   i -> (b.q[i] - t.cq[i]) * (b.q[i] - t.cq[i]))) AS d2
+        FROM base b, {cents} t
+    ),
+    ranked AS (
+        SELECT vec_id, cid, d2,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cid) AS rn
+        FROM dists
+    ),
+    ab AS (
+        SELECT vec_id,
+               CAST(max(CASE WHEN rn = 1 THEN cid END) AS INTEGER)
+                   AS cluster,
+               max(CASE WHEN rn = 1 THEN d2 END) AS a,
+               max(CASE WHEN rn = 2 THEN d2 END) AS b
+        FROM ranked WHERE rn <= 2 GROUP BY vec_id
+    ),
+    pts AS (
+        SELECT cluster,
+               CAST((1000 * CAST(b - a AS HUGEINT))
+                    // greatest(greatest(a, b), 1)
+                    AS BIGINT) AS s_permille
+        FROM ab
+    )
+    SELECT cluster,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(s_permille) AS BIGINT) AS sum_s_permille,
+           CAST(sum(s_permille) // count(*) AS BIGINT) AS mean_s_permille
+    FROM pts
+    GROUP BY cluster
+    ORDER BY cluster
+"""
+
+
+_SILHOUETTE_SQL = _silhouette_sql()
+
+
 def _ann_ivf_sql(filtered: bool = False) -> str:
     """DuckDB replay of the ENTIRE IVF pipeline — strided seeds,
     ``_IVF_ITERS`` unrolled integer-Lloyd rounds (``_lloyd_rounds_sql``),
@@ -2342,8 +2471,10 @@ def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the IVF/PQ candidate generator, the MMR contract is unchanged);
     everything after is bounded by queries × _MMR_CAND rows: pairwise
     candidate sims are |Q|·C² rows, each greedy step is a keyed join +
-    argmax on those bounded frames, parallel across queries,
-    plan_barrier per step to keep lineage linear. Nothing iterates over
+    argmax on those bounded frames, parallel across queries, with
+    localCheckpoint materializing the shortlist/pairs/selection frames
+    (the pagerank-loop discipline — a fence alone re-runs the
+    corpus-wide scoring per greedy reference). Nothing iterates over
     the corpus, and no per-step work reaches the driver."""
     emb = load_table(spark, sf_dir, "embeddings")
     vec = _as_double("embedding")
@@ -2381,7 +2512,12 @@ def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_rel = Window.partitionBy("query_id").orderBy(
         F.col("rel").desc(), F.col("vec_id").asc()
     )
-    cand = plan_barrier(
+    # localCheckpoint, not plan_barrier: the greedy loop below references
+    # the shortlist ~10 times (pairs twice, anti-join + rescore per
+    # step) — a fence alone would re-run the corpus-wide scoring window
+    # per reference (measured 20.5 s at sf0.1; ~3 s materialized). The
+    # frame is |Q|·C rows — the iterative-loop discipline of pagerank.
+    cand = (
         quant.join(
             F.broadcast(queries), F.col("vec_id") != F.col("query_id")
         )
@@ -2394,6 +2530,7 @@ def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w_rel))
         .where(F.col("rn") <= _MMR_CAND)
         .select("query_id", "vec_id", "rel", "q")
+        .localCheckpoint()
     )
     a = cand.select(
         "query_id", F.col("vec_id").alias("va"), F.col("q").alias("qa")
@@ -2401,7 +2538,7 @@ def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = cand.select(
         "query_id", F.col("vec_id").alias("vb"), F.col("q").alias("qb")
     )
-    pairs = plan_barrier(
+    pairs = (
         a.join(b, "query_id")
         .where(F.col("va") != F.col("vb"))
         .select(
@@ -2410,8 +2547,9 @@ def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vb",
             idot(F.col("qa"), F.col("qb")).alias("sim"),
         )
+        .localCheckpoint()  # |Q|·C² rows, read once per greedy step
     )
-    sel = plan_barrier(
+    sel = (
         cand.withColumn("rn", F.row_number().over(w_rel))
         .where(F.col("rn") == 1)
         .select(
@@ -2421,6 +2559,7 @@ def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).cast("bigint").alias("mmr_rank"),
             (F.lit(_MMR_LAM) * F.col("rel")).cast("bigint").alias("mmr_score"),
         )
+        .localCheckpoint()
     )
     for step in range(2, _MMR_K + 1):
         maxsim = (
@@ -2464,7 +2603,7 @@ def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mmr_score",
             )
         )
-        sel = plan_barrier(sel.unionByName(pick))
+        sel = sel.unionByName(pick).localCheckpoint()
     return sel.orderBy("query_id", "mmr_rank")
 
 
@@ -2885,6 +3024,103 @@ def pca_power_iteration_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WHITEN_TOL = 0.05  # post-whitening second moment must sit within ±5% of I
+
+
+def whitening_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible gate closing the WHITENING loop over
+    [[embedding_gram]] — the transform retrieval stacks apply before
+    cosine/PCA so no direction dominates: the distributed pass collects
+    the d×d second moment (control-plane), the driver eigendecomposes
+    and forms the ZCA whitener W = V·Λ^(−1/2)·Vᵀ (microseconds at
+    d=64), then the APPLY runs distributed — W ships in the Arrow-UDF
+    closure (d² doubles), each batch computes Y = X·Wᵀ and a partial
+    YᵀY via one BLAS call, and ONE d²-sized shuffle of partials
+    verifies the result: the whitened second moment must be the
+    IDENTITY within ``_WHITEN_TOL``. That re-verification catches both
+    a broken eigendecomp and a broken distributed apply; raw vectors
+    never reach the driver in either pass.
+
+    ``n_vecs``/``dim`` replay exactly in SQL; ``well_conditioned``
+    (λ_min > 10⁻⁹·λ_max, so the inverse sqrt is meaningful) and
+    ``identity_ok`` are the gate — the oracle states them true, the
+    [[pca_power_iteration_check]] contract."""
+    import numpy as np
+
+    d = _GRAM_DIM
+    rows = embedding_gram(spark, sf_dir).collect()  # d(d+1)/2 — bounded
+    if not rows:
+        return local_df(
+            spark,
+            [(0, d, False, False)],
+            "n_vecs bigint, dim bigint,"
+            " well_conditioned boolean, identity_ok boolean",
+        )
+    n_vecs = int(rows[0]["n_vecs"])
+    G = np.zeros((d, d), dtype=np.float64)
+    for r in rows:
+        G[r["i"], r["j"]] = G[r["j"], r["i"]] = r["gram_e6"] / _GRAM_SCALE
+    S = G / n_vecs
+    lam, V = np.linalg.eigh(S)
+    well_conditioned = bool(lam.min() > 1e-9 * lam.max())
+    W = (V * (1.0 / np.sqrt(np.maximum(lam, 1e-12)))) @ V.T
+
+    def partial_moment(batches):
+        import pandas as pd
+
+        acc = np.zeros((d, d), dtype=np.float64)
+        n = 0
+        for pdf in batches:
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            if X.size == 0:
+                continue
+            Y = X @ W.T
+            acc += Y.T @ Y
+            n += X.shape[0]
+        if n:
+            ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "i": ii.ravel().astype("int32"),
+                    "j": jj.ravel().astype("int32"),
+                    "partial": acc.ravel(),
+                    "n": np.int64(n),
+                }
+            )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    agg = (
+        emb.mapInPandas(
+            partial_moment, "i int, j int, partial double, n long"
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("partial").alias("m"), F.sum("n").alias("n"))
+        .collect()
+    )
+    M = np.zeros((d, d), dtype=np.float64)
+    for r in agg:
+        M[r["i"], r["j"]] = r["m"] / n_vecs
+    identity_ok = bool(
+        well_conditioned and np.abs(M - np.eye(d)).max() <= _WHITEN_TOL
+    )
+    return local_df(
+        spark,
+        [(n_vecs, d, well_conditioned, identity_ok)],
+        "n_vecs bigint, dim bigint,"
+        " well_conditioned boolean, identity_ok boolean",
+    )
+
+
+_WHITEN_SQL = f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST({_GRAM_DIM} AS BIGINT) AS dim,
+           true AS well_conditioned,
+           true AS identity_ok
+    FROM embeddings
+"""
+
+
+
 _PCA_CHECK_SQL = f"""
     SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vecs,
            (SELECT CAST(sum(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
@@ -3065,6 +3301,8 @@ QUERIES = {
     "ann_topk_filtered": ann_topk_filtered,
     "mmr_rerank_topk": mmr_rerank_topk,
     "cross_encoder_rerank": cross_encoder_rerank,
+    "cluster_silhouette": cluster_silhouette,
+    "whitening_check": whitening_check,
     "matryoshka_truncation_probe": matryoshka_truncation_probe,
     "embedding_near_dup": embedding_near_dup,
     "label_centroids": label_centroids,
@@ -3093,6 +3331,8 @@ ORACLES = {
     "ann_topk_filtered": _ANN_IVF_FILTERED_SQL,
     "mmr_rerank_topk": _MMR_SQL,
     "cross_encoder_rerank": _CE_RERANK_SQL,
+    "cluster_silhouette": _SILHOUETTE_SQL,
+    "whitening_check": _WHITEN_SQL,
     "matryoshka_truncation_probe": _MRL_SQL,
     "embedding_near_dup": _NEAR_DUP_SQL,
     "label_centroids": _CENTROID_SQL,

@@ -1367,9 +1367,12 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_merge_sql() -> str:
-    """Unrolled-CTE DuckDB replay of the merge loop: same paren
-    encoding, same replace-based greedy merge, one CTE pair per round."""
+def _bpe_chain_sql() -> str:
+    """Shared unrolled-CTE chain replaying the BPE TRAINING loop (same
+    paren encoding, same replace-based greedy merge): defines ``words``,
+    ``s0``..``s{R}`` (vocab states) and ``m1``..``m{R}`` (the learned
+    merges) — consumed by both the merge-table oracle and the
+    encode/fertility oracle."""
     parts = [
         r"""WITH words AS (
         SELECT w, CAST(count(*) AS BIGINT) AS n
@@ -1405,11 +1408,133 @@ def _bpe_merge_sql() -> str:
                        '(' || m.a || m.b || ')') AS s, n
         FROM s{r-1}, m{r} m
     )""")
+    return "".join(parts)
+
+
+def _bpe_merge_sql() -> str:
+    """Unrolled-CTE DuckDB replay of the merge loop: same paren
+    encoding, same replace-based greedy merge, one CTE pair per round."""
     selects = [
         f"SELECT {r} AS round, a AS lhs, b AS rhs, a || b AS merged, cnt AS n_occurrences FROM m{r}"
         for r in range(1, _BPE_MERGE_ROUNDS + 1)
     ]
-    return "".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+    return _bpe_chain_sql() + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+def bpe_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE — the APPLY side of the tokenizer loop
+    ([[bpe_merge_steps]] trains the merge table; this applies it) plus
+    the metric the application feeds: per-source tokenizer FERTILITY
+    (BPE tokens emitted per word — the standard measure of how well a
+    tokenizer fits a domain; a source whose fertility spikes is one the
+    vocabulary doesn't cover, the multilingual-curation red flag).
+
+    Encoding runs at the DISTINCT-WORD grain, not per occurrence: each
+    vocabulary word's paren-encoded symbol string gets the learned
+    merges applied IN TRAINING ORDER as chained JVM ``replace``s (the
+    delimiter trick from the trainer — left-to-right replace IS BPE's
+    greedy non-overlapping merge, no UDF), then per-occurrence counts
+    join back on the word key. Scale shape: corpus scanned once into
+    (source, word) counts (one shuffle, map-side combined,
+    checkpointed); the merge table is a ≤5-row driver collect (control
+    plane, same class as the trainer's per-round argmax); encode is a
+    narrow map over |vocab| rows; the join back keys on the word;
+    the rollup is |sources| rows. Fertility denominators are exact
+    integers; the ratio uses truncating ``div`` (portable)."""
+    merges = bpe_merge_steps(spark, sf_dir).collect()  # <=5 rows
+    docs = load_table(spark, sf_dir, "documents")
+    wt = (
+        docs.select("source", F.explode(_tokens()).alias("w"))
+        .where(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint()  # feeds the distinct-vocab encode AND the join
+    )
+    vocab = wt.select("w").distinct().select(
+        "w",
+        F.expr(
+            "concat('(', array_join(transform(sequence(1, length(w)), "
+            "i -> substring(w, i, 1)), ')('), ')')"
+        ).alias("s"),
+    )
+    for m in merges:
+        a, b = m["lhs"], m["rhs"]
+        vocab = vocab.withColumn(
+            "s", F.expr(f"replace(s, '({a})({b})', '({a}{b})')")
+        )
+    enc = vocab.select(
+        "w",
+        F.size(
+            F.split(F.expr("substring(s, 2, length(s) - 2)"), r"\)\(")
+        )
+        .cast("bigint")
+        .alias("ntok"),
+    )
+    return (
+        wt.join(enc, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_words"),
+            F.sum(F.length("w") * F.col("cnt")).cast("bigint").alias("n_chars"),
+            F.sum(F.col("ntok") * F.col("cnt")).cast("bigint").alias(
+                "n_bpe_tokens"
+            ),
+            F.expr(
+                "CAST((1000 * sum(ntok * cnt)) div sum(cnt) AS BIGINT)"
+            ).alias("fertility_milli"),
+        )
+        .orderBy("source")
+    )
+
+
+def _bpe_fertility_sql() -> str:
+    encs = []
+    prev = "e0"
+    for r in range(1, _BPE_MERGE_ROUNDS + 1):
+        encs.append(f""",
+    e{r} AS (
+        SELECT w, replace(s, '(' || m.a || ')(' || m.b || ')',
+                          '(' || m.a || m.b || ')') AS s
+        FROM {prev}, m{r} m
+    )""")
+        prev = f"e{r}"
+    return (
+        _bpe_chain_sql()
+        + rf""",
+    wsrc AS MATERIALIZED (
+        SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT source,
+                     unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+              FROM documents) t
+        WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2
+        GROUP BY source, w
+    ),
+    e0 AS (
+        SELECT w, '(' || array_to_string(
+                   list_transform(range(1, length(w) + 1),
+                                  i -> substr(w, CAST(i AS INTEGER), 1)),
+                   ')(') || ')' AS s
+        FROM (SELECT DISTINCT w FROM wsrc)
+    )"""
+        + "".join(encs)
+        + f""",
+    enc AS (
+        SELECT w,
+               CAST(len(str_split(substr(s, 2, length(s) - 2), ')('))
+                    AS BIGINT) AS ntok
+        FROM {prev}
+    )
+    SELECT source,
+           CAST(sum(cnt) AS BIGINT) AS n_words,
+           CAST(sum(length(w) * cnt) AS BIGINT) AS n_chars,
+           CAST(sum(ntok * cnt) AS BIGINT) AS n_bpe_tokens,
+           CAST((1000 * sum(ntok * cnt)) // sum(cnt) AS BIGINT)
+               AS fertility_milli
+    FROM wsrc JOIN enc USING (w)
+    GROUP BY source
+    ORDER BY source
+"""
+    )
 
 
 #: Drift vocabulary cap: the grid is K × |sources| regardless of corpus
@@ -2791,6 +2916,7 @@ QUERIES = {
     "zipf_fit": zipf_fit,
     "bpe_pair_counts": bpe_pair_counts,
     "bpe_merge_steps": bpe_merge_steps,
+    "bpe_encode_fertility": bpe_encode_fertility,
 }
 
 ORACLES = {
@@ -2822,4 +2948,5 @@ ORACLES = {
     "zipf_fit": _zipf_sql(),
     "bpe_pair_counts": _BPE_SQL,
     "bpe_merge_steps": _bpe_merge_sql(),
+    "bpe_encode_fertility": _bpe_fertility_sql(),
 }

@@ -512,3 +512,61 @@ def test_cross_encoder_rerank_flips_first_stage(spark, tmp_path):
     assert q0[11]["ce_score_milli"] > q0[10]["ce_score_milli"]
     # exact fake-model arithmetic: |{red,fox,jumps,high}∩+extra| = 4/5
     assert q0[11]["ce_score_milli"] == 800
+
+
+def test_cluster_silhouette_perfect_separation(spark, tmp_path):
+    """16 groups of 4 identical vectors, one seed landing on each group
+    (vec_id % stride picks the first member): Lloyd converges to the
+    group vectors themselves, so every point has a = 0 and b > 0 —
+    simplified silhouette must be EXACTLY 1000 permille per point, 4
+    points per cluster."""
+    import random
+
+    from azure_sales_etl_pipeline_spark.plans.similarity import (
+        _IVF_CENTROID_CACHE,
+        cluster_silhouette,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for g in range(16):
+        v = [rng.gauss(0, 1) * 10 for _ in range(64)]
+        for j in range(4):
+            rows.append((g * 4 + j, [float(x) for x in v], f"g{g}"))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    _IVF_CENTROID_CACHE.pop(str(tmp_path), None)  # isolate from other runs
+
+    out = cluster_silhouette(spark, str(tmp_path)).collect()
+    assert len(out) == 16
+    for r in out:
+        assert r["n_points"] == 4
+        assert r["mean_s_permille"] == 1000
+        assert r["sum_s_permille"] == 4000
+
+
+def test_whitening_check_on_anisotropic_corpus(spark, tmp_path):
+    """Whitening must flatten a strongly anisotropic corpus (first axis
+    stretched 10x) back to the identity second moment — the gate that
+    catches a broken eigendecomp OR a broken distributed apply."""
+    import random
+
+    from azure_sales_etl_pipeline_spark.plans.similarity import whitening_check
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(200):
+        v = [rng.gauss(0, 1) for _ in range(64)]
+        v[0] *= 10.0  # dominant direction
+        rows.append((i, [float(x) for x in v], "bg"))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = whitening_check(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_vecs"], r["dim"]) == (200, 64)
+    assert r["well_conditioned"] is True
+    assert r["identity_ok"] is True

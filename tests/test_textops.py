@@ -549,3 +549,68 @@ def test_bm25_retrieval_length_norm_and_coverage(spark, tmp_path):
     # equal tf, shorter doc wins on length normalization
     assert q0[10]["bm25_sum_micro"] > q0[11]["bm25_sum_micro"]
     assert q0[10]["rank"] == 2 and q0[11]["rank"] == 3
+
+
+def test_bpe_encode_fertility_python_replay(spark, tmp_path):
+    """Pins the encode semantics end-to-end against an independent pure-
+    python BPE replay (train 5 merge rounds on corpus word counts, greedy
+    left-to-right non-overlapping apply, per-source fertility rollup),
+    including the word filter ([a-z]+ and length >= 2)."""
+    from azure_sales_etl_pipeline_spark.plans.textops import (
+        _BPE_MERGE_ROUNDS,
+        bpe_encode_fertility,
+    )
+
+    rows = [
+        (0, "abab abab cd zz a x1", "en", "sA", 0),  # 'a'/'x1' filtered out
+        (1, "ababab cd cd abab", "en", "sB", 0),
+        (2, "zz zz abab", "en", "sB", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    import re
+    from collections import Counter
+
+    per_src = Counter()
+    corpus = Counter()
+    for _, text, _, src, _ in rows:
+        for w in text.split():
+            if re.fullmatch(r"[a-z]+", w) and len(w) >= 2:
+                per_src[(src, w)] += 1
+                corpus[w] += 1
+    seqs = {w: list(w) for w in corpus}
+    for _ in range(_BPE_MERGE_ROUNDS):
+        pc = Counter()
+        for w, seq in seqs.items():
+            for i in range(len(seq) - 1):
+                pc[(seq[i], seq[i + 1])] += corpus[w]
+        if not pc:
+            break
+        (a, b), _n = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        for w, seq in seqs.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seqs[w] = out
+    want = {}
+    for (src, w), cnt in per_src.items():
+        e = want.setdefault(src, [0, 0, 0])
+        e[0] += cnt
+        e[1] += len(w) * cnt
+        e[2] += len(seqs[w]) * cnt
+
+    got = {r["source"]: r for r in bpe_encode_fertility(spark, str(tmp_path)).collect()}
+    assert set(got) == set(want)
+    for src, (nw, nc, nt) in want.items():
+        r = got[src]
+        assert (r["n_words"], r["n_chars"], r["n_bpe_tokens"]) == (nw, nc, nt)
+        assert r["fertility_milli"] == (1000 * nt) // nw
+    # the merges actually compress: fewer BPE tokens than characters
+    assert all(r["n_bpe_tokens"] < r["n_chars"] for r in got.values())
