@@ -2332,29 +2332,13 @@ _BM25R_N_QUERIES = 5  # doc_id < this are the query documents
 _BM25R_TOP_K = 10
 
 
-def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full BM25 DOCUMENT RETRIEVAL — the lexical ranking function
-    itself (Robertson k1 = 1.2, b = 0.75 with document-length
-    normalization), completing the stack around [[bm25_topterms]] (which
-    extracts keywords, not rankings) and [[sparse_retrieval_topk]]
-    (TF-IDF dot): each query document scores the corpus by
-    Σ_shared-terms bm25(term, doc), terms being word-bigram shingles
-    (the unigram space saturates on this vocabulary — same Lucene
-    shingle-filter move as the TF-IDF leg).
-
-    Exactness: the idf uses the engine-portable ln, and each per-term
-    score is FLOORED to integer micro-units before the per-(query, doc)
-    sum — so the total is an order-free exact integer sum, bit-identical
-    cross-engine (summing raw doubles would be partition-order
-    dependent).
-
-    Scale shape: one (doc, shingle) shuffle builds tf (checkpointed —
-    dl, df, and the totals re-aggregate from it, corpus never
-    re-scanned); the only retrieval join is the posting-list equi-join
-    on the term key with the query terms BROADCAST, so cost per query =
-    Σ posting-list lengths, bounded by the df·2 ≤ N near-stopword cap
-    (which also keeps the Robertson idf non-negative) — never a corpus
-    scan per query. Top-k per query is a bounded window."""
+def _bm25_per_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (doc_id, token, bm25_micro) table over word-bigram
+    shingles — the scoring substrate under [[bm25_retrieval_topk]] and
+    [[prf_query_expansion]]: one (doc, shingle) shuffle for tf
+    (checkpointed; dl/df/totals re-aggregate from it), df-capped
+    posting lists, idf via the portable ln, per-term scores floored to
+    integer micro-units."""
     from ..functions import LN_Z_SQL, ln_k_sql, ln_m_sql
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2381,7 +2365,7 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalars = docs.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     ).crossJoin(tf.agg(F.sum("tf").cast("bigint").alias("tot_tokens")))
-    per_term = (
+    return (
         tf.join(dl, "doc_id")
         .join(dfreq, "token")
         .crossJoin(F.broadcast(scalars))
@@ -2390,8 +2374,34 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__ln_m", F.expr(ln_m_sql(_BM25_IDF_ARG, "__ln_k")))
         .withColumn("__ln_z", F.expr(LN_Z_SQL))
         .select("doc_id", "token", F.expr(_bm25_score_sql()).alias("bm25_micro"))
-        .localCheckpoint()  # feeds both the query and corpus sides
+        .localCheckpoint()  # feeds query side, corpus side, PRF feedback
     )
+
+
+def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BM25 DOCUMENT RETRIEVAL — the lexical ranking function
+    itself (Robertson k1 = 1.2, b = 0.75 with document-length
+    normalization), completing the stack around [[bm25_topterms]] (which
+    extracts keywords, not rankings) and [[sparse_retrieval_topk]]
+    (TF-IDF dot): each query document scores the corpus by
+    Σ_shared-terms bm25(term, doc), terms being word-bigram shingles
+    (the unigram space saturates on this vocabulary — same Lucene
+    shingle-filter move as the TF-IDF leg).
+
+    Exactness: the idf uses the engine-portable ln, and each per-term
+    score is FLOORED to integer micro-units before the per-(query, doc)
+    sum — so the total is an order-free exact integer sum, bit-identical
+    cross-engine (summing raw doubles would be partition-order
+    dependent).
+
+    Scale shape: one (doc, shingle) shuffle builds tf (checkpointed —
+    dl, df, and the totals re-aggregate from it, corpus never
+    re-scanned); the only retrieval join is the posting-list equi-join
+    on the term key with the query terms BROADCAST, so cost per query =
+    Σ posting-list lengths, bounded by the df·2 ≤ N near-stopword cap
+    (which also keeps the Robertson idf non-negative) — never a corpus
+    scan per query. Top-k per query is a bounded window."""
+    per_term = _bm25_per_term(spark, sf_dir)
     qterms = (
         per_term.where(F.col("doc_id") < _BM25R_N_QUERIES)
         .select(F.col("doc_id").alias("query_id"), "token")
@@ -2413,11 +2423,14 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_retrieval_sql() -> str:
+def _bm25_core_ctes() -> str:
+    """Shared DuckDB CTE chain mirroring ``_bm25_per_term`` plus the
+    query-term set and the first-pass retrieval scores: defines
+    ``per_term``, ``qterms``, and ``scored`` — consumed by the
+    retrieval oracle and the PRF expansion oracle."""
     from ..functions import LN_Z_SQL, ln_k_sql, ln_m_sql
 
-    return rf"""
-    WITH tok AS (
+    return rf"""tok AS (
         SELECT doc_id,
                unnest(list_transform(range(1, len(toks)),
                       i -> toks[i] || ' ' || toks[i + 1])) AS token
@@ -2454,13 +2467,18 @@ def _bm25_retrieval_sql() -> str:
         SELECT DISTINCT doc_id AS query_id, token
         FROM per_term WHERE doc_id < {_BM25R_N_QUERIES}
     ),
-    scored AS (
+    scored AS MATERIALIZED (
         SELECT q.query_id, p.doc_id,
                CAST(sum(p.bm25_micro) AS BIGINT) AS bm25_sum_micro
         FROM per_term p
         JOIN qterms q ON p.token = q.token AND p.doc_id != q.query_id
         GROUP BY q.query_id, p.doc_id
-    )
+    )"""
+
+
+def _bm25_retrieval_sql() -> str:
+    return f"""
+    WITH {_bm25_core_ctes()}
     SELECT query_id,
            CAST(row_number() OVER (PARTITION BY query_id
                 ORDER BY bm25_sum_micro DESC, doc_id ASC)
@@ -2472,6 +2490,105 @@ def _bm25_retrieval_sql() -> str:
 
 
 _BM25_RETRIEVAL_SQL = _bm25_retrieval_sql()
+
+
+# ---------------------------------------------------------------------------
+# pseudo-relevance-feedback query expansion (RM3-style term mining)
+# ---------------------------------------------------------------------------
+
+_PRF_FB_K = 5  # feedback depth: top docs per query mined for terms
+_PRF_EXP_N = 5  # expansion terms returned per query
+
+
+def prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSEUDO-RELEVANCE-FEEDBACK query expansion (the RM3 recipe): run
+    the BM25 first pass, take each query's top-``_PRF_FB_K`` documents
+    as assumed-relevant feedback, and mine the terms that characterize
+    that feedback set — the highest-BM25 terms OF those documents that
+    the query does NOT already contain — as expansion candidates. The
+    second-pass retrieval is then just [[bm25_retrieval_topk]] over the
+    union term set; the distributed work worth oracling is the mining.
+
+    Exactness: feedback scores sum the already-floored integer
+    micro-unit per-term scores — order-free-exact, same discipline as
+    the retrieval sum. Scale shape: the feedback set is |Q|·K doc ids
+    (driver never sees it — it stays a DataFrame joined back on
+    doc_id); candidate terms are the feedback docs' posting rows only;
+    the query's own terms are excluded with a broadcast anti-join; the
+    final top-N is a bounded per-query window. Everything downstream
+    of the (checkpointed) per-term table is candidate-bounded."""
+    per_term = _bm25_per_term(spark, sf_dir)
+    qterms = (
+        per_term.where(F.col("doc_id") < _BM25R_N_QUERIES)
+        .select(F.col("doc_id").alias("query_id"), "token")
+        .distinct()
+    )
+    scored = (
+        per_term.join(F.broadcast(qterms), "token")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("bm25_micro").cast("bigint").alias("bm25_sum_micro"))
+    )
+    w_fb = Window.partitionBy("query_id").orderBy(
+        F.col("bm25_sum_micro").desc(), F.col("doc_id").asc()
+    )
+    fb = (
+        scored.withColumn("rank", F.row_number().over(w_fb))
+        .where(F.col("rank") <= _PRF_FB_K)
+        .select("query_id", "doc_id")
+    )
+    cand = (
+        per_term.join(fb, "doc_id")
+        .join(F.broadcast(qterms), ["query_id", "token"], "left_anti")
+        .groupBy("query_id", "token")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fb_docs"),
+            F.sum("bm25_micro").cast("bigint").alias("fb_score_micro"),
+        )
+    )
+    w_exp = Window.partitionBy("query_id").orderBy(
+        F.col("fb_score_micro").desc(), F.col("token").asc()
+    )
+    return (
+        cand.withColumn("exp_rank", F.row_number().over(w_exp).cast("bigint"))
+        .where(F.col("exp_rank") <= _PRF_EXP_N)
+        .select("query_id", "exp_rank", "token", "n_fb_docs", "fb_score_micro")
+    )
+
+
+def _prf_sql() -> str:
+    return f"""
+    WITH {_bm25_core_ctes()},
+    fb AS MATERIALIZED (
+        SELECT query_id, doc_id FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY bm25_sum_micro DESC, doc_id ASC) AS rank
+            FROM scored)
+        WHERE rank <= {_PRF_FB_K}
+    ),
+    cand AS (
+        SELECT f.query_id, p.token,
+               CAST(count(*) AS BIGINT) AS n_fb_docs,
+               CAST(sum(p.bm25_micro) AS BIGINT) AS fb_score_micro
+        FROM per_term p
+        JOIN fb f ON f.doc_id = p.doc_id
+        WHERE NOT EXISTS (SELECT 1 FROM qterms q
+                          WHERE q.query_id = f.query_id
+                            AND q.token = p.token)
+        GROUP BY f.query_id, p.token
+    )
+    SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY fb_score_micro DESC, token ASC)
+                AS BIGINT) AS exp_rank,
+           token, n_fb_docs, fb_score_micro
+    FROM cand
+    QUALIFY exp_rank <= {_PRF_EXP_N}
+"""
+
+
+_PRF_SQL = _prf_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -2890,6 +3007,7 @@ def _dsir_sql() -> str:
 QUERIES = {
     "bm25_topterms": bm25_topterms,
     "bm25_retrieval_topk": bm25_retrieval_topk,
+    "prf_query_expansion": prf_query_expansion,
     "source_token_entropy": source_token_entropy,
     "doc_novelty": doc_novelty,
     "quality_classifier_score": quality_classifier_score,
@@ -2922,6 +3040,7 @@ QUERIES = {
 ORACLES = {
     "bm25_topterms": _BM25_SQL,
     "bm25_retrieval_topk": _BM25_RETRIEVAL_SQL,
+    "prf_query_expansion": _PRF_SQL,
     "source_token_entropy": _ENTROPY_SQL,
     "doc_novelty": _NOVELTY_SQL,
     "quality_classifier_score": _QC_SQL,

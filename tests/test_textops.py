@@ -614,3 +614,46 @@ def test_bpe_encode_fertility_python_replay(spark, tmp_path):
         assert r["fertility_milli"] == (1000 * nt) // nw
     # the merges actually compress: fewer BPE tokens than characters
     assert all(r["n_bpe_tokens"] < r["n_chars"] for r in got.values())
+
+
+def test_prf_expansion_mines_feedback_cooccurrence(spark, tmp_path):
+    """Expansion terms must come from the feedback docs, must exclude
+    every bigram the query already contains, and must surface the
+    bigram that co-occurs across the whole feedback set first."""
+    from azure_sales_etl_pipeline_spark.plans.textops import prf_query_expansion
+
+    def filler(tag, n):
+        return " ".join(f"{tag}{j}" for j in range(n))
+
+    rows = [
+        (0, "red fox jumps high", "en", "web", 0),  # the query
+        (1, filler("qa", 6), "en", "web", 0),
+        (2, filler("qb", 6), "en", "web", 0),
+        (3, filler("qc", 6), "en", "web", 0),
+        (4, filler("qd", 6), "en", "web", 0),
+        # feedback docs: share "red fox" with the query, all carry the
+        # co-occurring phrase "lazy dog"
+        (10, "red fox lazy dog " + filler("s", 4), "en", "web", 0),
+        (11, "red fox lazy dog " + filler("t", 4), "en", "web", 0),
+        (12, "red fox lazy dog " + filler("u", 4), "en", "web", 0),
+        (13, filler("v", 8), "en", "web", 0),
+        (14, filler("w", 8), "en", "web", 0),
+        (15, filler("x", 8), "en", "web", 0),
+        (16, filler("y", 8), "en", "web", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    q0 = sorted(
+        (r for r in prf_query_expansion(spark, str(tmp_path)).collect()
+         if r["query_id"] == 0),
+        key=lambda r: r["exp_rank"],
+    )
+    assert q0, "query 0 produced no expansion terms"
+    query_bigrams = {"red fox", "fox jumps", "jumps high"}
+    toks = [r["token"] for r in q0]
+    assert not (set(toks) & query_bigrams)  # own terms excluded
+    assert "lazy dog" in toks  # the feedback-set phrase surfaces
+    # the top term is supported by the ENTIRE feedback set
+    assert q0[0]["n_fb_docs"] == 3
