@@ -469,6 +469,110 @@ _DEDUP_INDEX_SQL = r"""
     GROUP BY ALL
 """
 
+_BM25_IDX_TOP = 200  # reported head of the folded posting-stats table
+
+
+def bm25_index_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintain the LEXICAL index's statistics — the
+    sparse-retrieval parallel of [[ivf_index_maintenance]]: BM25's
+    corpus state (per-term document frequency and total term frequency
+    over word-bigram shingles, plus the derivable totals) is a pure
+    commutative monoid, so new document batches FOLD into the persisted
+    stats table (``operators.maintenance.merge_aggregate``, keys =
+    token, sums = tf, count = df) without ever re-scanning history —
+    exactly how a production search index absorbs a crawl increment.
+    Two id-split batches here; the driver-checked convergence contract
+    is that the folded state equals the ONE-SHOT recompute over the
+    whole corpus (the [[dedup_index_two_batch]] pattern). Output = the
+    top-{top} head by (df, tf) — the near-stopword boundary region the
+    df-cap decision reads.
+
+    Scale shape: per batch, ONE token-key shuffle at the (doc, token)
+    grain (map-side combined), then the fold re-aggregates the batch
+    head against the persisted stats (pre-aggregated, vocabulary-sized,
+    never history-sized); the split median is one scalar collect."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.expr(
+            "transform(sequence(1, size(toks) - 1),"
+            " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tf = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode(bigrams).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .localCheckpoint(eager=True)  # both batches slice this one table
+    )
+    from ..operators.maintenance import merge_aggregate
+
+    tmp = tempfile.mkdtemp(prefix="bm25idx_q_")
+    try:
+        merge_aggregate(
+            spark,
+            f"{tmp}/stats",
+            tf.where(F.col("doc_id") <= mid).drop("doc_id"),
+            keys=["token"],
+            sums=["tf"],
+            count_col="df",
+        )
+        stats = merge_aggregate(
+            spark,
+            f"{tmp}/stats",
+            tf.where(F.col("doc_id") > mid).drop("doc_id"),
+            keys=["token"],
+            sums=["tf"],
+            count_col="df",
+        )
+        return (
+            stats.orderBy(
+                F.col("df").desc(), F.col("tf").desc(), F.col("token").asc()
+            )
+            .limit(_BM25_IDX_TOP)
+            .select(
+                "token",
+                F.col("df").cast("bigint").alias("df"),
+                F.col("tf").cast("bigint").alias("tf_total"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+bm25_index_two_batch.__doc__ = bm25_index_two_batch.__doc__.format(
+    top=_BM25_IDX_TOP
+)
+
+
+_BM25_IDX_SQL = rf"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i + 1])) AS token
+        FROM (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+            FROM documents
+        )
+    ),
+    tf AS (
+        SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY ALL
+    )
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf) AS BIGINT) AS tf_total
+    FROM tf
+    GROUP BY token
+    ORDER BY df DESC, tf_total DESC, token ASC
+    LIMIT {_BM25_IDX_TOP}
+"""
+
 
 def cluster_labels_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fold the near-dup graph into a persisted cluster-label table in
@@ -1190,6 +1294,7 @@ QUERIES = {
     "fact_temporal_dimension_join": fact_temporal_dimension_join,
     "late_dimension_inferred": late_dimension_inferred,
     "dedup_index_two_batch": dedup_index_two_batch,
+    "bm25_index_two_batch": bm25_index_two_batch,
     "cluster_labels_two_batch": cluster_labels_two_batch,
     "orders_snapshot_diff": orders_snapshot_diff,
     "partition_pruned_revenue": partition_pruned_revenue,
@@ -1209,6 +1314,7 @@ ORACLES = {
     "fact_temporal_dimension_join": _TEMPORAL_JOIN_SQL,
     "late_dimension_inferred": _LATE_DIM_SQL,
     "dedup_index_two_batch": _DEDUP_INDEX_SQL,
+    "bm25_index_two_batch": _BM25_IDX_SQL,
     # one-shot CC recompute: the incremental fold must converge to it
     "cluster_labels_two_batch": _cc_oracle_sql(),
     "orders_snapshot_diff": _SNAPSHOT_DIFF_SQL,

@@ -429,3 +429,27 @@ def test_xml_round_trip_pinned_schema(spark, tmp_path):
         and ra["c_mktsegment"] == rb["c_mktsegment"]
         for ra, rb in zip(a, b)
     )
+
+
+def test_bm25_index_two_batch_df_and_fold(spark, tmp_path):
+    """df must count DOCUMENTS (not occurrences) and the two-batch fold
+    must equal the one-shot stats: a bigram repeated inside one doc and
+    shared across the batch split gets df=2, tf_total=3."""
+    from azure_sales_etl_pipeline_spark.plans.incremental import (
+        bm25_index_two_batch,
+    )
+
+    rows = [
+        (0, "aa bb aa bb", "en", "w", 0),   # "aa bb" x2, "bb aa" x1
+        (5, "aa bb cc dd", "en", "w", 0),   # "aa bb" x1 (other batch)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r["token"]: r for r in bm25_index_two_batch(spark, str(tmp_path)).collect()}
+    assert out["aa bb"]["df"] == 2 and out["aa bb"]["tf_total"] == 3
+    assert out["bb aa"]["df"] == 1 and out["bb aa"]["tf_total"] == 1
+    assert out["bb cc"]["df"] == 1 and out["cc dd"]["tf_total"] == 1
+    # head ordering: the cross-batch bigram leads
+    assert min(out.values(), key=lambda r: (-r["df"], -r["tf_total"], r["token"]))["token"] == "aa bb"
