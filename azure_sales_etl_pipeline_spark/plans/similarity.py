@@ -2306,6 +2306,189 @@ _HARD_NEG_SQL = f"""
 
 
 # ---------------------------------------------------------------------------
+# retriever agreement (Kendall tau between the dense and sparse legs)
+# ---------------------------------------------------------------------------
+
+_RRA_DEPTH = 20  # per-retriever list depth compared
+
+
+def retrieval_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRIEVER AGREEMENT measurement — per query, Kendall's tau
+    between the dense (exact-cosine) and sparse (TF-IDF inverted-index)
+    top-``_RRA_DEPTH`` rankings over their COMMON candidates: the
+    offline evaluation every hybrid stack runs to decide whether two
+    retrievers are complementary (low tau — fusion adds recall) or
+    redundant (high tau — drop a leg and halve serving cost). No
+    relevance labels needed; the signal is inter-system rank
+    concordance. All integers: ranks are exact in both legs, pair
+    concordance is a sign test, tau_permille = 1000·(C−D) div pairs.
+
+    Scale shape: each leg is its own bounded top-depth plan (the
+    [[hybrid_search_rrf]] legs); the common set is ≤ depth rows per
+    query, the concordance self-join ≤ depth² pairs per query — all
+    post-retrieval work is queries×depth²-bounded however big the
+    corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = plan_barrier(
+        emb.where(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            _as_double("embedding").alias("qvec"),
+        )
+    )
+    corpus = plan_barrier(
+        emb.select("vec_id", _as_double("embedding").alias("vec"))
+    )
+    w_dense = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    dense = (
+        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity(F.col("qvec"), F.col("vec")).alias("sim"),
+        )
+        .withColumn("dr", F.row_number().over(w_dense).cast("bigint"))
+        .where(F.col("dr") <= _RRA_DEPTH)
+        .select("query_id", F.col("vec_id").alias("doc_id"), "dr")
+    )
+    sw = _sparse_weighted_terms(spark, sf_dir)
+    qw = sw.where(F.col("doc_id") < _N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "token", F.col("w").alias("wq")
+    )
+    w_sparse = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("doc_id").asc()
+    )
+    sparse = (
+        sw.join(F.broadcast(qw), "token")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.expr("sum(CAST(wq AS DECIMAL(38,0)) * w)").alias("dot"))
+        .withColumn("sr", F.row_number().over(w_sparse).cast("bigint"))
+        .where(F.col("sr") <= _RRA_DEPTH)
+        .select("query_id", "doc_id", "sr")
+    )
+    common = plan_barrier(dense.join(sparse, ["query_id", "doc_id"]))
+    a = common.select(
+        "query_id",
+        F.col("doc_id").alias("da"),
+        F.col("dr").alias("dra"),
+        F.col("sr").alias("sra"),
+    )
+    b = common.select(
+        "query_id",
+        F.col("doc_id").alias("db"),
+        F.col("dr").alias("drb"),
+        F.col("sr").alias("srb"),
+    )
+    sgn = (F.col("dra") - F.col("drb")) * (F.col("sra") - F.col("srb"))
+    pagg = (
+        a.join(b, "query_id")
+        .where(F.col("da") < F.col("db"))
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.when(sgn > 0, 1).otherwise(0)).cast("bigint").alias(
+                "concordant"
+            ),
+            F.sum(F.when(sgn < 0, 1).otherwise(0)).cast("bigint").alias(
+                "discordant"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+    )
+    cagg = common.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common")
+    )
+    return (
+        cagg.join(pagg, "query_id", "left")
+        .select(
+            "query_id",
+            "n_common",
+            F.coalesce(F.col("concordant"), F.lit(0)).cast("bigint").alias(
+                "concordant"
+            ),
+            F.coalesce(F.col("discordant"), F.lit(0)).cast("bigint").alias(
+                "discordant"
+            ),
+            F.expr(
+                "CAST((1000 * (coalesce(concordant, 0)"
+                " - coalesce(discordant, 0)))"
+                " div greatest(coalesce(n_pairs, 0), 1) AS BIGINT)"
+            ).alias("tau_permille"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _rra_sql() -> str:
+    return f"""
+    WITH {_sparse_ret_cte()},
+    qset AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+        FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ),
+    dense AS MATERIALIZED (
+        SELECT query_id, vec_id AS doc_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS dr
+        FROM (
+            SELECT q.query_id, e.vec_id,
+                   list_dot_product(q.qvec, e.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(q.qvec, q.qvec))
+                      * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]))) AS sim
+            FROM embeddings e JOIN qset q ON e.vec_id != q.query_id)
+        QUALIFY dr <= {_RRA_DEPTH}
+    ),
+    sparse AS MATERIALIZED (
+        SELECT query_id, doc_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY dot DESC, doc_id ASC) AS BIGINT) AS sr
+        FROM (
+            SELECT q.doc_id AS query_id, c.doc_id,
+                   sum(CAST(q.w AS HUGEINT) * c.w) AS dot
+            FROM sw c
+            JOIN (SELECT doc_id, token, w FROM sw
+                  WHERE doc_id < {_N_QUERIES}) q
+              ON c.token = q.token AND c.doc_id != q.doc_id
+            GROUP BY 1, 2)
+        QUALIFY sr <= {_RRA_DEPTH}
+    ),
+    common AS MATERIALIZED (
+        SELECT d.query_id, d.doc_id, d.dr, s.sr
+        FROM dense d JOIN sparse s USING (query_id, doc_id)
+    ),
+    pagg AS (
+        SELECT a.query_id,
+               CAST(sum(CASE WHEN (a.dr - b.dr) * (a.sr - b.sr) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+               CAST(sum(CASE WHEN (a.dr - b.dr) * (a.sr - b.sr) < 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM common a
+        JOIN common b ON a.query_id = b.query_id AND a.doc_id < b.doc_id
+        GROUP BY a.query_id
+    ),
+    cagg AS (
+        SELECT query_id, CAST(count(*) AS BIGINT) AS n_common
+        FROM common GROUP BY query_id
+    )
+    SELECT c.query_id, c.n_common,
+           CAST(coalesce(p.concordant, 0) AS BIGINT) AS concordant,
+           CAST(coalesce(p.discordant, 0) AS BIGINT) AS discordant,
+           CAST((1000 * (coalesce(p.concordant, 0)
+                         - coalesce(p.discordant, 0)))
+                // greatest(coalesce(p.n_pairs, 0), 1)
+                AS BIGINT) AS tau_permille
+    FROM cagg c LEFT JOIN pagg p USING (query_id)
+    ORDER BY c.query_id
+"""
+
+
+_RRA_SQL = _rra_sql()
+
+
+# ---------------------------------------------------------------------------
 # cross-encoder re-rank (Arrow-batched model-inference plumbing)
 # ---------------------------------------------------------------------------
 
@@ -3302,6 +3485,7 @@ QUERIES = {
     "mmr_rerank_topk": mmr_rerank_topk,
     "cross_encoder_rerank": cross_encoder_rerank,
     "cluster_silhouette": cluster_silhouette,
+    "retrieval_rank_agreement": retrieval_rank_agreement,
     "whitening_check": whitening_check,
     "matryoshka_truncation_probe": matryoshka_truncation_probe,
     "embedding_near_dup": embedding_near_dup,
@@ -3332,6 +3516,7 @@ ORACLES = {
     "mmr_rerank_topk": _MMR_SQL,
     "cross_encoder_rerank": _CE_RERANK_SQL,
     "cluster_silhouette": _SILHOUETTE_SQL,
+    "retrieval_rank_agreement": _RRA_SQL,
     "whitening_check": _WHITEN_SQL,
     "matryoshka_truncation_probe": _MRL_SQL,
     "embedding_near_dup": _NEAR_DUP_SQL,

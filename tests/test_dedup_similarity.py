@@ -570,3 +570,53 @@ def test_whitening_check_on_anisotropic_corpus(spark, tmp_path):
     assert (r["n_vecs"], r["dim"]) == (200, 64)
     assert r["well_conditioned"] is True
     assert r["identity_ok"] is True
+
+
+def test_retrieval_rank_agreement_aligned_legs(spark, tmp_path):
+    """When the dense and sparse retrievers agree exactly on the common
+    candidates, tau must be EXACTLY 1000 permille: plant docs 10..14
+    whose sparse scores fall with doc id (decreasing tf of the shared
+    bigram) and embeddings whose cosine to query 0 falls the same way."""
+    import math
+
+    from azure_sales_etl_pipeline_spark.plans.similarity import (
+        retrieval_rank_agreement,
+    )
+
+    def filler(tag, n):
+        return " ".join(f"{tag}{j}" for j in range(n))
+
+    docs = [
+        (0, "alpha beta gamma delta", "en", "web", 0),
+        (1, filler("qa", 6), "en", "web", 0),
+        (2, filler("qb", 6), "en", "web", 0),
+        (3, filler("qc", 6), "en", "web", 0),
+        (4, filler("qd", 6), "en", "web", 0),
+    ]
+    for i, reps in zip(range(10, 15), (5, 4, 3, 2, 1)):
+        docs.append((i, "alpha beta " * reps + filler(f"f{i}", 4), "en", "web", 0))
+    for i in range(20, 27):  # df-cap padding, no shared bigrams
+        docs.append((i, filler(f"p{i}", 8), "en", "web", 0))
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    vecs = [(0, unit(0.0), "q")]
+    for k in range(1, 5):  # other query slots, far away
+        vecs.append((k, [0.0, 0.0, 1.0, k * 0.1], "q"))
+    for j, i in enumerate(range(10, 15)):  # cosine falls as doc_id grows
+        vecs.append((i, unit(0.1 * (j + 1)), "c"))
+    for i in range(20, 27):
+        vecs.append((i, [0.0, 0.0, 0.5, 1.0], "bg"))
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label string"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = {r["query_id"]: r for r in retrieval_rank_agreement(spark, str(tmp_path)).collect()}
+    r0 = out[0]
+    assert r0["n_common"] == 5
+    assert (r0["concordant"], r0["discordant"]) == (10, 0)
+    assert r0["tau_permille"] == 1000
