@@ -2592,6 +2592,155 @@ _PRF_SQL = _prf_sql()
 
 
 # ---------------------------------------------------------------------------
+# RAG context assembly (retrieve -> chunk -> pack a token budget)
+# ---------------------------------------------------------------------------
+
+_RAG_FB_K = 3  # retrieved docs per query feeding the context
+_RAG_CHUNK_W = 32  # chunk grain, tokens
+_RAG_BUDGET = 96  # context-window token budget per query
+
+
+def rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG CONTEXT ASSEMBLY — the retrieval-augmented-generation data
+    path end-to-end: BM25-retrieve the top-``_RAG_FB_K`` documents per
+    query, split them into ``_RAG_CHUNK_W``-token chunks, and PACK
+    chunks into the query's context window in (retrieval rank, chunk
+    position) order until the ``_RAG_BUDGET``-token budget is exhausted
+    — whole chunks only, the truncation rule a serving stack actually
+    uses. One row per packed chunk with its running token total; the
+    chunk-text prefix flows through the value hash, so packing ORDER
+    and content are both oracle-verified.
+
+    Scale shape: retrieval is the df-capped posting-list join (the
+    [[bm25_retrieval_topk]] plan); ONLY the |Q|·K retrieved docs are
+    chunked (join back on doc_id — the corpus is never re-chunked);
+    the pack is a per-query running sum over ≤ K·(len/W) rows — a
+    window bounded by the retrieval depth, never corpus-sized."""
+    per_term = _bm25_per_term(spark, sf_dir)
+    qterms = (
+        per_term.where(F.col("doc_id") < _BM25R_N_QUERIES)
+        .select(F.col("doc_id").alias("query_id"), "token")
+        .distinct()
+    )
+    w_fb = Window.partitionBy("query_id").orderBy(
+        F.col("bm25_sum_micro").desc(), F.col("doc_id").asc()
+    )
+    fb = (
+        per_term.join(F.broadcast(qterms), "token")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("bm25_micro").cast("bigint").alias("bm25_sum_micro"))
+        .withColumn("rank", F.row_number().over(w_fb).cast("bigint"))
+        .where(F.col("rank") <= _RAG_FB_K)
+        .select("query_id", "doc_id", "rank")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_chunks = F.expr(
+        f"CAST((size(t) + {_RAG_CHUNK_W - 1}) div {_RAG_CHUNK_W} AS INT)"
+    )
+    chunks = docs.join(fb.select("doc_id").distinct(), "doc_id").select(
+        "doc_id", toks.alias("t")
+    ).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("t"), i * _RAG_CHUNK_W + 1, _RAG_CHUNK_W),
+                    " ",
+                ),
+            )
+        ).alias("pos", "chunk"),
+    )
+    w_pack = (
+        Window.partitionBy("query_id")
+        .orderBy(F.col("rank").asc(), F.col("pos").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_order = Window.partitionBy("query_id").orderBy(
+        F.col("rank").asc(), F.col("pos").asc()
+    )
+    packed = (
+        fb.join(chunks, "doc_id")
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            "chunk",
+            F.size(F.split(F.col("chunk"), " ")).cast("bigint").alias(
+                "n_chunk_tokens"
+            ),
+        )
+        .withColumn("cum_tokens", F.sum("n_chunk_tokens").over(w_pack))
+        .where(F.col("cum_tokens") <= _RAG_BUDGET)
+    )
+    return packed.select(
+        "query_id",
+        F.row_number().over(w_order).cast("bigint").alias("ctx_order"),
+        "doc_id",
+        "rank",
+        "pos",
+        "n_chunk_tokens",
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        F.substring("chunk", 1, 30).alias("chunk_prefix"),
+    ).orderBy("query_id", "ctx_order")
+
+
+_RAG_PACK_SQL = rf"""
+    WITH {{core}},
+    fb AS MATERIALIZED (
+        SELECT query_id, doc_id, rank FROM (
+            SELECT query_id, doc_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY bm25_sum_micro DESC, doc_id ASC)
+                        AS BIGINT) AS rank
+            FROM scored)
+        WHERE rank <= {_RAG_FB_K}
+    ),
+    t AS (
+        SELECT d.doc_id, regexp_split_to_array(trim(d.text), '\s+') AS t
+        FROM documents d
+        WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM fb)
+    ),
+    c AS (
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS pos,
+               array_to_string(
+                   t[i * {_RAG_CHUNK_W} + 1 : i * {_RAG_CHUNK_W}
+                     + {_RAG_CHUNK_W}], ' '
+               ) AS chunk
+        FROM t, unnest(range(0, (len(t) + {_RAG_CHUNK_W - 1})
+                                // {_RAG_CHUNK_W})) AS u(i)
+    ),
+    packed AS (
+        SELECT f.query_id, f.rank, f.doc_id, c.pos, c.chunk,
+               CAST(len(string_split(c.chunk, ' ')) AS BIGINT)
+                   AS n_chunk_tokens,
+               CAST(sum(len(string_split(c.chunk, ' ')))
+                    OVER (PARTITION BY f.query_id
+                          ORDER BY f.rank ASC, c.pos ASC
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_tokens
+        FROM fb f JOIN c ON c.doc_id = f.doc_id
+    )
+    SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY rank ASC, pos ASC) AS BIGINT) AS ctx_order,
+           doc_id, rank, pos, n_chunk_tokens, cum_tokens,
+           substr(chunk, 1, 30) AS chunk_prefix
+    FROM packed
+    WHERE cum_tokens <= {_RAG_BUDGET}
+    ORDER BY query_id, ctx_order
+"""
+
+
+def _rag_pack_sql() -> str:
+    return _RAG_PACK_SQL.format(core=_bm25_core_ctes())
+
+
+# ---------------------------------------------------------------------------
 # per-source token entropy (portable-ln)
 # ---------------------------------------------------------------------------
 
@@ -3008,6 +3157,7 @@ QUERIES = {
     "bm25_topterms": bm25_topterms,
     "bm25_retrieval_topk": bm25_retrieval_topk,
     "prf_query_expansion": prf_query_expansion,
+    "rag_context_pack": rag_context_pack,
     "source_token_entropy": source_token_entropy,
     "doc_novelty": doc_novelty,
     "quality_classifier_score": quality_classifier_score,
@@ -3041,6 +3191,7 @@ ORACLES = {
     "bm25_topterms": _BM25_SQL,
     "bm25_retrieval_topk": _BM25_RETRIEVAL_SQL,
     "prf_query_expansion": _PRF_SQL,
+    "rag_context_pack": _rag_pack_sql(),
     "source_token_entropy": _ENTROPY_SQL,
     "doc_novelty": _NOVELTY_SQL,
     "quality_classifier_score": _QC_SQL,

@@ -657,3 +657,55 @@ def test_prf_expansion_mines_feedback_cooccurrence(spark, tmp_path):
     assert "lazy dog" in toks  # the feedback-set phrase surfaces
     # the top term is supported by the ENTIRE feedback set
     assert q0[0]["n_fb_docs"] == 3
+
+
+def test_rag_context_pack_budget_and_order(spark, tmp_path):
+    """Packing invariants: contiguous-prefix packing in (rank, pos)
+    order, running total == prefix sum of kept chunk sizes, never over
+    budget, and with more candidate tokens than budget something IS
+    excluded. First packed chunk is the rank-1 doc's chunk 0."""
+    from azure_sales_etl_pipeline_spark.plans.textops import (
+        _RAG_BUDGET,
+        rag_context_pack,
+    )
+
+    def filler(tag, n):
+        return " ".join(f"{tag}{j}" for j in range(n))
+
+    rows = [
+        (0, "alpha beta gamma delta", "en", "web", 0),  # the query
+        (1, filler("qa", 6), "en", "web", 0),
+        (2, filler("qb", 6), "en", "web", 0),
+        (3, filler("qc", 6), "en", "web", 0),
+        (4, filler("qd", 6), "en", "web", 0),
+        # three sharing candidates, each 64+ tokens -> >96 available
+        (10, "alpha beta " * 4 + filler("s", 56), "en", "web", 0),
+        (11, "alpha beta " * 2 + filler("t", 60), "en", "web", 0),
+        (12, "alpha beta " + filler("u", 62), "en", "web", 0),
+        (13, filler("v", 8), "en", "web", 0),
+        (14, filler("w", 8), "en", "web", 0),
+        (15, filler("x", 8), "en", "web", 0),
+        (16, filler("y", 8), "en", "web", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    q0 = sorted(
+        (r for r in rag_context_pack(spark, str(tmp_path)).collect()
+         if r["query_id"] == 0),
+        key=lambda r: r["ctx_order"],
+    )
+    assert q0, "nothing packed for query 0"
+    assert [r["ctx_order"] for r in q0] == list(range(1, len(q0) + 1))
+    run = 0
+    for r in q0:
+        run += r["n_chunk_tokens"]
+        assert r["cum_tokens"] == run  # exact prefix sum
+    assert run <= _RAG_BUDGET
+    keys = [(r["rank"], r["pos"]) for r in q0]
+    assert keys == sorted(keys)  # rank-major, position-minor order
+    assert (q0[0]["rank"], q0[0]["pos"]) == (1, 0)
+    # candidates exceed the budget, so packing must have truncated:
+    # 3 docs x >=64 tokens >> 96
+    assert run < 64 * 3
