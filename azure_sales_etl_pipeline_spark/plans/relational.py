@@ -1249,7 +1249,113 @@ _T_CLOSE_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# differential-privacy release mechanics (Laplace mechanism, seeded demo)
+# ---------------------------------------------------------------------------
+
+_DP_B = 2.0  # Laplace scale b = sensitivity/epsilon = 1/0.5
+_DP_U_SPAN = 2001  # uniform grid: u_int in [-1000, 1000], u = u_int/2001
+
+
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENTIAL-PRIVACY release mechanics — per-nation customer
+    counts through the LAPLACE MECHANISM (sensitivity-1 count, ε = 0.5,
+    b = 1/ε = 2): noisy = n + Lap(b), drawn via the inverse CDF
+    x = −b·sgn(u)·ln(1 − 2|u|). The uniform draw here is a
+    DETERMINISTIC hash of the group key (the sha256 ascii-fold the
+    quality classifier uses) — that is a demo seam, NOT privacy (a real
+    release draws fresh randomness per publication; swap the fold for a
+    CSPRNG and nothing else changes — the [[media_decode_features]]
+    stub discipline). What IS real and oracle-verified: the sensitivity
+    arithmetic, the inverse-CDF transform through the engine-PORTABLE
+    ln (bit-identical noise on both engines by construction), and the
+    one-group-one-draw shape.
+
+    Scale shape: one groupBy on the release grain + a broadcast dim
+    join; the noise projection is a narrow codegen map — DP release
+    cost is the aggregation, noise is free. Completes the governance
+    family ([[k_anonymity_audit]] / l-diversity / t-closeness measure
+    re-identification risk; this is the other standard mitigation)."""
+    from ..functions import LN_Z_SQL, ln_from_kz_sql, ln_k_sql, ln_m_sql
+
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    counts = (
+        customer.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    h = F.sha2(F.col("n_name"), 256)
+    fold = sum(
+        (F.ascii(F.substring(h, i, 1)) * F.lit(i)) for i in range(1, 17)
+    )
+    arg = (
+        f"(CAST({_DP_U_SPAN} - 2 * abs(u_int) AS DOUBLE)"
+        f" / {_DP_U_SPAN}.0e0)"
+    )
+    noisy = (
+        f"CAST(n AS DOUBLE) + (-{_DP_B}e0) * CAST(sign(u_int) AS DOUBLE)"
+        f" * ({ln_from_kz_sql('__ln_k', '__ln_z')})"
+    )
+    return (
+        counts.withColumn(
+            "u_int", (fold % F.lit(_DP_U_SPAN)) - F.lit(1000)
+        )
+        .withColumn("__ln_k", F.expr(ln_k_sql(arg)))
+        .withColumn("__ln_m", F.expr(ln_m_sql(arg, "__ln_k")))
+        .withColumn("__ln_z", F.expr(LN_Z_SQL))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.expr(f"CAST(floor(({noisy}) * 1000.0e0) AS BIGINT)").alias(
+                "noisy_count_milli"
+            ),
+            F.lit(500).cast("bigint").alias("epsilon_milli"),
+        )
+        .orderBy("nation")
+    )
+
+
+def _dp_sql() -> str:
+    from ..functions import LN_Z_SQL, ln_from_kz_sql, ln_k_sql, ln_m_sql
+
+    fold = " + ".join(
+        f"ascii(substr(h, {i}, 1)) * {i}" for i in range(1, 17)
+    )
+    arg = (
+        f"(CAST({_DP_U_SPAN} - 2 * abs(u_int) AS DOUBLE)"
+        f" / {_DP_U_SPAN}.0e0)"
+    )
+    noisy = (
+        f"CAST(n AS DOUBLE) + (-{_DP_B}e0) * CAST(sign(u_int) AS DOUBLE)"
+        f" * ({ln_from_kz_sql('__ln_k', '__ln_z')})"
+    )
+    return f"""
+    WITH counts AS (
+        SELECT n.n_name, CAST(count(*) AS BIGINT) AS n
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    ),
+    seeded AS (
+        SELECT n_name, n,
+               (({fold}) % {_DP_U_SPAN}) - 1000 AS u_int
+        FROM (SELECT n_name, n, sha256(n_name) AS h FROM counts)
+    ),
+    s1 AS (SELECT *, {ln_k_sql(arg)} AS __ln_k FROM seeded),
+    s2 AS (SELECT *, {ln_m_sql(arg, "__ln_k")} AS __ln_m FROM s1),
+    s3 AS (SELECT *, {LN_Z_SQL} AS __ln_z FROM s2)
+    SELECT n_name AS nation,
+           CAST(floor(({noisy}) * 1000.0e0) AS BIGINT) AS noisy_count_milli,
+           CAST(500 AS BIGINT) AS epsilon_milli
+    FROM s3
+    ORDER BY nation
+"""
+
+
 QUERIES = {
+    "dp_noisy_counts": dp_noisy_counts,
     "star_projection": star_projection,
     "table_profile": table_profile,
     "k_anonymity_audit": k_anonymity_audit,
@@ -1275,6 +1381,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dp_noisy_counts": _dp_sql(),
     "star_projection": _STAR_SQL,
     "table_profile": _profile_sql(),
     "k_anonymity_audit": _K_ANON_SQL,

@@ -709,3 +709,44 @@ def test_rag_context_pack_budget_and_order(spark, tmp_path):
     # candidates exceed the budget, so packing must have truncated:
     # 3 docs x >=64 tokens >> 96
     assert run < 64 * 3
+
+
+def test_dp_noisy_counts_seed_and_bounds(spark, tmp_path):
+    """Laplace-release mechanics: the noise offset is a pure function
+    of the group KEY (same nation name => identical milli offset even
+    when its count changes), bounded by b*ln(span) ~ 15.21, and the
+    draws differ across names."""
+    from azure_sales_etl_pipeline_spark.plans.relational import dp_noisy_counts
+
+    nations = [(i, name, 0, "x") for i, name in enumerate(["AAA", "BBB", "CCC"])]
+
+    def build(dirname, counts):
+        d = tmp_path / dirname
+        spark.createDataFrame(
+            nations, "n_nationkey long, n_name string, n_regionkey long, n_comment string"
+        ).write.parquet(str(d / "nation.parquet"))
+        rows = []
+        cid = 0
+        for nk, c in counts.items():
+            for _ in range(c):
+                rows.append((cid, nk))
+                cid += 1
+        spark.createDataFrame(
+            rows, "c_custkey long, c_nationkey long"
+        ).write.parquet(str(d / "customer.parquet"))
+        return str(d)
+
+    d1 = build("a", {0: 10, 1: 7, 2: 3})
+    d2 = build("b", {0: 25, 1: 7, 2: 30})
+    r1 = {r["nation"]: r["noisy_count_milli"] for r in dp_noisy_counts(spark, d1).collect()}
+    r2 = {r["nation"]: r["noisy_count_milli"] for r in dp_noisy_counts(spark, d2).collect()}
+    n1 = {"AAA": 10, "BBB": 7, "CCC": 3}
+    n2 = {"AAA": 25, "BBB": 7, "CCC": 30}
+    off1 = {k: r1[k] - 1000 * n1[k] for k in r1}
+    off2 = {k: r2[k] - 1000 * n2[k] for k in r2}
+    assert off1 == off2  # noise is a pure function of the key
+    assert all(abs(v) <= 15_300 for v in off1.values())  # b*ln(2001) bound
+    assert len(set(off1.values())) >= 2  # draws differ across names
+    # determinism: same inputs, identical release
+    r1b = {r["nation"]: r["noisy_count_milli"] for r in dp_noisy_counts(spark, d1).collect()}
+    assert r1 == r1b
