@@ -14,6 +14,7 @@ from ..streaming import (
     stream_drift_psi,
     stream_late_data_audit,
     stream_quality_suite,
+    stream_token_stats_fold,
     STREAM_DEDUP_SQL,
     STREAM_LATE_AUDIT_SQL,
     STREAM_JOIN_SQL,
@@ -34,6 +35,7 @@ from ..streaming import (
     stream_user_totals_custom_state,
 )
 from .analytics import _CMS_HH_SQL as _STREAM_CMS_SQL
+from .incremental import _BM25_IDX_SQL as _STREAM_TOKSTATS_SQL
 from .temporal import _TRANSITION_SQL
 from .analytics import _KMV_SQL as _STREAM_KMV_SQL
 from .analytics import _PSI_SQL as _STREAM_PSI_SQL
@@ -55,6 +57,7 @@ QUERIES = {
     "stream_drift_psi": stream_drift_psi,
     "stream_quality_suite": stream_quality_suite,
     "stream_late_data_audit": stream_late_data_audit,
+    "stream_token_stats_fold": stream_token_stats_fold,
 }
 
 ORACLES = {
@@ -73,4 +76,5 @@ ORACLES = {
     "stream_drift_psi": _STREAM_PSI_SQL,
     "stream_quality_suite": _STREAM_QUALITY_SQL,
     "stream_late_data_audit": STREAM_LATE_AUDIT_SQL,
+    "stream_token_stats_fold": _STREAM_TOKSTATS_SQL,
 }

@@ -392,3 +392,24 @@ def test_streaming_psi_equals_batch(spark):
     streamed = sorted(map(tuple, stream_drift_psi(spark, sf).collect()))
     batch = sorted(map(tuple, drift_psi(spark, sf).collect()))
     assert streamed == batch
+
+
+def test_stream_token_stats_fold_matches_batch(spark, tmp_path):
+    """The streamed token-stats fold must reproduce the batch numbers
+    exactly: df counts DOCUMENTS, tf sums occurrences, and the shared
+    bigram split across the two parity micro-batches merges
+    additively."""
+    from azure_sales_etl_pipeline_spark.streaming import stream_token_stats_fold
+
+    rows = [
+        (0, "aa bb aa bb", "en", "w", 0),   # even batch: "aa bb" x2
+        (5, "aa bb cc dd", "en", "w", 0),   # odd batch:  "aa bb" x1
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r["token"]: r for r in stream_token_stats_fold(spark, str(tmp_path)).collect()}
+    assert out["aa bb"]["df"] == 2 and out["aa bb"]["tf_total"] == 3
+    assert out["bb aa"]["df"] == 1 and out["bb aa"]["tf_total"] == 1
+    assert out["bb cc"]["df"] == 1 and out["cc dd"]["df"] == 1
