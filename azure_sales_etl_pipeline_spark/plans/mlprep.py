@@ -2990,6 +2990,166 @@ def _pref_pairs_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# data-constrained epoch scheduling (waterfilling under a repetition cap)
+# ---------------------------------------------------------------------------
+
+_EPOCH_CAP = 4  # max epochs per source (Muennighoff et al. 2023: repeated
+# data holds value to ~4 epochs, decays after)
+_EPOCH_BUDGET_NUM = 19  # training budget = 19/5 = 3.8x the corpus tokens —
+_EPOCH_BUDGET_DEN = 5  # lands the water level mid-range so both the capped
+# and uncapped branches execute on the test corpus
+
+
+def epoch_waterfill_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-CONSTRAINED training schedule — how many epochs of each
+    source to run when the token budget exceeds the corpus (Muennighoff
+    et al. 2023, "Scaling Data-Constrained Language Models"): give
+    every source an EQUAL share of the budget (the balanced-mixture
+    ideal), but cap any source at ``_EPOCH_CAP`` epochs of its own
+    tokens (repetition stops helping), and WATERFILL the freed budget
+    back into the uncapped sources. Exact integer waterfilling: sort
+    sources by capacity, a source at rank k caps iff
+    ``c_k·(n−k+1) ≤ B − S_{k−1}`` (cross-multiplied — no division, no
+    floats), then the uncapped water level is one truncating div of
+    the residual budget. Output: per-source allocation + epochs in
+    exact milli-epochs.
+
+    Scale shape: the data-sized work is ONE source-key token-count
+    shuffle; everything after operates on |sources| rows — prefix sums
+    via the triangular join (house rule: no single-partition window),
+    scalars broadcast. The schedule itself is control-plane sized, as
+    it should be: it feeds a training launcher, not a shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    t = (
+        docs.select("source", F.size(toks).alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").cast("bigint").alias("t"))
+        .withColumn("c", (F.lit(_EPOCH_CAP) * F.col("t")).cast("bigint"))
+        .localCheckpoint()  # |sources| rows feed 3 joins below
+    )
+    tot = t.agg(
+        F.sum("t").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    ).withColumn(
+        "b",
+        F.expr(
+            f"CAST(({_EPOCH_BUDGET_NUM} * tot) div {_EPOCH_BUDGET_DEN}"
+            " AS BIGINT)"
+        ),
+    )
+    lhs = t.select(
+        F.col("source").alias("src"), F.col("t").alias("ti"), F.col("c").alias("ci")
+    )
+    rhs = t.select(F.col("source").alias("src2"), F.col("c").alias("cj"))
+    pref = (
+        lhs.join(
+            rhs,
+            (F.col("cj") < F.col("ci"))
+            | ((F.col("cj") == F.col("ci")) & (F.col("src2") < F.col("src"))),
+            "left",
+        )
+        .groupBy("src", "ti", "ci")
+        .agg(
+            F.coalesce(F.sum("cj"), F.lit(0)).cast("bigint").alias("s_prev"),
+            F.count("src2").cast("bigint").alias("k_prev"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "capped",
+            (F.col("ci") * (F.col("n") - F.col("k_prev")))
+            <= (F.col("b") - F.col("s_prev")),
+        )
+    )
+    caps = pref.agg(
+        F.sum(F.when(F.col("capped"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("k_star"),
+        F.coalesce(F.sum(F.when(F.col("capped"), F.col("ci"))), F.lit(0))
+        .cast("bigint")
+        .alias("s_star"),
+    )
+    return (
+        pref.crossJoin(F.broadcast(caps))
+        .withColumn(
+            "level",
+            F.expr(
+                "CAST((b - s_star) div greatest(n - k_star, 1) AS BIGINT)"
+            ),
+        )
+        .select(
+            F.col("src").alias("source"),
+            F.col("ti").alias("corpus_tokens"),
+            F.col("ci").alias("capacity_tokens"),
+            "capped",
+            F.when(F.col("capped"), F.col("ci"))
+            .otherwise(F.col("level"))
+            .cast("bigint")
+            .alias("alloc_tokens"),
+            F.expr(
+                "CAST((1000 * (CASE WHEN capped THEN ci ELSE level END))"
+                " div ti AS BIGINT)"
+            ).alias("epochs_milli"),
+        )
+        .orderBy("source")
+    )
+
+
+_EPOCH_WF_SQL = rf"""
+    WITH t AS (
+        SELECT source,
+               CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+                    AS BIGINT) AS t,
+               CAST({_EPOCH_CAP} * sum(len(regexp_split_to_array(trim(text),
+                    '\s+'))) AS BIGINT) AS c
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(sum(t) AS BIGINT) AS tot,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(({_EPOCH_BUDGET_NUM} * sum(t))
+                    // {_EPOCH_BUDGET_DEN} AS BIGINT) AS b
+        FROM t
+    ),
+    r AS (
+        SELECT t.source, t.t AS ti, t.c AS ci, tot.n, tot.b,
+               CAST(coalesce(sum(t.c) OVER (ORDER BY t.c, t.source
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS s_prev,
+               CAST(row_number() OVER (ORDER BY t.c, t.source) - 1
+                    AS BIGINT) AS k_prev
+        FROM t, tot
+    ),
+    m AS (
+        SELECT *, (ci * (n - k_prev) <= b - s_prev) AS capped FROM r
+    ),
+    ks AS (
+        SELECT CAST(coalesce(sum(CASE WHEN capped THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS k_star,
+               CAST(coalesce(sum(CASE WHEN capped THEN ci END), 0)
+                    AS BIGINT) AS s_star
+        FROM m
+    ),
+    f AS (
+        SELECT m.*,
+               CAST((m.b - ks.s_star)
+                    // greatest(m.n - ks.k_star, 1) AS BIGINT) AS level
+        FROM m, ks
+    )
+    SELECT source,
+           ti AS corpus_tokens,
+           ci AS capacity_tokens,
+           capped,
+           CAST(CASE WHEN capped THEN ci ELSE level END AS BIGINT)
+               AS alloc_tokens,
+           CAST((1000 * (CASE WHEN capped THEN ci ELSE level END)) // ti
+               AS BIGINT) AS epochs_milli
+    FROM f
+    ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # distributed logistic-regression probe (batch gradient descent as Spark jobs)
 # ---------------------------------------------------------------------------
 
@@ -3124,6 +3284,7 @@ _LOGREG_SQL = rf"""
 
 QUERIES = {
     "logreg_probe_check": logreg_probe_check,
+    "epoch_waterfill_schedule": epoch_waterfill_schedule,
     "source_cap_sample": source_cap_sample,
     "preference_pairs": preference_pairs,
     "mixture_temperature_weights": mixture_temperature_weights,
@@ -3162,6 +3323,7 @@ QUERIES = {
 
 ORACLES = {
     "logreg_probe_check": _LOGREG_SQL,
+    "epoch_waterfill_schedule": _EPOCH_WF_SQL,
     "source_cap_sample": _SOURCE_CAP_SQL,
     "preference_pairs": _pref_pairs_sql(),
     "mixture_temperature_weights": _MIXTURE_TEMP_SQL,

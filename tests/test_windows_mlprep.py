@@ -804,3 +804,55 @@ def test_logreg_probe_band_edges_and_convergence(spark, tmp_path):
     assert r["n_rounds"] == _LR_ROUNDS
     assert r["accuracy_ok"] is True
     assert r["loss_monotone"] is True
+
+
+def test_epoch_waterfill_matches_python_replay(spark, tmp_path):
+    """Exact waterfilling against an independent python replay on a
+    fixture with a forced cap/uncap mix: a tiny source must cap at 4
+    epochs (4000 milli), big sources absorb the freed budget, and
+    total allocation stays within the budget."""
+    from azure_sales_etl_pipeline_spark.plans.mlprep import (
+        _EPOCH_BUDGET_DEN,
+        _EPOCH_BUDGET_NUM,
+        _EPOCH_CAP,
+        epoch_waterfill_schedule,
+    )
+
+    sizes = {"tiny": 10, "mid": 60, "big": 200, "huge": 400}
+    rows, did = [], 0
+    for src, n in sizes.items():
+        rows.append((did, " ".join(f"{src}{j}" for j in range(n)), "en", src, 0))
+        did += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    # python replay of the exact integer waterfill
+    T = dict(sizes)
+    c = {s: _EPOCH_CAP * t for s, t in T.items()}
+    n = len(T)
+    B = (_EPOCH_BUDGET_NUM * sum(T.values())) // _EPOCH_BUDGET_DEN
+    order = sorted(T, key=lambda s: (c[s], s))
+    s_prev = k_prev = 0
+    capped = {}
+    for s in order:
+        capped[s] = c[s] * (n - k_prev) <= B - s_prev
+        if capped[s]:
+            s_prev += c[s]
+            k_prev += 1
+    level = (B - s_prev) // max(n - k_prev, 1)
+    want = {
+        s: (c[s] if capped[s] else level) for s in T
+    }
+
+    out = {r["source"]: r for r in epoch_waterfill_schedule(spark, str(tmp_path)).collect()}
+    assert set(out) == set(T)
+    for s, r in out.items():
+        assert r["corpus_tokens"] == T[s]
+        assert r["capped"] == capped[s]
+        assert r["alloc_tokens"] == want[s]
+        assert r["epochs_milli"] == (1000 * want[s]) // T[s]
+    # the forced mix: tiny caps at exactly 4 epochs, huge does not
+    assert out["tiny"]["capped"] is True and out["tiny"]["epochs_milli"] == 4000
+    assert out["huge"]["capped"] is False
+    assert sum(r["alloc_tokens"] for r in out.values()) <= B
