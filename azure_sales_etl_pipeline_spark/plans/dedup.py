@@ -485,6 +485,72 @@ def minhash_signature(df: DataFrame, text_col: str = "text", k: int = _MINHASH_K
     return staged.withColumn("signature", sig).drop("__hs", "__sh", "__t")
 
 
+def _staged_shingles_and_bands(spark: SparkSession, sf_dir: str):
+    """Shared (staged, bands) tables under [[minhash_lsh_candidates]]
+    and [[minhash_index_two_batch]]: ``staged`` = (doc_id, distinct
+    shingle array, digest array) eagerly checkpointed so the
+    2-sha256-per-shingle work runs once; ``bands`` = exploded
+    (doc_id, band_idx, band_hash) posting rows, also checkpointed —
+    the exact table a persisted LSH band index stores."""
+    from ..functions import plan_barrier, spread_for_cpu
+
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"))
+    r = _MINHASH_K // _LSH_BANDS
+    staged = (
+        plan_barrier(
+            plan_barrier(docs.select("doc_id", _tokens().alias("t"))).select(
+                "doc_id", F.array_distinct(_shingles(F.col("t"))).alias("sh")
+            )
+        )
+        .withColumn("hs", _hash_slices(F.col("sh")))
+        .localCheckpoint()
+    )
+    sigs = [_sig_slice(F.col("hs"), i) for i in range(_MINHASH_K)]
+    bands = staged.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws("|", *[sigs[b * r + j] for j in range(r)])
+                    for b in range(_LSH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    ).localCheckpoint()
+    return staged, bands
+
+
+def _jaccard_verify(cand: DataFrame, staged: DataFrame) -> DataFrame:
+    """Exact shingle-Jaccard verify stage shared by the one-shot and
+    incremental LSH paths: join candidate pairs back to the staged
+    shingle arrays, keep pairs at >= 0.5."""
+    sets = staged.select("doc_id", "sh")
+    return (
+        cand.join(
+            sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "sh", "sh_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "sh", "sh_b"
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ).alias("shingle_jaccard"),
+        )
+        .where(F.col("shingle_jaccard") >= 0.5)
+    )
+
+
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH, Jaccard-verified.
 
@@ -511,49 +577,10 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fragility; at 100 TB this is persist-to-disk of a sketch that
     is ~100× smaller than the corpus text.)
     """
-    from ..functions import spread_for_cpu
-
-    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"))
-    r = _MINHASH_K // _LSH_BANDS
-    # MinHash over a multiset equals MinHash over its distinct set, so one
-    # staged distinct-shingle array serves both the sketch and the verify.
-    # localCheckpoint (eager), not persist(): the blocks release with the
-    # DataFrame instead of pinning executor memory for the session, and
-    # the eager materialization already guarantees the shingle arrays
-    # compute once for both the sketch and the verify stage.
-    # Tokenize behind a plan_barrier fence so the regex split can't be
-    # inlined into the per-shingle lambda (one re-split per position
-    # otherwise — see functions.plan_barrier for the measurements).
-    from ..functions import plan_barrier
-
-    staged = (
-        plan_barrier(
-            plan_barrier(docs.select("doc_id", _tokens().alias("t"))).select(
-                "doc_id", F.array_distinct(_shingles(F.col("t"))).alias("sh")
-            )
-        )
-        .withColumn("hs", _hash_slices(F.col("sh")))
-        .localCheckpoint()
-    )
-    # Each of the 16 slice-minimums appears exactly once in the bands
-    # projection (one per band member); the digest array `hs` is read
-    # from the checkpoint, so the 2-sha256-per-shingle work never
-    # recomputes across the 16 slices.
-    sigs = [_sig_slice(F.col("hs"), i) for i in range(_MINHASH_K)]
-    bands = staged.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws("|", *[sigs[b * r + j] for j in range(r)])
-                    for b in range(_LSH_BANDS)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
-    ).localCheckpoint()
-    # Eager checkpoint: the self-join's two sides read materialized
-    # blocks, so the k=16 signature lineage computes exactly once with
-    # no dependence on cache-fill races or ReusedExchange.
+    staged, bands = _staged_shingles_and_bands(spark, sf_dir)
+    # Eager checkpoints inside the helper: the self-join's two sides
+    # read materialized blocks, so the k=16 signature lineage computes
+    # exactly once with no dependence on cache-fill races.
     cand = (
         bands.alias("x")
         .join(
@@ -566,22 +593,80 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    sets = staged.select("doc_id", "sh")
-    verified = (
-        cand.join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-        .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                4,
-            ).alias("shingle_jaccard"),
+    return _jaccard_verify(cand, staged)
+
+
+def minhash_index_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch NEAR-DUP dedup against a PERSISTED LSH band index —
+    the incremental production shape the r10 ledger called for: instead
+    of re-banding history per crawl increment, the (doc_id, band_idx,
+    band_hash) posting rows persist (real parquet state, staged atomic
+    swaps), each new batch finds its candidates as intra-batch bucket
+    pairs ∪ batch×INDEX bucket joins, and then appends its own postings
+    to the index. Two id-ordered batches here; because every cross-
+    batch bucket pair is found when its second member arrives, the
+    union of per-batch candidates equals the one-shot candidate set
+    EXACTLY — so after the shared Jaccard verify the driver oracle is
+    [[minhash_lsh_candidates]]'s own SQL, hash-checked.
+
+    Scale shape: per batch, one bucket-key join of the BATCH postings
+    against the index (index side pre-bucketable on (band_idx,
+    band_hash) at 100 TB — co-located probe, no index shuffle) plus the
+    batch-internal self-join; history text is never re-shingled — the
+    index rows are ~100× smaller than the corpus. The split median is
+    one scalar collect."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..operators.writer import overwrite_table, read_table
+
+    staged, bands = _staged_shingles_and_bands(spark, sf_dir)
+    mid = staged.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+
+    def bucket_pairs(left: DataFrame, right: DataFrame) -> DataFrame:
+        return (
+            left.alias("x")
+            .join(
+                right.alias("y"),
+                (F.col("x.band_idx") == F.col("y.band_idx"))
+                & (F.col("x.band_hash") == F.col("y.band_hash"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+                "inner",
+            )
+            .select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+            )
+            .distinct()
         )
-        .where(F.col("shingle_jaccard") >= 0.5)
-    )
-    return verified
+
+    tmp = tempfile.mkdtemp(prefix="lshidx_q_")
+    index_path = f"{tmp}/band_index"
+    try:
+        pair_frames = []
+        for batch in (
+            bands.where(F.col("doc_id") <= mid),
+            bands.where(F.col("doc_id") > mid),
+        ):
+            batch = batch.localCheckpoint(eager=True)
+            if Path(index_path).exists():
+                idx = read_table(spark, index_path)
+                new_pairs = bucket_pairs(idx, batch).unionByName(
+                    bucket_pairs(batch, batch)
+                )
+                merged = idx.unionByName(batch)
+            else:
+                new_pairs = bucket_pairs(batch, batch)
+                merged = batch
+            pair_frames.append(
+                new_pairs.distinct().localCheckpoint(eager=True)
+            )
+            overwrite_table(merged, index_path)
+        cand = pair_frames[0].unionByName(pair_frames[1]).distinct()
+        return _jaccard_verify(cand, staged).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _minhash_lsh_sql() -> str:
@@ -1510,6 +1595,7 @@ QUERIES = {
     "simhash": simhash,
     "simhash_hamming_pairs": simhash_hamming_pairs,
     "minhash_lsh_candidates": minhash_lsh_candidates,
+    "minhash_index_two_batch": minhash_index_two_batch,
     "minhash_source_similarity": minhash_source_similarity,
     "minhash_recall_check": minhash_recall_check,
     "exact_dedup": exact_dedup,
@@ -1531,6 +1617,7 @@ ORACLES = {
     # Value-oracled since round 9 (sha256-slice hashes replace xxhash64,
     # which DuckDB could not replay — r8 verdict item 2).
     "minhash_lsh_candidates": _MINHASH_LSH_SQL,
+    "minhash_index_two_batch": _MINHASH_LSH_SQL,
     "minhash_source_similarity": _MINHASH_SOURCE_SQL,
     "minhash_recall_check": _MINHASH_RECALL_SQL,
     "fuzzy_name_pairs": _FUZZY_SQL,

@@ -620,3 +620,43 @@ def test_retrieval_rank_agreement_aligned_legs(spark, tmp_path):
     assert r0["n_common"] == 5
     assert (r0["concordant"], r0["discordant"]) == (10, 0)
     assert r0["tau_permille"] == 1000
+
+
+def test_minhash_index_fold_equals_one_shot(spark, tmp_path):
+    """The persisted-band-index incremental path must produce EXACTLY
+    the one-shot verified pair set — including planted near-dup pairs
+    that straddle the batch split (found via the index join, not the
+    intra-batch one)."""
+    import random
+
+    from azure_sales_etl_pipeline_spark.plans.dedup import (
+        minhash_index_two_batch,
+        minhash_lsh_candidates,
+    )
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(200)]
+    rows = []
+    for i in range(30):
+        base = [rng.choice(vocab) for _ in range(40)]
+        rows.append((i, " ".join(base)))           # low ids: batch 1
+        near = list(base)
+        near[rng.randrange(40)] = rng.choice(vocab)
+        rows.append((100 + i, " ".join(near)))     # high ids: batch 2
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    one_shot = {
+        (r["doc_a"], r["doc_b"], r["shingle_jaccard"])
+        for r in minhash_lsh_candidates(spark, str(tmp_path)).collect()
+    }
+    folded = {
+        (r["doc_a"], r["doc_b"], r["shingle_jaccard"])
+        for r in minhash_index_two_batch(spark, str(tmp_path)).collect()
+    }
+    assert folded == one_shot
+    # the planted pairs straddle the median split (ids 0-29 vs 100-129),
+    # so agreement requires the batch-vs-INDEX join to have fired
+    cross = {p for p in folded if p[0] < 50 <= p[1]}
+    assert len(cross) >= 20, f"only {len(cross)} cross-split pairs found"
