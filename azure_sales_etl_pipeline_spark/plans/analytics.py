@@ -3836,7 +3836,124 @@ _TRIMMED_MEAN_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# classical seasonal decomposition (additive trend/seasonal/remainder)
+# ---------------------------------------------------------------------------
+
+_SD_HALF_WIN = 3  # centered moving-average half-width: 7-day trend
+
+
+def seasonal_decompose_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical ADDITIVE SEASONAL DECOMPOSITION of the daily revenue
+    series — revenue = trend + weekly seasonal + remainder, the
+    decomposition behind every ops dashboard's "is this dip seasonal
+    or real" call ([[seasonality_autocorr]] detects the period; this
+    SEPARATES the components; [[events_daily_anomalies]] flags what the
+    remainder leaves). Trend = 7-day centered moving average (partial
+    at the series edges — deterministic), seasonal = per-weekday mean
+    of the detrended series, remainder = what's left. ALL integer
+    cents: the MA and seasonal means use truncating div (portable on
+    negative detrended values), so the decomposition is exact
+    cross-engine. Weekday comes from epoch-day modulus — never
+    ``dayofweek()``, whose origin differs across engines (the
+    [[hashed_feature_crosses]] lesson).
+
+    Scale shape: the fact scans ONCE into the day grain (one date-key
+    map-side-combined shuffle — the series is calendar-bounded, ~2,400
+    rows at ANY corpus size); the centered MA is a ±3-day bounded
+    self-join on that bounded series (never a single-partition global
+    window); the seasonal pass is a 7-row aggregate joined back."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderdate", F.col("o_totalprice").cast("decimal(18,2)").alias("p")
+    )
+    daily = (
+        orders.groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            (F.round(F.sum("p"), 2) * 100).cast("bigint").alias("rev_cents")
+        )
+        .localCheckpoint()  # the bounded series feeds 3 consumers below
+    )
+    nbr = daily.select(F.col("d").alias("d2"), F.col("rev_cents").alias("r2"))
+    trend = (
+        daily.join(
+            nbr,
+            (F.datediff(F.col("d2"), F.col("d")) >= -_SD_HALF_WIN)
+            & (F.datediff(F.col("d2"), F.col("d")) <= _SD_HALF_WIN),
+        )
+        .groupBy("d", "rev_cents")
+        .agg(
+            F.expr("CAST(sum(r2) div count(1) AS BIGINT)").alias(
+                "trend_cents"
+            )
+        )
+        .withColumn(
+            "weekday",
+            F.expr(
+                "CAST(pmod(datediff(d, DATE '1970-01-01'), 7) AS BIGINT)"
+            ),
+        )
+        .withColumn("detrended", F.col("rev_cents") - F.col("trend_cents"))
+    )
+    seasonal = trend.groupBy("weekday").agg(
+        F.expr("CAST(sum(detrended) div count(1) AS BIGINT)").alias(
+            "seasonal_cents"
+        )
+    )
+    return (
+        trend.join(F.broadcast(seasonal), "weekday")
+        .select(
+            F.col("d").alias("order_date"),
+            F.col("rev_cents").alias("revenue_cents"),
+            "trend_cents",
+            "weekday",
+            "seasonal_cents",
+            (F.col("detrended") - F.col("seasonal_cents"))
+            .cast("bigint")
+            .alias("remainder_cents"),
+        )
+        .orderBy("order_date")
+    )
+
+
+_SEASONAL_SQL = f"""
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) * 100
+                    AS BIGINT) AS rev_cents
+        FROM orders GROUP BY o_orderdate
+    ),
+    trend AS (
+        SELECT a.d, a.rev_cents,
+               CAST(sum(b.rev_cents) // count(*) AS BIGINT) AS trend_cents
+        FROM daily a
+        JOIN daily b
+          ON date_diff('day', a.d, b.d)
+             BETWEEN -{_SD_HALF_WIN} AND {_SD_HALF_WIN}
+        GROUP BY a.d, a.rev_cents
+    ),
+    det AS (
+        SELECT d, rev_cents, trend_cents,
+               CAST((date_diff('day', DATE '1970-01-01', d) % 7 + 7) % 7
+                    AS BIGINT) AS weekday,
+               rev_cents - trend_cents AS detrended
+        FROM trend
+    ),
+    seasonal AS (
+        SELECT weekday,
+               CAST(sum(detrended) // count(*) AS BIGINT) AS seasonal_cents
+        FROM det GROUP BY weekday
+    )
+    SELECT det.d AS order_date, det.rev_cents AS revenue_cents,
+           det.trend_cents, det.weekday, seasonal.seasonal_cents,
+           CAST(det.detrended - seasonal.seasonal_cents AS BIGINT)
+               AS remainder_cents
+    FROM det JOIN seasonal USING (weekday)
+    ORDER BY order_date
+"""
+
+
 QUERIES = {
+    "seasonal_decompose_revenue": seasonal_decompose_revenue,
     "brand_size_price_corr": brand_size_price_corr,
     "theilsen_revenue_trend": theilsen_revenue_trend,
     "mann_kendall_trend": mann_kendall_trend,
@@ -3889,6 +4006,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "seasonal_decompose_revenue": _SEASONAL_SQL,
     "brand_size_price_corr": _BRAND_CORR_SQL,
     "theilsen_revenue_trend": _THEILSEN_SQL,
     "mann_kendall_trend": _MANN_KENDALL_SQL,

@@ -500,3 +500,44 @@ def test_return_rate_wilson_small_vs_large_sample(spark, tmp_path):
     assert a["wilson_lo_permille"] == wilson_lo(2, 3)
     assert b["wilson_lo_permille"] == wilson_lo(300, 1000)
     assert a["wilson_lo_permille"] < b["wilson_lo_permille"]
+
+
+def test_seasonal_decompose_recovers_planted_pattern(spark, tmp_path):
+    """On a purely additive series (constant trend + zero-sum weekly
+    pattern, one order per day) the decomposition must recover the
+    trend EXACTLY on interior days (the 7-day centered MA spans one
+    full week, and the pattern sums to zero) and leave only edge-
+    pollution crumbs in the remainder."""
+    import datetime as dt
+
+    from azure_sales_etl_pipeline_spark.plans.analytics import (
+        seasonal_decompose_revenue,
+    )
+
+    base_cents = 100_000
+    pattern = [-300, -200, -100, 0, 100, 200, 300]  # keyed by epoch_day % 7
+    epoch = dt.date(1970, 1, 1)
+    start = dt.date(1995, 1, 1)
+    rows = []
+    for i in range(70):
+        d = start + dt.timedelta(days=i)
+        wd = (d - epoch).days % 7
+        price = (base_cents + pattern[wd]) / 100.0
+        rows.append((i, d, float(price)))
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    out = {r["order_date"]: r for r in seasonal_decompose_revenue(spark, str(tmp_path)).collect()}
+    assert len(out) == 70
+    interior = [d for d in out if start + dt.timedelta(days=3) <= d <= start + dt.timedelta(days=66)]
+    assert len(interior) == 64
+    for d in interior:
+        r = out[d]
+        wd = (d - epoch).days % 7
+        assert r["weekday"] == wd
+        assert r["trend_cents"] == base_cents  # exact on full windows
+        # seasonal estimate carries only edge pollution; the remainder
+        # must be within a few cents of zero
+        assert abs(r["remainder_cents"]) <= 60, (d, r)
+        assert abs(r["seasonal_cents"] - pattern[wd]) <= 60, (d, r)
