@@ -3952,8 +3952,114 @@ _SEASONAL_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# CUPED variance reduction (experimentation-stack pre-period adjustment)
+# ---------------------------------------------------------------------------
+
+_CUPED_SPLIT = "1997-01-01"  # pre-period covariate | post-period metric
+
+
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Deng et al. 2013, "Improving the Sensitivity of Online
+    Controlled Experiments") — the pre-period adjustment every modern
+    experimentation platform applies before reading an A/B test: with
+    X = a unit's PRE-period spend and Y = its in-experiment metric,
+    the adjusted metric Y − θ(X − E[X]) with θ = cov(X,Y)/var(X) keeps
+    the treatment estimate unbiased while shrinking its variance by a
+    factor of (1 − ρ²). This query computes the whole calibration over
+    the customer population: exact DECIMAL(38,0) moment sums (cents²
+    passes int64 at scale) reduced in ONE map-side-combined aggregate
+    row, then θ and the variance-reduction ρ² derived from those exact
+    integers — the float ops are the same IEEE expression on both
+    engines, so even the derived columns hash-match.
+
+    Scale shape: one customer-key shuffle builds (X, Y) per unit
+    (conditional sums split the calendar — no second scan), one 1-row
+    global aggregate carries the five moments; nothing else moves."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        F.col("o_orderdate").alias("d"),
+    )
+    split = F.lit(_CUPED_SPLIT).cast("date")
+    xy = orders.groupBy("o_custkey").agg(
+        (F.round(F.coalesce(F.sum(F.when(F.col("d") < split, F.col("p"))),
+                            F.lit(0)), 2) * 100)
+        .cast("bigint")
+        .alias("x"),
+        (F.round(F.coalesce(F.sum(F.when(F.col("d") >= split, F.col("p"))),
+                            F.lit(0)), 2) * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    m = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("sum(CAST(x AS DECIMAL(38,0)))").alias("sx"),
+        F.expr("sum(CAST(y AS DECIMAL(38,0)))").alias("sy"),
+        F.expr("sum(CAST(x AS DECIMAL(38,0)) * x)").alias("sxx"),
+        F.expr("sum(CAST(x AS DECIMAL(38,0)) * y)").alias("sxy"),
+        F.expr("sum(CAST(y AS DECIMAL(38,0)) * y)").alias("syy"),
+    )
+    cov = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    varx = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    vary = "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    return m.select(
+        "n",
+        F.expr(
+            f"CAST(floor(1000000.0e0 * {cov} / nullif({varx}, 0.0e0))"
+            " AS BIGINT)"
+        ).alias("theta_micro"),
+        F.expr(
+            f"CAST(floor(1000.0e0 * {cov} * {cov}"
+            f" / nullif({varx} * {vary}, 0.0e0)) AS BIGINT)"
+        ).alias("var_reduction_permille"),
+    )
+
+
+_CUPED_SQL = f"""
+    WITH xy AS (
+        SELECT o_custkey,
+               CAST(round(coalesce(sum(CASE WHEN o_orderdate
+                        < DATE '{_CUPED_SPLIT}'
+                        THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0), 2)
+                    * 100 AS BIGINT) AS x,
+               CAST(round(coalesce(sum(CASE WHEN o_orderdate
+                        >= DATE '{_CUPED_SPLIT}'
+                        THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0), 2)
+                    * 100 AS BIGINT) AS y
+        FROM orders GROUP BY o_custkey
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(x AS HUGEINT)) AS sx,
+               sum(CAST(y AS HUGEINT)) AS sy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(x AS HUGEINT) * y) AS sxy,
+               sum(CAST(y AS HUGEINT) * y) AS syy
+        FROM xy
+    )
+    SELECT n,
+           CAST(floor(1000000.0 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))
+                AS BIGINT) AS theta_micro,
+           CAST(floor(1000.0 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / nullif((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0))
+                AS BIGINT) AS var_reduction_permille
+    FROM m
+"""
+
+
 QUERIES = {
     "seasonal_decompose_revenue": seasonal_decompose_revenue,
+    "cuped_variance_reduction": cuped_variance_reduction,
     "brand_size_price_corr": brand_size_price_corr,
     "theilsen_revenue_trend": theilsen_revenue_trend,
     "mann_kendall_trend": mann_kendall_trend,
@@ -4007,6 +4113,7 @@ QUERIES = {
 
 ORACLES = {
     "seasonal_decompose_revenue": _SEASONAL_SQL,
+    "cuped_variance_reduction": _CUPED_SQL,
     "brand_size_price_corr": _BRAND_CORR_SQL,
     "theilsen_revenue_trend": _THEILSEN_SQL,
     "mann_kendall_trend": _MANN_KENDALL_SQL,

@@ -541,3 +541,32 @@ def test_seasonal_decompose_recovers_planted_pattern(spark, tmp_path):
         # must be within a few cents of zero
         assert abs(r["remainder_cents"]) <= 60, (d, r)
         assert abs(r["seasonal_cents"] - pattern[wd]) <= 60, (d, r)
+
+
+def test_cuped_theta_and_reduction_on_planted_linear(spark, tmp_path):
+    """Y = 2X exactly (post spend doubles pre spend per customer) must
+    give theta = 2.000000 and full variance reduction (1000 permille):
+    the moment components scale by exact powers of two, so even the
+    float division is exact."""
+    import datetime as dt
+
+    from azure_sales_etl_pipeline_spark.plans.analytics import (
+        cuped_variance_reduction,
+    )
+
+    pre = dt.date(1996, 6, 1)
+    post = dt.date(1997, 6, 1)
+    rows, ok = [], 0
+    for cust, dollars in enumerate([100.0, 250.0, 75.0, 410.0, 33.0]):
+        rows.append((ok, cust, pre, dollars)); ok += 1
+        rows.append((ok, cust, post, 2 * dollars)); ok += 1
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate date, o_totalprice double"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    out = cuped_variance_reduction(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == 5
+    assert r["theta_micro"] == 2_000_000
+    assert r["var_reduction_permille"] == 1000
