@@ -4057,9 +4057,128 @@ _CUPED_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# difference-in-differences (quasi-experimental effect estimation)
+# ---------------------------------------------------------------------------
+
+_DID_SPLIT = _CUPED_SPLIT  # same pre/post calendar cut as CUPED
+_DID_TREATED_REGION = 2  # treated group = nations of one region; rest control
+
+
+def did_revenue_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES — the quasi-experimental estimator for
+    rollouts without randomization (Card & Krueger): treated group =
+    customers of one region's nations, control = everyone else; effect
+    = (treated_post − treated_pre) − (control_post − control_pre), on
+    per-customer average spend so group-size drift between periods
+    cannot masquerade as an effect. Complements [[cuped_variance_
+    reduction]] (randomized tests) with the observational tool. All
+    four cell means are exact cents sums over exact customer counts;
+    the estimate is reported in integer milli-cents via truncating div
+    on the cross-multiplied exact integers — no float enters.
+
+    Scale shape: the orders fact scans ONCE; group and period are both
+    conditional indicators inside a single (customer-key then 1-row)
+    aggregate chain — the four DiD cells are four conditional sums, not
+    four scans; the customer→nation→region dims broadcast."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        "o_orderdate",
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    cust_grp = customer.join(
+        F.broadcast(nation),
+        customer["c_nationkey"] == nation["n_nationkey"],
+    ).select(
+        F.col("c_custkey").alias("o_custkey"),
+        (F.col("n_regionkey") == _DID_TREATED_REGION).alias("treated"),
+    )
+    split = F.lit(_DID_SPLIT).cast("date")
+    post = (F.col("o_orderdate") >= split).alias("post")
+    cells = (
+        orders.join(F.broadcast(cust_grp), "o_custkey")
+        .select("o_custkey", "treated", post, "p")
+        .groupBy("treated", "post")
+        .agg(
+            (F.round(F.sum("p"), 2) * 100).cast("decimal(38,0)").alias("s"),
+            F.expr("CAST(count(DISTINCT o_custkey) AS DECIMAL(38,0))").alias(
+                "c"
+            ),
+        )
+    )
+    m = cells.agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("treated") == t) & (F.col("post") == p2),
+                    F.col(col),
+                )
+            ).alias(f"{col}_{int(t)}{int(p2)}")
+            for t in (True, False)
+            for p2 in (True, False)
+            for col in ("s", "c")
+        ]
+    )
+    # effect = (s11/c11 - s10/c10) - (s01/c01 - s00/c00), exact via a
+    # single cross-multiplied rational: num/den with den = c11·c10·c01·c00
+    num = (
+        "(s_11 * c_10 - s_10 * c_11) * (c_01 * c_00)"
+        " - (s_01 * c_00 - s_00 * c_01) * (c_11 * c_10)"
+    )
+    den = "(c_11 * c_10 * c_01 * c_00)"
+    return m.select(
+        F.expr("CAST(c_11 AS BIGINT)").alias("n_treated_post"),
+        F.expr("CAST(c_01 AS BIGINT)").alias("n_control_post"),
+        F.expr(
+            f"CAST((1000 * ({num})) div nullif({den}, 0) AS BIGINT)"
+        ).alias("did_millicents_per_cust"),
+    )
+
+
+_DID_SQL = f"""
+    WITH cells AS (
+        SELECT (n.n_regionkey = {_DID_TREATED_REGION}) AS treated,
+               (o.o_orderdate >= DATE '{_DID_SPLIT}') AS post,
+               CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 2)
+                    * 100 AS HUGEINT) AS s,
+               CAST(count(DISTINCT o.o_custkey) AS HUGEINT) AS c
+        FROM orders o
+        JOIN customer cu ON cu.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = cu.c_nationkey
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT
+            max(CASE WHEN treated AND post THEN s END) AS s_11,
+            max(CASE WHEN treated AND post THEN c END) AS c_11,
+            max(CASE WHEN treated AND NOT post THEN s END) AS s_10,
+            max(CASE WHEN treated AND NOT post THEN c END) AS c_10,
+            max(CASE WHEN NOT treated AND post THEN s END) AS s_01,
+            max(CASE WHEN NOT treated AND post THEN c END) AS c_01,
+            max(CASE WHEN NOT treated AND NOT post THEN s END) AS s_00,
+            max(CASE WHEN NOT treated AND NOT post THEN c END) AS c_00
+        FROM cells
+    )
+    SELECT CAST(c_11 AS BIGINT) AS n_treated_post,
+           CAST(c_01 AS BIGINT) AS n_control_post,
+           CAST((1000 * ((s_11 * c_10 - s_10 * c_11) * (c_01 * c_00)
+                         - (s_01 * c_00 - s_00 * c_01) * (c_11 * c_10)))
+                // nullif(c_11 * c_10 * c_01 * c_00, 0) AS BIGINT)
+               AS did_millicents_per_cust
+    FROM m
+"""
+
+
 QUERIES = {
     "seasonal_decompose_revenue": seasonal_decompose_revenue,
     "cuped_variance_reduction": cuped_variance_reduction,
+    "did_revenue_effect": did_revenue_effect,
     "brand_size_price_corr": brand_size_price_corr,
     "theilsen_revenue_trend": theilsen_revenue_trend,
     "mann_kendall_trend": mann_kendall_trend,
@@ -4114,6 +4233,7 @@ QUERIES = {
 ORACLES = {
     "seasonal_decompose_revenue": _SEASONAL_SQL,
     "cuped_variance_reduction": _CUPED_SQL,
+    "did_revenue_effect": _DID_SQL,
     "brand_size_price_corr": _BRAND_CORR_SQL,
     "theilsen_revenue_trend": _THEILSEN_SQL,
     "mann_kendall_trend": _MANN_KENDALL_SQL,

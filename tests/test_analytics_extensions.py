@@ -570,3 +570,39 @@ def test_cuped_theta_and_reduction_on_planted_linear(spark, tmp_path):
     assert r["n"] == 5
     assert r["theta_micro"] == 2_000_000
     assert r["var_reduction_permille"] == 1000
+
+
+def test_did_recovers_planted_effect(spark, tmp_path):
+    """Parallel-trends fixture with a planted +$50/customer post-period
+    lift in the treated region only: the estimator must report exactly
+    5,000,000 millicents."""
+    import datetime as dt
+
+    from azure_sales_etl_pipeline_spark.plans.analytics import (
+        _DID_TREATED_REGION,
+        did_revenue_effect,
+    )
+
+    spark.createDataFrame(
+        [(0, "T", _DID_TREATED_REGION, "x"), (1, "C", 0, "x")],
+        "n_nationkey long, n_name string, n_regionkey long, n_comment string",
+    ).write.parquet(str(tmp_path / "nation.parquet"))
+    spark.createDataFrame(
+        [(0, 0), (1, 0), (10, 1), (11, 1)],
+        "c_custkey long, c_nationkey long",
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    pre, post = dt.date(1996, 6, 1), dt.date(1997, 6, 1)
+    rows, ok = [], 0
+    for cust in (0, 1, 10, 11):
+        rows.append((ok, cust, pre, 100.0)); ok += 1
+        lift = 50.0 if cust in (0, 1) else 0.0
+        rows.append((ok, cust, post, 100.0 + lift)); ok += 1
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate date, o_totalprice double"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    out = did_revenue_effect(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_treated_post"], r["n_control_post"]) == (2, 2)
+    assert r["did_millicents_per_cust"] == 5_000_000
