@@ -44,6 +44,22 @@ sys.path.insert(0, str(REPO))
 INIT = REPO / "azure_sales_etl_pipeline_spark" / "plans" / "__init__.py"
 
 
+# Queries whose IMPLEMENTATION changed after their most recent green
+# driver sample: the old evidence is stale, so they sort just behind
+# outright regressions and ahead of never-checked queries until the
+# driver re-samples them (r11 verdict item 3: record_linkage_scores was
+# refactored after its r9 green and sat 170 deep in the order). Remove a
+# name once a LATER CORRECTNESS round shows it green — compute_order
+# does this automatically by comparing last_green to the pinned round.
+_SWEEP_PINS: dict[str, int] = {
+    # name -> round whose green sample predates the refactor
+    "record_linkage_scores": 9,
+    "cross_encoder_rerank": 11,   # r12: ASCII-consistent tokenizer (ADVICE #1)
+    "did_revenue_effect": 11,     # r12: overflow-safe rational (ADVICE #2)
+    "stream_token_stats_fold": 11,  # r12: multiLine-safe text landing (ADVICE #3)
+}
+
+
 def _green(rec: dict, value_required: bool) -> bool:
     """Did this driver sample count as evidence?
 
@@ -113,6 +129,10 @@ def compute_order(files: list[str] | None = None) -> list[str]:
     def key(name: str):
         if name in last_failed:
             return (0, 0, name)
+        pin = _SWEEP_PINS.get(name)
+        if pin is not None and last_green.get(name, 0) <= pin:
+            # refactored after its last green sample — evidence is stale
+            return (0, 1, name)
         return (1, last_green.get(name, 0), name)
 
     return sorted(names, key=key)
