@@ -4080,7 +4080,18 @@ def did_revenue_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the orders fact scans ONCE; group and period are both
     conditional indicators inside a single (customer-key then 1-row)
     aggregate chain — the four DiD cells are four conditional sums, not
-    four scans; the customer→nation→region dims broadcast."""
+    four scans; the customer→nation→region dims broadcast.
+
+    Overflow discipline: the estimate is TWO per-group truncating
+    rationals (treated delta, control delta), each bounded by
+    1000·s·c ≈ 10²⁵ at sf100 — comfortably inside DECIMAL(38,0) and
+    HUGEINT — not one cross-multiplied s·c³ rational (≈10³⁸ at sf100,
+    where Spark silently NULLs on decimal overflow while DuckDB
+    errors). Cost: each group's delta truncates ≤1 millicent before
+    the subtraction (both engines' integer division truncates toward
+    zero — verified for negative operands), so the reported effect is
+    within 2 millicents of the exact rational, deterministically
+    identical cross-engine at any SF."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey",
         F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
@@ -4125,19 +4136,23 @@ def did_revenue_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             for col in ("s", "c")
         ]
     )
-    # effect = (s11/c11 - s10/c10) - (s01/c01 - s00/c00), exact via a
-    # single cross-multiplied rational: num/den with den = c11·c10·c01·c00
-    num = (
-        "(s_11 * c_10 - s_10 * c_11) * (c_01 * c_00)"
-        " - (s_01 * c_00 - s_00 * c_01) * (c_11 * c_10)"
+    # effect = (s11/c11 - s10/c10) - (s01/c01 - s00/c00): one truncating
+    # rational PER GROUP (magnitude 1000·s·c, overflow-safe at any
+    # realistic SF), then an integer subtraction — see docstring.
+    t_diff = (
+        "(1000 * (s_11 * c_10 - s_10 * c_11))"
+        " div nullif(c_11 * c_10, 0)"
     )
-    den = "(c_11 * c_10 * c_01 * c_00)"
+    c_diff = (
+        "(1000 * (s_01 * c_00 - s_00 * c_01))"
+        " div nullif(c_01 * c_00, 0)"
+    )
     return m.select(
         F.expr("CAST(c_11 AS BIGINT)").alias("n_treated_post"),
         F.expr("CAST(c_01 AS BIGINT)").alias("n_control_post"),
-        F.expr(
-            f"CAST((1000 * ({num})) div nullif({den}, 0) AS BIGINT)"
-        ).alias("did_millicents_per_cust"),
+        F.expr(f"CAST(({t_diff}) - ({c_diff}) AS BIGINT)").alias(
+            "did_millicents_per_cust"
+        ),
     )
 
 
@@ -4167,9 +4182,10 @@ _DID_SQL = f"""
     )
     SELECT CAST(c_11 AS BIGINT) AS n_treated_post,
            CAST(c_01 AS BIGINT) AS n_control_post,
-           CAST((1000 * ((s_11 * c_10 - s_10 * c_11) * (c_01 * c_00)
-                         - (s_01 * c_00 - s_00 * c_01) * (c_11 * c_10)))
-                // nullif(c_11 * c_10 * c_01 * c_00, 0) AS BIGINT)
+           CAST(((1000 * (s_11 * c_10 - s_10 * c_11))
+                     // nullif(c_11 * c_10, 0))
+                - ((1000 * (s_01 * c_00 - s_00 * c_01))
+                     // nullif(c_01 * c_00, 0)) AS BIGINT)
                AS did_millicents_per_cust
     FROM m
 """

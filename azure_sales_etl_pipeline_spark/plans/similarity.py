@@ -2541,13 +2541,26 @@ def cross_encoder_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = first.join(docs.select("doc_id", F.col("text").alias("dtext")),
                        "doc_id").join(F.broadcast(qtext), "query_id")
 
+    # Tokenizer must mirror the JVM/SQL stages byte-for-byte: Spark's
+    # F.split(F.trim(...), r"\s+") is Java-regex \s (ASCII class) after a
+    # space-only trim, and the DuckDB oracle's regexp_split_to_array is
+    # RE2 \s (ASCII). Python's bare str.split()/str.strip() use UNICODE
+    # whitespace (  etc.) and would tear different token sets on
+    # non-ASCII input, so split on the explicit ASCII class instead.
+    import re
+
+    _ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def _toks(t: str) -> set:
+        return set(_ws.split(t.lower().strip(" ")))
+
     def score(batches):
         # the model seam: swap this body for tokenizer+model.forward per
         # Arrow batch; everything around it (pairing, batching, ranking)
         # is unchanged
         for pdf in batches:
-            qs = [set(t.lower().split()) for t in pdf["qtext"]]
-            ds = [set(t.lower().split()) for t in pdf["dtext"]]
+            qs = [_toks(t) for t in pdf["qtext"]]
+            ds = [_toks(t) for t in pdf["dtext"]]
             ce = [
                 (1000 * len(a & b)) // len(a | b) if (a or b) else 0
                 for a, b in zip(qs, ds)

@@ -30,6 +30,24 @@ from .functions import local_df
 from .catalog import table_path
 
 
+def _stream_csv_source(spark: SparkSession, schema, source_glob: str) -> DataFrame:
+    """Shared headered-CSV readStream for every file-landing stream.
+
+    multiLine + RFC-4180 doubled-quote escape so free-text columns
+    (``documents.text`` may embed newlines/quotes) survive the CSV
+    landing intact instead of being torn into extra rows — matches the
+    ``quoteAll`` writer in ``_fold_parity_batches``. multiLine costs
+    per-file split parallelism, which is irrelevant for micro-batch
+    landing files (each is one small file)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .csv(source_glob)
+    )
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (ns timestamps → µs, same as
     catalog.load_table)."""
@@ -741,7 +759,7 @@ def streaming_ingest(
     from .operators.writer import append_evolve
 
     checkpoint = checkpoint or tempfile.mkdtemp(prefix="stream_ckpt_")
-    src = spark.readStream.schema(schema).option("header", "true").csv(source_glob)
+    src = _stream_csv_source(spark, schema, source_glob)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.isEmpty():
@@ -969,7 +987,17 @@ def _fold_parity_batches(
             df.where(F.col(parity_col) % 2 == parity)
             .select(*batch_cols)
             .coalesce(1)
+            # quoteAll + doubled-quote escape + whitespace preservation:
+            # free-text batch columns round-trip through the landing
+            # (read back by _stream_csv_source with multiLine) even with
+            # embedded newlines/quotes/delimiters. The writer-side
+            # ignore*WhiteSpace options default to TRUE and would trim a
+            # leading/trailing space or newline out of a quoted value.
             .write.option("header", True)
+            .option("quoteAll", True)
+            .option("escape", '"')
+            .option("ignoreLeadingWhiteSpace", False)
+            .option("ignoreTrailingWhiteSpace", False)
             .csv(f"{src}/{name}")
         )
         run_monitor(f"{src}/*", schema, state, ckpt)
@@ -1648,7 +1676,7 @@ def _streaming_fold(
                 "refusing to fold stream batches into a mart of unknown "
                 "provenance"
             )
-    src = spark.readStream.schema(schema).option("header", "true").csv(source_glob)
+    src = _stream_csv_source(spark, schema, source_glob)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= committed["batch_id"]:
@@ -1691,7 +1719,7 @@ def streaming_scd2(
     happily run per-batch with replay protection.
     """
     checkpoint = checkpoint or tempfile.mkdtemp(prefix="scd2_ckpt_")
-    src = spark.readStream.schema(schema).option("header", "true").csv(source_glob)
+    src = _stream_csv_source(spark, schema, source_glob)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.isEmpty():

@@ -341,3 +341,53 @@ def test_stream_transition_matrix_multi_batch_boundary(spark, tmp_path):
     # rows than a single-batch drain would (two emissions for some pair
     # keys) — detectable as sink rows > distinct pair keys.
     assert sink.count() > len(got)
+
+
+def test_fold_landing_roundtrips_multiline_text(spark, tmp_path):
+    """Free text with embedded newlines, quotes, and delimiters must
+    survive the _fold_parity_batches CSV landing intact (r11 advice:
+    the readStream side previously lacked multiLine, so a newline in
+    documents.text tore the row apart and silently diverged from the
+    batch oracle)."""
+    from azure_sales_etl_pipeline_spark.streaming import (
+        _fold_parity_batches,
+        _stream_csv_source,
+    )
+
+    texts = [
+        'line one\nline two',
+        'a "quoted" phrase, with comma',
+        'trailing newline\n',
+        'plain',
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    seen: list[tuple] = []
+
+    def run_monitor(glob, schema, state, ckpt):
+        src = _stream_csv_source(spark, schema, glob)
+        q = (
+            src.writeStream.foreachBatch(
+                lambda b, _id: seen.extend(
+                    b.select("doc_id", "text").collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _fold_parity_batches(
+        spark,
+        df,
+        "doc_id",
+        ["doc_id", "text"],
+        "doc_id bigint, text string",
+        str(tmp_path / "fold"),
+        run_monitor,
+    )
+    # availableNow drains re-read files each invocation; dedupe by doc_id
+    got = {r["doc_id"]: r["text"] for r in seen}
+    assert got == {i: t for i, t in enumerate(texts)}
