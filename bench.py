@@ -178,10 +178,18 @@ def main() -> None:
             last_pass_sec = time.perf_counter() - pass_t0
 
     total = 0.0
+    total_median = 0.0
     for name, ss in samples.items():
         best = min(ss)  # one-sided noise: min = steady-state cost
         timings[name] = round(best, 3)
         total += best
+        # dual-basis (r11 verdict item 2): also publish the median sum so
+        # rounds that switched estimator stay comparable; r11 measured
+        # 343.6 s min-basis / 385.7 s median-basis (pinned in BASELINE.md)
+        mid = sorted(ss)[len(ss) // 2] if len(ss) % 2 else sum(
+            sorted(ss)[len(ss) // 2 - 1 : len(ss) // 2 + 1]
+        ) / 2
+        total_median += mid
     wall = time.perf_counter() - bench_t0
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -198,6 +206,7 @@ def main() -> None:
     full = {
         "metric": "all_queries_total",
         "value": round(total, 3),
+        "value_median": round(total_median, 3),
         "unit": "sec",
         "queries": timings,
         "samples": {n: [round(s, 3) for s in ss] for n, ss in samples.items()},
@@ -215,6 +224,7 @@ def main() -> None:
     compact: dict = {
         "metric": "all_queries_total",
         "value": round(total, 3),
+        "value_median": round(total_median, 3),
         "unit": "sec",
         "queries": {},
         "sf": sf_val,
