@@ -17,6 +17,13 @@ snapshot commit can't silently ship drift:
 3. COVERAGE.md       — every registry query name is mentioned at least
                        once (the operator-inventory mapping the judge
                        reads line by line).
+4. SCALE.md          — every query FIRST driver-sampled in round 11 or
+                       later (or never yet sampled, i.e. new this
+                       round) is mentioned by name: since r11 each new
+                       query gets a named family-ledger row stating its
+                       100 TB strategy (r11 verdict item 7 — the
+                       matryoshka row was the one gap). Pre-r11 queries
+                       are covered by family-level rows and exempt.
 
 No Spark session is started; everything here is file+registry
 inspection, so it runs in seconds and belongs right before the final
@@ -93,6 +100,26 @@ def main() -> int:
         problems.append(
             f"COVERAGE.md never mentions {len(uncovered)} registry queries:"
             f" {uncovered[:10]} — add inventory rows"
+        )
+
+    # 4. SCALE.md rows for queries new since round 11
+    import glob as _glob
+    import json as _json
+    import re as _re
+
+    first_round: dict[str, int] = {}
+    for fname in sorted(_glob.glob(str(REPO / "CORRECTNESS_r*.json"))):
+        rnd = int(_re.search(r"_r(\d+)\.json$", fname).group(1))
+        for qname in _json.load(open(fname)):
+            first_round.setdefault(qname, rnd)
+    scale = (REPO / "SCALE.md").read_text()
+    no_scale_row = sorted(
+        n for n in names if first_round.get(n, 10**9) >= 11 and n not in scale
+    )
+    if no_scale_row:
+        problems.append(
+            f"SCALE.md has no row naming {len(no_scale_row)} post-r10 queries:"
+            f" {no_scale_row[:10]} — add a family-ledger row per new query"
         )
 
     for p in problems:
