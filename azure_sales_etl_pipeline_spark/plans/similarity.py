@@ -2492,8 +2492,57 @@ _RRA_SQL = _rra_sql()
 # cross-encoder re-rank (Arrow-batched model-inference plumbing)
 # ---------------------------------------------------------------------------
 
-_CE_DEPTH = 20  # first-stage candidate depth fed to the re-ranker
+_CE_DEPTH = 20  # first-stage candidate depth fed to the re-rankers
 _CE_K = 5  # re-ranked results returned per query
+
+
+def _first_stage_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(query_id, doc_id, fs_rank)`` — the shared retrieve stage for
+    every re-ranker ([[cross_encoder_rerank]], [[late_interaction_
+    rerank]]): the df-capped posting-list equi-join of
+    [[sparse_retrieval_topk]] (queries broadcast, cost per query =
+    Σ posting lengths, never a corpus scan) cut at ``_CE_DEPTH`` by a
+    per-query bounded window. One definition so a depth or tie-break
+    change cannot reach one re-ranker and miss the other."""
+    sw = _sparse_weighted_terms(spark, sf_dir)
+    qw = sw.where(F.col("doc_id") < _N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "token", F.col("w").alias("wq")
+    )
+    w_first = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("doc_id").asc()
+    )
+    return (
+        sw.join(F.broadcast(qw), "token")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.expr("sum(CAST(wq AS DECIMAL(38,0)) * w)").alias("dot"))
+        .withColumn("fs_rank", F.row_number().over(w_first).cast("bigint"))
+        .where(F.col("fs_rank") <= _CE_DEPTH)
+        .select("query_id", "doc_id", "fs_rank")
+    )
+
+
+def _first_stage_cte() -> str:
+    """DuckDB CTE text mirroring ``_first_stage_candidates`` — defines
+    ``first`` (query_id, doc_id, fs_rank); compose after
+    ``_sparse_ret_cte()``."""
+    return rf"""first AS MATERIALIZED (
+        SELECT query_id, doc_id, fs_rank FROM (
+            SELECT query_id, doc_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY dot DESC, doc_id ASC) AS BIGINT) AS fs_rank
+            FROM (
+                SELECT q.doc_id AS query_id, c.doc_id,
+                       sum(CAST(q.w AS HUGEINT) * c.w) AS dot
+                FROM sw c
+                JOIN (SELECT doc_id, token, w FROM sw
+                      WHERE doc_id < {_N_QUERIES}) q
+                  ON c.token = q.token AND c.doc_id != q.doc_id
+                GROUP BY 1, 2
+            )
+        )
+        WHERE fs_rank <= {_CE_DEPTH}
+    )"""
 
 
 def cross_encoder_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2519,22 +2568,7 @@ def cross_encoder_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     docs = load_table(spark, sf_dir, "documents")
-    sw = _sparse_weighted_terms(spark, sf_dir)
-    qw = sw.where(F.col("doc_id") < _N_QUERIES).select(
-        F.col("doc_id").alias("query_id"), "token", F.col("w").alias("wq")
-    )
-    w_first = Window.partitionBy("query_id").orderBy(
-        F.col("dot").desc(), F.col("doc_id").asc()
-    )
-    first = (
-        sw.join(F.broadcast(qw), "token")
-        .where(F.col("doc_id") != F.col("query_id"))
-        .groupBy("query_id", "doc_id")
-        .agg(F.expr("sum(CAST(wq AS DECIMAL(38,0)) * w)").alias("dot"))
-        .withColumn("fs_rank", F.row_number().over(w_first).cast("bigint"))
-        .where(F.col("fs_rank") <= _CE_DEPTH)
-        .select("query_id", "doc_id", "fs_rank")
-    )
+    first = _first_stage_candidates(spark, sf_dir)
     qtext = docs.where(F.col("doc_id") < _N_QUERIES).select(
         F.col("doc_id").alias("query_id"), F.col("text").alias("qtext")
     )
@@ -2594,23 +2628,7 @@ def cross_encoder_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ce_rerank_sql() -> str:
     return rf"""
     WITH {_sparse_ret_cte()},
-    first AS MATERIALIZED (
-        SELECT query_id, doc_id, fs_rank FROM (
-            SELECT query_id, doc_id,
-                   CAST(row_number() OVER (PARTITION BY query_id
-                        ORDER BY dot DESC, doc_id ASC) AS BIGINT) AS fs_rank
-            FROM (
-                SELECT q.doc_id AS query_id, c.doc_id,
-                       sum(CAST(q.w AS HUGEINT) * c.w) AS dot
-                FROM sw c
-                JOIN (SELECT doc_id, token, w FROM sw
-                      WHERE doc_id < {_N_QUERIES}) q
-                  ON c.token = q.token AND c.doc_id != q.doc_id
-                GROUP BY 1, 2
-            )
-        )
-        WHERE fs_rank <= {_CE_DEPTH}
-    ),
+    {_first_stage_cte()},
     tsets AS MATERIALIZED (
         SELECT doc_id,
                list_distinct(regexp_split_to_array(trim(lower(text)),
@@ -2638,6 +2656,192 @@ def _ce_rerank_sql() -> str:
 
 
 _CE_RERANK_SQL = _ce_rerank_sql()
+
+
+# ---------------------------------------------------------------------------
+# Late-interaction (ColBERT-style MaxSim) re-rank
+# ---------------------------------------------------------------------------
+
+_LI_QTOK = 16  # query token positions kept (ColBERT query maxlen truncation)
+_LI_DTOK = 64  # doc token positions scanned per candidate
+_LI_DIM = 8  # token-embedding dimensions (sha256-derived int8 stand-in)
+
+
+def _token_vectors(docs: DataFrame) -> DataFrame:
+    """``(token, v0..v{_LI_DIM-1})`` int8 token embeddings at the VOCAB
+    grain — computed ONCE per distinct token, never per occurrence.
+    The embedding is a deterministic stand-in (byte ``j`` of
+    sha256(token), shifted to [-128, 127]) so every MaxSim score
+    replays bit-exactly in SQL; a real deployment swaps this for a
+    stored token-embedding table (the ColBERT index) and the plan —
+    explode, vocab-join, max, sum — is unchanged. Components are flat
+    int64 COLUMNS, not an array, so the dot product below is plain
+    whole-stage-codegen multiply-add (HOF lambdas run interpreted —
+    SCALE.md r10)."""
+    toks = docs.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("token")
+    ).distinct()
+    h = F.sha2(F.col("token"), 256)
+    return toks.select(
+        "token",
+        *[
+            (
+                F.conv(F.substring(h, 2 * j + 1, 2), 16, 10).cast("bigint")
+                - 128
+            ).alias(f"v{j}")
+            for j in range(_LI_DIM)
+        ],
+    )
+
+
+def late_interaction_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction re-rank (ColBERT MaxSim — Khattab & Zaharia,
+    SIGIR 2020): score(q, d) = Σ over query tokens of max over doc
+    tokens of the token-embedding dot product. The stage between
+    [[sparse_retrieval_topk]]'s bag-of-words recall and
+    [[cross_encoder_rerank]]'s full pair attention: token-level
+    interaction precision at pre-computable-index cost, the re-rank
+    configuration most modern RAG stacks serve.
+
+    All arithmetic is integer — int8 token embeddings (sha256-byte
+    stand-in, [[ann_topk_int8]] idiom), int64 dot products, exact max
+    and Σ — so scores, ties (fs_rank then doc id), and ranks are
+    value-oracled bit-exactly.
+
+    Scale shape: the ONLY corpus-sized legs are the shared first stage
+    (df-capped posting join cut at ``_CE_DEPTH``) and the vocab-grain
+    embedding table (bounded by language, not rows — at 100 TB it is
+    the stored ColBERT index). The token-level explode touches ONLY
+    the |Q|·C candidate texts (doc_id join back), truncated at
+    ``_LI_DTOK`` positions and collapsed to DISTINCT (doc, token)
+    before the interaction join — max over duplicate doc tokens is the
+    max over distinct ones. Query tokens collapse to (token, mult)
+    with occurrence counts, so the interaction join is bounded at
+    |Q|·C · 16 · |doc vocab| rows at any corpus size, and every stage
+    after retrieval is queries×depth-bounded — the same discipline as
+    [[mmr_rerank_topk]]."""
+    docs = load_table(spark, sf_dir, "documents")
+    first = _first_stage_candidates(spark, sf_dir).localCheckpoint(
+        eager=True
+    )  # |Q|·_CE_DEPTH rows, consumed twice (candidate ids + pair join)
+    tv = _token_vectors(docs)
+    split_toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    qtok = (
+        docs.where(F.col("doc_id") < _N_QUERIES)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice(split_toks, 1, _LI_QTOK)).alias("token"),
+        )
+        .groupBy("query_id", "token")
+        .agg(F.count("*").cast("bigint").alias("mult"))
+    )
+    dtok = (
+        docs.join(first.select("doc_id").distinct(), "doc_id")
+        .select(
+            "doc_id",
+            F.explode(F.slice(split_toks, 1, _LI_DTOK)).alias("token"),
+        )
+        .distinct()
+    )
+    qv = qtok.join(F.broadcast(tv), "token").select(
+        "query_id",
+        F.col("token").alias("qtoken"),
+        "mult",
+        *[F.col(f"v{j}").alias(f"q{j}") for j in range(_LI_DIM)],
+    )
+    dv = dtok.join(F.broadcast(tv), "token").select(
+        "doc_id", *[F.col(f"v{j}").alias(f"d{j}") for j in range(_LI_DIM)]
+    )
+    dot = sum(F.col(f"q{j}") * F.col(f"d{j}") for j in range(_LI_DIM))
+    maxsim = (
+        first.join(F.broadcast(qv), "query_id")
+        .join(F.broadcast(dv), "doc_id")
+        .groupBy("query_id", "doc_id", "fs_rank", "qtoken", "mult")
+        .agg(F.max(dot).alias("ms"))
+    )
+    scored = maxsim.groupBy("query_id", "doc_id", "fs_rank").agg(
+        F.sum(F.col("mult") * F.col("ms")).cast("bigint").alias("li_score")
+    )
+    w_li = Window.partitionBy("query_id").orderBy(
+        F.col("li_score").desc(), F.col("fs_rank").asc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("li_rank", F.row_number().over(w_li).cast("bigint"))
+        .where(F.col("li_rank") <= _CE_K)
+        .select("query_id", "li_rank", "doc_id", "li_score", "fs_rank")
+    )
+
+
+def _li_rerank_sql() -> str:
+    from ..functions import hex_to_bigint_sql
+
+    comps = ",\n               ".join(
+        f"{hex_to_bigint_sql(f'substr(h, {2 * j + 1}, 2)', width=2)} - 128"
+        f" AS v{j}"
+        for j in range(_LI_DIM)
+    )
+    dot = " + ".join(f"qv.v{j} * dv.v{j}" for j in range(_LI_DIM))
+    return rf"""
+    WITH {_sparse_ret_cte()},
+    {_first_stage_cte()},
+    tokvec AS MATERIALIZED (
+        SELECT token,
+               {comps}
+        FROM (
+            SELECT token, sha256(token) AS h
+            FROM (
+                SELECT DISTINCT unnest(regexp_split_to_array(
+                           trim(lower(text)), '\s+')) AS token
+                FROM documents
+            )
+        )
+    ),
+    qtok AS (
+        SELECT doc_id AS query_id, token, CAST(count(*) AS BIGINT) AS mult
+        FROM (
+            SELECT doc_id,
+                   unnest((regexp_split_to_array(trim(lower(text)),
+                           '\s+'))[1:{_LI_QTOK}]) AS token
+            FROM documents WHERE doc_id < {_N_QUERIES}
+        )
+        GROUP BY 1, 2
+    ),
+    dtok AS (
+        SELECT DISTINCT d.doc_id,
+               unnest((regexp_split_to_array(trim(lower(d.text)),
+                       '\s+'))[1:{_LI_DTOK}]) AS token
+        FROM documents d
+        JOIN (SELECT DISTINCT doc_id FROM first) c ON c.doc_id = d.doc_id
+    ),
+    maxsim AS (
+        SELECT f.query_id, f.doc_id, f.fs_rank, q.token, q.mult,
+               max({dot}) AS ms
+        FROM first f
+        JOIN qtok q ON q.query_id = f.query_id
+        JOIN tokvec qv ON qv.token = q.token
+        JOIN dtok dt ON dt.doc_id = f.doc_id
+        JOIN tokvec dv ON dv.token = dt.token
+        GROUP BY 1, 2, 3, 4, 5
+    ),
+    scored AS (
+        SELECT query_id, doc_id, fs_rank,
+               CAST(sum(mult * ms) AS BIGINT) AS li_score
+        FROM maxsim
+        GROUP BY 1, 2, 3
+    )
+    SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY li_score DESC, fs_rank ASC, doc_id ASC)
+                AS BIGINT) AS li_rank,
+           doc_id, li_score, fs_rank
+    FROM scored
+    QUALIFY li_rank <= {_CE_K}
+"""
+
+
+_LI_RERANK_SQL = _li_rerank_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -3497,6 +3701,7 @@ QUERIES = {
     "ann_topk_filtered": ann_topk_filtered,
     "mmr_rerank_topk": mmr_rerank_topk,
     "cross_encoder_rerank": cross_encoder_rerank,
+    "late_interaction_rerank": late_interaction_rerank,
     "cluster_silhouette": cluster_silhouette,
     "retrieval_rank_agreement": retrieval_rank_agreement,
     "whitening_check": whitening_check,
@@ -3528,6 +3733,7 @@ ORACLES = {
     "ann_topk_filtered": _ANN_IVF_FILTERED_SQL,
     "mmr_rerank_topk": _MMR_SQL,
     "cross_encoder_rerank": _CE_RERANK_SQL,
+    "late_interaction_rerank": _LI_RERANK_SQL,
     "cluster_silhouette": _SILHOUETTE_SQL,
     "retrieval_rank_agreement": _RRA_SQL,
     "whitening_check": _WHITEN_SQL,

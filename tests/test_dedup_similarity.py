@@ -660,3 +660,95 @@ def test_minhash_index_fold_equals_one_shot(spark, tmp_path):
     # so agreement requires the batch-vs-INDEX join to have fired
     cross = {p for p in folded if p[0] < 50 <= p[1]}
     assert len(cross) >= 20, f"only {len(cross)} cross-split pairs found"
+
+
+def _li_replay(docs_rows, n_queries=5, qtok=16, dtok=64, dim=8, depth=20, k=5):
+    """Pure-python MaxSim replay: token vectors from sha256 bytes, the
+    bigram tf-idf first stage re-used from the Spark result (callers
+    pass fs_rank), truncation/multiplicity semantics as documented."""
+    import hashlib
+
+    def vec(tok):
+        h = hashlib.sha256(tok.encode()).hexdigest()
+        return [int(h[2 * j : 2 * j + 2], 16) - 128 for j in range(dim)]
+
+    def toks(text):
+        import re
+
+        return re.split(r"[ \t\n\x0b\f\r]+", text.lower().strip(" "))
+
+    texts = {d: t for d, t in docs_rows}
+
+    def score(qid, did):
+        qts = toks(texts[qid])[:qtok]
+        dts = set(toks(texts[did])[:dtok])
+        total = 0
+        for qt in qts:
+            qv = vec(qt)
+            total += max(
+                sum(a * b for a, b in zip(qv, vec(dt))) for dt in dts
+            )
+        return total
+
+    return score
+
+
+def test_late_interaction_rerank_replay_and_clone_agreement(spark, tmp_path):
+    """Two gates in one planted corpus:
+
+    1. REPLAY — every li_score equals a pure-python MaxSim replay
+       (sha256-byte token vectors, 16/64 truncation, per-occurrence
+       query-token multiplicity, distinct doc tokens), pinning the
+       operator's arithmetic end to end.
+    2. AGREEMENT vs the cross-encoder — on the case where the two
+       re-rankers MUST agree (an exact clone of the query among the
+       candidates), both put the clone at rank 1. A statistical
+       overlap gate would be dishonest here: on the synthetic corpus
+       the sha256 stand-in embeddings are lexically meaningless, so
+       CE/LI top-5 overlap is measured at 0-2 of 5 (documented in
+       SCALE.md) — the clone case is the invariant that survives any
+       embedding."""
+    from azure_sales_etl_pipeline_spark.plans.similarity import (
+        cross_encoder_rerank,
+        late_interaction_rerank,
+    )
+
+    def filler(tag, n):
+        return " ".join(f"{tag}{j}" for j in range(n))
+
+    rows = [
+        (0, "red fox jumps high over lazy dog", "en", "web", 0),  # query
+        (1, filler("qa", 6), "en", "web", 0),
+        (2, filler("qb", 6), "en", "web", 0),
+        (3, filler("qc", 6), "en", "web", 0),
+        (4, filler("qd", 6), "en", "web", 0),
+        (10, "red fox jumps high over lazy dog", "en", "web", 0),  # clone
+        (11, "red fox jumps high extra words here", "en", "web", 0),
+        (12, "red fox " * 5 + filler("z", 12), "en", "web", 0),
+        (13, filler("u", 8), "en", "web", 0),
+        (14, filler("v", 8), "en", "web", 0),
+        (15, filler("w", 8), "en", "web", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    li = [
+        r
+        for r in late_interaction_rerank(spark, str(tmp_path)).collect()
+        if r["query_id"] == 0
+    ]
+    assert li, "query 0 produced no re-ranked rows"
+    score = _li_replay([(r[0], r[1]) for r in rows])
+    for r in li:
+        assert r["li_score"] == score(0, r["doc_id"]), r
+    li_first = min(li, key=lambda r: r["li_rank"])
+    assert li_first["doc_id"] == 10  # the exact clone wins MaxSim
+
+    ce = [
+        r
+        for r in cross_encoder_rerank(spark, str(tmp_path)).collect()
+        if r["query_id"] == 0
+    ]
+    ce_first = min(ce, key=lambda r: r["ce_rank"])
+    assert ce_first["doc_id"] == 10  # ...and the cross-encoder agrees
