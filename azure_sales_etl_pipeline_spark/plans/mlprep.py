@@ -253,11 +253,20 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sequence()`` + ``explode`` whose width is ceil(doc/context) —
     bounded per doc, no shuffle. An EOD separator is a constant +1 on
     ``n_tokens`` behind the same arithmetic."""
-    from pyspark.sql.window import Window as W
-
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens")
     )
+    return _pack_segments(docs)
+
+
+def _pack_segments(docs: DataFrame) -> DataFrame:
+    """The concat-and-chunk packing kernel behind [[pack_sequences]]
+    and the pack stage of [[curation_pipeline_end_to_end]]: input is
+    any ``(doc_id, n_tokens)`` frame; output the (seq_id, doc_id)
+    segment map. Two-phase distributed prefix sum — never a
+    single-partition global window."""
+    from pyspark.sql.window import Window as W
+
     # Same materialization discipline as token_budget_shards: pin the
     # (pid, row) layout so the cumsum branch and the totals branch
     # describe the same partitioning.
@@ -512,6 +521,218 @@ def _funnel_sql() -> str:
            count(*) FILTER (ql_ok AND rn = 1 AND split = 'train') AS n_train
     FROM flagged
     """
+
+
+def curation_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data curation pipeline as ONE composed run —
+    exact dedup → MinHash near-dup → boilerplate-chunk rewrite →
+    quality filter → decontaminate → sequence packing — with the
+    per-stage row-attrition report a curation team actually ships
+    (r11 verdict item 6; the curation counterpart of
+    [[pipeline_end_to_end]]'s medallion composition). Each stage
+    REUSES the registered stage's kernel, not a re-derivation:
+    [[exact_dedup]]'s normalized fingerprint, [[minhash_lsh_candidates]]
+    wholesale (pairs filtered to both-survivors — provably identical
+    to re-running LSH on survivors, since exact-dup copies share
+    shingles hence buckets), [[chunk_dedup_rewrite]]'s ``_chunk_marked``
+    + ``_rebuilt_agg`` with boilerplate RE-DECIDED among survivors,
+    [[doc_quality]]'s keep flag over the REWRITTEN text,
+    [[bloom_decontaminate]] wholesale (original-text fingerprints — a
+    doc's eval-set identity is unchanged by the rewrite), and
+    [[pack_sequences]]' ``_pack_segments`` over surviving rewritten
+    token counts. The pack row's ``rows_out`` is the number of packed
+    SEQUENCES (unit change; ``rows_dropped`` is NULL there), counted
+    from the real segment map — the oracle pins it to the closed form
+    ceil(Σ tokens / context), so the distributed prefix-sum packing is
+    end-to-end verified inside the composition.
+
+    Scale shape: each stage keeps its own audited plan (this function
+    adds only semi-/anti-joins on doc_id between stages); survivor
+    frames are localCheckpointed so stage N+1 never re-runs stages
+    1..N; the only driver-side values are the six stage counts — the
+    report IS control-plane data. At 100 TB the checkpoints become the
+    persisted inter-stage tables every curation run materializes
+    anyway (resume/inspect points), which is how the reference's
+    medallion layers work too (1_Landing_to_Bronze.py →
+    3_Silver_to_Gold.py)."""
+    from .dedup import _norm_fingerprint, minhash_lsh_candidates
+    from .textops import _WS as _T_WS
+    from .textops import _chunk_marked, _quality_exprs, _rebuilt_agg
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n0 = docs.count()
+
+    keepers = (
+        docs.select("doc_id", _norm_fingerprint().alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s1 = docs.join(keepers, "doc_id", "left_semi").localCheckpoint()
+    n1 = s1.count()
+
+    pairs = minhash_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    ids1 = s1.select("doc_id")
+    near_drops = (
+        pairs.join(
+            ids1.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi"
+        )
+        .join(ids1.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    s2 = s1.join(near_drops, "doc_id", "left_anti").localCheckpoint()
+    n2 = s2.count()
+
+    rebuilt = _chunk_marked(s2).groupBy("doc_id").agg(
+        _rebuilt_agg().alias("text")
+    )
+    s3 = rebuilt.where(F.col("text") != "").localCheckpoint()
+    n3 = s3.count()
+
+    s4 = s3.where(_quality_exprs()["keep"]).localCheckpoint()
+    n4 = s4.count()
+
+    from .mlprep import bloom_decontaminate as _bloom  # self-module clarity
+
+    clean_ids = _bloom(spark, sf_dir).select("doc_id")
+    s5 = s4.join(clean_ids, "doc_id", "left_semi").localCheckpoint()
+    n5 = s5.count()
+
+    segs = _pack_segments(
+        s5.select(
+            "doc_id",
+            F.size(F.split(F.trim(F.col("text")), _T_WS)).alias("n_tokens"),
+        )
+    )
+    n6 = segs.select("seq_id").distinct().count()
+
+    stages = [
+        (1, "exact_dedup", n0, n1),
+        (2, "near_dup", n1, n2),
+        (3, "boilerplate_rewrite", n2, n3),
+        (4, "quality_filter", n3, n4),
+        (5, "decontaminate", n4, n5),
+        (6, "pack", n5, n6),
+    ]
+    rows = [
+        (o, s, i, out, (i - out) if s != "pack" else None)
+        for o, s, i, out in stages
+    ]
+    return local_df(
+        spark,
+        rows,
+        "stage_ord bigint, stage string, rows_in bigint,"
+        " rows_out bigint, rows_dropped bigint",
+    )
+
+
+def _curation_pipeline_sql() -> str:
+    from .dedup import _MINHASH_LSH_SQL
+    from .textops import _CDR_MIN_DOCS, _CDR_W
+
+    return rf"""
+    WITH s1 AS MATERIALIZED (
+        SELECT doc_id, text FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY sha256(lower(regexp_replace(trim(text),
+                                                     '\s+', ' ', 'g')))
+            ORDER BY doc_id) = 1
+    ),
+    pairs AS MATERIALIZED ({_MINHASH_LSH_SQL}),
+    s2 AS MATERIALIZED (
+        SELECT s1.doc_id, s1.text FROM s1
+        WHERE s1.doc_id NOT IN (
+            SELECT p.doc_b FROM pairs p
+            JOIN s1 a ON a.doc_id = p.doc_a
+            JOIN s1 b ON b.doc_id = p.doc_b
+        )
+    ),
+    ct AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM s2
+    ),
+    cc AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(
+                   t[i * {_CDR_W} + 1 : i * {_CDR_W} + {_CDR_W}], ' '
+               ) AS chunk
+        FROM ct, unnest(range(0, (len(t) + {_CDR_W - 1}) // {_CDR_W}))
+                 AS u(i)
+    ),
+    cb AS (
+        SELECT chunk FROM cc GROUP BY chunk
+        HAVING count(DISTINCT doc_id) >= {_CDR_MIN_DOCS}
+    ),
+    s3 AS MATERIALIZED (
+        SELECT doc_id, text FROM (
+            SELECT m.doc_id,
+                   coalesce(array_to_string(
+                       list(m.chunk ORDER BY m.pos ASC)
+                           FILTER (WHERE cb.chunk IS NULL), ' '
+                   ), '') AS text
+            FROM cc m LEFT JOIN cb ON cb.chunk = m.chunk
+            GROUP BY m.doc_id
+        )
+        WHERE text != ''
+    ),
+    s4 AS MATERIALIZED (
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   regexp_split_to_array(trim(text), '\s+') AS toks,
+                   length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                       AS punct
+            FROM s3
+        )
+        WHERE len(toks) >= 10
+          AND round(list_sum(list_transform(toks, w -> length(w))) * 1.0
+                    / greatest(len(toks), 1), 4) >= 2.0
+          AND round(list_sum(list_transform(toks, w -> length(w))) * 1.0
+                    / greatest(len(toks), 1), 4) <= 12.0
+          AND round(punct * 1.0 / greatest(length(text), 1), 4) < 0.2
+    ),
+    s5 AS MATERIALIZED (
+        SELECT s4.doc_id, s4.text FROM s4
+        JOIN documents d ON d.doc_id = s4.doc_id
+        WHERE sha256(trim(d.text)) NOT IN (
+            SELECT sha256(trim(text)) FROM documents WHERE doc_id % 20 = 0
+        )
+    ),
+    packed AS (
+        SELECT CAST((total + {_PACK_CONTEXT - 1}) // {_PACK_CONTEXT}
+                    AS BIGINT) AS n_seqs
+        FROM (
+            SELECT coalesce(sum(len(regexp_split_to_array(trim(text),
+                                                          '\s+'))), 0)
+                       AS total
+            FROM s5
+        )
+    ),
+    counts AS (
+        SELECT (SELECT count(*) FROM documents) AS n0,
+               (SELECT count(*) FROM s1) AS n1,
+               (SELECT count(*) FROM s2) AS n2,
+               (SELECT count(*) FROM s3) AS n3,
+               (SELECT count(*) FROM s4) AS n4,
+               (SELECT count(*) FROM s5) AS n5,
+               (SELECT n_seqs FROM packed) AS n6
+    )
+    SELECT CAST(stage_ord AS BIGINT) AS stage_ord, stage,
+           CAST(rows_in AS BIGINT) AS rows_in,
+           CAST(rows_out AS BIGINT) AS rows_out,
+           CAST(rows_dropped AS BIGINT) AS rows_dropped
+    FROM (
+        SELECT 1 AS stage_ord, 'exact_dedup' AS stage,
+               n0 AS rows_in, n1 AS rows_out, n0 - n1 AS rows_dropped
+        FROM counts
+        UNION ALL SELECT 2, 'near_dup', n1, n2, n1 - n2 FROM counts
+        UNION ALL SELECT 3, 'boilerplate_rewrite', n2, n3, n2 - n3
+            FROM counts
+        UNION ALL SELECT 4, 'quality_filter', n3, n4, n3 - n4 FROM counts
+        UNION ALL SELECT 5, 'decontaminate', n4, n5, n4 - n5 FROM counts
+        UNION ALL SELECT 6, 'pack', n5, n6, NULL FROM counts
+    )
+"""
 
 
 _CC_JACCARD_MIN = 0.6
@@ -3312,6 +3533,7 @@ QUERIES = {
     "pack_sequences": pack_sequences,
     "pack_sequences_greedy": pack_sequences_greedy,
     "curation_funnel": curation_funnel,
+    "curation_pipeline_end_to_end": curation_pipeline_end_to_end,
     "dedup_clusters": dedup_clusters,
     "cluster_representatives": cluster_representatives,
     "supplier_copurchase_pagerank": supplier_copurchase_pagerank,
@@ -3351,6 +3573,7 @@ ORACLES = {
     "pack_sequences": _PACK_SQL,
     "pack_sequences_greedy": _PACK_GREEDY_SQL,
     "curation_funnel": _funnel_sql(),
+    "curation_pipeline_end_to_end": _curation_pipeline_sql(),
     "dedup_clusters": _CC_SQL,
     "cluster_representatives": _REPS_SQL,
     "supplier_copurchase_pagerank": _pagerank_sql(),

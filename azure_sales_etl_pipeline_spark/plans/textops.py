@@ -1893,6 +1893,68 @@ _CDR_W = 8  # chunk width, tokens (non-overlapping grain)
 _CDR_MIN_DOCS = 2  # a chunk in >= this many distinct docs is boilerplate
 
 
+def _chunk_marked(docs: DataFrame) -> DataFrame:
+    """``(doc_id, pos, chunk, is_dup)`` — the shared chunking +
+    boilerplate-marking kernel behind [[chunk_dedup_rewrite]] and the
+    rewrite stage of [[curation_pipeline_end_to_end]]: consecutive
+    non-overlapping ``_CDR_W``-token chunks, marked boilerplate when
+    the exact chunk text appears in >= ``_CDR_MIN_DOCS`` distinct docs
+    OF THE GIVEN FRAME (full corpus for the registered query, the
+    surviving slice inside the pipeline). One chunk-key shuffle with
+    map-side combine; marking re-joins on the same key (exchange
+    reuse)."""
+    toks = _tokens()
+    n_chunks = F.expr(f"CAST((size(t) + {_CDR_W - 1}) div {_CDR_W} AS INT)")
+    chunks = docs.select("doc_id", toks.alias("t")).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("t"), i * _CDR_W + 1, _CDR_W), " "
+                ),
+            )
+        ).alias("pos", "chunk"),
+    )
+    chunks = plan_barrier(chunks)
+    boiler = (
+        chunks.groupBy("chunk")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= _CDR_MIN_DOCS)
+        .select("chunk", F.lit(True).alias("is_dup"))
+    )
+    return chunks.join(boiler, "chunk", "left").select(
+        "doc_id",
+        "pos",
+        "chunk",
+        F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
+    )
+
+
+def _rebuilt_agg() -> Column:
+    """Aggregate Column reassembling a document from its surviving
+    (non-boilerplate) chunks in original order — shared by
+    [[chunk_dedup_rewrite]] and the pipeline rewrite stage. Empty when
+    every chunk was boilerplate."""
+    return F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        ~F.col("is_dup"),
+                        F.struct(
+                            F.col("pos").alias("pos"),
+                            F.col("chunk").alias("chunk"),
+                        ),
+                    )
+                )
+            ),
+            lambda s: s["chunk"],
+        ),
+        " ",
+    )
+
+
 def chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate-chunk REMOVAL with document reassembly — the C4 /
     RefinedWeb curation step [[repeated_spans]] only *reports*: split
@@ -1918,32 +1980,7 @@ def chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     [[repeated_spans]]); boilerplate is a HAVING-filtered aggregate, so
     no corpus-sized broadcast anywhere."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens()
-    n_chunks = F.expr(f"CAST((size(t) + {_CDR_W - 1}) div {_CDR_W} AS INT)")
-    chunks = docs.select("doc_id", toks.alias("t")).select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.array_join(
-                    F.slice(F.col("t"), i * _CDR_W + 1, _CDR_W), " "
-                ),
-            )
-        ).alias("pos", "chunk"),
-    )
-    chunks = plan_barrier(chunks)
-    boiler = (
-        chunks.groupBy("chunk")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= _CDR_MIN_DOCS)
-        .select("chunk", F.lit(True).alias("is_dup"))
-    )
-    marked = chunks.join(boiler, "chunk", "left").select(
-        "doc_id",
-        "pos",
-        "chunk",
-        F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
-    )
+    marked = _chunk_marked(docs)
     return (
         marked.groupBy("doc_id")
         .agg(
@@ -1957,23 +1994,7 @@ def chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("bigint")
             .alias("n_tokens_removed"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                ~F.col("is_dup"),
-                                F.struct(
-                                    F.col("pos").alias("pos"),
-                                    F.col("chunk").alias("chunk"),
-                                ),
-                            )
-                        )
-                    ),
-                    lambda s: s["chunk"],
-                ),
-                " ",
-            ).alias("rebuilt"),
+            _rebuilt_agg().alias("rebuilt"),
         )
         .where(F.col("n_removed") >= 1)
         .select(

@@ -856,3 +856,70 @@ def test_epoch_waterfill_matches_python_replay(spark, tmp_path):
     assert out["tiny"]["capped"] is True and out["tiny"]["epochs_milli"] == 4000
     assert out["huge"]["capped"] is False
     assert sum(r["alloc_tokens"] for r in out.values()) <= B
+
+
+def test_curation_pipeline_planted_attrition(spark, tmp_path):
+    """Planted corpus where every stage's attrition is known exactly:
+
+    - 3 byte-identical copies of one doc  -> exact_dedup drops 2
+    - 1 near-copy of another doc (jaccard >= 0.5, different
+      fingerprint) -> near_dup drops 1
+    - 1 doc made ENTIRELY of two 8-token chunks each shared with a
+      DIFFERENT surviving doc (low pairwise jaccard, so near-dup
+      can't touch it) -> rewrite empties it, drops 1; the sharers
+      each lose that one chunk but survive
+    - 1 doc of too-short gibberish -> quality drops 1
+    - doc_id % 20 == 0 is the eval blocklist (doc 0) ->
+      decontaminate drops it after it survives everything else
+    - pack: rows_out == ceil(total surviving REWRITTEN tokens / 512)
+    Also pins the order-dependence that makes the composition more
+    than a join of stage outputs: doc 1's chunks would be boilerplate
+    against its exact/near copies, but those die in earlier stages,
+    so doc 1 keeps its text.
+    """
+    from azure_sales_etl_pipeline_spark.plans.mlprep import (
+        curation_pipeline_end_to_end,
+    )
+
+    base = " ".join(f"w{i} x{i} y{i} z{i}" for i in range(10))  # 40 toks
+    near = base + " tail1 tail2 tail3"  # high shingle overlap with base
+    chunk_a = " ".join(f"na{i}" for i in range(8))  # 8-token nav bar
+    chunk_b = " ".join(f"nb{i}" for i in range(8))  # 8-token footer
+    good40 = lambda tag: " ".join(
+        f"{tag}{i} the of and to" for i in range(8)
+    )  # 40 unique-ish tokens
+    rows = [
+        (0, good40("e") + " in extra end", "en", "web", 0),  # eval doc
+        (1, base, "en", "web", 0),
+        (2, base, "en", "web", 0),  # exact dup of 1
+        (3, base, "en", "web", 0),  # exact dup of 1
+        (4, near, "en", "web", 0),  # near-dup of 1
+        (5, chunk_a + " " + chunk_b, "en", "web", 0),  # pure boilerplate
+        (6, chunk_a + " " + good40("a"), "en", "web", 0),  # loses chunk_a
+        (7, "short text here now", "en", "web", 0),  # quality drop
+        (8, chunk_b + " " + good40("b"), "en", "web", 0),  # loses chunk_b
+        (9, good40("c") + " in final words", "en", "web", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    rep = {
+        r["stage"]: r
+        for r in curation_pipeline_end_to_end(spark, str(tmp_path)).collect()
+    }
+    assert rep["exact_dedup"]["rows_in"] == 10
+    assert rep["exact_dedup"]["rows_dropped"] == 2  # docs 2, 3
+    assert rep["near_dup"]["rows_dropped"] == 1  # doc 4
+    assert rep["boilerplate_rewrite"]["rows_dropped"] == 1  # doc 5
+    assert rep["quality_filter"]["rows_dropped"] == 1  # doc 7
+    assert rep["decontaminate"]["rows_dropped"] == 1  # doc 0
+    # survivors 1, 6, 8, 9 with rewritten token counts 40+40+40+43
+    # -> one 512-token sequence
+    assert rep["pack"]["rows_in"] == 4
+    assert rep["pack"]["rows_out"] == 1
+    assert rep["pack"]["rows_dropped"] is None
+    # chain integrity: every stage's rows_in is the prior stage's rows_out
+    by_ord = sorted(rep.values(), key=lambda r: r["stage_ord"])
+    for prev, cur in zip(by_ord, by_ord[1:]):
+        assert cur["rows_in"] == prev["rows_out"]
