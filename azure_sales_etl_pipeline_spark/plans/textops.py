@@ -3174,6 +3174,144 @@ def _dsir_sql() -> str:
 """
 
 
+# ---------------------------------------------------------------------------
+# repetition-signal quality filter (Gopher Table A1 family)
+# ---------------------------------------------------------------------------
+
+# Thresholds in integer permille, set from the measured corpus
+# distribution (sf0.01: dup-bigram p90 = 65, top-bigram-share p90 = 68,
+# dup-trigram ~0 except pathological docs) so the keep flag actually
+# discriminates here. Gopher's published natural-text thresholds (e.g.
+# duplicate-2-gram fraction 0.20) would keep everything on this
+# synthetic ~30-word-vocabulary corpus — the POINT of the signals is
+# that thresholds are set per-corpus from exactly this distribution.
+_REP_MAX_DUP_BIGRAM = 65
+_REP_MAX_TOP_BIGRAM = 68
+_REP_MAX_DUP_TRIGRAM = 50
+
+
+def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document REPETITION signals — the Gopher/MassiveText filter
+    family (Rae et al. 2021, Table A1) that [[doc_quality]]'s
+    length/punctuation heuristics don't cover: templated or
+    looping-generator text shows up as duplicated n-grams long before
+    it fails a length check. Signals (all integer permille, exact):
+    duplicate-token fraction, duplicate-bigram fraction,
+    duplicate-trigram fraction, and the share of the single most
+    frequent bigram; plus the composite ``keep_repetition`` flag at
+    corpus-calibrated thresholds.
+
+    Scale shape: token/trigram duplication is a NARROW map (per-doc
+    array ops — size vs array_distinct size; no shuffle). The bigram
+    stats need the per-(doc, bigram) count grain for the top-share
+    signal, so they ride ONE map-side-combined shuffle on (doc_id,
+    bigram) and re-aggregate to the doc grain; the two doc-grain
+    branches join on doc_id. Nothing is corpus²; every row count is
+    ≤ total tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = plan_barrier(docs.select("doc_id", _tokens().alias("t")))
+    narrow = base.select(
+        "doc_id",
+        F.size("t").alias("n_tok"),
+        F.expr(
+            "CAST((size(t) - size(array_distinct(t))) * 1000"
+            " div greatest(size(t), 1) AS BIGINT)"
+        ).alias("dup_token_permille"),
+        F.expr(
+            "CAST(CASE WHEN size(t) >= 3 THEN"
+            " (CAST(size(t) - 2 - size(array_distinct("
+            "transform(sequence(1, size(t) - 2),"
+            " i -> concat_ws(' ', t[i-1], t[i], t[i+1])))) AS BIGINT)"
+            " * 1000) div (size(t) - 2)"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("dup_trigram_permille"),
+    )
+    bigrams = F.expr(
+        "transform(sequence(1, size(t) - 1),"
+        " i -> concat_ws(' ', t[i-1], t[i]))"
+    )
+    bg = base.where(F.size("t") >= 2).select(
+        "doc_id", F.explode(bigrams).alias("bg")
+    )
+    bg_doc = (
+        bg.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "CAST((sum(c) - count(*)) * 1000 div sum(c) AS BIGINT)"
+            ).alias("dup_bigram_permille"),
+            F.expr("CAST(max(c) * 1000 div sum(c) AS BIGINT)").alias(
+                "top_bigram_permille"
+            ),
+        )
+    )
+    out = narrow.join(bg_doc, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tok").cast("bigint").alias("n_tokens"),
+        "dup_token_permille",
+        F.coalesce("dup_bigram_permille", F.lit(0))
+        .cast("bigint")
+        .alias("dup_bigram_permille"),
+        "dup_trigram_permille",
+        F.coalesce("top_bigram_permille", F.lit(0))
+        .cast("bigint")
+        .alias("top_bigram_permille"),
+    )
+    return out.withColumn(
+        "keep_repetition",
+        (F.col("dup_bigram_permille") <= _REP_MAX_DUP_BIGRAM)
+        & (F.col("top_bigram_permille") <= _REP_MAX_TOP_BIGRAM)
+        & (F.col("dup_trigram_permille") <= _REP_MAX_DUP_TRIGRAM),
+    )
+
+
+_REPETITION_SQL = rf"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    narrow AS (
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST((len(t) - len(list_distinct(t))) * 1000
+                    // greatest(len(t), 1) AS BIGINT)
+                   AS dup_token_permille,
+               CAST(CASE WHEN len(t) >= 3 THEN
+                   ((len(t) - 2) - len(list_distinct(list_transform(
+                        range(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))))
+                   * 1000 // (len(t) - 2)
+               ELSE 0 END AS BIGINT) AS dup_trigram_permille
+        FROM t
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i+1])) AS bg
+        FROM t WHERE len(t) >= 2
+    ),
+    bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+    bgd AS (
+        SELECT doc_id,
+               CAST((sum(c) - count(*)) * 1000 // sum(c) AS BIGINT)
+                   AS dup_bigram_permille,
+               CAST(max(c) * 1000 // sum(c) AS BIGINT)
+                   AS top_bigram_permille
+        FROM bgc GROUP BY doc_id
+    )
+    SELECT n.doc_id, n.n_tokens, n.dup_token_permille,
+           coalesce(b.dup_bigram_permille, 0) AS dup_bigram_permille,
+           n.dup_trigram_permille,
+           coalesce(b.top_bigram_permille, 0) AS top_bigram_permille,
+           (coalesce(b.dup_bigram_permille, 0) <= {_REP_MAX_DUP_BIGRAM}
+            AND coalesce(b.top_bigram_permille, 0) <= {_REP_MAX_TOP_BIGRAM}
+            AND n.dup_trigram_permille <= {_REP_MAX_DUP_TRIGRAM})
+               AS keep_repetition
+    FROM narrow n LEFT JOIN bgd b ON b.doc_id = n.doc_id
+"""
+
+
 QUERIES = {
     "bm25_topterms": bm25_topterms,
     "bm25_retrieval_topk": bm25_retrieval_topk,
@@ -3190,6 +3328,7 @@ QUERIES = {
     "source_curation_rollup": source_curation_rollup,
     "winnowing_fingerprints": winnowing_fingerprints,
     "doc_quality": doc_quality,
+    "gopher_repetition_signals": gopher_repetition_signals,
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
     "term_frequencies": term_frequencies,
@@ -3224,6 +3363,7 @@ ORACLES = {
     "source_curation_rollup": _source_rollup_sql(),
     "winnowing_fingerprints": _WINNOW_SQL,
     "doc_quality": _QUALITY_SQL,
+    "gopher_repetition_signals": _REPETITION_SQL,
     "lang_id": _LANG_SQL,
     "doc_fingerprint": _FINGERPRINT_SQL,
     "term_frequencies": _TF_SQL,

@@ -750,3 +750,40 @@ def test_dp_noisy_counts_seed_and_bounds(spark, tmp_path):
     # determinism: same inputs, identical release
     r1b = {r["nation"]: r["noisy_count_milli"] for r in dp_noisy_counts(spark, d1).collect()}
     assert r1 == r1b
+
+
+def test_gopher_repetition_flags_looping_text(spark, tmp_path):
+    """A looping-generator doc (one bigram dominating) must fail the
+    repetition gate; a diverse doc of the same length must pass; the
+    permille arithmetic is pinned exactly for both."""
+    from azure_sales_etl_pipeline_spark.plans.textops import (
+        gopher_repetition_signals,
+    )
+
+    loop = "buy now " * 20  # 40 tokens, one bigram everywhere
+    diverse = " ".join(f"tok{i}" for i in range(40))
+    spark.createDataFrame(
+        [
+            (1, loop.strip(), "en", "web", 0),
+            (2, diverse, "en", "web", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        r["doc_id"]: r
+        for r in gopher_repetition_signals(spark, str(tmp_path)).collect()
+    }
+    r1, r2 = out[1], out[2]
+    # loop doc: 40 tokens, 2 distinct -> dup_token = 38000//40 = 950
+    assert r1["dup_token_permille"] == 950
+    # 39 bigrams, 2 distinct ("buy now", "now buy") -> dup = 37*1000//39
+    assert r1["dup_bigram_permille"] == 37000 // 39
+    # "buy now" appears 20x of 39 -> top share 20000//39
+    assert r1["top_bigram_permille"] == 20000 // 39
+    assert r1["keep_repetition"] is False
+    assert r2["dup_token_permille"] == 0
+    assert r2["dup_bigram_permille"] == 0
+    assert r2["dup_trigram_permille"] == 0
+    assert r2["top_bigram_permille"] == 1000 // 39  # every bigram unique
+    assert r2["keep_repetition"] is True
