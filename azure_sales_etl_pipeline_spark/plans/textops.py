@@ -2514,6 +2514,166 @@ _BM25_RETRIEVAL_SQL = _bm25_retrieval_sql()
 
 
 # ---------------------------------------------------------------------------
+# graded retrieval evaluation (NDCG@k)
+# ---------------------------------------------------------------------------
+
+# 1e6 / log2(rank + 1) floored to integer micro-units — the DCG discount
+# weights as SPEC CONSTANTS (computed once here, embedded as identical
+# literals in the Spark plan and the SQL oracle, the BM25-k1/b idiom) so
+# no transcendental function runs at query time and the DCG sum is an
+# order-free exact integer on both engines.
+import math as _math
+
+_NDCG_W = tuple(
+    _math.floor(1_000_000 / _math.log2(r + 1))
+    for r in range(1, _BM25R_TOP_K + 1)
+)
+# graded relevance from query-unigram containment (integer permille)
+_NDCG_GRADE_BOUNDS = ((750, 7), (500, 3), (250, 1))  # (min permille, 2^rel-1)
+
+
+def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the [[bm25_retrieval_topk]] ranking against a
+    deterministic graded-relevance truth — the standard ranking-quality
+    measurement a retrieval stack reports (Järvinen & Kekäläinen 2002),
+    completing the eval suite around [[ann_recall_check]] (set overlap,
+    ungraded) and [[retrieval_rank_agreement]] (inter-retriever, no
+    truth). Relevance grade = query-unigram containment of the
+    candidate in integer permille, bucketed to gains 2^rel−1 ∈
+    {0,1,3,7}; DCG discounts are the module-constant integer
+    micro-weights ``_NDCG_W`` (see comment), so DCG, ideal DCG, and
+    NDCG are all exact integers — bit-identical cross-engine with no
+    float anywhere.
+
+    Scale shape: the corpus-sized work is the BM25 leg (reused
+    wholesale — posting-list equi-join, broadcast query terms);
+    everything here joins the |Q|·k retrieved rows back to their token
+    arrays (doc_id join) plus a broadcast of the |Q| query unigram
+    sets, then two bounded per-query windows (observed rank is already
+    there; ideal rank is a gain-desc re-rank of ≤k rows). Eval cost is
+    independent of corpus size — the property that lets it run as a
+    per-crawl-increment quality gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    uni = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.split(F.trim(F.lower(F.col("text"))), _WS)
+        ).alias("u"),
+    )
+    hits = bm25_retrieval_topk(spark, sf_dir).select(
+        "query_id", "rank", "doc_id"
+    )
+    qsets = uni.where(F.col("doc_id") < _BM25R_N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), F.col("u").alias("qu")
+    )
+    cont = F.expr(
+        "CAST(1000 * size(array_intersect(u, qu))"
+        " div greatest(size(qu), 1) AS BIGINT)"
+    )
+    gain = F.when(F.lit(False), 0)
+    for bound, g in _NDCG_GRADE_BOUNDS:
+        gain = gain.when(F.col("cont") >= bound, g)
+    gain = gain.otherwise(0)
+    w_arr = F.array(*[F.lit(w) for w in _NDCG_W])
+    graded = (
+        hits.join(uni, "doc_id")
+        .join(F.broadcast(qsets), "query_id")
+        .select("query_id", "rank", cont.alias("cont"))
+        .withColumn("gain", gain.cast("bigint"))
+    )
+    w_ideal = Window.partitionBy("query_id").orderBy(
+        F.col("gain").desc(), F.col("rank").asc()
+    )
+    weighted = graded.select(
+        "query_id",
+        "gain",
+        (F.col("gain") * F.element_at(w_arr, F.col("rank").cast("int"))).alias(
+            "dcg_term"
+        ),
+        (
+            F.col("gain")
+            * F.element_at(w_arr, F.row_number().over(w_ideal))
+        ).alias("idcg_term"),
+    )
+    agg = weighted.groupBy("query_id").agg(
+        F.sum("dcg_term").cast("bigint").alias("dcg_micro"),
+        F.sum("idcg_term").cast("bigint").alias("idcg_micro"),
+        F.count(F.when(F.col("gain") > 0, 1)).cast("bigint").alias(
+            "n_relevant"
+        ),
+    )
+    return agg.select(
+        "query_id",
+        "dcg_micro",
+        "idcg_micro",
+        F.expr(
+            "CAST(CASE WHEN idcg_micro > 0"
+            " THEN (1000 * dcg_micro) div idcg_micro"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("ndcg_permille"),
+        "n_relevant",
+    )
+
+
+def _ndcg_sql() -> str:
+    w_list = ", ".join(str(w) for w in _NDCG_W)
+    grade = " ".join(
+        f"WHEN cont >= {b} THEN {g}" for b, g in _NDCG_GRADE_BOUNDS
+    )
+    return f"""
+    WITH {_bm25_core_ctes()},
+    hits AS (
+        SELECT query_id, rank, doc_id FROM (
+            SELECT query_id, doc_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY bm25_sum_micro DESC, doc_id ASC)
+                        AS BIGINT) AS rank
+            FROM scored
+        ) WHERE rank <= {_BM25R_TOP_K}
+    ),
+    uni AS (
+        SELECT doc_id,
+               list_distinct(regexp_split_to_array(trim(lower(text)),
+                                                   '\\s+')) AS u
+        FROM documents
+    ),
+    graded AS (
+        SELECT h.query_id, h.rank,
+               CAST(CASE {grade} ELSE 0 END AS BIGINT) AS gain
+        FROM (
+            SELECT h.query_id, h.rank,
+                   1000 * len(list_intersect(du.u, qu.u))
+                       // greatest(len(qu.u), 1) AS cont
+            FROM hits h
+            JOIN uni du ON du.doc_id = h.doc_id
+            JOIN uni qu ON qu.doc_id = h.query_id
+        ) h
+    ),
+    weighted AS (
+        SELECT query_id, gain,
+               gain * ([{w_list}])[rank] AS dcg_term,
+               gain * ([{w_list}])[
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY gain DESC, rank ASC)
+               ] AS idcg_term
+        FROM graded
+    )
+    SELECT query_id,
+           CAST(sum(dcg_term) AS BIGINT) AS dcg_micro,
+           CAST(sum(idcg_term) AS BIGINT) AS idcg_micro,
+           CAST(CASE WHEN sum(idcg_term) > 0
+                THEN (1000 * sum(dcg_term)) // sum(idcg_term)
+                ELSE 0 END AS BIGINT) AS ndcg_permille,
+           CAST(count(*) FILTER (gain > 0) AS BIGINT) AS n_relevant
+    FROM weighted
+    GROUP BY query_id
+"""
+
+
+_NDCG_SQL = _ndcg_sql()
+
+
+# ---------------------------------------------------------------------------
 # pseudo-relevance-feedback query expansion (RM3-style term mining)
 # ---------------------------------------------------------------------------
 
@@ -3329,6 +3489,7 @@ QUERIES = {
     "winnowing_fingerprints": winnowing_fingerprints,
     "doc_quality": doc_quality,
     "gopher_repetition_signals": gopher_repetition_signals,
+    "ndcg_retrieval_eval": ndcg_retrieval_eval,
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
     "term_frequencies": term_frequencies,
@@ -3364,6 +3525,7 @@ ORACLES = {
     "winnowing_fingerprints": _WINNOW_SQL,
     "doc_quality": _QUALITY_SQL,
     "gopher_repetition_signals": _REPETITION_SQL,
+    "ndcg_retrieval_eval": _NDCG_SQL,
     "lang_id": _LANG_SQL,
     "doc_fingerprint": _FINGERPRINT_SQL,
     "term_frequencies": _TF_SQL,

@@ -14,6 +14,6 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="tests", master="local[8]", extra_conf={"spark.sql.shuffle.partitions": "8"})
+    s = get_spark(app_name="tests", master="local[16]", extra_conf={"spark.sql.shuffle.partitions": "8"})
     yield s
     s.stop()

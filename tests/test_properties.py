@@ -23,7 +23,7 @@ from azure_sales_etl_pipeline_spark.operators.maintenance import merge_aggregate
 from azure_sales_etl_pipeline_spark.plans.scale import salted_join
 
 _slow = settings(
-    max_examples=8,
+    max_examples=6,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )

@@ -69,19 +69,37 @@ def test_order_covers_registry_and_fronts_stale_entries():
 
     seen, failed = _last_seen(inputs)
     pos = {n: i for i, n in enumerate(order)}
-    never = [n for n in order if n not in seen]
+    # queries explicitly pinned stale (refactored after their last green
+    # sample) legitimately sort ahead of the never-checked tier — exclude
+    # them from the tier-ordering assertions below
+    pinned = {
+        n
+        for n, rnd in sweep_priority._SWEEP_PINS.items()
+        if n in pos and seen.get(n, 0) <= rnd and n not in failed
+    }
+    never = [n for n in order if n not in seen and n not in pinned]
     newest = [
         n
         for n, r in seen.items()
-        if r == max(seen.values()) and n in pos and n not in failed
+        if r == max(seen.values())
+        and n in pos
+        and n not in failed
+        and n not in pinned
     ]
     if never and newest:
         # every never-checked query sorts before every newest-GREEN query
         assert max(pos[n] for n in never) < min(pos[n] for n in newest)
+    # a pinned-stale query sorts ahead of the never-checked tier...
+    for n in pinned:
+        if never:
+            assert pos[n] < min(pos[m] for m in never)
     # a query whose latest sample failed is pinned ahead of everything
     for n in failed:
         if n in pos and never:
             assert pos[n] < min(pos[m] for m in never)
+        for m in pinned:
+            if n in pos:
+                assert pos[n] < pos[m]
 
 
 def test_checked_in_file_matches_generator():

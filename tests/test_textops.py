@@ -787,3 +787,45 @@ def test_gopher_repetition_flags_looping_text(spark, tmp_path):
     assert r2["dup_trigram_permille"] == 0
     assert r2["top_bigram_permille"] == 1000 // 39  # every bigram unique
     assert r2["keep_repetition"] is True
+
+
+def test_ndcg_perfect_and_zero_relevance(spark, tmp_path):
+    """Planted ranking-eval corpus: query 0 has an exact clone that BM25
+    must retrieve at rank 1 (containment 1000 -> gain 7 -> NDCG exactly
+    1000); query 1's only bigram-sharing candidate has unigram
+    containment below the lowest grade bound (-> gain 0 -> NDCG 0 with
+    n_relevant 0). Queries 2-4 share no capped bigrams with anything
+    and must be absent from the report."""
+    from azure_sales_etl_pipeline_spark.plans.textops import (
+        ndcg_retrieval_eval,
+    )
+
+    q0 = " ".join(f"alpha{i} beta{i}" for i in range(6))  # 12 tokens
+    q1 = " ".join(f"gam{i} del{i}" for i in range(6))
+    # shares q1's first bigram (df=2, capped in) but only 2 of its 12
+    # unigrams -> containment 166 permille < 250
+    weak = "gam0 del0 " + " ".join(f"zz{i}" for i in range(20))
+    rows = [
+        (0, q0, "en", "web", 0),
+        (1, q1, "en", "web", 0),
+        (2, "eps0 zet0 eps1 zet1", "en", "web", 0),
+        (3, "eta0 the0 eta1 the1", "en", "web", 0),
+        (4, "iot0 kap0 iot1 kap1", "en", "web", 0),
+        (10, q0, "en", "web", 0),  # exact clone of query 0
+        (11, weak, "en", "web", 0),
+        (12, " ".join(f"pad{i}" for i in range(12)), "en", "web", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    rep = {
+        r["query_id"]: r
+        for r in ndcg_retrieval_eval(spark, str(tmp_path)).collect()
+    }
+    assert rep[0]["ndcg_permille"] == 1000
+    assert rep[0]["n_relevant"] == 1
+    assert rep[0]["dcg_micro"] == 7 * 1_000_000  # gain 7 at rank 1
+    assert rep[1]["ndcg_permille"] == 0
+    assert rep[1]["n_relevant"] == 0
+    assert set(rep) == {0, 1}
