@@ -50,6 +50,12 @@ QUERIES = {
     "stream_click_purchase_outer": stream_click_purchase_outer,
     "stream_dedup_events": stream_dedup_events,
     "stream_user_totals_custom_state": stream_user_totals_custom_state,
+    # stream_user_totals_tws (the transformWithStateInPandas twin,
+    # streaming.py) is NOT registered: the StatefulProcessor wire
+    # protocol hard-requires google.protobuf (StateMessage_pb2), which
+    # this container lacks and installs are forbidden — the operator is
+    # complete and gated behind an import check, its pytest skips with
+    # the reason (the delta-spark seam treatment).
     "stream_transition_matrix": stream_transition_matrix,
     "stream_kmv_distinct": stream_kmv_distinct,
     "stream_drift_monitor": stream_drift_monitor,

@@ -14,6 +14,17 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="tests", master="local[16]", extra_conf={"spark.sql.shuffle.partitions": "8"})
+    s = get_spark(app_name="tests", master="local[16]", extra_conf={
+        "spark.sql.shuffle.partitions": "4",
+        # sf0.001 fixtures: shuffles move KBs, so task-launch count and
+        # compression CPU dominate — 4 partitions + uncompressed shuffle
+        # measured faster than 8/compressed across the whole suite
+        "spark.shuffle.compress": "false",
+        "spark.shuffle.spill.compress": "false",
+        # tiny createDataFrame/parallelize jobs otherwise launch 16
+        # tasks each on local[16] — task-launch overhead dominates the
+        # suite's thousands of micro-jobs
+        "spark.default.parallelism": "4",
+    })
     yield s
     s.stop()

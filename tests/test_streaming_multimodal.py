@@ -391,3 +391,28 @@ def test_fold_landing_roundtrips_multiline_text(spark, tmp_path):
     # availableNow drains re-read files each invocation; dedupe by doc_id
     got = {r["doc_id"]: r["text"] for r in seen}
     assert got == {i: t for i, t in enumerate(texts)}
+
+
+def test_tws_and_legacy_state_apis_agree(spark):
+    """transformWithStateInPandas (Spark 4.x StatefulProcessor) and
+    applyInPandasWithState implement the same per-user totals and must
+    produce identical results over the same source — the API-migration
+    guarantee a production stream relies on when moving off the legacy
+    API. Skips where protobuf (the StatefulProcessor wire protocol's
+    dependency) is absent — the documented gate, same treatment as the
+    delta-spark seam."""
+    pytest.importorskip("google.protobuf")
+    from azure_sales_etl_pipeline_spark.streaming import (
+        stream_user_totals_custom_state,
+        stream_user_totals_tws,
+    )
+
+    legacy = {
+        r["user_id"]: (r["n_events"], r["total_value"], r["last_ts"])
+        for r in stream_user_totals_custom_state(spark, SF_DIR).collect()
+    }
+    modern = {
+        r["user_id"]: (r["n_events"], r["total_value"], r["last_ts"])
+        for r in stream_user_totals_tws(spark, SF_DIR).collect()
+    }
+    assert legacy == modern
