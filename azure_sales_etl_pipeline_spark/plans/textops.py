@@ -1886,6 +1886,201 @@ _REPEATED_SPANS_SQL = rf"""
 
 
 # ---------------------------------------------------------------------------
+# exact-substring dedup APPLIED (Lee et al. keep-first span removal)
+# ---------------------------------------------------------------------------
+
+_ESR_W = 8  # sliding-window width, tokens (Lee et al. use 50 on natural
+# text; 8 matches this corpus's short synthetic docs so spans actually
+# repeat — the width is the deployment knob, the plan is identical)
+
+
+def exact_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING dedup APPLIED — the ExactSubstr cut of Lee et
+    al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better") that [[repeated_spans]] only *reports*: every
+    ``_ESR_W``-token sliding window that occurs more than once in the
+    corpus (cross-doc OR within-doc) keeps its FIRST occurrence
+    (lexicographic (doc_id, position) — the keep-one semantics of the
+    paper) and every other occurrence's token positions are removed;
+    documents are rebuilt from their surviving tokens in order. Unlike
+    [[chunk_dedup_rewrite]]'s aligned non-overlapping chunks, the
+    sliding windows catch duplicated passages at ANY offset — the two
+    operators are the aligned-cheap and unaligned-exact points of the
+    same curation stage. Output = the affected slice: one row per doc
+    that lost tokens, with removal counts and a rebuilt-text prefix
+    (reassembly order rides the value hash).
+
+    Scale shape: windows explode map-side (≈ one row per token, the
+    fan-out a tokenizer pays); the first-occurrence argmin and the
+    occurrence count reduce in ONE map-side-combined shuffle on the
+    span key (argmin as min over the composite doc_id·10⁹+pos BIGINT —
+    no unpartitioned window anywhere); duplicated occurrences come
+    back from a join on the SAME span key (co-partitioned — exchange
+    reuse); the position fan-out (×W) touches only duplicated
+    occurrences; the rebuild shuffles (pos, token) pairs on doc_id for
+    AFFECTED docs only. At 100 TB the span key narrows to xxhash64
+    with text resolved only for survivors, exactly as documented on
+    [[repeated_spans]]."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = plan_barrier(docs.select("doc_id", _tokens().alias("t")))
+    # (doc_id, win_start 1-based, span) — slice clips, so a doc shorter
+    # than W contributes one whole-doc window (repeated_spans parity)
+    wins = toks.select(
+        "doc_id",
+        F.size("t").alias("n_tok"),
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size("t") - (_ESR_W - 1), F.lit(1)),
+                ),
+                lambda i: F.array_join(F.slice(F.col("t"), i, _ESR_W), " "),
+            )
+        ).alias("p0", "span"),
+    ).select(
+        "doc_id",
+        "n_tok",
+        (F.col("p0") + 1).alias("win_start"),
+        "span",
+    )
+    wins = plan_barrier(wins)
+    # first occurrence per duplicated span, as one map-side-combinable
+    # integer argmin (positions and doc ids are far below 1e9 here; the
+    # composite stays exact in BIGINT to ~9e9 docs)
+    ckey = (F.col("doc_id") * F.lit(1_000_000_000) + F.col("win_start")).cast(
+        "bigint"
+    )
+    dups = (
+        wins.select("span", ckey.alias("ck"))
+        .groupBy("span")
+        .agg(F.count(F.lit(1)).alias("n_occ"), F.min("ck").alias("first_ck"))
+        .where(F.col("n_occ") >= 2)
+    )
+    covered = (
+        wins.join(dups, "span")
+        .where(ckey != F.col("first_ck"))
+        .select(
+            "doc_id",
+            "win_start",
+            # window length clips at the doc tail
+            F.least(
+                F.lit(_ESR_W), F.col("n_tok") - F.col("win_start") + 1
+            ).alias("wlen"),
+        )
+    )
+    cov_pos = covered.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.col("win_start"), F.col("win_start") + F.col("wlen") - 1
+            )
+        ).alias("pos"),
+    ).distinct()
+    n_cut = covered.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_windows")
+    )
+    pos_tok = toks.select(
+        "doc_id", F.posexplode("t").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    affected = pos_tok.join(
+        cov_pos.select("doc_id").distinct(), "doc_id", "left_semi"
+    )
+    kept = affected.join(cov_pos, ["doc_id", "pos"], "left_anti")
+    removed = affected.join(cov_pos, ["doc_id", "pos"], "left_semi")
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("pos").alias("pos"),
+                                F.col("tok").alias("tok"),
+                            )
+                        )
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("rebuilt")
+        )
+    )
+    n_removed = removed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens_removed")
+    )
+    return (
+        n_removed.join(n_cut, "doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_dup_windows",
+            "n_tokens_removed",
+            F.substring(F.coalesce("rebuilt", F.lit("")), 1, 60).alias(
+                "clean_prefix"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_EXACT_SUBSTR_SQL = rf"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id, len(t) AS n_tok, i AS win_start,
+               array_to_string(t[i : i + {_ESR_W - 1}], ' ') AS span
+        FROM t, unnest(range(1, greatest(len(t) - {_ESR_W - 1}, 1) + 1))
+                AS u(i)
+    ),
+    dups AS (
+        SELECT span, count(*) AS n_occ,
+               min(doc_id * 1000000000 + win_start) AS first_ck
+        FROM w GROUP BY span
+        HAVING count(*) >= 2
+    ),
+    covered AS (
+        SELECT w.doc_id, w.win_start,
+               least({_ESR_W}, w.n_tok - w.win_start + 1) AS wlen
+        FROM w JOIN dups d ON d.span = w.span
+        WHERE w.doc_id * 1000000000 + w.win_start != d.first_ck
+    ),
+    cov_pos AS (
+        SELECT DISTINCT doc_id,
+               unnest(range(win_start, win_start + wlen)) AS pos
+        FROM covered
+    ),
+    n_cut AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows
+        FROM covered GROUP BY doc_id
+    ),
+    pos_tok AS (
+        SELECT doc_id, i AS pos, t[i] AS tok
+        FROM t, unnest(range(1, len(t) + 1)) AS u(i)
+        WHERE doc_id IN (SELECT doc_id FROM cov_pos)
+    ),
+    rebuilt AS (
+        SELECT p.doc_id,
+               coalesce(array_to_string(
+                   list(p.tok ORDER BY p.pos ASC)
+                       FILTER (WHERE c.pos IS NULL), ' '
+               ), '') AS rebuilt,
+               CAST(count(*) FILTER (WHERE c.pos IS NOT NULL) AS BIGINT)
+                   AS n_tokens_removed
+        FROM pos_tok p
+        LEFT JOIN cov_pos c ON c.doc_id = p.doc_id AND c.pos = p.pos
+        GROUP BY p.doc_id
+    )
+    SELECT r.doc_id, n.n_dup_windows, r.n_tokens_removed,
+           substr(r.rebuilt, 1, 60) AS clean_prefix
+    FROM rebuilt r JOIN n_cut n ON n.doc_id = r.doc_id
+    ORDER BY r.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # cross-corpus boilerplate-chunk removal (corpus REWRITE, not a report)
 # ---------------------------------------------------------------------------
 
@@ -3489,6 +3684,7 @@ QUERIES = {
     "winnowing_fingerprints": winnowing_fingerprints,
     "doc_quality": doc_quality,
     "gopher_repetition_signals": gopher_repetition_signals,
+    "exact_substring_rewrite": exact_substring_rewrite,
     "ndcg_retrieval_eval": ndcg_retrieval_eval,
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
@@ -3525,6 +3721,7 @@ ORACLES = {
     "winnowing_fingerprints": _WINNOW_SQL,
     "doc_quality": _QUALITY_SQL,
     "gopher_repetition_signals": _REPETITION_SQL,
+    "exact_substring_rewrite": _EXACT_SUBSTR_SQL,
     "ndcg_retrieval_eval": _NDCG_SQL,
     "lang_id": _LANG_SQL,
     "doc_fingerprint": _FINGERPRINT_SQL,

@@ -829,3 +829,38 @@ def test_ndcg_perfect_and_zero_relevance(spark, tmp_path):
     assert rep[1]["ndcg_permille"] == 0
     assert rep[1]["n_relevant"] == 0
     assert set(rep) == {0, 1}
+
+
+def test_exact_substring_rewrite_keep_first_global(spark, tmp_path):
+    """ExactSubstr keep-one semantics, globally: a span duplicated
+    across docs 1, 2, and (twice) 3 keeps ONLY its first occurrence by
+    (doc_id, position) — doc 1 is untouched (absent from the affected
+    slice), doc 2 loses the span at an UNALIGNED offset (the case the
+    chunk-grain rewrite cannot catch), and doc 3 loses BOTH of its
+    copies (neither is the global first), emptying it."""
+    from azure_sales_etl_pipeline_spark.plans.textops import (
+        exact_substring_rewrite,
+    )
+
+    span = " ".join(f"s{i}" for i in range(1, 9))  # exactly _ESR_W tokens
+    rows = [
+        (1, "a1 a2 a3 " + span, "en", "web", 0),
+        (2, "b1 b2 " + span + " b3 b4", "en", "web", 0),
+        (3, span + " " + span, "en", "web", 0),
+        (4, " ".join(f"u{i}" for i in range(12)), "en", "web", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        r["doc_id"]: r
+        for r in exact_substring_rewrite(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {2, 3}
+    assert out[2]["n_dup_windows"] == 1
+    assert out[2]["n_tokens_removed"] == 8
+    assert out[2]["clean_prefix"] == "b1 b2 b3 b4"
+    assert out[3]["n_dup_windows"] == 2
+    assert out[3]["n_tokens_removed"] == 16
+    assert out[3]["clean_prefix"] == ""
