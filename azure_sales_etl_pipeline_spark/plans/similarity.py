@@ -1618,6 +1618,141 @@ def _pq_sql() -> str:
 _ANN_PQ_SQL = _pq_sql()
 
 
+def pq_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook MAINTENANCE without retraining — the product-
+    quantization leg of the index-upkeep family ([[ivf_index_
+    maintenance]] for the coarse quantizer, [[bm25_index_two_batch]]
+    for the lexical index, [[minhash_index_two_batch]] for LSH): the
+    _PQ_M per-subspace codebooks train on batch A ONLY (vec_id % 2 = 0,
+    'yesterday's corpus') and are FROZEN; batch B encodes onto them —
+    per-row independent, so per-batch code folds are exact by
+    construction and history is never re-encoded. The report is the
+    per-SUBSPACE retrain signal a PQ serving fleet watches: codebook
+    coverage (distinct codes used, A vs B — a shrinking B-side means
+    new data collapses onto few centroids) and reconstruction fit
+    (avg squared-L2 to the assigned code centroid, A vs B — a hot
+    B-side means the subspace distribution drifted off its codebook).
+
+    All-integer on the ``_IVF_SCALE`` normalized quantization, so the
+    whole pipeline (train on A → freeze → encode A∪B → per-subspace
+    integer stats) replays bit-exactly in DuckDB via the same unrolled
+    ``_pq_lloyd_sql`` layers the PQ query uses. Output is _PQ_M rows —
+    control-plane sized at any corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = plan_barrier(
+        emb.select("vec_id", _as_qn(_as_double("embedding")).alias("qfull"))
+    )
+    books = _train_pq_codebooks(base.where(F.col("vec_id") % 2 == 0))
+    subvecs = _pq_subvecs(base)
+    with_books = _with_pq_codebooks(subvecs, books)
+    book = F.element_at(F.col("books"), F.col("sub") + 1)
+    staged = plan_barrier(
+        with_books.select(
+            "vec_id",
+            "sub",
+            F.transform(book, lambda c: _sq_dist_int(F.col("q"), c)).alias(
+                "dists"
+            ),
+        )
+    )
+    enc = staged.select(
+        (F.col("vec_id") % 2 == 0).alias("is_a"),
+        F.col("sub").cast("bigint").alias("sub"),
+        (F.array_position(F.col("dists"), F.array_min("dists")) - 1)
+        .cast("int")
+        .alias("code"),
+        F.array_min("dists").alias("d2"),
+    )
+    return enc.groupBy("sub").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.countDistinct(F.when(F.col("is_a"), F.col("code")))
+        .cast("bigint")
+        .alias("codes_used_a"),
+        F.countDistinct(F.when(~F.col("is_a"), F.col("code")))
+        .cast("bigint")
+        .alias("codes_used_b"),
+        F.expr(
+            "CAST(sum(CASE WHEN is_a THEN d2 ELSE 0 END)"
+            " DIV greatest(sum(CASE WHEN is_a THEN 1 ELSE 0 END), 1)"
+            " AS BIGINT)"
+        ).alias("avg_d2_a"),
+        F.expr(
+            "CAST(sum(CASE WHEN NOT is_a THEN d2 ELSE 0 END)"
+            " DIV greatest(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END), 1)"
+            " AS BIGINT)"
+        ).alias("avg_d2_b"),
+    )
+
+
+def _pq_maintenance_sql() -> str:
+    m, sd, k, s = _PQ_M, _PQ_SUBDIM, _PQ_K, _IVF_SCALE
+    lloyd, books = _pq_lloyd_sql(_PQ_ITERS, subvecs="a_subvecs")
+    return f"""
+    WITH corpus AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                   x -> CAST(floor(x / sqrt(list_dot_product(
+                            embedding::DOUBLE[], embedding::DOUBLE[]))
+                            * {s}) AS BIGINT)) AS qfull
+        FROM embeddings
+    ),
+    a AS (SELECT * FROM corpus WHERE vec_id % 2 = 0),
+    subs AS (SELECT unnest(range(0, {m})) AS sub),
+    subvecs AS MATERIALIZED (
+        SELECT vec_id, sub,
+               list_slice(qfull, sub * {sd} + 1, sub * {sd} + {sd}) AS q
+        FROM corpus, subs
+    ),
+    a_subvecs AS MATERIALIZED (
+        SELECT * FROM subvecs WHERE vec_id % 2 = 0
+    ),
+    stats AS (SELECT greatest(count(*) // {k}, 1) AS stride FROM a),
+    seedrows AS (
+        SELECT vec_id, qfull FROM a, stats
+        WHERE vec_id % stride = 0 ORDER BY vec_id LIMIT {k}
+    ),
+    seeds AS MATERIALIZED (
+        SELECT sub,
+               row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS cid,
+               list_slice(qfull, sub * {sd} + 1, sub * {sd} + {sd}) AS sq
+        FROM seedrows, subs
+    ),
+    {lloyd},
+    enc_d AS (
+        SELECT c.vec_id, c.sub, t.cid,
+               list_sum(list_transform(range(1, {sd + 1}),
+                   i -> (c.q[i] - t.cq[i]) * (c.q[i] - t.cq[i]))) AS d2
+        FROM subvecs c JOIN {books} t USING (sub)
+    ),
+    enc AS MATERIALIZED (
+        SELECT vec_id, sub, cid AS code, d2 FROM (
+            SELECT vec_id, sub, cid, d2,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d2, cid) AS rn
+            FROM enc_d) WHERE rn = 1
+    )
+    SELECT CAST(sub AS BIGINT) AS sub,
+           CAST(count(*) FILTER (vec_id % 2 = 0) AS BIGINT) AS n_a,
+           CAST(count(*) FILTER (vec_id % 2 != 0) AS BIGINT) AS n_b,
+           CAST(count(DISTINCT CASE WHEN vec_id % 2 = 0 THEN code END)
+                AS BIGINT) AS codes_used_a,
+           CAST(count(DISTINCT CASE WHEN vec_id % 2 != 0 THEN code END)
+                AS BIGINT) AS codes_used_b,
+           CAST(sum(CASE WHEN vec_id % 2 = 0 THEN d2 ELSE 0 END)
+                // greatest(count(*) FILTER (vec_id % 2 = 0), 1)
+                AS BIGINT) AS avg_d2_a,
+           CAST(sum(CASE WHEN vec_id % 2 != 0 THEN d2 ELSE 0 END)
+                // greatest(count(*) FILTER (vec_id % 2 != 0), 1)
+                AS BIGINT) AS avg_d2_b
+    FROM enc
+    GROUP BY sub
+"""
+
+
+_PQ_MAINTENANCE_SQL = _pq_maintenance_sql()
+
+
 def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ — the production vector-index architecture (the FAISS
     `IVFx,PQy` layout) composed from this engine's two quantizers:
@@ -3702,6 +3837,7 @@ QUERIES = {
     "mmr_rerank_topk": mmr_rerank_topk,
     "cross_encoder_rerank": cross_encoder_rerank,
     "late_interaction_rerank": late_interaction_rerank,
+    "pq_index_maintenance": pq_index_maintenance,
     "cluster_silhouette": cluster_silhouette,
     "retrieval_rank_agreement": retrieval_rank_agreement,
     "whitening_check": whitening_check,
@@ -3734,6 +3870,7 @@ ORACLES = {
     "mmr_rerank_topk": _MMR_SQL,
     "cross_encoder_rerank": _CE_RERANK_SQL,
     "late_interaction_rerank": _LI_RERANK_SQL,
+    "pq_index_maintenance": _PQ_MAINTENANCE_SQL,
     "cluster_silhouette": _SILHOUETTE_SQL,
     "retrieval_rank_agreement": _RRA_SQL,
     "whitening_check": _WHITEN_SQL,

@@ -752,3 +752,51 @@ def test_late_interaction_rerank_replay_and_clone_agreement(spark, tmp_path):
     ]
     ce_first = min(ce, key=lambda r: r["ce_rank"])
     assert ce_first["doc_id"] == 10  # ...and the cross-encoder agrees
+
+
+def _pqm_vec(i, flip=False):
+    sign = -1.0 if flip else 1.0
+    return [sign * (((i * 31 + j * 17) % 101) - 50) / 50.0 for j in range(64)]
+
+
+def test_pq_maintenance_mirror_and_drift(spark, tmp_path):
+    """Two exact invariants of the frozen-codebook encode:
+
+    MIRROR — when batch B is a vector-for-vector copy of batch A
+    (odd id 2i+1 carries even id 2i's vector), every per-subspace
+    statistic must be identical across the A/B split: same counts,
+    same codes used, same average reconstruction error.
+
+    DRIFT — when batch B is A sign-flipped (normalized vectors land in
+    the opposite hemisphere), the B-side total reconstruction error
+    must exceed the A-side: the retrain signal fires."""
+    from azure_sales_etl_pipeline_spark.plans.similarity import (
+        pq_index_maintenance,
+    )
+
+    def write(dirname, flip_b):
+        rows = []
+        for i in range(32):
+            v = _pqm_vec(i)
+            rows.append((2 * i, 0, v))
+            rows.append(
+                (2 * i + 1, 0, _pqm_vec(i, flip=True) if flip_b else v)
+            )
+        spark.createDataFrame(
+            rows, "vec_id long, label long, embedding array<double>"
+        ).write.parquet(str(tmp_path / dirname / "embeddings.parquet"))
+        return str(tmp_path / dirname)
+
+    mirror = {
+        r["sub"]: r
+        for r in pq_index_maintenance(spark, write("mirror", False)).collect()
+    }
+    for r in mirror.values():
+        assert r["n_a"] == r["n_b"] == 32
+        assert r["codes_used_a"] == r["codes_used_b"]
+        assert r["avg_d2_a"] == r["avg_d2_b"]
+
+    drift = pq_index_maintenance(spark, write("drift", True)).collect()
+    tot_a = sum(r["avg_d2_a"] for r in drift)
+    tot_b = sum(r["avg_d2_b"] for r in drift)
+    assert tot_b > tot_a
