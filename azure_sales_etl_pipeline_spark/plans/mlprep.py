@@ -1925,6 +1925,99 @@ _WDS_MANIFEST_SQL = f"""
 """
 
 
+def wds_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the training export through the ``wds`` PYTHON DATA
+    SOURCE (``sources.formats.register_wds_datasource`` — the Spark 4
+    custom-connector API): export shards exactly as
+    [[wds_export_manifest]] does, then read them back with
+    ``spark.read.format("wds").load(dir)`` — Spark plans one task per
+    shard tar via the source's own ``partitions()`` — and aggregate
+    per shard from the CONSUMED payload bytes. The content-proof
+    column ``payload_sha_sum`` (per-shard sum of 12-hex-char sha256
+    prefixes of the DECODED payloads) makes a single flipped byte
+    anywhere in the write→tar→rename→plan→untar path a driver-visible
+    hash mismatch, because the oracle computes the same sum from the
+    original documents plus the replayed shard assignment.
+
+    Scale shape: export is [[global_shuffle_export]]'s two-phase
+    prefix sum + executor-direct tar writes; read-back parallelism =
+    shard count (the loader's unit); the per-shard sha sum is safe in
+    BIGINT (≤ {rows}·16¹² ≈ 2e16 per shard). The tmp export is
+    scratch — results are eagerly materialized before cleanup.""".format(
+        rows=_SHUFFLE_SHARD_ROWS
+    )
+    import shutil
+    import tempfile
+
+    from ..sources.formats import register_wds_datasource, write_wds_shards
+
+    shards = global_shuffle_export(spark, sf_dir).select("doc_id", "shard_id")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    out = tempfile.mkdtemp(prefix="wds_ds_")
+    try:
+        write_wds_shards(docs.join(shards, "doc_id"), out)
+        register_wds_datasource(spark)
+        back = spark.read.format("wds").load(out)
+        agg = (
+            back.groupBy("shard_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+                F.sum(F.expr("octet_length(payload)"))
+                .cast("bigint")
+                .alias("payload_bytes"),
+                F.sum(
+                    F.conv(
+                        F.substring(
+                            F.sha2(F.decode("payload", "utf-8"), 256), 1, 12
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint")
+                )
+                .cast("bigint")
+                .alias("payload_sha_sum"),
+            )
+        )
+        return agg.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def _wds_datasource_sql() -> str:
+    from ..functions import hex_to_bigint_sql
+
+    sha12 = hex_to_bigint_sql("substr(sha256(d.text), 1, 12)", width=12)
+    return f"""
+    WITH k AS (
+        SELECT doc_id,
+               md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS skey
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY skey, doc_id) - 1 AS pos
+        FROM k
+    ),
+    s AS (
+        SELECT doc_id,
+               CAST(floor(pos / {_SHUFFLE_SHARD_ROWS}) AS BIGINT) AS shard_id
+        FROM p
+    )
+    SELECT s.shard_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(octet_length(encode(d.text))) AS BIGINT)
+               AS payload_bytes,
+           CAST(sum({sha12}) AS BIGINT) AS payload_sha_sum
+    FROM s JOIN documents d USING (doc_id)
+    GROUP BY s.shard_id
+"""
+
+
+_WDS_DATASOURCE_SQL = _wds_datasource_sql()
+
+
 # ---------------------------------------------------------------------------
 # span corruption masks (T5-style denoising pretraining prep)
 # ---------------------------------------------------------------------------
@@ -3522,6 +3615,7 @@ QUERIES = {
     "negative_samples": negative_samples,
     "train_test_split": train_test_split,
     "wds_export_manifest": wds_export_manifest,
+    "wds_datasource_roundtrip": wds_datasource_roundtrip,
     "span_corruption_masks": span_corruption_masks,
     "leakage_safe_split": leakage_safe_split,
     "global_shuffle_export": global_shuffle_export,
@@ -3562,6 +3656,7 @@ ORACLES = {
     "negative_samples": _NEGATIVE_SAMPLES_SQL,
     "train_test_split": _SPLIT_SQL,
     "wds_export_manifest": _WDS_MANIFEST_SQL,
+    "wds_datasource_roundtrip": _WDS_DATASOURCE_SQL,
     "span_corruption_masks": _SPAN_MASKS_SQL,
     "leakage_safe_split": _LEAKAGE_SPLIT_SQL,
     "global_shuffle_export": _GLOBAL_SHUFFLE_SQL,

@@ -527,3 +527,40 @@ def test_vacuum_snapshots_prunes_history_and_crash_debris(spark, tmp_path):
     assert read_snapshot(spark, path, version=3).count() == 4
     # vacuum on an empty/absent table is a no-op
     assert vacuum_snapshots(str(tmp_path / "nothing")) == []
+
+
+def test_wds_datasource_matches_mapinpandas_reader(spark, tmp_path):
+    """The 'wds' Python DataSource and the binaryFile+mapInPandas
+    reader must see byte-identical samples from the same shard export
+    — two independent consume paths over one producer."""
+    from pyspark.sql import functions as F
+
+    from azure_sales_etl_pipeline_spark.sources.formats import (
+        read_wds_shards,
+        register_wds_datasource,
+        write_wds_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i // 3, bytes(f"payload-{i}", "utf-8")) for i in range(10)],
+        "doc_id long, shard_id long, payload binary",
+    )
+    out = str(tmp_path / "wds")
+    write_wds_shards(df, out)
+
+    via_pandas = sorted(
+        tuple(r)
+        for r in read_wds_shards(spark, out)
+        .select("shard_id", "sample_key", "payload")
+        .collect()
+    )
+    register_wds_datasource(spark)
+    via_ds = sorted(
+        tuple(r)
+        for r in spark.read.format("wds")
+        .load(out)
+        .select("shard_id", "sample_key", F.col("payload"))
+        .collect()
+    )
+    assert via_ds == via_pandas
+    assert len(via_ds) == 10
