@@ -1243,6 +1243,131 @@ _ANN_IVF_SQL = _ann_ivf_sql()
 _ANN_IVF_FILTERED_SQL = _ann_ivf_sql(filtered=True)
 
 
+def embedding_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space DATA-QUALITY audit: per cluster of the shared
+    coarse quantizer, how many vectors sit anomalously far from their
+    centroid? Mis-embedded rows (truncated inputs, wrong modality,
+    encoder NaN-fallbacks) land far from every centroid, so the
+    per-cluster far-tail is the standard first-pass screen before
+    vectors enter an index or training mix. A vector is flagged iff
+    d² > 4·mean-d² of its cluster, evaluated as the CROSS-MULTIPLIED
+    exact comparison ``d²·n > 4·Σd²`` — no division, no float, no
+    truncation anywhere ([[did_revenue_effect]]'s overflow discipline:
+    Σd² is DECIMAL(38,0)/HUGEINT since a 10⁹-row cluster's sum exceeds
+    BIGINT; the per-row product d²·n stays ≤ 2.6e14·n in the same
+    wide type).
+
+    Scale shape: reuses the memoized coarse quantizer (the
+    materialize-once index the whole ANN family probes); assignment is
+    the usual broadcast-centroid narrow map; the audit is ONE
+    cluster-key aggregate plus a broadcast (k-row) join-back and a
+    second aggregate over the same assignment (localCheckpointed —
+    computed once). Output is k rows — control-plane sized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = plan_barrier(
+        emb.select("vec_id", _as_q(_as_double("embedding")).alias("q"))
+    )
+    centroids = _IVF_CENTROID_CACHE.get(sf_dir)
+    if centroids is None:
+        centroids = _train_centroids(corpus)
+        _IVF_CENTROID_CACHE[sf_dir] = centroids
+    assigned = (
+        plan_barrier(_with_centroids(corpus, centroids))
+        .withColumn("cluster", _nearest_cluster(F.col("q")))
+        .withColumn(
+            "d2",
+            _sq_dist_int(
+                F.col("q"), F.element_at(F.col("cents"), F.col("cluster") + 1)
+            ),
+        )
+        .select("cluster", "d2")
+        .localCheckpoint(eager=True)
+    )
+    per = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("d2").cast("decimal(38,0)")).alias("sum_d2"),
+        F.max("d2").cast("bigint").alias("max_d2"),
+    )
+    flagged = (
+        assigned.join(F.broadcast(per), "cluster")
+        .where(
+            F.col("d2").cast("decimal(38,0)") * F.col("n")
+            > 4 * F.col("sum_d2")
+        )
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_outliers"))
+    )
+    return per.join(flagged, "cluster", "left").select(
+        F.col("cluster").cast("bigint").alias("cluster"),
+        "n",
+        F.expr("CAST(sum_d2 DIV n AS BIGINT)").alias("mean_d2"),
+        "max_d2",
+        F.coalesce("n_outliers", F.lit(0)).cast("bigint").alias("n_outliers"),
+        F.expr(
+            "CAST(coalesce(n_outliers, 0) * 1000 DIV n AS BIGINT)"
+        ).alias("outlier_permille"),
+    )
+
+
+def _embedding_outlier_sql() -> str:
+    k, s, d = _IVF_K, _IVF_SCALE, _EMB_DIM
+    lloyd, cents = _lloyd_rounds_sql("corpus", _IVF_ITERS, d)
+    return f"""
+    WITH corpus AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(floor(x * {s}) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    stats AS (SELECT greatest(count(*) // {k}, 1) AS stride FROM corpus),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS sq
+        FROM corpus, stats
+        WHERE vec_id % stride = 0
+        ORDER BY vec_id
+        LIMIT {k}
+    ),
+    {lloyd},
+    d1 AS (
+        SELECT c.vec_id, t.cid,
+               list_sum(list_transform(range(1, {d + 1}),
+                   i -> (c.q[i] - t.cq[i]) * (c.q[i] - t.cq[i]))) AS d2
+        FROM corpus c, {cents} t
+    ),
+    assign AS MATERIALIZED (
+        SELECT vec_id, cid AS cluster, d2 FROM (
+            SELECT vec_id, cid, d2,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cid) AS rn
+            FROM d1) WHERE rn = 1
+    ),
+    per AS MATERIALIZED (
+        SELECT cluster,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(d2 AS HUGEINT)) AS sum_d2,
+               CAST(max(d2) AS BIGINT) AS max_d2
+        FROM assign GROUP BY cluster
+    ),
+    fl AS (
+        SELECT a.cluster, CAST(count(*) AS BIGINT) AS n_outliers
+        FROM assign a JOIN per p USING (cluster)
+        WHERE CAST(a.d2 AS HUGEINT) * p.n > 4 * p.sum_d2
+        GROUP BY a.cluster
+    )
+    SELECT CAST(p.cluster AS BIGINT) AS cluster,
+           p.n,
+           CAST(p.sum_d2 // p.n AS BIGINT) AS mean_d2,
+           p.max_d2,
+           CAST(coalesce(f.n_outliers, 0) AS BIGINT) AS n_outliers,
+           CAST(coalesce(f.n_outliers, 0) * 1000 // p.n AS BIGINT)
+               AS outlier_permille
+    FROM per p LEFT JOIN fl f USING (cluster)
+"""
+
+
+_EMBEDDING_OUTLIER_SQL = _embedding_outlier_sql()
+
+
 _PQ_M = 32  # subspaces: 64 dims → 32 subvectors of 2 dims each. Codes
 # are _PQ_M 4-bit ints per vector (16 bytes vs 256 bytes of float32) —
 # the 16× compression is WHY PQ is the 100 TB serving format: the codes
@@ -3838,6 +3963,7 @@ QUERIES = {
     "cross_encoder_rerank": cross_encoder_rerank,
     "late_interaction_rerank": late_interaction_rerank,
     "pq_index_maintenance": pq_index_maintenance,
+    "embedding_outlier_audit": embedding_outlier_audit,
     "cluster_silhouette": cluster_silhouette,
     "retrieval_rank_agreement": retrieval_rank_agreement,
     "whitening_check": whitening_check,
@@ -3871,6 +3997,7 @@ ORACLES = {
     "cross_encoder_rerank": _CE_RERANK_SQL,
     "late_interaction_rerank": _LI_RERANK_SQL,
     "pq_index_maintenance": _PQ_MAINTENANCE_SQL,
+    "embedding_outlier_audit": _EMBEDDING_OUTLIER_SQL,
     "cluster_silhouette": _SILHOUETTE_SQL,
     "retrieval_rank_agreement": _RRA_SQL,
     "whitening_check": _WHITEN_SQL,

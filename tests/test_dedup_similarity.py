@@ -800,3 +800,46 @@ def test_pq_maintenance_mirror_and_drift(spark, tmp_path):
     tot_a = sum(r["avg_d2_a"] for r in drift)
     tot_b = sum(r["avg_d2_b"] for r in drift)
     assert tot_b > tot_a
+
+
+def test_embedding_outlier_audit_flags_planted_corruption(spark, tmp_path):
+    """16 planted groups of 8 (strided seeds land one per group, the
+    cluster_silhouette fixture idiom): with all members identical every
+    cluster has zero spread and zero outliers; corrupting ONE member of
+    group 0 (+0.5 on every dim — far from its centroid, still nearest
+    to it) must flag exactly that vector: d2*8 = 49/64*8*delta2 >
+    4*sum_d2 = 224/64*delta2, while its 7 clean peers stay under the
+    fence."""
+    from azure_sales_etl_pipeline_spark.plans.similarity import (
+        _IVF_CENTROID_CACHE,
+        embedding_outlier_audit,
+    )
+
+    def proto(g):
+        return [1.0 if j % 16 == g else -1.0 for j in range(64)]
+
+    rows = []
+    for g in range(16):
+        for m in range(8):
+            v = proto(g)
+            if g == 0 and m == 7:
+                v = [x + 0.5 for x in v]
+            rows.append((g * 8 + m, g, v))
+    spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    _IVF_CENTROID_CACHE.pop(str(tmp_path), None)
+    out = {
+        r["cluster"]: r
+        for r in embedding_outlier_audit(spark, str(tmp_path)).collect()
+    }
+    assert sum(r["n"] for r in out.values()) == 128
+    total_outliers = sum(r["n_outliers"] for r in out.values())
+    assert total_outliers == 1
+    dirty = [r for r in out.values() if r["n_outliers"] == 1]
+    assert dirty[0]["n"] == 8
+    assert dirty[0]["outlier_permille"] == 125
+    for r in out.values():
+        if r is not dirty[0]:
+            assert r["n_outliers"] == 0 and r["mean_d2"] == 0
