@@ -669,12 +669,13 @@ def minhash_index_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def _minhash_lsh_sql() -> str:
-    """DuckDB replay of the full LSH pipeline: same shingles, same
-    sha256-slice min-hashes (string min over fixed-width lowercase hex
-    == integer min), same band keys, same Jaccard verify. Generated
-    from the same constants as the Spark plan so k/bands/shingle-width
-    changes cannot drift."""
+def _minhash_core_ctes() -> str:
+    """Shared DuckDB CTE chain for the LSH family: defines ``toks``,
+    ``sh`` (distinct shingle arrays), ``hs`` (per-shingle double-sha256
+    digests), ``sig`` (the 16 min-hash slices), ``bands`` (band keys),
+    and ``cand`` (distinct bucket pairs) — composed by the LSH oracle
+    and the signature-accuracy gate, generated from the same constants
+    as the Spark plan so k/bands/shingle-width changes cannot drift."""
     r = _MINHASH_K // _LSH_BANDS
     sig_cols = ",\n               ".join(
         f"list_aggregate(list_transform(h, v -> v[{8 * i + 1} : {8 * i + 8}]),"
@@ -687,8 +688,7 @@ def _minhash_lsh_sql() -> str:
         + ") AS band_key FROM sig"
         for b in range(_LSH_BANDS)
     )
-    return rf"""
-    WITH toks AS (
+    return rf"""toks AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
         FROM documents
     ),
@@ -719,7 +719,14 @@ def _minhash_lsh_sql() -> str:
         FROM bands x JOIN bands y
           ON x.band_idx = y.band_idx AND x.band_key = y.band_key
          AND x.doc_id < y.doc_id
-    ),
+    )"""
+
+
+def _minhash_lsh_sql() -> str:
+    """DuckDB replay of the full LSH pipeline — the shared CTE chain
+    plus the exact shingle-Jaccard verify at >= 0.5."""
+    return rf"""
+    WITH {_minhash_core_ctes()},
     j AS (
         SELECT c.doc_a, c.doc_b,
                round(len(list_intersect(sa.s, sb.s)) * 1.0
@@ -734,6 +741,137 @@ def _minhash_lsh_sql() -> str:
 
 
 _MINHASH_LSH_SQL = _minhash_lsh_sql()
+
+
+#: Gate bound for the k=16 signature estimator: per-pair std is
+#: √(p(1−p)/16) ≤ 0.125, so a mean absolute error ≤ 250‰ holds with
+#: huge margin on any candidate set; a broken hash/slice/banding bug
+#: blows straight past it (a decorrelated estimator averages ~333‰
+#: error against uniform exact values).
+_MH_EST_MAX_MAE = 250
+
+
+def minhash_jaccard_estimate_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-ACCURACY gate for the MinHash signature itself —
+    complements [[minhash_recall_check]] (which gates the BANDING's
+    candidate recall): over the LSH candidate pairs, compare the
+    signature estimate of Jaccard (matching components / k, the
+    textbook MinHash estimator) against the exact shingle Jaccard, and
+    gate the mean absolute error. This is the "measure the sketch"
+    number a dedup pipeline publishes so k is sized by evidence:
+    k = 16 gives per-pair std ≤ 125‰, so the MAE gate at
+    ``_MH_EST_MAX_MAE``‰ is loose for a correct implementation and
+    far beyond any broken one (see the constant's note).
+
+    All arithmetic integer permille (matches·1000 div k; exact
+    Jaccard as 1000·|∩| div |∪| — truncating div both engines), so
+    the report is value-oracled bit-exactly. Scale shape: reuses the
+    staged signatures and band index (materialized once); the
+    comparison touches only candidate pairs — bucket-bounded, never
+    all-pairs."""
+    staged, bands = _staged_shingles_and_bands(spark, sf_dir)
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+            "inner",
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sigs = staged.select(
+        "doc_id",
+        F.array(
+            *[_sig_slice(F.col("hs"), i) for i in range(_MINHASH_K)]
+        ).alias("sig"),
+        "sh",
+    )
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sig").alias("sig_a"),
+        F.col("sh").alias("sh_a"),
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    per_pair = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            matches.cast("bigint").alias("m"),
+            inter.cast("bigint").alias("i"),
+            union.cast("bigint").alias("u"),
+        )
+        .select(
+            F.expr(f"CAST(m * 1000 div {_MINHASH_K} AS BIGINT)").alias("est"),
+            F.expr("CAST(i * 1000 div u AS BIGINT)").alias("exact"),
+        )
+    )
+    return per_pair.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr("CAST(sum(abs(est - exact)) div count(*) AS BIGINT)").alias(
+            "mae_permille"
+        ),
+        F.expr("CAST(sum(est) div count(*) AS BIGINT)").alias(
+            "mean_est_permille"
+        ),
+        F.expr("CAST(sum(exact) div count(*) AS BIGINT)").alias(
+            "mean_exact_permille"
+        ),
+        F.expr(
+            f"CAST(sum(abs(est - exact)) div count(*) AS BIGINT)"
+            f" <= {_MH_EST_MAX_MAE}"
+        ).alias("gate_ok"),
+    )
+
+
+def _mh_estimate_sql() -> str:
+    k = _MINHASH_K
+    sig_list = ", ".join(f"s{i}" for i in range(k))
+    return rf"""
+    WITH {_minhash_core_ctes()},
+    pp AS (
+        SELECT CAST(len(list_filter(
+                   list_zip(a.sig, b.sig),
+                   z -> z[1] = z[2])) * 1000 // {k} AS BIGINT) AS est,
+               CAST(len(list_intersect(sa.s, sb.s)) * 1000
+                    // (len(sa.s) + len(sb.s)
+                        - len(list_intersect(sa.s, sb.s))) AS BIGINT)
+                   AS exact
+        FROM cand c
+        JOIN (SELECT doc_id, [{sig_list}] AS sig FROM sig) a
+          ON a.doc_id = c.doc_a
+        JOIN (SELECT doc_id, [{sig_list}] AS sig FROM sig) b
+          ON b.doc_id = c.doc_b
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(abs(est - exact)) // count(*) AS BIGINT) AS mae_permille,
+           CAST(sum(est) // count(*) AS BIGINT) AS mean_est_permille,
+           CAST(sum(exact) // count(*) AS BIGINT) AS mean_exact_permille,
+           (CAST(sum(abs(est - exact)) // count(*) AS BIGINT)
+                <= {_MH_EST_MAX_MAE}) AS gate_ok
+    FROM pp
+"""
+
+
+_MH_ESTIMATE_SQL = _mh_estimate_sql()
 
 
 def minhash_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1598,6 +1736,7 @@ QUERIES = {
     "minhash_index_two_batch": minhash_index_two_batch,
     "minhash_source_similarity": minhash_source_similarity,
     "minhash_recall_check": minhash_recall_check,
+    "minhash_jaccard_estimate_check": minhash_jaccard_estimate_check,
     "exact_dedup": exact_dedup,
     "dedup_keep_first": dedup_keep_first,
     "fuzzy_name_pairs": fuzzy_name_pairs,
@@ -1620,6 +1759,7 @@ ORACLES = {
     "minhash_index_two_batch": _MINHASH_LSH_SQL,
     "minhash_source_similarity": _MINHASH_SOURCE_SQL,
     "minhash_recall_check": _MINHASH_RECALL_SQL,
+    "minhash_jaccard_estimate_check": _MH_ESTIMATE_SQL,
     "fuzzy_name_pairs": _FUZZY_SQL,
     "golden_part_records": _GOLDEN_SQL,
     "shingle_containment_pairs": _CONTAINMENT_SQL,

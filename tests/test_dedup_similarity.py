@@ -843,3 +843,27 @@ def test_embedding_outlier_audit_flags_planted_corruption(spark, tmp_path):
     for r in out.values():
         if r is not dirty[0]:
             assert r["n_outliers"] == 0 and r["mean_d2"] == 0
+
+
+def test_minhash_estimate_gate_exact_on_clones(spark, tmp_path):
+    """Clone pairs are the fixed point of the signature estimator:
+    identical shingle sets -> identical signatures -> est = exact =
+    1000 permille, MAE 0, gate green."""
+    from azure_sales_etl_pipeline_spark.plans.dedup import (
+        minhash_jaccard_estimate_check,
+    )
+
+    text = " ".join(f"w{i}" for i in range(20))
+    other = " ".join(f"z{i}" for i in range(20))
+    spark.createDataFrame(
+        [(1, text, "en", "web", 0), (2, text, "en", "web", 0),
+         (3, other, "en", "web", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    row = minhash_jaccard_estimate_check(spark, str(tmp_path)).collect()[0]
+    assert row["n_pairs"] == 1  # only the clone pair shares a bucket
+    assert row["mae_permille"] == 0
+    assert row["mean_est_permille"] == 1000
+    assert row["mean_exact_permille"] == 1000
+    assert row["gate_ok"] is True
