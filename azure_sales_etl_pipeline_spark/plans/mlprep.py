@@ -439,6 +439,26 @@ _PACK_GREEDY_SQL = rf"""
 """
 
 
+def _funnel_flags(docs: DataFrame) -> DataFrame:
+    """``(doc_id, keep, predicted_lang, fingerprint, split)`` — the
+    per-row stage signals of the curation funnel, shared by the batch
+    [[curation_funnel]] and the streamed fold
+    ([[stream_curation_funnel_fold]], streaming.py) so the two paths
+    cannot drift. Every signal is a narrow expression over one scan."""
+    from .textops import _lang_exprs, _norm_text_expr, _quality_exprs
+
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return docs.select(
+        "doc_id",
+        _quality_exprs()["keep"].alias("keep"),
+        _lang_exprs()["predicted_lang"].alias("predicted_lang"),
+        F.sha2(_norm_text_expr(), 256).alias("fingerprint"),
+        F.when(prefix <= _TRAIN_PREFIX_MAX, "train")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dataset-curation funnel in one pass: how many documents
     survive quality filtering → target-language filtering → exact dedup
@@ -459,19 +479,7 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: one scan, narrow maps, one window shuffle on fingerprint;
     output is 1 row.
     """
-    from .textops import _lang_exprs, _norm_text_expr, _quality_exprs
-
-    docs = load_table(spark, sf_dir, "documents")
-    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    base = docs.select(
-        "doc_id",
-        _quality_exprs()["keep"].alias("keep"),
-        _lang_exprs()["predicted_lang"].alias("predicted_lang"),
-        F.sha2(_norm_text_expr(), 256).alias("fingerprint"),
-        F.when(prefix <= _TRAIN_PREFIX_MAX, "train")
-        .otherwise("test")
-        .alias("split"),
-    )
+    base = _funnel_flags(load_table(spark, sf_dir, "documents"))
     ql_ok = F.col("keep") & (F.col("predicted_lang") == "en")
     w = Window.partitionBy("fingerprint").orderBy(
         ql_ok.desc(), F.col("doc_id")

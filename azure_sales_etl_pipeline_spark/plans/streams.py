@@ -33,6 +33,7 @@ from ..streaming import (
     stream_kmv_distinct,
     stream_transition_matrix,
     stream_user_totals_custom_state,
+    stream_curation_funnel_fold,
 )
 from .analytics import _CMS_HH_SQL as _STREAM_CMS_SQL
 from .incremental import _BM25_IDX_SQL as _STREAM_TOKSTATS_SQL
@@ -40,6 +41,7 @@ from .temporal import _TRANSITION_SQL
 from .analytics import _KMV_SQL as _STREAM_KMV_SQL
 from .analytics import _PSI_SQL as _STREAM_PSI_SQL
 from .analytics import _DRIFT_SQL as _STREAM_DRIFT_SQL
+from .mlprep import _funnel_sql as _stream_funnel_sql
 
 QUERIES = {
     "stream_tumbling_counts": stream_tumbling_counts,
@@ -64,6 +66,7 @@ QUERIES = {
     "stream_quality_suite": stream_quality_suite,
     "stream_late_data_audit": stream_late_data_audit,
     "stream_token_stats_fold": stream_token_stats_fold,
+    "stream_curation_funnel_fold": stream_curation_funnel_fold,
 }
 
 ORACLES = {
@@ -83,4 +86,5 @@ ORACLES = {
     "stream_quality_suite": _STREAM_QUALITY_SQL,
     "stream_late_data_audit": STREAM_LATE_AUDIT_SQL,
     "stream_token_stats_fold": _STREAM_TOKSTATS_SQL,
+    "stream_curation_funnel_fold": _stream_funnel_sql(),
 }

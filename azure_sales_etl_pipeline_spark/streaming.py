@@ -616,6 +616,124 @@ def stream_user_totals_custom_state(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def streaming_curation_monitor(
+    spark: SparkSession,
+    source_glob: str,
+    schema,
+    state_path: str,
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming CURATION-FUNNEL upkeep: each arriving document batch
+    folds its per-fingerprint funnel state into ONE persisted table —
+    additive counters (rows, quality passes, quality+lang passes) fold
+    by sum; the funnel's dedup decision ("which copy of this content
+    does the corpus keep, preferring a quality+lang survivor, then the
+    lowest doc_id") folds as an ARGMIN over the composite rank
+    ``(1-ql_ok)·10¹² + doc_id`` packed in a struct with the kept row's
+    attributes — min over structs is an idempotent commutative monoid,
+    so stream(batches) ≡ batch(union) EXACTLY, for any batch split,
+    and the one-shot [[curation_funnel]] SQL is the oracle. Single
+    state table → single commit marker → the replay protection shared
+    with ``streaming_mart`` covers the whole fold atomically.
+
+    At 100 TB the state is one row per DISTINCT content — the
+    fingerprint-index size class, orders of magnitude under the raw
+    corpus — and each batch costs one fingerprint-key shuffle over the
+    BATCH plus a narrow state re-union (the `merge_aggregate`
+    contract); history text is never re-read."""
+    from .operators.maintenance import merge_aggregate
+    from .plans.mlprep import _funnel_flags
+
+    def fold(batch_df: DataFrame, commit_meta: dict) -> None:
+        flags = _funnel_flags(batch_df)
+        ql = F.col("keep") & (F.col("predicted_lang") == "en")
+        staged = flags.select(
+            "fingerprint",
+            F.struct(
+                (
+                    F.when(ql, 0).otherwise(1).cast("bigint")
+                    * F.lit(1_000_000_000_000)
+                    + F.col("doc_id")
+                ).alias("rank"),
+                ql.alias("kept_ql"),
+                F.col("split").alias("kept_split"),
+            ).alias("best"),
+            F.when(F.col("keep"), 1).otherwise(0).alias("nq"),
+            F.when(ql, 1).otherwise(0).alias("nl"),
+        )
+        merge_aggregate(
+            spark,
+            state_path,
+            staged,
+            keys=["fingerprint"],
+            sums=["nq", "nl"],
+            mins=["best"],
+            commit_meta=commit_meta,
+        )
+
+    _streaming_fold(spark, source_glob, schema, state_path, checkpoint, fold)
+
+
+def curation_funnel_report(spark: SparkSession, state_path: str) -> DataFrame:
+    """Project the persisted curation state into the one-shot
+    [[curation_funnel]] row shape: totals from the additive sums,
+    unique/train from each fingerprint's kept (argmin) attributes."""
+    from .operators.writer import read_table
+
+    st = read_table(spark, state_path)
+    return st.agg(
+        F.sum("n_rows").cast("bigint").alias("n_total"),
+        F.sum("nq").cast("bigint").alias("n_quality"),
+        F.sum("nl").cast("bigint").alias("n_lang"),
+        F.count(F.when(F.col("best.kept_ql"), 1))
+        .cast("bigint")
+        .alias("n_unique"),
+        F.count(
+            F.when(
+                F.col("best.kept_ql") & (F.col("best.kept_split") == "train"),
+                1,
+            )
+        )
+        .cast("bigint")
+        .alias("n_train"),
+    )
+
+
+def stream_curation_funnel_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract form of ``streaming_curation_monitor``: land the
+    documents table as two parity micro-batches, fold each into a
+    fresh persisted funnel state, and report — under the BATCH
+    [[curation_funnel]] oracle, because the counters are additive and
+    the dedup decision is an argmin monoid: the streamed funnel must
+    equal the one-shot funnel exactly or the driver hash fails. This
+    is the curation counterpart of [[stream_token_stats_fold]]'s
+    index-maintains-itself story: the corpus health report maintains
+    itself as the crawl lands."""
+    import shutil
+
+    from .catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="stream_funnel_")
+    try:
+        state = _fold_parity_batches(
+            spark,
+            docs,
+            "doc_id",
+            ["doc_id", "text"],
+            "doc_id bigint, text string",
+            tmp,
+            lambda glob, schema, state, ckpt: streaming_curation_monitor(
+                spark, glob, schema, state, checkpoint=ckpt
+            ),
+        )
+        return curation_funnel_report(spark, state).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running totals via ``transformWithStateInPandas`` — the
     Spark 4.x StatefulProcessor API that supersedes

@@ -413,3 +413,62 @@ def test_stream_token_stats_fold_matches_batch(spark, tmp_path):
     assert out["aa bb"]["df"] == 2 and out["aa bb"]["tf_total"] == 3
     assert out["bb aa"]["df"] == 1 and out["bb aa"]["tf_total"] == 1
     assert out["bb cc"]["df"] == 1 and out["cc dd"]["df"] == 1
+
+
+def test_streaming_curation_funnel_converges_and_reassigns_keeper(spark, tmp_path):
+    """The streamed funnel fold must equal the one-shot curation_funnel
+    for ANY batch split — including the order-sensitivity trap: batch 1
+    delivers a LOW-quality copy of some content, batch 2 a
+    quality+lang copy with a higher doc_id. The funnel's dedup prefers
+    the survivor copy, so keepership must MOVE to the later quality
+    copy (the argmin rank (1-ql)*1e12+doc_id guarantees it), unlike a
+    naive first-seen-wins fold."""
+    from azure_sales_etl_pipeline_spark.plans.mlprep import curation_funnel
+    from azure_sales_etl_pipeline_spark.streaming import (
+        curation_funnel_report,
+        streaming_curation_monitor,
+    )
+
+    good = "the of and to in " * 4  # 20 tokens, quality + en
+    bad = "x1 x2 x3"  # too short: fails quality
+    rows = [
+        # fingerprint group A: batch1 has the bad copy, batch2 the good
+        (1, bad, "en", "web", 0),
+        (10, bad.upper(), "en", "web", 0),  # same normalized fp as 1
+        (2, good.strip(), "en", "web", 0),
+        (20, good.strip().upper(), "en", "web", 0),  # fp twin of 2
+        (3, " ".join(f"u{i} the of and to" for i in range(4)), "en", "web", 0),
+    ]
+    # normalized fp lowercases, so UPPER twins share fingerprints
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+
+    batch1 = df.where("doc_id IN (1, 2, 3)").select("doc_id", "text")
+    batch2 = df.where("doc_id IN (10, 20)").select("doc_id", "text")
+    src = tmp_path / "land"
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    for name, b in (("b1", batch1), ("b2", batch2)):
+        (
+            b.coalesce(1)
+            .write.option("header", True)
+            .option("quoteAll", True)
+            .option("escape", '"')
+            .option("ignoreLeadingWhiteSpace", False)
+            .option("ignoreTrailingWhiteSpace", False)
+            .csv(str(src / name))
+        )
+        streaming_curation_monitor(
+            spark, f"{src}/*", "doc_id bigint, text string", state,
+            checkpoint=ckpt,
+        )
+
+    streamed = curation_funnel_report(spark, state).collect()[0]
+    batch = curation_funnel(spark, str(tmp_path)).collect()[0]
+    assert tuple(streamed) == tuple(batch)
+    # the quality copy arrived in batch 2 but still wins its group:
+    # groups A(1,10): neither ql -> not unique-ql; B(2,20): 2 is ql and
+    # keeps; C(3): ql. n_unique == 2 proves the ql-preferred keeper.
+    assert streamed["n_unique"] == 2
