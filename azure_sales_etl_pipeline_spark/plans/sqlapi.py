@@ -9,8 +9,9 @@ lesson). A user who lives in SQL can point ``spark.sql`` at the engine
 catalog and get the same answers the DataFrame API gives.
 
 The queries are classic TPC-H-family shapes chosen so every classic
-SUBQUERY POSITION gets a plan-audited representative: scan→join→agg→
-top-N (Q3/Q5), correlated EXISTS → left-semi (Q4), double EXISTS/NOT
+SUBQUERY POSITION gets a plan-audited representative: the pure
+scan+hash-agg pricing summary (Q1) and single-filtered-SUM what-if
+(Q6), scan→join→agg→top-N (Q3/Q5), correlated EXISTS → left-semi (Q4), double EXISTS/NOT
 EXISTS → semi + anti (Q21), agg-filtered IN → semi (Q18), NOT IN →
 anti (Q16), correlated scalar aggregate → grain agg joined back
 (Q2/Q17), CTE + scalar max (Q15), share-of-total HAVING scalar (Q11),
@@ -44,6 +45,105 @@ def _register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     """
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1-shaped: THE canonical TPC-H pricing summary report — grouped
+    sums/averages over the shipped slice of the fact, the pure
+    scan+hash-agg shape every warehouse benchmarks first (and the one
+    Q-shape this module lacked; r12 closes the Q1-Q22 canon). Money in
+    exact DECIMAL cents; averages as truncating integer divisions of
+    the exact sums (centi-units for quantity, cents for price, basis
+    points for discount) so every column is engine-exact."""
+    _register_views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag AS return_flag,
+               l_linestatus AS line_status,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 0)
+                    AS BIGINT) AS sum_qty,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+                    * 100 AS BIGINT) AS sum_base_price_cents,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,4))), 2) * 100 AS BIGINT)
+                   AS sum_disc_price_cents,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                       * (1 + l_tax)
+                                   AS DECIMAL(18,6))), 2) * 100 AS BIGINT)
+                   AS sum_charge_cents,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 0) * 100
+                    AS BIGINT) div count(*) AS avg_qty_centi,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+                     * 100 AS BIGINT) div count(*) AS avg_price_cents,
+               CAST(round(sum(CAST(l_discount AS DECIMAL(18,4))), 4)
+                     * 10000 AS BIGINT) div count(*) AS avg_disc_bp,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+_PRICING_SUMMARY_SQL = """
+    SELECT l_returnflag AS return_flag,
+           l_linestatus AS line_status,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 0)
+                AS BIGINT) AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+                * 100 AS BIGINT) AS sum_base_price_cents,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,4))), 2) * 100 AS BIGINT)
+               AS sum_disc_price_cents,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   * (1 + l_tax)
+                               AS DECIMAL(18,6))), 2) * 100 AS BIGINT)
+               AS sum_charge_cents,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 0) * 100
+                AS BIGINT) // count(*) AS avg_qty_centi,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+                 * 100 AS BIGINT) // count(*) AS avg_price_cents,
+           CAST(round(sum(CAST(l_discount AS DECIMAL(18,4))), 4)
+                 * 10000 AS BIGINT) // count(*) AS avg_disc_bp,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def sql_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6-shaped: the forecast-revenue-change what-if — one filtered
+    SUM over the fact (a year of shipments, a discount band, a
+    quantity cap), the minimal predicate-pushdown + single-agg shape.
+    Exact DECIMAL cents."""
+    _register_views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT CAST(round(sum(CAST(l_extendedprice * l_discount
+                                   AS DECIMAL(18,4))), 2) * 100 AS BIGINT)
+                   AS revenue_cents,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1994-01-01'
+          AND l_shipdate <  DATE '1995-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )
+
+
+_FORECAST_REVENUE_SQL = """
+    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount
+                               AS DECIMAL(18,4))), 2) * 100 AS BIGINT)
+               AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+      AND l_shipdate <  TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
 
 
 def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -727,6 +827,8 @@ _PROMO_REVENUE_SQL = """
 
 
 QUERIES = {
+    "sql_pricing_summary": sql_pricing_summary,
+    "sql_forecast_revenue_change": sql_forecast_revenue_change,
     "sql_shipping_priority": sql_shipping_priority,
     "sql_widget_shippers": sql_widget_shippers,
     "sql_nation_balance_share": sql_nation_balance_share,
@@ -749,6 +851,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sql_pricing_summary": _PRICING_SUMMARY_SQL,
+    "sql_forecast_revenue_change": _FORECAST_REVENUE_SQL,
     "sql_shipping_priority": _SHIPPING_SQL,
     "sql_widget_shippers": _WIDGET_SHIPPERS_SQL,
     "sql_nation_balance_share": _BALANCE_SHARE_SQL,
