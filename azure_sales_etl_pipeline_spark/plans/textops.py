@@ -3621,7 +3621,7 @@ def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_REPETITION_SQL = rf"""
+_GOPHER_REPETITION_SQL = rf"""
     WITH t AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
         FROM documents
@@ -3720,7 +3720,7 @@ ORACLES = {
     "source_curation_rollup": _source_rollup_sql(),
     "winnowing_fingerprints": _WINNOW_SQL,
     "doc_quality": _QUALITY_SQL,
-    "gopher_repetition_signals": _REPETITION_SQL,
+    "gopher_repetition_signals": _GOPHER_REPETITION_SQL,
     "exact_substring_rewrite": _EXACT_SUBSTR_SQL,
     "ndcg_retrieval_eval": _NDCG_SQL,
     "lang_id": _LANG_SQL,

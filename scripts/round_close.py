@@ -102,6 +102,43 @@ def main() -> int:
             f" {uncovered[:10]} — add inventory rows"
         )
 
+    # 3b. duplicate module-level assignments in plans modules — a
+    # silently-shadowed oracle constant (r12: a second _REPETITION_SQL
+    # replaced an older query's oracle at import time and only the full
+    # sf0.001 sweep caught it). AST-scan every plans module for names
+    # assigned twice at top level.
+    import ast as _ast
+
+    plans_dir = REPO / "azure_sales_etl_pipeline_spark" / "plans"
+    for mod in sorted(plans_dir.glob("*.py")):
+        seen_names: dict[str, int] = {}
+        tree = _ast.parse(mod.read_text())
+        for node in tree.body:
+            targets = []
+            if isinstance(node, _ast.Assign):
+                targets = [
+                    t.id for t in node.targets if isinstance(t, _ast.Name)
+                ]
+                # X = X + ... (self-referential build-up) is a deliberate
+                # idiom (e.g. _QUALITY_SUITE_SQL appends its rows tail),
+                # not a shadow — the new value READS the old one.
+                reads = {
+                    n.id
+                    for n in _ast.walk(node.value)
+                    if isinstance(n, _ast.Name)
+                }
+                targets = [t for t in targets if t not in reads]
+            elif isinstance(node, (_ast.FunctionDef, _ast.AsyncFunctionDef)):
+                targets = [node.name]
+            for t in targets:
+                if t in seen_names:
+                    problems.append(
+                        f"{mod.name}: top-level name {t!r} assigned at lines"
+                        f" {seen_names[t]} and {node.lineno} — the later one"
+                        " silently shadows the earlier (oracle-clobber class)"
+                    )
+                seen_names[t] = node.lineno
+
     # 4. SCALE.md rows for queries new since round 11
     import glob as _glob
     import json as _json
