@@ -54,9 +54,26 @@ INIT = REPO / "azure_sales_etl_pipeline_spark" / "plans" / "__init__.py"
 _SWEEP_PINS: dict[str, int] = {
     # name -> round whose green sample predates the refactor
     "record_linkage_scores": 9,
-    "cross_encoder_rerank": 11,   # r12: ASCII-consistent tokenizer (ADVICE #1)
+    "cross_encoder_rerank": 11,   # r12: ASCII tokenizer + factored first stage
     "did_revenue_effect": 11,     # r12: overflow-safe rational (ADVICE #2)
     "stream_token_stats_fold": 11,  # r12: multiLine-safe text landing (ADVICE #3)
+    # r12 refactors whose driver evidence predates the change (all
+    # verified locally at sf0.01; pins force a driver re-sample):
+    # CSV micro-batch landing gained multiLine/quoteAll/whitespace opts
+    "stream_drift_monitor": 11,
+    "stream_cms_heavy_hitters": 11,
+    "stream_drift_psi": 11,
+    "stream_quality_suite": 11,
+    "stream_kmv_distinct": 11,
+    # Python-state folds moved to 16 stream partitions
+    "stream_user_totals_custom_state": 11,
+    "stream_transition_matrix": 11,
+    # kernel factors: _minhash_core_ctes / _chunk_marked+_rebuilt_agg /
+    # _pack_segments / _funnel_flags
+    "minhash_lsh_candidates": 11,
+    "chunk_dedup_rewrite": 11,
+    "pack_sequences": 11,
+    "curation_funnel": 11,
 }
 
 
