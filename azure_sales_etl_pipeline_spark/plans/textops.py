@@ -2727,6 +2727,25 @@ _NDCG_W = tuple(
 _NDCG_GRADE_BOUNDS = ((750, 7), (500, 3), (250, 1))  # (min permille, 2^rel-1)
 
 
+def _ndcg_idcg_terms() -> str:
+    """Engine-shared SQL expression for the FULL-POOL ideal DCG@k.
+
+    Because gains take only the four values {0, 1, 3, 7}, the ideal
+    ranking of the entire judged pool is determined by the per-query
+    gain HISTOGRAM (n7/n3/n1 = how many pool docs grade 7/3/1): the
+    ideal list is n7 sevens, then n3 threes, then n1 ones. So
+    IDCG@k = Σ_{r=1..k} w_r · gain_at_rank_r unrolls to a constant
+    k-term expression over (n7, n3, n1) — no per-query corpus sort.
+    Embedded verbatim in both the Spark plan and the DuckDB oracle."""
+    terms = " + ".join(
+        f"{w} * (CASE WHEN {r} <= n7 THEN 7"
+        f" WHEN {r} <= n7 + n3 THEN 3"
+        f" WHEN {r} <= n7 + n3 + n1 THEN 1 ELSE 0 END)"
+        for r, w in enumerate(_NDCG_W, start=1)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
 def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NDCG@10 of the [[bm25_retrieval_topk]] ranking against a
     deterministic graded-relevance truth — the standard ranking-quality
@@ -2740,14 +2759,22 @@ def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     NDCG are all exact integers — bit-identical cross-engine with no
     float anywhere.
 
+    IDCG is the STANDARD full-pool ideal (r12 advice): every retrievable
+    document (doc_id != query_id) is graded, and IDCG@k is the discounted
+    sum of the k best gains in that whole pool — so a ranking that never
+    retrieves the high-gain documents is penalized (NDCG < 1000), unlike
+    the retrieved-permutation variant. Because gains take only four
+    values, the full-pool ideal reduces to a per-query gain histogram
+    (see ``_ndcg_idcg_terms``): ONE corpus × |Q| pass with the query
+    unigram sets broadcast and a map-side-combinable 3-counter groupBy —
+    no per-query corpus sort, no new shuffle of corpus-sized data.
+
     Scale shape: the corpus-sized work is the BM25 leg (reused
-    wholesale — posting-list equi-join, broadcast query terms);
-    everything here joins the |Q|·k retrieved rows back to their token
-    arrays (doc_id join) plus a broadcast of the |Q| query unigram
-    sets, then two bounded per-query windows (observed rank is already
-    there; ideal rank is a gain-desc re-rank of ≤k rows). Eval cost is
-    independent of corpus size — the property that lets it run as a
-    per-crawl-increment quality gate."""
+    wholesale — posting-list equi-join, broadcast query terms) plus the
+    single histogram pass above; the observed-DCG side joins the |Q|·k
+    retrieved rows back to their token arrays (doc_id join) against the
+    same broadcast query sets. Per-crawl-increment eval cost is one
+    corpus scan — the same order as the BM25 index build it gates."""
     docs = load_table(spark, sf_dir, "documents")
     uni = docs.select(
         "doc_id",
@@ -2776,26 +2803,45 @@ def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", cont.alias("cont"))
         .withColumn("gain", gain.cast("bigint"))
     )
-    w_ideal = Window.partitionBy("query_id").orderBy(
-        F.col("gain").desc(), F.col("rank").asc()
-    )
     weighted = graded.select(
         "query_id",
         "gain",
         (F.col("gain") * F.element_at(w_arr, F.col("rank").cast("int"))).alias(
             "dcg_term"
         ),
-        (
-            F.col("gain")
-            * F.element_at(w_arr, F.row_number().over(w_ideal))
-        ).alias("idcg_term"),
     )
-    agg = weighted.groupBy("query_id").agg(
-        F.sum("dcg_term").cast("bigint").alias("dcg_micro"),
-        F.sum("idcg_term").cast("bigint").alias("idcg_micro"),
-        F.count(F.when(F.col("gain") > 0, 1)).cast("bigint").alias(
-            "n_relevant"
-        ),
+    # full judged pool: grade EVERY retrievable doc per query, reduce to
+    # the gain histogram (n7/n3/n1) that determines the ideal top-k
+    pool = (
+        uni.crossJoin(F.broadcast(qsets))
+        .where(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", cont.alias("cont"))
+        .withColumn("gain", gain.cast("bigint"))
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.when(F.col("gain") == 7, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n7"),
+            F.sum(F.when(F.col("gain") == 3, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n3"),
+            F.sum(F.when(F.col("gain") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n1"),
+        )
+    )
+    idcg = pool.select(
+        "query_id", F.expr(_ndcg_idcg_terms()).alias("idcg_micro")
+    )
+    agg = (
+        weighted.groupBy("query_id")
+        .agg(
+            F.sum("dcg_term").cast("bigint").alias("dcg_micro"),
+            F.count(F.when(F.col("gain") > 0, 1)).cast("bigint").alias(
+                "n_relevant"
+            ),
+        )
+        .join(idcg, "query_id")
     )
     return agg.select(
         "query_id",
@@ -2846,22 +2892,44 @@ def _ndcg_sql() -> str:
     ),
     weighted AS (
         SELECT query_id, gain,
-               gain * ([{w_list}])[rank] AS dcg_term,
-               gain * ([{w_list}])[
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY gain DESC, rank ASC)
-               ] AS idcg_term
+               gain * ([{w_list}])[rank] AS dcg_term
         FROM graded
+    ),
+    pool AS (
+        SELECT query_id,
+               CAST(CASE {grade} ELSE 0 END AS BIGINT) AS gain
+        FROM (
+            SELECT qu.doc_id AS query_id,
+                   1000 * len(list_intersect(du.u, qu.u))
+                       // greatest(len(qu.u), 1) AS cont
+            FROM uni du
+            JOIN uni qu ON qu.doc_id < {_BM25R_N_QUERIES}
+                       AND du.doc_id != qu.doc_id
+        )
+    ),
+    hist AS (
+        SELECT query_id,
+               CAST(count(*) FILTER (gain = 7) AS BIGINT) AS n7,
+               CAST(count(*) FILTER (gain = 3) AS BIGINT) AS n3,
+               CAST(count(*) FILTER (gain = 1) AS BIGINT) AS n1
+        FROM pool GROUP BY query_id
+    ),
+    idcg AS (
+        SELECT query_id, {_ndcg_idcg_terms()} AS idcg_micro FROM hist
+    ),
+    dcg AS (
+        SELECT query_id,
+               CAST(sum(dcg_term) AS BIGINT) AS dcg_micro,
+               CAST(count(*) FILTER (gain > 0) AS BIGINT) AS n_relevant
+        FROM weighted
+        GROUP BY query_id
     )
-    SELECT query_id,
-           CAST(sum(dcg_term) AS BIGINT) AS dcg_micro,
-           CAST(sum(idcg_term) AS BIGINT) AS idcg_micro,
-           CAST(CASE WHEN sum(idcg_term) > 0
-                THEN (1000 * sum(dcg_term)) // sum(idcg_term)
+    SELECT d.query_id, d.dcg_micro, i.idcg_micro,
+           CAST(CASE WHEN i.idcg_micro > 0
+                THEN (1000 * d.dcg_micro) // i.idcg_micro
                 ELSE 0 END AS BIGINT) AS ndcg_permille,
-           CAST(count(*) FILTER (gain > 0) AS BIGINT) AS n_relevant
-    FROM weighted
-    GROUP BY query_id
+           d.n_relevant
+    FROM dcg d JOIN idcg i USING (query_id)
 """
 
 

@@ -128,7 +128,21 @@ def main() -> int:
                     if isinstance(n, _ast.Name)
                 }
                 targets = [t for t in targets if t not in reads]
-            elif isinstance(node, (_ast.FunctionDef, _ast.AsyncFunctionDef)):
+            elif isinstance(node, _ast.AnnAssign):
+                # `X: str = ...` binds too — same shadow class as Assign.
+                if node.value is not None and isinstance(
+                    node.target, _ast.Name
+                ):
+                    reads = {
+                        n.id
+                        for n in _ast.walk(node.value)
+                        if isinstance(n, _ast.Name)
+                    }
+                    if node.target.id not in reads:
+                        targets = [node.target.id]
+            elif isinstance(
+                node, (_ast.FunctionDef, _ast.AsyncFunctionDef, _ast.ClassDef)
+            ):
                 targets = [node.name]
             for t in targets:
                 if t in seen_names:
@@ -151,7 +165,10 @@ def main() -> int:
             first_round.setdefault(qname, rnd)
     scale = (REPO / "SCALE.md").read_text()
     no_scale_row = sorted(
-        n for n in names if first_round.get(n, 10**9) >= 11 and n not in scale
+        n
+        for n in names
+        if first_round.get(n, 10**9) >= 11
+        and not _re.search(rf"\b{_re.escape(n)}\b", scale)
     )
     if no_scale_row:
         problems.append(
