@@ -1,0 +1,799 @@
+"""Resampling, agreement, and ranking estimators — the statistical-rigor
+layer a 100 TB curation pipeline reads its own dashboards with.
+
+Every number a data pipeline publishes (a dedup rate, a quality mean, a
+retrieval metric) needs an uncertainty and an agreement story before a
+training run bets compute on it. This module adds the four estimator
+families the rest of the registry was missing:
+
+- **Poisson bootstrap** (`poisson_bootstrap_ci`) — THE distributed
+  bootstrap: classic resampling needs coordinated draws of N rows per
+  replicate, which cannot be done in one pass over sharded data;
+  weighting every row independently with Poisson(1) draws (Chamandy et
+  al. 2012, "Estimating Uncertainty for Massive Data Streams") makes
+  each replicate an order-free weighted sum computable in the SAME
+  map-side-combined aggregate as the point estimate.
+- **Bradley-Terry strengths** (`bradley_terry_strengths`) — the
+  pairwise-preference strength model behind every RLHF reward-data
+  dashboard and chatbot-arena leaderboard, fit by Zermelo's fixed-point
+  iteration on the AGGREGATED pair-count table (corpus-sized work is
+  one shuffle; iterations touch only |players|² rows).
+- **pass@k** (`pass_at_k_estimator`) — the unbiased combinatorial
+  estimator from the HumanEval paper (Chen et al. 2021): per task with
+  n samples / c correct, pass@k = 1 − C(n−c,k)/C(n,k), averaged over
+  tasks. Computed as EXACT rationals over a per-k common denominator.
+- **Cohen's kappa** (`interrater_kappa`) — chance-corrected agreement
+  between two annotators/classifiers; the gate that tells you whether
+  two cheap quality raters are interchangeable before you trust either
+  at scale. Pure integer arithmetic end to end.
+- **Jackknife influence** (`jackknife_source_influence`) — leave-one-
+  source-out influence of every source on the corpus quality mean; the
+  O(sources) algebraic jackknife (totals in, influence out), not a
+  per-source re-scan.
+
+Exactness discipline (house rules): every sum that crosses a partition
+boundary is an integer (floored micro-units where a float is
+unavoidable mid-pipe), wide products go through DECIMAL(38,0) /
+HUGEINT, float expressions are identical literal text on both engines
+(`_dlit`), and hashes are md5 (bit-identical cross-engine).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions import _dlit, hex_to_bigint_sql, local_df
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 40  # replicates; CI = order statistics 2 and B-1 (~95%)
+_BOOT_HEX_W = 15  # md5 prefix width -> uniform on [0, 16^15)
+_BOOT_SPACE = 16**_BOOT_HEX_W
+
+# Poisson(1) CDF thresholds scaled to the integer hash space, k = 0..7
+# (P(X > 7) ~ 1e-5; the tail collapses into weight 8). SPEC CONSTANTS:
+# computed once here with Python floats and embedded as identical
+# integer literals in the Spark plan and the DuckDB oracle, so weight
+# assignment is pure integer comparison at query time on both engines.
+_BOOT_THRESHOLDS = tuple(
+    int(sum(math.exp(-1.0) / math.factorial(i) for i in range(k + 1)) * _BOOT_SPACE)
+    for k in range(8)
+)
+
+
+def _boot_weight_sql(h: str) -> str:
+    """Shared SQL: integer hash -> Poisson(1) weight via CDF thresholds."""
+    arms = " ".join(
+        f"WHEN {h} < CAST({t} AS BIGINT) THEN {k}"
+        for k, t in enumerate(_BOOT_THRESHOLDS)
+    )
+    return f"(CASE {arms} ELSE 8 END)"
+
+
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap CI for total order revenue via the POISSON
+    BOOTSTRAP (Chamandy et al. 2012) — the resampling scheme that works
+    on sharded data: instead of drawing N rows with replacement per
+    replicate (needs global coordination), every (row, replicate) pair
+    independently draws a Poisson(1) weight, and a replicate's total is
+    the weighted sum. Weights come from md5(order, replicate) mapped
+    through integer-scaled CDF thresholds (`_BOOT_THRESHOLDS`), so the
+    resample is deterministic, reproducible under repartitioning, and
+    bit-identical on both engines.
+
+    Replicate id −1 carries weight 1 everywhere = the point estimate,
+    so ONE scan produces point + all replicates: the per-row replicate
+    fan-out feeds straight into a map-side-combined hash aggregate with
+    B+1 groups — the shuffle moves (B+1) rows per task, never the
+    (B+1)× row amplification. The CI is order statistics 2 and B−1 of
+    the B replicate totals, extracted with sort_array over a collected
+    B-element list (bounded control plane, no global-sort window).
+
+    100 TB: same plan — the scan dominates, the fan-out is codegen-local
+    arithmetic, and the aggregate state is B+1 DECIMAL cells per task."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    reps = orders.select(
+        "o_orderkey",
+        "cents",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(-1, _BOOT_B)])
+        ).alias("b"),
+    )
+    h = hex_to_bigint_sql(
+        "substr(md5(concat('pboot:', CAST(o_orderkey AS STRING),"
+        " ':', CAST(b AS STRING))), 1, 15)",
+        width=_BOOT_HEX_W,
+    )
+    w = f"(CASE WHEN b = -1 THEN 1 ELSE {_boot_weight_sql(h)} END)"
+    totals = (
+        reps.withColumn("wt", F.expr(w))
+        .groupBy("b")
+        .agg(
+            F.expr("sum(CAST(wt AS DECIMAL(38,0)) * cents)").alias("total"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+    )
+    lo_idx, hi_idx = 2, _BOOT_B - 1
+    return totals.agg(
+        F.max(F.when(F.col("b") == -1, F.col("n_rows")))
+        .cast("bigint")
+        .alias("n_orders"),
+        F.max(F.when(F.col("b") == -1, F.col("total")))
+        .cast("bigint")
+        .alias("point_total_cents"),
+        F.count(F.when(F.col("b") >= 0, 1)).cast("bigint").alias(
+            "n_replicates"
+        ),
+        F.element_at(
+            F.sort_array(
+                F.collect_list(F.when(F.col("b") >= 0, F.col("total")))
+            ),
+            lo_idx,
+        )
+        .cast("bigint")
+        .alias("boot_lo_cents"),
+        F.element_at(
+            F.sort_array(
+                F.collect_list(F.when(F.col("b") >= 0, F.col("total")))
+            ),
+            hi_idx,
+        )
+        .cast("bigint")
+        .alias("boot_hi_cents"),
+    )
+
+
+def _poisson_bootstrap_sql() -> str:
+    h = hex_to_bigint_sql(
+        "substr(md5('pboot:' || CAST(o_orderkey AS VARCHAR)"
+        " || ':' || CAST(b AS VARCHAR)), 1, 15)",
+        width=_BOOT_HEX_W,
+    )
+    return f"""
+    WITH reps AS (
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents,
+               CAST(r.b AS BIGINT) AS b
+        FROM orders, (SELECT unnest(range(-1, {_BOOT_B})) AS b) r
+    ),
+    totals AS (
+        SELECT b,
+               sum(CAST(CASE WHEN b = -1 THEN 1
+                        ELSE {_boot_weight_sql(h)} END AS HUGEINT)
+                   * cents) AS total,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM reps GROUP BY b
+    )
+    SELECT CAST(max(CASE WHEN b = -1 THEN n_rows END) AS BIGINT)
+               AS n_orders,
+           CAST(max(CASE WHEN b = -1 THEN total END) AS BIGINT)
+               AS point_total_cents,
+           CAST(count(*) FILTER (b >= 0) AS BIGINT) AS n_replicates,
+           CAST(list_sort(list(total) FILTER (b >= 0))[2] AS BIGINT)
+               AS boot_lo_cents,
+           CAST(list_sort(list(total) FILTER (b >= 0))[{_BOOT_B - 1}]
+               AS BIGINT) AS boot_hi_cents
+    FROM totals
+"""
+
+
+_POISSON_BOOTSTRAP_SQL = _poisson_bootstrap_sql()
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry pairwise strengths (Zermelo fixed point)
+# ---------------------------------------------------------------------------
+
+_BT_ROUNDS = 8  # fixed-point iterations (fixed count = deterministic)
+_BT_EPS = 1e-9  # floor after normalization; keeps p_i + p_j > 0
+
+
+def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRADLEY-TERRY strength fitting — the model behind preference/
+    reward-data leaderboards (chatbot arenas, RLHF labeler dashboards):
+    given pairwise outcomes, find strengths p_i with
+    P(i beats j) = p_i/(p_i+p_j), by Zermelo's fixed point
+    p_i ← W_i / Σ_j n_ij/(p_i+p_j), a fixed ``_BT_ROUNDS`` iterations.
+
+    Matches here: adjacent lineitems of an order (lag over the order's
+    linenumber sequence — ONE shuffle) pit their part BRANDS against
+    each other; the higher extendedprice wins, price ties go to the
+    lexicographically smaller brand, same-brand pairs are skipped.
+
+    Scale shape: the corpus-sized work ends at the (winner, loser)
+    groupBy — everything after runs on the ≤ |brands|² pair-count table
+    (localCheckpointed: each round would otherwise replay the full
+    lineage). Per round, each denominator term n_ij/(p_i+p_j) is
+    FLOORED to integer micro-units before the Σ_j sum and each updated
+    strength re-floored before the normalization sum, so every
+    cross-row reduction is an exact integer and the trailing float ops
+    are identical literal expressions — deterministic to the bit on
+    both engines despite 8 rounds of division chains. Strengths are
+    floored at `_BT_EPS` post-normalization so an all-losses player
+    cannot zero a later denominator."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rows = li.join(part, li.l_partkey == part.p_partkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.col("p_brand").alias("brand"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    # (orderkey, linenumber) is NOT unique in this synthetic schema —
+    # tie-break with (partkey, price) so the lag sequence (and thus the
+    # match list) is a deterministic function of the data. Rows tying on
+    # all four keys share brand AND price, so any residual permutation
+    # cannot change a single match outcome.
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "price"
+    )
+    m = (
+        rows.select(
+            "brand",
+            "price",
+            F.lag("brand").over(w).alias("prev_brand"),
+            F.lag("price").over(w).alias("prev_price"),
+        )
+        .where(
+            F.col("prev_brand").isNotNull()
+            & (F.col("prev_brand") != F.col("brand"))
+        )
+    )
+    winner = (
+        F.when(F.col("price") > F.col("prev_price"), F.col("brand"))
+        .when(F.col("price") < F.col("prev_price"), F.col("prev_brand"))
+        .otherwise(F.least("brand", "prev_brand"))
+    )
+    loser = (
+        F.when(F.col("price") > F.col("prev_price"), F.col("prev_brand"))
+        .when(F.col("price") < F.col("prev_price"), F.col("brand"))
+        .otherwise(F.greatest("brand", "prev_brand"))
+    )
+    matches = m.select(winner.alias("win"), loser.alias("lose"))
+    games = matches.select(
+        F.col("win").alias("i"), F.col("lose").alias("j"), F.lit(1).alias("won")
+    ).unionAll(
+        matches.select(
+            F.col("lose").alias("i"),
+            F.col("win").alias("j"),
+            F.lit(0).alias("won"),
+        )
+    )
+    pairs = (
+        games.groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("won").cast("bigint").alias("w"),
+        )
+        .localCheckpoint()
+    )
+    players = pairs.groupBy("i").agg(
+        F.sum("w").cast("bigint").alias("wins"),
+        F.sum("n").cast("bigint").alias("n_games"),
+    ).localCheckpoint()
+    n_players = players.select(
+        F.count(F.lit(1)).cast("bigint").alias("npl")
+    )
+    p = players.select("i", F.lit(1.0).alias("p"))
+    mic = _dlit(1_000_000.0)
+    for _ in range(_BT_ROUNDS):
+        terms = (
+            pairs.join(p.select("i", "p"), "i")
+            .join(
+                p.select(F.col("i").alias("j"), F.col("p").alias("pj")), "j"
+            )
+            .withColumn(
+                "term_micro",
+                F.expr(
+                    f"CAST(floor({mic} * CAST(n AS DOUBLE)"
+                    " / (p + pj)) AS BIGINT)"
+                ),
+            )
+        )
+        denom = terms.groupBy("i").agg(
+            F.expr("sum(CAST(term_micro AS DECIMAL(38,0)))").alias("dm")
+        )
+        praw = players.join(denom, "i").withColumn(
+            "pm",
+            F.expr(
+                f"CAST(floor({mic} * ({mic} * CAST(wins AS DOUBLE)"
+                f" / CAST(dm AS DOUBLE))) AS BIGINT)"
+            ),
+        )
+        tot = praw.agg(
+            F.expr("sum(CAST(pm AS DECIMAL(38,0)))").alias("tot")
+        )
+        p = (
+            praw.crossJoin(F.broadcast(tot))
+            .crossJoin(F.broadcast(n_players))
+            .select(
+                "i",
+                F.expr(
+                    "greatest(CAST(pm AS DOUBLE) * CAST(npl AS DOUBLE)"
+                    f" / CAST(tot AS DOUBLE), {_dlit(_BT_EPS)})"
+                ).alias("p"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        players.join(p, "i")
+        .select(
+            F.col("i").alias("player"),
+            "wins",
+            "n_games",
+            F.expr(f"CAST(floor({mic} * p) AS BIGINT)").alias(
+                "strength_micro"
+            ),
+        )
+    )
+
+
+def _bradley_terry_sql() -> str:
+    mic = _dlit(1_000_000.0)
+    ctes = f"""matches AS MATERIALIZED (
+        SELECT CASE WHEN price > prev_price THEN brand
+                    WHEN price < prev_price THEN prev_brand
+                    ELSE least(brand, prev_brand) END AS win,
+               CASE WHEN price > prev_price THEN prev_brand
+                    WHEN price < prev_price THEN brand
+                    ELSE greatest(brand, prev_brand) END AS lose
+        FROM (
+            SELECT p.p_brand AS brand,
+                   CAST(l.l_extendedprice AS DECIMAL(18,2)) AS price,
+                   lag(p.p_brand) OVER w AS prev_brand,
+                   lag(CAST(l.l_extendedprice AS DECIMAL(18,2))) OVER w
+                       AS prev_price
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WINDOW w AS (PARTITION BY l.l_orderkey
+                         ORDER BY l.l_linenumber, l.l_partkey,
+                                  CAST(l.l_extendedprice AS DECIMAL(18,2)))
+        )
+        WHERE prev_brand IS NOT NULL AND prev_brand != brand
+    ),
+    pairs AS MATERIALIZED (
+        SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(won) AS BIGINT) AS w
+        FROM (
+            SELECT win AS i, lose AS j, 1 AS won FROM matches
+            UNION ALL
+            SELECT lose AS i, win AS j, 0 AS won FROM matches
+        ) GROUP BY i, j
+    ),
+    players AS MATERIALIZED (
+        SELECT i, CAST(sum(w) AS BIGINT) AS wins,
+               CAST(sum(n) AS BIGINT) AS n_games
+        FROM pairs GROUP BY i
+    ),
+    npl AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS npl FROM players),
+    r0 AS MATERIALIZED (SELECT i, 1.0e0 AS p FROM players)"""
+    for t in range(1, _BT_ROUNDS + 1):
+        prev = f"r{t - 1}"
+        ctes += f""",
+    terms{t} AS MATERIALIZED (
+        SELECT pairs.i,
+               CAST(floor({mic} * CAST(pairs.n AS DOUBLE)
+                    / (pi.p + pj.p)) AS BIGINT) AS term_micro
+        FROM pairs
+        JOIN {prev} pi ON pairs.i = pi.i
+        JOIN {prev} pj ON pairs.j = pj.i
+    ),
+    praw{t} AS MATERIALIZED (
+        SELECT players.i, CAST(floor({mic} * ({mic}
+                    * CAST(players.wins AS DOUBLE)
+                    / CAST(d.dm AS DOUBLE))) AS BIGINT) AS pm
+        FROM players
+        JOIN (SELECT i, sum(CAST(term_micro AS HUGEINT)) AS dm
+              FROM terms{t} GROUP BY i) d ON players.i = d.i
+    ),
+    r{t} AS MATERIALIZED (
+        SELECT i, greatest(CAST(pm AS DOUBLE) * CAST(npl.npl AS DOUBLE)
+                   / CAST(t.tot AS DOUBLE), {_dlit(_BT_EPS)}) AS p
+        FROM praw{t}
+        CROSS JOIN (SELECT sum(CAST(pm AS HUGEINT)) AS tot FROM praw{t}) t
+        CROSS JOIN npl
+    )"""
+    return f"""
+    WITH {ctes}
+    SELECT players.i AS player, wins, n_games,
+           CAST(floor({mic} * p) AS BIGINT) AS strength_micro
+    FROM players JOIN r{_BT_ROUNDS} USING (i)
+"""
+
+
+_BRADLEY_TERRY_SQL = _bradley_terry_sql()
+
+
+# ---------------------------------------------------------------------------
+# pass@k (unbiased combinatorial estimator, HumanEval)
+# ---------------------------------------------------------------------------
+
+_PASSK_KS = (1, 2, 3, 5)  # k values reported
+# Harness cap: at most this many attempts counted per task (the same
+# bounded-n shape HumanEval-style rollups publish; rows beyond the cap
+# exist in this synthetic schema — least() keeps the estimator total
+# regardless of how attempt-heavy a task gets at bigger SFs).
+_PASSK_CAP = 20
+# per-k common denominator M_k = lcm{C(n, min(k, n)) : n <= cap}:
+# each task's fraction (C(n-c,k')/C(n,k')) scales to an EXACT integer
+# v = M_k - M_k*num/den, so the cross-task mean is one integer sum.
+# Max intermediate (M_k/den)*num <= 7.3e11 at cap 20 — inside int64.
+_PASSK_M = {
+    k: math.lcm(*[math.comb(n, min(k, n)) for n in range(1, _PASSK_CAP + 1)])
+    for k in _PASSK_KS
+}
+
+
+def _comb_sql(a: str, b: str, idiv: str) -> str:
+    """C(a, b) for a >= 0 and b <= 5 as closed-form SQL: the falling
+    factorial a(a−1)…(a−b+1) is always divisible by b!, and for a < b
+    one factor is 0 (a zero factor always precedes any negative one,
+    so the product is never negative and the two engines' integer-div
+    semantics agree) — one integer product + one exact division covers
+    every case, no lookup table, no bound on a. (b here is min(k, n)
+    <= 5 by construction.) ``idiv`` is the engine's integer-division
+    operator — 'div' on Spark, '//' on DuckDB (the one token the
+    otherwise-shared text differs in)."""
+    arms = []
+    for bv in range(6):
+        if bv == 0:
+            arms.append("WHEN 0 THEN CAST(1 AS BIGINT)")
+            continue
+        prod = " * ".join(
+            f"CAST(({a}) - {i} AS BIGINT)" for i in range(bv)
+        )
+        arms.append(
+            f"WHEN {bv} THEN (({prod}) {idiv} {math.factorial(bv)})"
+        )
+    return f"(CASE {b} {' '.join(arms)} ELSE 0 END)"
+
+
+def pass_at_k_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pass@k — the UNBIASED estimator from the HumanEval paper (Chen et
+    al. 2021, eq. 1): for a task with n attempts of which c are correct,
+    the chance a random size-k subset contains a correct attempt is
+    1 − C(n−c,k)/C(n,k); pass@k is the mean over tasks (k capped at n
+    per task). The frame here: each order is a task, its lineitems are
+    attempts, an attempt "passes" iff l_discount ≥ 0.05 — the same
+    shape an eval harness aggregates (task_id, n_samples, n_correct)
+    rollups with.
+
+    Exactness: the naive per-task division is irrational-free but
+    truncates; instead each task's miss-probability scales by the
+    per-k common denominator M_k = lcm{C(n,k') : n ≤ cap} (module
+    constant), so v = M_k − M_k·C(n−c,k′)/C(n,k′) is an EXACT integer
+    (den | M_k) and the cross-task mean is one integer sum with a
+    single final floor. Binomials are shared closed-form falling-
+    factorial text (`_comb_sql` — k′ ≤ 5, so b! ≤ 120 divides exactly);
+    attempt counts are capped at `_PASSK_CAP` per task (correct-first —
+    a fixed harness-style truncation spec, hit by <0.1% of tasks).
+
+    Scale: one lineitem→order groupBy (map-side combined) builds
+    (n, c); the k fan-out is a 4-row broadcast; the final agg is 4
+    groups. Nothing else moves."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_discount").cast("decimal(12,2)") >= 0.05).alias("ok"),
+    )
+    tasks = li.groupBy("l_orderkey").agg(
+        F.expr(f"CAST(least(count(*), {_PASSK_CAP}) AS INT)").alias("n"),
+        F.expr(
+            "CAST(least(sum(CASE WHEN ok THEN 1 ELSE 0 END),"
+            f" least(count(*), {_PASSK_CAP})) AS INT)"
+        ).alias("c"),
+    )
+    ks = local_df(
+        spark,
+        [(k, _PASSK_M[k]) for k in _PASSK_KS],
+        "k BIGINT, m BIGINT",
+    )
+    kk = "CAST(least(k, CAST(n AS BIGINT)) AS INT)"
+    den = _comb_sql("n", kk, "div")
+    num = _comb_sql("(n - c)", kk, "div")
+    v = f"(m - (m div {den}) * {num})"
+    fanned = tasks.crossJoin(F.broadcast(ks)).withColumn(
+        "v", F.expr(v).cast("bigint")
+    )
+    return (
+        fanned.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tasks"),
+            F.expr("sum(CAST(v AS DECIMAL(38,0)))").alias("sv"),
+            F.max("m").alias("m"),
+        )
+        .select(
+            "k",
+            "n_tasks",
+            F.expr(
+                "CAST((1000000 * sv) div (CAST(n_tasks AS DECIMAL(38,0))"
+                " * m) AS BIGINT)"
+            ).alias("pass_at_k_micro"),
+        )
+        .orderBy("k")
+    )
+
+
+def _pass_at_k_sql() -> str:
+    kk = "CAST(least(k, CAST(n AS BIGINT)) AS INT)"
+    den = _comb_sql("n", kk, "//")
+    num = _comb_sql("(n - c)", kk, "//")
+    vals = ", ".join(f"({k}, {_PASSK_M[k]})" for k in _PASSK_KS)
+    return f"""
+    WITH tasks AS (
+        SELECT l_orderkey,
+               CAST(least(count(*), {_PASSK_CAP}) AS INT) AS n,
+               CAST(least(sum(CASE WHEN CAST(l_discount AS DECIMAL(12,2))
+                                   >= 0.05 THEN 1 ELSE 0 END),
+                          least(count(*), {_PASSK_CAP})) AS INT) AS c
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    ks(k, m) AS (SELECT CAST(k AS BIGINT), CAST(m AS BIGINT)
+                 FROM (VALUES {vals}) t(k, m)),
+    fanned AS (
+        SELECT k, m,
+               CAST((m - (m // {den}) * {num}) AS BIGINT) AS v
+        FROM tasks CROSS JOIN ks
+    )
+    SELECT k, CAST(count(*) AS BIGINT) AS n_tasks,
+           CAST((1000000 * sum(CAST(v AS HUGEINT)))
+                // (CAST(count(*) AS HUGEINT) * max(m)) AS BIGINT)
+               AS pass_at_k_micro
+    FROM fanned
+    GROUP BY k
+    ORDER BY k
+"""
+
+
+_PASS_AT_K_SQL = _pass_at_k_sql()
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa (inter-rater agreement)
+# ---------------------------------------------------------------------------
+
+# rater A: document length terciles; rater B: type-token-ratio terciles
+# (fixed SPEC thresholds — sf0.01 terciles, pinned so the contingency
+# table is a pure function of the row, not of the corpus)
+_KAPPA_LEN_CUTS = (220, 380)
+_KAPPA_TTR_CUTS = (400, 560)
+_KAPPA_WS = r"\s+"
+
+
+def interrater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA between two heuristic quality raters over the
+    document corpus — the chance-corrected agreement measure every
+    labeling pipeline reports before treating two annotators (or two
+    cheap classifiers) as interchangeable. Rater A buckets documents by
+    length terciles, rater B by type-token-ratio terciles (both fixed
+    spec thresholds, so each rating is a pure per-row function); kappa =
+    (p_o − p_e)/(1 − p_e) over the 3×3 contingency table.
+
+    Exactness: with N docs, diagonal count D, and marginal product sum
+    P = Σ_k row_k·col_k, kappa = (N·D − P)/(N² − P) — entirely integer
+    until one final floor to micro-units. Wide products ride
+    DECIMAL(38,0)/HUGEINT (N² passes int64 at 100 TB doc counts).
+
+    Scale: one corpus scan → 9-cell contingency aggregate (map-side
+    combined); marginals and the kappa arithmetic run on those 9 rows."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn(
+            "toks", F.split(F.trim(F.lower(F.col("text"))), _KAPPA_WS)
+        )
+        .select(
+            "n_chars",
+            F.expr(
+                "CAST(1000 * size(array_distinct(toks))"
+                " div size(toks) AS BIGINT)"
+            ).alias("ttr"),
+        )
+    )
+    ra = (
+        F.when(F.col("n_chars") < _KAPPA_LEN_CUTS[0], 0)
+        .when(F.col("n_chars") < _KAPPA_LEN_CUTS[1], 1)
+        .otherwise(2)
+    )
+    rb = (
+        F.when(F.col("ttr") < _KAPPA_TTR_CUTS[0], 0)
+        .when(F.col("ttr") < _KAPPA_TTR_CUTS[1], 1)
+        .otherwise(2)
+    )
+    cells = docs.select(ra.alias("ra"), rb.alias("rb")).groupBy(
+        "ra", "rb"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    rows_m = cells.groupBy("ra").agg(F.sum("cnt").alias("row_n"))
+    cols_m = cells.groupBy("rb").agg(F.sum("cnt").alias("col_n"))
+    pe = (
+        rows_m.join(cols_m, rows_m.ra == cols_m.rb)
+        .agg(
+            F.expr(
+                "sum(CAST(row_n AS DECIMAL(38,0)) * col_n)"
+            ).alias("p")
+        )
+    )
+    base = cells.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("ra") == F.col("rb"), F.col("cnt")))
+        .cast("bigint")
+        .alias("d"),
+    )
+    return base.crossJoin(F.broadcast(pe)).select(
+        F.col("n").alias("n_docs"),
+        F.col("d").alias("agree_n"),
+        F.expr(
+            "CAST((1000000 * (CAST(n AS DECIMAL(38,0)) * d - p))"
+            " div (CAST(n AS DECIMAL(38,0)) * n - p) AS BIGINT)"
+        ).alias("kappa_micro"),
+    )
+
+
+def _kappa_sql() -> str:
+    return f"""
+    WITH docs AS (
+        SELECT n_chars,
+               1000 * len(list_distinct(regexp_split_to_array(
+                       trim(lower(text)), '{_KAPPA_WS}')))
+                   // len(regexp_split_to_array(trim(lower(text)),
+                       '{_KAPPA_WS}')) AS ttr
+        FROM documents
+    ),
+    rated AS (
+        SELECT CASE WHEN n_chars < {_KAPPA_LEN_CUTS[0]} THEN 0
+                    WHEN n_chars < {_KAPPA_LEN_CUTS[1]} THEN 1
+                    ELSE 2 END AS ra,
+               CASE WHEN ttr < {_KAPPA_TTR_CUTS[0]} THEN 0
+                    WHEN ttr < {_KAPPA_TTR_CUTS[1]} THEN 1
+                    ELSE 2 END AS rb
+        FROM docs
+    ),
+    cells AS (
+        SELECT ra, rb, CAST(count(*) AS BIGINT) AS cnt
+        FROM rated GROUP BY ra, rb
+    ),
+    pe AS (
+        SELECT sum(CAST(r.row_n AS HUGEINT) * c.col_n) AS p
+        FROM (SELECT ra, sum(cnt) AS row_n FROM cells GROUP BY ra) r
+        JOIN (SELECT rb, sum(cnt) AS col_n FROM cells GROUP BY rb) c
+          ON r.ra = c.rb
+    ),
+    base AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN ra = rb THEN cnt END) AS BIGINT) AS d
+        FROM cells
+    )
+    SELECT n AS n_docs, d AS agree_n,
+           CAST((1000000 * (CAST(n AS HUGEINT) * d - p))
+                // (CAST(n AS HUGEINT) * n - p) AS BIGINT) AS kappa_micro
+    FROM base CROSS JOIN pe
+"""
+
+
+_KAPPA_SQL = _kappa_sql()
+
+
+# ---------------------------------------------------------------------------
+# jackknife leave-one-source-out influence
+# ---------------------------------------------------------------------------
+
+
+def jackknife_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAVE-ONE-SOURCE-OUT jackknife over the corpus quality mean — the
+    data-attribution question every mixture owner asks: "how much does
+    each source move my headline quality metric?" With per-doc quality
+    q (type-token ratio in permille, the [[interrater_kappa]] rater-B
+    signal), the influence of source s on the mean is
+    μ − μ₋ₛ = (S·(N−n_s) − N·(S−s_s)) / (N·(N−n_s)) — pure algebra over
+    the per-source (n_s, s_s) totals and the global (N, S), so the
+    whole jackknife costs ONE corpus scan + a |sources|-row join, never
+    a per-source re-scan (the textbook O(sources × corpus) trap).
+
+    Exactness: all-integer until one final floor; products through
+    DECIMAL(38,0)/HUGEINT since N² overflows int64 at 100 TB corpus
+    counts. Influence is in micro-permille; positive = the source
+    pulls the mean UP (dropping it would lower quality)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn(
+            "toks", F.split(F.trim(F.lower(F.col("text"))), _KAPPA_WS)
+        )
+        .select(
+            "source",
+            F.expr(
+                "CAST(1000 * size(array_distinct(toks))"
+                " div size(toks) AS BIGINT)"
+            ).alias("q"),
+        )
+    )
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("q").cast("bigint").alias("sum_q"),
+    )
+    glob = per_src.agg(
+        F.sum("n_docs").cast("bigint").alias("tn"),
+        F.sum("sum_q").cast("bigint").alias("ts"),
+    )
+    return (
+        per_src.crossJoin(F.broadcast(glob))
+        .select(
+            "source",
+            "n_docs",
+            F.expr(
+                "CAST((1000 * CAST(ts - sum_q AS DECIMAL(38,0)))"
+                " div (tn - n_docs) AS BIGINT)"
+            ).alias("loo_mean_millipermille"),
+            F.expr(
+                "CAST((1000000 * (CAST(ts AS DECIMAL(38,0)) * (tn - n_docs)"
+                " - CAST(tn AS DECIMAL(38,0)) * (ts - sum_q)))"
+                " div (CAST(tn AS DECIMAL(38,0)) * (tn - n_docs))"
+                " AS BIGINT)"
+            ).alias("influence_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+def _jackknife_sql() -> str:
+    return f"""
+    WITH docs AS (
+        SELECT source,
+               1000 * len(list_distinct(regexp_split_to_array(
+                       trim(lower(text)), '{_KAPPA_WS}')))
+                   // len(regexp_split_to_array(trim(lower(text)),
+                       '{_KAPPA_WS}')) AS q
+        FROM documents
+    ),
+    per_src AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(q) AS BIGINT) AS sum_q
+        FROM docs GROUP BY source
+    ),
+    gl AS (
+        SELECT CAST(sum(n_docs) AS BIGINT) AS tn,
+               CAST(sum(sum_q) AS BIGINT) AS ts
+        FROM per_src
+    )
+    SELECT source, n_docs,
+           CAST((1000 * CAST(ts - sum_q AS HUGEINT)) // (tn - n_docs)
+               AS BIGINT) AS loo_mean_millipermille,
+           CAST((1000000 * (CAST(ts AS HUGEINT) * (tn - n_docs)
+                - CAST(tn AS HUGEINT) * (ts - sum_q)))
+                // (CAST(tn AS HUGEINT) * (tn - n_docs)) AS BIGINT)
+               AS influence_micro
+    FROM per_src CROSS JOIN gl
+    ORDER BY source
+"""
+
+
+_JACKKNIFE_SQL = _jackknife_sql()
+
+
+QUERIES = {
+    "poisson_bootstrap_ci": poisson_bootstrap_ci,
+    "bradley_terry_strengths": bradley_terry_strengths,
+    "pass_at_k_estimator": pass_at_k_estimator,
+    "interrater_kappa": interrater_kappa,
+    "jackknife_source_influence": jackknife_source_influence,
+}
+
+ORACLES = {
+    "poisson_bootstrap_ci": _POISSON_BOOTSTRAP_SQL,
+    "bradley_terry_strengths": _BRADLEY_TERRY_SQL,
+    "pass_at_k_estimator": _PASS_AT_K_SQL,
+    "interrater_kappa": _KAPPA_SQL,
+    "jackknife_source_influence": _JACKKNIFE_SQL,
+}

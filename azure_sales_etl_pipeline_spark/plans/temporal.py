@@ -995,6 +995,117 @@ def _markov_sql() -> str:
 _MARKOV_SQL = _markov_sql()
 
 
+# ---------------------------------------------------------------------------
+# binned range join (point-in-interval without a theta join)
+# ---------------------------------------------------------------------------
+
+_RJ_WINDOW_DAYS = 7  # interval width; ALSO the bin width (spans <= 2 bins)
+
+
+def range_join_order_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-INTERVAL RANGE JOIN via bin bucketing — the missing
+    Spark primitive (DuckDB ships IEJoin, Databricks a range-join hint;
+    OSS Spark plans `a.day BETWEEN b.day AND b.day + 7` as a
+    BroadcastNestedLoop/cartesian that dies at scale). The engine
+    rewrite: pick the bin width equal to the interval width, so every
+    interval [d, d+W) overlaps at most TWO W-wide bins — explode each
+    interval into those two (nation, bin) keys, map each point to its
+    single bin, equi-join on (nation, bin), and post-filter the exact
+    range. The theta join becomes ONE hash-partitioned shuffle whose
+    fan-out is bounded by per-bin density, never |L|×|R|.
+
+    The business read: for every order, how many other same-nation
+    orders landed in the following week (local market activity) —
+    rolled up per nation. A point can't double-count: it matches an
+    interval only in the point's own bin, and the interval's two
+    exploded bins are distinct.
+
+    100 TB: bin density is the only knob — skewed weeks salt the bin
+    key; the oracle keeps the naive range join (the referee may be
+    quadratic; the engine must not be)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(
+            "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+            " AS BIGINT)"
+        ).alias("day"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").cast("bigint").alias("nation")
+    )
+    o = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "nation", "day"
+    )
+    w = _RJ_WINDOW_DAYS
+    iv = o.select(
+        F.col("o_orderkey").alias("i_okey"),
+        F.col("nation").alias("i_nation"),
+        F.col("day").alias("i_day"),
+        F.explode(
+            F.array(F.expr(f"day div {w}"), F.expr(f"day div {w} + 1"))
+        ).alias("bin"),
+    )
+    pts = o.select(
+        F.col("o_orderkey").alias("p_okey"),
+        F.col("nation").alias("p_nation"),
+        F.col("day").alias("p_day"),
+        F.expr(f"day div {w}").alias("bin"),
+    )
+    pairs = iv.join(
+        pts,
+        (iv.i_nation == pts.p_nation)
+        & (iv.bin == pts.bin)
+        & (pts.p_day >= iv.i_day)
+        & (pts.p_day < iv.i_day + w)
+        & (pts.p_okey != iv.i_okey),
+    )
+    per_o = pairs.groupBy("i_okey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    return (
+        o.join(per_o, o.o_orderkey == per_o.i_okey, "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cnt").cast("bigint").alias("total_pairs"),
+            F.max("cnt").cast("bigint").alias("max_pairs"),
+            F.sum(F.when(F.col("cnt") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("orders_with_activity"),
+        )
+        .orderBy("nation")
+    )
+
+
+_RANGE_JOIN_SQL = f"""
+    WITH o AS (
+        SELECT o_orderkey, CAST(c_nationkey AS BIGINT) AS nation,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                    AS BIGINT) AS day
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    pc AS (
+        SELECT a.o_orderkey, a.nation,
+               CAST(count(b.o_orderkey) AS BIGINT) AS cnt
+        FROM o a LEFT JOIN o b
+          ON a.nation = b.nation
+         AND b.day >= a.day AND b.day < a.day + {_RJ_WINDOW_DAYS}
+         AND b.o_orderkey != a.o_orderkey
+        GROUP BY a.o_orderkey, a.nation
+    )
+    SELECT nation, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cnt) AS BIGINT) AS total_pairs,
+           CAST(max(cnt) AS BIGINT) AS max_pairs,
+           CAST(sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS orders_with_activity
+    FROM pc
+    GROUP BY nation
+    ORDER BY nation
+"""
+
+
 QUERIES = {
     "event_transition_matrix": event_transition_matrix,
     "markov_attribution": markov_attribution,
@@ -1007,6 +1118,7 @@ QUERIES = {
     "peak_concurrent_sessions": peak_concurrent_sessions,
     "user_event_trigrams": user_event_trigrams,
     "repeat_purchase_hazard": repeat_purchase_hazard,
+    "range_join_order_activity": range_join_order_activity,
 }
 
 ORACLES = {
@@ -1021,4 +1133,5 @@ ORACLES = {
     "peak_concurrent_sessions": _PEAK_CONCURRENCY_SQL,
     "user_event_trigrams": _TRIGRAM_SQL,
     "repeat_purchase_hazard": _HAZARD_SQL,
+    "range_join_order_activity": _RANGE_JOIN_SQL,
 }

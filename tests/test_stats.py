@@ -1,0 +1,168 @@
+"""Invariant tests for the round-13 statistical-rigor family
+(plans/stats.py + the binned range join in plans/temporal.py).
+
+Value correctness is the oracle gate's job (all six queries are
+DuckDB-value-oracled at three SFs); these tests pin the MATHEMATICAL
+invariants an oracle match alone can't distinguish from a jointly-wrong
+spec — monotonicity, normalization, bracketing — plus the determinism
+contract (two runs, identical rows).
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR
+
+from azure_sales_etl_pipeline_spark.plans.stats import (
+    _BOOT_B,
+    _BOOT_SPACE,
+    _BOOT_THRESHOLDS,
+    _PASSK_KS,
+    bradley_terry_strengths,
+    interrater_kappa,
+    jackknife_source_influence,
+    pass_at_k_estimator,
+    poisson_bootstrap_ci,
+)
+from azure_sales_etl_pipeline_spark.plans.temporal import (
+    range_join_order_activity,
+)
+
+
+def test_poisson_thresholds_are_a_valid_cdf():
+    # strictly increasing, inside the hash space, and the mean of the
+    # implied weight distribution is 1 to within the k<=8 truncation
+    assert all(
+        a < b for a, b in zip(_BOOT_THRESHOLDS, _BOOT_THRESHOLDS[1:])
+    )
+    assert 0 < _BOOT_THRESHOLDS[0] < _BOOT_THRESHOLDS[-1] < _BOOT_SPACE
+    probs = [
+        (t - (p or 0)) / _BOOT_SPACE
+        for t, p in zip(_BOOT_THRESHOLDS, (None, *_BOOT_THRESHOLDS[:-1]))
+    ]
+    tail = 1.0 - _BOOT_THRESHOLDS[-1] / _BOOT_SPACE
+    mean = sum(k * p for k, p in enumerate(probs)) + 8 * tail
+    assert abs(mean - 1.0) < 1e-4
+
+
+def test_poisson_bootstrap_brackets_point(spark):
+    row = poisson_bootstrap_ci(spark, SF_DIR).collect()[0]
+    assert row.n_replicates == _BOOT_B
+    assert row.n_orders > 0
+    # replicate totals concentrate around the point estimate (sum over
+    # ~1.5k orders — CLT sigma is a few percent); the 95% order-stat CI
+    # must be a nonempty interval containing it
+    assert row.boot_lo_cents < row.point_total_cents < row.boot_hi_cents
+    spread = (row.boot_hi_cents - row.boot_lo_cents) / row.point_total_cents
+    assert 0 < spread < 0.5
+
+
+def test_bradley_terry_normalized_and_ordered(spark):
+    rows = bradley_terry_strengths(spark, SF_DIR).collect()
+    assert len(rows) > 1
+    total = sum(r.strength_micro for r in rows)
+    # normalization: strengths average to ~1.0 (floor jitter per player)
+    assert abs(total - 1_000_000 * len(rows)) < 10 * len(rows)
+    assert all(r.strength_micro >= 0 for r in rows)
+    assert all(0 <= r.wins <= r.n_games for r in rows)
+    # the fitted order must correlate with raw win rate at the extremes:
+    # the strongest player can't have the worst win rate and vice versa
+    by_strength = sorted(rows, key=lambda r: r.strength_micro)
+    by_rate = sorted(rows, key=lambda r: r.wins / r.n_games)
+    assert by_strength[-1].wins / by_strength[-1].n_games > (
+        by_rate[0].wins / by_rate[0].n_games
+    )
+
+
+def test_pass_at_k_monotone_in_k(spark):
+    rows = {r.k: r for r in pass_at_k_estimator(spark, SF_DIR).collect()}
+    assert set(rows) == set(_PASSK_KS)
+    vals = [rows[k].pass_at_k_micro for k in sorted(rows)]
+    # pass@k is nondecreasing in k by construction
+    assert vals == sorted(vals)
+    assert all(0 <= v <= 1_000_000 for v in vals)
+    assert len({r.n_tasks for r in rows.values()}) == 1
+
+
+def test_interrater_kappa_bounded(spark):
+    row = interrater_kappa(spark, SF_DIR).collect()[0]
+    assert 0 < row.agree_n <= row.n_docs
+    assert -1_000_000 <= row.kappa_micro <= 1_000_000
+
+
+def test_jackknife_influences_bracket_zero_and_sum_small(spark):
+    rows = jackknife_source_influence(spark, SF_DIR).collect()
+    assert len(rows) > 1
+    n = sum(r.n_docs for r in rows)
+    # LOO influence of a source is bounded by its share of the corpus:
+    # |mu - mu_{-s}| <= (n_s / (N - n_s)) * range(q) with q in [0, 1000]
+    for r in rows:
+        bound = 1_000_000 * 1000 * r.n_docs // (n - r.n_docs) + 1
+        assert abs(r.influence_micro) <= bound
+    # influences are deviations around the mean — they must straddle 0
+    # unless all sources are identical
+    signs = {r.influence_micro > 0 for r in rows if r.influence_micro != 0}
+    assert len(signs) == 2 or all(r.influence_micro == 0 for r in rows)
+
+
+def test_range_join_matches_naive_self_join(spark):
+    # the binned rewrite must agree with the naive theta join it replaces
+    from pyspark.sql import functions as F
+
+    from azure_sales_etl_pipeline_spark.catalog import load_table
+
+    got = {
+        r.nation: (r.n_orders, r.total_pairs, r.max_pairs,
+                   r.orders_with_activity)
+        for r in range_join_order_activity(spark, SF_DIR).collect()
+    }
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(
+            "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+            " AS BIGINT)"
+        ).alias("day"),
+    )
+    cust = load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", F.col("c_nationkey").cast("bigint").alias("nation")
+    )
+    o = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "nation", "day"
+    )
+    a, b = o.alias("a"), o.alias("b")
+    naive = (
+        a.join(
+            b,
+            (F.col("a.nation") == F.col("b.nation"))
+            & (F.col("b.day") >= F.col("a.day"))
+            & (F.col("b.day") < F.col("a.day") + 7)
+            & (F.col("b.o_orderkey") != F.col("a.o_orderkey")),
+            "left",
+        )
+        .groupBy(F.col("a.o_orderkey").alias("k"), F.col("a.nation"))
+        .agg(F.count(F.col("b.o_orderkey")).alias("cnt"))
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cnt").cast("bigint").alias("total_pairs"),
+            F.max("cnt").cast("bigint").alias("max_pairs"),
+            F.sum(F.when(F.col("cnt") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("orders_with_activity"),
+        )
+    )
+    want = {
+        r.nation: (r.n_orders, r.total_pairs, r.max_pairs,
+                   r.orders_with_activity)
+        for r in naive.collect()
+    }
+    assert got == want
+
+
+def test_stats_queries_deterministic(spark):
+    # same session, two runs, identical rows (hash-stable under the
+    # driver's repeated sampling)
+    for fn in (poisson_bootstrap_ci, pass_at_k_estimator):
+        r1 = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+        r2 = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+        assert r1 == r2
