@@ -782,12 +782,265 @@ def _jackknife_sql() -> str:
 _JACKKNIFE_SQL = _jackknife_sql()
 
 
+# ---------------------------------------------------------------------------
+# split-conformal prediction interval + coverage audit
+# ---------------------------------------------------------------------------
+
+_CONF_ALPHA_NUM, _CONF_ALPHA_DEN = 1, 10  # alpha = 0.1 -> 90% intervals
+_CONF_RANGES = 16  # range partitions for the score prefix sum
+
+
+def conformal_interval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-CONFORMAL prediction intervals (Vovk; Lei et al. 2018) —
+    the distribution-free uncertainty wrapper production ML serves
+    point predictions with: calibrate a nonconformity quantile on a
+    held-out split, then ANY future prediction ± that quantile covers
+    the truth with probability ≥ 1−α, no model assumptions. The model
+    here is the simplest honest one (per-priority mean order value,
+    fit on the calibration split); the operator's value is the
+    distributed EXACT quantile + the coverage audit, which transfer to
+    any model's score column.
+
+    Mechanics: md5-parity split; nonconformity s = |y − ŷ| in exact
+    cents; the conformal quantile is the ⌈(n_cal+1)(1−α)⌉-th smallest
+    calibration score — an exact ORDER STATISTIC, computed at the
+    distinct-score grain with the two-phase distributed prefix sum
+    (range-repartition → partition-local cumsum → triangular-join
+    offsets, the [[ks_two_sample]] idiom — no single-partition window,
+    no sort of raw rows). Eval-split coverage at that radius is then
+    one conditional count; split-conformal theory guarantees
+    coverage ≥ 900‰ in expectation, which the pytest asserts.
+
+    All-integer end to end: cents scores, ceil via integer arithmetic,
+    coverage in permille by integer division."""
+    from pyspark.sql.window import Window as W
+
+    from .mlprep import _prefix_offsets
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        (
+            F.expr("CAST(conv(substr(md5(CAST(o_orderkey AS STRING)), 1, 1),"
+                   " 16, 10) AS INT) % 2 = 0")
+        ).alias("is_cal"),
+    )
+    means = (
+        orders.where("is_cal")
+        .groupBy("o_orderpriority")
+        .agg(F.expr("CAST(sum(cents) div count(*) AS BIGINT)").alias("yhat"))
+    )
+    scored = orders.join(F.broadcast(means), "o_orderpriority").select(
+        "is_cal", F.expr("abs(cents - yhat)").alias("s")
+    )
+    cal = scored.where("is_cal")
+    grain = cal.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    ranged = (
+        grain.repartitionByRange(_CONF_RANGES, "s")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w = W.partitionBy("pid").orderBy("s").rowsBetween(W.unboundedPreceding, 0)
+    staged = ranged.withColumn("lc", F.sum("cnt").over(w))
+    totals = ranged.groupBy("pid").agg(F.sum("cnt").alias("ptot"))
+    offs = _prefix_offsets(totals, "ptot")
+    nk = cal.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cal"),
+        F.expr(
+            f"CAST(({_CONF_ALPHA_DEN - _CONF_ALPHA_NUM} * (count(*) + 1)"
+            f" + {_CONF_ALPHA_DEN - 1}) div {_CONF_ALPHA_DEN} AS BIGINT)"
+        ).alias("k"),
+    )
+    q = (
+        staged.join(F.broadcast(offs), "pid")
+        .crossJoin(F.broadcast(nk))
+        .where(F.col("offset") + F.col("lc") >= F.col("k"))
+        .groupBy("n_cal", "k")
+        .agg(F.min("s").cast("bigint").alias("q_cents"))
+    )
+    ev = scored.where(~F.col("is_cal")).crossJoin(F.broadcast(q)).agg(
+        F.max("n_cal").alias("n_cal"),
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.max("q_cents").alias("q_cents"),
+        F.expr(
+            "CAST(1000 * sum(CASE WHEN s <= q_cents THEN 1 ELSE 0 END)"
+            " div count(*) AS BIGINT)"
+        ).alias("coverage_permille"),
+    )
+    return ev
+
+
+def _conformal_sql() -> str:
+    kd = _CONF_ALPHA_DEN
+    return f"""
+    WITH o AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents,
+               CAST(instr('0123456789abcdef',
+                    substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1
+                    AS INT) % 2 = 0 AS is_cal
+        FROM orders
+    ),
+    means AS (
+        SELECT o_orderpriority,
+               CAST(sum(cents) // count(*) AS BIGINT) AS yhat
+        FROM o WHERE is_cal GROUP BY o_orderpriority
+    ),
+    scored AS (
+        SELECT is_cal, abs(cents - yhat) AS s
+        FROM o JOIN means USING (o_orderpriority)
+    ),
+    cum AS (
+        SELECT s, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(count(*)) OVER (ORDER BY s) AS BIGINT) AS rc
+        FROM scored WHERE is_cal GROUP BY s
+    ),
+    nk AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_cal,
+               CAST(({kd - _CONF_ALPHA_NUM} * (count(*) + 1) + {kd - 1})
+                    // {kd} AS BIGINT) AS k
+        FROM scored WHERE is_cal
+    ),
+    q AS (
+        SELECT nk.n_cal, CAST(min(s) AS BIGINT) AS q_cents
+        FROM cum CROSS JOIN nk WHERE rc >= nk.k GROUP BY nk.n_cal
+    )
+    SELECT q.n_cal,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           q.q_cents,
+           CAST(1000 * sum(CASE WHEN s <= q.q_cents THEN 1 ELSE 0 END)
+                // count(*) AS BIGINT) AS coverage_permille
+    FROM scored CROSS JOIN q
+    WHERE NOT is_cal
+    GROUP BY q.n_cal, q.q_cents
+"""
+
+
+_CONFORMAL_SQL = _conformal_sql()
+
+
+# ---------------------------------------------------------------------------
+# A/B test power analysis (minimum detectable effect)
+# ---------------------------------------------------------------------------
+
+# two-sided alpha = 0.05, power = 0.80 — the default every platform ships
+_Z_ALPHA = 1.959963984540054  # Phi^-1(0.975)
+_Z_BETA = 0.8416212335729143  # Phi^-1(0.80)
+
+
+def power_analysis_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B TEST POWER ANALYSIS — the pre-experiment sizing every
+    experimentation platform runs before committing traffic: with the
+    unit metric's variance σ² estimated from history and n units per
+    arm, the minimum detectable effect at two-sided α=0.05 / power 0.80
+    is MDE = (z_{α/2} + z_β)·σ·√(2/n). Completes the experimentation
+    stack around [[cuped_variance_reduction]] (which shrinks the σ this
+    reads), [[did_revenue_effect]], [[permutation_test_discount]], and
+    [[poisson_bootstrap_ci]].
+
+    Unit = customer, metric = total historical spend in cents; a
+    hypothetical 50/50 md5-parity assignment sizes the arms. Exact
+    DECIMAL(38,0) moment sums in ONE map-side-combined aggregate row
+    (the CUPED discipline); the z constants are spec literals and the
+    trailing float chain (int→double, sqrt, multiply) is identical
+    text on both engines — sqrt is IEEE-correctly-rounded, no libm
+    variance — so even the derived MDE hash-matches bit-for-bit."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    units = orders.groupBy("o_custkey").agg(
+        F.sum("cents").cast("bigint").alias("y")
+    )
+    m = units.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        F.expr("sum(CAST(y AS DECIMAL(38,0)))").alias("sy"),
+        F.expr("sum(CAST(y AS DECIMAL(38,0)) * y)").alias("syy"),
+        F.expr(
+            "CAST(sum(CASE WHEN CAST(conv(substr(md5(CAST(o_custkey"
+            " AS STRING)), 1, 1), 16, 10) AS INT) % 2 = 0 THEN 1"
+            " ELSE 0 END) AS BIGINT)"
+        ).alias("n_arm"),
+    )
+    var = (
+        "((CAST(n_units AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(n_units AS DOUBLE) * (CAST(n_units AS DOUBLE)"
+        f" - {_dlit(1.0)})))"
+    )
+    mde = (
+        f"(({_dlit(_Z_ALPHA)} + {_dlit(_Z_BETA)}) * sqrt({var})"
+        f" * sqrt({_dlit(2.0)} / CAST(n_arm AS DOUBLE)))"
+    )
+    return m.select(
+        "n_units",
+        "n_arm",
+        F.expr("CAST(sy div n_units AS BIGINT)").alias("mean_cents"),
+        F.expr(f"CAST(floor(sqrt({var})) AS BIGINT)").alias("sd_cents"),
+        F.expr(f"CAST(floor({mde}) AS BIGINT)").alias("mde_cents"),
+        F.expr(
+            f"CAST(floor({_dlit(1_000_000.0)} * {mde}"
+            " / (CAST(sy AS DOUBLE) / CAST(n_units AS DOUBLE)))"
+            " AS BIGINT)"
+        ).alias("mde_rel_micro"),
+    )
+
+
+def _power_mde_sql() -> str:
+    var = (
+        "((CAST(n_units AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(n_units AS DOUBLE) * (CAST(n_units AS DOUBLE)"
+        f" - {_dlit(1.0)})))"
+    )
+    mde = (
+        f"(({_dlit(_Z_ALPHA)} + {_dlit(_Z_BETA)}) * sqrt({var})"
+        f" * sqrt({_dlit(2.0)} / CAST(n_arm AS DOUBLE)))"
+    )
+    return f"""
+    WITH units AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY o_custkey
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_units,
+               sum(CAST(y AS HUGEINT)) AS sy,
+               sum(CAST(y AS HUGEINT) * y) AS syy,
+               CAST(sum(CASE WHEN CAST(instr('0123456789abcdef',
+                    substr(md5(CAST(o_custkey AS VARCHAR)), 1, 1)) - 1
+                    AS INT) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_arm
+        FROM units
+    )
+    SELECT n_units, n_arm,
+           CAST(sy // n_units AS BIGINT) AS mean_cents,
+           CAST(floor(sqrt({var})) AS BIGINT) AS sd_cents,
+           CAST(floor({mde}) AS BIGINT) AS mde_cents,
+           CAST(floor({_dlit(1_000_000.0)} * {mde}
+                / (CAST(sy AS DOUBLE) / CAST(n_units AS DOUBLE)))
+                AS BIGINT) AS mde_rel_micro
+    FROM m
+"""
+
+
+_POWER_MDE_SQL = _power_mde_sql()
+
+
 QUERIES = {
     "poisson_bootstrap_ci": poisson_bootstrap_ci,
     "bradley_terry_strengths": bradley_terry_strengths,
     "pass_at_k_estimator": pass_at_k_estimator,
     "interrater_kappa": interrater_kappa,
     "jackknife_source_influence": jackknife_source_influence,
+    "conformal_interval_calibration": conformal_interval_calibration,
+    "power_analysis_mde": power_analysis_mde,
 }
 
 ORACLES = {
@@ -796,4 +1049,6 @@ ORACLES = {
     "pass_at_k_estimator": _PASS_AT_K_SQL,
     "interrater_kappa": _KAPPA_SQL,
     "jackknife_source_influence": _JACKKNIFE_SQL,
+    "conformal_interval_calibration": _CONFORMAL_SQL,
+    "power_analysis_mde": _POWER_MDE_SQL,
 }

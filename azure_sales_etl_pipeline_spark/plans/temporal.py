@@ -19,6 +19,8 @@ plans hold with time-range partition pruning on the scan.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1106,6 +1108,182 @@ _RANGE_JOIN_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# exact Shapley-value channel attribution
+# ---------------------------------------------------------------------------
+
+# the four non-conversion channels, as bitmask bits
+_SHAP_CHANNELS = (("click", 1), ("view", 2), ("signup", 4), ("error", 8))
+_SHAP_N = len(_SHAP_CHANNELS)
+# Shapley coalition weights scaled by n! = 24: w(S) = |S|!(n-1-|S|)!.
+# The full mask (|S| = n) can never appear as an S (the S-side join
+# requires a channel bit NOT in S); its weight slot is 0, unused.
+_SHAP_W = {
+    s: (
+        math.factorial(bin(s).count("1"))
+        * math.factorial(_SHAP_N - 1 - bin(s).count("1"))
+        if bin(s).count("1") < _SHAP_N
+        else 0
+    )
+    for s in range(2**_SHAP_N)
+}
+
+
+def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SHAPLEY-VALUE attribution over the four touch channels —
+    the game-theoretic credit split (Shapley 1953; the attribution
+    variant every ads/growth platform offers beside last-touch and
+    Markov removal-effect [[markov_attribution]]): channel i's credit
+    is its average marginal contribution to the conversion rate over
+    all orderings, φ_i = Σ_{S ⊆ C∖i} |S|!(n−1−|S|)!/n! · (v(S∪i) −
+    v(S)). The characteristic function v(S) is the observed conversion
+    rate of journeys (user-days) whose touched-channel set is exactly
+    S (unobserved coalitions contribute v = 0 — the standard
+    empirical-coalition convention, stated here because it IS a spec
+    choice).
+
+    Scale shape: the corpus-sized work is ONE (user, day) groupBy that
+    ORs channel bits into a 4-bit mask and flags conversion — from
+    there everything runs on the ≤2⁴-row coalition table: v in exact
+    floor-micro units, the marginal sums over a (channel × coalition)
+    frame of ≤ 4·2³ rows. With n = 4 the n!-scaled weights are the
+    integers {6, 2, 2, 6} (module constants), so φ·24 is an EXACT
+    integer — published as ``shapley_x24_micro`` WITHOUT the final /24:
+    Spark's `div` truncates toward zero while DuckDB's `//` floors, and
+    φ can be negative (the error channel), so the one safe cross-engine
+    form is the undivided integer."""
+    events = load_table(spark, sf_dir, "events")
+    bit = F.lit(0)
+    for ch, b in _SHAP_CHANNELS:
+        bit = F.when(F.col("event_type") == ch, b).otherwise(bit)
+    journeys = (
+        events.select(
+            "user_id",
+            F.to_date("ts").alias("d"),
+            bit.alias("bit"),
+            (F.col("event_type") == "purchase").cast("int").alias("conv"),
+        )
+        .groupBy("user_id", "d")
+        .agg(
+            F.expr("CAST(bit_or(bit) AS INT)").alias("mask"),
+            F.max("conv").alias("conv"),
+        )
+    )
+    coal = journeys.groupBy("mask").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_j"),
+        F.sum("conv").cast("bigint").alias("n_conv"),
+    )
+    allmasks = local_df(
+        spark,
+        [(s, _SHAP_W[s]) for s in range(2**_SHAP_N)],
+        "mask INT, w BIGINT",
+    )
+    v = (
+        allmasks.join(F.broadcast(coal), "mask", "left")
+        .select(
+            "mask",
+            "w",
+            F.coalesce(F.col("n_j"), F.lit(0)).alias("n_j"),
+            F.expr(
+                "CAST(CASE WHEN n_j > 0 THEN (1000000 * n_conv) div n_j"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("v_micro"),
+        )
+        .localCheckpoint()
+    )
+    chans = local_df(
+        spark, list(_SHAP_CHANNELS), "channel STRING, bit INT"
+    )
+    s_side = v.select(
+        F.col("mask").alias("s_mask"),
+        F.col("w").alias("s_w"),
+        F.col("v_micro").alias("v_s"),
+    )
+    si_side = v.select(
+        F.col("mask").alias("si_mask"), F.col("v_micro").alias("v_si")
+    )
+    marg = (
+        chans.crossJoin(F.broadcast(s_side))
+        .where(F.expr("(s_mask & bit) = 0"))
+        .join(F.broadcast(si_side), F.expr("si_mask = s_mask + bit"))
+    )
+    touched = (
+        chans.crossJoin(F.broadcast(v))
+        .where(F.expr("(mask & bit) != 0"))
+        .groupBy("channel")
+        .agg(F.sum("n_j").cast("bigint").alias("n_journeys_touched"))
+    )
+    return (
+        marg.groupBy("channel")
+        .agg(
+            F.expr("CAST(sum(s_w * (v_si - v_s)) AS BIGINT)").alias(
+                "shapley_x24_micro"
+            )
+        )
+        .join(touched, "channel")
+        .orderBy("channel")
+    )
+
+
+def _shapley_sql() -> str:
+    chan_vals = ", ".join(f"('{c}', {b})" for c, b in _SHAP_CHANNELS)
+    mask_vals = ", ".join(f"({s}, {_SHAP_W[s]})" for s in range(2**_SHAP_N))
+    arms = " ".join(
+        f"WHEN event_type = '{c}' THEN {b}" for c, b in _SHAP_CHANNELS
+    )
+    return f"""
+    WITH journeys AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               CAST(bit_or(CASE {arms} ELSE 0 END) AS INT) AS mask,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    coal AS (
+        SELECT mask, CAST(count(*) AS BIGINT) AS n_j,
+               CAST(sum(conv) AS BIGINT) AS n_conv
+        FROM journeys GROUP BY mask
+    ),
+    allmasks(mask, w) AS (
+        SELECT CAST(mask AS INT), CAST(w AS BIGINT)
+        FROM (VALUES {mask_vals}) t(mask, w)
+    ),
+    v AS (
+        SELECT a.mask, a.w, coalesce(c.n_j, 0) AS n_j,
+               CAST(CASE WHEN coalesce(c.n_j, 0) > 0
+                    THEN (1000000 * c.n_conv) // c.n_j
+                    ELSE 0 END AS BIGINT) AS v_micro
+        FROM allmasks a LEFT JOIN coal c USING (mask)
+    ),
+    chans(channel, bit) AS (
+        SELECT channel, CAST(bit AS INT)
+        FROM (VALUES {chan_vals}) t(channel, bit)
+    ),
+    marg AS (
+        SELECT ch.channel, s.w AS s_w, s.v_micro AS v_s,
+               si.v_micro AS v_si
+        FROM chans ch
+        JOIN v s ON (s.mask & ch.bit) = 0
+        JOIN v si ON si.mask = s.mask + ch.bit
+    ),
+    touched AS (
+        SELECT ch.channel, CAST(sum(v.n_j) AS BIGINT)
+                   AS n_journeys_touched
+        FROM chans ch JOIN v ON (v.mask & ch.bit) != 0
+        GROUP BY ch.channel
+    )
+    SELECT m.channel,
+           CAST(sum(s_w * (v_si - v_s)) AS BIGINT) AS shapley_x24_micro,
+           t.n_journeys_touched
+    FROM marg m JOIN touched t ON m.channel = t.channel
+    GROUP BY m.channel, t.n_journeys_touched
+    ORDER BY m.channel
+"""
+
+
+_SHAPLEY_SQL = _shapley_sql()
+
+
 QUERIES = {
     "event_transition_matrix": event_transition_matrix,
     "markov_attribution": markov_attribution,
@@ -1119,6 +1297,7 @@ QUERIES = {
     "user_event_trigrams": user_event_trigrams,
     "repeat_purchase_hazard": repeat_purchase_hazard,
     "range_join_order_activity": range_join_order_activity,
+    "shapley_channel_attribution": shapley_channel_attribution,
 }
 
 ORACLES = {
@@ -1134,4 +1313,5 @@ ORACLES = {
     "user_event_trigrams": _TRIGRAM_SQL,
     "repeat_purchase_hazard": _HAZARD_SQL,
     "range_join_order_activity": _RANGE_JOIN_SQL,
+    "shapley_channel_attribution": _SHAPLEY_SQL,
 }
