@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ..functions import _dlit, hex_to_bigint_sql, local_df
+from ..functions import _dlit, hex_to_bigint_sql, local_df, plan_barrier
 
 # ---------------------------------------------------------------------------
 # Poisson bootstrap confidence interval
@@ -104,27 +104,68 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents"),
     )
-    reps = orders.select(
+    return _boot_summarize(_boot_totals(orders))
+
+
+def _boot_totals(orders: DataFrame) -> DataFrame:
+    """(b, total, n_rows) replicate totals from an (o_orderkey, cents)
+    frame — the fan-out + draw + aggregate core, shared with the
+    streamed fold. The hash is STAGED through columns (md5 prefix once
+    per row, then the hex→int conversion, then the weight CASE over
+    the integer) because inlining `hex_to_bigint_sql(md5…)` into the
+    9-arm CASE evaluates the md5 15 × 9 = 135 times per row — codegen
+    does not CSE across the textual copies (measured 137 s → ~1 s per
+    task at sf0.1).
+
+    The narrow (key, cents) rows are repartitioned BEFORE the fan-out
+    with an EXPLICIT partition count: the orders fact arrives as few
+    input splits locally (one 5 MB file = one task doing all B+1 × N
+    hash draws, measured ~20 s at sf0.1), and a keys-only repartition
+    gets AQE-coalesced right back to one partition because the
+    pre-explode bytes are tiny — the fan-out cost AQE can't see is
+    exactly why the explicit count is correct here. The shuffle moves
+    only the pre-explode rows — B+1× cheaper than any post-fan-out
+    exchange."""
+    width = orders.sparkSession.sparkContext.defaultParallelism
+    reps = orders.repartition(width, "o_orderkey").select(
         "o_orderkey",
         "cents",
         F.explode(
             F.array(*[F.lit(b) for b in range(-1, _BOOT_B)])
         ).alias("b"),
     )
-    h = hex_to_bigint_sql(
-        "substr(md5(concat('pboot:', CAST(o_orderkey AS STRING),"
-        " ':', CAST(b AS STRING))), 1, 15)",
-        width=_BOOT_HEX_W,
+    # plan_barrier after each stage: CollapseProject would otherwise
+    # re-inline hx into the 15 hex->int terms and h into the 9 CASE
+    # arms — right back to the 135 md5s the staging exists to avoid.
+    staged = plan_barrier(
+        plan_barrier(
+            reps.withColumn(
+                "hx",
+                F.expr(
+                    "substr(md5(concat('pboot:', CAST(o_orderkey AS"
+                    " STRING), ':', CAST(b AS STRING))), 1, 15)"
+                ),
+            )
+        ).withColumn(
+            "h", F.expr(hex_to_bigint_sql("hx", width=_BOOT_HEX_W))
+        )
     )
-    w = f"(CASE WHEN b = -1 THEN 1 ELSE {_boot_weight_sql(h)} END)"
-    totals = (
-        reps.withColumn("wt", F.expr(w))
+    w = f"(CASE WHEN b = -1 THEN 1 ELSE {_boot_weight_sql('h')} END)"
+    return (
+        staged.withColumn("wt", F.expr(w))
         .groupBy("b")
         .agg(
             F.expr("sum(CAST(wt AS DECIMAL(38,0)) * cents)").alias("total"),
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         )
     )
+
+
+def _boot_summarize(totals: DataFrame) -> DataFrame:
+    """Point estimate + order-statistic CI from the (b, total, n_rows)
+    replicate-totals table — shared by the one-shot query and the
+    streamed fold ([[stream_bootstrap_ci_fold]]), whose state IS this
+    table because replicate totals are additive across batches."""
     lo_idx, hi_idx = 2, _BOOT_B - 1
     return totals.agg(
         F.max(F.when(F.col("b") == -1, F.col("n_rows")))
@@ -156,11 +197,8 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _poisson_bootstrap_sql() -> str:
-    h = hex_to_bigint_sql(
-        "substr(md5('pboot:' || CAST(o_orderkey AS VARCHAR)"
-        " || ':' || CAST(b AS VARCHAR)), 1, 15)",
-        width=_BOOT_HEX_W,
-    )
+    # staged like the Spark side: md5 once per row, then hex->int, then
+    # the weight CASE over the integer (the 135x-md5 inlining trap)
     return f"""
     WITH reps AS (
         SELECT o_orderkey,
@@ -169,13 +207,23 @@ def _poisson_bootstrap_sql() -> str:
                CAST(r.b AS BIGINT) AS b
         FROM orders, (SELECT unnest(range(-1, {_BOOT_B})) AS b) r
     ),
+    staged AS (
+        SELECT cents, b,
+               substr(md5('pboot:' || CAST(o_orderkey AS VARCHAR)
+                   || ':' || CAST(b AS VARCHAR)), 1, 15) AS hx
+        FROM reps
+    ),
+    hashed AS (
+        SELECT cents, b, {hex_to_bigint_sql("hx", width=_BOOT_HEX_W)} AS h
+        FROM staged
+    ),
     totals AS (
         SELECT b,
                sum(CAST(CASE WHEN b = -1 THEN 1
-                        ELSE {_boot_weight_sql(h)} END AS HUGEINT)
+                        ELSE {_boot_weight_sql("h")} END AS HUGEINT)
                    * cents) AS total,
                CAST(count(*) AS BIGINT) AS n_rows
-        FROM reps GROUP BY b
+        FROM hashed GROUP BY b
     )
     SELECT CAST(max(CASE WHEN b = -1 THEN n_rows END) AS BIGINT)
                AS n_orders,
@@ -201,6 +249,73 @@ _BT_ROUNDS = 8  # fixed-point iterations (fixed count = deterministic)
 _BT_EPS = 1e-9  # floor after normalization; keeps p_i + p_j > 0
 
 
+def _bt_games(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed game rows ``(l_orderkey, i, j, won)`` from the adjacent-
+    lineitem brand matches — the corpus-sized half of Bradley-Terry,
+    shared by the one-shot fit ([[bradley_terry_strengths]], which
+    carries the match spec) and the incremental fold
+    ([[bradley_terry_two_batch]], which splits batches on
+    l_orderkey)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rows = li.join(part, li.l_partkey == part.p_partkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.col("p_brand").alias("brand"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    # (orderkey, linenumber) is NOT unique in this synthetic schema —
+    # tie-break with (partkey, price) so the lag sequence (and thus the
+    # match list) is a deterministic function of the data. Rows tying on
+    # all four keys share brand AND price, so any residual permutation
+    # cannot change a single match outcome.
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "price"
+    )
+    m = (
+        rows.select(
+            "l_orderkey",
+            "brand",
+            "price",
+            F.lag("brand").over(w).alias("prev_brand"),
+            F.lag("price").over(w).alias("prev_price"),
+        )
+        .where(
+            F.col("prev_brand").isNotNull()
+            & (F.col("prev_brand") != F.col("brand"))
+        )
+    )
+    winner = (
+        F.when(F.col("price") > F.col("prev_price"), F.col("brand"))
+        .when(F.col("price") < F.col("prev_price"), F.col("prev_brand"))
+        .otherwise(F.least("brand", "prev_brand"))
+    )
+    loser = (
+        F.when(F.col("price") > F.col("prev_price"), F.col("prev_brand"))
+        .when(F.col("price") < F.col("prev_price"), F.col("brand"))
+        .otherwise(F.greatest("brand", "prev_brand"))
+    )
+    matches = m.select(
+        "l_orderkey", winner.alias("win"), loser.alias("lose")
+    )
+    return matches.select(
+        "l_orderkey",
+        F.col("win").alias("i"),
+        F.col("lose").alias("j"),
+        F.lit(1).alias("won"),
+    ).unionAll(
+        matches.select(
+            "l_orderkey",
+            F.col("lose").alias("i"),
+            F.col("win").alias("j"),
+            F.lit(0).alias("won"),
+        )
+    )
+
+
 def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BRADLEY-TERRY strength fitting — the model behind preference/
     reward-data leaderboards (chatbot arenas, RLHF labeler dashboards):
@@ -224,65 +339,22 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines despite 8 rounds of division chains. Strengths are
     floored at `_BT_EPS` post-normalization so an all-losses player
     cannot zero a later denominator."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"
-    )
-    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    rows = li.join(part, li.l_partkey == part.p_partkey).select(
-        "l_orderkey",
-        "l_linenumber",
-        "l_partkey",
-        F.col("p_brand").alias("brand"),
-        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
-    )
-    # (orderkey, linenumber) is NOT unique in this synthetic schema —
-    # tie-break with (partkey, price) so the lag sequence (and thus the
-    # match list) is a deterministic function of the data. Rows tying on
-    # all four keys share brand AND price, so any residual permutation
-    # cannot change a single match outcome.
-    w = Window.partitionBy("l_orderkey").orderBy(
-        "l_linenumber", "l_partkey", "price"
-    )
-    m = (
-        rows.select(
-            "brand",
-            "price",
-            F.lag("brand").over(w).alias("prev_brand"),
-            F.lag("price").over(w).alias("prev_price"),
-        )
-        .where(
-            F.col("prev_brand").isNotNull()
-            & (F.col("prev_brand") != F.col("brand"))
-        )
-    )
-    winner = (
-        F.when(F.col("price") > F.col("prev_price"), F.col("brand"))
-        .when(F.col("price") < F.col("prev_price"), F.col("prev_brand"))
-        .otherwise(F.least("brand", "prev_brand"))
-    )
-    loser = (
-        F.when(F.col("price") > F.col("prev_price"), F.col("prev_brand"))
-        .when(F.col("price") < F.col("prev_price"), F.col("brand"))
-        .otherwise(F.greatest("brand", "prev_brand"))
-    )
-    matches = m.select(winner.alias("win"), loser.alias("lose"))
-    games = matches.select(
-        F.col("win").alias("i"), F.col("lose").alias("j"), F.lit(1).alias("won")
-    ).unionAll(
-        matches.select(
-            F.col("lose").alias("i"),
-            F.col("win").alias("j"),
-            F.lit(0).alias("won"),
-        )
-    )
     pairs = (
-        games.groupBy("i", "j")
+        _bt_games(spark, sf_dir)
+        .groupBy("i", "j")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.sum("won").cast("bigint").alias("w"),
         )
-        .localCheckpoint()
     )
+    return _bt_fit(pairs)
+
+
+def _bt_fit(pairs: DataFrame) -> DataFrame:
+    """Zermelo fixed point over a directed pair-count table
+    ``(i, j, n, w)`` — the bounded, player²-sized half of Bradley-Terry
+    (exactness discipline documented on [[bradley_terry_strengths]])."""
+    pairs = pairs.localCheckpoint()
     players = pairs.groupBy("i").agg(
         F.sum("w").cast("bigint").alias("wins"),
         F.sum("n").cast("bigint").alias("n_games"),
@@ -417,6 +489,53 @@ def _bradley_terry_sql() -> str:
 
 
 _BRADLEY_TERRY_SQL = _bradley_terry_sql()
+
+
+def bradley_terry_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained BRADLEY-TERRY — the leaderboard shape
+    preference data actually arrives in: match outcomes stream in over
+    time, and the pair-count table (i, j, games, wins) is a pure
+    commutative monoid, so new batches FOLD into the persisted counts
+    (``operators.maintenance.merge_aggregate``, keys = (i, j),
+    sum = wins, count = games) and the fit re-runs on the folded
+    player²-sized state — match history is never re-scanned. Two
+    l_orderkey-median batches here; the driver-checked convergence
+    contract is the [[bm25_index_two_batch]] pattern taken one step
+    further: the oracle is [[bradley_terry_strengths]]'s FULL one-shot
+    SQL, so fold(b1) ⊕ fold(b2) must reproduce the one-shot fit's
+    strengths bit-for-bit or the hash fails.
+
+    Scale shape: per batch, one (i, j) shuffle over the BATCH only;
+    the persisted state is ≤ |players|² rows however long the match
+    history grows; the refit ([[_bt_fit]]) touches only that state."""
+    import shutil
+    import tempfile
+
+    from ..operators.maintenance import merge_aggregate
+
+    games = _bt_games(spark, sf_dir).localCheckpoint()
+    mid = games.agg(F.expr("percentile(l_orderkey, 0.5)")).first()[0]
+    tmp = tempfile.mkdtemp(prefix="btpairs_")
+    try:
+        state = None
+        for pred in (F.col("l_orderkey") <= mid, F.col("l_orderkey") > mid):
+            state = merge_aggregate(
+                spark,
+                f"{tmp}/pairs",
+                games.where(pred).select("i", "j", "won"),
+                keys=["i", "j"],
+                sums=["won"],
+                count_col="n",
+            )
+        pairs = state.select(
+            "i",
+            "j",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("won").cast("bigint").alias("w"),
+        )
+        return _bt_fit(pairs).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1041,6 +1160,7 @@ QUERIES = {
     "jackknife_source_influence": jackknife_source_influence,
     "conformal_interval_calibration": conformal_interval_calibration,
     "power_analysis_mde": power_analysis_mde,
+    "bradley_terry_two_batch": bradley_terry_two_batch,
 }
 
 ORACLES = {
@@ -1051,4 +1171,5 @@ ORACLES = {
     "jackknife_source_influence": _JACKKNIFE_SQL,
     "conformal_interval_calibration": _CONFORMAL_SQL,
     "power_analysis_mde": _POWER_MDE_SQL,
+    "bradley_terry_two_batch": _BRADLEY_TERRY_SQL,
 }

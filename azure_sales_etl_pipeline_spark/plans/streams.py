@@ -15,6 +15,7 @@ from ..streaming import (
     stream_late_data_audit,
     stream_quality_suite,
     stream_token_stats_fold,
+    stream_bootstrap_ci_fold,
     STREAM_DEDUP_SQL,
     STREAM_LATE_AUDIT_SQL,
     STREAM_JOIN_SQL,
@@ -42,6 +43,7 @@ from .analytics import _KMV_SQL as _STREAM_KMV_SQL
 from .analytics import _PSI_SQL as _STREAM_PSI_SQL
 from .analytics import _DRIFT_SQL as _STREAM_DRIFT_SQL
 from .mlprep import _funnel_sql as _stream_funnel_sql
+from .stats import _POISSON_BOOTSTRAP_SQL as _STREAM_BOOT_SQL
 
 QUERIES = {
     "stream_tumbling_counts": stream_tumbling_counts,
@@ -66,6 +68,7 @@ QUERIES = {
     "stream_quality_suite": stream_quality_suite,
     "stream_late_data_audit": stream_late_data_audit,
     "stream_token_stats_fold": stream_token_stats_fold,
+    "stream_bootstrap_ci_fold": stream_bootstrap_ci_fold,
     "stream_curation_funnel_fold": stream_curation_funnel_fold,
 }
 
@@ -86,5 +89,6 @@ ORACLES = {
     "stream_quality_suite": _STREAM_QUALITY_SQL,
     "stream_late_data_audit": STREAM_LATE_AUDIT_SQL,
     "stream_token_stats_fold": _STREAM_TOKSTATS_SQL,
+    "stream_bootstrap_ci_fold": _STREAM_BOOT_SQL,
     "stream_curation_funnel_fold": _stream_funnel_sql(),
 }

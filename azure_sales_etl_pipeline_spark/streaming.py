@@ -1784,6 +1784,128 @@ def stream_token_stats_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def streaming_bootstrap_monitor(
+    spark: SparkSession,
+    source_glob: str,
+    schema,
+    state_path: str,
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming upkeep of the POISSON-BOOTSTRAP replicate totals — the
+    streaming face of ``plans.stats.poisson_bootstrap_ci``: each
+    arriving order micro-batch fans out its rows across the B+1
+    replicate ids, draws the deterministic md5 Poisson(1) weights (a
+    pure function of (order, replicate) — batch boundaries cannot
+    change a single draw), and folds the per-replicate weighted sums
+    into the persisted totals table (``merge_aggregate`` on the
+    replicate key). Replicate totals are additive monoids, so
+    stream(batches) ≡ batch(union) exactly — a LIVE confidence
+    interval over the revenue stream, maintained without ever
+    re-scanning history. Replay protection via the shared
+    ``_streaming_fold`` commit marker."""
+    from .functions import hex_to_bigint_sql
+    from .operators.maintenance import merge_aggregate
+    from .plans.stats import _BOOT_B, _BOOT_HEX_W, _boot_weight_sql
+
+    def fold(batch_df: DataFrame, commit_meta: dict) -> None:
+        # The landed micro-batch is ONE CSV file -> one input split; the
+        # B+1 fan-out and its md5 draws would otherwise run on a single
+        # task (measured ~140 s at sf0.1). Spread the narrow batch rows
+        # across the stream shuffle width BEFORE the fan-out — the
+        # repartition moves (key, cents) pairs only, never the 41x rows.
+        # Explicit partition count: a keys-only repartition of the tiny
+        # pre-explode rows gets AQE-coalesced back to one task; the
+        # B+1x fan-out cost is invisible to AQE's byte-based sizing.
+        width = batch_df.sparkSession.sparkContext.defaultParallelism
+        reps = batch_df.repartition(width, "o_orderkey").select(
+            "o_orderkey",
+            "cents",
+            F.explode(
+                F.array(*[F.lit(b) for b in range(-1, _BOOT_B)])
+            ).alias("b"),
+        )
+        # Hash STAGED through columns behind plan_barriers (md5 prefix
+        # once per row, hex->int over the column, weight CASE over the
+        # integer) — CollapseProject would otherwise re-inline the md5
+        # into 135 copies per row; see plans.stats._boot_totals.
+        from .functions import plan_barrier
+
+        staged = plan_barrier(
+            plan_barrier(
+                reps.withColumn(
+                    "hx",
+                    F.expr(
+                        "substr(md5(concat('pboot:', CAST(o_orderkey AS"
+                        " STRING), ':', CAST(b AS STRING))), 1, 15)"
+                    ),
+                )
+            ).withColumn(
+                "h", F.expr(hex_to_bigint_sql("hx", width=_BOOT_HEX_W))
+            )
+        )
+        w = f"(CASE WHEN b = -1 THEN 1 ELSE {_boot_weight_sql('h')} END)"
+        contrib = staged.select(
+            "b",
+            F.expr(f"CAST({w} AS DECIMAL(38,0)) * cents").alias("total"),
+        )
+        merge_aggregate(
+            spark,
+            state_path,
+            contrib,
+            keys=["b"],
+            sums=["total"],
+            count_col="n_rows",
+            commit_meta=commit_meta,
+        )
+
+    _streaming_fold(spark, source_glob, schema, state_path, checkpoint, fold)
+
+
+def stream_bootstrap_ci_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract form of ``streaming_bootstrap_monitor``: land the
+    orders fact as two parity micro-batches, fold each into a fresh
+    persisted replicate-totals state, and project the same
+    point-estimate + order-statistic CI row the batch query reports —
+    under the BATCH one-shot oracle (``plans.stats``'
+    ``_POISSON_BOOTSTRAP_SQL``), because every per-(order, replicate)
+    weight is a deterministic hash draw and the totals are additive:
+    the streamed CI must equal the one-shot bootstrap exactly or the
+    driver hash fails."""
+    import shutil
+
+    from .catalog import load_table
+    from .operators.writer import read_table
+    from .plans.stats import _boot_summarize
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_boot_")
+    try:
+        state = _fold_parity_batches(
+            spark,
+            orders,
+            "o_orderkey",
+            ["o_orderkey", "cents"],
+            "o_orderkey bigint, cents bigint",
+            tmp,
+            lambda glob, schema, st, ckpt: streaming_bootstrap_monitor(
+                spark, glob, schema, st, checkpoint=ckpt
+            ),
+        )
+        totals = read_table(spark, state).select(
+            "b",
+            "total",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+        )
+        return _boot_summarize(totals).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data observability end-to-end (r7 verdict item 8): land the
     events table as two micro-batches — even event_ids first, then the

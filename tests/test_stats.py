@@ -239,3 +239,27 @@ def test_shapley_efficiency_axiom(spark):
     v = {r.mask: (1_000_000 * r.n_conv) // r.n_j for r in coal}
     want = 24 * (v.get(15, 0) - v.get(0, 0))
     assert sum(r.shapley_x24_micro for r in rows) == want
+
+
+def test_bradley_terry_fold_equals_one_shot(spark):
+    from azure_sales_etl_pipeline_spark.plans.stats import (
+        bradley_terry_two_batch,
+    )
+
+    one_shot = sorted(
+        map(tuple, bradley_terry_strengths(spark, SF_DIR).collect())
+    )
+    folded = sorted(
+        map(tuple, bradley_terry_two_batch(spark, SF_DIR).collect())
+    )
+    assert folded == one_shot
+
+
+def test_stream_bootstrap_fold_equals_batch(spark):
+    from azure_sales_etl_pipeline_spark.streaming import (
+        stream_bootstrap_ci_fold,
+    )
+
+    batch = poisson_bootstrap_ci(spark, SF_DIR).collect()[0]
+    streamed = stream_bootstrap_ci_fold(spark, SF_DIR).collect()[0]
+    assert tuple(streamed) == tuple(batch)
