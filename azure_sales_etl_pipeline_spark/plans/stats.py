@@ -353,66 +353,53 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bt_fit(pairs: DataFrame) -> DataFrame:
     """Zermelo fixed point over a directed pair-count table
     ``(i, j, n, w)`` — the bounded, player²-sized half of Bradley-Terry
-    (exactness discipline documented on [[bradley_terry_strengths]])."""
-    pairs = pairs.localCheckpoint()
-    players = pairs.groupBy("i").agg(
-        F.sum("w").cast("bigint").alias("wins"),
-        F.sum("n").cast("bigint").alias("n_games"),
-    ).localCheckpoint()
-    n_players = players.select(
-        F.count(F.lit(1)).cast("bigint").alias("npl")
-    )
-    p = players.select("i", F.lit(1.0).alias("p"))
-    mic = _dlit(1_000_000.0)
+    (exactness discipline documented on [[bradley_terry_strengths]]).
+
+    Runs DRIVER-SIDE over the collected pair counts (the
+    [[markov_attribution]] idiom: the distributed phase ends at the
+    ≤ |players|² aggregate; iterating 8 rounds of tiny joins as Spark
+    jobs costs ~2 s of scheduler latency for zero parallelism). Every
+    arithmetic step — per-term micro floor, exact integer Σ, the
+    division chain, the `_BT_EPS` floor — is the same IEEE-double
+    operation sequence the unrolled SQL oracle performs, so the
+    strengths match it bit-for-bit; the result returns as a JVM
+    LocalRelation (`local_df`)."""
+    spark = pairs.sparkSession
+    rows = [
+        (r[0], r[1], int(r[2]), int(r[3]))
+        for r in pairs.select("i", "j", "n", "w").collect()
+    ]
+    wins: dict[str, int] = {}
+    n_games: dict[str, int] = {}
+    for i, _j, n, w in rows:
+        wins[i] = wins.get(i, 0) + w
+        n_games[i] = n_games.get(i, 0) + n
+    players = sorted(wins)
+    npl = len(players)
+    p = {i: 1.0 for i in players}
+    mic = 1_000_000.0
     for _ in range(_BT_ROUNDS):
-        terms = (
-            pairs.join(p.select("i", "p"), "i")
-            .join(
-                p.select(F.col("i").alias("j"), F.col("p").alias("pj")), "j"
+        dm = {i: 0 for i in players}
+        for i, j, n, _w in rows:
+            dm[i] += math.floor(mic * float(n) / (p[i] + p[j]))
+        pm = {
+            i: math.floor(mic * (mic * float(wins[i]) / float(dm[i])))
+            for i in players
+        }
+        tot = sum(pm.values())
+        p = {
+            i: max(
+                float(pm[i]) * float(npl) / float(tot), _BT_EPS
             )
-            .withColumn(
-                "term_micro",
-                F.expr(
-                    f"CAST(floor({mic} * CAST(n AS DOUBLE)"
-                    " / (p + pj)) AS BIGINT)"
-                ),
-            )
-        )
-        denom = terms.groupBy("i").agg(
-            F.expr("sum(CAST(term_micro AS DECIMAL(38,0)))").alias("dm")
-        )
-        praw = players.join(denom, "i").withColumn(
-            "pm",
-            F.expr(
-                f"CAST(floor({mic} * ({mic} * CAST(wins AS DOUBLE)"
-                f" / CAST(dm AS DOUBLE))) AS BIGINT)"
-            ),
-        )
-        tot = praw.agg(
-            F.expr("sum(CAST(pm AS DECIMAL(38,0)))").alias("tot")
-        )
-        p = (
-            praw.crossJoin(F.broadcast(tot))
-            .crossJoin(F.broadcast(n_players))
-            .select(
-                "i",
-                F.expr(
-                    "greatest(CAST(pm AS DOUBLE) * CAST(npl AS DOUBLE)"
-                    f" / CAST(tot AS DOUBLE), {_dlit(_BT_EPS)})"
-                ).alias("p"),
-            )
-            .localCheckpoint()
-        )
-    return (
-        players.join(p, "i")
-        .select(
-            F.col("i").alias("player"),
-            "wins",
-            "n_games",
-            F.expr(f"CAST(floor({mic} * p) AS BIGINT)").alias(
-                "strength_micro"
-            ),
-        )
+            for i in players
+        }
+    out = [
+        (i, wins[i], n_games[i], math.floor(mic * p[i])) for i in players
+    ]
+    return local_df(
+        spark,
+        out,
+        "player STRING, wins BIGINT, n_games BIGINT, strength_micro BIGINT",
     )
 
 

@@ -263,3 +263,52 @@ def test_stream_bootstrap_fold_equals_batch(spark):
     batch = poisson_bootstrap_ci(spark, SF_DIR).collect()[0]
     streamed = stream_bootstrap_ci_fold(spark, SF_DIR).collect()[0]
     assert tuple(streamed) == tuple(batch)
+
+
+def test_comb_sql_matches_math_comb_exhaustively():
+    # the shared falling-factorial binomial must equal math.comb for
+    # every (a, b) the estimator can produce: a in 0..25, b in 0..5 —
+    # evaluated through DuckDB so the exact SQL text is what's tested
+    import math
+
+    import duckdb
+
+    from azure_sales_etl_pipeline_spark.plans.stats import _comb_sql
+
+    expr = _comb_sql("a", "b", "//")
+    rows = duckdb.sql(
+        f"SELECT a, b, {expr} AS c FROM range(0, 26) t(a),"
+        " range(0, 6) u(b)"
+    ).fetchall()
+    for a, b, c in rows:
+        assert c == math.comb(a, b), (a, b, c)
+
+
+def test_pass_at_k_micro_matches_bruteforce():
+    # per-task estimator value reproduced by literal subset enumeration
+    # for every reachable (n, c, k): mean over C(n,k') subsets of the
+    # any-correct indicator == 1 - C(n-c,k')/C(n,k')
+    import itertools
+    import math
+
+    from azure_sales_etl_pipeline_spark.plans.stats import (
+        _PASSK_KS,
+        _PASSK_M,
+    )
+
+    for n in range(1, 9):
+        for c in range(0, n + 1):
+            for k in _PASSK_KS:
+                kk = min(k, n)
+                den = math.comb(n, kk)
+                num = math.comb(n - c, kk) if n - c >= kk else 0
+                m = _PASSK_M[k]
+                v = m - (m // den) * num
+                # brute force: fraction of k'-subsets containing >=1
+                # of the first c "correct" attempts
+                hits = sum(
+                    1
+                    for sub in itertools.combinations(range(n), kk)
+                    if any(i < c for i in sub)
+                )
+                assert v * den == m * hits, (n, c, k)
