@@ -1139,6 +1139,136 @@ def _power_mde_sql() -> str:
 _POWER_MDE_SQL = _power_mde_sql()
 
 
+# ---------------------------------------------------------------------------
+# isotonic regression (exact PAV via the minimax characterization)
+# ---------------------------------------------------------------------------
+
+_ISO_BUCKET = 10_000  # price bucket width -> ~50 score positions
+_ISO_POS_LABELS = ("1-URGENT", "2-HIGH")
+
+
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ISOTONIC REGRESSION (pool-adjacent-violators fit) of the
+    urgent/high-priority rate against the order-value bucket — the
+    nonparametric monotone calibrator production ML uses where
+    [[calibration_bins]] only diagnoses (Zadrozny & Elkan 2002; Spark
+    MLlib ships an approximate parallel PAV — this is the exact fit).
+
+    The trick that makes exact PAV distributed AND oracle-able: the
+    PAV solution has the closed-form MINIMAX characterization
+    iso(i) = max_{j≤i} min_{k≥i} mean(y[j..k]) (Robertson-Wright-
+    Dykstra 1988, eq. 1.9–1.13) — no sequential merge loop. The corpus
+    collapses to the ≤ ~50-row score-position grain in ONE map-side-
+    combined groupBy; interval means come from prefix sums built by a
+    triangular self-join on that tiny grain (no single-partition
+    window), and the nested min/max runs over the ≤ P³ (i, j, k)
+    enumeration — control-plane-sized however big the fact table is.
+
+    Exactness: interval means are FLOORED to integer micro-units
+    (integer div of exact sums). floor is monotone, and monotone maps
+    commute with min and max — so max_j min_k floor(mean) equals
+    floor(max_j min_k mean) EXACTLY: the published micro-unit fit is
+    the floored true PAV solution, not an approximation of it."""
+    orders = load_table(spark, sf_dir, "orders")
+    pos_grain = (
+        orders.select(
+            F.expr(
+                "CAST(CAST(floor(o_totalprice) AS BIGINT)"
+                f" div {_ISO_BUCKET} AS BIGINT)"
+            ).alias("pos"),
+            F.col("o_orderpriority").isin(*_ISO_POS_LABELS)
+            .cast("bigint")
+            .alias("y"),
+        )
+        .groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("s"),
+        )
+        .localCheckpoint()
+    )
+    # everything below runs on the <= ~50-row grain: triangular joins,
+    # never a window, never corpus-sized data
+    js = pos_grain.select(F.col("pos").alias("j"))
+    ks = pos_grain.select(F.col("pos").alias("k"))
+    iv = (
+        js.join(F.broadcast(ks), F.col("j") <= F.col("k"))
+        .join(
+            F.broadcast(pos_grain),
+            (F.col("pos") >= F.col("j")) & (F.col("pos") <= F.col("k")),
+        )
+        .groupBy("j", "k")
+        .agg(
+            F.expr(
+                "CAST((1000000 * CAST(sum(s) AS DECIMAL(38,0)))"
+                " div sum(n) AS BIGINT)"
+            ).alias("mean_micro")
+        )
+    )
+    cand = (
+        pos_grain.select(F.col("pos").alias("i"))
+        .join(
+            F.broadcast(iv),
+            (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")),
+        )
+        .groupBy("i", "j")
+        .agg(F.min("mean_micro").alias("mink"))
+        .groupBy("i")
+        .agg(F.max("mink").cast("bigint").alias("iso_micro"))
+    )
+    return (
+        pos_grain.join(cand, pos_grain.pos == cand.i)
+        .select(
+            "pos",
+            "n",
+            F.expr(
+                "CAST((1000000 * CAST(s AS DECIMAL(38,0))) div n"
+                " AS BIGINT)"
+            ).alias("rate_micro"),
+            "iso_micro",
+        )
+        .orderBy("pos")
+    )
+
+
+_ISOTONIC_SQL = f"""
+    WITH grain AS (
+        SELECT CAST(CAST(floor(o_totalprice) AS BIGINT) // {_ISO_BUCKET}
+                    AS BIGINT) AS pos,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN o_orderpriority IN
+                    ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS s
+        FROM orders GROUP BY 1
+    ),
+    iv AS (
+        SELECT j.pos AS j, k.pos AS k,
+               CAST((1000000 * sum(CAST(g.s AS HUGEINT))) // sum(g.n)
+                    AS BIGINT) AS mean_micro
+        FROM grain j
+        JOIN grain k ON j.pos <= k.pos
+        JOIN grain g ON g.pos >= j.pos AND g.pos <= k.pos
+        GROUP BY j.pos, k.pos
+    ),
+    cand AS (
+        SELECT i, CAST(max(mink) AS BIGINT) AS iso_micro
+        FROM (
+            SELECT g.pos AS i, iv.j, min(iv.mean_micro) AS mink
+            FROM grain g
+            JOIN iv ON iv.j <= g.pos AND iv.k >= g.pos
+            GROUP BY g.pos, iv.j
+        )
+        GROUP BY i
+    )
+    SELECT grain.pos, grain.n,
+           CAST((1000000 * CAST(grain.s AS HUGEINT)) // grain.n
+                AS BIGINT) AS rate_micro,
+           cand.iso_micro
+    FROM grain JOIN cand ON grain.pos = cand.i
+    ORDER BY grain.pos
+"""
+
+
 QUERIES = {
     "poisson_bootstrap_ci": poisson_bootstrap_ci,
     "bradley_terry_strengths": bradley_terry_strengths,
@@ -1148,6 +1278,7 @@ QUERIES = {
     "conformal_interval_calibration": conformal_interval_calibration,
     "power_analysis_mde": power_analysis_mde,
     "bradley_terry_two_batch": bradley_terry_two_batch,
+    "isotonic_calibration": isotonic_calibration,
 }
 
 ORACLES = {
@@ -1159,4 +1290,5 @@ ORACLES = {
     "conformal_interval_calibration": _CONFORMAL_SQL,
     "power_analysis_mde": _POWER_MDE_SQL,
     "bradley_terry_two_batch": _BRADLEY_TERRY_SQL,
+    "isotonic_calibration": _ISOTONIC_SQL,
 }

@@ -312,3 +312,63 @@ def test_pass_at_k_micro_matches_bruteforce():
                     if any(i < c for i in sub)
                 )
                 assert v * den == m * hits, (n, c, k)
+
+
+def test_isotonic_matches_sequential_pav(spark):
+    # the minimax-formula fit must equal the classic sequential
+    # pool-adjacent-violators algorithm run over the same grain with
+    # exact rational pool means (floored to micro at the end)
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from azure_sales_etl_pipeline_spark.catalog import load_table
+    from azure_sales_etl_pipeline_spark.plans.stats import (
+        _ISO_BUCKET,
+        _ISO_POS_LABELS,
+        isotonic_calibration,
+    )
+
+    got = {
+        r.pos: (r.n, r.rate_micro, r.iso_micro)
+        for r in isotonic_calibration(spark, SF_DIR).collect()
+    }
+    grain = (
+        load_table(spark, SF_DIR, "orders")
+        .select(
+            F.expr(
+                "CAST(CAST(floor(o_totalprice) AS BIGINT)"
+                f" div {_ISO_BUCKET} AS BIGINT)"
+            ).alias("pos"),
+            F.col("o_orderpriority")
+            .isin(*_ISO_POS_LABELS)
+            .cast("bigint")
+            .alias("y"),
+        )
+        .groupBy("pos")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("s"))
+        .collect()
+    )
+    pts = sorted((r.pos, int(r.n), int(r.s)) for r in grain)
+    # sequential PAV: pools of (n, s); merge while previous mean > next
+    pools: list[list] = []
+    for pos, n, sy in pts:
+        pools.append([n, sy, [pos]])
+        while len(pools) > 1 and Fraction(pools[-2][1], pools[-2][0]) > (
+            Fraction(pools[-1][1], pools[-1][0])
+        ):
+            n2, s2, p2 = pools.pop()
+            pools[-1][0] += n2
+            pools[-1][1] += s2
+            pools[-1][2].extend(p2)
+    want = {}
+    for n, sy, poss in pools:
+        fit = (1_000_000 * sy) // n
+        for pos in poss:
+            want[pos] = fit
+    assert set(got) == set(want)
+    for pos in got:
+        assert got[pos][2] == want[pos], (pos, got[pos], want[pos])
+    # and the fit is monotone nondecreasing
+    fitted = [got[p][2] for p in sorted(got)]
+    assert fitted == sorted(fitted)
