@@ -3465,14 +3465,19 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.concat(toks, bigrams)).alias("feat"),
         )
         .where(F.length("feat") > 0)
+        # sha2 staged through a plan_barrier'd column: inlined into the
+        # 15-digit hex decode it would run 15x per feature row (the
+        # r13 poisson_bootstrap_ci lesson — codegen does not CSE
+        # textual copies, CollapseProject re-inlines bare aliases)
+        .withColumn(
+            "hx", F.expr("substr(sha2(concat('dsir:', feat), 256), 1, 15)")
+        )
+    )
+    feats = (
+        plan_barrier(feats)
         .withColumn(
             "bucket",
-            F.expr(
-                hex_to_bigint_sql(
-                    "substr(sha2(concat('dsir:', feat), 256), 1, 15)"
-                )
-                + f" % {_DSIR_B}"
-            ),
+            F.expr(hex_to_bigint_sql("hx") + f" % {_DSIR_B}"),
         )
         .select("doc_id", "source", "bucket")
         .localCheckpoint()
