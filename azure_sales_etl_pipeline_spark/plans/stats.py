@@ -1269,6 +1269,120 @@ _ISOTONIC_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# delta-method CI for a ratio-of-sums metric
+# ---------------------------------------------------------------------------
+
+
+def delta_method_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA-METHOD confidence interval for a RATIO metric — the other
+    standard answer (beside [[poisson_bootstrap_ci]]'s resampling) to
+    "my metric is revenue-per-order but my randomization unit is the
+    customer": R = ΣX/ΣY over units is NOT a mean of iid terms, so the
+    naive t-interval is wrong; the delta method gives
+    Var(R) ≈ (s_x² − 2R·s_xy + R²·s_y²) / (n·ȳ²) (Deng-Knoblich-Lu
+    2018, the formula every experimentation platform applies to ratio
+    metrics). X = a customer's revenue cents, Y = their order count.
+
+    Shape: the cuped/power discipline — per-unit (X, Y) from one
+    customer-key shuffle, then ONE map-side-combined aggregate row of
+    exact DECIMAL(38,0) moments (n, Sx, Sy, Sxx, Sxy, Syy); the
+    trailing float chain is identical literal text on both engines
+    (sqrt is IEEE-exact), so ratio, SE, and the z-interval bounds all
+    hash-match in micro-cents."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    units = orders.groupBy("o_custkey").agg(
+        F.sum("cents").cast("bigint").alias("x"),
+        F.count(F.lit(1)).cast("bigint").alias("y"),
+    )
+    m = units.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("sum(CAST(x AS DECIMAL(38,0)))").alias("sx"),
+        F.expr("sum(CAST(y AS DECIMAL(38,0)))").alias("sy"),
+        F.expr("sum(CAST(x AS DECIMAL(38,0)) * x)").alias("sxx"),
+        F.expr("sum(CAST(x AS DECIMAL(38,0)) * y)").alias("sxy"),
+        F.expr("sum(CAST(y AS DECIMAL(38,0)) * y)").alias("syy"),
+    )
+    nn = "CAST(n AS DOUBLE)"
+    r = "(CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))"
+    vx = f"(({nn} * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / ({nn} * ({nn} - {_dlit(1.0)})))"
+    vy = f"(({nn} * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) / ({nn} * ({nn} - {_dlit(1.0)})))"
+    cxy = f"(({nn} * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / ({nn} * ({nn} - {_dlit(1.0)})))"
+    ybar = f"(CAST(sy AS DOUBLE) / {nn})"
+    se = (
+        f"sqrt(({vx} - {_dlit(2.0)} * {r} * {cxy}"
+        f" + {r} * {r} * {vy}) / ({nn} * {ybar} * {ybar}))"
+    )
+    z = _dlit(_Z_ALPHA)
+    return m.select(
+        "n",
+        F.expr(f"CAST(floor({_dlit(1_000_000.0)} * {r}) AS BIGINT)").alias(
+            "ratio_microcents"
+        ),
+        F.expr(f"CAST(floor({_dlit(1_000_000.0)} * {se}) AS BIGINT)").alias(
+            "se_microcents"
+        ),
+        F.expr(
+            f"CAST(floor({_dlit(1_000_000.0)} * ({r} - {z} * {se}))"
+            " AS BIGINT)"
+        ).alias("ci_lo_microcents"),
+        F.expr(
+            f"CAST(floor({_dlit(1_000_000.0)} * ({r} + {z} * {se}))"
+            " AS BIGINT)"
+        ).alias("ci_hi_microcents"),
+    )
+
+
+def _delta_ratio_sql() -> str:
+    nn = "CAST(n AS DOUBLE)"
+    r = "(CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))"
+    vx = f"(({nn} * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / ({nn} * ({nn} - {_dlit(1.0)})))"
+    vy = f"(({nn} * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) / ({nn} * ({nn} - {_dlit(1.0)})))"
+    cxy = f"(({nn} * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / ({nn} * ({nn} - {_dlit(1.0)})))"
+    ybar = f"(CAST(sy AS DOUBLE) / {nn})"
+    se = (
+        f"sqrt(({vx} - {_dlit(2.0)} * {r} * {cxy}"
+        f" + {r} * {r} * {vy}) / ({nn} * {ybar} * {ybar}))"
+    )
+    z = _dlit(_Z_ALPHA)
+    return f"""
+    WITH units AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS x,
+               CAST(count(*) AS BIGINT) AS y
+        FROM orders GROUP BY o_custkey
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(x AS HUGEINT)) AS sx,
+               sum(CAST(y AS HUGEINT)) AS sy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(x AS HUGEINT) * y) AS sxy,
+               sum(CAST(y AS HUGEINT) * y) AS syy
+        FROM units
+    )
+    SELECT n,
+           CAST(floor({_dlit(1_000_000.0)} * {r}) AS BIGINT)
+               AS ratio_microcents,
+           CAST(floor({_dlit(1_000_000.0)} * {se}) AS BIGINT)
+               AS se_microcents,
+           CAST(floor({_dlit(1_000_000.0)} * ({r} - {z} * {se}))
+               AS BIGINT) AS ci_lo_microcents,
+           CAST(floor({_dlit(1_000_000.0)} * ({r} + {z} * {se}))
+               AS BIGINT) AS ci_hi_microcents
+    FROM m
+"""
+
+
+_DELTA_RATIO_SQL = _delta_ratio_sql()
+
+
 QUERIES = {
     "poisson_bootstrap_ci": poisson_bootstrap_ci,
     "bradley_terry_strengths": bradley_terry_strengths,
@@ -1279,6 +1393,7 @@ QUERIES = {
     "power_analysis_mde": power_analysis_mde,
     "bradley_terry_two_batch": bradley_terry_two_batch,
     "isotonic_calibration": isotonic_calibration,
+    "delta_method_ratio_ci": delta_method_ratio_ci,
 }
 
 ORACLES = {
@@ -1291,4 +1406,5 @@ ORACLES = {
     "power_analysis_mde": _POWER_MDE_SQL,
     "bradley_terry_two_batch": _BRADLEY_TERRY_SQL,
     "isotonic_calibration": _ISOTONIC_SQL,
+    "delta_method_ratio_ci": _DELTA_RATIO_SQL,
 }

@@ -372,3 +372,22 @@ def test_isotonic_matches_sequential_pav(spark):
     # and the fit is monotone nondecreasing
     fitted = [got[p][2] for p in sorted(got)]
     assert fitted == sorted(fitted)
+
+
+def test_delta_ratio_ci_brackets_ratio(spark):
+    from azure_sales_etl_pipeline_spark.plans.stats import (
+        delta_method_ratio_ci,
+    )
+
+    row = delta_method_ratio_ci(spark, SF_DIR).collect()[0]
+    assert row.n > 0
+    assert row.se_microcents > 0
+    assert (
+        row.ci_lo_microcents
+        < row.ratio_microcents
+        < row.ci_hi_microcents
+    )
+    # the CI is symmetric around the ratio up to floor jitter
+    lo_gap = row.ratio_microcents - row.ci_lo_microcents
+    hi_gap = row.ci_hi_microcents - row.ratio_microcents
+    assert abs(lo_gap - hi_gap) <= 1
