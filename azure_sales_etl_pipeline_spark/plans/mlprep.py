@@ -3050,15 +3050,17 @@ def hashed_feature_crosses(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "|", "c_mktsegment", "o_orderpriority", F.col("wd").cast("string")
             ),
         )
+        # sha2 staged through a plan_barrier'd column — inlined into the
+        # 15-digit hex decode it runs 15x per fact row (r13
+        # codegen-CSE lesson, plans.stats._boot_totals)
         .withColumn(
-            "bucket",
-            F.expr(
-                hex_to_bigint_sql(
-                    "substr(sha2(concat('fx:', cross), 256), 1, 15)"
-                )
-                + f" % {_FX_BUCKETS}"
-            ),
+            "hx", F.expr("substr(sha2(concat('fx:', cross), 256), 1, 15)")
         )
+    )
+    from ..functions import plan_barrier
+
+    crossed = plan_barrier(crossed).withColumn(
+        "bucket", F.expr(hex_to_bigint_sql("hx") + f" % {_FX_BUCKETS}")
     )
     return crossed.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_rows"),
