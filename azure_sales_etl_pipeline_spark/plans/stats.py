@@ -1383,6 +1383,332 @@ def _delta_ratio_sql() -> str:
 _DELTA_RATIO_SQL = _delta_ratio_sql()
 
 
+# ---------------------------------------------------------------------------
+# empirical-Bayes shrinkage of per-entity rates
+# ---------------------------------------------------------------------------
+
+_EB_TAU_FLOOR = 1e-12  # prior-variance floor (keeps M finite/positive)
+
+
+def eb_shrunk_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMPIRICAL-BAYES (beta-binomial, method-of-moments) shrinkage of
+    per-supplier return rates — the estimator every leaderboard /
+    seller-quality dashboard needs so a supplier with 3 returns out of
+    5 items doesn't outrank one with 300 of 600 (Efron-Morris;
+    [[return_rate_wilson]] bounds ONE rate, this POOLS across the
+    population): raw rates shrink toward the global mean m with prior
+    strength M, shrunk = (k + M·m)/(n + M), where
+    M = m(1−m)/τ² − 1 and τ² is the between-supplier rate variance
+    minus the mean binomial sampling noise (the MoM prior fit).
+
+    Exactness: per-supplier raw rates and sampling-noise terms are
+    FLOORED to integer micro/pico units before the population sums
+    (the order-free-sum discipline — summing raw doubles is partition-
+    order dependent), so the prior parameters derive from exact
+    integers through identical IEEE text; τ² floors at `_EB_TAU_FLOOR`
+    and M clamps to [0, 1e9] with shared greatest/least literals.
+
+    Scale: one supplier-key shuffle builds (n, k); the prior fit is ONE
+    map-side-combined aggregate row broadcast back. |suppliers| rows
+    out."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", (F.col("l_returnflag") == "R").cast("bigint").alias("r")
+    )
+    ent = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("r").cast("bigint").alias("k"),
+        )
+        .withColumn(
+            "rate_micro", F.expr("CAST((1000000 * k) div n AS BIGINT)")
+        )
+        .withColumn(
+            "noise_pico",
+            F.expr(
+                f"CAST(floor({_dlit(1e12)} * ((CAST(rate_micro AS DOUBLE)"
+                f" * {_dlit(1e-6)}) * ({_dlit(1.0)} - CAST(rate_micro"
+                f" AS DOUBLE) * {_dlit(1e-6)})) / CAST(n AS DOUBLE))"
+                " AS BIGINT)"
+            ),
+        )
+        .localCheckpoint()
+    )
+    prior = ent.agg(
+        F.count(F.lit(1)).cast("bigint").alias("g"),
+        F.expr("sum(CAST(n AS DECIMAL(38,0)))").alias("tn"),
+        F.expr("sum(CAST(k AS DECIMAL(38,0)))").alias("tk"),
+        F.expr("sum(CAST(rate_micro AS DECIMAL(38,0)))").alias("sr"),
+        F.expr(
+            "sum(CAST(rate_micro AS DECIMAL(38,0)) * rate_micro)"
+        ).alias("srr"),
+        F.expr("sum(CAST(noise_pico AS DECIMAL(38,0)))").alias("sw"),
+    )
+    g = "CAST(g AS DOUBLE)"
+    m = "(CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE))"
+    var_r = (
+        f"((CAST(srr AS DOUBLE) / {g}"
+        f" - (CAST(sr AS DOUBLE) / {g}) * (CAST(sr AS DOUBLE) / {g}))"
+        f" * {_dlit(1e-12)})"
+    )
+    tau2 = (
+        f"greatest({var_r} - CAST(sw AS DOUBLE) * {_dlit(1e-12)} / {g},"
+        f" {_dlit(_EB_TAU_FLOOR)})"
+    )
+    mm = (
+        f"least(greatest({m} * ({_dlit(1.0)} - {m}) / {tau2}"
+        f" - {_dlit(1.0)}, {_dlit(0.0)}), {_dlit(1e9)})"
+    )
+    return (
+        ent.crossJoin(F.broadcast(prior))
+        .select(
+            "l_suppkey",
+            "n",
+            "k",
+            "rate_micro",
+            F.expr(
+                f"CAST(floor({_dlit(1_000_000.0)}"
+                f" * (CAST(k AS DOUBLE) + {mm} * {m})"
+                f" / (CAST(n AS DOUBLE) + {mm})) AS BIGINT)"
+            ).alias("shrunk_micro"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+def _eb_sql() -> str:
+    g = "CAST(g AS DOUBLE)"
+    m = "(CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE))"
+    var_r = (
+        f"((CAST(srr AS DOUBLE) / {g}"
+        f" - (CAST(sr AS DOUBLE) / {g}) * (CAST(sr AS DOUBLE) / {g}))"
+        f" * {_dlit(1e-12)})"
+    )
+    tau2 = (
+        f"greatest({var_r} - CAST(sw AS DOUBLE) * {_dlit(1e-12)} / {g},"
+        f" {_dlit(_EB_TAU_FLOOR)})"
+    )
+    mm = (
+        f"least(greatest({m} * ({_dlit(1.0)} - {m}) / {tau2}"
+        f" - {_dlit(1.0)}, {_dlit(0.0)}), {_dlit(1e9)})"
+    )
+    return f"""
+    WITH ent AS (
+        SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k,
+               CAST((1000000 * sum(CASE WHEN l_returnflag = 'R' THEN 1
+                    ELSE 0 END)) // count(*) AS BIGINT) AS rate_micro
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    ent2 AS (
+        SELECT *,
+               CAST(floor({_dlit(1e12)} * ((CAST(rate_micro AS DOUBLE)
+                    * {_dlit(1e-6)}) * ({_dlit(1.0)} - CAST(rate_micro
+                    AS DOUBLE) * {_dlit(1e-6)})) / CAST(n AS DOUBLE))
+                    AS BIGINT) AS noise_pico
+        FROM ent
+    ),
+    prior AS (
+        SELECT CAST(count(*) AS BIGINT) AS g,
+               sum(CAST(n AS HUGEINT)) AS tn,
+               sum(CAST(k AS HUGEINT)) AS tk,
+               sum(CAST(rate_micro AS HUGEINT)) AS sr,
+               sum(CAST(rate_micro AS HUGEINT) * rate_micro) AS srr,
+               sum(CAST(noise_pico AS HUGEINT)) AS sw
+        FROM ent2
+    )
+    SELECT l_suppkey, n, k, rate_micro,
+           CAST(floor({_dlit(1_000_000.0)}
+                * (CAST(k AS DOUBLE) + {mm} * {m})
+                / (CAST(n AS DOUBLE) + {mm})) AS BIGINT) AS shrunk_micro
+    FROM ent2 CROSS JOIN prior
+    ORDER BY l_suppkey
+"""
+
+
+_EB_SQL = _eb_sql()
+
+
+# ---------------------------------------------------------------------------
+# group-sequential monitoring (O'Brien-Fleming boundaries)
+# ---------------------------------------------------------------------------
+
+# O'Brien-Fleming 1979 constant: reject at look k when
+# |z_k| > C / sqrt(t_k); C = the published OBF critical value holding
+# two-sided alpha = 0.05 over <= 8 equally-spaced looks (spec constant)
+_OBF_C = 2.24
+
+
+def group_sequential_obf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-SEQUENTIAL experiment monitoring with O'BRIEN-FLEMING
+    boundaries — the interim-analysis discipline that lets a platform
+    peek at a running A/B test every period WITHOUT inflating the false
+    positive rate (naive repeated z-tests at 1.96 inflate α to ~20% at
+    7 looks): at each look the cumulative z compares against the
+    conservative-early boundary C/√t_k (spec constant `_OBF_C`), which
+    spends almost no alpha early and converges to ~nominal at full
+    information. Looks here = order years; arms = an md5-parity
+    customer split; metric = order value.
+
+    Shape: ONE corpus groupBy to the (year, arm) moment grain (≤ 14
+    rows, exact DECIMAL(38,0) sums with map-side combine); cumulative
+    look totals via a triangular self-join on that grain (no window);
+    the final-look information total broadcasts back for t_k. Welch z
+    and the boundary derive from exact integers through identical IEEE
+    text, both FLOORED to milli-units, and the crossing flag compares
+    the floored integers — so even the boolean is bit-stable."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.expr("CAST(year(o_orderdate) AS BIGINT)").alias("yr"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.expr(
+            "CAST(conv(substr(md5(CAST(o_custkey AS STRING)), 1, 1),"
+            " 16, 10) AS INT) % 2"
+        ).alias("arm"),
+    )
+    grain = (
+        orders.groupBy("yr", "arm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr("sum(CAST(cents AS DECIMAL(38,0)))").alias("s"),
+            F.expr("sum(CAST(cents AS DECIMAL(38,0)) * cents)").alias("ss"),
+        )
+        .localCheckpoint()
+    )
+    looks = (
+        grain.select("yr")
+        .distinct()
+        .alias("l")
+        .join(F.broadcast(grain.alias("g")), F.expr("g.yr <= l.yr"))
+        .groupBy(F.col("l.yr").alias("yr"))
+        .agg(
+            F.expr(
+                "sum(CASE WHEN arm = 0 THEN CAST(n AS DECIMAL(38,0))"
+                " ELSE 0 END)"
+            ).alias("na"),
+            F.expr(
+                "sum(CASE WHEN arm = 0 THEN s ELSE CAST(0 AS"
+                " DECIMAL(38,0)) END)"
+            ).alias("sa"),
+            F.expr(
+                "sum(CASE WHEN arm = 0 THEN ss ELSE CAST(0 AS"
+                " DECIMAL(38,0)) END)"
+            ).alias("ssa"),
+            F.expr(
+                "sum(CASE WHEN arm = 1 THEN CAST(n AS DECIMAL(38,0))"
+                " ELSE 0 END)"
+            ).alias("nb"),
+            F.expr(
+                "sum(CASE WHEN arm = 1 THEN s ELSE CAST(0 AS"
+                " DECIMAL(38,0)) END)"
+            ).alias("sb"),
+            F.expr(
+                "sum(CASE WHEN arm = 1 THEN ss ELSE CAST(0 AS"
+                " DECIMAL(38,0)) END)"
+            ).alias("ssb"),
+        )
+    )
+    fin = looks.agg(
+        F.expr("max(na + nb)").alias("ntot_fin")
+    )
+    za, zb = _gs_z_exprs()
+    return (
+        looks.crossJoin(F.broadcast(fin))
+        .select(
+            "yr",
+            F.expr("CAST(na AS BIGINT)").alias("n_a"),
+            F.expr("CAST(nb AS BIGINT)").alias("n_b"),
+            F.expr(f"CAST(floor({_dlit(1000.0)} * {za}) AS BIGINT)").alias(
+                "z_milli"
+            ),
+            F.expr(f"CAST(floor({_dlit(1000.0)} * {zb}) AS BIGINT)").alias(
+                "boundary_milli"
+            ),
+        )
+        .withColumn(
+            "crossed", F.expr("abs(z_milli) > boundary_milli")
+        )
+        .orderBy("yr")
+    )
+
+
+def _gs_z_exprs() -> tuple[str, str]:
+    """Shared (z, boundary) expression texts over the cumulative-look
+    columns (na, sa, ssa, nb, sb, ssb, ntot_fin)."""
+
+    def var(n: str, s: str, ss: str) -> str:
+        nn = f"CAST({n} AS DOUBLE)"
+        return (
+            f"(({nn} * CAST({ss} AS DOUBLE)"
+            f" - CAST({s} AS DOUBLE) * CAST({s} AS DOUBLE))"
+            f" / ({nn} * ({nn} - {_dlit(1.0)})))"
+        )
+
+    mean_diff = (
+        "(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)"
+        " - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))"
+    )
+    se = (
+        f"sqrt({var('na', 'sa', 'ssa')} / CAST(na AS DOUBLE)"
+        f" + {var('nb', 'sb', 'ssb')} / CAST(nb AS DOUBLE))"
+    )
+    z = f"({mean_diff} / {se})"
+    t_k = "((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) / CAST(ntot_fin AS DOUBLE))"
+    boundary = f"({_dlit(_OBF_C)} / sqrt({t_k}))"
+    return z, boundary
+
+
+def _group_sequential_sql() -> str:
+    za, zb = _gs_z_exprs()
+    return f"""
+    WITH o AS (
+        SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents,
+               CAST(instr('0123456789abcdef',
+                    substr(md5(CAST(o_custkey AS VARCHAR)), 1, 1)) - 1
+                    AS INT) % 2 AS arm
+        FROM orders
+    ),
+    grain AS (
+        SELECT yr, arm, CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(cents AS HUGEINT)) AS s,
+               sum(CAST(cents AS HUGEINT) * cents) AS ss
+        FROM o GROUP BY yr, arm
+    ),
+    looks AS (
+        SELECT l.yr,
+               sum(CASE WHEN g.arm = 0 THEN CAST(g.n AS HUGEINT)
+                   ELSE 0 END) AS na,
+               sum(CASE WHEN g.arm = 0 THEN g.s ELSE 0 END) AS sa,
+               sum(CASE WHEN g.arm = 0 THEN g.ss ELSE 0 END) AS ssa,
+               sum(CASE WHEN g.arm = 1 THEN CAST(g.n AS HUGEINT)
+                   ELSE 0 END) AS nb,
+               sum(CASE WHEN g.arm = 1 THEN g.s ELSE 0 END) AS sb,
+               sum(CASE WHEN g.arm = 1 THEN g.ss ELSE 0 END) AS ssb
+        FROM (SELECT DISTINCT yr FROM grain) l
+        JOIN grain g ON g.yr <= l.yr
+        GROUP BY l.yr
+    ),
+    fin AS (SELECT max(na + nb) AS ntot_fin FROM looks)
+    SELECT yr,
+           CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           CAST(floor({_dlit(1000.0)} * {za}) AS BIGINT) AS z_milli,
+           CAST(floor({_dlit(1000.0)} * {zb}) AS BIGINT)
+               AS boundary_milli,
+           abs(CAST(floor({_dlit(1000.0)} * {za}) AS BIGINT))
+               > CAST(floor({_dlit(1000.0)} * {zb}) AS BIGINT) AS crossed
+    FROM looks CROSS JOIN fin
+    ORDER BY yr
+"""
+
+
+_GROUP_SEQUENTIAL_SQL = _group_sequential_sql()
+
+
 QUERIES = {
     "poisson_bootstrap_ci": poisson_bootstrap_ci,
     "bradley_terry_strengths": bradley_terry_strengths,
@@ -1394,6 +1720,8 @@ QUERIES = {
     "bradley_terry_two_batch": bradley_terry_two_batch,
     "isotonic_calibration": isotonic_calibration,
     "delta_method_ratio_ci": delta_method_ratio_ci,
+    "eb_shrunk_return_rates": eb_shrunk_return_rates,
+    "group_sequential_obf": group_sequential_obf,
 }
 
 ORACLES = {
@@ -1407,4 +1735,6 @@ ORACLES = {
     "bradley_terry_two_batch": _BRADLEY_TERRY_SQL,
     "isotonic_calibration": _ISOTONIC_SQL,
     "delta_method_ratio_ci": _DELTA_RATIO_SQL,
+    "eb_shrunk_return_rates": _EB_SQL,
+    "group_sequential_obf": _GROUP_SEQUENTIAL_SQL,
 }

@@ -391,3 +391,51 @@ def test_delta_ratio_ci_brackets_ratio(spark):
     lo_gap = row.ratio_microcents - row.ci_lo_microcents
     hi_gap = row.ci_hi_microcents - row.ratio_microcents
     assert abs(lo_gap - hi_gap) <= 1
+
+
+def test_eb_shrinkage_pulls_toward_mean(spark):
+    from azure_sales_etl_pipeline_spark.plans.stats import (
+        eb_shrunk_return_rates,
+    )
+
+    rows = eb_shrunk_return_rates(spark, SF_DIR).collect()
+    assert len(rows) > 1
+    tn = sum(r.n for r in rows)
+    tk = sum(r.k for r in rows)
+    gm = 1_000_000 * tk // tn
+    for r in rows:
+        # shrunk sits between (or on) the raw rate and the global mean
+        lo, hi = sorted((r.rate_micro, gm))
+        assert lo - 2 <= r.shrunk_micro <= hi + 2, (r, gm)
+    # and an entity's |shift| is weakly larger when its n is smaller:
+    # compare the extreme-n entities' relative shift fractions
+    def shift_frac(r):
+        denom = abs(r.rate_micro - gm)
+        return abs(r.shrunk_micro - r.rate_micro) / denom if denom else 0.0
+
+    small = min(rows, key=lambda r: r.n)
+    big = max(rows, key=lambda r: r.n)
+    if abs(small.rate_micro - gm) > 1000 and abs(big.rate_micro - gm) > 1000:
+        assert shift_frac(small) >= shift_frac(big) - 1e-6
+
+
+def test_group_sequential_boundary_shape(spark):
+    from azure_sales_etl_pipeline_spark.plans.stats import (
+        _OBF_C,
+        group_sequential_obf,
+    )
+
+    rows = sorted(
+        group_sequential_obf(spark, SF_DIR).collect(), key=lambda r: r.yr
+    )
+    assert len(rows) >= 3
+    # boundaries decrease monotonically toward the final-look value
+    bounds = [r.boundary_milli for r in rows]
+    assert bounds == sorted(bounds, reverse=True)
+    # the final look has full information: boundary == floor(1000*C)
+    assert rows[-1].boundary_milli == int(1000 * _OBF_C)
+    # information accumulates
+    ns = [r.n_a + r.n_b for r in rows]
+    assert ns == sorted(ns)
+    for r in rows:
+        assert r.crossed == (abs(r.z_milli) > r.boundary_milli)
