@@ -67,6 +67,13 @@ _SWEEP_PINS: dict[str, int] = {
     "stream_kmv_distinct": 11,
     # Python-state folds moved to 16 stream partitions
     "stream_user_totals_custom_state": 11,
+    # r13 refactors whose driver evidence predates the change (all
+    # verified locally at sf0.001 + vanilla sf0.01/sf0.1):
+    # IDCG upgraded to the full-pool ideal — VALUES changed (r12 advice)
+    "ndcg_retrieval_eval": 12,
+    # hash staged behind plan_barrier columns (values unchanged)
+    "dsir_importance_weights": 10,
+    "hashed_feature_crosses": 9,
     "stream_transition_matrix": 11,
     # kernel factors: _minhash_core_ctes / _chunk_marked+_rebuilt_agg /
     # _pack_segments / _funnel_flags
