@@ -53,7 +53,12 @@ from ..functions import _dlit, hex_to_bigint_sql, local_df, plan_barrier
 # Poisson bootstrap confidence interval
 # ---------------------------------------------------------------------------
 
-_BOOT_B = 40  # replicates; CI = order statistics 2 and B-1 (~95%)
+_BOOT_B = 40  # replicates
+# 95% percentile CI by order statistics: ranks 1 and B of the B sorted
+# replicate totals sit at plotting positions 1/(B+1) and B/(B+1) —
+# ~2.4% per tail at B=40 (ranks 2/B−1 would trim ~4.9%/tail, a ~90%
+# interval mislabeled as 95% — r13 self-review finding)
+_BOOT_LO_RANK, _BOOT_HI_RANK = 1, _BOOT_B
 _BOOT_HEX_W = 15  # md5 prefix width -> uniform on [0, 16^15)
 _BOOT_SPACE = 16**_BOOT_HEX_W
 
@@ -92,9 +97,11 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     so ONE scan produces point + all replicates: the per-row replicate
     fan-out feeds straight into a map-side-combined hash aggregate with
     B+1 groups — the shuffle moves (B+1) rows per task, never the
-    (B+1)× row amplification. The CI is order statistics 2 and B−1 of
-    the B replicate totals, extracted with sort_array over a collected
-    B-element list (bounded control plane, no global-sort window).
+    (B+1)× row amplification. The CI is the rank-1 and rank-B order
+    statistics of the B replicate totals (plotting positions 1/(B+1)
+    and B/(B+1) — ~2.4% per tail at B=40, the 95% percentile CI),
+    extracted with sort_array over a collected B-element list (bounded
+    control plane, no global-sort window).
 
     100 TB: same plan — the scan dominates, the fan-out is codegen-local
     arithmetic, and the aggregate state is B+1 DECIMAL cells per task."""
@@ -165,9 +172,10 @@ def _boot_summarize(totals: DataFrame) -> DataFrame:
     """Point estimate + order-statistic CI from the (b, total, n_rows)
     replicate-totals table — shared by the one-shot query and the
     streamed fold ([[stream_bootstrap_ci_fold]]), whose state IS this
-    table because replicate totals are additive across batches."""
-    lo_idx, hi_idx = 2, _BOOT_B - 1
-    return totals.agg(
+    table because replicate totals are additive across batches. The
+    sorted replicate list is built ONCE (one collect_list buffer), then
+    both order statistics project out of it."""
+    agg = totals.agg(
         F.max(F.when(F.col("b") == -1, F.col("n_rows")))
         .cast("bigint")
         .alias("n_orders"),
@@ -177,20 +185,18 @@ def _boot_summarize(totals: DataFrame) -> DataFrame:
         F.count(F.when(F.col("b") >= 0, 1)).cast("bigint").alias(
             "n_replicates"
         ),
-        F.element_at(
-            F.sort_array(
-                F.collect_list(F.when(F.col("b") >= 0, F.col("total")))
-            ),
-            lo_idx,
-        )
+        F.sort_array(
+            F.collect_list(F.when(F.col("b") >= 0, F.col("total")))
+        ).alias("sorted_totals"),
+    )
+    return agg.select(
+        "n_orders",
+        "point_total_cents",
+        "n_replicates",
+        F.element_at("sorted_totals", _BOOT_LO_RANK)
         .cast("bigint")
         .alias("boot_lo_cents"),
-        F.element_at(
-            F.sort_array(
-                F.collect_list(F.when(F.col("b") >= 0, F.col("total")))
-            ),
-            hi_idx,
-        )
+        F.element_at("sorted_totals", _BOOT_HI_RANK)
         .cast("bigint")
         .alias("boot_hi_cents"),
     )
@@ -230,9 +236,9 @@ def _poisson_bootstrap_sql() -> str:
            CAST(max(CASE WHEN b = -1 THEN total END) AS BIGINT)
                AS point_total_cents,
            CAST(count(*) FILTER (b >= 0) AS BIGINT) AS n_replicates,
-           CAST(list_sort(list(total) FILTER (b >= 0))[2] AS BIGINT)
-               AS boot_lo_cents,
-           CAST(list_sort(list(total) FILTER (b >= 0))[{_BOOT_B - 1}]
+           CAST(list_sort(list(total) FILTER (b >= 0))[{_BOOT_LO_RANK}]
+               AS BIGINT) AS boot_lo_cents,
+           CAST(list_sort(list(total) FILTER (b >= 0))[{_BOOT_HI_RANK}]
                AS BIGINT) AS boot_hi_cents
     FROM totals
 """
@@ -919,8 +925,6 @@ def conformal_interval_calibration(spark: SparkSession, sf_dir: str) -> DataFram
 
     All-integer end to end: cents scores, ceil via integer arithmetic,
     coverage in permille by integer division."""
-    from pyspark.sql.window import Window as W
-
     from .mlprep import _prefix_offsets
 
     orders = load_table(spark, sf_dir, "orders").select(
@@ -949,7 +953,9 @@ def conformal_interval_calibration(spark: SparkSession, sf_dir: str) -> DataFram
         .withColumn("pid", F.spark_partition_id())
         .localCheckpoint()
     )
-    w = W.partitionBy("pid").orderBy("s").rowsBetween(W.unboundedPreceding, 0)
+    w = Window.partitionBy("pid").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     staged = ranged.withColumn("lc", F.sum("cnt").over(w))
     totals = ranged.groupBy("pid").agg(F.sum("cnt").alias("ptot"))
     offs = _prefix_offsets(totals, "ptot")
@@ -1535,9 +1541,12 @@ _EB_SQL = _eb_sql()
 # ---------------------------------------------------------------------------
 
 # O'Brien-Fleming 1979 constant: reject at look k when
-# |z_k| > C / sqrt(t_k); C = the published OBF critical value holding
-# two-sided alpha = 0.05 over <= 8 equally-spaced looks (spec constant)
-_OBF_C = 2.24
+# |z_k| > C / sqrt(t_k). C = C_B(K=7, two-sided alpha = 0.05) = 2.063
+# from the standard group-sequential tables (Jennison & Turnbull 2000,
+# Table 2.3) — the calendar spec is K = 7 yearly looks (TPC-H orders
+# span 1995-2001 at every SF). r13 self-review replaced an
+# overconservative 2.24 that spent well under the documented alpha.
+_OBF_C = 2.063
 
 
 def group_sequential_obf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1036,8 +1036,14 @@ def range_join_order_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", F.col("c_nationkey").cast("bigint").alias("nation")
     )
-    o = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
-        "o_orderkey", "nation", "day"
+    # o feeds three consumers (interval side, point side, final left
+    # join) — localCheckpoint so the orders scan + customer join runs
+    # once, not per consumer (ReusedExchange is not guaranteed across
+    # differently-partitioned reads; r13 self-review finding).
+    o = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select("o_orderkey", "nation", "day")
+        .localCheckpoint()
     )
     w = _RJ_WINDOW_DAYS
     iv = o.select(
@@ -1149,9 +1155,12 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame of ≤ 4·2³ rows. With n = 4 the n!-scaled weights are the
     integers {6, 2, 2, 6} (module constants), so φ·24 is an EXACT
     integer — published as ``shapley_x24_micro`` WITHOUT the final /24:
-    Spark's `div` truncates toward zero while DuckDB's `//` floors, and
-    φ can be negative (the error channel), so the one safe cross-engine
-    form is the undivided integer."""
+    dividing would truncate φ's sub-integer micro part (φ is often
+    negative and small — the error channel), and the undivided form IS
+    the canonical exact integer. (Both engines' integer division
+    truncates toward zero — DuckDB `//` included, verified — so a
+    division would at least agree; it is skipped for exactness, not
+    portability.)"""
     events = load_table(spark, sf_dir, "events")
     bit = F.lit(0)
     for ch, b in _SHAP_CHANNELS:

@@ -1803,58 +1803,23 @@ def streaming_bootstrap_monitor(
     interval over the revenue stream, maintained without ever
     re-scanning history. Replay protection via the shared
     ``_streaming_fold`` commit marker."""
-    from .functions import hex_to_bigint_sql
     from .operators.maintenance import merge_aggregate
-    from .plans.stats import _BOOT_B, _BOOT_HEX_W, _boot_weight_sql
+    from .plans.stats import _boot_totals
 
     def fold(batch_df: DataFrame, commit_meta: dict) -> None:
-        # The landed micro-batch is ONE CSV file -> one input split; the
-        # B+1 fan-out and its md5 draws would otherwise run on a single
-        # task (measured ~140 s at sf0.1). Spread the narrow batch rows
-        # across the stream shuffle width BEFORE the fan-out — the
-        # repartition moves (key, cents) pairs only, never the 41x rows.
-        # Explicit partition count: a keys-only repartition of the tiny
-        # pre-explode rows gets AQE-coalesced back to one task; the
-        # B+1x fan-out cost is invisible to AQE's byte-based sizing.
-        width = batch_df.sparkSession.sparkContext.defaultParallelism
-        reps = batch_df.repartition(width, "o_orderkey").select(
-            "o_orderkey",
-            "cents",
-            F.explode(
-                F.array(*[F.lit(b) for b in range(-1, _BOOT_B)])
-            ).alias("b"),
-        )
-        # Hash STAGED through columns behind plan_barriers (md5 prefix
-        # once per row, hex->int over the column, weight CASE over the
-        # integer) — CollapseProject would otherwise re-inline the md5
-        # into 135 copies per row; see plans.stats._boot_totals.
-        from .functions import plan_barrier
-
-        staged = plan_barrier(
-            plan_barrier(
-                reps.withColumn(
-                    "hx",
-                    F.expr(
-                        "substr(md5(concat('pboot:', CAST(o_orderkey AS"
-                        " STRING), ':', CAST(b AS STRING))), 1, 15)"
-                    ),
-                )
-            ).withColumn(
-                "h", F.expr(hex_to_bigint_sql("hx", width=_BOOT_HEX_W))
-            )
-        )
-        w = f"(CASE WHEN b = -1 THEN 1 ELSE {_boot_weight_sql('h')} END)"
-        contrib = staged.select(
-            "b",
-            F.expr(f"CAST({w} AS DECIMAL(38,0)) * cents").alias("total"),
-        )
+        # ONE shared core: _boot_totals carries the explicit-width
+        # pre-fan-out repartition and the plan_barrier'd hash staging
+        # (see its docstring for both measured traps), so the streamed
+        # fold cannot drift from the one-shot query's draw semantics.
+        # The batch pre-aggregates to the B+1 replicate grain before
+        # the fold; total and n_rows are both additive monoids.
         merge_aggregate(
             spark,
             state_path,
-            contrib,
+            _boot_totals(batch_df),
             keys=["b"],
-            sums=["total"],
-            count_col="n_rows",
+            sums=["total", "n_rows"],
+            count_col="n_batches",
             commit_meta=commit_meta,
         )
 
