@@ -3,33 +3,31 @@ layer a 100 TB curation pipeline reads its own dashboards with.
 
 Every number a data pipeline publishes (a dedup rate, a quality mean, a
 retrieval metric) needs an uncertainty and an agreement story before a
-training run bets compute on it. This module adds the four estimator
-families the rest of the registry was missing:
+training run bets compute on it. The estimator families here:
 
-- **Poisson bootstrap** (`poisson_bootstrap_ci`) — THE distributed
-  bootstrap: classic resampling needs coordinated draws of N rows per
-  replicate, which cannot be done in one pass over sharded data;
-  weighting every row independently with Poisson(1) draws (Chamandy et
-  al. 2012, "Estimating Uncertainty for Massive Data Streams") makes
-  each replicate an order-free weighted sum computable in the SAME
-  map-side-combined aggregate as the point estimate.
-- **Bradley-Terry strengths** (`bradley_terry_strengths`) — the
-  pairwise-preference strength model behind every RLHF reward-data
-  dashboard and chatbot-arena leaderboard, fit by Zermelo's fixed-point
-  iteration on the AGGREGATED pair-count table (corpus-sized work is
-  one shuffle; iterations touch only |players|² rows).
-- **pass@k** (`pass_at_k_estimator`) — the unbiased combinatorial
-  estimator from the HumanEval paper (Chen et al. 2021): per task with
-  n samples / c correct, pass@k = 1 − C(n−c,k)/C(n,k), averaged over
-  tasks. Computed as EXACT rationals over a per-k common denominator.
-- **Cohen's kappa** (`interrater_kappa`) — chance-corrected agreement
-  between two annotators/classifiers; the gate that tells you whether
-  two cheap quality raters are interchangeable before you trust either
-  at scale. Pure integer arithmetic end to end.
-- **Jackknife influence** (`jackknife_source_influence`) — leave-one-
-  source-out influence of every source on the corpus quality mean; the
-  O(sources) algebraic jackknife (totals in, influence out), not a
-  per-source re-scan.
+- **Resampling / analytic uncertainty** — `poisson_bootstrap_ci` (THE
+  distributed bootstrap: per-(row, replicate) Poisson(1) weights,
+  Chamandy et al. 2012, replicates form in the SAME map-side-combined
+  aggregate as the point estimate; streamed twin in
+  `streaming.stream_bootstrap_ci_fold`), `delta_method_ratio_ci`
+  (the analytic CI for ratio-of-sums metrics, Deng-Knoblich-Lu 2018),
+  `jackknife_source_influence` (leave-one-source-out influence by
+  algebra over per-source totals — never a per-source re-scan).
+- **Preference / ranking models** — `bradley_terry_strengths` and its
+  incremental pair-count fold `bradley_terry_two_batch` (Zermelo fixed
+  point over the aggregated pair table; corpus work is one shuffle).
+- **Eval-harness estimators** — `pass_at_k_estimator` (HumanEval
+  unbiased pass@k as EXACT rationals over a per-k lcm denominator),
+  `interrater_kappa` (Cohen's kappa, pure integers end to end).
+- **Calibration** — `conformal_interval_calibration` (split-conformal
+  intervals with an exact distributed order-statistic quantile + a
+  coverage audit), `isotonic_calibration` (exact PAV via the minimax
+  characterization — no sequential merge loop).
+- **Experiment design / monitoring** — `power_analysis_mde` (A/B
+  minimum detectable effect from one moment row),
+  `group_sequential_obf` (interim analyses under O'Brien-Fleming
+  boundaries), `eb_shrunk_return_rates` (empirical-Bayes pooling of
+  per-entity rates).
 
 Exactness discipline (house rules): every sum that crosses a partition
 boundary is an integer (floored micro-units where a float is
