@@ -439,3 +439,28 @@ def test_group_sequential_boundary_shape(spark):
     assert ns == sorted(ns)
     for r in rows:
         assert r.crossed == (abs(r.z_milli) > r.boundary_milli)
+
+
+def test_boot_totals_invariant_to_input_partitioning(spark):
+    # the resample is a pure function of (key, replicate): any input
+    # partitioning must produce bit-identical replicate totals — the
+    # property that makes the Poisson bootstrap valid on sharded data
+    from pyspark.sql import functions as F
+
+    from azure_sales_etl_pipeline_spark.catalog import load_table
+    from azure_sales_etl_pipeline_spark.plans.stats import _boot_totals
+
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    base = sorted(map(tuple, _boot_totals(orders).collect()))
+    for variant in (
+        orders.repartition(7),
+        orders.repartition(3, "cents"),
+        orders.coalesce(1),
+    ):
+        got = sorted(map(tuple, _boot_totals(variant).collect()))
+        assert got == base
