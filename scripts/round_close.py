@@ -10,9 +10,12 @@ snapshot commit can't silently ship drift:
 1. PLANS.md          — exactly one ledger row per registry query
                        (regenerate: ``python scripts/plan_audit.py --write``).
 2. sweep priority    — the committed ``_SWEEP_PRIORITY`` equals the
-                       order computed from the CORRECTNESS artifacts on
-                       disk, and the stamped inputs list matches those
-                       artifacts (regenerate:
+                       order computed from its STAMPED inputs; driver
+                       artifacts newer than the last fold commit are
+                       "pending next round" (warn, not fail — the
+                       driver drops them after the final commit), while
+                       an unfolded artifact that PRE-dates the fold
+                       commit fails (regenerate:
                        ``python scripts/sweep_priority.py --write``).
 3. COVERAGE.md       — every registry query name is mentioned at least
                        once (the operator-inventory mapping the judge
@@ -78,20 +81,74 @@ def main() -> int:
             " python scripts/plan_audit.py --write"
         )
 
-    # 2. sweep priority freshness
+    # 2. sweep priority freshness.
+    #
+    # The driver delivers CORRECTNESS_r{N}.json AFTER the round's final
+    # commit, so "committed inputs == files on disk" is structurally
+    # unachievable at judge time (r11-r13 verdicts: the gate was the
+    # suite's only red test three rounds running). The correct
+    # classification (r13 verdict item 1):
+    #   * a stamped input file missing from disk        -> FAIL
+    #   * order != generator output over stamped inputs -> FAIL
+    #   * extra artifacts that POST-date the last commit touching
+    #     plans/__init__.py (the fold commit)           -> pending next
+    #     round: WARN, exit 0 (mirrors test_checked_in_file_matches_
+    #     generator's warning path)
+    #   * extra artifacts that PRE-date the fold commit -> FAIL: the
+    #     builder committed round work without folding available
+    #     driver evidence.
     sweep = _load("sweep_priority")
     on_disk = sweep.correctness_files()
-    if list(_SWEEP_PRIORITY_INPUTS) != on_disk:
+    stamped = list(_SWEEP_PRIORITY_INPUTS)
+    missing_inputs = sorted(set(stamped) - set(on_disk))
+    extra = sorted(set(on_disk) - set(stamped))
+    if missing_inputs:
         problems.append(
-            "sweep priority inputs stale: committed"
-            f" {len(_SWEEP_PRIORITY_INPUTS)} files vs {len(on_disk)} on disk —"
-            " run python scripts/sweep_priority.py --write"
+            f"sweep priority stamped inputs missing from disk: {missing_inputs}"
+            " — run python scripts/sweep_priority.py --write"
         )
-    elif list(_SWEEP_PRIORITY) != sweep.compute_order(on_disk):
+    elif list(_SWEEP_PRIORITY) != sweep.compute_order(stamped):
         problems.append(
-            "sweep priority order does not match its inputs — run"
+            "sweep priority order does not match its stamped inputs — run"
             " python scripts/sweep_priority.py --write"
         )
+    if extra and not missing_inputs:
+        import subprocess as _sp
+
+        def _commit_ts(path: str) -> int | None:
+            """Unix time of the last commit touching *path*; None if
+            untracked / never committed / git unavailable."""
+            try:
+                out = _sp.run(
+                    ["git", "-C", str(REPO), "log", "-1", "--format=%ct", "--", path],
+                    capture_output=True,
+                    text=True,
+                    timeout=30,
+                ).stdout.strip()
+                return int(out) if out else None
+            except Exception:
+                return None
+
+        t_fold = _commit_ts("azure_sales_etl_pipeline_spark/plans/__init__.py")
+        stale_extras = [
+            f
+            for f in extra
+            if t_fold is not None
+            and (_commit_ts(f) or 2**62) < t_fold
+        ]
+        if stale_extras:
+            problems.append(
+                f"driver artifacts {stale_extras} pre-date the last sweep-"
+                "priority fold commit but are not stamped — run"
+                " python scripts/sweep_priority.py --write"
+            )
+        else:
+            print(
+                f"PENDING: {len(extra)} driver artifact(s) newer than the"
+                f" fold commit ({extra}) — fold with"
+                " `python scripts/sweep_priority.py --write` at next round"
+                " start"
+            )
 
     # 3. COVERAGE.md mentions
     cov = (REPO / "COVERAGE.md").read_text()
