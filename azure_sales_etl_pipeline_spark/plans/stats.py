@@ -590,8 +590,11 @@ def pass_at_k_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     (den | M_k) and the cross-task mean is one integer sum with a
     single final floor. Binomials are shared closed-form falling-
     factorial text (`_comb_sql` — k′ ≤ 5, so b! ≤ 120 divides exactly);
-    attempt counts are capped at `_PASSK_CAP` per task (correct-first —
-    a fixed harness-style truncation spec, hit by <0.1% of tasks).
+    attempt counts are capped at `_PASSK_CAP` per task. The cap is a
+    COUNT cap, not an attempt-order truncation: n = min(count, cap) and
+    c = min(c, n) — there is no ordering among a task's attempts, and
+    both engines apply the identical clamp, so values agree by
+    construction (hit by <0.1% of tasks).
 
     Scale: one lineitem→order groupBy (map-side combined) builds
     (n, c); the k fan-out is a 4-row broadcast; the final agg is 4
@@ -922,7 +925,16 @@ def conformal_interval_calibration(spark: SparkSession, sf_dir: str) -> DataFram
     coverage ≥ 900‰ in expectation, which the pytest asserts.
 
     All-integer end to end: cents scores, ceil via integer arithmetic,
-    coverage in permille by integer division."""
+    coverage in permille by integer division.
+
+    Precondition: n_cal ≥ alpha_den (= 10), i.e. at least 10
+    calibration rows. Below that, k = ⌈(1−α)(n_cal+1)⌉ can exceed
+    n_cal, no score satisfies the rank filter, and the two engines'
+    shapes diverge (Spark's global agg emits one all-NULL row; the
+    oracle's GROUP BY emits zero rows). Unreachable at any benched SF
+    — n_cal is in the thousands even at sf0.001 — but callers feeding
+    pathological inputs must respect it alongside the ≥ 1−α coverage
+    guarantee."""
     from .mlprep import _prefix_offsets
 
     orders = load_table(spark, sf_dir, "orders").select(
@@ -1542,7 +1554,7 @@ _EB_SQL = _eb_sql()
 # |z_k| > C / sqrt(t_k). C = C_B(K=7, two-sided alpha = 0.05) = 2.063
 # from the standard group-sequential tables (Jennison & Turnbull 2000,
 # Table 2.3) — the calendar spec is K = 7 yearly looks (TPC-H orders
-# span 1995-2001 at every SF). r13 self-review replaced an
+# span 1992-1998 at every SF). r13 self-review replaced an
 # overconservative 2.24 that spent well under the documented alpha.
 _OBF_C = 2.063
 
