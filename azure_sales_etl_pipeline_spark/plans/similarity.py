@@ -695,12 +695,77 @@ def _trunc_div(a: int, b: int) -> int:
     return -q if a < 0 else q
 
 
+def _int_sq_dists_np(X, C):
+    """Exact int64 squared-L2 distance matrix between row sets X (n×d)
+    and C (k×d) via the expansion ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖² — three
+    integer matmul/reduce kernels instead of an (n×k×d) broadcast temp.
+    Every term stays well inside int64 at the ``_IVF_SCALE``
+    quantization (d·(2e6)² ≈ 2.6e14), so the result is bit-identical
+    to the elementwise ``_sq_dist_int`` form."""
+    import numpy as np
+
+    x2 = (X * X).sum(axis=1, dtype=np.int64)
+    c2 = (C * C).sum(axis=1, dtype=np.int64)
+    return x2[:, None] - 2 * (X @ C.T) + c2[None, :]
+
+
+def _lloyd_round_np(emb: DataFrame, centroids: list[list[int]]) -> list:
+    """ONE Lloyd assign+reduce round as ONE Arrow-batched job: each
+    batch assigns its rows to the nearest centroid (int64 matmul +
+    argmin — first index on ties, same as ``array_position(array_min)``)
+    and emits a k×d partial-sum block; a (cluster, dim)-keyed aggregate
+    folds the partials and only the k×d sums reach the driver. Replaces
+    the r2 persist + posexplode two-action round — the per-element HOF
+    evaluation there is CodegenFallback (interpreted, boxed), measured
+    ~0.8 s per round on 2 000 rows at sf0.1 vs ~0.1 s for this kernel.
+    All-integer, so batch boundaries cannot change the result."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.int64)
+    k, d = C.shape
+
+    def kernel(batches):
+        import pandas as pd
+
+        S = np.zeros((k, d), dtype=np.int64)
+        cnt = np.zeros(k, dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            a = _int_sq_dists_np(X, C).argmin(axis=1)
+            np.add.at(S, a, X)
+            cnt += np.bincount(a, minlength=k)
+            seen = True
+        if seen:
+            ii, jj = np.meshgrid(np.arange(k), np.arange(d), indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "cluster": ii.ravel().astype("int32"),
+                    "dim": jj.ravel().astype("int32"),
+                    "s": S.ravel(),
+                    "c": np.repeat(cnt, d),
+                }
+            )
+
+    return (
+        emb.select("q")
+        .mapInPandas(kernel, "cluster int, dim int, s long, c long")
+        .groupBy("cluster", "dim")
+        .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+        .where(F.col("c") > 0)
+        .collect()
+    )
+
+
 def _train_centroids(emb: DataFrame, k: int = _IVF_K, iters: int = _IVF_ITERS) -> list[list[int]]:
     """Mini k-means on the micro-quantized corpus (column ``q``):
-    deterministic strided seeds, then Lloyd iterations expressed as
-    DataFrame jobs (assign = narrow map, update = posexplode +
-    per-dimension integer mean — one shuffle keyed on (cluster, dim)).
-    Only the k×dim centroid matrix ever reaches the driver; the corpus
+    deterministic strided seeds, then Lloyd iterations where each round
+    is ONE Arrow-batched assign+reduce job (``_lloyd_round_np`` —
+    vectorized int64 kernels per batch, k×d partial sums shuffled, the
+    r14 replacement for interpreted per-element HOF evaluation). Only
+    the k×dim centroid matrix ever reaches the driver; the corpus
     never does. All-integer end-to-end (see ``_IVF_SCALE``), so the
     trained index is bit-identical across engines and runs — what lets
     the DuckDB oracle replay the whole index build."""
@@ -712,22 +777,7 @@ def _train_centroids(emb: DataFrame, k: int = _IVF_K, iters: int = _IVF_ITERS) -
     ]
     centroids = seeds
     for _ in range(iters):
-        # Materialize the assignment BEFORE posexplode: projection
-        # collapse would otherwise inline the k×dim argmin into the
-        # post-explode projection and recompute it per (row × dim) —
-        # measured 64× overwork (12 s → <1 s at sf0.1).
-        assign = (
-            _with_centroids(emb, centroids)
-            .select(_nearest_cluster(F.col("q")).alias("cluster"), "q")
-            .persist()
-        )
-        sums = (
-            assign.select("cluster", F.posexplode("q").alias("dim", "val"))
-            .groupBy("cluster", "dim")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
-            .collect()
-        )
-        assign.unpersist()
+        sums = _lloyd_round_np(emb, centroids)
         by_cluster: dict[int, dict[int, int]] = {}
         for r in sums:
             by_cluster.setdefault(r["cluster"], {})[r["dim"]] = _trunc_div(
@@ -1472,23 +1522,8 @@ def _train_pq_codebooks(
         ]
         for s in range(_PQ_M)
     ]
-    subvecs = _pq_subvecs(emb_q)
     for _ in range(iters):
-        # Materialize the assignment BEFORE posexplode — the same
-        # projection-collapse fence as _train_centroids (the k×subdim
-        # argmin would otherwise be recomputed per (row × dim)).
-        assign = (
-            _with_pq_codebooks(subvecs, books)
-            .select("sub", _pq_nearest(F.col("q")).alias("cluster"), "q")
-            .persist()
-        )
-        sums = (
-            assign.select("sub", "cluster", F.posexplode("q").alias("dim", "val"))
-            .groupBy("sub", "cluster", "dim")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
-            .collect()
-        )
-        assign.unpersist()
+        sums = _pq_lloyd_round_np(emb_q, books, k)
         by_key: dict[tuple[int, int], dict[int, int]] = {}
         for r in sums:
             by_key.setdefault((r["sub"], r["cluster"]), {})[r["dim"]] = _trunc_div(
@@ -1504,6 +1539,76 @@ def _train_pq_codebooks(
             for s in range(_PQ_M)
         ]
     return books
+
+
+def _pq_assign_np(Xs, B):
+    """Per-subspace nearest-code assignment: Xs (n×M×sd) int64
+    subvectors against B (M×K×sd) int64 codebooks → (n×M) int32 codes.
+    Same expansion trick as ``_int_sq_dists_np`` with the cross term as
+    one einsum; argmin takes the first index on ties — identical to
+    ``array_position(array_min)`` and to the oracle's (d2, cid)
+    row_number tie-break."""
+    import numpy as np
+
+    xs2 = (Xs * Xs).sum(axis=2, dtype=np.int64)  # (n, M)
+    b2 = (B * B).sum(axis=2, dtype=np.int64)  # (M, K)
+    cross = np.einsum("nms,mks->nmk", Xs, B)  # (n, M, K), exact int64
+    d = xs2[:, :, None] - 2 * cross + b2[None, :, :]
+    return d.argmin(axis=2)
+
+
+def _pq_lloyd_round_np(emb_q: DataFrame, books, k: int) -> list:
+    """ONE per-subspace Lloyd round over ALL _PQ_M subspaces as ONE
+    Arrow-batched job: each batch reshapes its quantized vectors to
+    (n, M, sd) subvectors, assigns every subvector to its codebook's
+    nearest centroid (``_pq_assign_np``), and emits an M×K×sd
+    partial-sum block; a (sub, cluster, dim)-keyed aggregate folds the
+    partials. Replaces the r12 explode + persist + posexplode round
+    (interpreted HOF argmin per exploded row — ~0.8 s/round on 2 000
+    rows at sf0.1 vs ~0.1 s here). All-integer, batch-split invariant."""
+    import numpy as np
+
+    B = np.asarray(books, dtype=np.int64)  # (M, K, sd)
+    m, _, sd = B.shape
+
+    def kernel(batches):
+        import pandas as pd
+
+        S = np.zeros((m, k, sd), dtype=np.int64)
+        cnt = np.zeros((m, k), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["qfull"].to_numpy()).astype(np.int64)
+            Xs = X.reshape(X.shape[0], m, sd)
+            a = _pq_assign_np(Xs, B)  # (n, M)
+            mi = np.broadcast_to(np.arange(m)[None, :], a.shape)
+            np.add.at(S, (mi, a), Xs)
+            np.add.at(cnt, (mi, a), 1)
+            seen = True
+        if seen:
+            si, ci, di = np.meshgrid(
+                np.arange(m), np.arange(k), np.arange(sd), indexing="ij"
+            )
+            yield pd.DataFrame(
+                {
+                    "sub": si.ravel().astype("int32"),
+                    "cluster": ci.ravel().astype("int32"),
+                    "dim": di.ravel().astype("int32"),
+                    "s": S.ravel(),
+                    "c": np.repeat(cnt.ravel(), sd),
+                }
+            )
+
+    return (
+        emb_q.select("qfull")
+        .mapInPandas(kernel, "sub int, cluster int, dim int, s long, c long")
+        .groupBy("sub", "cluster", "dim")
+        .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+        .where(F.col("c") > 0)
+        .collect()
+    )
 
 
 def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
