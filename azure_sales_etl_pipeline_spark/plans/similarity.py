@@ -932,9 +932,35 @@ def _pq_encode_stats_np(df: DataFrame, books, *, qcol: str = "qfull") -> DataFra
 _IVF_CENTROID_CACHE: dict[str, list[list[int]]] = {}
 
 
+# The normalized quantized corpus (vec_id, label, vec, qfull) is the
+# shared input of the PQ family (ann_topk_pq, ann_topk_ivfpq,
+# pq_index_maintenance): one localCheckpointed copy per
+# (process, sf_dir) — the normalize+quantize projection feeds ~7
+# downstream jobs per consumer, and the three consumers' copies were
+# byte-identical. Same honesty contract as the centroid cache: bench
+# evicts per pass, whichever consumer runs first pays the build.
+_NORM_CORPUS_CACHE: dict[str, DataFrame] = {}
+
+
+def _norm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cached = _NORM_CORPUS_CACHE.get(sf_dir)
+    if cached is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        cached = emb.select(
+            "vec_id",
+            "label",
+            _as_double("embedding").alias("vec"),
+            _as_qn(_as_double("embedding")).alias("qfull"),
+        ).localCheckpoint()
+        _NORM_CORPUS_CACHE[sf_dir] = cached
+    return cached
+
+
 def evict_ivf_centroid_cache() -> None:
-    """Drop cached coarse quantizers (bench per-pass honesty hook)."""
+    """Drop cached ANN build artifacts — coarse quantizers and the
+    shared normalized corpus (bench per-pass honesty hook)."""
     _IVF_CENTROID_CACHE.clear()
+    _NORM_CORPUS_CACHE.clear()
 
 
 def _ivf_topk(spark: SparkSession, sf_dir: str, filtered: bool) -> DataFrame:
@@ -1712,17 +1738,7 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the unrolled per-subspace Lloyd rounds (``_pq_sql``)
     bit-exactly. Recall@10 vs [[ann_topk_bruteforce]] measured 0.98 at
     sf0.01; asserted ≥0.8 in tests/test_dedup_similarity.py."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    # localCheckpoint, not just a fence: the normalize+quantize
-    # projection feeds ~7 downstream JOBS (count, seed collect, two
-    # Lloyd assign/reduce rounds, encode, query tables, final scan) —
-    # checkpointing computes it once instead of once per job.
-    emb_q = emb.select(
-        "vec_id",
-        "label",
-        _as_double("embedding").alias("vec"),
-        _as_qn(_as_double("embedding")).alias("qfull"),
-    ).localCheckpoint()
+    emb_q = _norm_corpus(spark, sf_dir)
     books = _train_pq_codebooks(emb_q.select("vec_id", "qfull"))
     # Encode: one Arrow-batched narrow pass (no explode, no shuffle;
     # codes are computed once and, at scale, STORED — the 16×-smaller
@@ -1937,10 +1953,7 @@ def pq_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer stats) replays bit-exactly in DuckDB via the same unrolled
     ``_pq_lloyd_sql`` layers the PQ query uses. Output is _PQ_M rows —
     control-plane sized at any corpus."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    base = plan_barrier(
-        emb.select("vec_id", _as_qn(_as_double("embedding")).alias("qfull"))
-    )
+    base = _norm_corpus(spark, sf_dir).select("vec_id", "qfull")
     books = _train_pq_codebooks(base.where(F.col("vec_id") % 2 == 0))
     enc = _pq_encode_stats_np(base, books).select(
         (F.col("vec_id") % 2 == 0).alias("is_a"),
@@ -2062,13 +2075,7 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual encode, the probe selection, and the ADC sums bit-exactly
     (``_ivfpq_sql``). Recall@10 vs [[ann_topk_bruteforce]] asserted in
     tests/test_dedup_similarity.py."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    emb_q = emb.select(
-        "vec_id",
-        "label",
-        _as_double("embedding").alias("vec"),
-        _as_qn(_as_double("embedding")).alias("qfull"),
-    ).localCheckpoint()
+    emb_q = _norm_corpus(spark, sf_dir)
     coarse = _train_centroids(emb_q.select("vec_id", F.col("qfull").alias("q")))
     # Assign + residual in one Arrow-batched narrow pass; checkpoint —
     # it feeds the PQ training loop (one job per round) AND the encode.
@@ -4017,30 +4024,54 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep=["vec_id bigint", "q8 array<bigint>"],
         emit=("cluster",),
     )
-    dot8 = F.aggregate(
-        F.zip_with(F.col("a.q8"), F.col("b.q8"), lambda x, y: x * y),
-        zero,
-        lambda acc, x: acc + x,
-    )
-    dups = (
-        assigned.alias("a")
-        .join(
-            assigned.alias("b"),
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    # Within-cluster pair scoring as ONE grouped Arrow kernel (r14): per
+    # cluster, the g×g int8-dot matrix is one int64 matmul — exact, and
+    # ~10× the throughput of the HOF pair-dot self-join it replaces
+    # (interpreted per-element evaluation over 64-dim zip_with chains).
+    # Group state is O(g²) — the same bound the pair join had; SemDeDup
+    # picks k ~ √N or larger precisely so g stays bounded. Rows are
+    # sorted by vec_id inside the group, so "first qualifying
+    # predecessor" (argmax over the boolean column) IS min(cand), and
+    # its dot is min_by(dot_q, cand) — the exact aggregate semantics of
+    # the former groupBy.
+    tau = _SEMDEDUP_TAU_Q
+
+    def pair_kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        Q = np.stack(pdf["q8"].to_numpy()).astype(np.int64)
+        D = Q @ Q.T
+        qual = np.triu(D >= tau, k=1)  # [i, j]: i < j and dot >= tau
+        n_dups = qual.sum(axis=0)
+        victims = np.nonzero(n_dups > 0)[0]
+        if not len(victims):
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "cluster": pd.Series([], dtype="int32"),
+                    "exemplar_id": pd.Series([], dtype="int64"),
+                    "dot_q_exemplar": pd.Series([], dtype="int64"),
+                    "n_dups": pd.Series([], dtype="int64"),
+                }
+            )
+        first = qual[:, victims].argmax(axis=0)
+        return pd.DataFrame(
+            {
+                "vec_id": ids[victims],
+                "cluster": np.full(len(victims), pdf["cluster"].iloc[0], dtype="int32"),
+                "exemplar_id": ids[first],
+                "dot_q_exemplar": D[first, victims],
+                "n_dups": n_dups[victims].astype("int64"),
+            }
         )
-        .select(
-            F.col("b.vec_id").alias("vec_id"),
-            F.col("b.cluster").alias("cluster"),
-            F.col("a.vec_id").alias("cand"),
-            dot8.alias("dot_q"),
-        )
-        .where(F.col("dot_q") >= _SEMDEDUP_TAU_Q)
-    )
-    return dups.groupBy("vec_id", "cluster").agg(
-        F.min("cand").cast("bigint").alias("exemplar_id"),
-        F.expr("min_by(dot_q, cand)").cast("bigint").alias("dot_q_exemplar"),
-        F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+
+    return assigned.groupBy("cluster").applyInPandas(
+        pair_kernel,
+        "vec_id bigint, cluster int, exemplar_id bigint,"
+        " dot_q_exemplar bigint, n_dups bigint",
     )
 
 
