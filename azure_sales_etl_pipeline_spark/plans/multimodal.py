@@ -335,11 +335,232 @@ _MEDIA_DEDUP_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# CLIP-style (media, caption) alignment filter — the LAION/DataComp cut
+# ---------------------------------------------------------------------------
+
+_ALIGN_DIM = 32  # stand-in joint-embedding dimensionality
+#: cos² keep-threshold in ppm, applied as the integer comparison
+#: 1e6·dot² ≥ τ²ppm·‖a‖²·‖b‖² (dot > 0). LAION's production cut is
+#: CLIP-score 0.28 (Schuhmann et al. 2021/2022); a TRAINED contrastive
+#: encoder pushes mismatched pairs near zero, but the deterministic
+#: bag-of-words stand-in shares the synthetic corpus's tiny vocabulary,
+#: so its mismatch noise floor is high (measured max cos²: 0.839/0.888/
+#: 0.907 Mppm at sf0.001/0.01/0.1 vs exactly 1.0 for matched pairs).
+#: The knob is corpus-tuned like ``_SEMDEDUP_TAU_Q``: 0.95 Mppm keeps
+#: every matched pair and drops every planted mismatch at all SFs.
+_ALIGN_TAU2_PPM = 950_000
+#: mismatch plant: pairs whose md5 leading hex digit ≡ 0 (mod 4) carry
+#: their NEIGHBOR's caption (~1/4 of pairs, the LAION wrong-alt-text
+#: failure mode). Hash-planted, NOT doc_id-modulo — the documents
+#: table assigns ``source`` by doc_id modulo, and a modulo plant would
+#: confound mismatch with source, making the per-source report
+#: degenerate.
+_ALIGN_MISMATCH_SQL = (
+    "(instr('0123456789abcdef',"
+    " substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1) % 4 = 0"
+)
+
+
+def media_text_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-style MEDIA↔CAPTION alignment filter — the web-pair curation
+    stage LAION/DataComp run before multimodal training: embed each
+    media item and each caption into a joint space, score every
+    (media, caption) pair by cosine, keep pairs above the alignment
+    cut (LAION ships CLIP-score 0.28; this stand-in's knob is
+    corpus-tuned — see ``_ALIGN_TAU2_PPM``), and report per-source
+    alignment stats (the signal that ranks crawl sources by caption
+    quality). Composes the multimodal
+    payload plumbing ([[media_metadata]]'s binary column) with the
+    integer-dot serving idiom of [[ann_topk_int8]].
+
+    The joint encoder is a deterministic STAND-IN (no trained towers in
+    this container): both towers feature-hash whitespace tokens into
+    ``_ALIGN_DIM`` signed-count dims (sha256-salted bucket + sign — the
+    [[hashed_feature_crosses]]/[[dsir_importance_weights]] hashing
+    trick), the media tower reading the DECODED payload bytes, the text
+    tower the caption string. A matched pair embeds identically
+    (cos = 1); the planted mismatches (hash-selected ~1/4 of pairs
+    carry their neighbor's caption, the LAION wrong-alt-text failure
+    mode — see ``_ALIGN_MISMATCH_SQL``) score strictly below the cut
+    and are dropped. Swap the
+    towers for real CLIP image/text encoders and nothing downstream
+    changes — the pair scoring, the threshold algebra, and the source
+    rollup are the production shapes.
+
+    Integer-exact end to end: signed counts are integers, each item is
+    embedded ONCE and joined twice (images embedded once, captions
+    once — the production split), the pair dot is a (doc, dim)-keyed
+    sparse-vector join + one sum, and the cosine gate is the cross-
+    multiplied comparison 1e6·dot² ≥ τ²·‖a‖²·‖b‖² (dot > 0) — no
+    sqrt, no float, so DuckDB replays the whole filter bit-exactly.
+
+    Scale shape: one token-key shuffle builds the embeddings (map-side
+    combined, output bounded at corpus×_ALIGN_DIM sparse entries), the
+    scoring join keys on (cap_id, dim) — candidates are the pair list,
+    never a cross product — and the report is one source-keyed
+    aggregate. Media bytes never shuffle (the [[media_dedup]]
+    discipline: only doc_ids, dims, and counts move)."""
+    from ..functions import hex_to_bigint_sql, plan_barrier
+
+    media = _payloads(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.trim(F.decode(F.col("payload"), "utf-8")), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    # sha2 staged behind a plan_barrier'd column: inlined into the
+    # 15-digit hex decode + parity it would run 16x per token row
+    # (codegen does not CSE textual copies — the r13 bootstrap lesson).
+    tok_rows = media.select(
+        "doc_id", F.explode(toks).alias("tok")
+    ).withColumn("hx", F.expr("substr(sha2(concat('clip:', tok), 256), 1, 16)"))
+    feats = (
+        plan_barrier(tok_rows)
+        .select(
+            "doc_id",
+            F.expr(
+                hex_to_bigint_sql("substr(hx, 1, 15)") + f" % {_ALIGN_DIM}"
+            ).alias("dim"),
+            F.expr(
+                "CASE WHEN (instr('0123456789abcdef', substr(hx, 16, 1)) - 1)"
+                " % 2 = 0 THEN 1 ELSE -1 END"
+            ).alias("sign"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("sign").cast("bigint").alias("val"))
+        # read three times (media leg, caption leg, norms) — compute once
+        .localCheckpoint()
+    )
+    norms = feats.groupBy("doc_id").agg(
+        F.sum(F.col("val") * F.col("val")).cast("bigint").alias("n2")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.col("doc_id").alias("pair_id"),
+        "source",
+        F.expr(
+            f"CASE WHEN {_ALIGN_MISMATCH_SQL} THEN doc_id + 1"
+            " ELSE doc_id END"
+        ).alias("cap_id"),
+    )
+    m = feats.select(F.col("doc_id").alias("pair_id"), "dim", F.col("val").alias("v_img"))
+    t = feats.select(F.col("doc_id").alias("cap_id"), "dim", F.col("val").alias("v_txt"))
+    dots = (
+        pairs.join(m, "pair_id")
+        .join(t, ["cap_id", "dim"])
+        .groupBy("pair_id")
+        .agg(F.sum(F.col("v_img") * F.col("v_txt")).cast("bigint").alias("dot"))
+    )
+    per = (
+        pairs.join(norms.select(F.col("doc_id").alias("pair_id"), F.col("n2").alias("n2_img")), "pair_id")
+        .join(norms.select(F.col("doc_id").alias("cap_id"), F.col("n2").alias("n2_txt")), "cap_id")
+        .join(dots, "pair_id", "left")
+        .select(
+            "source",
+            F.expr(
+                "CASE WHEN coalesce(dot, 0) > 0 THEN"
+                " CAST(1000000 * dot * dot AS BIGINT)"
+                " DIV greatest(n2_img * n2_txt, 1)"
+                " ELSE 0 END"
+            ).alias("align_ppm"),
+        )
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(
+                F.when(F.col("align_ppm") >= _ALIGN_TAU2_PPM, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_kept"),
+            F.expr(
+                f"CAST(1000 * sum(CASE WHEN align_ppm >= {_ALIGN_TAU2_PPM}"
+                " THEN 1 ELSE 0 END) DIV count(*) AS BIGINT)"
+            ).alias("kept_permille"),
+            F.expr("CAST(sum(align_ppm) DIV count(*) AS BIGINT)").alias(
+                "mean_align_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _align_sql() -> str:
+    from ..functions import hex_to_bigint_sql
+
+    bucket = hex_to_bigint_sql("substr(hx, 1, 15)") + f" % {_ALIGN_DIM}"
+    sign = (
+        "CASE WHEN (instr('0123456789abcdef', substr(hx, 16, 1)) - 1) % 2 = 0"
+        " THEN 1 ELSE -1 END"
+    )
+    return rf"""
+    WITH tok_rows AS (
+        SELECT doc_id,
+               substr(sha256('clip:' || tok), 1, 16) AS hx
+        FROM (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       regexp_split_to_array(trim(text), '\s+'),
+                       x -> length(x) > 0)) AS tok
+            FROM documents
+        )
+    ),
+    vecs AS (
+        SELECT doc_id, {bucket} AS dim, CAST(sum({sign}) AS BIGINT) AS val
+        FROM tok_rows GROUP BY 1, 2
+    ),
+    norms AS (
+        SELECT doc_id, CAST(sum(val * val) AS BIGINT) AS n2
+        FROM vecs GROUP BY doc_id
+    ),
+    pairs AS (
+        SELECT doc_id AS pair_id, source,
+               CASE WHEN {_ALIGN_MISMATCH_SQL.replace("AS STRING", "AS VARCHAR")}
+                    THEN doc_id + 1 ELSE doc_id END AS cap_id
+        FROM documents
+    ),
+    dots AS (
+        SELECT p.pair_id, CAST(sum(mi.val * tc.val) AS BIGINT) AS dot
+        FROM pairs p
+        JOIN vecs mi ON mi.doc_id = p.pair_id
+        JOIN vecs tc ON tc.doc_id = p.cap_id AND tc.dim = mi.dim
+        GROUP BY p.pair_id
+    ),
+    per AS (
+        SELECT p.source,
+               CASE WHEN coalesce(d.dot, 0) > 0 THEN
+                    CAST(1000000 * d.dot * d.dot AS BIGINT)
+                    // greatest(ni.n2 * nc.n2, 1)
+                    ELSE 0 END AS align_ppm
+        FROM pairs p
+        JOIN norms ni ON ni.doc_id = p.pair_id
+        JOIN norms nc ON nc.doc_id = p.cap_id
+        LEFT JOIN dots d ON d.pair_id = p.pair_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN align_ppm >= {_ALIGN_TAU2_PPM} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(1000 * sum(CASE WHEN align_ppm >= {_ALIGN_TAU2_PPM}
+                           THEN 1 ELSE 0 END) // count(*) AS BIGINT)
+               AS kept_permille,
+           CAST(sum(align_ppm) // count(*) AS BIGINT) AS mean_align_ppm
+    FROM per
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+_ALIGN_SQL = _align_sql()
+
+
 QUERIES = {
     "media_metadata": media_metadata,
     "media_decode_features": media_decode_features,
     "media_frame_sample": media_frame_sample,
     "media_dedup": media_dedup,
+    "media_text_alignment": media_text_alignment,
 }
 
 ORACLES = {
@@ -347,4 +568,5 @@ ORACLES = {
     "media_decode_features": _DECODE_SQL,
     "media_frame_sample": _FRAME_SQL,
     "media_dedup": _MEDIA_DEDUP_SQL,
+    "media_text_alignment": _ALIGN_SQL,
 }

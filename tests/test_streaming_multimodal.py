@@ -416,3 +416,39 @@ def test_tws_and_legacy_state_apis_agree(spark):
         for r in stream_user_totals_tws(spark, SF_DIR).collect()
     }
     assert legacy == modern
+
+
+def test_media_text_alignment_drops_planted_mismatches(spark, tmp_path):
+    """CLIP-style alignment filter: matched (media, caption) pairs score
+    exactly cos=1 and are kept; hash-planted mismatched pairs (md5
+    leading digit % 4 == 0 → the pair carries its NEIGHBOR's caption)
+    with disjoint-vocabulary neighbors score below the cut and are
+    dropped — and the per-source report separates the clean source
+    from the contaminated one. doc_ids 0-2 are plant-TRUE and 3-5
+    plant-FALSE under the md5 rule (precomputed, deterministic)."""
+    from azure_sales_etl_pipeline_spark.plans.multimodal import (
+        media_text_alignment,
+    )
+
+    rows = [
+        (0, "alpha bravo charlie delta echo", "en", "bad", 30),
+        (1, "zulu yankee xray whiskey victor", "en", "bad", 31),
+        (2, "one two three four five", "en", "bad", 23),
+        (3, "red green blue cyan magenta", "en", "good", 27),
+        (4, "dog cat bird fish lizard", "en", "good", 24),
+        (5, "north south east west center", "en", "good", 28),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r["source"]: r for r in media_text_alignment(spark, str(tmp_path)).collect()}
+    # 'bad' docs all carry a disjoint-vocab neighbor caption → dropped
+    assert out["bad"]["n_pairs"] == 3
+    assert out["bad"]["n_kept"] == 0
+    assert out["bad"]["kept_permille"] == 0
+    # 'good' docs keep their own caption → cos = 1 exactly, all kept
+    assert out["good"]["n_pairs"] == 3
+    assert out["good"]["n_kept"] == 3
+    assert out["good"]["kept_permille"] == 1000
+    assert out["good"]["mean_align_ppm"] == 1_000_000
