@@ -3606,7 +3606,295 @@ _LOGREG_SQL = rf"""
 """
 
 
+# ---------------------------------------------------------------------------
+# DoReMi domain reweighting (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+_DOREMI_ROUNDS = 3  # unrolled multiplicative-weight rounds
+_DOREMI_LO_K, _DOREMI_HI_K = -48, 1  # portable-ln exponent range: the
+# mixture floor is clamped at p = 1e-12 (see greatest(p12, 1)), well
+# inside 2^-48 ≈ 3.6e-15
+_DOREMI_Q9 = 1_000_000_000  # per-(domain, token) probability quantum:
+# q9 = (1e9 * c) // tot — the domain LM's token probability in nano
+# units, floored ONCE so every downstream mixture sum is pure integer
+_DOREMI_ETA = 50  # multiplicative-weights step size (per nat of excess
+# loss). The synthetic corpus's domains draw from one shared
+# vocabulary, so excess runs 0.005-0.02 nats — at eta = 1 the update
+# never crosses the 1-permille output quantum; eta = 50 makes a
+# 0.02-nat-harder domain double its weight per round while keeping
+# every product far inside BIGINT (w <= 1000 * (1e6 + 50*28e6) ~ 1.4e12)
+
+
+def _doremi_stage_sqls(p: str) -> tuple[str, str, str, str]:
+    """(ln_k, ln_m, ln_z, micronats-term) SQL texts for the portable
+    series ln over probability expression ``p`` — the
+    [[unigram_surprisal]] idiom at the DoReMi exponent range."""
+    from ..functions import LN_Z_SQL, ln_from_kz_sql, ln_k_sql, ln_m_sql
+
+    return (
+        ln_k_sql(p, _DOREMI_LO_K, _DOREMI_HI_K),
+        ln_m_sql(p, "__ln_k", _DOREMI_LO_K, _DOREMI_HI_K),
+        LN_Z_SQL,
+        f"CAST(floor(-({ln_from_kz_sql('__ln_k', '__ln_z')}) * 1.0e6)"
+        " AS BIGINT)",
+    )
+
+
+_DOREMI_P_REF = "(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))"
+_DOREMI_P_MIX = "(CAST(p12 AS DOUBLE) / 1.0e12)"
+
+
+def _doremi_normalize(w: dict[str, int]) -> dict[str, int]:
+    """Largest-remainder normalization of integer weights to EXACTLY
+    1000 permille: floor shares first, then +1 to the ``leftover``
+    domains with the largest remainders (ties broken by source name
+    ascending) — the same rank predicate the oracle's correlated
+    count subquery evaluates, so the integers match bit-for-bit."""
+    big_w = sum(w.values())
+    share = {s: (1000 * v) // big_w for s, v in w.items()}
+    rem = {s: (1000 * v) % big_w for s, v in w.items()}
+    leftover = 1000 - sum(share.values())
+    for s in sorted(w, key=lambda s: (-rem[s], s))[:leftover]:
+        share[s] += 1
+    return share
+
+
+def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi DOMAIN REWEIGHTING (Xie et al., NeurIPS 2023 — "DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    the Group-DRO loop that decides how much of each DOMAIN (source)
+    a pretraining mixture should sample — domains whose EXCESS LOSS
+    (loss under the shared proxy model minus loss under a domain-own
+    reference) is large are upweighted multiplicatively each round,
+    so the mixture shifts toward domains the generalist model serves
+    worst. This composes the engine's surprisal machinery
+    ([[unigram_surprisal]]'s portable-ln micronats) with its mixture
+    machinery ([[mixture_temperature_weights]],
+    [[token_balanced_mixture]]) into the feedback loop neither has
+    alone.
+
+    Model stand-ins (no neural training in SQL, by design): the
+    domain-own REFERENCE is the domain's unigram MLE (per Gibbs, the
+    minimum-cross-entropy model of its own token distribution, so
+    excess ≥ 0 by construction); the shared PROXY at round t is the
+    α_t-weighted MIXTURE of the domain unigram LMs — as α shifts
+    toward a hard domain, the mixture's loss on it falls, which is
+    exactly the DoReMi proxy-retraining feedback, miniaturized. The
+    update is the multiplicative-weights form α′ ∝ α·(1 + η·excess)
+    (Arora-Hazan-Kale's (1+ηg) rule, η = ``_DOREMI_ETA`` per nat, the
+    first-order form of DoReMi's
+    exponentiated gradient — exp is not IEEE-basic, so the integer-
+    exact (1+g) variant keeps the whole loop bit-portable), followed
+    by largest-remainder normalization to EXACTLY 1000 permille.
+
+    Integer-exact end to end: domain LMs quantize ONCE to nano units
+    (``_DOREMI_Q9``), mixture mass is an integer sum of α·q9 products
+    (order-free), the portable series ln floors to micronats before
+    any aggregation, and the weight algebra (shares, remainders,
+    rank ties by source) is pure integer — DuckDB replays all
+    ``_DOREMI_ROUNDS`` rounds unrolled (the PageRank/BPE CTE pattern)
+    bit-for-bit.
+
+    Scale shape: the corpus is scanned ONCE into the (domain, token)
+    count grain (one token-key shuffle, map-side combined; Zipf × |D|
+    bounded). Each round touches ONLY that grain — one token-key
+    aggregate for the mixture, one source-key rollup for the loss —
+    and the per-round weight update runs driver-side on |domains|
+    rows (the [[bradley_terry_strengths]] control-plane idiom; the
+    collects here are ≤ |D| rows each, bounded and documented)."""
+    docs = load_table(spark, sf_dir, "documents")
+    positions = docs.select(
+        "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    ).where(F.length("token") > 0)
+    ct = positions.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tots = ct.groupBy("source").agg(F.sum("c").cast("bigint").alias("tot"))
+    # (source, token, c, tot, q9) — read by the reference pass and by
+    # every round's mixture+loss pass: compute once.
+    ctq = (
+        ct.join(tots, "source")
+        .withColumn(
+            "q9", F.expr(f"CAST(({_DOREMI_Q9} * c) DIV tot AS BIGINT)")
+        )
+        .localCheckpoint()
+    )
+    tot_by_src = {r["source"]: int(r["tot"]) for r in tots.collect()}
+
+    k_sql, m_sql, z_sql, term = _doremi_stage_sqls(_DOREMI_P_REF)
+    ref_rows = (
+        ctq.withColumn("__ln_k", F.expr(k_sql))
+        .withColumn("__ln_m", F.expr(m_sql))
+        .withColumn("__ln_z", F.expr(z_sql))
+        .groupBy("source")
+        .agg(F.sum(F.col("c") * F.expr(term)).cast("bigint").alias("rsum"))
+        .collect()
+    )
+    rmean = {r["source"]: int(r["rsum"]) // tot_by_src[r["source"]] for r in ref_rows}
+
+    # alpha_0: equal split, largest-remainder to exactly 1000 permille
+    # (base + 1 for the first 1000 % |D| sources by name).
+    sources = sorted(tot_by_src)
+    n_dom = len(sources)
+    alpha = {
+        s: 1000 // n_dom + (1 if i < 1000 % n_dom else 0)
+        for i, s in enumerate(sources)
+    }
+
+    k_sql, m_sql, z_sql, term = _doremi_stage_sqls(_DOREMI_P_MIX)
+    excess: dict[str, int] = {s: 0 for s in sources}
+    for _ in range(_DOREMI_ROUNDS):
+        alpha_df = local_df(
+            spark,
+            sorted(alpha.items()),
+            "source string, alpha bigint",
+        )
+        pm = (
+            ctq.join(F.broadcast(alpha_df), "source")
+            .groupBy("token")
+            .agg(
+                F.expr(
+                    "greatest(CAST(sum(alpha * q9) AS BIGINT), 1)"
+                ).alias("p12")
+            )
+        )
+        smicro = (
+            pm.withColumn("__ln_k", F.expr(k_sql))
+            .withColumn("__ln_m", F.expr(m_sql))
+            .withColumn("__ln_z", F.expr(z_sql))
+            .select("token", F.expr(term).alias("smicro"))
+        )
+        loss_rows = (
+            ctq.join(smicro, "token")
+            .groupBy("source")
+            .agg(F.sum(F.col("c") * F.col("smicro")).cast("bigint").alias("lsum"))
+            .collect()
+        )
+        lmean = {r["source"]: int(r["lsum"]) // tot_by_src[r["source"]] for r in loss_rows}
+        excess = {s: max(lmean[s] - rmean[s], 0) for s in sources}
+        alpha = _doremi_normalize(
+            {s: alpha[s] * (1_000_000 + _DOREMI_ETA * excess[s]) for s in sources}
+        )
+
+    out = [
+        (s, tot_by_src[s], excess[s], alpha[s]) for s in sources
+    ]
+    return local_df(
+        spark,
+        out,
+        "source string, n_tokens bigint, excess_micronats bigint,"
+        " weight_permille bigint",
+    )
+
+
+def _doremi_sql() -> str:
+    k_r, m_r, z_r, term_r = _doremi_stage_sqls(_DOREMI_P_REF)
+    k_x, m_x, z_x, term_x = _doremi_stage_sqls(_DOREMI_P_MIX)
+    rounds = []
+    prev = "a0"
+    for r in range(1, _DOREMI_ROUNDS + 1):
+        rounds.append(
+            f"""
+    pm_{r} AS MATERIALIZED (
+        SELECT token,
+               greatest(CAST(sum(a.alpha * q.q9) AS BIGINT), 1) AS p12
+        FROM ctq q JOIN {prev} a USING (source)
+        GROUP BY token
+    ),
+    sx_{r}a AS (SELECT token, p12, {k_x} AS __ln_k FROM pm_{r}),
+    sx_{r}b AS (SELECT *, {m_x} AS __ln_m FROM sx_{r}a),
+    sx_{r}c AS (SELECT *, {z_x} AS __ln_z FROM sx_{r}b),
+    sx_{r} AS MATERIALIZED (SELECT token, {term_x} AS smicro FROM sx_{r}c),
+    l_{r} AS (
+        SELECT q.source,
+               CAST(CAST(sum(q.c * s.smicro) AS BIGINT) // max(q.tot)
+                    AS BIGINT) AS lmean
+        FROM ctq q JOIN sx_{r} s USING (token)
+        GROUP BY q.source
+    ),
+    e_{r} AS MATERIALIZED (
+        SELECT l.source, greatest(l.lmean - rf.rmean, 0) AS excess
+        FROM l_{r} l JOIN refl rf USING (source)
+    ),
+    w_{r} AS MATERIALIZED (
+        SELECT a.source, a.alpha * (1000000 + {_DOREMI_ETA} * e.excess) AS w
+        FROM {prev} a JOIN e_{r} e USING (source)
+    ),
+    sh_{r} AS MATERIALIZED (
+        SELECT source,
+               CAST((1000 * w) // (SELECT sum(w) FROM w_{r}) AS BIGINT)
+                   AS share,
+               CAST((1000 * w) % (SELECT sum(w) FROM w_{r}) AS BIGINT)
+                   AS rem
+        FROM w_{r}
+    ),
+    a_{r} AS MATERIALIZED (
+        SELECT s1.source,
+               s1.share + CASE WHEN (
+                   SELECT count(*) FROM sh_{r} s2
+                   WHERE s2.rem > s1.rem
+                      OR (s2.rem = s1.rem AND s2.source < s1.source)
+               ) < (SELECT 1000 - sum(share) FROM sh_{r}) THEN 1 ELSE 0 END
+                   AS alpha
+        FROM sh_{r} s1
+    )"""
+        )
+        prev = f"a_{r}"
+    rounds_sql = ",".join(rounds)
+    return rf"""
+    WITH ct AS MATERIALIZED (
+        SELECT source, token, CAST(count(*) AS BIGINT) AS c
+        FROM (
+            SELECT source,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+            FROM documents
+        )
+        WHERE length(token) > 0
+        GROUP BY 1, 2
+    ),
+    tots AS MATERIALIZED (
+        SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM ct GROUP BY 1
+    ),
+    ctq AS MATERIALIZED (
+        SELECT ct.source, token, c, tot,
+               CAST(({_DOREMI_Q9} * c) // tot AS BIGINT) AS q9
+        FROM ct JOIN tots USING (source)
+    ),
+    sr_a AS (SELECT source, token, c, tot, {k_r} AS __ln_k FROM ctq),
+    sr_b AS (SELECT *, {m_r} AS __ln_m FROM sr_a),
+    sr_c AS (SELECT *, {z_r} AS __ln_z FROM sr_b),
+    refl AS MATERIALIZED (
+        SELECT source,
+               CAST(CAST(sum(c * {term_r}) AS BIGINT) // max(tot) AS BIGINT)
+                   AS rmean
+        FROM sr_c
+        GROUP BY source
+    ),
+    a0 AS MATERIALIZED (
+        SELECT t.source,
+               (1000 // (SELECT count(*) FROM tots))
+               + CASE WHEN (
+                     SELECT count(*) FROM tots t2 WHERE t2.source < t.source
+                 ) < (1000 % (SELECT count(*) FROM tots)) THEN 1 ELSE 0 END
+                   AS alpha
+        FROM tots t
+    ),{rounds_sql}
+    SELECT a.source,
+           t.tot AS n_tokens,
+           e.excess AS excess_micronats,
+           a.alpha AS weight_permille
+    FROM a_{_DOREMI_ROUNDS} a
+    JOIN tots t USING (source)
+    JOIN e_{_DOREMI_ROUNDS} e USING (source)
+    ORDER BY a.source
+"""
+
+
+_DOREMI_SQL = _doremi_sql()
+
+
 QUERIES = {
+    "doremi_domain_weights": doremi_domain_weights,
     "logreg_probe_check": logreg_probe_check,
     "epoch_waterfill_schedule": epoch_waterfill_schedule,
     "source_cap_sample": source_cap_sample,
@@ -3648,6 +3936,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doremi_domain_weights": _DOREMI_SQL,
     "logreg_probe_check": _LOGREG_SQL,
     "epoch_waterfill_schedule": _EPOCH_WF_SQL,
     "source_cap_sample": _SOURCE_CAP_SQL,

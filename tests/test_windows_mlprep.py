@@ -923,3 +923,40 @@ def test_curation_pipeline_planted_attrition(spark, tmp_path):
     by_ord = sorted(rep.values(), key=lambda r: r["stage_ord"])
     for prev, cur in zip(by_ord, by_ord[1:]):
         assert cur["rows_in"] == prev["rows_out"]
+
+
+def test_doremi_upweights_planted_hard_domain(spark, tmp_path):
+    """DoReMi's multiplicative loop must shift mixture weight toward the
+    domain the shared proxy serves WORST. The plant mirrors the paper's
+    redundancy story: two 'easy' domains share ONE token distribution
+    (each is two-thirds covered by the mixture — excess ln(3/2)) while
+    the lone 'hard' domain has a disjoint vocabulary only its own third
+    of the mixture covers (excess ln 3). After the rounds the hard
+    domain must sit ABOVE its initial ~⅓ split, the easies below, and
+    the weights must sum to exactly 1000 (the largest-remainder
+    normalization contract)."""
+    from azure_sales_etl_pipeline_spark.plans.mlprep import (
+        doremi_domain_weights,
+    )
+
+    easy_text = "alpha bravo charlie delta echo foxtrot"
+    hard_text = "zulu yankee xray whiskey victor uniform"
+    rows = [(i, easy_text, "en", "easy1", len(easy_text)) for i in range(5)]
+    rows += [(50 + i, easy_text, "en", "easy2", len(easy_text)) for i in range(5)]
+    rows += [(100 + i, hard_text, "en", "hard", len(hard_text)) for i in range(5)]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r["source"]: r for r in doremi_domain_weights(spark, str(tmp_path)).collect()}
+    assert set(out) == {"easy1", "easy2", "hard"}
+    assert sum(r["weight_permille"] for r in out.values()) == 1000
+    # hard's excess is ln 3 vs the easies' ln(3/2) at the initial split
+    assert out["hard"]["excess_micronats"] > out["easy1"]["excess_micronats"]
+    assert out["easy1"]["excess_micronats"] > 0
+    # the loop moved real mass toward the hard domain (initial ~333)
+    assert out["hard"]["weight_permille"] > 334
+    assert out["easy1"]["weight_permille"] < 334
+    assert out["easy2"]["weight_permille"] < 334
+    # the two identical easy domains end within one rounding quantum
+    assert abs(out["easy1"]["weight_permille"] - out["easy2"]["weight_permille"]) <= 1
