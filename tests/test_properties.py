@@ -221,3 +221,107 @@ def test_wds_roundtrip_any_bytes(spark, samples, tmp_path_factory):
     got = {(r["sample_key"], bytes(r["payload"]), r["shard_id"]) for r in back}
     want = {(k, p, s) for k, p, s in samples}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r14 Arrow-kernel exactness: the vectorized assign/encode kernels must
+# reproduce the interpreted integer semantics bit-for-bit — including
+# first-index argmin ties — on ARBITRARY integer inputs, not just the
+# benign testdata distributions.
+# ---------------------------------------------------------------------------
+
+_coord = st.integers(min_value=-(10**6), max_value=10**6)
+
+
+def _ref_assign(vecs, cents):
+    """Reference semantics: exact squared-L2, first index on ties —
+    the ``array_position(array_min)`` contract the oracles replay."""
+    out = []
+    for v in vecs:
+        dists = [sum((x - c) ** 2 for x, c in zip(v, cent)) for cent in cents]
+        out.append(dists.index(min(dists)))
+    return out
+
+
+@_slow
+@given(
+    data=st.data(),
+    dim=st.integers(min_value=1, max_value=6),
+    k=st.integers(min_value=1, max_value=5),
+    n=st.integers(min_value=1, max_value=25),
+)
+def test_coarse_assign_kernel_matches_reference(spark, data, dim, k, n):
+    from azure_sales_etl_pipeline_spark.plans.similarity import (
+        _coarse_assign_np,
+    )
+
+    vec = st.lists(_coord, min_size=dim, max_size=dim)
+    # draw centroids and vectors from the same tiny grid so duplicate
+    # distances (tie-breaks) actually occur
+    cents = data.draw(st.lists(vec, min_size=k, max_size=k))
+    vecs = data.draw(st.lists(st.sampled_from(cents + [data.draw(vec)]), min_size=n, max_size=n))
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id bigint, q array<bigint>"
+    )
+    got = {
+        r["vec_id"]: (r["cluster"], r["d2"])
+        for r in _coarse_assign_np(
+            df, cents, keep=["vec_id bigint"], emit=("cluster", "d2")
+        ).collect()
+    }
+    want_cluster = _ref_assign(vecs, cents)
+    for i, v in enumerate(vecs):
+        wc = want_cluster[i]
+        wd = sum((x - c) ** 2 for x, c in zip(v, cents[wc]))
+        assert got[i] == (wc, wd), (i, v, cents)
+
+
+@_slow
+@given(
+    data=st.data(),
+    k=st.integers(min_value=1, max_value=4),
+    n=st.integers(min_value=1, max_value=15),
+)
+def test_pq_encode_kernel_matches_reference(spark, data, k, n):
+    """Per-subspace codes from the Arrow kernel == per-subspace
+    reference argmin over the sliced subvectors (codes and the
+    d2-stats variant agree with each other too)."""
+    from azure_sales_etl_pipeline_spark.plans.similarity import (
+        _PQ_M,
+        _PQ_SUBDIM,
+        _pq_encode_np,
+        _pq_encode_stats_np,
+    )
+
+    dim = _PQ_M * _PQ_SUBDIM
+    vec = st.lists(_coord, min_size=dim, max_size=dim)
+    vecs = data.draw(st.lists(vec, min_size=n, max_size=n))
+    subvec = st.lists(_coord, min_size=_PQ_SUBDIM, max_size=_PQ_SUBDIM)
+    books = data.draw(
+        st.lists(
+            st.lists(subvec, min_size=k, max_size=k),
+            min_size=_PQ_M,
+            max_size=_PQ_M,
+        )
+    )
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id bigint, qfull array<bigint>"
+    )
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in _pq_encode_np(df, books, keep=["vec_id bigint"]).collect()
+    }
+    stats = {
+        (r["vec_id"], r["sub"]): (r["code"], r["d2"])
+        for r in _pq_encode_stats_np(df, books).collect()
+    }
+    for i, v in enumerate(vecs):
+        for s in range(_PQ_M):
+            sub = v[s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM]
+            dists = [
+                sum((x - c) ** 2 for x, c in zip(sub, cent))
+                for cent in books[s]
+            ]
+            want = dists.index(min(dists))
+            assert got[i][s] == want
+            assert stats[(i, s)] == (want, min(dists))
