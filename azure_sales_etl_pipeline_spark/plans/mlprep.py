@@ -3702,13 +3702,26 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the per-round weight update runs driver-side on |domains|
     rows (the [[bradley_terry_strengths]] control-plane idiom; the
     collects here are ≤ |D| rows each, bounded and documented)."""
-    docs = load_table(spark, sf_dir, "documents")
-    positions = docs.select(
-        "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
-    ).where(F.length("token") > 0)
-    ct = positions.groupBy("source", "token").agg(
+    ct = _doremi_positions(spark, sf_dir).groupBy("source", "token").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
+    return _doremi_from_counts(spark, ct)
+
+
+def _doremi_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    ).where(F.length("token") > 0)
+
+
+def _doremi_from_counts(spark: SparkSession, ct: DataFrame) -> DataFrame:
+    """The DoReMi loop downstream of the (source, token, c) count grain
+    — shared by the one-shot query (counts from one corpus scan) and
+    [[doremi_two_batch]] (counts folded incrementally). See
+    [[doremi_domain_weights]] for the algorithm and exactness notes."""
     tots = ct.groupBy("source").agg(F.sum("c").cast("bigint").alias("tot"))
     # (source, token, c, tot, q9) — read by the reference pass and by
     # every round's mixture+loss pass: compute once.
@@ -3893,8 +3906,52 @@ def _doremi_sql() -> str:
 _DOREMI_SQL = _doremi_sql()
 
 
+def doremi_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained DoReMi — the shape domain reweighting
+    runs in production: corpora arrive in crawl batches, and the
+    (source, token, c) count grain is a pure commutative monoid, so
+    new batches FOLD into the persisted counts
+    (``operators.maintenance.merge_aggregate``, keys = (source, token))
+    and the whole reweighting loop re-runs on the folded state —
+    document history is never re-scanned. Two doc_id-median batches
+    here; the convergence contract is the
+    [[bradley_terry_two_batch]] pattern: the oracle is
+    [[doremi_domain_weights]]'s FULL one-shot unrolled SQL, so
+    fold(b1) ⊕ fold(b2) must reproduce the one-shot weights
+    bit-for-bit or the driver hash fails.
+
+    Scale shape: per batch, one (source, token) shuffle over the BATCH
+    only; the persisted state is the Zipf × |domains|-bounded count
+    table however long crawl history grows; the reweighting loop
+    ([[_doremi_from_counts]]) touches only that state."""
+    import shutil
+    import tempfile
+
+    from ..operators.maintenance import merge_aggregate
+
+    positions = _doremi_positions(spark, sf_dir).localCheckpoint()
+    mid = positions.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    tmp = tempfile.mkdtemp(prefix="doremict_")
+    try:
+        state = None
+        for pred in (F.col("doc_id") <= mid, F.col("doc_id") > mid):
+            state = merge_aggregate(
+                spark,
+                f"{tmp}/counts",
+                positions.where(pred).select("source", "token"),
+                keys=["source", "token"],
+                sums=[],
+                count_col="c",
+            )
+        ct = state.select("source", "token", F.col("c").cast("bigint").alias("c"))
+        return _doremi_from_counts(spark, ct).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 QUERIES = {
     "doremi_domain_weights": doremi_domain_weights,
+    "doremi_two_batch": doremi_two_batch,
     "logreg_probe_check": logreg_probe_check,
     "epoch_waterfill_schedule": epoch_waterfill_schedule,
     "source_cap_sample": source_cap_sample,
@@ -3937,6 +3994,8 @@ QUERIES = {
 
 ORACLES = {
     "doremi_domain_weights": _DOREMI_SQL,
+    # fold(b1) ⊕ fold(b2) must reproduce the ONE-SHOT loop bit-for-bit
+    "doremi_two_batch": _DOREMI_SQL,
     "logreg_probe_check": _LOGREG_SQL,
     "epoch_waterfill_schedule": _EPOCH_WF_SQL,
     "source_cap_sample": _SOURCE_CAP_SQL,

@@ -960,3 +960,25 @@ def test_doremi_upweights_planted_hard_domain(spark, tmp_path):
     assert out["easy2"]["weight_permille"] < 334
     # the two identical easy domains end within one rounding quantum
     assert abs(out["easy1"]["weight_permille"] - out["easy2"]["weight_permille"]) <= 1
+
+
+def test_doremi_two_batch_equals_one_shot(spark, tmp_path):
+    """The folded (source, token) count state must drive the reweighting
+    loop to the EXACT one-shot weights — the merge_aggregate convergence
+    contract applied to DoReMi (the driver additionally enforces this
+    against the one-shot SQL oracle at every sample)."""
+    from azure_sales_etl_pipeline_spark.plans.mlprep import (
+        doremi_domain_weights,
+        doremi_two_batch,
+    )
+
+    rows = [(i, "alpha bravo charlie delta", "en", "easy1", 25) for i in range(4)]
+    rows += [(40 + i, "alpha bravo charlie delta", "en", "easy2", 25) for i in range(4)]
+    rows += [(80 + i, "zulu yankee xray whiskey", "en", "hard", 24) for i in range(4)]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    one = sorted(map(tuple, doremi_domain_weights(spark, str(tmp_path)).collect()))
+    two = sorted(map(tuple, doremi_two_batch(spark, str(tmp_path)).collect()))
+    assert one == two
