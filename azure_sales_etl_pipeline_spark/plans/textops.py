@@ -62,6 +62,85 @@ _TOKEN_STATS_SQL = r"""
 """
 
 
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language TOKENIZER FERTILITY — the multilingual tokenizer-
+    quality report (Rust et al. 2021; the metric multilingual model
+    cards publish): subwords-per-word (fertility) and bytes-per-subword
+    by language. High-fertility languages pay more sequence positions
+    per word — the signal that drives vocab-allocation and
+    temperature-sampling decisions ([[mixture_temperature_weights]])
+    in multilingual pretraining. Uses the same deterministic BPE
+    stand-in as [[doc_token_stats]] (ceil(len/4) chunks per
+    whitespace word; swap in a real tokenizer's counts and the rollup
+    is unchanged).
+
+    All-integer: per-doc word/subword/byte counts sum per language
+    (one lang-key aggregate, map-side combined, output bounded at
+    |languages| rows), ratios publish as milli-units via truncating
+    division. ``n_bytes`` is the UTF-8 OCTET length — bytes-per-subword
+    is what byte-fallback tokenizers actually spend."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    per_doc = docs.select(
+        "lang",
+        F.size(toks).alias("w"),
+        F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("int"),
+        ).alias("sw"),
+        F.octet_length("text").alias("b"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("w").cast("bigint").alias("n_words"),
+            F.sum("sw").cast("bigint").alias("n_subwords"),
+            F.sum("b").cast("bigint").alias("n_bytes"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_subwords",
+            "n_bytes",
+            F.expr(
+                "CAST(1000 * n_subwords DIV greatest(n_words, 1) AS BIGINT)"
+            ).alias("fertility_milli"),
+            F.expr(
+                "CAST(1000 * n_bytes DIV greatest(n_subwords, 1) AS BIGINT)"
+            ).alias("bytes_per_subword_milli"),
+        )
+        .orderBy("lang")
+    )
+
+
+_FERTILITY_SQL = r"""
+    WITH per_doc AS (
+        SELECT lang,
+               len(regexp_split_to_array(trim(text), '\s+')) AS w,
+               CAST(list_sum(list_transform(
+                    regexp_split_to_array(trim(text), '\s+'),
+                    t -> CAST(ceil(length(t) / 4.0) AS INT))) AS INT) AS sw,
+               octet_length(encode(text)) AS b
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(w) AS BIGINT) AS n_words,
+           CAST(sum(sw) AS BIGINT) AS n_subwords,
+           CAST(sum(b) AS BIGINT) AS n_bytes,
+           CAST(1000 * sum(sw) // greatest(sum(w), 1) AS BIGINT)
+               AS fertility_milli,
+           CAST(1000 * sum(b) // greatest(sum(sw), 1) AS BIGINT)
+               AS bytes_per_subword_milli
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # quality scoring
 # ---------------------------------------------------------------------------
@@ -3752,6 +3831,7 @@ QUERIES = {
     "chunk_dedup_rewrite": chunk_dedup_rewrite,
     "vocab_growth": vocab_growth,
     "doc_token_stats": doc_token_stats,
+    "tokenizer_fertility_by_lang": tokenizer_fertility_by_lang,
     "source_vocab_drift": source_vocab_drift,
     "source_curation_rollup": source_curation_rollup,
     "winnowing_fingerprints": winnowing_fingerprints,
@@ -3789,6 +3869,7 @@ ORACLES = {
     "chunk_dedup_rewrite": _CHUNK_DEDUP_REWRITE_SQL,
     "vocab_growth": _VOCAB_GROWTH_SQL,
     "doc_token_stats": _TOKEN_STATS_SQL,
+    "tokenizer_fertility_by_lang": _FERTILITY_SQL,
     "source_vocab_drift": _SOURCE_DRIFT_SQL,
     "source_curation_rollup": _source_rollup_sql(),
     "winnowing_fingerprints": _WINNOW_SQL,

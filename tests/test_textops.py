@@ -864,3 +864,34 @@ def test_exact_substring_rewrite_keep_first_global(spark, tmp_path):
     assert out[3]["n_dup_windows"] == 2
     assert out[3]["n_tokens_removed"] == 16
     assert out[3]["clean_prefix"] == ""
+
+
+def test_tokenizer_fertility_planted_languages(spark, tmp_path):
+    """Fertility = subwords per word under the ceil(len/4) stand-in:
+    8-char words cost exactly 2 subwords (fertility 2000 milli), 3-char
+    words exactly 1 (1000 milli); multibyte text pays its true UTF-8
+    octets in bytes_per_subword."""
+    from azure_sales_etl_pipeline_spark.plans.textops import (
+        tokenizer_fertility_by_lang,
+    )
+
+    long_words = " ".join(["abcdefgh"] * 10)   # 10 words x 2 subwords
+    short_words = " ".join(["abc"] * 10)       # 10 words x 1 subword
+    cyrillic = " ".join(["абвг"] * 10)         # 4 chars = 1 subword, 8 UTF-8 bytes
+    rows = [
+        (1, long_words, "lw", "s", len(long_words)),
+        (2, short_words, "sw", "s", len(short_words)),
+        (3, cyrillic, "cy", "s", len(cyrillic)),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r["lang"]: r for r in tokenizer_fertility_by_lang(spark, str(tmp_path)).collect()}
+    assert out["lw"]["n_words"] == 10 and out["lw"]["n_subwords"] == 20
+    assert out["lw"]["fertility_milli"] == 2000
+    assert out["sw"]["fertility_milli"] == 1000
+    # cyrillic: 10 words x 1 subword; bytes = 10*8 payload + 9 spaces = 89
+    assert out["cy"]["n_subwords"] == 10
+    assert out["cy"]["n_bytes"] == 89
+    assert out["cy"]["bytes_per_subword_milli"] == 8900
