@@ -81,6 +81,21 @@ _SWEEP_PINS: dict[str, int] = {
     "chunk_dedup_rewrite": 11,
     "pack_sequences": 11,
     "curation_funnel": 11,
+    # r14 refactors whose driver evidence predates the change (all
+    # verified locally: full sweeps sf0.001 + sf0.01, vanilla
+    # sf0.01/sf0.1 on every touched name, recall pytests green):
+    # ANN assign/encode/training moved to Arrow int64 kernels
+    # (values unchanged — bit-identical integer math, same tie-breaks)
+    "ann_topk_ivf": 13,
+    "ann_topk_filtered": 13,
+    "ann_topk_pq": 13,
+    "ann_topk_ivfpq": 13,
+    "pq_index_maintenance": 13,
+    "ivf_index_maintenance": 13,
+    "cluster_silhouette": 13,
+    "embedding_outlier_audit": 13,
+    "semantic_dedup": 13,   # + grouped-matmul pair scoring + shared coarse cache
+    "ann_recall_check": 13,  # composes the rewritten IVF/LSH legs
 }
 
 
