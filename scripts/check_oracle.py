@@ -164,16 +164,33 @@ def _rows_close(a, b) -> bool:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description=(
+            "Local replica of the driver's correctness gate: run every "
+            "queries() entry and value-compare against its oracle_sql() "
+            "DuckDB result. With no names, sweeps the FULL registry "
+            "(~9 min at sf0.001)."
+        )
+    )
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.001",
+                    help="testdata scale-factor dir (default sf0.001)")
+    ap.add_argument("names", nargs="*", help="only check these queries")
     # --vanilla replicates the DRIVER'S environment: a bare SparkSession
     # with none of the engine session defaults. Round 2 shipped a bug
     # invisible to every in-repo check precisely because only the driver
     # used a vanilla session (events nanos crash) — run this mode before
     # relying on a green sweep.
-    vanilla = "--vanilla" in sys.argv[1:]
-    timing = "--time" in sys.argv[1:]
-    sf_dir = args[0] if args else "/root/testdata/sf0.001"
-    only = set(args[1:])
+    ap.add_argument("--vanilla", action="store_true",
+                    help="bare SparkSession (the driver's environment)")
+    ap.add_argument("--time", dest="timing", action="store_true",
+                    help="print per-query wall time")
+    ns = ap.parse_args()
+    vanilla = ns.vanilla
+    timing = ns.timing
+    sf_dir = ns.sf_dir
+    only = set(ns.names)
     if vanilla:
         from pyspark.sql import SparkSession
 
