@@ -129,12 +129,27 @@ def main() -> int:
             except Exception:
                 return None
 
+        def _artifact_ts(path: str) -> int | None:
+            """Commit time when tracked, else file mtime: driver-delivered
+            CORRECTNESS/BENCH artifacts are normally NEVER committed by
+            this repo, so the old `or 2**62` default classified every
+            untracked artifact as pending — the documented FAIL branch
+            for pre-dating unfolded artifacts could not fire (r14
+            advice). mtime is the honest fallback for untracked files."""
+            ts = _commit_ts(path)
+            if ts is not None:
+                return ts
+            try:
+                return int((REPO / path).stat().st_mtime)
+            except OSError:
+                return None
+
         t_fold = _commit_ts("azure_sales_etl_pipeline_spark/plans/__init__.py")
         stale_extras = [
             f
             for f in extra
             if t_fold is not None
-            and (_commit_ts(f) or 2**62) < t_fold
+            and (_artifact_ts(f) or 2**62) < t_fold
         ]
         if stale_extras:
             problems.append(
