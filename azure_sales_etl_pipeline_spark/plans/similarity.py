@@ -939,27 +939,53 @@ _IVF_CENTROID_CACHE: dict[str, list[list[int]]] = {}
 # downstream jobs per consumer, and the three consumers' copies were
 # byte-identical. Same honesty contract as the centroid cache: bench
 # evicts per pass, whichever consumer runs first pays the build.
-_NORM_CORPUS_CACHE: dict[str, DataFrame] = {}
+# Keyed by (applicationId, sf_dir), NOT sf_dir alone: a checkpointed
+# DataFrame is bound to the SparkContext that materialized its blocks,
+# so a cache hit from a later/replacement session would hand back a
+# frame whose RDD lineage points at a stopped context (r14 advice #1).
+# The centroid cache above is immune — it stores plain Python lists.
+# Values are (DataFrame, checkpointed JVM RDD) — the RDD handle is the
+# only way to eagerly free localCheckpoint blocks (see evict below).
+_NORM_CORPUS_CACHE: dict[tuple[str, str], tuple] = {}
 
 
 def _norm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cached = _NORM_CORPUS_CACHE.get(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _NORM_CORPUS_CACHE.get(key)
     if cached is None:
         emb = load_table(spark, sf_dir, "embeddings")
-        cached = emb.select(
+        df = emb.select(
             "vec_id",
             "label",
             _as_double("embedding").alias("vec"),
             _as_qn(_as_double("embedding")).alias("qfull"),
         ).localCheckpoint()
-        _NORM_CORPUS_CACHE[sf_dir] = cached
-    return cached
+        # Capture the checkpointed JVM RDD for eager eviction:
+        # DataFrame.unpersist() goes through the cacheManager and does
+        # NOT release localCheckpoint blocks (measured: persistent-RDD
+        # count stays 1 after unpersist, 0 after rdd.unpersist) — the
+        # LogicalRDD's own rdd is the handle that frees them.
+        jrdd = df._jdf.queryExecution().analyzed().rdd()
+        cached = (df, jrdd)
+        _NORM_CORPUS_CACHE[key] = cached
+    return cached[0]
 
 
 def evict_ivf_centroid_cache() -> None:
     """Drop cached ANN build artifacts — coarse quantizers and the
-    shared normalized corpus (bench per-pass honesty hook)."""
+    shared normalized corpus (bench per-pass honesty hook). The
+    checkpointed corpus blocks are unpersisted EAGERLY via the captured
+    JVM RDD: dropping the dict entry alone leaves them to the
+    ContextCleaner/GC (r14 advice #1), which on a long-lived session is
+    storage-leak-shaped."""
     _IVF_CENTROID_CACHE.clear()
+    for _df, jrdd in _NORM_CORPUS_CACHE.values():
+        try:
+            # non-blocking: a stopped session makes this a no-op
+            # failure, not an error worth surfacing at evict time.
+            jrdd.unpersist(False)
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
     _NORM_CORPUS_CACHE.clear()
 
 

@@ -867,3 +867,45 @@ def test_minhash_estimate_gate_exact_on_clones(spark, tmp_path):
     assert row["mean_est_permille"] == 1000
     assert row["mean_exact_permille"] == 1000
     assert row["gate_ok"] is True
+
+
+def test_norm_corpus_cache_session_keyed_and_evicts_blocks(spark, tmp_path):
+    """r14 advice #1: the shared normalized-corpus cache must (a) key by
+    the SparkContext that materialized the checkpoint — a cache hit
+    bound to a DIFFERENT session would hand back a frame whose blocks
+    live in a stopped context — and (b) eagerly free the checkpointed
+    blocks on evict (DataFrame.unpersist does NOT release
+    localCheckpoint blocks; only the underlying RDD handle does)."""
+    import pyspark.sql.functions as F
+
+    from azure_sales_etl_pipeline_spark.plans import similarity as sim
+
+    spark.createDataFrame(
+        [(1, [3, 4], "a"), (2, [5, 12], "b")],
+        "vec_id long, embedding array<int>, label string",
+    ).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding"),
+        "label",
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    sim.evict_ivf_centroid_cache()  # isolate from earlier tests
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+
+    df = sim._norm_corpus(spark, str(tmp_path))
+    assert df.count() == 2
+    key = (spark.sparkContext.applicationId, str(tmp_path))
+    assert key in sim._NORM_CORPUS_CACHE  # session-scoped key, not bare sf_dir
+    # second call is a hit: same DataFrame object back
+    assert sim._norm_corpus(spark, str(tmp_path)) is df
+    assert jsc.getPersistentRDDs().size() == before + 1
+
+    sim.evict_ivf_centroid_cache()
+    assert not sim._NORM_CORPUS_CACHE
+    # blocking=False unpersist is async on the JVM side — poll briefly
+    import time as _t
+    for _ in range(50):
+        if jsc.getPersistentRDDs().size() == before:
+            break
+        _t.sleep(0.1)
+    assert jsc.getPersistentRDDs().size() == before
