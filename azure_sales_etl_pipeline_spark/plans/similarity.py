@@ -3979,6 +3979,10 @@ _PCA_CHECK_SQL = f"""
 #: planted clones; max pairwise cosine ≈ 0.48, so 0.35 exercises the
 #: keep/drop machinery on real mass instead of returning nothing).
 _SEMDEDUP_TAU_Q = 5645
+# Per-batch temp bound for the blocked pair matmul: g×ncols int64 cells.
+# 4M cells = 32 MB — small against a 1 GB executor-side Python worker,
+# large enough that the test-corpus clusters run in one block.
+_SEMDEDUP_BLOCK_CELLS = 1 << 22
 
 
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4051,16 +4055,22 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emit=("cluster",),
     )
     # Within-cluster pair scoring as ONE grouped Arrow kernel (r14): per
-    # cluster, the g×g int8-dot matrix is one int64 matmul — exact, and
-    # ~10× the throughput of the HOF pair-dot self-join it replaces
+    # cluster, the int8-dot matrix is an int64 matmul — exact, and ~10×
+    # the throughput of the HOF pair-dot self-join it replaces
     # (interpreted per-element evaluation over 64-dim zip_with chains).
-    # Group state is O(g²) — the same bound the pair join had; SemDeDup
-    # picks k ~ √N or larger precisely so g stays bounded. Rows are
-    # sorted by vec_id inside the group, so "first qualifying
-    # predecessor" (argmax over the boolean column) IS min(cand), and
-    # its dot is min_by(dot_q, cand) — the exact aggregate semantics of
-    # the former groupBy.
+    # The matmul is COLUMN-BLOCKED (r14 advice #2): a single g×g
+    # allocation grows O((N/k)²·8B) with corpus size at fixed k, which
+    # regressed the memory bound the old streaming self-join had.
+    # Blocking Q against g×B column slices caps the temp at
+    # _SEMDEDUP_BLOCK_CELLS·8B (~32 MB) per batch while keeping the
+    # same O(g²) arithmetic; per-column results are independent, so the
+    # output is bit-identical to the unblocked matmul. Rows are sorted
+    # by vec_id inside the group, so "first qualifying predecessor"
+    # (argmax over the boolean column) IS min(cand), and its dot is
+    # min_by(dot_q, cand) — the exact aggregate semantics of the former
+    # groupBy.
     tau = _SEMDEDUP_TAU_Q
+    block_cells = _SEMDEDUP_BLOCK_CELLS
 
     def pair_kernel(pdf):
         import numpy as np
@@ -4069,11 +4079,25 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy()
         Q = np.stack(pdf["q8"].to_numpy()).astype(np.int64)
-        D = Q @ Q.T
-        qual = np.triu(D >= tau, k=1)  # [i, j]: i < j and dot >= tau
-        n_dups = qual.sum(axis=0)
-        victims = np.nonzero(n_dups > 0)[0]
-        if not len(victims):
+        g = len(ids)
+        ncols = max(1, min(g, block_cells // max(g, 1)))
+        rows = np.arange(g)
+        out_vec, out_ex, out_dot, out_nd = [], [], [], []
+        for start in range(0, g, ncols):
+            stop = min(start + ncols, g)
+            Dblk = Q @ Q[start:stop].T  # g × ≤ncols, bounded temp
+            # [i, jl]: i < (start + jl) and dot >= tau
+            qual = (Dblk >= tau) & (rows[:, None] < np.arange(start, stop))
+            n_dups = qual.sum(axis=0)
+            victims = np.nonzero(n_dups > 0)[0]
+            if not len(victims):
+                continue
+            first = qual[:, victims].argmax(axis=0)
+            out_vec.append(ids[start + victims])
+            out_ex.append(ids[first])
+            out_dot.append(Dblk[first, victims])
+            out_nd.append(n_dups[victims].astype("int64"))
+        if not out_vec:
             return pd.DataFrame(
                 {
                     "vec_id": pd.Series([], dtype="int64"),
@@ -4083,14 +4107,14 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_dups": pd.Series([], dtype="int64"),
                 }
             )
-        first = qual[:, victims].argmax(axis=0)
+        vec_ids = np.concatenate(out_vec)
         return pd.DataFrame(
             {
-                "vec_id": ids[victims],
-                "cluster": np.full(len(victims), pdf["cluster"].iloc[0], dtype="int32"),
-                "exemplar_id": ids[first],
-                "dot_q_exemplar": D[first, victims],
-                "n_dups": n_dups[victims].astype("int64"),
+                "vec_id": vec_ids,
+                "cluster": np.full(len(vec_ids), pdf["cluster"].iloc[0], dtype="int32"),
+                "exemplar_id": np.concatenate(out_ex),
+                "dot_q_exemplar": np.concatenate(out_dot),
+                "n_dups": np.concatenate(out_nd),
             }
         )
 

@@ -909,3 +909,39 @@ def test_norm_corpus_cache_session_keyed_and_evicts_blocks(spark, tmp_path):
             break
         _t.sleep(0.1)
     assert jsc.getPersistentRDDs().size() == before
+
+
+def test_semantic_dedup_blocked_matmul_matches_unblocked(spark, tmp_path, monkeypatch):
+    """r14 advice #2: the pair kernel column-blocks the g×g matmul so
+    per-group temp memory stays bounded as clusters grow. Forcing the
+    block width to a single column (block_cells < g) must reproduce the
+    one-block output bit-for-bit — per-victim results are column-local,
+    so blocking cannot change them."""
+    import random
+
+    from azure_sales_etl_pipeline_spark.plans import similarity as sim
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(64)], "bg") for i in range(40)]
+    # clone chains: 100/101 copy vec 5, 102 copies vec 9
+    rows += [
+        (100, [float(x) for x in rows[5][1]], "dup"),
+        (101, [float(x) for x in rows[5][1]], "dup"),
+        (102, [float(x) for x in rows[9][1]], "dup"),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    def run():
+        return sorted(
+            tuple(r) for r in sim.semantic_dedup(spark, str(tmp_path)).collect()
+        )
+
+    one_block = run()
+    monkeypatch.setattr(sim, "_SEMDEDUP_BLOCK_CELLS", 1)  # ncols == 1 everywhere
+    many_blocks = run()
+    assert one_block == many_blocks
+    assert any(r[0] == 100 and r[2] == 5 for r in one_block)
+    assert any(r[0] == 101 and r[2] == 5 for r in one_block)
+    assert any(r[0] == 102 and r[2] == 9 for r in one_block)
