@@ -457,10 +457,22 @@ def media_text_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dots, "pair_id", "left")
         .select(
             "source",
+            # The cross-multiplied gate runs in DECIMAL(38,0) (DuckDB:
+            # HUGEINT) — in BIGINT, 1e6·dot² wraps silently in Spark at
+            # dot ≈ 3.04e6 (a token-repetitive doc where every token
+            # hashes to one dim reaches that at T ≈ 1744 tokens) while
+            # DuckDB raises, so the engines diverged exactly at
+            # overflow (r14 advice #3). DECIMAL(38,0) holds 1e6·dot²
+            # up to dot ≈ 3.1e15 (T ≈ 56M tokens/doc) — beyond any
+            # document this pipeline ingests; both sides truncate
+            # toward zero on these nonnegative operands, verified
+            # value-identical across engines incl. the former
+            # overflow range.
             F.expr(
                 "CASE WHEN coalesce(dot, 0) > 0 THEN"
-                " CAST(1000000 * dot * dot AS BIGINT)"
-                " DIV greatest(n2_img * n2_txt, 1)"
+                " CAST(CAST(1000000 AS DECIMAL(38,0)) * dot * dot"
+                " DIV greatest(CAST(n2_img AS DECIMAL(38,0)) * n2_txt,"
+                "              CAST(1 AS DECIMAL(38,0))) AS BIGINT)"
                 " ELSE 0 END"
             ).alias("align_ppm"),
         )
@@ -530,8 +542,9 @@ def _align_sql() -> str:
     per AS (
         SELECT p.source,
                CASE WHEN coalesce(d.dot, 0) > 0 THEN
-                    CAST(1000000 * d.dot * d.dot AS BIGINT)
-                    // greatest(ni.n2 * nc.n2, 1)
+                    CAST((CAST(1000000 AS HUGEINT) * d.dot * d.dot)
+                         // greatest(CAST(ni.n2 AS HUGEINT) * nc.n2, 1)
+                         AS BIGINT)
                     ELSE 0 END AS align_ppm
         FROM pairs p
         JOIN norms ni ON ni.doc_id = p.pair_id

@@ -452,3 +452,42 @@ def test_media_text_alignment_drops_planted_mismatches(spark, tmp_path):
     assert out["good"]["n_kept"] == 3
     assert out["good"]["kept_permille"] == 1000
     assert out["good"]["mean_align_ppm"] == 1_000_000
+
+
+def test_media_text_alignment_survives_int64_gate_overflow(spark, tmp_path):
+    """r14 advice #3: a token-repetitive doc (every token identical →
+    all mass in one hashed dim) drives dot = T² past the old BIGINT
+    gate's wrap point (1e6·dot² > 2⁶³ at T ≈ 1744). The DECIMAL(38,0)
+    gate must still score the matched pair cos = 1 (ppm = 1e6) and
+    agree with the DuckDB HUGEINT replay value-for-value."""
+    import duckdb
+
+    from azure_sales_etl_pipeline_spark.plans.multimodal import (
+        _ALIGN_SQL,
+        media_text_alignment,
+    )
+
+    # doc_ids 3-5 are plant-FALSE under the md5 mismatch rule (see the
+    # test above): each keeps its own caption, cos = 1 exactly.
+    heavy = " ".join(["tok"] * 2500)  # T=2500 > 1744: old gate wrapped
+    rows = [
+        (3, heavy, "en", "heavy", len(heavy)),
+        (4, "dog cat bird fish lizard", "en", "light", 24),
+        (5, "north south east west center", "en", "light", 28),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r["source"]: r for r in media_text_alignment(spark, str(tmp_path)).collect()}
+    assert got["heavy"]["n_kept"] == 1
+    assert got["heavy"]["mean_align_ppm"] == 1_000_000
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path / 'documents.parquet'}/*.parquet'"
+    )
+    oracle = {r[0]: r for r in con.execute(_ALIGN_SQL).fetchall()}
+    for src, row in got.items():
+        assert tuple(row)[1:] == oracle[src][1:], (src, tuple(row), oracle[src])
