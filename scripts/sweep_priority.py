@@ -100,6 +100,12 @@ _SWEEP_PINS: dict[str, int] = {
     "embedding_outlier_audit": 14,
     "semantic_dedup": 14,   # + grouped-matmul pair scoring + shared coarse cache
     "ann_recall_check": 14,  # composes the rewritten IVF/LSH legs
+    # r15 refactors whose driver evidence predates the change (values
+    # unchanged, verified by oracle + planted tests):
+    # array-form percentile/percentile_approx shared-state agg
+    "percentile_accuracy_check": 10,
+    # cosine gate moved to DECIMAL(38,0)/HUGEINT (overflow-proof)
+    "media_text_alignment": 14,
 }
 
 
