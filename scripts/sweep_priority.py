@@ -106,6 +106,18 @@ _SWEEP_PINS: dict[str, int] = {
     "percentile_accuracy_check": 10,
     # cosine gate moved to DECIMAL(38,0)/HUGEINT (overflow-proof)
     "media_text_alignment": 14,
+    # token-array integer reductions moved to JVM regex
+    # (regexp_count / regexp_replace; values unchanged, all
+    # consumers oracle-green at sf0.001):
+    "doc_token_stats": 13,
+    "tokenizer_fertility_by_lang": 14,
+    "doc_quality": 13,
+    "source_curation_rollup": 14,
+    "quality_classifier_score": 9,
+    "curation_funnel": 12,
+    "curation_pipeline_end_to_end": 12,
+    "stream_curation_funnel_fold": 12,
+    "stream_quality_suite": 12,
 }
 
 
