@@ -145,6 +145,156 @@ _FERTILITY_SQL = r"""
 """
 
 
+_FERT_BUDGET = 10_000_000  # global raw-token budget to allocate
+
+
+def fertility_adjusted_token_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token budgets in SUBWORD space — the allocation a
+    multilingual pretraining run actually makes with the
+    [[tokenizer_fertility_by_lang]] report: temperature-flatten the
+    per-language raw-word mass at α = 1/2 (the
+    [[mixture_temperature_weights]] flattening, floor(sqrt) so it is
+    bit-portable), split a global ``_FERT_BUDGET`` raw-token budget by
+    those weights with LARGEST-REMAINDER (Hamilton) rounding so the
+    integer budgets sum to the budget EXACTLY, then convert each
+    language's raw budget to subword positions via its fertility
+    milli-ratio — high-fertility languages cost more sequence
+    positions per raw word, which is the whole point of the report.
+
+    All-integer: quotas are ``(B·w) DIV ΣW`` with the remainder rank
+    breaking ties by language; the rank is a triangular self-join over
+    the |languages|-row frame (the ``_prefix_offsets`` idiom — no
+    unpartitioned window), so the plan stays distributed even though
+    the control frame is tiny. One corpus scan total.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    per_lang = (
+        docs.select(
+            "lang",
+            F.size(toks).alias("w"),
+            F.expr(r"regexp_count(text, '\\S{1,4}')").cast("int").alias("sw"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("w").cast("bigint").alias("n_words"),
+            F.sum("sw").cast("bigint").alias("n_subwords"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_subwords",
+            F.expr(
+                "CAST(1000 * n_subwords DIV greatest(n_words, 1) AS BIGINT)"
+            ).alias("fertility_milli"),
+            F.floor(F.sqrt(F.col("n_words"))).cast("bigint").alias("w_sqrt"),
+        )
+    )
+    tot = per_lang.agg(F.sum("w_sqrt").alias("tot_w"))
+    quota = per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_words",
+        "n_subwords",
+        "fertility_milli",
+        F.expr(f"CAST((1000 * w_sqrt) DIV tot_w AS BIGINT)").alias(
+            "raw_share_permille"
+        ),
+        F.expr(f"CAST(({_FERT_BUDGET} * w_sqrt) DIV tot_w AS BIGINT)").alias(
+            "base"
+        ),
+        F.expr(f"CAST(({_FERT_BUDGET} * w_sqrt) % tot_w AS BIGINT)").alias(
+            "rem"
+        ),
+    )
+    base_tot = quota.agg(F.sum("base").alias("base_sum"))
+    # 0-based "how many languages rank ahead of me" via the triangular
+    # left join (rem DESC, lang ASC) — the first `extra` ranked
+    # languages absorb the rounding shortfall one token each.
+    a, b = quota.alias("a"), quota.alias("b")
+    ahead_of = (F.col("b.rem") > F.col("a.rem")) | (
+        (F.col("b.rem") == F.col("a.rem")) & (F.col("b.lang") < F.col("a.lang"))
+    )
+    ranked = (
+        a.join(b, ahead_of, "left")
+        .groupBy(F.col("a.lang").alias("lang"))
+        .agg(
+            F.first("a.n_words").alias("n_words"),
+            F.first("a.n_subwords").alias("n_subwords"),
+            F.first("a.fertility_milli").alias("fertility_milli"),
+            F.first("a.raw_share_permille").alias("raw_share_permille"),
+            F.first("a.base").alias("base"),
+            F.count(F.col("b.lang")).alias("ahead"),
+        )
+    )
+    return (
+        ranked.crossJoin(F.broadcast(base_tot))
+        .select(
+            "lang",
+            "n_words",
+            "n_subwords",
+            "fertility_milli",
+            "raw_share_permille",
+            F.expr(
+                f"CAST(base + CASE WHEN ahead < ({_FERT_BUDGET} - base_sum)"
+                " THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("raw_token_budget"),
+        )
+        .select(
+            "*",
+            F.expr(
+                "CAST(raw_token_budget * fertility_milli DIV 1000 AS BIGINT)"
+            ).alias("subword_token_budget"),
+        )
+        .orderBy("lang")
+    )
+
+
+_FERT_BUDGETS_SQL = rf"""
+    WITH per_doc AS (
+        SELECT lang,
+               len(regexp_split_to_array(trim(text), '\s+')) AS w,
+               CAST(list_sum(list_transform(
+                    regexp_split_to_array(trim(text), '\s+'),
+                    t -> CAST(ceil(length(t) / 4.0) AS INT))) AS INT) AS sw
+        FROM documents
+    ),
+    per_lang AS (
+        SELECT lang,
+               CAST(sum(w) AS BIGINT) AS n_words,
+               CAST(sum(sw) AS BIGINT) AS n_subwords
+        FROM per_doc GROUP BY lang
+    ),
+    f AS (
+        SELECT *,
+               CAST(1000 * n_subwords // greatest(n_words, 1) AS BIGINT)
+                   AS fertility_milli,
+               CAST(floor(sqrt(n_words)) AS BIGINT) AS w_sqrt
+        FROM per_lang
+    ),
+    tot AS (SELECT CAST(sum(w_sqrt) AS BIGINT) AS tot_w FROM f),
+    q AS (
+        SELECT f.*,
+               CAST((1000 * w_sqrt) // tot_w AS BIGINT) AS raw_share_permille,
+               CAST(({_FERT_BUDGET} * w_sqrt) // tot_w AS BIGINT) AS base,
+               CAST(({_FERT_BUDGET} * w_sqrt) % tot_w AS BIGINT) AS rem
+        FROM f, tot
+    ),
+    bt AS (SELECT CAST(sum(base) AS BIGINT) AS base_sum FROM q),
+    r AS (
+        SELECT *, row_number() OVER (ORDER BY rem DESC, lang) - 1 AS ahead
+        FROM q
+    )
+    SELECT lang, n_words, n_subwords, fertility_milli, raw_share_permille,
+           CAST(base + CASE WHEN ahead < ({_FERT_BUDGET} - base_sum)
+                       THEN 1 ELSE 0 END AS BIGINT) AS raw_token_budget,
+           CAST((base + CASE WHEN ahead < ({_FERT_BUDGET} - base_sum)
+                        THEN 1 ELSE 0 END) * fertility_milli // 1000
+                AS BIGINT) AS subword_token_budget
+    FROM r, bt
+    ORDER BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # quality scoring
 # ---------------------------------------------------------------------------
@@ -3840,6 +3990,7 @@ QUERIES = {
     "vocab_growth": vocab_growth,
     "doc_token_stats": doc_token_stats,
     "tokenizer_fertility_by_lang": tokenizer_fertility_by_lang,
+    "fertility_adjusted_token_budgets": fertility_adjusted_token_budgets,
     "source_vocab_drift": source_vocab_drift,
     "source_curation_rollup": source_curation_rollup,
     "winnowing_fingerprints": winnowing_fingerprints,
@@ -3878,6 +4029,7 @@ ORACLES = {
     "vocab_growth": _VOCAB_GROWTH_SQL,
     "doc_token_stats": _TOKEN_STATS_SQL,
     "tokenizer_fertility_by_lang": _FERTILITY_SQL,
+    "fertility_adjusted_token_budgets": _FERT_BUDGETS_SQL,
     "source_vocab_drift": _SOURCE_DRIFT_SQL,
     "source_curation_rollup": _source_rollup_sql(),
     "winnowing_fingerprints": _WINNOW_SQL,

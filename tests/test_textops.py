@@ -895,3 +895,45 @@ def test_tokenizer_fertility_planted_languages(spark, tmp_path):
     assert out["cy"]["n_subwords"] == 10
     assert out["cy"]["n_bytes"] == 89
     assert out["cy"]["bytes_per_subword_milli"] == 8900
+
+
+def test_fertility_adjusted_token_budgets_planted(spark, tmp_path):
+    """Two planted languages with identical raw-word mass but opposite
+    tokenizer fertility: the α=1/2 flattening gives them EQUAL raw
+    budgets (same word counts), largest-remainder keeps the raw budgets
+    summing to the global budget exactly, and the subword conversion
+    then charges the high-fertility language proportionally more
+    sequence positions — the decision the report exists to make."""
+    from azure_sales_etl_pipeline_spark.plans.textops import (
+        _FERT_BUDGET,
+        fertility_adjusted_token_budgets,
+    )
+
+    # 'lo': 4-char words -> 1 subword/word (fertility 1000 milli)
+    # 'hi': 8-char words -> 2 subwords/word (fertility 2000 milli)
+    lo_doc = " ".join(["abcd"] * 40)
+    hi_doc = " ".join(["abcdefgh"] * 40)
+    rows = [
+        (1, lo_doc, "lo", "web", len(lo_doc)),
+        (2, lo_doc, "lo", "web", len(lo_doc)),
+        (3, hi_doc, "hi", "web", len(hi_doc)),
+        (4, hi_doc, "hi", "web", len(hi_doc)),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r["lang"]: r for r in
+           fertility_adjusted_token_budgets(spark, str(tmp_path)).collect()}
+    assert out["lo"]["fertility_milli"] == 1000
+    assert out["hi"]["fertility_milli"] == 2000
+    # identical word mass -> equal raw budgets, summing exactly to B
+    budgets = [out["lo"]["raw_token_budget"], out["hi"]["raw_token_budget"]]
+    assert sum(budgets) == _FERT_BUDGET
+    assert abs(budgets[0] - budgets[1]) <= 1  # largest-remainder split
+    # subword space: hi pays exactly fertility x the raw budget
+    assert out["lo"]["subword_token_budget"] == out["lo"]["raw_token_budget"]
+    assert (
+        out["hi"]["subword_token_budget"]
+        == out["hi"]["raw_token_budget"] * 2
+    )
