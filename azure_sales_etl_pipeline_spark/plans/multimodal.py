@@ -401,9 +401,27 @@ def media_text_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a cross product — and the report is one source-keyed
     aggregate. Media bytes never shuffle (the [[media_dedup]]
     discipline: only doc_ids, dims, and counts move)."""
+    media = _payloads(spark, sf_dir)
+    feats = (
+        _align_sign_rows(media)
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("sign").cast("bigint").alias("val"))
+        # read three times (media leg, caption leg, norms) — compute once
+        .localCheckpoint()
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return _align_report(_align_score(_align_pairs(docs), feats))
+
+
+def _align_sign_rows(media: DataFrame) -> DataFrame:
+    """(doc_id, dim, sign) hashed-token rows — the PRE-aggregation grain
+    of the joint embedding. ``sum(sign)`` per (doc_id, dim) IS the
+    embedding value, and signed counts form a commutative monoid, so
+    crawl batches fold into a persisted (doc_id, dim, val) mart
+    (``merge_aggregate``) without ever re-scanning history — the seam
+    [[media_alignment_two_batch]] exercises."""
     from ..functions import hex_to_bigint_sql, plan_barrier
 
-    media = _payloads(spark, sf_dir)
     toks = F.filter(
         F.split(F.trim(F.decode(F.col("payload"), "utf-8")), r"\s+"),
         lambda t: F.length(t) > 0,
@@ -414,34 +432,40 @@ def media_text_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok_rows = media.select(
         "doc_id", F.explode(toks).alias("tok")
     ).withColumn("hx", F.expr("substr(sha2(concat('clip:', tok), 256), 1, 16)"))
-    feats = (
-        plan_barrier(tok_rows)
-        .select(
-            "doc_id",
-            F.expr(
-                hex_to_bigint_sql("substr(hx, 1, 15)") + f" % {_ALIGN_DIM}"
-            ).alias("dim"),
-            F.expr(
-                "CASE WHEN (instr('0123456789abcdef', substr(hx, 16, 1)) - 1)"
-                " % 2 = 0 THEN 1 ELSE -1 END"
-            ).alias("sign"),
-        )
-        .groupBy("doc_id", "dim")
-        .agg(F.sum("sign").cast("bigint").alias("val"))
-        # read three times (media leg, caption leg, norms) — compute once
-        .localCheckpoint()
+    return plan_barrier(tok_rows).select(
+        "doc_id",
+        F.expr(
+            hex_to_bigint_sql("substr(hx, 1, 15)") + f" % {_ALIGN_DIM}"
+        ).alias("dim"),
+        F.expr(
+            "CASE WHEN (instr('0123456789abcdef', substr(hx, 16, 1)) - 1)"
+            " % 2 = 0 THEN 1 ELSE -1 END"
+        ).alias("sign"),
     )
-    norms = feats.groupBy("doc_id").agg(
-        F.sum(F.col("val") * F.col("val")).cast("bigint").alias("n2")
-    )
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = docs.select(
+
+
+def _align_pairs(docs: DataFrame) -> DataFrame:
+    """(pair_id, source, cap_id) — each doc paired with its caption
+    (its own text, or the hash-planted neighbor's for the ~1/4
+    mismatch plant)."""
+    return docs.select(
         F.col("doc_id").alias("pair_id"),
         "source",
         F.expr(
             f"CASE WHEN {_ALIGN_MISMATCH_SQL} THEN doc_id + 1"
             " ELSE doc_id END"
         ).alias("cap_id"),
+    )
+
+
+def _align_score(pairs: DataFrame, feats: DataFrame) -> DataFrame:
+    """Per-pair alignment score (pair_id, source, align_ppm) against a
+    (doc_id, dim, val) embedding table. INNER norm joins on both sides:
+    a pair whose caption doc is absent is not scoreable (the one-shot
+    query drops it; the incremental fold keeps it PENDING until the
+    caption's batch arrives)."""
+    norms = feats.groupBy("doc_id").agg(
+        F.sum(F.col("val") * F.col("val")).cast("bigint").alias("n2")
     )
     m = feats.select(F.col("doc_id").alias("pair_id"), "dim", F.col("val").alias("v_img"))
     t = feats.select(F.col("doc_id").alias("cap_id"), "dim", F.col("val").alias("v_txt"))
@@ -451,11 +475,12 @@ def media_text_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pair_id")
         .agg(F.sum(F.col("v_img") * F.col("v_txt")).cast("bigint").alias("dot"))
     )
-    per = (
+    return (
         pairs.join(norms.select(F.col("doc_id").alias("pair_id"), F.col("n2").alias("n2_img")), "pair_id")
         .join(norms.select(F.col("doc_id").alias("cap_id"), F.col("n2").alias("n2_txt")), "cap_id")
         .join(dots, "pair_id", "left")
         .select(
+            "pair_id",
             "source",
             # The cross-multiplied gate runs in DECIMAL(38,0) (DuckDB:
             # HUGEINT) — in BIGINT, 1e6·dot² wraps silently in Spark at
@@ -477,6 +502,9 @@ def media_text_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("align_ppm"),
         )
     )
+
+
+def _align_report(per: DataFrame) -> DataFrame:
     return (
         per.groupBy("source")
         .agg(
@@ -496,6 +524,70 @@ def media_text_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def media_alignment_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained [[media_text_alignment]] — the shape a
+    crawl-ingest pipeline runs: media/caption batches arrive over time,
+    each batch's hashed-token sign rows FOLD into the persisted
+    (doc_id, dim, val) embedding mart
+    (``operators.maintenance.merge_aggregate`` — signed counts are a
+    commutative monoid), and only the FRONTIER of pairs is scored:
+    the batch's own pairs plus the pairs still PENDING because their
+    caption doc had not arrived (the cross-batch wrong-alt-text case —
+    a mismatched pair whose neighbor caption lands in a later crawl).
+    Every pair is scored exactly once, when both sides exist; scored
+    history is never re-scored, document history never re-scanned.
+
+    Convergence contract ([[doremi_two_batch]] /
+    [[bradley_terry_two_batch]] pattern): the oracle is the one-shot
+    ``_ALIGN_SQL`` over the full corpus, so fold(b1) ⊕ fold(b2) must
+    reproduce the one-shot per-source report bit-for-bit or the driver
+    hash fails.
+
+    Scale shape: per batch, ONE token-key shuffle over the batch only;
+    the mart is the sparse (docs × ≤``_ALIGN_DIM``) grain however long
+    crawl history grows; the scoring joins touch only frontier pairs;
+    media bytes never shuffle."""
+    import shutil
+    import tempfile
+
+    from ..operators.maintenance import merge_aggregate
+
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    tmp = tempfile.mkdtemp(prefix="alignct_")
+    try:
+        scored = None
+        pending = None
+        for pred in (F.col("doc_id") <= mid, F.col("doc_id") > mid):
+            state = merge_aggregate(
+                spark,
+                f"{tmp}/feats",
+                _align_sign_rows(_payloads(spark, sf_dir).where(pred))
+                .withColumnRenamed("sign", "val"),
+                keys=["doc_id", "dim"],
+                sums=["val"],
+                count_col="c",
+            )
+            feats = state.select(
+                "doc_id", "dim", F.col("val").cast("bigint").alias("val")
+            ).localCheckpoint()
+            batch_pairs = _align_pairs(docs.where(pred))
+            candidates = (
+                batch_pairs
+                if pending is None
+                else batch_pairs.unionByName(pending)
+            ).localCheckpoint()
+            per = _align_score(candidates, feats).localCheckpoint()
+            scored = per if scored is None else scored.unionByName(per)
+            # not-yet-scoreable pairs wait for their caption's batch
+            pending = candidates.join(
+                per.select("pair_id"), "pair_id", "left_anti"
+            ).localCheckpoint()
+        return _align_report(scored)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _align_sql() -> str:
@@ -574,6 +666,7 @@ QUERIES = {
     "media_frame_sample": media_frame_sample,
     "media_dedup": media_dedup,
     "media_text_alignment": media_text_alignment,
+    "media_alignment_two_batch": media_alignment_two_batch,
 }
 
 ORACLES = {
@@ -582,4 +675,6 @@ ORACLES = {
     "media_frame_sample": _FRAME_SQL,
     "media_dedup": _MEDIA_DEDUP_SQL,
     "media_text_alignment": _ALIGN_SQL,
+    # the fold must reproduce the ONE-SHOT report bit-for-bit
+    "media_alignment_two_batch": _ALIGN_SQL,
 }

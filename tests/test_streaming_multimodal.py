@@ -491,3 +491,36 @@ def test_media_text_alignment_survives_int64_gate_overflow(spark, tmp_path):
     oracle = {r[0]: r for r in con.execute(_ALIGN_SQL).fetchall()}
     for src, row in got.items():
         assert tuple(row)[1:] == oracle[src][1:], (src, tuple(row), oracle[src])
+
+
+def test_media_alignment_two_batch_scores_cross_batch_caption(spark, tmp_path):
+    """The incremental fold's pending frontier: doc 2 is plant-TRUE
+    (md5 rule), so its pair's caption is doc 3 — but the doc_id median
+    of {1,2,3,100} is 2.5, putting doc 2 in batch 1 and its caption in
+    batch 2 (the wrong-alt-text pair arriving across crawls). The pair
+    must wait as PENDING, score when batch 2 lands, and the two-batch
+    report must equal the one-shot report row-for-row."""
+    from azure_sales_etl_pipeline_spark.plans.multimodal import (
+        media_alignment_two_batch,
+        media_text_alignment,
+    )
+
+    rows = [
+        (1, "alpha bravo charlie delta", "en", "b1", 24),     # plant-TRUE, cap=2 (in-batch)
+        (2, "one two three four five", "en", "xb", 23),       # plant-TRUE, cap=3 (CROSS-batch)
+        (3, "red green blue cyan magenta", "en", "b2", 27),   # plant-FALSE, cap=self
+        (100, "dog cat bird fish lizard", "en", "tail", 24),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    one_shot = sorted(tuple(r) for r in media_text_alignment(spark, str(tmp_path)).collect())
+    folded = sorted(tuple(r) for r in media_alignment_two_batch(spark, str(tmp_path)).collect())
+    assert folded == one_shot
+    rep = {r[0]: r for r in folded}
+    # the cross-batch pair WAS scored (not lost in pending): one pair,
+    # dropped (disjoint vocab vs its planted neighbor caption)
+    assert rep["xb"][1] == 1 and rep["xb"][2] == 0
+    # doc 3 keeps its own caption: cos = 1, kept
+    assert rep["b2"][1] == 1 and rep["b2"][2] == 1
