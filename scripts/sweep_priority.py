@@ -118,6 +118,9 @@ _SWEEP_PINS: dict[str, int] = {
     "curation_pipeline_end_to_end": 12,
     "stream_curation_funnel_fold": 12,
     "stream_quality_suite": 12,
+    # slope widening moved from DECIMAL(38,0) to the exact int64
+    # truncating-division decomposition (values unchanged, 2.1x)
+    "theilsen_revenue_trend": 10,
 }
 
 
