@@ -485,14 +485,47 @@ def minhash_signature(df: DataFrame, text_col: str = "text", k: int = _MINHASH_K
     return staged.withColumn("signature", sig).drop("__hs", "__sh", "__t")
 
 
+# One (staged, bands) build per (SparkContext, sf_dir): FIVE registered
+# consumers rebuild the identical signature tables otherwise
+# (minhash_lsh_candidates, minhash_index_two_batch,
+# minhash_jaccard_estimate_check, plus minhash_recall_check and the
+# curation pipeline through lsh_candidates) — ~1 s/build steady at
+# sf0.1. Models "the band index is materialized once, queries probe
+# it"; bench evicts per PASS (evict_minhash_stage_cache — the
+# _IVF_CENTROID_CACHE honesty contract: each pass pays the build once,
+# on whichever consumer runs first). Values are (staged, bands,
+# jrdd_staged, jrdd_bands) — the JVM RDD handles are the only way to
+# eagerly free localCheckpoint blocks on evict (see
+# similarity._NORM_CORPUS_CACHE, r14 advice #1).
+_MINHASH_STAGE_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def evict_minhash_stage_cache() -> None:
+    """Drop the shared signature/band tables (bench per-pass hook),
+    eagerly freeing their checkpointed blocks."""
+    for _staged, _bands, js, jb in _MINHASH_STAGE_CACHE.values():
+        for j in (js, jb):
+            try:
+                j.unpersist(False)
+            except Exception:  # noqa: BLE001 — session may already be gone
+                pass
+    _MINHASH_STAGE_CACHE.clear()
+
+
 def _staged_shingles_and_bands(spark: SparkSession, sf_dir: str):
     """Shared (staged, bands) tables under [[minhash_lsh_candidates]]
     and [[minhash_index_two_batch]]: ``staged`` = (doc_id, distinct
     shingle array, digest array) eagerly checkpointed so the
     2-sha256-per-shingle work runs once; ``bands`` = exploded
     (doc_id, band_idx, band_hash) posting rows, also checkpointed —
-    the exact table a persisted LSH band index stores."""
+    the exact table a persisted LSH band index stores. Memoized per
+    (SparkContext, sf_dir) — see ``_MINHASH_STAGE_CACHE``."""
     from ..functions import plan_barrier, spread_for_cpu
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _MINHASH_STAGE_CACHE.get(key)
+    if hit is not None:
+        return hit[0], hit[1]
 
     docs = spread_for_cpu(load_table(spark, sf_dir, "documents"))
     r = _MINHASH_K // _LSH_BANDS
@@ -517,6 +550,12 @@ def _staged_shingles_and_bands(spark: SparkSession, sf_dir: str):
             )
         ).alias("band_idx", "band_hash"),
     ).localCheckpoint()
+    _MINHASH_STAGE_CACHE[key] = (
+        staged,
+        bands,
+        staged._jdf.queryExecution().analyzed().rdd(),
+        bands._jdf.queryExecution().analyzed().rdd(),
+    )
     return staged, bands
 
 

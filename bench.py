@@ -143,6 +143,11 @@ def main() -> None:
         from azure_sales_etl_pipeline_spark.plans import similarity
 
         similarity.evict_ivf_centroid_cache()
+        # Same contract for the shared MinHash signature/band tables
+        # (five consumers per pass).
+        from azure_sales_etl_pipeline_spark.plans import dedup
+
+        dedup.evict_minhash_stage_cache()
         for name in run_order:
             if partial:
                 est = samples[name][-1] if samples[name] else 0.0

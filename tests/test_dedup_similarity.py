@@ -945,3 +945,31 @@ def test_semantic_dedup_blocked_matmul_matches_unblocked(spark, tmp_path, monkey
     assert any(r[0] == 100 and r[2] == 5 for r in one_block)
     assert any(r[0] == 101 and r[2] == 5 for r in one_block)
     assert any(r[0] == 102 and r[2] == 9 for r in one_block)
+
+
+def test_minhash_stage_cache_hits_and_evicts(spark, tmp_path):
+    """The shared (staged, bands) memo returns the same checkpointed
+    frames on a hit (keyed by (applicationId, sf_dir)) and eagerly
+    frees the blocks on evict — the _NORM_CORPUS_CACHE contract."""
+    from azure_sales_etl_pipeline_spark.plans import dedup
+
+    spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(12)), "en", "web", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    dedup.evict_minhash_stage_cache()
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    s1, b1 = dedup._staged_shingles_and_bands(spark, str(tmp_path))
+    s2, b2 = dedup._staged_shingles_and_bands(spark, str(tmp_path))
+    assert s1 is s2 and b1 is b2  # memo hit
+    assert jsc.getPersistentRDDs().size() == before + 2
+    dedup.evict_minhash_stage_cache()
+    assert not dedup._MINHASH_STAGE_CACHE
+    import time as _t
+    for _ in range(50):
+        if jsc.getPersistentRDDs().size() == before:
+            break
+        _t.sleep(0.1)
+    assert jsc.getPersistentRDDs().size() == before
