@@ -2365,6 +2365,28 @@ _RRF_DEPTH = 50  # per-retriever candidate depth fed into the fusion
 _RRF_K = 60  # the canonical reciprocal-rank-fusion damping constant
 
 
+# One TF-IDF term table per (SparkContext, sf_dir): FIVE query calls
+# rebuild the identical (doc_id, token, w) table otherwise
+# (sparse_retrieval_topk, hybrid_search_rrf, retrieval_rank_agreement,
+# and _first_stage_candidates under both re-rankers) — ~1.8-2.3 s per
+# build steady at sf0.1. Models "the inverted index is materialized
+# once, queries probe it"; bench evicts per PASS
+# (evict_sparse_terms_cache — the _IVF_CENTROID_CACHE honesty
+# contract). Values are (sw, jrdd) for eager block release on evict.
+_SPARSE_TERMS_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def evict_sparse_terms_cache() -> None:
+    """Drop the shared TF-IDF term table (bench per-pass hook),
+    eagerly freeing its checkpointed blocks."""
+    for _sw, jrdd in _SPARSE_TERMS_CACHE.values():
+        try:
+            jrdd.unpersist(False)
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
+    _SPARSE_TERMS_CACHE.clear()
+
+
 def _sparse_weighted_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, token, w) TF-IDF term weights over word-BIGRAM shingles
     in integer micronat units: w = tf · floor(10⁶·ln((N+1)/(df+1))) —
@@ -2381,8 +2403,14 @@ def _sparse_weighted_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (df·2 > N, idf < ln 2) are dropped: the posting-list cap that keeps
     the inverted-index join's hottest keys bounded at corpus scale.
     One (doc, shingle) shuffle for tf (checkpointed — df re-aggregates
-    from it, the corpus is never re-scanned)."""
+    from it, the corpus is never re-scanned). Memoized per
+    (SparkContext, sf_dir) — see ``_SPARSE_TERMS_CACHE``."""
     from ..functions import LN_Z_SQL, ln_from_kz_sql, ln_k_sql, ln_m_sql
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _SPARSE_TERMS_CACHE.get(key)
+    if hit is not None:
+        return hit[0]
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
@@ -2405,7 +2433,7 @@ def _sparse_weighted_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     arg = "((n_docs + 1.0e0) / (df + 1.0e0))"
-    return (
+    sw = (
         tf.join(dfreq, "token")
         .crossJoin(F.broadcast(n))
         .where(F.col("df") * 2 <= F.col("n_docs"))
@@ -2424,7 +2452,22 @@ def _sparse_weighted_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("w"),
         )
+        # one materialization for all consumers (eager)
+        .localCheckpoint()
     )
+    # sw is materialized; the intermediate tf checkpoint blocks are no
+    # longer reachable through any cached frame — free them now instead
+    # of leaking one tf copy per consumer call (ContextCleaner-only
+    # before this memo existed).
+    try:
+        tf._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001
+        pass
+    _SPARSE_TERMS_CACHE[key] = (
+        sw,
+        sw._jdf.queryExecution().analyzed().rdd(),
+    )
+    return sw
 
 
 def _sparse_ret_cte() -> str:

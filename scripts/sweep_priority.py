@@ -54,7 +54,7 @@ INIT = REPO / "azure_sales_etl_pipeline_spark" / "plans" / "__init__.py"
 _SWEEP_PINS: dict[str, int] = {
     # name -> round whose green sample predates the refactor
     "record_linkage_scores": 9,
-    "cross_encoder_rerank": 11,   # r12: ASCII tokenizer + factored first stage
+    # cross_encoder_rerank: r12 pin superseded by the r15 block below
     "did_revenue_effect": 11,     # r12: overflow-safe rational (ADVICE #2)
     "stream_token_stats_fold": 11,  # r12: multiLine-safe text landing (ADVICE #3)
     # r12 refactors whose driver evidence predates the change (all
@@ -63,7 +63,7 @@ _SWEEP_PINS: dict[str, int] = {
     "stream_drift_monitor": 11,
     "stream_cms_heavy_hitters": 11,
     "stream_drift_psi": 11,
-    "stream_quality_suite": 11,
+    # stream_quality_suite: r12 pin superseded by the r15 block below
     "stream_kmv_distinct": 11,
     # Python-state folds moved to 16 stream partitions
     "stream_user_totals_custom_state": 11,
@@ -77,10 +77,10 @@ _SWEEP_PINS: dict[str, int] = {
     "stream_transition_matrix": 11,
     # kernel factors: _minhash_core_ctes / _chunk_marked+_rebuilt_agg /
     # _pack_segments / _funnel_flags
-    "minhash_lsh_candidates": 11,
+    # minhash_lsh_candidates: r13 pin superseded by the r15 block below
     "chunk_dedup_rewrite": 11,
     "pack_sequences": 11,
-    "curation_funnel": 11,
+    # curation_funnel: r13 pin superseded by the r15 block below
     # r14 refactors whose driver evidence predates the change (all
     # verified locally: full sweeps sf0.001 + sf0.01, vanilla
     # sf0.01/sf0.1 on every touched name, recall pytests green):
@@ -121,6 +121,18 @@ _SWEEP_PINS: dict[str, int] = {
     # slope widening moved from DECIMAL(38,0) to the exact int64
     # truncating-division decomposition (values unchanged, 2.1x)
     "theilsen_revenue_trend": 10,
+    # r15 shared-index memos (MinHash staged/bands + TF-IDF terms;
+    # values unchanged, all consumers oracle-green at sf0.001):
+    "cross_encoder_rerank": 12,
+    # (curation_pipeline_end_to_end already pinned at 12 above)
+    "hybrid_search_rrf": 10,
+    "late_interaction_rerank": 12,
+    "minhash_index_two_batch": 11,
+    "minhash_jaccard_estimate_check": 12,
+    "minhash_lsh_candidates": 12,
+    "minhash_recall_check": 11,
+    "retrieval_rank_agreement": 11,
+    "sparse_retrieval_topk": 10,
 }
 
 
