@@ -2785,14 +2785,40 @@ _BM25R_N_QUERIES = 5  # doc_id < this are the query documents
 _BM25R_TOP_K = 10
 
 
+# One BM25 per-term table per (SparkContext, sf_dir): its consumers
+# (bm25_retrieval_topk, prf_query_expansion, rag_context_pack, plus
+# the retrieval-eval queries built on them) each checkpointed an
+# identical copy. Models "the index is materialized once"; bench
+# evicts per PASS (evict_bm25_cache — the _IVF_CENTROID_CACHE honesty
+# contract). Values are (per_term, jrdd) for eager block release.
+_BM25_TERMS_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def evict_bm25_cache() -> None:
+    """Drop the shared BM25 per-term table (bench per-pass hook),
+    eagerly freeing its checkpointed blocks."""
+    for _pt, jrdd in _BM25_TERMS_CACHE.values():
+        try:
+            jrdd.unpersist(False)
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
+    _BM25_TERMS_CACHE.clear()
+
+
 def _bm25_per_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared (doc_id, token, bm25_micro) table over word-bigram
     shingles — the scoring substrate under [[bm25_retrieval_topk]] and
     [[prf_query_expansion]]: one (doc, shingle) shuffle for tf
     (checkpointed; dl/df/totals re-aggregate from it), df-capped
     posting lists, idf via the portable ln, per-term scores floored to
-    integer micro-units."""
+    integer micro-units. Memoized per (SparkContext, sf_dir) — see
+    ``_BM25_TERMS_CACHE``."""
     from ..functions import LN_Z_SQL, ln_k_sql, ln_m_sql
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _BM25_TERMS_CACHE.get(key)
+    if hit is not None:
+        return hit[0]
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.lower(F.col("text"))), _WS)
@@ -2818,7 +2844,7 @@ def _bm25_per_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalars = docs.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     ).crossJoin(tf.agg(F.sum("tf").cast("bigint").alias("tot_tokens")))
-    return (
+    per_term = (
         tf.join(dl, "doc_id")
         .join(dfreq, "token")
         .crossJoin(F.broadcast(scalars))
@@ -2829,6 +2855,17 @@ def _bm25_per_term(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "token", F.expr(_bm25_score_sql()).alias("bm25_micro"))
         .localCheckpoint()  # feeds query side, corpus side, PRF feedback
     )
+    # per_term is materialized; free the intermediate tf checkpoint now
+    # instead of leaking one copy per consumer call.
+    try:
+        tf._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001
+        pass
+    _BM25_TERMS_CACHE[key] = (
+        per_term,
+        per_term._jdf.queryExecution().analyzed().rdd(),
+    )
+    return per_term
 
 
 def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -151,6 +151,10 @@ def main() -> None:
         # Same contract for the shared TF-IDF term table (five
         # consumers per pass).
         similarity.evict_sparse_terms_cache()
+        # Same contract for the shared BM25 per-term table.
+        from azure_sales_etl_pipeline_spark.plans import textops
+
+        textops.evict_bm25_cache()
         for name in run_order:
             if partial:
                 est = samples[name][-1] if samples[name] else 0.0

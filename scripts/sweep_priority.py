@@ -69,8 +69,7 @@ _SWEEP_PINS: dict[str, int] = {
     "stream_user_totals_custom_state": 11,
     # r13 refactors whose driver evidence predates the change (all
     # verified locally at sf0.001 + vanilla sf0.01/sf0.1):
-    # IDCG upgraded to the full-pool ideal — VALUES changed (r12 advice)
-    "ndcg_retrieval_eval": 12,
+    # ndcg_retrieval_eval: r13 pin superseded by the r15 block below
     # hash staged behind plan_barrier columns (values unchanged)
     "dsir_importance_weights": 10,
     "hashed_feature_crosses": 9,
@@ -133,6 +132,11 @@ _SWEEP_PINS: dict[str, int] = {
     "minhash_recall_check": 11,
     "retrieval_rank_agreement": 11,
     "sparse_retrieval_topk": 10,
+    # r15 BM25 per-term memo (values unchanged, oracle-green):
+    "bm25_retrieval_topk": 11,
+    "ndcg_retrieval_eval": 13,
+    "prf_query_expansion": 11,
+    "rag_context_pack": 11,
 }
 
 
