@@ -930,18 +930,32 @@ def minhash_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest work is the same map-side pipeline `minhash_lsh_candidates`
     runs; nothing here shuffles more than (source, 16 slices) rows."""
     docs = load_table(spark, sf_dir, "documents")
-    from ..functions import plan_barrier
-
-    staged = (
-        plan_barrier(
-            plan_barrier(docs.select("source", "doc_id", _tokens().alias("t"))).select(
-                "source", F.array_distinct(_shingles(F.col("t"))).alias("sh")
-            )
-        ).withColumn("hs", _hash_slices(F.col("sh")))
-    )
-    per_doc = staged.select(
-        "source",
-        *[_sig_slice(F.col("hs"), i).alias(f"s{i}") for i in range(_MINHASH_K)],
+    # Reuse the SHARED band index (_MINHASH_STAGE_CACHE): band_hash is
+    # concat_ws('|', slice[b·r] … slice[b·r+r−1]) of the SAME 8-hex
+    # slices this query needs, so the per-doc signature is a SPLIT of
+    # the checkpointed band rows — 0.06 s vs 2.8 s for re-deriving the
+    # 16 array_min/substr slices from the digest arrays (16 interpreted
+    # HOF passes; measured sf0.1). nullif('') restores the NULL
+    # signature of shingle-less docs (concat_ws renders all-NULL slices
+    # as '', and min/equality must skip them exactly as the digest path
+    # did). The source tag joins back on doc_id (narrow, 1 row/doc).
+    _staged, bands = _staged_shingles_and_bands(spark, sf_dir)
+    r = _MINHASH_K // _LSH_BANDS
+    sl = F.split(F.expr("nullif(band_hash, '')"), r"\|")
+    per_doc = (
+        bands.select("doc_id", "band_idx", sl.alias("sl"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("band_idx") == b, F.col("sl")[j])
+                ).alias(f"s{b * r + j}")
+                for b in range(_LSH_BANDS)
+                for j in range(r)
+            ]
+        )
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", *[f"s{i}" for i in range(_MINHASH_K)])
     )
     sig = per_doc.groupBy("source").agg(
         *[F.min(f"s{i}").alias(f"s{i}") for i in range(_MINHASH_K)]

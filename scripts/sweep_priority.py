@@ -132,6 +132,10 @@ _SWEEP_PINS: dict[str, int] = {
     "minhash_recall_check": 11,
     "retrieval_rank_agreement": 11,
     "sparse_retrieval_topk": 10,
+    # per-doc signatures recovered from the shared band index split
+    # (values unchanged incl. NULL-signature docs; oracle-green at
+    # sf0.001 + sf0.01):
+    "minhash_source_similarity": 9,
     # r15 BM25 per-term memo (values unchanged, oracle-green):
     "bm25_retrieval_topk": 11,
     "ndcg_retrieval_eval": 13,

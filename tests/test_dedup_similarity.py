@@ -973,3 +973,32 @@ def test_minhash_stage_cache_hits_and_evicts(spark, tmp_path):
             break
         _t.sleep(0.1)
     assert jsc.getPersistentRDDs().size() == before
+
+
+def test_minhash_source_similarity_null_signature_docs(spark, tmp_path):
+    """The band-split signature recovery must preserve NULL-signature
+    semantics for shingle-less docs (concat_ws renders all-NULL slices
+    as '', which nullif restores): a source whose only doc is too short
+    to shingle must not poison other sources' min-signatures, and clone
+    sources must still estimate 1000 permille."""
+    from azure_sales_etl_pipeline_spark.plans.dedup import (
+        minhash_source_similarity,
+    )
+
+    text = " ".join(f"w{i}" for i in range(20))
+    spark.createDataFrame(
+        [
+            (1, text, "en", "s1", 0),
+            (2, text, "en", "s2", 0),   # clone of s1's doc
+            (3, "xy", "en", "tiny", 0),  # 1 token: no shingles -> NULL sig
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    rows = {(r["source_a"], r["source_b"]): r
+            for r in minhash_source_similarity(spark, str(tmp_path)).collect()}
+    assert rows[("s1", "s2")]["est_jaccard_permille"] == 1000
+    # the tiny source's NULL signature matches nothing
+    for pair, r in rows.items():
+        if "tiny" in pair:
+            assert r["matching_slices"] == 0
