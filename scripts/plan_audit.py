@@ -128,7 +128,10 @@ EXPECTATIONS: dict[str, dict] = {
     "minhash_lsh_candidates": {"min_bhj": 6, "max_exchanges": 1},
     "ann_topk_ivf": {"must_push": True, "min_bhj": 2, "max_exchanges": 1},
     "ann_topk_filtered": {"must_push": True, "min_bhj": 2, "max_exchanges": 1},
-    "sparse_retrieval_topk": {"min_bhj": 6, "max_exchanges": 6},
+    # r15: the TF-IDF index build (and its 4 broadcasts) moved behind
+    # the _SPARSE_TERMS_CACHE checkpoint — the audited live plan is the
+    # QUERY side only: posting-list broadcast join + per-query window.
+    "sparse_retrieval_topk": {"min_bhj": 2, "max_exchanges": 2},
     "preference_pairs": {"must_push": True, "min_bhj": 10, "max_exchanges": 6},
     "dsir_importance_weights": {"min_bhj": 2, "max_exchanges": 4},
     "semantic_dedup": {"max_exchanges": 2},
