@@ -579,7 +579,20 @@ def media_alignment_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if pending is None
                 else batch_pairs.unionByName(pending)
             ).localCheckpoint()
-            per = _align_score(candidates, feats).localCheckpoint()
+            # Restrict the mart to the scoring frontier BEFORE the norm
+            # aggregate: _align_score groups feats by doc_id for norms,
+            # and without this semi-join every batch would re-aggregate
+            # the ENTIRE folded mart (growing with crawl history) to
+            # score a bounded frontier — the one history re-scan the
+            # fold exists to avoid. Frontier ids = candidate pair ids ∪
+            # caption ids, bounded by |batch| + |pending|.
+            frontier_ids = (
+                candidates.select(F.col("pair_id").alias("doc_id"))
+                .unionByName(candidates.select(F.col("cap_id").alias("doc_id")))
+                .distinct()
+            )
+            frontier_feats = feats.join(frontier_ids, "doc_id", "left_semi")
+            per = _align_score(candidates, frontier_feats).localCheckpoint()
             scored = per if scored is None else scored.unionByName(per)
             # not-yet-scoreable pairs wait for their caption's batch
             pending = candidates.join(
