@@ -186,7 +186,11 @@ def main() -> int:
                     help="bare SparkSession (the driver's environment)")
     ap.add_argument("--time", dest="timing", action="store_true",
                     help="print per-query wall time")
-    ns = ap.parse_args()
+    # parse_intermixed_args: plain parse_args rejects positional names
+    # that FOLLOW a flag (`sf_dir --vanilla name1 name2` → "unrecognized
+    # arguments") because nargs='*' positionals don't re-open after an
+    # optional; intermixed parsing handles both orders.
+    ns = ap.parse_intermixed_args()
     vanilla = ns.vanilla
     timing = ns.timing
     sf_dir = ns.sf_dir
