@@ -167,28 +167,41 @@ def fertility_adjusted_token_budgets(spark: SparkSession, sf_dir: str) -> DataFr
     unpartitioned window), so the plan stays distributed even though
     the control frame is tiny. One corpus scan total.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens()
-    per_lang = (
-        docs.select(
-            "lang",
-            F.size(toks).alias("w"),
-            F.expr(r"regexp_count(text, '\\S{1,4}')").cast("int").alias("sw"),
-        )
-        .groupBy("lang")
-        .agg(
+    per_doc = _fertility_per_doc(load_table(spark, sf_dir, "documents"))
+    return _budgets_from_lang_grain(
+        per_doc.groupBy("lang").agg(
             F.sum("w").cast("bigint").alias("n_words"),
             F.sum("sw").cast("bigint").alias("n_subwords"),
         )
-        .select(
-            "lang",
-            "n_words",
-            "n_subwords",
-            F.expr(
-                "CAST(1000 * n_subwords DIV greatest(n_words, 1) AS BIGINT)"
-            ).alias("fertility_milli"),
-            F.floor(F.sqrt(F.col("n_words"))).cast("bigint").alias("w_sqrt"),
-        )
+    )
+
+
+def _fertility_per_doc(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, w, sw) per-doc word/subword counts — the additive
+    grain both the one-shot budgets and the
+    [[fertility_budgets_two_batch]] fold aggregate from."""
+    toks = _tokens()
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("w"),
+        F.expr(r"regexp_count(text, '\\S{1,4}')").cast("int").alias("sw"),
+    )
+
+
+def _budgets_from_lang_grain(lang_grain: DataFrame) -> DataFrame:
+    """Largest-remainder budget allocation from the (lang, n_words,
+    n_subwords) control frame — shared by the one-shot and folded
+    paths so an allocation change cannot reach one and miss the
+    other."""
+    per_lang = lang_grain.select(
+        "lang",
+        "n_words",
+        "n_subwords",
+        F.expr(
+            "CAST(1000 * n_subwords DIV greatest(n_words, 1) AS BIGINT)"
+        ).alias("fertility_milli"),
+        F.floor(F.sqrt(F.col("n_words"))).cast("bigint").alias("w_sqrt"),
     )
     tot = per_lang.agg(F.sum("w_sqrt").alias("tot_w"))
     quota = per_lang.crossJoin(F.broadcast(tot)).select(
@@ -247,6 +260,53 @@ def fertility_adjusted_token_budgets(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("lang")
     )
+
+
+def fertility_budgets_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained [[fertility_adjusted_token_budgets]] —
+    the shape a multilingual curation pipeline re-plans budgets in:
+    crawl batches fold their per-doc (lang, words, subwords) counts
+    into a persisted |languages|-row mart
+    (``operators.maintenance.merge_aggregate`` — both counts are
+    additive), and the whole largest-remainder allocation re-runs on
+    the folded control frame. Two doc_id-median batches here; the
+    convergence contract is the [[doremi_two_batch]] pattern: the
+    oracle is the one-shot SQL, so fold(b1) ⊕ fold(b2) must reproduce
+    the one-shot budgets bit-for-bit or the driver hash fails.
+
+    Scale shape: per batch ONE lang-key aggregate over the BATCH only
+    (map-side combined); the persisted state is |languages| rows
+    however long crawl history grows; the allocation touches only
+    that state (shared ``_budgets_from_lang_grain`` — an allocation
+    change cannot reach one path and miss the other)."""
+    import shutil
+    import tempfile
+
+    from ..operators.maintenance import merge_aggregate
+
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    per_doc = _fertility_per_doc(docs).localCheckpoint()
+    tmp = tempfile.mkdtemp(prefix="fertct_")
+    try:
+        state = None
+        for pred in (F.col("doc_id") <= mid, F.col("doc_id") > mid):
+            state = merge_aggregate(
+                spark,
+                f"{tmp}/lang_counts",
+                per_doc.where(pred).select("lang", "w", "sw"),
+                keys=["lang"],
+                sums=["w", "sw"],
+                count_col="n_docs",
+            )
+        grain = state.select(
+            "lang",
+            F.col("w").cast("bigint").alias("n_words"),
+            F.col("sw").cast("bigint").alias("n_subwords"),
+        )
+        return _budgets_from_lang_grain(grain).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 _FERT_BUDGETS_SQL = rf"""
@@ -4028,6 +4088,7 @@ QUERIES = {
     "doc_token_stats": doc_token_stats,
     "tokenizer_fertility_by_lang": tokenizer_fertility_by_lang,
     "fertility_adjusted_token_budgets": fertility_adjusted_token_budgets,
+    "fertility_budgets_two_batch": fertility_budgets_two_batch,
     "source_vocab_drift": source_vocab_drift,
     "source_curation_rollup": source_curation_rollup,
     "winnowing_fingerprints": winnowing_fingerprints,
@@ -4067,6 +4128,8 @@ ORACLES = {
     "doc_token_stats": _TOKEN_STATS_SQL,
     "tokenizer_fertility_by_lang": _FERTILITY_SQL,
     "fertility_adjusted_token_budgets": _FERT_BUDGETS_SQL,
+    # the fold must reproduce the ONE-SHOT budgets bit-for-bit
+    "fertility_budgets_two_batch": _FERT_BUDGETS_SQL,
     "source_vocab_drift": _SOURCE_DRIFT_SQL,
     "source_curation_rollup": _source_rollup_sql(),
     "winnowing_fingerprints": _WINNOW_SQL,

@@ -937,3 +937,37 @@ def test_fertility_adjusted_token_budgets_planted(spark, tmp_path):
         out["hi"]["subword_token_budget"]
         == out["hi"]["raw_token_budget"] * 2
     )
+
+
+def test_fertility_budgets_two_batch_equals_one_shot(spark, tmp_path):
+    """Fold convergence with a language ARRIVING in batch 2: 'late'
+    has no batch-1 rows (its mart row is created by the second fold),
+    and the folded allocation must still equal the one-shot
+    bit-for-bit — including the largest-remainder split, which
+    redistributes when a new language's sqrt-mass joins the pool."""
+    from azure_sales_etl_pipeline_spark.plans.textops import (
+        fertility_adjusted_token_budgets,
+        fertility_budgets_two_batch,
+    )
+
+    lo = " ".join(["abcd"] * 30)
+    hi = " ".join(["abcdefgh"] * 30)
+    rows = [
+        (1, lo, "lo", "web", 0),
+        (2, lo, "lo", "web", 0),
+        (3, hi, "hi", "web", 0),
+        # doc_id median of {1,2,3,9,10} is 3 -> batch2 = {9,10}
+        (9, hi, "late", "web", 0),
+        (10, lo, "late", "web", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    one = sorted(tuple(r) for r in
+                 fertility_adjusted_token_budgets(spark, str(tmp_path)).collect())
+    two = sorted(tuple(r) for r in
+                 fertility_budgets_two_batch(spark, str(tmp_path)).collect())
+    assert one == two
+    langs = [r[0] for r in two]
+    assert langs == ["hi", "late", "lo"]
