@@ -1002,3 +1002,36 @@ def test_minhash_source_similarity_null_signature_docs(spark, tmp_path):
     for pair, r in rows.items():
         if "tiny" in pair:
             assert r["matching_slices"] == 0
+
+
+def test_shared_index_memos_isolate_sf_dirs(spark, tmp_path):
+    """The r15 shared-index memos key by (applicationId, sf_dir): two
+    corpora queried back-to-back in one session must each see their
+    OWN index — a key bug here silently serves corpus A's postings to
+    corpus B's queries, which no single-corpus oracle would catch."""
+    from azure_sales_etl_pipeline_spark.plans.similarity import (
+        _sparse_weighted_terms,
+    )
+    from azure_sales_etl_pipeline_spark.plans.textops import _bm25_per_term
+
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    dirs = {}
+    for tag, word in (("a", "alpha"), ("b", "bravo")):
+        d = tmp_path / tag
+        d.mkdir()
+        rows = [(i, f"{word}{i % 3} {word}{(i + 1) % 3} filler common", "en", "web", 0)
+                for i in range(8)]
+        spark.createDataFrame(rows, schema).write.parquet(
+            str(d / "documents.parquet")
+        )
+        dirs[tag] = str(d)
+
+    for fn in (_sparse_weighted_terms, _bm25_per_term):
+        toks_a = {r["token"] for r in fn(spark, dirs["a"]).collect()}
+        toks_b = {r["token"] for r in fn(spark, dirs["b"]).collect()}
+        assert toks_a and toks_b
+        assert all("alpha" in t or t == "filler common" for t in toks_a), toks_a
+        assert all("bravo" in t or t == "filler common" for t in toks_b), toks_b
+        # repeat call: memo hit must return the same corpus, not the
+        # most recently built one
+        assert {r["token"] for r in fn(spark, dirs["a"]).collect()} == toks_a
