@@ -177,21 +177,26 @@ def audit(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, dict]
     jvm = spark._jvm
     mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     results: dict[str, dict] = {}
-    # Audit each query against its COLD plan. Two kinds of residual
-    # process state otherwise make features order-dependent (r13: the
-    # sweep reorder flipped ann_topk_ivf/_filtered to a spurious
-    # expected-pushdown-missing): the shared IVF coarse-quantizer cache
-    # (evicted like bench.py's per-pass preamble), and Spark's cache
-    # manager substituting a prior query's still-resident
-    # InMemoryRelation (ann_recall_check deliberately leaves the
-    # embeddings scan cached) for a matching subplan — which erases the
-    # FileScan and its PushedFilters from the audited plan. Both are
-    # correct runtime behavior; the LEDGER judges the cold plan.
+    # Audit each query against its COLD plan. Residual catalog-cache
+    # state otherwise makes features order-dependent (r13: the sweep
+    # reorder flipped ann_topk_ivf/_filtered to a spurious
+    # expected-pushdown-missing): Spark's cache manager substitutes a
+    # prior query's still-resident InMemoryRelation (ann_recall_check
+    # deliberately leaves the embeddings scan cached) for a matching
+    # subplan — which erases the FileScan and its PushedFilters from
+    # the audited plan. That is correct runtime behavior; the LEDGER
+    # judges the cold plan, so clearCache() runs before EVERY query.
+    # The IVF coarse-quantizer cache, by contrast, is evicted ONCE at
+    # the start: training is deterministic, so a warm hit returns the
+    # byte-identical literal centroids a retrain would produce and the
+    # serving plan is unchanged (r15: verified feature-for-feature
+    # equal across all 45 subset∪expectation queries, 34.0 s → 16.4 s;
+    # the training job itself never appears in the audited plan).
     from azure_sales_etl_pipeline_spark.plans import similarity
 
+    similarity.evict_ivf_centroid_cache()
     for name, fn in queries.items():
         try:
-            similarity.evict_ivf_centroid_cache()
             spark.catalog.clearCache()
             df = fn(spark, sf_dir)
             plan = df._jdf.queryExecution().explainString(mode)
