@@ -3762,6 +3762,173 @@ _ANN_RECALL_SQL = f"""
 """
 
 
+_NPROBE_LEVELS = (1, 2, 4, 8)
+
+
+def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe-tuning report an IVF deployment actually produces:
+    exact recall@k at each probe width in ``_NPROBE_LEVELS``, in ONE
+    pass — the recall-vs-cost curve that picks the serving ``nprobe``
+    (FAISS's ``nprobe`` sweep, run as a query instead of a notebook).
+
+    Key identity that makes this one cheap pass instead of
+    ``len(levels)`` searches: a TRUE top-k neighbor found in a probed
+    list can never be displaced from the restricted top-k by a
+    non-probed candidate (truth rows are the k globally closest, so
+    nothing closer exists to push them out). Hence hit(q, v, p) ⇔
+    rank of v's inverted list among q's centroid ordering ≤ p, and the
+    whole sweep reduces to ONE centroid-rank join over the truth
+    pairs — no per-level re-search, recall monotone in p by
+    construction.
+
+    Scale shape: the corpus is touched exactly twice (the brute-force
+    truth pass — which a 100 TB deployment runs on a sampled query
+    set, as here with ``_N_QUERIES`` — and the narrow Arrow
+    assignment pass); everything after is |truth|×k rows. All-integer
+    on the ``_IVF_SCALE`` quantization, so the DuckDB oracle replays
+    the index build AND the sweep bit-exactly."""
+    from ..functions import local_df
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = plan_barrier(
+        emb.select("vec_id", _as_q(_as_double("embedding")).alias("q"))
+    )
+    centroids = _IVF_CENTROID_CACHE.get(sf_dir)
+    if centroids is None:
+        centroids = _train_centroids(corpus)
+        _IVF_CENTROID_CACHE[sf_dir] = centroids
+
+    assigned = _coarse_assign_np(
+        corpus, centroids, keep=["vec_id bigint"], emit=("cluster",)
+    )
+    queries = plan_barrier(
+        emb.where(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            _as_q(_as_double("embedding")).alias("qq"),
+        )
+    )
+    ranked = F.array_sort(
+        F.transform(
+            F.col("cents"),
+            lambda c, i: F.struct(
+                _sq_dist_int(F.col("qq"), c).alias("d"), i.alias("i")
+            ),
+        )
+    )
+    ranks = (
+        _with_centroids(queries, centroids)
+        .select("query_id", F.posexplode(ranked).alias("pos", "p"))
+        .select(
+            "query_id",
+            (F.col("pos") + 1).alias("probe_rank"),
+            F.col("p.i").alias("cluster"),
+        )
+    )
+    truth = ann_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    pair_rank = assigned.join(F.broadcast(truth), "vec_id").join(
+        F.broadcast(ranks), ["query_id", "cluster"]
+    )
+    levels = local_df(
+        spark, [(p,) for p in _NPROBE_LEVELS], "nprobe int"
+    )
+    return (
+        pair_rank.crossJoin(F.broadcast(levels))
+        .groupBy("nprobe")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_truth_pairs"),
+            F.sum(F.when(F.col("probe_rank") <= F.col("nprobe"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+        .select(
+            "nprobe",
+            "n_truth_pairs",
+            "n_hits",
+            F.expr("n_hits * 1000 div n_truth_pairs").alias("recall_permille"),
+        )
+    )
+
+
+def _ivf_nprobe_sweep_sql() -> str:
+    """DuckDB replay of [[ivf_nprobe_sweep]]: the `_ann_ivf_sql` CTE
+    chain up to the corpus assignment plus the FULL centroid ranking
+    per query (probe_rank over all k lists, not a top-p slice), the
+    brute-force truth CTE, and the rank-threshold recall reduction."""
+    k, nq, topk, s, d = _IVF_K, _N_QUERIES, _TOP_K, _IVF_SCALE, _EMB_DIM
+    lloyd, cents = _lloyd_rounds_sql("corpus", _IVF_ITERS, d)
+    levels = ", ".join(str(p) for p in _NPROBE_LEVELS)
+    return f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(floor(x * {s}) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    stats AS (SELECT greatest(count(*) // {k}, 1) AS stride FROM corpus),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS sq
+        FROM corpus, stats
+        WHERE vec_id % stride = 0
+        ORDER BY vec_id
+        LIMIT {k}
+    ),
+    {lloyd},
+    d1 AS (
+        SELECT c.vec_id, t.cid,
+               list_sum(list_transform(range(1, {d + 1}),
+                   i -> (c.q[i] - t.cq[i]) * (c.q[i] - t.cq[i]))) AS d2
+        FROM corpus c, {cents} t
+    ),
+    assign AS (
+        SELECT vec_id, cid AS cluster FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM d1) WHERE rn = 1
+    ),
+    qset AS (
+        SELECT vec_id AS query_id, vec AS qvec, q AS qq
+        FROM corpus WHERE vec_id < {nq}
+    ),
+    qd AS (
+        SELECT query_id, cid,
+               row_number() OVER (PARTITION BY query_id ORDER BY d2, cid)
+                   AS probe_rank
+        FROM (
+            SELECT qs.query_id, t.cid,
+                   list_sum(list_transform(range(1, {d + 1}),
+                       i -> (qs.qq[i] - t.cq[i]) * (qs.qq[i] - t.cq[i]))) AS d2
+            FROM qset qs, {cents} t)
+    ),
+    truth AS (
+        SELECT query_id, vec_id FROM (
+            SELECT qs.query_id, e.vec_id,
+                   row_number() OVER (PARTITION BY qs.query_id
+                       ORDER BY list_dot_product(qs.qvec, e.vec)
+                                / (sqrt(list_dot_product(qs.qvec, qs.qvec))
+                                   * sqrt(list_dot_product(e.vec, e.vec)))
+                                DESC,
+                                e.vec_id ASC) AS rank
+            FROM corpus e JOIN qset qs ON e.vec_id != qs.query_id)
+        WHERE rank <= {topk}
+    ),
+    pairs AS (
+        SELECT t.query_id, t.vec_id, qd.probe_rank
+        FROM truth t
+        JOIN assign a ON a.vec_id = t.vec_id
+        JOIN qd ON qd.query_id = t.query_id AND qd.cid = a.cluster
+    ),
+    levels AS (SELECT unnest([{levels}]) AS nprobe)
+    SELECT CAST(nprobe AS INTEGER) AS nprobe,
+           CAST(count(*) AS BIGINT) AS n_truth_pairs,
+           CAST(sum(CASE WHEN probe_rank <= nprobe THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(sum(CASE WHEN probe_rank <= nprobe THEN 1 ELSE 0 END) * 1000
+                // count(*) AS BIGINT) AS recall_permille
+    FROM pairs, levels
+    GROUP BY nprobe
+"""
+
+
 # ---------------------------------------------------------------------------
 # Gram matrix accumulation (the single-pass input to PCA / whitening)
 # ---------------------------------------------------------------------------
@@ -4233,6 +4400,7 @@ def _semantic_dedup_sql() -> str:
 QUERIES = {
     "embedding_decontaminate": embedding_decontaminate,
     "ivf_index_maintenance": ivf_index_maintenance,
+    "ivf_nprobe_sweep": ivf_nprobe_sweep,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_int8": ann_topk_int8,
     "semantic_dedup": semantic_dedup,
@@ -4269,6 +4437,7 @@ QUERIES = {
 ORACLES = {
     "embedding_decontaminate": _DECON_SQL,
     "ivf_index_maintenance": _IVF_MAINT_SQL,
+    "ivf_nprobe_sweep": _ivf_nprobe_sweep_sql(),
     "ann_topk_bruteforce": _BRUTE_SQL,
     "ann_topk_int8": _INT8_SQL,
     "semantic_dedup": _semantic_dedup_sql(),

@@ -1251,6 +1251,63 @@ def _bigram_surprisal_sql() -> str:
 _BIGRAM_SURPRISAL_SQL = _bigram_surprisal_sql()
 
 
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020, §3.3):
+    within each LANGUAGE, rank documents by LM perplexity and cut the
+    ranking into terciles — bucket 1 (head) is the most-fluent third
+    that pretraining keeps preferentially, bucket 3 (tail) the
+    discard-candidate third. The LM is this corpus's own bigram MLE
+    ([[bigram_surprisal]]'s integer-micronat score, mean per bigram ≡
+    perplexity rank order), the split is ``ntile(3)`` over
+    (mean_surprisal, doc_id) — SQL-standard tercile semantics both
+    engines share, deterministic under the doc_id tie-break.
+
+    Output is the per-(lang, bucket) REPORT the pipeline acts on:
+    volume (docs, bigram tokens) and the surprisal band
+    [min, max] each bucket spans — the numbers that set a language's
+    perplexity cutoff.
+
+    Scale shape: the surprisal family's two shuffles, then ONE ntile
+    window partitioned by lang (≤ |langs| reducers see |docs| slim
+    rows — at 100 TB swap for a per-lang quantile cut via
+    ``percentile_approx`` if |docs|/lang outgrows a partition), and a
+    final (lang, bucket)-keyed agg. Never corpus²."""
+    scored = bigram_surprisal(spark, sf_dir)
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("mean_surprisal_micronats", "doc_id")
+    bucketed = scored.join(langs, "doc_id").withColumn(
+        "bucket", F.ntile(3).over(w)
+    )
+    return (
+        bucketed.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
+            F.min("mean_surprisal_micronats").alias("min_mean_micronats"),
+            F.max("mean_surprisal_micronats").alias("max_mean_micronats"),
+        )
+    )
+
+
+_CCNET_BUCKETS_SQL = f"""
+    WITH bs AS ({_BIGRAM_SURPRISAL_SQL}),
+    bucketed AS (
+        SELECT d.lang, bs.n_bigrams, bs.mean_surprisal_micronats,
+               ntile(3) OVER (PARTITION BY d.lang
+                              ORDER BY bs.mean_surprisal_micronats,
+                                       bs.doc_id) AS bucket
+        FROM bs JOIN documents d ON d.doc_id = bs.doc_id
+    )
+    SELECT lang, bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+           min(mean_surprisal_micronats) AS min_mean_micronats,
+           max(mean_surprisal_micronats) AS max_mean_micronats
+    FROM bucketed
+    GROUP BY lang, bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # BPE pair statistics (tokenizer-training prep)
 # ---------------------------------------------------------------------------
@@ -3936,6 +3993,131 @@ def _dsir_sql() -> str:
 """
 
 
+_DSIR_RESAMPLE_K = 50
+#: u = (h+1)/2⁶⁰ ∈ (2⁻⁶⁰, 1] — the [[weighted_doc_sample]] idiom with
+#: this query's own salt.
+_DSIRR_U = "(CAST(h + 1 AS DOUBLE) / 1.152921504606846976e18)"
+_DSIRR_LO_K, _DSIRR_HI_K = -60, 1
+#: The inner clock −ln(u) is clamped at 1e-9 before the outer ln: a doc
+#: whose u lands within the series' ~1.9e-7 absolute error of 1.0 could
+#: otherwise push the COMPUTED −ln(u) to 0 or below, and ln of a
+#: non-positive value walks the mantissa CASE off its domain (finite
+#: deterministic garbage at best, a NaN whose floor() the two engines
+#: may disagree on at worst — the media_text_alignment overflow lesson:
+#: bound the domain, don't hope). greatest() is portable, the clamp is
+#: measure-~2e-7 per doc, and clamped docs sort to the sampled end
+#: deterministically (tie-broken by doc_id). With the clamp the outer
+#: ln's domain is [1e-9, 42], inside [2⁻³⁰, 2⁶].
+_DSIRR_INNER_FLOOR = "1e-09"
+_DSIRR_LO_K2, _DSIRR_HI_K2 = -30, 6
+
+
+def dsir_resample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SELECTION step DSIR actually ships (Xie et al. 2023, §2:
+    "sample k examples without replacement ∝ exp(weight)"), run as a
+    query on top of [[dsir_importance_weights]]: an Efraimidis–Spirakis
+    exponential race in LOG space. The classic key −ln(u)/w needs
+    w = exp(λ) — libm territory — but MINIMIZING −ln(u)/exp(λ) is the
+    same order as minimizing ln(−ln(u)) − λ, which needs only the
+    portable series ln twice; λ is already integer micronats, the outer
+    ln floors to micronats too, so the race key is a BIGINT and the
+    top-k cut cannot wobble across engines.
+
+    Scale shape: the weights query's two-shuffle skeleton, then ONE
+    narrow map computes the key in codegen and TakeOrderedAndProject
+    keeps k rows per partition before a k-row driver merge — no global
+    sort, no extra shuffle, same as [[weighted_doc_sample]]."""
+    from ..functions import (
+        LN_Z_SQL,
+        hex_to_bigint_sql,
+        ln_from_kz_sql,
+        ln_k_sql,
+        ln_m_sql,
+    )
+
+    w = dsir_importance_weights(spark, sf_dir)
+    h = hex_to_bigint_sql(
+        "substr(sha2(concat('dsirres:', CAST(doc_id AS STRING)), 256), 1, 15)"
+    )
+    clock = (
+        f"greatest(-({ln_from_kz_sql('__ln_k', '__ln_z')}),"
+        f" {_DSIRR_INNER_FLOOR})"
+    )
+    gumbel = ln_from_kz_sql("__g_k", "__g_z")
+    # The fence between the two ln chains is load-bearing: the outer
+    # chain's mantissa CASE references ``clock`` in every branch, and
+    # CollapseProject would otherwise re-inline the ENTIRE clock series
+    # (62-branch CASE × 15-term hex decode) into each — the r13
+    # poisson_bootstrap staging lesson.
+    staged = plan_barrier(
+        w.withColumn("h", F.expr(h))
+        .withColumn("__ln_k", F.expr(ln_k_sql(_DSIRR_U, _DSIRR_LO_K, _DSIRR_HI_K)))
+        .withColumn(
+            "__ln_m", F.expr(ln_m_sql(_DSIRR_U, "__ln_k", _DSIRR_LO_K, _DSIRR_HI_K))
+        )
+        .withColumn("__ln_z", F.expr(LN_Z_SQL))
+        .withColumn("clock", F.expr(clock))
+        .select("doc_id", "source", "n_feats", "weight_micronats", "clock")
+    )
+    return (
+        staged.withColumn(
+            "__g_k", F.expr(ln_k_sql("clock", _DSIRR_LO_K2, _DSIRR_HI_K2))
+        )
+        .withColumn(
+            "__g_m", F.expr(ln_m_sql("clock", "__g_k", _DSIRR_LO_K2, _DSIRR_HI_K2))
+        )
+        .withColumn("__g_z", F.expr("((__g_m - 1.0e0) / (__g_m + 1.0e0))"))
+        .withColumn(
+            "race_key_micro",
+            F.expr(
+                f"CAST(floor(({gumbel}) * 1.0e6) AS BIGINT) - weight_micronats"
+            ),
+        )
+        .select("doc_id", "source", "n_feats", "weight_micronats", "race_key_micro")
+        .orderBy("race_key_micro", "doc_id")
+        .limit(_DSIR_RESAMPLE_K)
+    )
+
+
+def _dsir_resample_sql() -> str:
+    from ..functions import (
+        hex_to_bigint_sql,
+        ln_from_kz_sql,
+        ln_k_sql,
+        ln_m_sql,
+    )
+
+    h = hex_to_bigint_sql(
+        "substr(sha256('dsirres:' || CAST(doc_id AS VARCHAR)), 1, 15)"
+    )
+    clock = (
+        f"greatest(-({ln_from_kz_sql('__ln_k', '__ln_z')}),"
+        f" {_DSIRR_INNER_FLOOR})"
+    )
+    gumbel = ln_from_kz_sql("__g_k", "__g_z")
+    return f"""
+    WITH w AS ({_dsir_sql()}),
+    b AS (SELECT doc_id, source, n_feats, weight_micronats, {h} AS h FROM w),
+    s1 AS (SELECT *, {ln_k_sql(_DSIRR_U, _DSIRR_LO_K, _DSIRR_HI_K)} AS __ln_k
+           FROM b),
+    s2 AS (SELECT *, {ln_m_sql(_DSIRR_U, "__ln_k", _DSIRR_LO_K, _DSIRR_HI_K)}
+               AS __ln_m FROM s1),
+    s3 AS (SELECT *, ((__ln_m - 1.0e0) / (__ln_m + 1.0e0)) AS __ln_z FROM s2),
+    s4 AS (SELECT *, {clock} AS clock FROM s3),
+    s5 AS (SELECT *, {ln_k_sql("clock", _DSIRR_LO_K2, _DSIRR_HI_K2)} AS __g_k
+           FROM s4),
+    s6 AS (SELECT *, {ln_m_sql("clock", "__g_k", _DSIRR_LO_K2, _DSIRR_HI_K2)}
+               AS __g_m FROM s5),
+    s7 AS (SELECT *, ((__g_m - 1.0e0) / (__g_m + 1.0e0)) AS __g_z FROM s6)
+    SELECT doc_id, source, n_feats, weight_micronats,
+           CAST(floor(({gumbel}) * 1.0e6) AS BIGINT) - weight_micronats
+               AS race_key_micro
+    FROM s7
+    ORDER BY race_key_micro, doc_id
+    LIMIT {_DSIR_RESAMPLE_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # repetition-signal quality filter (Gopher Table A1 family)
 # ---------------------------------------------------------------------------
@@ -4107,6 +4289,8 @@ QUERIES = {
     "unigram_surprisal": unigram_surprisal,
     "dsir_importance_weights": dsir_importance_weights,
     "bigram_surprisal": bigram_surprisal,
+    "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
+    "dsir_resample_topk": dsir_resample_topk,
     "pmi_collocations": pmi_collocations,
     "zipf_fit": zipf_fit,
     "bpe_pair_counts": bpe_pair_counts,
@@ -4148,6 +4332,8 @@ ORACLES = {
     "unigram_surprisal": _SURPRISAL_SQL,
     "dsir_importance_weights": _dsir_sql(),
     "bigram_surprisal": _BIGRAM_SURPRISAL_SQL,
+    "ccnet_perplexity_buckets": _CCNET_BUCKETS_SQL,
+    "dsir_resample_topk": _dsir_resample_sql(),
     "pmi_collocations": _pmi_sql(),
     "zipf_fit": _zipf_sql(),
     "bpe_pair_counts": _BPE_SQL,

@@ -1035,3 +1035,22 @@ def test_shared_index_memos_isolate_sf_dirs(spark, tmp_path):
         # repeat call: memo hit must return the same corpus, not the
         # most recently built one
         assert {r["token"] for r in fn(spark, dirs["a"]).collect()} == toks_a
+
+
+def test_ivf_nprobe_sweep_monotone_and_consistent(spark):
+    """The sweep's rank-threshold identity: recall must be monotone
+    non-decreasing in nprobe (a truth neighbor probed at rank r is hit
+    by every level ≥ r), every level shares the same truth-pair
+    denominator, and the widest level here (8 = the serving
+    ``_IVF_PROBES`` neighborhood) must clear the ann_recall_check IVF
+    floor of 0.8 — the sweep exists to pick that serving width, so it
+    must reproduce the gate's answer."""
+    from azure_sales_etl_pipeline_spark.plans.similarity import ivf_nprobe_sweep
+
+    rows = {r["nprobe"]: r for r in ivf_nprobe_sweep(spark, SF_DIR).collect()}
+    assert sorted(rows) == [1, 2, 4, 8]
+    denoms = {r["n_truth_pairs"] for r in rows.values()}
+    assert len(denoms) == 1 and denoms.pop() > 0
+    hits = [rows[p]["n_hits"] for p in (1, 2, 4, 8)]
+    assert hits == sorted(hits), f"recall not monotone in nprobe: {hits}"
+    assert rows[8]["recall_permille"] >= 800, rows[8]["recall_permille"]

@@ -971,3 +971,95 @@ def test_fertility_budgets_two_batch_equals_one_shot(spark, tmp_path):
     assert one == two
     langs = [r[0] for r in two]
     assert langs == ["hi", "late", "lo"]
+
+
+def test_dsir_resample_keeps_every_target_like_doc(spark, tmp_path):
+    """The exponential race must follow the weights when the weight gap
+    dwarfs the Gumbel spread: with 20 target-like raw docs (importance
+    weight ~hundreds of nats above the 40 target-unlike raw docs) and
+    k=50 slots over a 60-doc raw pool, every target-like doc must be
+    selected — the race key's ln(clock) term spans ~11 nats, orders of
+    magnitude below the planted gap, so losing even one target-like doc
+    means the key mixed the terms wrong (e.g. a sign flip or a
+    micronat/nat unit error)."""
+    import random
+
+    from azure_sales_etl_pipeline_spark.plans.textops import (
+        _DSIR_RESAMPLE_K,
+        _DSIR_TARGET,
+        dsir_resample_topk,
+    )
+
+    rng = random.Random(7)
+    target_vocab = [f"med{i}" for i in range(30)]
+    other_vocab = [f"web{i}" for i in range(30)]
+    rows = []
+    doc_id = 0
+    for _ in range(20):  # target corpus defines p_target
+        rows.append(
+            (doc_id, " ".join(rng.choice(target_vocab) for _ in range(40)),
+             "en", _DSIR_TARGET, 0)
+        )
+        doc_id += 1
+    like_ids = []
+    for _ in range(20):  # raw pool, target-like
+        rows.append(
+            (doc_id, " ".join(rng.choice(target_vocab) for _ in range(40)),
+             "en", "raw_src", 0)
+        )
+        like_ids.append(doc_id)
+        doc_id += 1
+    for _ in range(40):  # raw pool, target-unlike
+        rows.append(
+            (doc_id, " ".join(rng.choice(other_vocab) for _ in range(40)),
+             "en", "raw_src", 0)
+        )
+        doc_id += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = dsir_resample_topk(spark, str(tmp_path)).collect()
+    assert len(got) == _DSIR_RESAMPLE_K
+    selected = {r["doc_id"] for r in got}
+    assert set(like_ids) <= selected, sorted(set(like_ids) - selected)
+    # target-domain docs are not resample candidates at all
+    assert all(r["source"] != _DSIR_TARGET for r in got)
+
+
+def test_ccnet_buckets_tercile_sizes_and_tail_doc(spark, tmp_path):
+    """ntile semantics and the CCNet ordering on a planted corpus: lang
+    'aa' has 7 scoreable docs (terciles 3/2/2) where one doc keeps
+    pairing the corpus-common prefix 'the' with a continuation nothing
+    else uses — the genuinely-surprising event under a CONDITIONAL
+    bigram MLE (a doc of corpus-unique bigrams scores ZERO: singleton
+    prefixes make every continuation certain), so it must land in the
+    TAIL bucket (3); lang 'bb' has 6 docs (terciles 2/2/2). A 1-token
+    doc must not be counted anywhere (the bigram LM has no event for
+    it)."""
+    from azure_sales_etl_pipeline_spark.plans.textops import (
+        ccnet_perplexity_buckets,
+    )
+
+    fluent = "the cat sat on the mat"
+    rows = []
+    for i in range(6):  # lang aa, fluent: corpus-frequent bigrams
+        rows.append((i, fluent, "aa", "web", 0))
+    rows.append((6, "the zz the zz the zz", "aa", "web", 0))  # rare P(zz|the)
+    for i in range(7, 13):  # lang bb
+        rows.append((i, fluent, "bb", "web", 0))
+    rows.append((13, "solo", "aa", "web", 0))  # 1 token: excluded
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = ccnet_perplexity_buckets(spark, str(tmp_path)).collect()
+    sizes = {(r["lang"], r["bucket"]): r["n_docs"] for r in out}
+    assert sizes[("aa", 1)] == 3 and sizes[("aa", 2)] == 2 and sizes[("aa", 3)] == 2
+    assert sizes[("bb", 1)] == 2 and sizes[("bb", 2)] == 2 and sizes[("bb", 3)] == 2
+    assert sum(n for (lang, _), n in sizes.items() if lang == "aa") == 7
+    # the unique-bigram doc has the strictly highest mean surprisal, so
+    # it defines the tail bucket's band in lang aa
+    aa_tail = next(r for r in out if r["lang"] == "aa" and r["bucket"] == 3)
+    aa_head = next(r for r in out if r["lang"] == "aa" and r["bucket"] == 1)
+    assert aa_tail["max_mean_micronats"] > aa_head["max_mean_micronats"]
