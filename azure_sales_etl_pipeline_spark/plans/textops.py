@@ -1155,6 +1155,25 @@ def _unigram_surprisal_sql() -> str:
 _SURPRISAL_SQL = _unigram_surprisal_sql()
 
 
+# One per-doc bigram-surprisal table per (SparkContext, sf_dir): the
+# scored frame is |docs| slim rows and feeds both bigram_surprisal and
+# ccnet_perplexity_buckets (the minhash_source_similarity precedent:
+# read the materialized index instead of re-deriving it). Bench evicts
+# per PASS. Values are (frame, jrdd) for eager block release.
+_BIGRAM_SCORES_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def evict_bigram_scores_cache() -> None:
+    """Drop the shared per-doc bigram-surprisal table (bench per-pass
+    hook), eagerly freeing its checkpointed blocks."""
+    for _f, jrdd in _BIGRAM_SCORES_CACHE.values():
+        try:
+            jrdd.unpersist(False)
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
+    _BIGRAM_SCORES_CACHE.clear()
+
+
 def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document total CONDITIONAL surprisal under the corpus's own
     bigram MLE — one Markov order above ``unigram_surprisal``, which
@@ -1173,7 +1192,23 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the sum, so aggregation order can't wobble the driver hash —
     and the same by-construction portable ln (the parity pytest probes
     the production term over this query's full (n_bg, n_prefix)
-    range)."""
+    range). The |docs|-row scored frame is memoized per (SparkContext,
+    sf_dir) — [[ccnet_perplexity_buckets]] buckets the same scores
+    (shared-index contract; bench evicts per pass via
+    ``evict_bigram_scores_cache``)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _BIGRAM_SCORES_CACHE.get(key)
+    if hit is not None:
+        return hit[0]
+    scored = _bigram_surprisal_build(spark, sf_dir).localCheckpoint()
+    _BIGRAM_SCORES_CACHE[key] = (
+        scored,
+        scored._jdf.queryExecution().analyzed().rdd(),
+    )
+    return scored
+
+
+def _bigram_surprisal_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import plan_barrier
 
     docs = load_table(spark, sf_dir, "documents")
@@ -3803,6 +3838,79 @@ _DSIR_TARGET = "src0"  # the target domain the raw pool is reweighted toward
 _DSIR_LO_K, _DSIR_HI_K = -40, 40
 
 
+# One DSIR hashed-feature index per (SparkContext, sf_dir): its two
+# consumers (dsir_importance_weights, dsir_resample_topk) otherwise
+# each checkpoint an identical copy of the dominant sha256+hex-decode
+# map. Bench evicts per PASS (the _IVF_CENTROID_CACHE honesty
+# contract). Values are (frame, jrdd) for eager block release.
+_DSIR_FEATS_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def evict_dsir_feats_cache() -> None:
+    """Drop the shared DSIR feature index (bench per-pass hook),
+    eagerly freeing its checkpointed blocks."""
+    for _f, jrdd in _DSIR_FEATS_CACHE.values():
+        try:
+            jrdd.unpersist(False)
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
+    _DSIR_FEATS_CACHE.clear()
+
+
+def _dsir_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (doc_id, source, bucket) hashed-feature index under the
+    DSIR family — unigrams ∪ bigrams, sha256-hashed into ``_DSIR_B``
+    buckets. The CPU-dominant step of both consumers; memoized per
+    (SparkContext, sf_dir), see ``_DSIR_FEATS_CACHE``."""
+    from ..functions import hex_to_bigint_sql, spread_for_cpu
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _DSIR_FEATS_CACHE.get(key)
+    if hit is not None:
+        return hit[0]
+
+    # CPU-bound map (sha256 + 15-digit hex decode per feature) over a
+    # small-file scan: spread across cores first (the containment
+    # lesson), and checkpoint the exploded feature index — it feeds
+    # BOTH the bucket-count branch and the per-doc scoring join, and
+    # re-deriving it doubles the dominant cost.
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"))
+    toks = F.filter(_tokens(), lambda t: F.length(t) > 0)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    raw = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.concat(toks, bigrams)).alias("feat"),
+        )
+        .where(F.length("feat") > 0)
+        # sha2 staged through a plan_barrier'd column: inlined into the
+        # 15-digit hex decode it would run 15x per feature row (the
+        # r13 poisson_bootstrap_ci lesson — codegen does not CSE
+        # textual copies, CollapseProject re-inlines bare aliases)
+        .withColumn(
+            "hx", F.expr("substr(sha2(concat('dsir:', feat), 256), 1, 15)")
+        )
+    )
+    feats = (
+        plan_barrier(raw)
+        .withColumn(
+            "bucket",
+            F.expr(hex_to_bigint_sql("hx") + f" % {_DSIR_B}"),
+        )
+        .select("doc_id", "source", "bucket")
+        .localCheckpoint()
+    )
+    _DSIR_FEATS_CACHE[key] = (
+        feats,
+        feats._jdf.queryExecution().analyzed().rdd(),
+    )
+    return feats
+
+
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al., NeurIPS 2023 — "Data
     Selection for Language Models via Importance Resampling"): score
@@ -3828,51 +3936,20 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     forever), the λ table broadcast back, one per-doc sum — the same
     two-shuffle skeleton as the surprisal family, with the vocab
     replaced by a FIXED-width bucket table (DSIR's point: no vocab
-    build, stable memory at any corpus size)."""
+    build, stable memory at any corpus size). The feature index is
+    memoized per (SparkContext, sf_dir) — [[dsir_resample_topk]]
+    consumes the same index, and the query's own plan was ALREADY
+    rooted at the index checkpoint, so memoization changes who pays
+    the build, never the plan (the shared-index contract; bench
+    evicts per pass via ``evict_dsir_feats_cache``)."""
     from ..functions import (
         LN_Z_SQL,
-        hex_to_bigint_sql,
         ln_from_kz_sql,
         ln_k_sql,
         ln_m_sql,
-        spread_for_cpu,
     )
 
-    # CPU-bound map (sha256 + 15-digit hex decode per feature) over a
-    # small-file scan: spread across cores first (the containment
-    # lesson), and checkpoint the exploded feature index — it feeds
-    # BOTH the bucket-count branch and the per-doc scoring join, and
-    # re-deriving it doubles the dominant cost.
-    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"))
-    toks = F.filter(_tokens(), lambda t: F.length(t) > 0)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-    )
-    feats = (
-        docs.select(
-            "doc_id",
-            "source",
-            F.explode(F.concat(toks, bigrams)).alias("feat"),
-        )
-        .where(F.length("feat") > 0)
-        # sha2 staged through a plan_barrier'd column: inlined into the
-        # 15-digit hex decode it would run 15x per feature row (the
-        # r13 poisson_bootstrap_ci lesson — codegen does not CSE
-        # textual copies, CollapseProject re-inlines bare aliases)
-        .withColumn(
-            "hx", F.expr("substr(sha2(concat('dsir:', feat), 256), 1, 15)")
-        )
-    )
-    feats = (
-        plan_barrier(feats)
-        .withColumn(
-            "bucket",
-            F.expr(hex_to_bigint_sql("hx") + f" % {_DSIR_B}"),
-        )
-        .select("doc_id", "source", "bucket")
-        .localCheckpoint()
-    )
+    feats = _dsir_feats(spark, sf_dir)
     is_t = F.col("source") == _DSIR_TARGET
     counts = feats.groupBy("bucket").agg(
         F.sum(F.when(is_t, 1).otherwise(0)).cast("bigint").alias("cnt_t"),

@@ -155,6 +155,10 @@ def main() -> None:
         from azure_sales_etl_pipeline_spark.plans import textops
 
         textops.evict_bm25_cache()
+        # Same contract for the shared DSIR feature index and the
+        # per-doc bigram-surprisal table (two consumers each).
+        textops.evict_dsir_feats_cache()
+        textops.evict_bigram_scores_cache()
         for name in run_order:
             if partial:
                 est = samples[name][-1] if samples[name] else 0.0

@@ -71,7 +71,7 @@ _SWEEP_PINS: dict[str, int] = {
     # verified locally at sf0.001 + vanilla sf0.01/sf0.1):
     # ndcg_retrieval_eval: r13 pin superseded by the r15 block below
     # hash staged behind plan_barrier columns (values unchanged)
-    "dsir_importance_weights": 10,
+    # dsir_importance_weights: r13 pin superseded by the r15 block below
     "hashed_feature_crosses": 9,
     "stream_transition_matrix": 11,
     # kernel factors: _minhash_core_ctes / _chunk_marked+_rebuilt_agg /
@@ -141,6 +141,12 @@ _SWEEP_PINS: dict[str, int] = {
     "ndcg_retrieval_eval": 13,
     "prf_query_expansion": 11,
     "rag_context_pack": 11,
+    # r15 DSIR feature-index memo + per-doc bigram-surprisal memo
+    # (values unchanged — oracle-green at sf0.01 and vanilla sf0.1;
+    # dsir_importance_weights' r13 pin at 10 superseded: its last
+    # green sample (r13) predates the memo refactor):
+    "bigram_surprisal": 11,
+    "dsir_importance_weights": 13,
 }
 
 

@@ -1063,3 +1063,41 @@ def test_ccnet_buckets_tercile_sizes_and_tail_doc(spark, tmp_path):
     aa_tail = next(r for r in out if r["lang"] == "aa" and r["bucket"] == 3)
     aa_head = next(r for r in out if r["lang"] == "aa" and r["bucket"] == 1)
     assert aa_tail["max_mean_micronats"] > aa_head["max_mean_micronats"]
+
+
+def test_dsir_and_bigram_memos_isolate_sf_dirs(spark, tmp_path):
+    """The r15 shared-index contract applied to the DSIR feature index
+    and the per-doc bigram-surprisal table: two corpora of DIFFERENT
+    sizes queried interleaved in one session must each see their own
+    index — a memo-key bug here serves corpus A's features to corpus
+    B (caught by row-count asymmetry), and a stale-overwrite bug is
+    caught by the repeat call."""
+    from azure_sales_etl_pipeline_spark.plans.textops import (
+        _dsir_feats,
+        bigram_surprisal,
+    )
+
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    dirs, n_docs = {}, {"a": 8, "b": 5}
+    for tag, n in n_docs.items():
+        d = tmp_path / tag
+        d.mkdir()
+        rows = [
+            (i, f"{tag}w{i % 3} {tag}w{(i + 1) % 3} common filler", "en",
+             "src0" if i == 0 else "web", 0)
+            for i in range(n)
+        ]
+        spark.createDataFrame(rows, schema).write.parquet(
+            str(d / "documents.parquet")
+        )
+        dirs[tag] = str(d)
+
+    for fn, per_doc_rows in ((_dsir_feats, 7), (bigram_surprisal, 1)):
+        rows_a = fn(spark, dirs["a"]).collect()
+        rows_b = fn(spark, dirs["b"]).collect()
+        assert len(rows_a) == n_docs["a"] * per_doc_rows, fn.__name__
+        assert len(rows_b) == n_docs["b"] * per_doc_rows, fn.__name__
+        # repeat call: memo hit must return the same corpus's frame
+        assert sorted(map(tuple, fn(spark, dirs["a"]).collect())) == sorted(
+            map(tuple, rows_a)
+        ), fn.__name__
