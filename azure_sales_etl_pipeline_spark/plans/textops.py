@@ -3942,6 +3942,22 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     rooted at the index checkpoint, so memoization changes who pays
     the build, never the plan (the shared-index contract; bench
     evicts per pass via ``evict_dsir_feats_cache``)."""
+    return _dsir_weights_from_feats(
+        _dsir_feats(spark, sf_dir).withColumn("n", F.lit(1).cast("bigint"))
+    )
+
+
+dsir_importance_weights.__doc__ = dsir_importance_weights.__doc__.format(
+    b=_DSIR_B, target=_DSIR_TARGET
+)
+
+
+def _dsir_weights_from_feats(feats_n: DataFrame) -> DataFrame:
+    """Shared λ-fit + scoring over the (doc_id, source, bucket, n)
+    grain — the one-shot query (n = 1 per feature row) and the
+    [[dsir_two_batch]] fold (n = folded multiplicity) route through
+    this ONE function, so they cannot diverge by construction (the
+    ``_budgets_from_lang_grain`` pattern)."""
     from ..functions import (
         LN_Z_SQL,
         ln_from_kz_sql,
@@ -3949,11 +3965,10 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ln_m_sql,
     )
 
-    feats = _dsir_feats(spark, sf_dir)
     is_t = F.col("source") == _DSIR_TARGET
-    counts = feats.groupBy("bucket").agg(
-        F.sum(F.when(is_t, 1).otherwise(0)).cast("bigint").alias("cnt_t"),
-        F.sum(F.when(~is_t, 1).otherwise(0)).cast("bigint").alias("cnt_r"),
+    counts = feats_n.groupBy("bucket").agg(
+        F.sum(F.when(is_t, F.col("n")).otherwise(0)).cast("bigint").alias("cnt_t"),
+        F.sum(F.when(~is_t, F.col("n")).otherwise(0)).cast("bigint").alias("cnt_r"),
     )
     tots = counts.agg(
         F.sum("cnt_t").cast("bigint").alias("tot_t"),
@@ -3984,19 +3999,62 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket", (F.col("ln_t_micro") - F.col("ln_r_micro")).alias("lam_micro")
     )
     return (
-        feats.where(~is_t)
+        feats_n.where(~is_t)
         .join(F.broadcast(lam), "bucket")
         .groupBy("doc_id", "source")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
-            F.sum("lam_micro").cast("bigint").alias("weight_micronats"),
+            F.sum("n").cast("bigint").alias("n_feats"),
+            F.sum(F.col("n") * F.col("lam_micro"))
+            .cast("bigint")
+            .alias("weight_micronats"),
         )
     )
 
 
-dsir_importance_weights.__doc__ = dsir_importance_weights.__doc__.format(
-    b=_DSIR_B, target=_DSIR_TARGET
-)
+def dsir_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained DSIR — the shape importance reweighting
+    runs in production: crawl batches arrive, each batch's documents
+    are hashed ONCE into the (doc_id, source, bucket, n) feature grain,
+    and that grain is a pure commutative monoid, so batches FOLD into
+    the persisted mart (``merge_aggregate``, keys = (doc_id, source,
+    bucket)) — history is never re-hashed, which is the save: the
+    sha256 feature map is the family's dominant cost. λ is GLOBAL (a
+    new batch shifts every bucket's log-ratio, so every doc's weight
+    legitimately changes), and the λ-fit + scoring re-run on the folded
+    mart through the SHARED [[_dsir_weights_from_feats]] — the
+    [[doremi_two_batch]] contract: fold(b1) ⊕ fold(b2) must reproduce
+    [[dsir_importance_weights]]'s one-shot SQL oracle bit-for-bit.
+
+    Scale shape: per batch, one (doc, bucket) shuffle over the BATCH
+    only; the persisted mart is ≤ |docs|·distinct-buckets-per-doc slim
+    rows; the re-scored output re-aggregates from the mart (one
+    512-row λ re-fit + one mart-grain scoring join), never from raw
+    text."""
+    import shutil
+    import tempfile
+
+    from ..operators.maintenance import merge_aggregate
+
+    feats = _dsir_feats(spark, sf_dir)
+    mid = feats.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    tmp = tempfile.mkdtemp(prefix="dsirtb_")
+    try:
+        state = None
+        for pred in (F.col("doc_id") <= mid, F.col("doc_id") > mid):
+            state = merge_aggregate(
+                spark,
+                f"{tmp}/feats",
+                feats.where(pred),
+                keys=["doc_id", "source", "bucket"],
+                sums=[],
+                count_col="n",
+            )
+        st = state.select(
+            "doc_id", "source", "bucket", F.col("n").cast("bigint").alias("n")
+        )
+        return _dsir_weights_from_feats(st).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _dsir_sql() -> str:
@@ -4368,6 +4426,7 @@ QUERIES = {
     "bigram_surprisal": bigram_surprisal,
     "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
     "dsir_resample_topk": dsir_resample_topk,
+    "dsir_two_batch": dsir_two_batch,
     "pmi_collocations": pmi_collocations,
     "zipf_fit": zipf_fit,
     "bpe_pair_counts": bpe_pair_counts,
@@ -4411,6 +4470,8 @@ ORACLES = {
     "bigram_surprisal": _BIGRAM_SURPRISAL_SQL,
     "ccnet_perplexity_buckets": _CCNET_BUCKETS_SQL,
     "dsir_resample_topk": _dsir_resample_sql(),
+    # fold(b1) ⊕ fold(b2) must reproduce the ONE-SHOT weights bit-for-bit
+    "dsir_two_batch": _dsir_sql(),
     "pmi_collocations": _pmi_sql(),
     "zipf_fit": _zipf_sql(),
     "bpe_pair_counts": _BPE_SQL,

@@ -1101,3 +1101,33 @@ def test_dsir_and_bigram_memos_isolate_sf_dirs(spark, tmp_path):
         assert sorted(map(tuple, fn(spark, dirs["a"]).collect())) == sorted(
             map(tuple, rows_a)
         ), fn.__name__
+
+
+def test_dsir_two_batch_equals_one_shot_with_cross_batch_target(spark, tmp_path):
+    """The folded feature mart must drive the λ re-fit to the EXACT
+    one-shot weights even when the TARGET evidence arrives only in
+    batch 2 (doc_ids above the median): λ is global, so batch-1 raw
+    docs' weights must reflect target counts they never co-resided
+    with — the fold is wrong if it scores batches against per-batch
+    λs (the driver additionally enforces fold ≡ one-shot SQL oracle
+    at every sample)."""
+    from azure_sales_etl_pipeline_spark.plans.textops import (
+        _DSIR_TARGET,
+        dsir_importance_weights,
+        dsir_two_batch,
+    )
+
+    rows = [(i, "alpha bravo charlie delta", "en", "raw_src", 25) for i in range(4)]
+    rows += [(10 + i, "zulu yankee xray whiskey", "en", "raw_src", 24) for i in range(4)]
+    # target docs all live in the SECOND batch (ids above the median)
+    rows += [(100 + i, "alpha bravo charlie delta", "en", _DSIR_TARGET, 25) for i in range(4)]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    one = sorted(map(tuple, dsir_importance_weights(spark, str(tmp_path)).collect()))
+    two = sorted(map(tuple, dsir_two_batch(spark, str(tmp_path)).collect()))
+    assert one == two
+    # and the target-like raw docs must outrank the unlike ones
+    w = {r[0]: r[3] for r in two}
+    assert min(w[i] for i in range(4)) > max(w[10 + i] for i in range(4))
