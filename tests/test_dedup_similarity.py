@@ -1054,3 +1054,29 @@ def test_ivf_nprobe_sweep_monotone_and_consistent(spark):
     hits = [rows[p]["n_hits"] for p in (1, 2, 4, 8)]
     assert hits == sorted(hits), f"recall not monotone in nprobe: {hits}"
     assert rows[8]["recall_permille"] >= 800, rows[8]["recall_permille"]
+
+
+def test_minhash_band_sweep_nested_and_consistent(spark):
+    """Hierarchical slicing nests the candidate sets — cand(2,8) ⊆
+    cand(4,4) ⊆ cand(8,2) — so candidate AND verified counts must be
+    monotone in the band count, precision must not increase with
+    permissiveness on this corpus shape, and the reference config's
+    coverage is 1000‰ by definition. The verified count at the
+    production config (4 bands) must equal the pair count
+    minhash_lsh_candidates reports — same streams, same threshold."""
+    from azure_sales_etl_pipeline_spark.plans.dedup import (
+        minhash_band_sweep,
+        minhash_lsh_candidates,
+    )
+
+    rows = {r["n_bands"]: r for r in minhash_band_sweep(spark, SF_DIR).collect()}
+    assert sorted(rows) == [2, 4, 8]
+    assert all(r["rows_per_band"] * b == 16 for b, r in rows.items())
+    cands = [rows[b]["n_candidate_pairs"] for b in (2, 4, 8)]
+    vers = [rows[b]["n_verified_pairs"] for b in (2, 4, 8)]
+    assert cands == sorted(cands), f"candidates not nested: {cands}"
+    assert vers == sorted(vers), f"verified not nested: {vers}"
+    assert rows[8]["coverage_permille"] == 1000
+    assert rows[4]["n_verified_pairs"] == minhash_lsh_candidates(
+        spark, SF_DIR
+    ).count()
