@@ -512,6 +512,65 @@ def evict_minhash_stage_cache() -> None:
     _MINHASH_STAGE_CACHE.clear()
 
 
+#: Shared exploded 3-token-shingle index: (doc_id, g) rows where g is
+#: the sha256 hex of a distinct within-doc 3-token shingle, docs with
+#: < 3 tokens excluded. [[shingle_containment_pairs]] (here) and
+#: [[doc_novelty]] (textops) consume the IDENTICAL table and each
+#: built its own checkpointed copy (~2 s of tokenize+sha256 per build
+#: at sf0.1); one memoized build per (SparkContext, sf_dir) under the
+#: _MINHASH_STAGE_CACHE honesty contract — bench evicts per pass,
+#: whichever consumer runs first pays. Values are (DataFrame, JVM RDD
+#: handle) — the handle eagerly frees the localCheckpoint blocks on
+#: evict (r14 advice #1 idiom).
+_SHINGLE3_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def shingle3_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized inverted-index substrate every 3-shingle
+    consumer starts from: explode per-doc DISTINCT sha256 shingles.
+    Token stage behind ``plan_barrier`` so CollapseProject cannot
+    re-inline the split into per-position lambdas (SCALE.md trap 2);
+    ``spread_for_cpu`` fans the sha256-bound map across cores."""
+    from ..functions import plan_barrier, spread_for_cpu
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _SHINGLE3_CACHE.get(key)
+    if hit is not None:
+        return hit[0]
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"))
+    toks = _tokens()
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("t")) - (_CONT_K - 1)),
+            lambda i: F.sha2(
+                F.array_join(F.slice(F.col("t"), i, _CONT_K), " "), 256
+            ),
+        )
+    )
+    ex = (
+        plan_barrier(
+            docs.where(F.size(toks) >= _CONT_K).select(
+                "doc_id", toks.alias("t")
+            )
+        )
+        .select("doc_id", F.explode(grams).alias("g"))
+        .localCheckpoint()
+    )
+    _SHINGLE3_CACHE[key] = (ex, ex._jdf.queryExecution().analyzed().rdd())
+    return ex
+
+
+def evict_shingle3_cache() -> None:
+    """Drop the shared 3-shingle index (bench per-pass hook), eagerly
+    freeing its checkpointed blocks."""
+    for _df, jrdd in _SHINGLE3_CACHE.values():
+        try:
+            jrdd.unpersist(False)
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
+    _SHINGLE3_CACHE.clear()
+
+
 def _staged_shingles_and_bands(spark: SparkSession, sf_dir: str):
     """Shared (staged, bands) tables under [[minhash_lsh_candidates]]
     and [[minhash_index_two_batch]]: ``staged`` = (doc_id, distinct
@@ -1498,28 +1557,13 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer-exact output: containment in permille via BIGINT div;
     subset_dup flags max-side containment ≥ {flag}‰.
     """
-    from ..functions import spread_for_cpu
-
-    # CPU-bound map (sha256 per shingle) over a small-file scan: spread
-    # across cores first or the whole shingling runs on one thread.
-    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"))
-    toks = _tokens()
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (_CONT_K - 1)),
-            lambda i: F.sha2(
-                F.array_join(F.slice(toks, i, _CONT_K), " "), 256
-            ),
-        )
-    )
-    s = docs.where(F.size(toks) >= _CONT_K).select(
-        "doc_id", shingles.alias("sh")
-    )
     # The exploded (doc, shingle) index feeds FIVE consumers (doc sizes,
-    # df filter, postings, probe, matches); checkpoint it so the sha256
-    # shingling runs once, not once per consumer — at scale this is the
-    # materialized inverted index every containment system builds first.
-    ex = s.select("doc_id", F.explode("sh").alias("g")).localCheckpoint()
+    # df filter, postings, probe, matches); the SHARED memoized build
+    # ([[shingle3_index]], also under doc_novelty) checkpoints it so the
+    # sha256 shingling runs once per pass, not once per consumer — at
+    # scale this is the materialized inverted index every containment
+    # system builds first.
+    ex = shingle3_index(spark, sf_dir)
     sizes = ex.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sh")
     )

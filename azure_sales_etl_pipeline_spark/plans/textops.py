@@ -3750,36 +3750,25 @@ def doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: shingles build map-side (sequence→slice→sha2, the winnowing
     hex scheme — sha256 is computable on both engines so the shuffle
     key is 64 hex chars, not raw text), distinct-ed per doc BEFORE the
-    explode, then the exploded pairs are CHECKPOINTED — they feed two
-    aggregations (per-doc shingle counts and per-shingle first
-    occurrence), and without the materialization each re-runs
-    tokenize + sha256 over the corpus (trap 2 in SCALE.md; measured
-    8.8 s → ~3 s at sf0.1). Novel counts come from RE-AGGREGATING the
+    explode, then the exploded pairs are CHECKPOINTED via the SHARED
+    memoized index (``dedup.shingle3_index``, also under
+    `shingle_containment_pairs`) — they feed two aggregations (per-doc
+    shingle counts and per-shingle first occurrence), and without the
+    materialization each re-runs tokenize + sha256 over the corpus
+    (trap 2 in SCALE.md; measured 8.8 s → ~3 s at sf0.1, and the
+    shared build amortizes across both consumers per bench pass).
+    Novel counts come from RE-AGGREGATING the
     |vocab|-row first-occurrence table by its first_doc — never a
     join-back of every gram — so the final assembly is a doc-grain
     join of two small tables. Skew structurally absent (per-doc
     distinct collapsed within-doc repeats)."""
-    from ..functions import plan_barrier
+    # The exploded (doc_id, g) substrate is the SHARED memoized
+    # 3-shingle inverted index (dedup.shingle3_index — same tokenizer,
+    # same width, same sha256 hex keys as shingle_containment_pairs);
+    # one build per pass serves both consumers.
+    from .dedup import shingle3_index
 
-    docs = load_table(spark, sf_dir, "documents")
-    toks_expr = _tokens()
-    staged = plan_barrier(
-        docs.where(F.size(toks_expr) >= _NOVEL_K).select(
-            "doc_id", toks_expr.alias("t")
-        )
-    )
-    t = F.col("t")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - (_NOVEL_K - 1)),
-            lambda i: F.sha2(F.array_join(F.slice(t, i, _NOVEL_K), " "), 256),
-        )
-    )
-    pos = (
-        plan_barrier(staged.select("doc_id", grams.alias("gs")))
-        .select("doc_id", F.explode("gs").alias("g"))
-        .localCheckpoint()
-    )
+    pos = shingle3_index(spark, sf_dir)
     per_doc = pos.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_shingles")
     )
@@ -3831,6 +3820,94 @@ _NOVELTY_SQL = rf"""
     FROM g JOIN first USING (g)
     GROUP BY doc_id
 """
+
+
+def novelty_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch incremental [[doc_novelty]]: the first-occurrence
+    table (shingle → min doc_id) is a MERGEABLE min-monoid, so the
+    redundancy-growth signal maintains itself as crawl batches land —
+    the persisted (g, first_doc) index folds each batch via
+    ``merge_aggregate`` (one batch-only shuffle; history text is never
+    re-shingled), and each batch's docs score their novelty against
+    the POST-fold state. Exact by construction for id-ordered batches:
+    a later batch can never steal first-ness from an earlier doc
+    (min over the union = min(folded_min, batch_min), and batch ids
+    are all larger), so batch-attributed novel counts partition the
+    one-shot counts and the union of per-batch reports equals
+    [[doc_novelty]] bit-for-bit — the driver oracle IS that query's
+    SQL, hash-checked.
+
+    Scale shape: per batch, ONE shingle-key shuffle over the batch
+    plus a narrow scan of the pre-aggregated index (vocab-sized, ~100×
+    smaller than the corpus); the per-batch novel counts re-aggregate
+    the index rows whose first_doc falls in the batch's id range —
+    never a join-back of every gram. The split median is one scalar
+    collect (control plane)."""
+    import shutil
+    import tempfile
+
+    from ..operators.maintenance import merge_aggregate
+    from .dedup import shingle3_index
+
+    ex = shingle3_index(spark, sf_dir)
+    mid = load_table(spark, sf_dir, "documents").agg(
+        F.expr("percentile(doc_id, 0.5)")
+    ).first()[0]
+
+    tmp = tempfile.mkdtemp(prefix="novelty_idx_q_")
+    mart = f"{tmp}/first_occurrence"
+    try:
+        reports = []
+        for lo_excl, hi_incl in ((None, mid), (mid, None)):
+            in_batch = F.col("doc_id") > lo_excl if lo_excl is not None else (
+                F.col("doc_id") <= hi_incl
+            )
+            batch = ex.where(in_batch).localCheckpoint(eager=True)
+            merged = merge_aggregate(
+                spark,
+                mart,
+                batch.select("g", F.col("doc_id").alias("first_doc")),
+                keys=["g"],
+                sums=[],
+                mins=["first_doc"],
+            )
+            per_doc = batch.groupBy("doc_id").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+            )
+            first_here = (
+                merged.where(
+                    (F.col("first_doc") > lo_excl)
+                    if lo_excl is not None
+                    else (F.col("first_doc") <= hi_incl)
+                )
+                .groupBy(F.col("first_doc").alias("doc_id"))
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
+            )
+            reports.append(
+                per_doc.join(first_here, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    "n_shingles",
+                    F.coalesce(F.col("n_novel"), F.lit(0).cast("bigint")).alias(
+                        "n_novel"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return (
+            reports[0]
+            .unionByName(reports[1])
+            .select(
+                "doc_id",
+                "n_shingles",
+                "n_novel",
+                F.expr("1000 * n_novel div n_shingles").alias(
+                    "novelty_permille"
+                ),
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 _DSIR_B = 512  # hashed n-gram feature buckets
@@ -4398,6 +4475,7 @@ QUERIES = {
     "rag_context_pack": rag_context_pack,
     "source_token_entropy": source_token_entropy,
     "doc_novelty": doc_novelty,
+    "novelty_two_batch": novelty_two_batch,
     "quality_classifier_score": quality_classifier_score,
     "repeated_spans": repeated_spans,
     "chunk_dedup_rewrite": chunk_dedup_rewrite,
@@ -4441,6 +4519,8 @@ ORACLES = {
     "rag_context_pack": _rag_pack_sql(),
     "source_token_entropy": _ENTROPY_SQL,
     "doc_novelty": _NOVELTY_SQL,
+    # fold ≡ one-shot bit-for-bit (min-monoid first-occurrence index)
+    "novelty_two_batch": _NOVELTY_SQL,
     "quality_classifier_score": _QC_SQL,
     "repeated_spans": _REPEATED_SPANS_SQL,
     "chunk_dedup_rewrite": _CHUNK_DEDUP_REWRITE_SQL,

@@ -148,6 +148,9 @@ def main() -> None:
         from azure_sales_etl_pipeline_spark.plans import dedup
 
         dedup.evict_minhash_stage_cache()
+        # Same contract for the shared exploded 3-shingle inverted
+        # index (doc_novelty + shingle_containment_pairs).
+        dedup.evict_shingle3_cache()
         # Same contract for the shared TF-IDF term table (five
         # consumers per pass).
         similarity.evict_sparse_terms_cache()

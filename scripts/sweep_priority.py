@@ -147,6 +147,11 @@ _SWEEP_PINS: dict[str, int] = {
     # green sample (r13) predates the memo refactor):
     "bigram_surprisal": 11,
     "dsir_importance_weights": 13,
+    # r15 shared 3-shingle index memo (doc_novelty + containment now
+    # consume one memoized build; values unchanged — oracle-green at
+    # sf0.001 + vanilla sf0.01/sf0.1, planted tests green):
+    "doc_novelty": 9,
+    "shingle_containment_pairs": 9,
 }
 
 

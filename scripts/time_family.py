@@ -46,12 +46,27 @@ def main() -> None:
 
     samples: dict[str, list[float]] = {n: [] for n in args.names}
     for _ in range(args.passes):
-        from azure_sales_etl_pipeline_spark.plans import incremental, mlprep, similarity
+        # Keep this evict set in lockstep with bench.py's per-pass
+        # preamble — a memo evicted there but not here makes the
+        # targeted numbers read warm vs BENCH_r*.json.
+        from azure_sales_etl_pipeline_spark.plans import (
+            dedup,
+            incremental,
+            mlprep,
+            similarity,
+            textops,
+        )
 
         incremental.evict_demo_pipelines()
         mlprep.evict_cluster_cache()
         mlprep.evict_affinity_cache()
         similarity.evict_ivf_centroid_cache()
+        dedup.evict_minhash_stage_cache()
+        dedup.evict_shingle3_cache()
+        similarity.evict_sparse_terms_cache()
+        textops.evict_bm25_cache()
+        textops.evict_dsir_feats_cache()
+        textops.evict_bigram_scores_cache()
         for n in args.names:
             t0 = time.perf_counter()
             qs[n](spark, args.sf).write.format("noop").mode("overwrite").save()

@@ -975,6 +975,82 @@ def test_minhash_stage_cache_hits_and_evicts(spark, tmp_path):
     assert jsc.getPersistentRDDs().size() == before
 
 
+def test_shingle3_cache_hits_and_evicts(spark, tmp_path):
+    """The shared 3-shingle index memo returns the same checkpointed
+    frame on a hit and eagerly frees its blocks on evict — the
+    _MINHASH_STAGE_CACHE contract, applied to the doc_novelty /
+    shingle_containment_pairs substrate."""
+    from azure_sales_etl_pipeline_spark.plans import dedup
+
+    spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(12)), "en", "web", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    dedup.evict_shingle3_cache()
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    e1 = dedup.shingle3_index(spark, str(tmp_path))
+    e2 = dedup.shingle3_index(spark, str(tmp_path))
+    assert e1 is e2  # memo hit
+    assert jsc.getPersistentRDDs().size() == before + 1
+    # 12 tokens -> 10 distinct 3-shingles for the single doc
+    assert e1.count() == 10
+    dedup.evict_shingle3_cache()
+    assert not dedup._SHINGLE3_CACHE
+    import time as _t
+
+    for _ in range(50):
+        if jsc.getPersistentRDDs().size() == before:
+            break
+        _t.sleep(0.1)
+    assert jsc.getPersistentRDDs().size() == before
+
+
+def test_novelty_two_batch_matches_one_shot_and_kills_cross_batch_dups(
+    spark, tmp_path
+):
+    """The planted cross-batch case the one-shot oracle can't isolate:
+    a batch-2 doc repeating batch-1 text must score 0 novelty through
+    the FOLDED index (its shingles' first occurrence lives in the
+    persisted state, not the batch), a fresh batch-2 doc must score
+    1000, and the full fold must equal doc_novelty on the union
+    bit-for-bit."""
+    from azure_sales_etl_pipeline_spark.plans import dedup
+    from azure_sales_etl_pipeline_spark.plans.textops import (
+        doc_novelty,
+        novelty_two_batch,
+    )
+
+    text_a = " ".join(f"a{i}" for i in range(10))
+    text_b = " ".join(f"b{i}" for i in range(10))
+    text_c = " ".join(f"c{i}" for i in range(10))
+    spark.createDataFrame(
+        [
+            (1, text_a, "en", "web", 0),   # batch 1
+            (2, text_b, "en", "web", 0),   # batch 1
+            (3, text_a, "en", "web", 0),   # batch 2: clone of doc 1
+            (4, text_c, "en", "web", 0),   # batch 2: fresh
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    dedup.evict_shingle3_cache()
+    folded = {
+        r["doc_id"]: r
+        for r in novelty_two_batch(spark, str(tmp_path)).collect()
+    }
+    assert folded[3]["n_novel"] == 0
+    assert folded[3]["novelty_permille"] == 0
+    assert folded[4]["novelty_permille"] == 1000
+    assert folded[1]["novelty_permille"] == 1000
+
+    one_shot = sorted(
+        tuple(r) for r in doc_novelty(spark, str(tmp_path)).collect()
+    )
+    assert sorted(tuple(r) for r in folded.values()) == one_shot
+
+
 def test_minhash_source_similarity_null_signature_docs(spark, tmp_path):
     """The band-split signature recovery must preserve NULL-signature
     semantics for shingle-less docs (concat_ws renders all-NULL slices
@@ -1035,6 +1111,17 @@ def test_shared_index_memos_isolate_sf_dirs(spark, tmp_path):
         # repeat call: memo hit must return the same corpus, not the
         # most recently built one
         assert {r["token"] for r in fn(spark, dirs["a"]).collect()} == toks_a
+
+    # Same contract for the shared 3-shingle inverted index (the
+    # r15-continuation memo under doc_novelty + containment): disjoint
+    # vocabularies must yield disjoint shingle keys, and a repeat call
+    # must serve the SAME corpus.
+    from azure_sales_etl_pipeline_spark.plans.dedup import shingle3_index
+
+    g_a = {r["g"] for r in shingle3_index(spark, dirs["a"]).collect()}
+    g_b = {r["g"] for r in shingle3_index(spark, dirs["b"]).collect()}
+    assert g_a and g_b and not (g_a & g_b)
+    assert {r["g"] for r in shingle3_index(spark, dirs["a"]).collect()} == g_a
 
 
 def test_ivf_nprobe_sweep_monotone_and_consistent(spark):
