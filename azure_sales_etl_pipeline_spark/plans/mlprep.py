@@ -1104,6 +1104,81 @@ _DEDUP_RATE_SQL = f"""
 """
 
 
+def cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup cluster-SIZE distribution — the report every
+    dedup study publishes (Lee et al. 2022 fig. 1 shape: how much of
+    the corpus sits in clusters of each size, and cumulatively in
+    clusters at least that large). Per exact size: cluster count, doc
+    count, corpus share, and the ≥-size cumulative share — the numbers
+    that pick a dedup policy ("collapsing clusters ≥ 2 removes X‰ of
+    the corpus") and monitor crawl health over time.
+
+    Shape: composes the memoized [[dedup_clusters]] table (CC computed
+    once per sf_dir for all its consumers); one cluster-keyed count,
+    one size-keyed count — the result is bounded by |distinct cluster
+    sizes| (≤ a few hundred rows at any corpus scale, exact sizes beat
+    log buckets and stay all-integer). The cumulative share runs over
+    that tiny frame via the triangular-join idiom, never a global
+    window; the corpus total rides a broadcast one-row crossJoin.
+    All-integer permille output."""
+    clusters = dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    per_size = (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .withColumn(
+            "n_docs", F.expr("cluster_size * n_clusters").cast("bigint")
+        )
+    )
+    total = per_size.agg(F.sum("n_docs").cast("bigint").alias("total_docs"))
+    cum = (
+        per_size.alias("a")
+        .join(
+            F.broadcast(per_size.alias("b")),
+            F.col("b.cluster_size") >= F.col("a.cluster_size"),
+        )
+        .groupBy(
+            F.col("a.cluster_size").alias("cluster_size"),
+            F.col("a.n_clusters").alias("n_clusters"),
+            F.col("a.n_docs").alias("n_docs"),
+        )
+        .agg(F.sum("b.n_docs").cast("bigint").alias("cum_docs_ge"))
+    )
+    return cum.crossJoin(F.broadcast(total)).select(
+        "cluster_size",
+        "n_clusters",
+        "n_docs",
+        F.expr("1000 * n_docs div total_docs").alias("docs_permille"),
+        F.expr("1000 * cum_docs_ge div total_docs").alias(
+            "cum_ge_permille"
+        ),
+    )
+
+
+_CLUSTER_HIST_SQL = f"""
+    WITH cc AS ({_CC_SQL}),
+    sizes AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM cc GROUP BY cluster_id
+    ),
+    per_size AS (
+        SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+        FROM sizes GROUP BY cluster_size
+    ),
+    total AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs FROM per_size)
+    SELECT a.cluster_size, a.n_clusters, a.n_docs,
+           CAST(1000 * a.n_docs // total_docs AS BIGINT) AS docs_permille,
+           CAST(1000 * CAST(sum(b.n_docs) AS BIGINT) // total_docs AS BIGINT)
+               AS cum_ge_permille
+    FROM per_size a
+    JOIN per_size b ON b.cluster_size >= a.cluster_size, total
+    GROUP BY a.cluster_size, a.n_clusters, a.n_docs, total_docs
+"""
+
+
 _REPS_SQL = f"""
     WITH cc AS ({_CC_SQL}),
     q AS (
@@ -3984,6 +4059,7 @@ QUERIES = {
     "curation_funnel": curation_funnel,
     "curation_pipeline_end_to_end": curation_pipeline_end_to_end,
     "dedup_clusters": dedup_clusters,
+    "cluster_size_histogram": cluster_size_histogram,
     "cluster_representatives": cluster_representatives,
     "supplier_copurchase_pagerank": supplier_copurchase_pagerank,
     "doc_tfidf_topterms": doc_tfidf_topterms,
@@ -4028,6 +4104,7 @@ ORACLES = {
     "curation_funnel": _funnel_sql(),
     "curation_pipeline_end_to_end": _curation_pipeline_sql(),
     "dedup_clusters": _CC_SQL,
+    "cluster_size_histogram": _CLUSTER_HIST_SQL,
     "cluster_representatives": _REPS_SQL,
     "supplier_copurchase_pagerank": _pagerank_sql(),
     "doc_tfidf_topterms": _TFIDF_SQL,

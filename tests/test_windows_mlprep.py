@@ -48,6 +48,40 @@ def test_dedup_clusters_chain_beyond_iteration_cap(spark, tmp_path):
     assert labels[100] == 100, "singleton keeps its own cluster"
 
 
+def test_cluster_size_histogram_planted_distribution(spark, tmp_path):
+    """Planted 3-clone cluster + two singletons: the histogram must
+    report exact sizes with integer corpus shares and a ≥-size
+    cumulative that sums the tail (size 1 row covers the whole
+    corpus; size 3 row covers only the clones)."""
+    from azure_sales_etl_pipeline_spark.plans.mlprep import (
+        cluster_size_histogram,
+    )
+
+    clone = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, clone, "en", "src0", len(clone)),
+        (2, clone, "en", "src0", len(clone)),
+        (3, clone, "en", "src0", len(clone)),
+        (10, "one lonely document about narwhals", "en", "src0", 34),
+        (11, "another unrelated text on axolotls", "en", "src0", 34),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    hist = {
+        r["cluster_size"]: r
+        for r in cluster_size_histogram(spark, str(tmp_path)).collect()
+    }
+    assert sorted(hist) == [1, 3]
+    assert hist[1]["n_clusters"] == 2 and hist[1]["n_docs"] == 2
+    assert hist[3]["n_clusters"] == 1 and hist[3]["n_docs"] == 3
+    assert hist[1]["docs_permille"] == 400
+    assert hist[3]["docs_permille"] == 600
+    assert hist[1]["cum_ge_permille"] == 1000  # everything is >= size 1
+    assert hist[3]["cum_ge_permille"] == 600   # only the clones
+
+
 def test_train_test_split_deterministic(spark, tmp_path):
     rows = [(i, f"doc {i}", "en" if i % 2 else "de", "s", 5) for i in range(200)]
     spark.createDataFrame(
