@@ -1525,6 +1525,91 @@ _CONT_DF_MIN, _CONT_DF_MAX = 2, 4  # rare-shingle blocking band
 _CONT_FLAG_PERMILLE = 900
 
 
+def rare_key_candidates(ex: DataFrame, df_min: int, df_max: int) -> DataFrame:
+    """Rare-key inverted-index blocking over an exploded (doc_id, g)
+    index: keep keys whose document frequency is in [df_min, df_max],
+    self-join the tiny postings within each rare key (fan-out ≤
+    df_max²/2 per key — the hot-key blowup of common keys is filtered
+    BEFORE the join, the standard inverted-index trick), distinct the
+    (doc_a < doc_b) pairs. Shared by [[shingle_containment_pairs]] and
+    [[winnowing_plagiarism_pairs]]."""
+    rare = (
+        ex.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df").between(df_min, df_max))
+        .select("g")
+    )
+    postings = ex.join(rare, "g")
+    return (
+        postings.alias("a")
+        .join(
+            postings.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def exact_pair_overlap(ex: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact |S(a) ∩ S(b)| per candidate pair over an exploded
+    (doc_id, g) index WITHOUT shipping the sets (r9 finding: joining
+    both full arrays back per pair moves candidates × |array| bytes
+    through the shuffle): attach per-side sizes, explode only the
+    SMALLER side's (doc, g) rows (ties → doc_a, deterministic),
+    equi-join against the index on (large-doc, g) — a high-cardinality
+    composite key, no hot keys — and the join OUTPUT is exactly the
+    |∩| matching rows, counted per pair. Bytes shuffled scale with
+    Σ min(|S(a)|,|S(b)|) into the probe and |∩| out of it. Candidates
+    must share ≥1 key (rare_key_candidates guarantees it) so the
+    inner joins lose no pairs. Returns (doc_a, doc_b, n_sh_a, n_sh_b,
+    overlap)."""
+    sizes = ex.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sh")
+    )
+    small_first = F.col("n_sh_a") <= F.col("n_sh_b")
+    cand_sized = (
+        cand.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_sh_a",
+            "n_sh_b",
+            F.when(small_first, F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("doc_small"),
+            F.when(small_first, F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("doc_large"),
+        )
+    )
+    probe = cand_sized.join(
+        ex.select(F.col("doc_id").alias("doc_small"), "g"), "doc_small"
+    )
+    matches = probe.join(
+        ex.select(F.col("doc_id").alias("doc_large"), "g"),
+        ["doc_large", "g"],
+    )
+    return matches.groupBy("doc_a", "doc_b", "n_sh_a", "n_sh_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("overlap")
+    )
+
+
 def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric CONTAINMENT dedup: C(A→B) = |S(A)∩S(B)| / |S(A)| over
     distinct 3-token shingles. Jaccard misses the quote/subset case — a
@@ -1564,69 +1649,8 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale this is the materialized inverted index every containment
     # system builds first.
     ex = shingle3_index(spark, sf_dir)
-    sizes = ex.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_sh")
-    )
-    rare = (
-        ex.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df").between(_CONT_DF_MIN, _CONT_DF_MAX))
-        .select("g")
-    )
-    postings = ex.join(rare, "g")
-    cand = (
-        postings.alias("a")
-        .join(
-            postings.alias("b"),
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
-    # Attach per-side sizes, pick the smaller side to explode (ties →
-    # doc_a, deterministic). Candidates share ≥1 rare shingle by
-    # construction, so overlap ≥ 1 and inner joins lose no pairs.
-    small_first = F.col("n_sh_a") <= F.col("n_sh_b")
-    cand_sized = (
-        cand.join(
-            sizes.select(
-                F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a")
-            ),
-            "doc_a",
-        )
-        .join(
-            sizes.select(
-                F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b")
-            ),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_sh_a",
-            "n_sh_b",
-            F.when(small_first, F.col("doc_a"))
-            .otherwise(F.col("doc_b"))
-            .alias("doc_small"),
-            F.when(small_first, F.col("doc_b"))
-            .otherwise(F.col("doc_a"))
-            .alias("doc_large"),
-        )
-    )
-    probe = cand_sized.join(
-        ex.select(F.col("doc_id").alias("doc_small"), "g"), "doc_small"
-    )
-    matches = probe.join(
-        ex.select(F.col("doc_id").alias("doc_large"), "g"),
-        ["doc_large", "g"],
-    )
-    joined = matches.groupBy("doc_a", "doc_b", "n_sh_a", "n_sh_b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("overlap")
-    )
+    cand = rare_key_candidates(ex, _CONT_DF_MIN, _CONT_DF_MAX)
+    joined = exact_pair_overlap(ex, cand)
     return joined.select(
         "doc_a",
         "doc_b",

@@ -644,6 +644,111 @@ _WINNOW_SQL = rf"""
 """
 
 
+_PLAG_DF_MIN, _PLAG_DF_MAX = 2, 20  # rare-fingerprint blocking band
+#: Report floor: keep a pair only when the better-matched side has at
+#: least this share of its fingerprints in the other doc. Without it
+#: the report is dominated by single-coincidence pairs (one shared
+#: rare fingerprint between unrelated docs) and grows superlinearly
+#: with the corpus — measured 335k rows at sf0.1 un-floored vs a
+#: report-sized output floored; MOSS itself reports only top matches.
+_PLAG_MIN_MATCH_PERMILLE = 200
+
+
+def winnowing_plagiarism_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MOSS report itself: document pairs that share winnowed
+    fingerprints, with each side's matched share — the
+    position-robust plagiarism/reuse detector
+    ([[winnowing_fingerprints]] selects the sketch; this query turns
+    it into pairs). Winnowing's guarantee carries over: any common
+    substring of ≥ w+k−1 tokens shares at least one selected
+    fingerprint, so true long-match pairs cannot be missed by the
+    sketch — only the rare-fingerprint candidate band can exclude
+    them, which is the same df-cap honesty every inverted-index
+    system documents (a fingerprint shared by >{df_max} docs is
+    boilerplate, not plagiarism).
+
+    Shape: candidate pairs via rare-fingerprint inverted-index
+    blocking and the exact shared-fingerprint count via the
+    small-side probe join — both the SHARED dedup helpers
+    (``dedup.rare_key_candidates`` / ``dedup.exact_pair_overlap``,
+    the shingle-containment machinery applied to the ~|tokens|/w
+    winnowed substrate, so this query's index is ~w× smaller than
+    containment's). All-integer permille output; `match_a_permille`
+    = share of a's fingerprints found in b (asymmetric, like MOSS's
+    two percentages). Pairs below the ``_PLAG_MIN_MATCH_PERMILLE``
+    floor on the better-matched side are dropped — the report stays
+    report-sized instead of growing with coincidental single-shared-
+    fingerprint pairs (see the constant's measured note)."""
+    from .dedup import exact_pair_overlap, rare_key_candidates
+
+    fp = (
+        winnowing_fingerprints(spark, sf_dir)
+        .withColumnRenamed("fingerprint", "g")
+        .localCheckpoint()
+    )
+    cand = rare_key_candidates(fp, _PLAG_DF_MIN, _PLAG_DF_MAX)
+    joined = exact_pair_overlap(fp, cand)
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            F.col("n_sh_a").alias("n_fp_a"),
+            F.col("n_sh_b").alias("n_fp_b"),
+            F.col("overlap").alias("n_shared"),
+            F.expr("(1000 * overlap) div n_sh_a").alias("match_a_permille"),
+            F.expr("(1000 * overlap) div n_sh_b").alias("match_b_permille"),
+        )
+        .where(
+            F.expr(
+                "greatest(match_a_permille, match_b_permille)"
+                f" >= {_PLAG_MIN_MATCH_PERMILLE}"
+            )
+        )
+    )
+
+
+winnowing_plagiarism_pairs.__doc__ = winnowing_plagiarism_pairs.__doc__.format(
+    df_max=_PLAG_DF_MAX
+)
+
+
+_PLAG_SQL = rf"""
+    WITH fp AS ({_WINNOW_SQL}),
+    rare AS (
+        SELECT fingerprint FROM fp GROUP BY fingerprint
+        HAVING count(*) BETWEEN {_PLAG_DF_MIN} AND {_PLAG_DF_MAX}
+    ),
+    p AS (SELECT fp.doc_id, fp.fingerprint FROM fp JOIN rare USING (fingerprint)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM p a JOIN p b
+          ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    ),
+    sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+        FROM fp GROUP BY doc_id
+    ),
+    shared AS (
+        SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_shared
+        FROM cand c
+        JOIN fp fa ON fa.doc_id = c.doc_a
+        JOIN fp fb ON fb.doc_id = c.doc_b
+                  AND fb.fingerprint = fa.fingerprint
+        GROUP BY 1, 2
+    )
+    SELECT s.doc_a, s.doc_b,
+           sa.n_fp AS n_fp_a, sb.n_fp AS n_fp_b, s.n_shared,
+           (1000 * s.n_shared) // sa.n_fp AS match_a_permille,
+           (1000 * s.n_shared) // sb.n_fp AS match_b_permille
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.doc_a
+    JOIN sizes sb ON sb.doc_id = s.doc_b
+    WHERE greatest((1000 * s.n_shared) // sa.n_fp,
+                   (1000 * s.n_shared) // sb.n_fp)
+          >= {_PLAG_MIN_MATCH_PERMILLE}
+"""
+
+
 # ---------------------------------------------------------------------------
 # PII / number redaction (pre-training scrub pass)
 # ---------------------------------------------------------------------------
@@ -4487,6 +4592,7 @@ QUERIES = {
     "source_vocab_drift": source_vocab_drift,
     "source_curation_rollup": source_curation_rollup,
     "winnowing_fingerprints": winnowing_fingerprints,
+    "winnowing_plagiarism_pairs": winnowing_plagiarism_pairs,
     "doc_quality": doc_quality,
     "gopher_repetition_signals": gopher_repetition_signals,
     "exact_substring_rewrite": exact_substring_rewrite,
@@ -4533,6 +4639,7 @@ ORACLES = {
     "source_vocab_drift": _SOURCE_DRIFT_SQL,
     "source_curation_rollup": _source_rollup_sql(),
     "winnowing_fingerprints": _WINNOW_SQL,
+    "winnowing_plagiarism_pairs": _PLAG_SQL,
     "doc_quality": _QUALITY_SQL,
     "gopher_repetition_signals": _GOPHER_REPETITION_SQL,
     "exact_substring_rewrite": _EXACT_SUBSTR_SQL,

@@ -37,6 +37,43 @@ def docs_dir(spark, tmp_path):
     return str(tmp_path)
 
 
+def test_winnowing_plagiarism_pairs_guarantee_and_asymmetry(spark, tmp_path):
+    """Winnowing's detection guarantee through the pair report: a doc
+    embedding another's full text (a shared run far beyond w+k-1
+    tokens) MUST surface as a pair with >=1 shared fingerprint — the
+    guarantee is at-least-one, NOT all (window alignment differs
+    between the two docs, so boundary windows can select different
+    minima); an unrelated doc joins no pair."""
+    from azure_sales_etl_pipeline_spark.plans.textops import (
+        winnowing_plagiarism_pairs,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(12))
+    rows = [
+        (1, quote, "en", "web", 0),                            # the source
+        (2, "intro words here " + quote + " trailing commentary follows now",
+         "en", "web", 0),                                      # embeds doc 1
+        (3, " ".join(f"z{i}" for i in range(12)), "en", "web", 0),  # unrelated
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in winnowing_plagiarism_pairs(spark, str(tmp_path)).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in k for k in pairs)
+    r = pairs[(1, 2)]
+    assert r["n_shared"] >= 1
+    assert 0 < r["match_a_permille"] <= 1000
+    assert 0 < r["match_b_permille"] <= 1000
+    # permille shares are exact integer ratios of the reported counts
+    assert r["match_a_permille"] == 1000 * r["n_shared"] // r["n_fp_a"]
+    assert r["match_b_permille"] == 1000 * r["n_shared"] // r["n_fp_b"]
+
+
 def test_pii_redact_plants_and_scrubs(spark, docs_dir):
     out = {r["doc_id"]: r for r in pii_redact(spark, docs_dir).collect()}
     r = out[3]
