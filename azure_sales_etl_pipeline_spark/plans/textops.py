@@ -3967,7 +3967,13 @@ def novelty_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             in_batch = F.col("doc_id") > lo_excl if lo_excl is not None else (
                 F.col("doc_id") <= hi_incl
             )
-            batch = ex.where(in_batch).localCheckpoint(eager=True)
+            # No batch checkpoint: `ex` is already the checkpointed
+            # shared index, so the batch is a cheap filter over local
+            # blocks — materializing it again would copy the exploded
+            # rows once per batch for no reuse win (both consumers,
+            # the fold and the report, evaluate eagerly in this
+            # iteration while `ex` is stable).
+            batch = ex.where(in_batch)
             merged = merge_aggregate(
                 spark,
                 mart,
