@@ -747,7 +747,12 @@ def minhash_index_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             bands.where(F.col("doc_id") <= mid),
             bands.where(F.col("doc_id") > mid),
         ):
-            batch = batch.localCheckpoint(eager=True)
+            # No batch checkpoint: the batch is a cheap filter over the
+            # already-checkpointed memoized band table; its consumers
+            # (index probe, intra-batch self-join, index append) all
+            # evaluate within this iteration while `bands` is stable
+            # (same finding as novelty_two_batch — the eager copy of
+            # the posting rows cost more than the repeated filters).
             if Path(index_path).exists():
                 idx = read_table(spark, index_path)
                 new_pairs = bucket_pairs(idx, batch).unionByName(
