@@ -97,18 +97,11 @@ _KEEP_FIRST_SQL = """
 # ---------------------------------------------------------------------------
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard for a bounded candidate set: same ``source``
-    and doc_id within 60 (sources stripe every N docs, so this yields a
-    few neighbors per doc) — a deterministic stand-in for "candidates
-    from blocking". The Jaccard itself is array_intersect/array_union over
-    distinct token sets, computed post-join on already-tokenized arrays.
-
-    Scale: candidate generation is an equi-join on ``source`` with a
-    range predicate, not a cross product; at 100 TB the blocking key
-    would be an LSH bucket (see minhash_lsh_candidates below) — the
-    verify stage here is identical either way.
-    """
+def _jaccard_pairs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAZY blocked-candidate Jaccard frame (doc_a, doc_b, jaccard)
+    — the computation behind [[ngram_jaccard_pairs]]; see
+    ``jaccard_pairs_raw`` for the shared memoized checkpoint the data
+    path consumes."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.array_distinct(_tokens()).alias("toks")
     )
@@ -128,6 +121,65 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.doc_id").alias("doc_b"),
         F.round(inter / union, 4).alias("jaccard"),
     )
+
+
+#: Shared RAW blocked-candidate pair table (doc_a, doc_b, jaccard):
+#: THREE data paths each eagerly checkpointed an IDENTICAL copy per
+#: bench pass — the registered [[ngram_jaccard_pairs]] query, the CC
+#: cluster build (``mlprep._compute_dedup_clusters``, whose comment
+#: already mandates the checkpoint as an optimizer barrier so Catalyst
+#: cannot push ``jaccard >= t`` into the blocking join), and
+#: [[cluster_labels_two_batch]]'s edge pass. One memoized build per
+#: (applicationId, sf_dir) under the _MINHASH_STAGE_CACHE honesty
+#: contract — bench evicts per pass, whichever consumer runs first
+#: pays. Values are (DataFrame, JVM RDD handle) for eager block
+#: release on evict (r14 advice #1 idiom).
+_JACCARD_PAIRS_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def jaccard_pairs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized eager checkpoint of ``_jaccard_pairs_frame`` — the
+    substrate every blocked-Jaccard consumer starts from. The
+    checkpoint doubles as the optimizer barrier the CC build needs
+    (filtering a checkpoint scan cannot be pushed into the join)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _JACCARD_PAIRS_CACHE.get(key)
+    if hit is not None:
+        return hit[0]
+    pairs = _jaccard_pairs_frame(spark, sf_dir).localCheckpoint(eager=True)
+    _JACCARD_PAIRS_CACHE[key] = (
+        pairs,
+        pairs._jdf.queryExecution().analyzed().rdd(),
+    )
+    return pairs
+
+
+def evict_jaccard_pairs_cache() -> None:
+    """Drop the shared raw Jaccard pair table (bench per-pass hook),
+    eagerly freeing its checkpointed blocks."""
+    for _df, jrdd in _JACCARD_PAIRS_CACHE.values():
+        try:
+            jrdd.unpersist(False)
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
+    _JACCARD_PAIRS_CACHE.clear()
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard for a bounded candidate set: same ``source``
+    and doc_id within 60 (sources stripe every N docs, so this yields a
+    few neighbors per doc) — a deterministic stand-in for "candidates
+    from blocking". The Jaccard itself is array_intersect/array_union over
+    distinct token sets, computed post-join on already-tokenized arrays.
+
+    Scale: candidate generation is an equi-join on ``source`` with a
+    range predicate, not a cross product; at 100 TB the blocking key
+    would be an LSH bucket (see minhash_lsh_candidates below) — the
+    verify stage here is identical either way. The pair table is the
+    memoized shared substrate ``jaccard_pairs_raw`` (its other two
+    consumers — the CC cluster build and the two-batch label fold —
+    previously checkpointed identical copies)."""
+    return jaccard_pairs_raw(spark, sf_dir)
 
 
 _JACCARD_SQL = r"""

@@ -594,17 +594,19 @@ def cluster_labels_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.maintenance import merge_cluster_labels
     from .mlprep import _CC_JACCARD_MIN
     from ..functions import plan_barrier  # noqa: F401  (dedup import parity)
-    from .dedup import ngram_jaccard_pairs
+    from .dedup import jaccard_pairs_raw
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
-    # Checkpoint the RAW pairs before the jaccard filter — same trap
-    # as _compute_dedup_clusters (see its comment): filtering first
-    # lets Catalyst push `jaccard >= t` into the blocking join's
+    # The RAW pairs are checkpointed before the jaccard filter — same
+    # trap as _compute_dedup_clusters (see its comment): filtering
+    # first lets Catalyst push `jaccard >= t` into the blocking join's
     # condition, where the O(|tokens|) set-overlap runs on every
-    # blocked candidate. Measured 14.2 s → ~4 s for this edge step at
-    # sf0.1.
-    pairs = ngram_jaccard_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    # blocked candidate (measured 14.2 s → ~4 s for this edge step at
+    # sf0.1). The checkpoint now comes from the SHARED memoized
+    # substrate (dedup.jaccard_pairs_raw — same barrier, built once
+    # per pass across its three consumers).
+    pairs = jaccard_pairs_raw(spark, sf_dir)
     edges = (
         pairs.where(F.col("jaccard") >= _CC_JACCARD_MIN)
         .select("doc_a", "doc_b")

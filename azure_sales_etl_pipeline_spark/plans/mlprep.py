@@ -25,7 +25,6 @@ from ..functions import local_df
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from .dedup import ngram_jaccard_pairs
 
 # md5-prefix threshold: first two hex chars <= 'cc' keeps 205/256 ≈ 80%.
 _TRAIN_PREFIX_MAX = "cc"
@@ -904,8 +903,21 @@ def _compute_dedup_clusters(
     # candidate (pre-range-filter) instead of the few that survive —
     # measured 12x slower at sf0.1. It also makes the union below read
     # the pairs once instead of re-running the join per branch.
+    # Default path: the pair table is the SHARED memoized substrate
+    # (dedup.jaccard_pairs_raw — also consumed by the registered
+    # ngram_jaccard_pairs query and cluster_labels_two_batch), already
+    # eagerly checkpointed, i.e. the same barrier. The checkpoint_dir
+    # test knob keeps its own explicit cut for reliable-checkpoint runs.
     cut = _lineage_cutter(spark, checkpoint_dir)
-    edges = cut(ngram_jaccard_pairs(spark, sf_dir)).where(
+    if checkpoint_dir is None:
+        from .dedup import jaccard_pairs_raw
+
+        raw_pairs = jaccard_pairs_raw(spark, sf_dir)
+    else:
+        from .dedup import _jaccard_pairs_frame
+
+        raw_pairs = cut(_jaccard_pairs_frame(spark, sf_dir))
+    edges = raw_pairs.where(
         F.col("jaccard") >= _CC_JACCARD_MIN
     ).select("doc_a", "doc_b")
     # Undirected: propagate labels both ways.

@@ -148,6 +148,9 @@ def main() -> None:
         from azure_sales_etl_pipeline_spark.plans import dedup
 
         dedup.evict_minhash_stage_cache()
+        # Same contract for the shared raw blocked-Jaccard pair table
+        # (ngram_jaccard_pairs + CC build + cluster_labels_two_batch).
+        dedup.evict_jaccard_pairs_cache()
         # Same contract for the shared exploded 3-shingle inverted
         # index (doc_novelty + shingle_containment_pairs).
         dedup.evict_shingle3_cache()

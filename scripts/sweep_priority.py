@@ -152,6 +152,13 @@ _SWEEP_PINS: dict[str, int] = {
     # sf0.001 + vanilla sf0.01/sf0.1, planted tests green):
     "doc_novelty": 9,
     "shingle_containment_pairs": 9,
+    # r15 shared raw blocked-Jaccard pair memo (one checkpointed build
+    # per pass across the registered query, the CC cluster build, and
+    # the two-batch label fold; values unchanged — oracle-green at
+    # sf0.001 + vanilla sf0.01/sf0.1, memo pytest green):
+    "ngram_jaccard_pairs": 13,
+    "dedup_clusters": 14,
+    "cluster_labels_two_batch": 9,
 }
 
 

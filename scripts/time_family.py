@@ -63,6 +63,7 @@ def main() -> None:
         similarity.evict_ivf_centroid_cache()
         dedup.evict_minhash_stage_cache()
         dedup.evict_shingle3_cache()
+        dedup.evict_jaccard_pairs_cache()
         similarity.evict_sparse_terms_cache()
         textops.evict_bm25_cache()
         textops.evict_dsir_feats_cache()

@@ -1007,6 +1007,41 @@ def test_shingle3_cache_hits_and_evicts(spark, tmp_path):
     assert jsc.getPersistentRDDs().size() == before
 
 
+def test_jaccard_pairs_cache_hits_and_evicts(spark, tmp_path):
+    """The shared raw blocked-Jaccard pair memo returns the same
+    checkpointed frame on a hit (keyed by (applicationId, sf_dir)) and
+    eagerly frees its blocks on evict — the _MINHASH_STAGE_CACHE
+    contract, applied to the substrate shared by ngram_jaccard_pairs,
+    the CC cluster build, and cluster_labels_two_batch."""
+    from azure_sales_etl_pipeline_spark.plans import dedup
+
+    text = " ".join(f"w{i}" for i in range(8))
+    spark.createDataFrame(
+        [(1, text, "en", "web", 0), (2, text + " extra", "en", "web", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    dedup.evict_jaccard_pairs_cache()
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    p1 = dedup.jaccard_pairs_raw(spark, str(tmp_path))
+    p2 = dedup.jaccard_pairs_raw(spark, str(tmp_path))
+    assert p1 is p2  # memo hit
+    assert jsc.getPersistentRDDs().size() == before + 1
+    # the two same-source neighbors form exactly one candidate pair
+    rows = p1.collect()
+    assert len(rows) == 1 and rows[0]["doc_a"] == 1 and rows[0]["doc_b"] == 2
+    dedup.evict_jaccard_pairs_cache()
+    assert not dedup._JACCARD_PAIRS_CACHE
+    import time as _t
+
+    for _ in range(50):
+        if jsc.getPersistentRDDs().size() == before:
+            break
+        _t.sleep(0.1)
+    assert jsc.getPersistentRDDs().size() == before
+
+
 def test_novelty_two_batch_matches_one_shot_and_kills_cross_batch_dups(
     spark, tmp_path
 ):
