@@ -570,9 +570,15 @@ def media_alignment_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sums=["val"],
                 count_col="c",
             )
+            # No localCheckpoint here: merge_aggregate already returns a
+            # read of the MATERIALIZED parquet mart, so a checkpoint
+            # would be a second copy of the same bytes in the block
+            # manager (growing with the mart at scale). A/B at sf0.1:
+            # neutral (3.99 vs 4.00 s isolated min) — the drop is for
+            # the scale shape, not a local win.
             feats = state.select(
                 "doc_id", "dim", F.col("val").cast("bigint").alias("val")
-            ).localCheckpoint()
+            )
             batch_pairs = _align_pairs(docs.where(pred))
             candidates = (
                 batch_pairs
