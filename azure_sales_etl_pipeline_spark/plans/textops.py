@@ -577,6 +577,42 @@ _WIN_K = 3  # k-gram width (tokens)
 _WIN_W = 4  # winnowing window (grams)
 
 
+#: Shared winnowed-fingerprint table (doc_id, fingerprint): the
+#: registered [[winnowing_fingerprints]] query and
+#: [[winnowing_plagiarism_pairs]] (which checkpointed its own copy)
+#: consume the IDENTICAL table — one memoized build per
+#: (applicationId, sf_dir) under the _MINHASH_STAGE_CACHE honesty
+#: contract (bench evicts per pass; whichever consumer runs first
+#: pays). Values are (DataFrame, JVM RDD handle) for eager block
+#: release on evict.
+_WINNOW_FP_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def evict_winnow_fp_cache() -> None:
+    """Drop the shared winnowed-fingerprint table (bench per-pass
+    hook), eagerly freeing its checkpointed blocks."""
+    for _df, jrdd in _WINNOW_FP_CACHE.values():
+        try:
+            jrdd.unpersist(False)
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
+    _WINNOW_FP_CACHE.clear()
+
+
+def winnowing_fingerprints_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized eager checkpoint of ``_winnowing_fingerprints_frame`` —
+    the substrate both winnowing consumers start from."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _WINNOW_FP_CACHE.get(key)
+    if hit is not None:
+        return hit[0]
+    fp = _winnowing_fingerprints_frame(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
+    _WINNOW_FP_CACHE[key] = (fp, fp._jdf.queryExecution().analyzed().rdd())
+    return fp
+
+
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS-style winnowing: hash every token k-gram, slide a window of
     w grams, keep each window's minimum hash — the selected fingerprints
@@ -587,7 +623,16 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-minima are computed map-side per row, then exploded to
     (doc_id, fingerprint) pairs — the explode is the only row expansion
     and happens AFTER selection, so ~n/w fingerprints per doc, not n.
-    """
+    The table is the memoized shared substrate
+    ``winnowing_fingerprints_raw`` ([[winnowing_plagiarism_pairs]]
+    previously checkpointed an identical copy)."""
+    return winnowing_fingerprints_raw(spark, sf_dir)
+
+
+def _winnowing_fingerprints_frame(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The LAZY winnowing computation behind the shared substrate."""
     docs = load_table(spark, sf_dir, "documents")
     # Tokenize and gram stages each sit behind a plan_barrier fence (see
     # functions.plan_barrier: CollapseProject + alias-substituting
@@ -681,10 +726,11 @@ def winnowing_plagiarism_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint pairs (see the constant's measured note)."""
     from .dedup import exact_pair_overlap, rare_key_candidates
 
-    fp = (
-        winnowing_fingerprints(spark, sf_dir)
-        .withColumnRenamed("fingerprint", "g")
-        .localCheckpoint()
+    # The fingerprint table comes from the SHARED memoized checkpoint
+    # (winnowing_fingerprints_raw) — this query previously built and
+    # checkpointed an identical private copy (~0.9 s/pass at sf0.1).
+    fp = winnowing_fingerprints_raw(spark, sf_dir).withColumnRenamed(
+        "fingerprint", "g"
     )
     cand = rare_key_candidates(fp, _PLAG_DF_MIN, _PLAG_DF_MAX)
     joined = exact_pair_overlap(fp, cand)

@@ -165,6 +165,8 @@ def main() -> None:
         # per-doc bigram-surprisal table (two consumers each).
         textops.evict_dsir_feats_cache()
         textops.evict_bigram_scores_cache()
+        # Same contract for the shared winnowed-fingerprint table.
+        textops.evict_winnow_fp_cache()
         for name in run_order:
             if partial:
                 est = samples[name][-1] if samples[name] else 0.0

@@ -159,6 +159,12 @@ _SWEEP_PINS: dict[str, int] = {
     "ngram_jaccard_pairs": 13,
     "dedup_clusters": 14,
     "cluster_labels_two_batch": 9,
+    # r15 shared winnowed-fingerprint memo (one checkpointed build per
+    # pass across the registered sketch query and the MOSS pair
+    # report; values unchanged — oracle-green at sf0.001 + vanilla
+    # sf0.01/sf0.1). winnowing_plagiarism_pairs is new this round
+    # (never driver-sampled) and needs no pin.
+    "winnowing_fingerprints": 8,
 }
 
 

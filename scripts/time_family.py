@@ -68,6 +68,8 @@ def main() -> None:
         textops.evict_bm25_cache()
         textops.evict_dsir_feats_cache()
         textops.evict_bigram_scores_cache()
+        # Same contract for the shared winnowed-fingerprint table.
+        textops.evict_winnow_fp_cache()
         for n in args.names:
             t0 = time.perf_counter()
             qs[n](spark, args.sf).write.format("noop").mode("overwrite").save()
