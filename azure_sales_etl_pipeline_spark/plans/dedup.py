@@ -239,14 +239,51 @@ def _simhash_bits(docs: DataFrame) -> DataFrame:
     return hashed.select("doc_id", F.array_join(bits, "").alias("simhash_bits"))
 
 
+#: Shared per-doc SimHash signature table: the registered [[simhash]]
+#: sketch query and [[simhash_hamming_pairs]] (which eagerly
+#: checkpointed its own copy) consume the IDENTICAL (doc_id,
+#: simhash_bits) table — one memoized build per (applicationId,
+#: sf_dir) under the _MINHASH_STAGE_CACHE honesty contract (bench
+#: evicts per pass; whichever consumer runs first pays). Values are
+#: (DataFrame, JVM RDD handle) for eager block release on evict.
+_SIMHASH_SIG_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def simhash_sigs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized eager checkpoint of the per-doc SimHash signature
+    table — the substrate both simhash consumers start from."""
+    from ..functions import spread_for_cpu
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _SIMHASH_SIG_CACHE.get(key)
+    if hit is not None:
+        return hit[0]
+    sigs = _simhash_bits(
+        spread_for_cpu(load_table(spark, sf_dir, "documents"))
+    ).localCheckpoint(eager=True)
+    _SIMHASH_SIG_CACHE[key] = (sigs, sigs._jdf.queryExecution().analyzed().rdd())
+    return sigs
+
+
+def evict_simhash_sig_cache() -> None:
+    """Drop the shared SimHash signature table (bench per-pass hook),
+    eagerly freeing its checkpointed blocks."""
+    for _df, jrdd in _SIMHASH_SIG_CACHE.values():
+        try:
+            jrdd.unpersist(False)
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
+    _SIMHASH_SIG_CACHE.clear()
+
+
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document. Each token votes ±1 on 64 bit
     positions; the vote for bit i is the high bit of sha256(token)'s i-th
     hex nibble (portable across engines, unlike xxhash64). Sign of the
-    vote sum → bit (see ``_simhash_bits``)."""
-    from ..functions import spread_for_cpu
-
-    return _simhash_bits(spread_for_cpu(load_table(spark, sf_dir, "documents")))
+    vote sum → bit (see ``_simhash_bits``). The table is the memoized
+    shared substrate ``simhash_sigs_raw`` ([[simhash_hamming_pairs]]
+    previously checkpointed an identical copy)."""
+    return simhash_sigs_raw(spark, sf_dir)
 
 
 _SIMHASH_SQL = r"""
@@ -387,11 +424,10 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming verify JVM-side. Never all-pairs: at sf0.01 the bucket
     join yields ~5.4k candidates against ~1.4M possible pairs.
     """
-    from ..functions import spread_for_cpu
-
-    sigs = _simhash_bits(
-        spread_for_cpu(load_table(spark, sf_dir, "documents"))
-    ).localCheckpoint()
+    # The signature table comes from the SHARED memoized checkpoint
+    # (simhash_sigs_raw) — this query previously built and checkpointed
+    # an identical private copy (~0.5 s/pass at sf0.1).
+    sigs = simhash_sigs_raw(spark, sf_dir)
     hamming = F.size(
         F.filter(
             F.zip_with(

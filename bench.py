@@ -151,6 +151,8 @@ def main() -> None:
         # Same contract for the shared raw blocked-Jaccard pair table
         # (ngram_jaccard_pairs + CC build + cluster_labels_two_batch).
         dedup.evict_jaccard_pairs_cache()
+        # Same contract for the shared SimHash signature table.
+        dedup.evict_simhash_sig_cache()
         # Same contract for the shared exploded 3-shingle inverted
         # index (doc_novelty + shingle_containment_pairs).
         dedup.evict_shingle3_cache()

@@ -165,6 +165,11 @@ _SWEEP_PINS: dict[str, int] = {
     # sf0.01/sf0.1). winnowing_plagiarism_pairs is new this round
     # (never driver-sampled) and needs no pin.
     "winnowing_fingerprints": 8,
+    # r15 shared SimHash signature memo (sketch query + hamming-pair
+    # report consume one checkpointed build; values unchanged —
+    # oracle-green at sf0.001 + vanilla sf0.01/sf0.1):
+    "simhash": 8,
+    "simhash_hamming_pairs": 10,
 }
 
 

@@ -64,6 +64,8 @@ def main() -> None:
         dedup.evict_minhash_stage_cache()
         dedup.evict_shingle3_cache()
         dedup.evict_jaccard_pairs_cache()
+        # Same contract for the shared SimHash signature table.
+        dedup.evict_simhash_sig_cache()
         similarity.evict_sparse_terms_cache()
         textops.evict_bm25_cache()
         textops.evict_dsir_feats_cache()

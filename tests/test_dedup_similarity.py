@@ -1007,6 +1007,38 @@ def test_shingle3_cache_hits_and_evicts(spark, tmp_path):
     assert jsc.getPersistentRDDs().size() == before
 
 
+def test_simhash_sig_cache_hits_and_evicts(spark, tmp_path):
+    """The shared SimHash signature memo returns the same checkpointed
+    frame on a hit (keyed by (applicationId, sf_dir)) and eagerly
+    frees its blocks on evict — the _MINHASH_STAGE_CACHE contract,
+    applied to the simhash / simhash_hamming_pairs substrate."""
+    from azure_sales_etl_pipeline_spark.plans import dedup
+
+    spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(8)), "en", "web", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    dedup.evict_simhash_sig_cache()
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    s1 = dedup.simhash_sigs_raw(spark, str(tmp_path))
+    s2 = dedup.simhash_sigs_raw(spark, str(tmp_path))
+    assert s1 is s2  # memo hit
+    assert jsc.getPersistentRDDs().size() == before + 1
+    rows = s1.collect()
+    assert len(rows) == 1 and len(rows[0]["simhash_bits"]) == 64
+    dedup.evict_simhash_sig_cache()
+    assert not dedup._SIMHASH_SIG_CACHE
+    import time as _t
+
+    for _ in range(50):
+        if jsc.getPersistentRDDs().size() == before:
+            break
+        _t.sleep(0.1)
+    assert jsc.getPersistentRDDs().size() == before
+
+
 def test_jaccard_pairs_cache_hits_and_evicts(spark, tmp_path):
     """The shared raw blocked-Jaccard pair memo returns the same
     checkpointed frame on a hit (keyed by (applicationId, sf_dir)) and
