@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import local_df
@@ -268,10 +268,13 @@ def _cc_min_label(edges: DataFrame, max_iters: int = _CC_FOLD_MAX_ITERS) -> Data
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Seed each label with min(self, neighbors): the same one-groupBy
+    # pass the identity seed needs to build the node set, but it banks
+    # the first propagation round for free (one fewer fold round,
+    # labels bit-identical — A/B in OPTIMIZATION_r16.md).
     labels = (
-        adj.select(F.col("doc_a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        adj.groupBy(F.col("doc_a").alias("node"))
+        .agg(F.least(F.min("doc_b"), F.col("doc_a")).alias("label"))
         .localCheckpoint(eager=True)
     )
     changed = 0
@@ -287,12 +290,23 @@ def _cc_min_label(edges: DataFrame, max_iters: int = _CC_FOLD_MAX_ITERS) -> Data
         lab_map = relaxed.select(
             F.col("node").alias("r_node"), F.col("mid").alias("r_lab")
         )
+        # The convergence probe rides the materialization job via
+        # observe() (CollectMetrics) instead of a second count() action
+        # on the checkpointed rows — one job per round, not two. The
+        # metric is exact: it counts every row the checkpoint writes.
+        obs = Observation()
         updated = (
             relaxed.join(lab_map, F.col("mid") == F.col("r_node"))
             .select("node", F.col("r_lab").alias("new_label"), "label")
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("new_label") != F.col("label")).cast("long")
+                ).alias("changed"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = updated.where(F.col("new_label") != F.col("label")).count()
+        changed = obs.get["changed"] or 0
         labels = updated.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             return labels
@@ -373,7 +387,13 @@ def merge_cluster_labels(
     new_rows = new_nodes.select("doc_id").join(
         remap, F.col("doc_id") == F.col("r_node"), "left"
     ).select("doc_id", F.coalesce("r_lab", "doc_id").alias("cluster_id"))
-    merged = updated_old.unionByName(new_rows).localCheckpoint(eager=True)
+    # No pre-swap checkpoint: overwrite_table writes to a staging dir
+    # and swaps only after the job completes, so the plan's reads of the
+    # CURRENT label files (old / old_map) all happen while those files
+    # still exist — the same staging contract merge_aggregate documents.
+    # An eager localCheckpoint here was a full extra materialization of
+    # the merged table per fold (A/B'd in OPTIMIZATION_r16.md).
+    merged = updated_old.unionByName(new_rows)
     overwrite_table(merged, labels_path, commit_meta=commit_meta)
     return read_table(spark, labels_path)
 

@@ -396,9 +396,14 @@ class SCD2Table:
             staged = bucket_rows.localCheckpoint(eager=True)
             staged.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(self.path)
         else:
-            # Materialize BEFORE the swap: the new plan reads the old files.
-            staged = rewritten.localCheckpoint(eager=True)
-            overwrite_table(staged, self.path)
+            # No pre-swap materialization needed: overwrite_table writes
+            # to a staging dir and swaps only after the job completes,
+            # so the plan's reads of the CURRENT table files happen
+            # while those files still exist (the staging contract
+            # merge_aggregate relies on). The bucketed branch above MUST
+            # keep its checkpoint — dynamic partition overwrite writes
+            # directly into self.path while the plan reads it.
+            overwrite_table(rewritten, self.path)
 
         if self.on_insert is not None and n_insert:
             insert_keys = classified.where(F.col("__action") == "INSERT").select("__key")
