@@ -511,14 +511,30 @@ def erase_cascade(
                 .distinct()
                 .localCheckpoint()
             )
-        plans.append((st, df, df.join(doom, st["match"], "left_anti")))
+        plans.append((st, df, doom))
     report: list[dict] = []
-    for st, df, keep in reversed(plans):
-        before = df.count()
-        after = keep.count()
-        overwrite_table(
-            keep, st["path"], backend, commit_meta={"erased_rows": before - after}
+    for st, df, doom in reversed(plans):
+        # The before/after audit counts ride the rewrite job itself via
+        # observe() (CollectMetrics above and below the anti-join)
+        # instead of two extra count() actions — ONE pass per table
+        # computes the survivors, writes them, and audits the erasure.
+        # commit_meta is the post-staging-write callable form, so the
+        # erased-rows marker still commits inside the same atomic swap.
+        o_in, o_out = Observation(), Observation()
+        keep = (
+            df.observe(o_in, F.count(F.lit(1)).alias("n"))
+            .join(doom, st["match"], "left_anti")
+            .observe(o_out, F.count(F.lit(1)).alias("n"))
         )
+        overwrite_table(
+            keep,
+            st["path"],
+            backend,
+            commit_meta=lambda o_in=o_in, o_out=o_out: {
+                "erased_rows": int(o_in.get["n"]) - int(o_out.get["n"])
+            },
+        )
+        before, after = int(o_in.get["n"]), int(o_out.get["n"])
         report.append(
             {
                 "table": Path(st["path"]).name,

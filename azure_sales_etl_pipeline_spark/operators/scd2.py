@@ -51,7 +51,7 @@ from __future__ import annotations
 import datetime as dt
 from collections.abc import Callable, Sequence
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table_exists
@@ -253,13 +253,19 @@ class SCD2Table:
         expire_mode = (self.on_delete == "expire") if expire_absent is None else expire_absent
         now = self.clock()
         if not table_exists(self.path):
-            first = self._with_scd(source, now)
+            # The insert count rides the initial-load write via
+            # observe() — counting `first` afterwards re-executed the
+            # whole source plan a second time.
+            obs = Observation()
+            first = self._with_scd(source, now).observe(
+                obs, F.count(F.lit(1)).alias("n")
+            )
             if self.n_buckets:
                 first = first.withColumn(BUCKET_COL, self._bucket_of(F.col(self.key)))
                 first.write.partitionBy(BUCKET_COL).mode("errorifexists").parquet(self.path)
             else:
                 overwrite_table(first, self.path)
-            n = first.count()
+            n = int(obs.get["n"])
             if self.on_insert is not None and n:
                 self.on_insert(source)
             stats0 = {"insert": n, "update": 0, "no_change": 0}

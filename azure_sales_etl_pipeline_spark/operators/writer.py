@@ -26,6 +26,7 @@ from __future__ import annotations
 import importlib.util
 import shutil
 import tempfile
+from collections.abc import Callable
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -74,7 +75,7 @@ def overwrite_table(
     df: DataFrame,
     path: str,
     backend: str = "parquet",
-    commit_meta: dict | None = None,
+    commit_meta: dict | Callable[[], dict] | None = None,
 ) -> None:
     """Full refresh (S7) with staged swap — never a torn table.
 
@@ -84,7 +85,11 @@ def overwrite_table(
     rename. This is the transactional seam replay guards need: a sink
     that records "batch N is folded in" anywhere outside the swapped
     directory has a crash window between data commit and marker commit
-    (the round-3 streaming_mart bug).
+    (the round-3 streaming_mart bug). It may also be a CALLABLE
+    returning that dict, invoked after the staging write completes and
+    before the swap — the seam that lets callers stamp metrics the
+    write itself produced (``observe()`` counts) without a second pass
+    over the data, still inside the same atomic rename.
 
     Delta backend: the transaction log makes overwrite atomic natively,
     so no staging dance is needed. ``commit_meta`` is refused there —
@@ -108,7 +113,8 @@ def overwrite_table(
     if commit_meta is not None:
         import json
 
-        (stage / COMMIT_META_NAME).write_text(json.dumps(commit_meta))
+        meta = commit_meta() if callable(commit_meta) else commit_meta
+        (stage / COMMIT_META_NAME).write_text(json.dumps(meta))
     if p.exists():
         shutil.rmtree(p)
     p.parent.mkdir(parents=True, exist_ok=True)

@@ -23,7 +23,7 @@ from collections.abc import Callable
 from dataclasses import dataclass, field
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 
 from pyspark.sql import functions as F
 
@@ -114,6 +114,14 @@ class MedallionPipeline:
         batch = self.watermarks.cut(bronze, cfg.ts_col, cfg.name)
         if batch.isEmpty():
             return {"insert": 0, "update": 0, "no_change": 0}
+        # The new watermark (max ts of the batch) rides the upsert's own
+        # first full pass over the batch via observe() instead of a
+        # separate agg job that re-scans bronze. The isEmpty() probe
+        # above MUST stay on the un-observed frame: take(1) would fire
+        # the observation over a partial scan and pin a wrong max
+        # (Observation keeps its first action's result).
+        wm_obs = Observation()
+        batch = batch.observe(wm_obs, F.max(F.col(cfg.ts_col)).alias("wm"))
         dim = SCD2Table(
             self.spark,
             self.catalog.path("silver", cfg.name),
@@ -128,7 +136,12 @@ class MedallionPipeline:
             on_insert=self.on_insert.get(cfg.name),
         )
         stats = dim.upsert(batch)
-        self.watermarks.advance_from(batch, cfg.ts_col, cfg.name)
+        # Commit order preserved: the watermark advances only after the
+        # upsert returned (at-least-once contract); the value itself was
+        # observed during the upsert's full scan of the batch.
+        wm = wm_obs.get["wm"]
+        if wm is not None:
+            self.watermarks.set(cfg.name, wm)
         return stats
 
     def silver_to_gold(self, name: str) -> dict[str, int]:
@@ -137,8 +150,12 @@ class MedallionPipeline:
         (3_Silver_to_Gold.py:60,66,72,92,112,133 / S7)."""
         df = self.gold_marts[name](self.spark, self.catalog)
         path = self.catalog.path("gold", name)
-        overwrite_table(df, path)
-        return {"rows": read_table(self.spark, path).count()}
+        # The row count rides the mart write via observe() instead of a
+        # count() re-read of the just-written parquet — one job, same
+        # number (every written row passes the CollectMetrics node).
+        obs = Observation()
+        overwrite_table(df.observe(obs, F.count(F.lit(1)).alias("n")), path)
+        return {"rows": int(obs.get["n"])}
 
     # -- run log -------------------------------------------------------------
 

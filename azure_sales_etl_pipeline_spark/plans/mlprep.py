@@ -567,16 +567,27 @@ def curation_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textops import _chunk_marked, _quality_exprs, _rebuilt_agg
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    n0 = docs.count()
 
+    # Every stage count rides that stage's (eager) localCheckpoint via
+    # observe() — the per-stage count() actions were a second scan of
+    # each checkpointed survivor set, and n0 was a separate scan of the
+    # corpus. One CollectMetrics above the semi-join's probe side
+    # counts the input rows; one above the checkpoint counts the
+    # survivors. Same numbers, half the actions.
+    o0, o1 = Observation(), Observation()
     keepers = (
         docs.select("doc_id", _norm_fingerprint().alias("fp"))
         .groupBy("fp")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    s1 = docs.join(keepers, "doc_id", "left_semi").localCheckpoint()
-    n1 = s1.count()
+    s1 = (
+        docs.observe(o0, F.count(F.lit(1)).alias("n"))
+        .join(keepers, "doc_id", "left_semi")
+        .observe(o1, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    n0, n1 = int(o0.get["n"]), int(o1.get["n"])
 
     pairs = minhash_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
     ids1 = s1.select("doc_id")
@@ -588,23 +599,43 @@ def curation_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    s2 = s1.join(near_drops, "doc_id", "left_anti").localCheckpoint()
-    n2 = s2.count()
+    o2 = Observation()
+    s2 = (
+        s1.join(near_drops, "doc_id", "left_anti")
+        .observe(o2, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    n2 = int(o2.get["n"])
 
     rebuilt = _chunk_marked(s2).groupBy("doc_id").agg(
         _rebuilt_agg().alias("text")
     )
-    s3 = rebuilt.where(F.col("text") != "").localCheckpoint()
-    n3 = s3.count()
+    o3 = Observation()
+    s3 = (
+        rebuilt.where(F.col("text") != "")
+        .observe(o3, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    n3 = int(o3.get["n"])
 
-    s4 = s3.where(_quality_exprs()["keep"]).localCheckpoint()
-    n4 = s4.count()
+    o4 = Observation()
+    s4 = (
+        s3.where(_quality_exprs()["keep"])
+        .observe(o4, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    n4 = int(o4.get["n"])
 
     from .mlprep import bloom_decontaminate as _bloom  # self-module clarity
 
     clean_ids = _bloom(spark, sf_dir).select("doc_id")
-    s5 = s4.join(clean_ids, "doc_id", "left_semi").localCheckpoint()
-    n5 = s5.count()
+    o5 = Observation()
+    s5 = (
+        s4.join(clean_ids, "doc_id", "left_semi")
+        .observe(o5, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    n5 = int(o5.get["n"])
 
     segs = _pack_segments(
         s5.select(
