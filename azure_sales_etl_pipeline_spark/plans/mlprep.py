@@ -1331,7 +1331,7 @@ def supplier_copurchase_pagerank(
     nodes = load_table(spark, sf_dir, "supplier").select("s_suppkey")
     n_nodes = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
     rank = nodes.withColumn("rank_micro", F.lit(_PR_SCALE).cast("bigint"))
-    for _ in range(_PR_ITERS):
+    for _it in range(_PR_ITERS):
         contrib = (
             edges.join(rank, edges.src == rank.s_suppkey)
             .join(outdeg, "src")
@@ -1345,7 +1345,7 @@ def supplier_copurchase_pagerank(
         dang = rank.join(outdeg, rank.s_suppkey == outdeg.src, "left_anti").agg(
             F.coalesce(F.sum("rank_micro"), F.lit(0)).cast("bigint").alias("dang_sum")
         )
-        rank = cut(
+        rank = (
             nodes.join(inc, nodes.s_suppkey == inc.dst, "left")
             .crossJoin(F.broadcast(dang))
             .crossJoin(F.broadcast(n_nodes))
@@ -1359,6 +1359,15 @@ def supplier_copurchase_pagerank(
                 ).cast("bigint").alias("rank_micro"),
             )
         )
+        # Lineage cut every SECOND round, not every round: one round of
+        # lineage is a bounded join/agg layer over checkpointed edges,
+        # and Spark's ReusedExchange dedupes the contrib shuffle where
+        # the un-cut rank subtree appears twice (contrib + dangling), so
+        # plan depth stays <= 2 rounds while the per-round serial
+        # checkpoint job halves (A/B: 55 -> 44 jobs, ~4.0 -> ~3.1 s,
+        # ranks bit-identical; OPTIMIZATION_r16.md).
+        if (_it + 1) % 2 == 0:
+            rank = cut(rank)
     indeg = edges.groupBy(F.col("dst").alias("s_suppkey")).agg(
         F.count(F.lit(1)).alias("n_copurchase_edges")
     )
@@ -2736,7 +2745,10 @@ def copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("hops", F.lit(hop).cast("bigint"))
             .localCheckpoint()
         )
-        known = known.unionByName(new).localCheckpoint()
+        # known is a UNION of already-checkpointed rings — re-reading
+        # those blocks is free, so checkpointing the union again was a
+        # redundant copy of the whole visited set every round.
+        known = known.unionByName(new)
         frontier = new.select("part")
     return known.select(F.col("part").alias("p_partkey"), "hops")
 
@@ -2962,20 +2974,31 @@ def _k_core(eu: DataFrame, k: int, max_peels: int) -> DataFrame:
     persists bucketed by ``u`` so the probe side of both semi joins
     stays shuffle-free; rounds are O(peel depth), which degree-skewed
     real graphs keep small for low k."""
-    alive = eu.select("u").distinct().localCheckpoint()
-    n = alive.count()
+    # Vertex-count probes ride the per-round materialization via
+    # observe() instead of separate count() actions — one job per peel,
+    # not two (the CC-loop idiom; A/B in OPTIMIZATION_r16.md).
+    obs0 = Observation()
+    alive = (
+        eu.select("u")
+        .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    n = int(obs0.get["n"])
     for _ in range(max_peels):
         sub = eu.join(alive, "u", "semi").join(
             alive.select(F.col("u").alias("v")), "v", "semi"
         )
+        obs = Observation()
         survivors = (
             sub.groupBy("u")
             .agg(F.count(F.lit(1)).alias("deg"))
             .where(F.col("deg") >= k)
             .select("u")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
-        m = survivors.count()
+        m = int(obs.get["n"])
         alive = survivors
         if m == n:
             break

@@ -4079,6 +4079,8 @@ _DSIR_LO_K, _DSIR_HI_K = -40, 40
 # contract). Values are (frame, jrdd) for eager block release.
 _DSIR_FEATS_CACHE: dict[tuple[str, str], tuple] = {}
 
+_DSIR_WEIGHTS_CACHE: dict[tuple[str, str], tuple] = {}
+
 
 def evict_dsir_feats_cache() -> None:
     """Drop the shared DSIR feature index (bench per-pass hook),
@@ -4089,6 +4091,17 @@ def evict_dsir_feats_cache() -> None:
         except Exception:  # noqa: BLE001 — session may already be gone
             pass
     _DSIR_FEATS_CACHE.clear()
+
+
+def evict_dsir_weights_cache() -> None:
+    """Drop the shared DSIR importance-weights table (bench per-pass
+    hook), eagerly freeing its checkpointed blocks."""
+    for _f, jrdd in _DSIR_WEIGHTS_CACHE.values():
+        try:
+            jrdd.unpersist(False)
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
+    _DSIR_WEIGHTS_CACHE.clear()
 
 
 def _dsir_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4175,10 +4188,24 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumes the same index, and the query's own plan was ALREADY
     rooted at the index checkpoint, so memoization changes who pays
     the build, never the plan (the shared-index contract; bench
-    evicts per pass via ``evict_dsir_feats_cache``)."""
-    return _dsir_weights_from_feats(
+    evicts per pass via ``evict_dsir_feats_cache``).
+
+    The WEIGHTS table itself is memoized the same way (r16) —
+    [[dsir_resample_topk]] consumes the identical table as its race
+    substrate, so without the memo every resample run re-fit λ and
+    re-scored the raw pool (the registered-sketch-as-substrate lesson,
+    SCALE.md r15; bench evicts per pass via
+    ``evict_dsir_weights_cache``; same session-keyed, per-pass-evicted
+    honesty contract as every other memo)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _DSIR_WEIGHTS_CACHE.get(key)
+    if hit is not None:
+        return hit[0]
+    w = _dsir_weights_from_feats(
         _dsir_feats(spark, sf_dir).withColumn("n", F.lit(1).cast("bigint"))
-    )
+    ).localCheckpoint()
+    _DSIR_WEIGHTS_CACHE[key] = (w, w._jdf.queryExecution().analyzed().rdd())
+    return w
 
 
 dsir_importance_weights.__doc__ = dsir_importance_weights.__doc__.format(

@@ -163,9 +163,11 @@ def main() -> None:
         from azure_sales_etl_pipeline_spark.plans import textops
 
         textops.evict_bm25_cache()
-        # Same contract for the shared DSIR feature index and the
-        # per-doc bigram-surprisal table (two consumers each).
+        # Same contract for the shared DSIR feature index, the
+        # importance-weights table, and the per-doc bigram-surprisal
+        # table (two consumers each).
         textops.evict_dsir_feats_cache()
+        textops.evict_dsir_weights_cache()
         textops.evict_bigram_scores_cache()
         # Same contract for the shared winnowed-fingerprint table.
         textops.evict_winnow_fp_cache()

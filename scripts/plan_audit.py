@@ -133,7 +133,11 @@ EXPECTATIONS: dict[str, dict] = {
     # QUERY side only: posting-list broadcast join + per-query window.
     "sparse_retrieval_topk": {"min_bhj": 2, "max_exchanges": 2},
     "preference_pairs": {"must_push": True, "min_bhj": 10, "max_exchanges": 6},
-    "dsir_importance_weights": {"min_bhj": 2, "max_exchanges": 4},
+    # r16: the weights table moved behind the _DSIR_WEIGHTS_CACHE
+    # checkpoint (dsir_resample_topk consumes the identical table) —
+    # the audited live plan is the checkpoint scan; the λ-fit shape
+    # (2 broadcasts) now executes at build time inside the memo.
+    "dsir_importance_weights": {"max_exchanges": 0},
     "semantic_dedup": {"max_exchanges": 2},
     "quality_classifier_score": {"must_push": True, "min_bhj": 4, "max_exchanges": 3},
 }

@@ -69,6 +69,7 @@ def main() -> None:
         similarity.evict_sparse_terms_cache()
         textops.evict_bm25_cache()
         textops.evict_dsir_feats_cache()
+        textops.evict_dsir_weights_cache()
         textops.evict_bigram_scores_cache()
         # Same contract for the shared winnowed-fingerprint table.
         textops.evict_winnow_fp_cache()
