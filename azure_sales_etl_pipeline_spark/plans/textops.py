@@ -2385,6 +2385,11 @@ def repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.array_join(F.slice(toks, i, _SPAN_W), " "),
     )
     exploded = docs.select("doc_id", F.explode(spans).alias("span"))
+    # countDistinct here is ALREADY planned as the two-level aggregate
+    # (partial by (span, doc_id), then by span — no Expand, each span
+    # string crosses the exchange once): an explicit two-stage rewrite
+    # was A/B'd in r16 and produced the IDENTICAL physical plan, so the
+    # declarative form stays (plans/r16/repeated_spans_{before,after}).
     g = (
         exploded.groupBy("span")
         .agg(

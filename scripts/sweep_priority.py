@@ -114,7 +114,7 @@ _SWEEP_PINS: dict[str, int] = {
     "source_curation_rollup": 14,
     "quality_classifier_score": 9,
     "curation_funnel": 12,
-    "curation_pipeline_end_to_end": 12,
+    # curation_pipeline_end_to_end: r15 pin superseded by the r16 block below
     "stream_curation_funnel_fold": 12,
     "stream_quality_suite": 12,
     # slope widening moved from DECIMAL(38,0) to the exact int64
@@ -146,7 +146,7 @@ _SWEEP_PINS: dict[str, int] = {
     # dsir_importance_weights' r13 pin at 10 superseded: its last
     # green sample (r13) predates the memo refactor):
     "bigram_surprisal": 11,
-    "dsir_importance_weights": 13,
+    # dsir_importance_weights: r15 pin superseded by the r16 block below
     # r15 shared 3-shingle index memo (doc_novelty + containment now
     # consume one memoized build; values unchanged — oracle-green at
     # sf0.001 + vanilla sf0.01/sf0.1, planted tests green):
@@ -157,8 +157,8 @@ _SWEEP_PINS: dict[str, int] = {
     # the two-batch label fold; values unchanged — oracle-green at
     # sf0.001 + vanilla sf0.01/sf0.1, memo pytest green):
     "ngram_jaccard_pairs": 13,
-    "dedup_clusters": 14,
-    "cluster_labels_two_batch": 9,
+    # dedup_clusters / cluster_labels_two_batch: r15 pins superseded
+    # by the r16 block below
     # r15 shared winnowed-fingerprint memo (one checkpointed build per
     # pass across the registered sketch query and the MOSS pair
     # report; values unchanged — oracle-green at sf0.001 + vanilla
@@ -170,6 +170,35 @@ _SWEEP_PINS: dict[str, int] = {
     # oracle-green at sf0.001 + vanilla sf0.01/sf0.1):
     "simhash": 8,
     "simhash_hamming_pairs": 10,
+    # --- r16 refactors whose driver evidence predates the change (all
+    # verified locally: oracle sf0.001 + vanilla sf0.01 on every name;
+    # values unchanged by construction — counts/watermarks moved onto
+    # observe() metrics of the same jobs, checkpoints dropped where the
+    # writer already stages, CC labels bit-identical under the seeded
+    # loop, pagerank ranks bit-identical under cadence-2 cuts, DSIR
+    # weights memoized). Pinned at 15 so CORRECTNESS_r16 must re-sample
+    # them on the shipped code:
+    "dedup_clusters": 15,
+    "cluster_labels_two_batch": 15,
+    "cluster_representatives": 15,
+    "dedup_rate_by_source": 15,
+    "balanced_downsample": 15,
+    "global_shuffle_export": 15,
+    "scd2_two_batch_history": 15,
+    "scd2_delete_expiry": 15,
+    "scd2_point_in_time": 15,
+    "late_dimension_inferred": 15,
+    "fact_temporal_dimension_join": 15,
+    "pipeline_end_to_end": 15,
+    "pipeline_gold_mart": 15,
+    "pipeline_run_log": 15,
+    "gdpr_erasure_cascade": 15,
+    "curation_pipeline_end_to_end": 15,
+    "supplier_copurchase_pagerank": 15,
+    "k_core_vertices": 15,
+    "copurchase_bfs_hops": 15,
+    "dsir_importance_weights": 15,
+    "dsir_resample_topk": 15,
 }
 
 
