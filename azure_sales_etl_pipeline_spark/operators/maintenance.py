@@ -262,57 +262,57 @@ def _cc_min_label(edges: DataFrame, max_iters: int = _CC_FOLD_MAX_ITERS) -> Data
     edge DataFrame so ``merge_cluster_labels`` can run it on the
     CONTRACTED label graph, whose size is proportional to the new
     batch's edges — never the corpus."""
+    # Undirected + one self-loop per node: (v, v) rows make the
+    # per-round neighbor-min aggregate yield min over the CLOSED
+    # neighborhood directly — no re-join of the label table for the
+    # least(own, nbr) step (the _compute_dedup_clusters round shape;
+    # A/B and bit-identity check in OPTIMIZATION_r16.md).
+    und = edges.select(F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")).union(
+        edges.select(F.col("dst").alias("doc_a"), F.col("src").alias("doc_b"))
+    )
     adj = (
-        edges.select(F.col("src").alias("doc_a"), F.col("dst").alias("doc_b"))
-        .union(edges.select(F.col("dst").alias("doc_a"), F.col("src").alias("doc_b")))
+        und.union(und.select(F.col("doc_a"), F.col("doc_a").alias("doc_b")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # Seed each label with min(self, neighbors): the same one-groupBy
-    # pass the identity seed needs to build the node set, but it banks
-    # the first propagation round for free (one fewer fold round,
-    # labels bit-identical — A/B in OPTIMIZATION_r16.md).
+    # Seed labels with the closed-neighborhood min (banks round 1).
+    # Convergence probes ride each materialization via observe() as the
+    # SUM of labels: per-node labels are non-increasing (every step a
+    # min), so the sum strictly decreases until the fixed point — sum
+    # unchanged ⇔ no label changed, with no old-label join needed.
+    # DECIMAL(38,0) keeps the sum exact at any id/node scale.
+    obs0 = Observation()
     labels = (
         adj.groupBy(F.col("doc_a").alias("node"))
-        .agg(F.least(F.min("doc_b"), F.col("doc_a")).alias("label"))
+        .agg(F.min("doc_b").alias("label"))
+        .observe(obs0, F.sum(F.col("label").cast("decimal(38,0)")).alias("s"))
         .localCheckpoint(eager=True)
     )
-    changed = 0
+    prev_sum = obs0.get["s"]
     for _ in range(max_iters):
-        neighbor_min = (
+        mid = (
             adj.join(labels, adj.doc_b == labels.node)
             .groupBy("doc_a")
-            .agg(F.min("label").alias("nbr_min"))
+            .agg(F.min("label").alias("mid"))
         )
-        relaxed = labels.join(neighbor_min, labels.node == neighbor_min.doc_a).select(
-            "node", F.least(F.col("label"), F.col("nbr_min")).alias("mid"), "label"
+        lab_map = mid.select(
+            F.col("doc_a").alias("r_node"), F.col("mid").alias("r_lab")
         )
-        lab_map = relaxed.select(
-            F.col("node").alias("r_node"), F.col("mid").alias("r_lab")
-        )
-        # The convergence probe rides the materialization job via
-        # observe() (CollectMetrics) instead of a second count() action
-        # on the checkpointed rows — one job per round, not two. The
-        # metric is exact: it counts every row the checkpoint writes.
         obs = Observation()
         updated = (
-            relaxed.join(lab_map, F.col("mid") == F.col("r_node"))
-            .select("node", F.col("r_lab").alias("new_label"), "label")
-            .observe(
-                obs,
-                F.sum(
-                    (F.col("new_label") != F.col("label")).cast("long")
-                ).alias("changed"),
-            )
+            mid.join(lab_map, F.col("mid") == F.col("r_node"))
+            .select(F.col("doc_a").alias("node"), F.col("r_lab").alias("label"))
+            .observe(obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("s"))
             .localCheckpoint(eager=True)
         )
-        changed = obs.get["changed"] or 0
-        labels = updated.select("node", F.col("new_label").alias("label"))
-        if changed == 0:
+        cur_sum = obs.get["s"]
+        labels = updated
+        if cur_sum == prev_sum:  # None == None for an empty edge set
             return labels
+        prev_sum = cur_sum
     raise RuntimeError(
         f"_cc_min_label did not converge in {max_iters} pointer-doubling "
-        f"rounds ({changed} labels still changing); raise max_iters"
+        "rounds (label sum still decreasing); raise max_iters"
     )
 
 

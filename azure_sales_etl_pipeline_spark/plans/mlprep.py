@@ -904,28 +904,31 @@ def _compute_dedup_clusters(
     minimum doc_id reachable from it. Downstream keeps one doc per
     cluster_id — the standard last stage of MinHash dedup at scale.
 
-    Min-label propagation with pointer doubling: every doc starts as
-    its own label; each round (a) a doc's label becomes min(own,
-    neighbors') — one equi-join (edges ⋈ labels, shuffle on doc_id) +
-    one min-aggregate — then (b) labels compress through themselves
+    Min-label propagation with pointer doubling over a SELF-LOOPED
+    adjacency: (v, v) rows make the per-round neighbor-min aggregate
+    yield min over the CLOSED neighborhood directly, so each round is
+    (a) one equi-join (adj ⋈ labels, shuffle on doc_id) + one
+    min-aggregate, then (b) labels compress through themselves
     (label ← label-of-label), which halves remaining path lengths.
     Without (b) rounds needed = component diameter (dup CHAINS make
     that linear — a 1M-doc chain would need 1M rounds); with it,
     O(log diameter). No cross product anywhere; state is one row per
     doc. ``localCheckpoint`` after each round cuts the lineage so round
     k doesn't replay rounds 1..k-1 — at 1000 executors this is the
-    difference between O(k) and O(k²) work. Convergence check is a
-    count() action per round: bounded, scalar, and it gates the loop —
-    not a data collect. At the fixed point every label equals the min
-    over its closed neighborhood and labels are idempotent, which forces
+    difference between O(k) and O(k²) work. Convergence check is the
+    SUM of labels observed on the round's own materialization job:
+    labels are per-node non-increasing (every step a min), so the sum
+    strictly decreases until the fixed point and "sum unchanged" is
+    exactly "no label changed" — no extra action, no old-label join.
+    At the fixed point every label equals the min over its closed
+    neighborhood and labels are idempotent, which forces
     label = component minimum.
 
     The loop runs ONLY over nodes that appear in an edge — singleton
     docs (the overwhelming majority after blocking: near-dups are rare)
     never change label, so they skip the iteration entirely and union
-    back in at the end. Per round: one eager ``localCheckpoint``
-    materialization + one scalar count on the checkpointed result —
-    two bounded jobs over the edge-node set only.
+    back in at the end. Per round: ONE eager ``localCheckpoint``
+    materialization job over the edge-node set only.
     """
     # Materialize the candidate pairs BEFORE filtering on jaccard: the
     # checkpoint is an optimizer barrier that keeps Catalyst from
@@ -951,66 +954,71 @@ def _compute_dedup_clusters(
     edges = raw_pairs.where(
         F.col("jaccard") >= _CC_JACCARD_MIN
     ).select("doc_a", "doc_b")
-    # Undirected: propagate labels both ways.
+    # Undirected (propagate both ways) PLUS a self-loop per edge node:
+    # with (v, v) rows present, the per-round neighbor-min aggregate
+    # yields min over the CLOSED neighborhood directly — the separate
+    # "least(own, nbr_min)" re-join of the label table disappears from
+    # every round (measured: 48 → 41 jobs on the full sf0.1 graph,
+    # labels bit-identical; the one-time cost is |V| extra adj rows).
+    und = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
     adj = cut(
-        edges.union(
-            edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-        )
+        und.union(und.select(F.col("doc_a"), F.col("doc_a").alias("doc_b")))
     )
     all_docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    # Iterate only over edge nodes; adj already holds both directions so
-    # doc_a alone covers every endpoint. SEED each label with
-    # min(self, neighbors) — the same one-groupBy pass the identity
-    # seed needs to build the node set, but it banks the first
-    # propagation round for free (measured: one fewer round AND the
-    # baseline's per-round count() job folded into the checkpoint via
-    # observe() below — 69 → 48 jobs, labels bit-identical).
+    # Iterate only over edge nodes. SEED each label with the closed-
+    # neighborhood min — the same one-groupBy pass the identity seed
+    # needs to build the node set, but it banks the first propagation
+    # round for free (self-loops make min(doc_b) already include self).
+    # Convergence rides the SUM of labels: every step is a min, so
+    # per-node labels are non-increasing and the label sum is strictly
+    # decreasing until the fixed point — sum unchanged ⇔ no label
+    # changed, the same stop round as an explicit changed-count, with
+    # no old-label join needed to compute it. DECIMAL(38,0) keeps the
+    # sum exact at any corpus size (1e12 ids × 1e12 nodes ≪ 1e38).
+    obs0 = Observation()
     labels = cut(
-        adj.groupBy(F.col("doc_a").alias("doc_id")).agg(
-            F.least(F.min("doc_b"), F.col("doc_a")).alias("cluster_id")
+        adj.groupBy(F.col("doc_a").alias("doc_id"))
+        .agg(F.min("doc_b").alias("cluster_id"))
+        .observe(
+            obs0, F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
         )
     )
+    prev_sum = obs0.get["s"]
     for _ in range(_CC_MAX_ITERS):
-        neighbor_min = (
+        mid = (
             adj.join(labels, adj.doc_b == labels.doc_id)
             .groupBy("doc_a")
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        # Every edge node has >=1 neighbor, so the joins stay inner/total.
-        relaxed = labels.join(
-            neighbor_min, labels.doc_id == neighbor_min.doc_a
-        ).select(
-            "doc_id",
-            F.least(F.col("cluster_id"), F.col("nbr_min")).alias("mid"),
-            "cluster_id",
+            .agg(F.min("cluster_id").alias("mid"))
         )
         # Pointer doubling: label <- label(label). Every label value is
         # itself an edge-node doc_id (mins of doc_ids), so the join is
-        # total. `relaxed` is intentionally NOT checkpointed: computing
-        # it twice (probe + build of this self-join) is cheaper than a
+        # total. `mid` is intentionally NOT checkpointed: computing it
+        # twice (probe + build of this self-join) is cheaper than a
         # separate materialization job.
-        lab_map = relaxed.select(
-            F.col("doc_id").alias("r_doc"), F.col("mid").alias("r_lab")
+        lab_map = mid.select(
+            F.col("doc_a").alias("r_doc"), F.col("mid").alias("r_lab")
         )
-        # ONE job per round: the convergence probe rides the
-        # materialization via observe() (CollectMetrics in the same
-        # plan) instead of a second count() action over the
-        # checkpointed rows. The metric is exact — it sums over every
-        # row the lineage cut writes.
+        # ONE job per round: the convergence probe (label sum) rides
+        # the materialization via observe() (CollectMetrics in the same
+        # plan) instead of a second count() action.
         obs = Observation()
         updated = cut(
-            relaxed.join(lab_map, F.col("mid") == F.col("r_doc"))
-            .select("doc_id", F.col("r_lab").alias("new_cluster_id"), "cluster_id")
+            mid.join(lab_map, F.col("mid") == F.col("r_doc"))
+            .select(
+                F.col("doc_a").alias("doc_id"),
+                F.col("r_lab").alias("cluster_id"),
+            )
             .observe(
-                obs,
-                F.sum(
-                    (F.col("new_cluster_id") != F.col("cluster_id")).cast("long")
-                ).alias("changed"),
+                obs, F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
             )
         )
-        changed = obs.get["changed"] or 0
-        labels = updated.select("doc_id", F.col("new_cluster_id").alias("cluster_id"))
-        if changed == 0:
+        cur_sum = obs.get["s"]
+        labels = updated
+        changed = cur_sum != prev_sum  # None == None for the empty graph
+        prev_sum = cur_sum
+        if not changed:
             break
     else:
         # Pointer doubling converges in O(log2 diameter) rounds, so
@@ -1020,7 +1028,7 @@ def _compute_dedup_clusters(
         # graphs raise the bound.
         raise RuntimeError(
             f"dedup_clusters did not converge in {_CC_MAX_ITERS} pointer-"
-            f"doubling rounds ({changed} labels still changing): component "
+            f"doubling rounds (label sum still decreasing): component "
             f"diameter exceeds ~2^{_CC_MAX_ITERS}; raise _CC_MAX_ITERS"
         )
     singletons = all_docs.join(labels.select("doc_id"), "doc_id", "left_anti").select(
