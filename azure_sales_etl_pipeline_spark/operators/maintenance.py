@@ -261,12 +261,19 @@ def _cc_min_label(edges: DataFrame, max_iters: int = _CC_FOLD_MAX_ITERS) -> Data
     the convergence argument), but over an arbitrary ``(src, dst)``
     edge DataFrame so ``merge_cluster_labels`` can run it on the
     CONTRACTED label graph, whose size is proportional to the new
-    batch's edges — never the corpus."""
+    batch's edges — never the corpus.
+
+    Node/label values are an ARBITRARY orderable type (the golden-
+    record query runs this over part-name STRINGS), so every probe
+    below must stay type-generic — pinned by
+    ``tests/test_maintenance.py::test_cc_min_label_string_nodes``."""
     # Undirected + one self-loop per node: (v, v) rows make the
     # per-round neighbor-min aggregate yield min over the CLOSED
-    # neighborhood directly — no re-join of the label table for the
-    # least(own, nbr) step (the _compute_dedup_clusters round shape;
-    # A/B and bit-identity check in OPTIMIZATION_r16.md).
+    # neighborhood directly, so no re-join of the label table is needed
+    # for the least(own, nbr) step. The self-loop row doubles as the
+    # carrier of the node's OLD label into the aggregate
+    # (``doc_b == doc_a`` identifies it), which keeps the changed-count
+    # convergence probe type-generic with no extra join.
     und = edges.select(F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")).union(
         edges.select(F.col("dst").alias("doc_a"), F.col("src").alias("doc_b"))
     )
@@ -275,44 +282,61 @@ def _cc_min_label(edges: DataFrame, max_iters: int = _CC_FOLD_MAX_ITERS) -> Data
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # Seed labels with the closed-neighborhood min (banks round 1).
-    # Convergence probes ride each materialization via observe() as the
-    # SUM of labels: per-node labels are non-increasing (every step a
-    # min), so the sum strictly decreases until the fixed point — sum
-    # unchanged ⇔ no label changed, with no old-label join needed.
-    # DECIMAL(38,0) keeps the sum exact at any id/node scale.
-    obs0 = Observation()
+    # Seed each label with the closed-neighborhood min — the same
+    # one-groupBy pass the identity seed needs to build the node set,
+    # but it banks the first propagation round for free.
     labels = (
         adj.groupBy(F.col("doc_a").alias("node"))
         .agg(F.min("doc_b").alias("label"))
-        .observe(obs0, F.sum(F.col("label").cast("decimal(38,0)")).alias("s"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = obs0.get["s"]
+    changed = 0
     for _ in range(max_iters):
         mid = (
             adj.join(labels, adj.doc_b == labels.node)
             .groupBy("doc_a")
-            .agg(F.min("label").alias("mid"))
+            .agg(
+                F.min("label").alias("mid"),
+                # the node's own current label, read off its self-loop
+                F.max(F.when(adj.doc_b == F.col("doc_a"), F.col("label"))).alias(
+                    "old"
+                ),
+            )
         )
+        # Pointer doubling: label <- label(label); label values are
+        # node keys present in `mid`, so the self-join is total. `mid`
+        # is intentionally NOT checkpointed: computing it twice (probe
+        # + build) is cheaper than a separate materialization job.
         lab_map = mid.select(
             F.col("doc_a").alias("r_node"), F.col("mid").alias("r_lab")
         )
+        # The convergence probe rides the materialization job via
+        # observe() (CollectMetrics) instead of a second count() action
+        # on the checkpointed rows — one job per round, not two. The
+        # metric is exact: it counts every row the checkpoint writes.
         obs = Observation()
         updated = (
             mid.join(lab_map, F.col("mid") == F.col("r_node"))
-            .select(F.col("doc_a").alias("node"), F.col("r_lab").alias("label"))
-            .observe(obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("s"))
+            .select(
+                F.col("doc_a").alias("node"),
+                F.col("r_lab").alias("new_label"),
+                "old",
+            )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("new_label") != F.col("old")).cast("long")
+                ).alias("changed"),
+            )
             .localCheckpoint(eager=True)
         )
-        cur_sum = obs.get["s"]
-        labels = updated
-        if cur_sum == prev_sum:  # None == None for an empty edge set
+        changed = obs.get["changed"] or 0
+        labels = updated.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
             return labels
-        prev_sum = cur_sum
     raise RuntimeError(
         f"_cc_min_label did not converge in {max_iters} pointer-doubling "
-        "rounds (label sum still decreasing); raise max_iters"
+        f"rounds ({changed} labels still changing); raise max_iters"
     )
 
 

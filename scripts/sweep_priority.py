@@ -199,6 +199,11 @@ _SWEEP_PINS: dict[str, int] = {
     "copurchase_bfs_hops": 15,
     "dsir_importance_weights": 15,
     "dsir_resample_topk": 15,
+    # r16: _cc_min_label rewritten (self-looped adjacency; the string-
+    # label domain is pinned by a pytest after the r16 label-SUM probe
+    # briefly broke it — caught by the full sf0.001 sweep, fixed same
+    # session):
+    "golden_part_records": 15,
 }
 
 
